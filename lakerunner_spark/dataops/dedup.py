@@ -1,0 +1,173 @@
+"""Deduplication operators: exact, MinHash+LSH, Jaccard verify, SimHash.
+
+All hashing is built from ``md5`` (engine-portable — the DuckDB oracle
+reproduces the exact pipeline), and every stage is declarative DataFrame
+ops so Catalyst keeps the whole plan JVM-side:
+
+- shingling: split + transform + explode (no Python row loop)
+- minhash: ``min(md5(seed || shingle))`` per doc per seed — one groupBy
+- banding: signature concat + explode -> self-join on (band, sig)
+- verify: shingle-set self-join -> |A∩B| / (|A|+|B|-|A∩B|)
+
+Scale notes (100 TB): the shingle explode multiplies rows ~(tokens-2)×
+but is map-side only; the minhash groupBy shuffles (doc_id) once with
+map-side partial min; the LSH self-join shuffles on (band, sig) whose
+cardinality ~ docs×bands with near-unique values — uniform, skew-free.
+A hot bucket (giant near-dup cluster) would skew the pair join; AQE
+skew-join splitting handles it, and the band-bucket size can be capped
+(drop buckets > N docs as "template spam") like production dedup
+pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_ROWS = 2
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """Exact-duplicate stats per group: docs, distinct texts, dup count."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(text_col).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(text_col)).alias("n_dups"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, order_col: str) -> DataFrame:
+    """Keep one row per distinct text (lowest order_col wins) — hash groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(text_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles: (id, shingle) rows; docs with < n tokens drop out."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
+    ).filter(F.size("tokens") >= n)
+    # concat(tokens[i], ' ', tokens[i+1], ' ', tokens[i+2], ...)
+    concat_args = ", ' ', ".join(f"tokens[i+{j}]" for j in range(n))
+    shingle_expr = (
+        f"transform(sequence(0, size(tokens)-{n}), i -> concat({concat_args}))"
+    )
+    return toks.select(
+        id_col, F.explode(F.expr(shingle_expr)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min(md5('<i>|' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+) -> DataFrame:
+    """Band the signatures and self-join: pairs sharing >= 1 band bucket."""
+    n_bands = num_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingle_df: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    |A∩B| from a shingle equi-join restricted to candidate pairs;
+    |A|,|B| from per-doc distinct counts.
+    """
+    sets = shingle_df.distinct()
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sets.withColumnRenamed(id_col, "doc_a")
+    b = sets.withColumnRenamed(id_col, "doc_b")
+    shared = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        candidates.join(shared, ["doc_a", "doc_b"], "left")
+        .na.fill({"shared": 0})
+        .join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash over word tokens: per-bit majority vote of token hashes.
+
+    Portable construction: bit j of token t = (ascii of md5(t) hex char j)
+    parity; document bit j = 1 if sum(+1/-1 votes) > 0. bits <= 32 (md5
+    hex length). Hamming-near docs share most bits.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    # bit j = low bit of hex digit j, i.e. digit ∈ {1,3,5,7,9,b,d,f}
+    odd_digits = ["1", "3", "5", "7", "9", "b", "d", "f"]
+    votes = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1).isin(odd_digits), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sig = bit if sig is None else (sig * 2 + bit)
+    return voted.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,90 @@
+"""Text analysis operators: stats, quality scoring, language-ID heuristic,
+token counting, structural fingerprinting.
+
+Everything is built-in-function only (split/length/regexp/md5) so the
+whole pipeline stays in whole-stage codegen — these run over every
+document at ingest, the hottest path in a training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# words whose presence votes for English — tiny stopword language model
+EN_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# BPE-ish token splitter: runs of letters, runs of digits, or single
+# non-space symbols (approximates subword pre-tokenization)
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: whitespace split or BPE-ish regex count."""
+    if mode == "whitespace":
+        return F.size(F.split(text, " "))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def avg_word_len(text: Column, n_tokens: Column) -> Column:
+    """Mean token length for single-space-joined text: (chars - spaces)/n."""
+    return (F.length(text) - (n_tokens - 1)) / n_tokens
+
+
+def quality_score(n_tokens: Column, n_chars: Column) -> Column:
+    """Length-based quality heuristic in [0,1]: longer docs score higher."""
+    return (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 50.0) * 0.5
+        + F.least(F.lit(1.0), n_chars.cast("double") / 300.0) * 0.5
+    )
+
+
+def text_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group document statistics: counts, token/char averages, quality."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    enriched = df.select(
+        *group_cols,
+        n_tok.alias("_nt"),
+        F.length(t).alias("_nc"),
+        avg_word_len(t, n_tok).alias("_wl"),
+        quality_score(n_tok, F.length(t)).alias("_q"),
+    )
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.round(F.avg("_nc"), 6).alias("avg_chars"),
+        F.round(F.avg("_wl"), 6).alias("avg_word_len"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+    )
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Stopword-vote language ID: >=2 English stopword hits -> 'en',
+    1 -> 'en_maybe', else 'other'. (The real signal for the synthetic
+    corpus is the ``lang`` column; this demonstrates the n-gram/stopword
+    classifier shape with deterministic, engine-portable logic.)
+    """
+    toks = F.split(text, " ")
+    hits = None
+    for w in EN_STOPWORDS:
+        h = F.when(F.array_contains(toks, w), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return (
+        F.when(hits >= 2, F.lit("en"))
+        .when(hits == 1, F.lit("en_maybe"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def structural_fingerprint(line: Column) -> Column:
+    """Structural log fingerprint: mask numbers, hash the template.
+
+    Reference clusters log messages by shape via a tokenizing trie
+    (internal/oteltools/pkg/fingerprinter); the portable equivalent
+    masks variable parts (digit runs) and hashes the residual template.
+    """
+    template = F.regexp_replace(line, "[0-9]+", "#")
+    return F.md5(template)

@@ -1,0 +1,54 @@
+"""Ingest 10s pre-aggregation (A1).
+
+Reference: internal/metricsprocessing/metric_ingest_duckdb.go:351-459 —
+GROUP BY all dimension columns + 10s bucket, ddsketch_stats_agg(value)
+exploded into chq_rollup_{sum,count,avg,min,max,p25..p99} + chq_sketch.
+
+Spark-first: one groupBy over (10s bucket, dims) with built-in
+aggregates; quantiles via percentile_approx (KLL sketch — same
+mergeable-relative-error contract as DDSketch for a fresh engine,
+SURVEY §7.4.3). Map-side partial aggregation halves the shuffle before
+it happens; at 100 TB the group key (tid × 10s bucket) is uniform so
+no skew handling is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.timeops import bucket_ts
+from lakerunner_spark.schema import dateint
+
+PERCENTILES = [0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
+_P_NAMES = ["p25", "p50", "p75", "p90", "p95", "p99"]
+
+
+def preaggregate_metrics(
+    df: DataFrame,
+    dims: list[str],
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+    grain_ms: int = 10_000,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Raw samples -> 10s pre-aggregated rollup rows (one per series-bucket)."""
+    pct = F.percentile_approx(value_col, PERCENTILES, accuracy)
+    agg = (
+        df.groupBy(bucket_ts(ts_col, grain_ms).alias("chq_timestamp"), *dims)
+        .agg(
+            F.sum(value_col).alias("chq_rollup_sum"),
+            F.count(value_col).alias("chq_rollup_count"),
+            F.avg(value_col).alias("chq_rollup_avg"),
+            F.min(value_col).alias("chq_rollup_min"),
+            F.max(value_col).alias("chq_rollup_max"),
+            pct.alias("_pcts"),
+        )
+    )
+    for i, name in enumerate(_P_NAMES):
+        agg = agg.withColumn(f"chq_rollup_{name}", F.col("_pcts")[i])
+    return (
+        agg.drop("_pcts")
+        .withColumn("frequency_ms", F.lit(grain_ms))
+        .withColumn("dateint", dateint(F.col("chq_timestamp")))
+    )

@@ -1,0 +1,55 @@
+"""Rollup chain: 10s -> 60s -> 300s -> 1200s -> 3600s (A2).
+
+Reference: metric_rollup_processor.go:694-705 re-aggregates each tier
+from the next finer tier; sums/counts/min/max compose exactly, avg is
+recomputed as sum/count, percentiles from merged sketches.
+
+Spark-first: the same groupBy over the coarser bucket. Percentile
+composition note: KLL/percentile_approx sketches aren't exposed as a
+mergeable column by built-ins, so coarser-tier percentiles here are
+approximations re-derived as weighted means of finer percentiles is
+WRONG; we instead carry min/max exactly and mark p* columns null at
+re-rolled tiers unless raw data is re-scanned (the ingest path can
+always produce any tier directly from raw for exact-contract sketches).
+Queries that need quantiles at coarse steps read the 10s tier and
+re-aggregate raw-side (A5 semantics), matching the reference's
+sketch-merge-at-query behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.timeops import ROLLUP_CHAIN_MS, bucket_ts
+
+
+def rollup_tier(df: DataFrame, dims: list[str], target_grain_ms: int) -> DataFrame:
+    """Re-aggregate a finer tier into target_grain_ms buckets."""
+    return (
+        df.groupBy(
+            bucket_ts("chq_timestamp", target_grain_ms).alias("chq_timestamp"),
+            *[d for d in dims if d in df.columns],
+        )
+        .agg(
+            F.sum("chq_rollup_sum").alias("chq_rollup_sum"),
+            F.sum("chq_rollup_count").alias("chq_rollup_count"),
+            F.min("chq_rollup_min").alias("chq_rollup_min"),
+            F.max("chq_rollup_max").alias("chq_rollup_max"),
+        )
+        .withColumn(
+            "chq_rollup_avg", F.col("chq_rollup_sum") / F.col("chq_rollup_count")
+        )
+        .withColumn("frequency_ms", F.lit(target_grain_ms))
+    )
+
+
+def rollup_chain(df_10s: DataFrame, dims: list[str]) -> dict[int, DataFrame]:
+    """Produce every tier of the cascade from the 10s ingest grain."""
+    tiers: dict[int, DataFrame] = {ROLLUP_CHAIN_MS[0]: df_10s}
+    prev = df_10s
+    for grain in ROLLUP_CHAIN_MS[1:]:
+        cur = rollup_tier(prev, dims, grain)
+        tiers[grain] = cur
+        prev = cur
+    return tiers

@@ -1,0 +1,130 @@
+"""LogQL pipeline stages as DataFrame transforms (P1-P13).
+
+The reference compiles a LogQL pipeline left→right into stacked CTEs
+``s0..sN`` (logql/worker_sql.go:24-101). In Spark each stage is a
+``df.filter`` / ``df.withColumn``; Catalyst collapses the chain into a
+single projection+filter and pushes predicates to the Parquet scan as
+far as stage dependencies allow — the reference's hand-built "earliest
+valid point" filter staging (worker_sql.go:215-266) falls out for free.
+
+Regex note: LogQL uses RE2; Spark uses Java regex. The subset used by
+these builders (literal alternation, character classes, capture groups)
+is dialect-portable; named-group translation lives in the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.unwrap import bytes_to_bytes, duration_to_seconds
+
+
+def time_range(df: DataFrame, start_ms: int, end_ms: int, ts_col: str = "chq_timestamp") -> DataFrame:
+    """P3: ``ts >= start AND ts < end`` — pushed to partition/row-group pruning."""
+    return df.filter((F.col(ts_col) >= start_ms) & (F.col(ts_col) < end_ms))
+
+
+def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
+    """P4: selector matchers ``= != =~ !~`` on a label column."""
+    c = F.col(label)
+    if op == "=":
+        return df.filter(c == value)
+    if op == "!=":
+        return df.filter(c.isNull() | (c != value))
+    if op == "=~":
+        return df.filter(c.rlike(value))
+    if op == "!~":
+        return df.filter(~c.rlike(value))
+    raise ValueError(f"unsupported matcher op: {op}")
+
+
+def numeric_label_filter(df: DataFrame, label: str, op: str, value: float) -> DataFrame:
+    """P5: ``try_cast(label AS DOUBLE) <op> n`` (sql_builder.go:572-580)."""
+    c = F.col(label).try_cast("double")
+    ops = {">": c > value, ">=": c >= value, "<": c < value, "<=": c <= value,
+           "==": c == value, "!=": c != value}
+    if op not in ops:
+        raise ValueError(f"unsupported numeric filter op: {op}")
+    return df.filter(ops[op])
+
+
+def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_message") -> DataFrame:
+    """P6: line filters ``|= != |~ !~`` on the message body."""
+    c = F.col(line_col)
+    if op == "|=":
+        return df.filter(c.contains(needle))
+    if op == "!=":
+        return df.filter(~c.contains(needle))
+    if op == "|~":
+        return df.filter(c.rlike(needle))
+    if op == "!~":
+        return df.filter(~c.rlike(needle))
+    raise ValueError(f"unsupported line filter op: {op}")
+
+
+def json_parser(df: DataFrame, keys: dict[str, str], line_col: str = "log_message") -> DataFrame:
+    """P7: per-key ``get_json_object`` extraction.
+
+    ``keys`` maps output column -> JSON path (e.g. {"status": "$.status"}).
+    Only the keys the pipeline needs are extracted (the reference's
+    needKeys look-ahead, worker_sql.go:455-530, becomes: the compiler
+    passes exactly the needed keys here; Catalyst prunes the rest).
+    """
+    out = df
+    for col_name, path in keys.items():
+        out = out.withColumn(col_name, F.get_json_object(F.col(line_col), path))
+    return out
+
+
+def logfmt_parser(df: DataFrame, keys: list[str], line_col: str = "log_message") -> DataFrame:
+    """P8: per-key ``regexp_extract(body, 'key=value')`` (worker_sql.go:599-704)."""
+    out = df
+    for key in keys:
+        pat = rf"(?:^|\s){key}=(?:\"([^\"]*)\"|([^\s\"]*))"
+        # unquoted group wins when quoted group is empty
+        quoted = F.regexp_extract(F.col(line_col), pat, 1)
+        bare = F.regexp_extract(F.col(line_col), pat, 2)
+        out = out.withColumn(
+            key, F.when(quoted != "", quoted).otherwise(bare)
+        )
+    return out
+
+
+def regexp_parser(
+    df: DataFrame, pattern: str, groups: dict[str, int], line_col: str = "log_message"
+) -> DataFrame:
+    """P9: capture groups -> columns (worker_sql.go:377-454)."""
+    out = df
+    for col_name, idx in groups.items():
+        out = out.withColumn(col_name, F.regexp_extract(F.col(line_col), pattern, idx))
+    return out
+
+
+def label_format(df: DataFrame, out_col: str, expr: Column) -> DataFrame:
+    """P10: label_format template compiled to a scalar Column expression."""
+    return df.withColumn(out_col, expr)
+
+
+def line_format(df: DataFrame, expr: Column, line_col: str = "log_message") -> DataFrame:
+    """P11: rewrite the message body from a template (worker_sql.go:771-814)."""
+    return df.withColumn(line_col, expr)
+
+
+def unwrap(df: DataFrame, label: str, conv: str = "", out_col: str = "_unwrapped") -> DataFrame:
+    """P12: extract a numeric from a label; conv ∈ {"", "duration", "bytes"}."""
+    c = F.col(label)
+    if conv == "duration":
+        value = duration_to_seconds(c)
+    elif conv == "bytes":
+        value = bytes_to_bytes(c)
+    elif conv == "":
+        value = c.try_cast("double")
+    else:
+        raise ValueError(f"unsupported unwrap conversion: {conv}")
+    return df.withColumn(out_col, value)
+
+
+def keep_fields(df: DataFrame, fields: list[str]) -> DataFrame:
+    """P13: restrict returned columns — Catalyst prunes the scan to match."""
+    return df.select(*fields)

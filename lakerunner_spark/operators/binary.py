@@ -1,0 +1,137 @@
+"""PromQL binary operations: vector matching and set ops (J1-J5, F11).
+
+Reference: promql/binary_node.go —
+- arithmetic/comparison between two vectors is a per-timestamp INNER
+  hash join on the label match key (all labels minus __name__, or the
+  on(...)/ignoring(...) subset) (:55-133);
+- ``or``  = union preferring LHS on key collision (:247-276);
+- ``and`` = LHS rows whose key exists in RHS (:277-292);
+- ``unless`` = LHS rows whose key is absent from RHS (:293-308);
+- division by zero drops the row (applyArith:459 returns not-ok);
+- comparisons filter, or emit 1.0/0.0 with the ``bool`` modifier.
+
+Spark-first: inner / full-outer+coalesce / left_semi / left_anti joins
+on (bucket_ts, match_labels). Both sides of a PromQL binop are already
+aggregated (tiny relative to raw data), so at 100 TB these joins are
+series×buckets-sized; Catalyst broadcast-joins when one side is small
+and AQE converts to broadcast at runtime otherwise.
+"""
+
+from __future__ import annotations
+
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ARITH = {
+    "+": operator.add,
+    "-": operator.sub,
+    "*": operator.mul,
+    "/": operator.truediv,
+    "%": operator.mod,
+}
+_CMP = {
+    ">": operator.gt,
+    ">=": operator.ge,
+    "<": operator.lt,
+    "<=": operator.le,
+    "==": operator.eq,
+    "!=": operator.ne,
+}
+
+
+def _apply_op(op: str, left: Column, right: Column, bool_mode: bool) -> tuple[Column, Column | None]:
+    """Return (value, keep_filter)."""
+    if op in _ARITH:
+        value = _ARITH[op](left, right)
+        if op in ("/", "%"):
+            # /0 drops the row (binary_node.go applyArith)
+            return value, right != 0
+        return value, None
+    if op in _CMP:
+        cond = _CMP[op](left, right)
+        if bool_mode:
+            return F.when(cond, 1.0).otherwise(0.0), None
+        return left, cond
+    raise ValueError(f"unsupported binary op: {op}")
+
+
+def vector_match(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    match_labels: list[str],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+    bool_mode: bool = False,
+) -> DataFrame:
+    """vector <op> vector: inner join on (bucket, match key) (J1)."""
+    keys = [bucket_col, *match_labels]
+    lhs = left.select(*keys, F.col(value_col).alias("_lv"))
+    rhs = right.select(*keys, F.col(value_col).alias("_rv"))
+    joined = lhs.join(rhs, keys, "inner")
+    value, keep = _apply_op(op, F.col("_lv"), F.col("_rv"), bool_mode)
+    out = joined.withColumn(value_col, value)
+    if keep is not None:
+        out = out.filter(keep)
+    return out.select(*keys, value_col)
+
+
+def vector_scalar(
+    df: DataFrame,
+    op: str,
+    scalar: float,
+    scalar_on_left: bool = False,
+    value_col: str = "value",
+    bool_mode: bool = False,
+) -> DataFrame:
+    """vector <op> scalar (J5): broadcast the scalar to every series."""
+    lv = F.lit(scalar) if scalar_on_left else F.col(value_col)
+    rv = F.col(value_col) if scalar_on_left else F.lit(scalar)
+    value, keep = _apply_op(op, lv, rv, bool_mode)
+    out = df.withColumn(value_col, value)
+    if keep is not None:
+        out = out.filter(keep)
+    return out
+
+
+def vector_or(
+    left: DataFrame,
+    right: DataFrame,
+    match_labels: list[str],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LHS ∪ RHS preferring LHS on key collision (J2)."""
+    keys = [bucket_col, *match_labels]
+    lhs = left.select(*keys, F.col(value_col).alias("_lv"))
+    rhs = right.select(*keys, F.col(value_col).alias("_rv"))
+    return (
+        lhs.join(rhs, keys, "full_outer")
+        .select(*keys, F.coalesce("_lv", "_rv").alias(value_col))
+    )
+
+
+def vector_and(
+    left: DataFrame,
+    right: DataFrame,
+    match_labels: list[str],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LHS rows whose (bucket, key) exists in RHS (J3) — left_semi."""
+    keys = [bucket_col, *match_labels]
+    return left.join(right.select(*keys).distinct(), keys, "left_semi")
+
+
+def vector_unless(
+    left: DataFrame,
+    right: DataFrame,
+    match_labels: list[str],
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LHS rows whose (bucket, key) is absent from RHS (J4) — left_anti."""
+    keys = [bucket_col, *match_labels]
+    return left.join(right.select(*keys).distinct(), keys, "left_anti")

@@ -1,0 +1,100 @@
+"""Vector aggregation (A7) and topk/bottomk (A8/W2).
+
+Reference: promql/agg_node.go:30-314 — second-stage aggregation over
+series at each bucket; ``by`` keeps listed labels, ``without`` drops
+them from the group key. promql/top_k_node.go:25-100 keeps k series per
+bucket ordered by value.
+
+Spark-first: plain groupBy for by/without (the compiler resolves the
+concrete column set — Spark needs static columns), and a ranking window
+for topk. Both stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_AGG_FUNCS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c).cast("double"),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+}
+
+
+def vector_agg(
+    df: DataFrame,
+    func: str,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """PromQL ``<func> by (labels) (vector)`` at each bucket.
+
+    ``without`` resolves to the complement of the df's label columns
+    (everything except bucket/value), matching agg_node.go:335-360.
+    """
+    if func not in _AGG_FUNCS:
+        raise ValueError(f"unsupported vector aggregation: {func}")
+    all_labels = [c for c in df.columns if c not in (bucket_col, value_col)]
+    if without is not None:
+        keys = [c for c in all_labels if c not in set(without)]
+    elif by is not None:
+        keys = list(by)
+    else:
+        keys = []
+    return (
+        df.groupBy(bucket_col, *keys)
+        .agg(_AGG_FUNCS[func](F.col(value_col)).alias(value_col))
+    )
+
+
+def _ranked(
+    df: DataFrame,
+    k: int,
+    ascending: bool,
+    value_col: str,
+    bucket_col: str,
+    tiebreak: list[str],
+) -> DataFrame:
+    order = [F.col(value_col).asc() if ascending else F.col(value_col).desc()]
+    # deterministic tiebreak so results are stable across engines/runs
+    order += [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(bucket_col).orderBy(*order)
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
+def topk(
+    df: DataFrame,
+    k: int,
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-bucket top-k series by value (top_k_node.go:25-100)."""
+    tiebreak = tiebreak or [
+        c for c in df.columns if c not in (bucket_col, value_col)
+    ]
+    return _ranked(df, k, False, value_col, bucket_col, tiebreak)
+
+
+def bottomk(
+    df: DataFrame,
+    k: int,
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    tiebreak = tiebreak or [
+        c for c in df.columns if c not in (bucket_col, value_col)
+    ]
+    return _ranked(df, k, True, value_col, bucket_col, tiebreak)

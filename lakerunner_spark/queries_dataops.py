@@ -1,0 +1,292 @@
+"""Training-data pipeline query catalog: dedup / similarity / text analysis.
+
+Oracle parity strategy: all hashing is md5-based so DuckDB reproduces
+the exact pipeline; cosine/jaccard are rounded before ranking so IEEE
+summation order can't flip results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakerunner_spark.dataops.dedup import (
+    exact_dedup_stats,
+    jaccard_verify,
+    lsh_candidates,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from lakerunner_spark.dataops.similarity import cosine_topk
+from lakerunner_spark.dataops.text import (
+    langid_heuristic,
+    structural_fingerprint,
+    text_stats,
+    token_count,
+)
+from lakerunner_spark.queries import register
+from lakerunner_spark.testdata import EVENTS_MS_SQL, load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror the Spark builders exactly)
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens) - 1),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+         AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+  WHERE len(tokens) >= 3
+"""
+
+_SIG_SQL = f"""
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM ({_SHINGLES_SQL}) GROUP BY doc_id
+"""
+
+_BANDS_SQL = f"""
+  WITH sig AS ({_SIG_SQL})
+  SELECT doc_id, band, bsig FROM (
+    SELECT doc_id, 0 AS band, h0 || h1 AS bsig FROM sig
+    UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+    UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+    UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+  )
+"""
+
+_CANDIDATES_SQL = f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dd1_dedup_exact",
+    """
+    SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+           count(*) - count(DISTINCT text) AS n_dups
+    FROM documents GROUP BY source
+    """,
+)
+def dd1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (stats form)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_stats(d, "text", ["source"])
+
+
+@register(
+    "dd2_minhash_lsh",
+    f"""
+    SELECT doc_a, doc_b FROM ({_CANDIDATES_SQL})
+    """,
+)
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    return lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+
+
+@register(
+    "dd3_jaccard_verify",
+    f"""
+    WITH cand AS ({_CANDIDATES_SQL}),
+    sets AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sets GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           pround(coalesce(s.shared, 0) * 1.0 /
+                 (sa.n_sh + sb.n_sh - coalesce(s.shared, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dd3_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+    return jaccard_verify(sh, cand, "doc_id")
+
+
+@register(
+    "dd4_simhash",
+    f"""
+    SELECT simhash, count(*) AS n FROM (
+      SELECT doc_id,
+             {" + ".join(f"(CASE WHEN sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 THEN CAST({1 << (15 - j)} AS BIGINT) ELSE 0 END)" for j in range(16))} AS simhash
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id
+    ) GROUP BY simhash
+    """,
+)
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint (16-bit, per-bit token majority vote)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = simhash(d, "text", "doc_id", bits=16)
+    return s.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sim1_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    qf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    cf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    qn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM qf GROUP BY vec_id),
+    cn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM cf GROUP BY vec_id),
+    dots AS (
+      SELECT qf.vec_id AS qid, cf.vec_id AS cid, sum(qf.v * cf.v) AS dot
+      FROM qf JOIN cf ON qf.i = cf.i
+      GROUP BY qf.vec_id, cf.vec_id
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT qid, cid,
+             pround(dot / (qn.nrm * cn.nrm), 4) AS cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY pround(dot / (qn.nrm * cn.nrm), 4) DESC,
+                                         cid ASC) AS rn
+      FROM dots JOIN qn ON qn.vec_id = dots.qid JOIN cn ON cn.vec_id = dots.cid
+    ) WHERE rn <= 5
+    """,
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return cosine_topk(q, c, k=5)
+
+
+@register(
+    "txt1_text_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           pround(avg(nt), 6) AS avg_tokens,
+           pround(avg(nc), 6) AS avg_chars,
+           pround(avg((nc - (nt - 1)) * 1.0 / nt), 6) AS avg_word_len,
+           pround(avg(least(1.0, nt / 50.0) * 0.5 + least(1.0, nc / 300.0) * 0.5), 6)
+             AS avg_quality
+    FROM (
+      SELECT lang, len(string_split(text, ' ')) * 1.0 AS nt,
+             length(text) * 1.0 AS nc
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def txt1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document statistics + length-based quality score."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_stats(d, "text", ["lang"])
+
+
+@register(
+    "txt2_langid",
+    """
+    SELECT lang, predicted, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) >= 2
+                  THEN 'en'
+                  WHEN (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+                        CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) = 1
+                  THEN 'en_maybe' ELSE 'other' END AS predicted
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY lang, predicted
+    """,
+)
+def txt2_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language-ID heuristic vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", langid_heuristic(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "txt3_bpe_token_count",
+    f"""
+    SELECT event_type,
+           CAST(sum(len(regexp_extract_all(line, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                AS BIGINT) AS total_bpe_tokens
+    FROM (
+      SELECT event_type,
+             event_type || ' user=' || CAST(user_id AS VARCHAR) || ' props=' || props
+             AS line
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def txt3_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting over synthesized log lines."""
+    e = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" props="),
+        F.col("props"),
+    )
+    return (
+        e.select("event_type", token_count(line, mode="bpe").alias("_n"))
+        .groupBy("event_type")
+        .agg(F.sum("_n").cast("long").alias("total_bpe_tokens"))
+    )
+
+
+@register(
+    "fp1_structural_fingerprint",
+    f"""
+    SELECT fingerprint, count(*) AS n FROM (
+      SELECT md5(regexp_replace(
+               event_type || ' user=' || CAST(user_id AS VARCHAR) || ' ' || props,
+               '[0-9]+', '#', 'g')) AS fingerprint
+      FROM events
+    )
+    GROUP BY fingerprint
+    """,
+)
+def fp1_structural_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16-style structural fingerprint: mask variable parts, hash template."""
+    e = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" "),
+        F.col("props"),
+    )
+    return (
+        e.select(structural_fingerprint(line).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,216 @@
+"""Relational query catalog: multi-join / heavy-aggregation queries.
+
+These exercise the Spark planes the telemetry operators lean on —
+broadcast vs shuffle join selection, partial aggregation, semi-join
+pruning — at bench scale (sf0.1). TPC-H-shaped over the driver's
+synthetic star schema (dates adapted to the generated 1995-2001 range).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.rounding import portable_round as _pr
+from lakerunner_spark.queries import register
+from lakerunner_spark.testdata import load_table
+
+# Date cutoffs within the synthetic data's 1995-2001 range. The parquet
+# date columns surface as TIMESTAMP_NTZ; comparing against NTZ literals
+# is calendar-based and timezone-free on both engines.
+_D_1996_01_01 = "1996-01-01"
+_D_1996_03_15 = "1996-03-15"
+_D_1997_01_01 = "1997-01-01"
+_D_1998_09_02 = "1998-09-02"
+
+
+def _ntz(date_str: str) -> F.Column:
+    return F.expr(f"TIMESTAMP_NTZ '{date_str} 00:00:00'")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           pround(sum(l_quantity), 2) AS sum_qty,
+           pround(sum(l_extendedprice), 2) AS sum_base_price,
+           pround(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           pround(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           pround(avg(l_quantity), 6) AS avg_qty,
+           pround(avg(l_extendedprice), 6) AS avg_price,
+           pround(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_D_1998_09_02}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy aggregation; Catalyst: filter+projection pushdown, partial agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ntz(_D_1998_09_02))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _pr(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _pr(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _pr(F.sum(disc_price), 2).alias("sum_disc_price"),
+            _pr(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _pr(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _pr(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _pr(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_D_1996_03_15}'
+      AND l_shipdate > TIMESTAMP '{_D_1996_03_15}'
+    GROUP BY l_orderkey, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + global top-n (TakeOrderedAndProject).
+
+    customer is small relative to lineitem -> broadcast it; at 100 TB the
+    orders⋈lineitem join shuffles on orderkey (its natural co-location
+    key — bucketed layouts make it shuffle-free).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ntz(_D_1996_03_15)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ntz(_D_1996_03_15)
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+            ).select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n_name,
+           pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND o_orderdate < TIMESTAMP '{_D_1997_01_01}'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join: dimension tables broadcast, fact joins shuffle on keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(_D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(_D_1997_01_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT pround(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND l_shipdate < TIMESTAMP '{_D_1997_01_01}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter+agg — all predicates reach the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(_D_1997_01_01))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _pr(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "u2_union_streams",
+    f"""
+    SELECT event_type, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS chq_timestamp,
+           value
+    FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT event_type, CAST(epoch_ns(ts) // 1000000 AS BIGINT), value
+    FROM events WHERE event_type = 'purchase' AND value > 100.0
+    """,
+)
+def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: unionByName of per-leaf result streams."""
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "error")
+    b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+    cols = ["event_type", "chq_timestamp", "value"]
+    return a.select(cols).unionByName(b.select(cols))
