@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import lakerunner_spark.queries as _q  # noqa: E402
 import lakerunner_spark.queries_relational  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_dataops  # noqa: E402,F401 (registers)
+import lakerunner_spark.queries_frontends  # noqa: E402,F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,176 @@
+"""LogQL AST -> DataFrame compiler.
+
+Two modes, matching the reference (queryapi/querier.go + logql/parser.go:62-78):
+
+- **Exemplar** (raw log lines): selector + pipeline -> filtered rows,
+  ordered by timestamp with a global limit (O1/O2;
+  logql/worker_sql.go:24-163).
+- **Aggregate**: the pipeline is rewritten onto the PromQL range/vector
+  machinery over synthetic per-row values (promql/rewrite_result.go:32-110
+  rewrites onto __logql_logs_total / __logql_log_bytes_total /
+  __logql_unwrap_value) — here the synthetic value is just a column:
+  1.0 for count/rate, length(line) for bytes_*, the unwrapped numeric
+  for unwrap aggs.
+
+The pipeline chain itself is P4-P13 DataFrame transforms; Catalyst
+stages filters at their earliest valid point (the reference's
+ParserIdx bookkeeping, worker_sql.go:215-266, is subsumed by
+dependency-aware filter pushdown).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.logql import stages as st
+from lakerunner_spark.logql.parser import (
+    JsonStage,
+    LabelFilter,
+    LabelMatcher,
+    LineFilter,
+    LogfmtStage,
+    LogLeaf,
+    LogRangeAgg,
+    LogVectorAgg,
+    RegexpStage,
+    parse_logql,
+)
+from lakerunner_spark.operators.range_agg import range_agg
+from lakerunner_spark.operators.step_agg import step_agg_raw
+from lakerunner_spark.operators.vector_agg import bottomk, topk, vector_agg
+
+
+@dataclass
+class LogSource:
+    """The logs table: a line column plus stream-label columns."""
+
+    df: DataFrame
+    labels: list[str]
+    line_col: str = "log_message"
+    ts_col: str = "chq_timestamp"
+
+
+def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataFrame, list[str]]:
+    """Run matchers + stages; return (rows, extracted label columns)."""
+    extracted: list[str] = []
+    for m in leaf.matchers:
+        df = st.label_matcher(df, m.label, m.op, m.value)
+    for stage in leaf.stages:
+        if isinstance(stage, LineFilter):
+            df = st.line_filter(df, stage.op, stage.needle, line_col=src.line_col)
+        elif isinstance(stage, JsonStage):
+            df = st.json_parser(df, stage.mappings, line_col=src.line_col)
+            extracted += [c for c in stage.mappings if c not in extracted]
+        elif isinstance(stage, LogfmtStage):
+            df = st.logfmt_parser(df, stage.keys, line_col=src.line_col)
+            extracted += [c for c in stage.keys if c not in extracted]
+        elif isinstance(stage, RegexpStage):
+            df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
+            extracted += [c for c in stage.groups if c not in extracted]
+        elif isinstance(stage, LabelFilter):
+            if isinstance(stage.value, float):
+                df = st.numeric_label_filter(
+                    df, stage.label, "==" if stage.op == "=" else stage.op, stage.value
+                )
+            else:
+                df = st.label_matcher(df, stage.label, stage.op, stage.value)
+        else:
+            raise TypeError(f"logql: unknown stage {type(stage).__name__}")
+    return df, extracted
+
+
+def compile_logql_exemplar(
+    query,
+    source: LogSource,
+    limit: int = 100,
+    descending: bool = True,
+    fields: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exemplar mode: raw matching lines, newest-first with a global limit.
+
+    Spark plans the order+limit as TakeOrderedAndProject (per-partition
+    top-n + single merge — the reference's k-way heap merge O3 with the
+    API-side global limit O2, without the custom coordinator).
+    """
+    leaf = parse_logql(query) if isinstance(query, str) else query
+    if not isinstance(leaf, LogLeaf):
+        raise ValueError("logql: exemplar mode takes a selector+pipeline query")
+    if leaf.range_ms is not None:
+        raise ValueError("logql: exemplar query cannot have a [range]")
+    df, extracted = _apply_pipeline(source.df, leaf, source)
+    cols = [source.ts_col, *(tiebreak or [])]
+    order = [F.col(c).desc() if descending else F.col(c).asc() for c in cols]
+    out = df.orderBy(*order).limit(limit)
+    if fields:
+        out = out.select(*fields)
+    return out
+
+
+def compile_logql(
+    query,
+    source: LogSource,
+    step_ms: int,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Aggregate mode: range agg (A10) with optional vector agg on top.
+
+    Result columns: bucket_ts, <group labels>, value.
+    """
+    node = parse_logql(query) if isinstance(query, str) else query
+    if isinstance(node, LogLeaf):
+        raise ValueError("logql: aggregate mode needs a range aggregation")
+    if isinstance(node, LogRangeAgg):
+        df, labels = _compile_range(node, source, step_ms, start_ms, end_ms)
+        return df
+    if isinstance(node, LogVectorAgg):
+        inner_df, labels = _compile_range(node.inner, source, step_ms, start_ms, end_ms)
+        if node.op in ("topk", "bottomk"):
+            fn = topk if node.op == "topk" else bottomk
+            return fn(inner_df, int(node.param), tiebreak=sorted(labels))
+        if node.without is not None:
+            keys = [c for c in labels if c not in set(node.without)]
+        elif node.by is not None:
+            keys = list(node.by)
+        else:
+            keys = []
+        return vector_agg(inner_df.filter(F.col("value").isNotNull()), node.op, by=keys)
+    raise TypeError(f"logql: unknown node {type(node).__name__}")
+
+
+def _compile_range(
+    node: LogRangeAgg,
+    source: LogSource,
+    step_ms: int,
+    start_ms: int | None,
+    end_ms: int | None,
+) -> tuple[DataFrame, list[str]]:
+    leaf = node.leaf
+    df = source.df
+    if start_ms is not None:
+        df = df.filter(F.col(source.ts_col) >= start_ms - (leaf.range_ms or 0))
+    if end_ms is not None:
+        df = df.filter(F.col(source.ts_col) < end_ms)
+    df, extracted = _apply_pipeline(df, leaf, source)
+    labels = source.labels + [c for c in extracted if c not in source.labels]
+
+    # synthetic metric family (rewrite_result.go:32-110)
+    if node.fn in ("count_over_time", "rate"):
+        df = df.withColumn("_v", F.lit(1.0))
+        fn = {"count_over_time": "sum_over_time", "rate": "rate"}[node.fn]
+    elif node.fn in ("bytes_over_time", "bytes_rate"):
+        df = df.withColumn("_v", F.length(F.col(source.line_col)).cast("double"))
+        fn = {"bytes_over_time": "sum_over_time", "bytes_rate": "rate"}[node.fn]
+    else:  # unwrap aggs
+        u = leaf.unwrap
+        df = st.unwrap(df, u.label, conv=u.conv, out_col="_v")
+        df = df.filter(F.col("_v").isNotNull())
+        fn = node.fn
+
+    s = step_agg_raw(df, step_ms, labels, source.ts_col, "_v")
+    out = range_agg(s, fn, leaf.range_ms, step_ms, labels)
+    return out, labels

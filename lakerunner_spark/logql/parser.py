@@ -1,0 +1,354 @@
+"""LogQL recursive-descent parser -> AST.
+
+Covers the reference's supported surface (logql/parser.go:182-543):
+stream selectors, line filters (|= != |~ !~), json/logfmt/regexp
+parser stages, label filters (string + numeric), unwrap (plain /
+duration() / bytes()), range aggregations (A10 family:
+count_over_time, rate, bytes_over_time, bytes_rate, and the unwrap
+aggs sum/avg/min/max/last_over_time), and an optional outer vector
+aggregation with by/without (sum/avg/min/max/count/topk/bottomk).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from lakerunner_spark.promql.parser import parse_duration_ms
+
+LOG_RANGE_FUNCS = {
+    "count_over_time", "rate", "bytes_over_time", "bytes_rate",
+    "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+    "last_over_time",
+}
+VECTOR_AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk"}
+_UNWRAP_AGGS = {"sum_over_time", "avg_over_time", "min_over_time",
+                "max_over_time", "last_over_time"}
+
+
+@dataclass
+class LabelMatcher:
+    label: str
+    op: str  # = != =~ !~
+    value: str
+
+
+@dataclass
+class LineFilter:
+    op: str  # |= != |~ !~
+    needle: str
+
+
+@dataclass
+class JsonStage:
+    mappings: dict[str, str]  # out column -> $.path
+
+
+@dataclass
+class LogfmtStage:
+    keys: list[str]
+
+
+@dataclass
+class RegexpStage:
+    pattern: str           # java-regex with numbered groups
+    groups: dict[str, int]  # out column -> group index
+
+
+@dataclass
+class LabelFilter:
+    label: str
+    op: str  # = != =~ !~ > >= < <=
+    value: str | float
+
+
+@dataclass
+class Unwrap:
+    label: str
+    conv: str  # "" | "duration" | "bytes"
+
+
+@dataclass
+class LogLeaf:
+    """Selector + ordered pipeline (logql/exec_planner.go:60-82 LogLeaf)."""
+
+    matchers: list[LabelMatcher] = field(default_factory=list)
+    stages: list = field(default_factory=list)  # LineFilter/JsonStage/.../LabelFilter
+    unwrap: Unwrap | None = None
+    range_ms: int | None = None
+
+
+@dataclass
+class LogRangeAgg:
+    fn: str
+    leaf: LogLeaf
+
+
+@dataclass
+class LogVectorAgg:
+    op: str
+    inner: LogRangeAgg
+    by: list[str] | None = None
+    without: list[str] | None = None
+    param: float | None = None  # k for topk/bottomk
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<DUR>\d+(?:ms|s|m|h|d|w)(?:\d+(?:ms|s|m|h|d|w))*)
+  | (?P<NUM>\d+\.\d+|\d+|\.\d+)
+  | (?P<ID>[a-zA-Z_][a-zA-Z0-9_]*)
+  | (?P<STR>"(?:\\.|[^"\\])*"|`[^`]*`)
+  | (?P<OP>\|=|\|~|!=|!~|=~|>=|<=|==|[-(){}\[\],=|><])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(q: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise ValueError(f"logql: unexpected char {q[pos]!r} at {pos}")
+        pos = m.end()
+        if m.lastgroup == "WS":
+            continue
+        toks.append(_Tok(m.lastgroup, m.group()))
+    toks.append(_Tok("EOF", ""))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    if s.startswith("`"):
+        return s[1:-1]
+    return s[1:-1].encode().decode("unicode_escape")
+
+
+_NAMED_GROUP_RE = re.compile(r"\(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>")
+
+
+def _translate_named_groups(pattern: str) -> tuple[str, dict[str, int]]:
+    """RE2 ``(?P<name>...)`` -> numbered groups + name->index map.
+
+    Regex-dialect bridge (SURVEY §7.4 item 5): capture-group *names*
+    are the only RE2 feature the pipeline needs that Java spells
+    differently; extraction is by index on both engines.
+    """
+    groups: dict[str, int] = {}
+    idx = 0
+    out = []
+    pos = 0
+    for m in re.finditer(r"\((?!\?)|\(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>", pattern):
+        out.append(pattern[pos:m.start()])
+        idx += 1
+        if m.group(1):
+            groups[m.group(1)] = idx
+            out.append("(")
+        else:
+            out.append(m.group())
+        pos = m.end()
+    out.append(pattern[pos:])
+    return "".join(out), groups
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> _Tok:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"logql: expected {text!r}, got {t.text!r}")
+        return t
+
+    def parse_query(self):
+        t = self.peek()
+        if t.kind == "ID" and t.text in VECTOR_AGG_OPS:
+            return self._parse_vector_agg()
+        if t.kind == "ID" and t.text in LOG_RANGE_FUNCS:
+            return self._parse_range_agg()
+        return self._parse_leaf()
+
+    def _parse_vector_agg(self) -> LogVectorAgg:
+        op = self.next().text
+        by = without = None
+        if self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            by, without = (labels, None) if kw == "by" else (None, labels)
+        self.expect("(")
+        param = None
+        if self.peek().kind == "NUM":
+            param = float(self.next().text)
+            self.expect(",")
+        inner_tok = self.peek()
+        if inner_tok.kind != "ID" or inner_tok.text not in LOG_RANGE_FUNCS:
+            raise ValueError("logql: vector agg must wrap a range aggregation")
+        inner = self._parse_range_agg()
+        self.expect(")")
+        if by is None and without is None and self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            by, without = (labels, None) if kw == "by" else (None, labels)
+        if op in ("topk", "bottomk") and param is None:
+            raise ValueError(f"logql: {op} requires a parameter")
+        return LogVectorAgg(op, inner, by=by, without=without, param=param)
+
+    def _parse_range_agg(self) -> LogRangeAgg:
+        fn = self.next().text
+        self.expect("(")
+        leaf = self._parse_leaf()
+        self.expect(")")
+        if leaf.range_ms is None:
+            raise ValueError(f"logql: {fn} requires a [range]")
+        if fn in _UNWRAP_AGGS and leaf.unwrap is None:
+            raise ValueError(f"logql: {fn} requires an unwrap stage")
+        if fn in ("count_over_time", "rate", "bytes_over_time", "bytes_rate") \
+                and leaf.unwrap is not None:
+            raise ValueError(f"logql: {fn} does not take an unwrap")
+        return LogRangeAgg(fn, leaf)
+
+    def _label_list(self) -> list[str]:
+        self.expect("(")
+        labels = []
+        while self.peek().text != ")":
+            t = self.next()
+            if t.kind != "ID":
+                raise ValueError(f"logql: expected label, got {t.text!r}")
+            labels.append(t.text)
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return labels
+
+    def _parse_leaf(self) -> LogLeaf:
+        leaf = LogLeaf()
+        self.expect("{")
+        while self.peek().text != "}":
+            label = self.next()
+            if label.kind != "ID":
+                raise ValueError(f"logql: expected label, got {label.text!r}")
+            op = self.next().text
+            if op not in ("=", "!=", "=~", "!~"):
+                raise ValueError(f"logql: bad matcher op {op!r}")
+            val = self.next()
+            if val.kind != "STR":
+                raise ValueError("logql: matcher value must be a string")
+            leaf.matchers.append(LabelMatcher(label.text, op, _unquote(val.text)))
+            if self.peek().text == ",":
+                self.next()
+        self.expect("}")
+
+        while True:
+            t = self.peek()
+            if t.text in ("|=", "|~"):
+                self.next()
+                needle = self.next()
+                leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
+            elif t.text in ("!=", "!~") and self.toks[self.i + 1].kind == "STR":
+                self.next()
+                needle = self.next()
+                leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
+            elif t.text == "|":
+                self.next()
+                self._parse_pipe_stage(leaf)
+            elif t.text == "[":
+                self.next()
+                dur = self.next()
+                if dur.kind != "DUR":
+                    raise ValueError(f"logql: expected duration, got {dur.text!r}")
+                self.expect("]")
+                leaf.range_ms = parse_duration_ms(dur.text)
+                return leaf
+            else:
+                return leaf
+
+    def _parse_pipe_stage(self, leaf: LogLeaf) -> None:
+        t = self.next()
+        if t.text == "json":
+            mappings: dict[str, str] = {}
+            while self.peek().kind == "ID":
+                out = self.next().text
+                if self.peek().text == "=":
+                    self.next()
+                    path = _unquote(self.next().text)
+                else:
+                    path = f"$.{out}"
+                mappings[out] = path
+                if self.peek().text == ",":
+                    self.next()
+            if not mappings:
+                raise ValueError("logql: | json requires explicit mappings here")
+            leaf.stages.append(JsonStage(mappings))
+            return
+        if t.text == "logfmt":
+            keys = []
+            while self.peek().kind == "ID":
+                keys.append(self.next().text)
+                if self.peek().text == ",":
+                    self.next()
+            if not keys:
+                raise ValueError("logql: | logfmt requires explicit keys here")
+            leaf.stages.append(LogfmtStage(keys))
+            return
+        if t.text == "regexp":
+            pat = self.next()
+            if pat.kind != "STR":
+                raise ValueError("logql: | regexp takes a pattern string")
+            translated, groups = _translate_named_groups(_unquote(pat.text))
+            if not groups:
+                raise ValueError("logql: | regexp needs named capture groups")
+            leaf.stages.append(RegexpStage(translated, groups))
+            return
+        if t.text == "unwrap":
+            nxt = self.next()
+            if nxt.kind != "ID":
+                raise ValueError("logql: | unwrap <label>")
+            if nxt.text in ("duration", "bytes") and self.peek().text == "(":
+                self.next()
+                label = self.next().text
+                self.expect(")")
+                leaf.unwrap = Unwrap(label, nxt.text)
+            else:
+                leaf.unwrap = Unwrap(nxt.text, "")
+            return
+        # label filter: | k <op> value
+        if t.kind == "ID":
+            op = self.next().text
+            if op not in ("=", "==", "!=", "=~", "!~", ">", ">=", "<", "<="):
+                raise ValueError(f"logql: bad label filter op {op!r}")
+            v = self.next()
+            if v.kind == "STR":
+                leaf.stages.append(LabelFilter(t.text, op, _unquote(v.text)))
+            elif v.kind == "NUM":
+                leaf.stages.append(LabelFilter(t.text, op, float(v.text)))
+            else:
+                raise ValueError(f"logql: bad label filter value {v.text!r}")
+            return
+        raise ValueError(f"logql: unsupported stage {t.text!r}")
+
+
+def parse_logql(query: str):
+    """Parse a LogQL query into LogLeaf / LogRangeAgg / LogVectorAgg."""
+    p = _Parser(_tokenize(query))
+    node = p.parse_query()
+    if p.peek().kind != "EOF":
+        raise ValueError(f"logql: trailing input at {p.peek().text!r}")
+    return node

@@ -26,16 +26,22 @@ def time_range(df: DataFrame, start_ms: int, end_ms: int, ts_col: str = "chq_tim
 
 
 def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
-    """P4: selector matchers ``= != =~ !~`` on a label column."""
+    """P4: selector matchers ``= != =~ !~`` on a label column.
+
+    Regex matchers are fully anchored — Prometheus/LogQL matcher
+    semantics (the reference compiles them to DuckDB ``~`` =
+    regexp_full_match; logql/sql_builder.go:592-606). Line filters
+    (P6) stay unanchored.
+    """
     c = F.col(label)
     if op == "=":
         return df.filter(c == value)
     if op == "!=":
         return df.filter(c.isNull() | (c != value))
     if op == "=~":
-        return df.filter(c.rlike(value))
+        return df.filter(c.rlike(f"^(?:{value})$"))
     if op == "!~":
-        return df.filter(~c.rlike(value))
+        return df.filter(~c.rlike(f"^(?:{value})$"))
     raise ValueError(f"unsupported matcher op: {op}")
 
 

@@ -1,0 +1,373 @@
+"""PromQL AST -> DataFrame compiler.
+
+Replaces the reference's exec planner + eval-node tree + worker SQL
+generator (promql/exec_planner.go:116-385, promql/sql_builder.go,
+promql/*_node.go) with one declarative DataFrame plan per query:
+
+    leaf selector -> matcher filters (P4) -> step aggregation (A3)
+      -> range window (A9) -> node tree (A7/A8/J1-J5/F9-F11) -> result
+
+Catalyst handles what the reference hand-builds: predicate pushdown into
+the scan, partial aggregation, join strategy (broadcast for the tiny
+aggregated sides), and shuffle planning. There are no process
+boundaries — worker partials and the API-side merge (A17) are Spark's
+partial/final HashAggregate pair.
+
+Instant-vector semantics: a bare selector yields the bucket's average
+(sum/count), matching the reference's last_over_time approximation of
+"current value" over pre-aggregated buckets (promql/leaf_node.go:346-356).
+
+Scale notes (100 TB): every leaf shuffles ONCE on (bucket_ts, labels)
+to series resolution; all node-tree operators then run on
+series×buckets rows (orders of magnitude smaller), where Catalyst/AQE
+broadcast-joins the tiny sides. The range window re-uses the series
+partitioning (partitionBy ⊂ groupBy keys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.timeops import bucket_ts
+from lakerunner_spark.logql import stages
+from lakerunner_spark.operators.binary import (
+    vector_and,
+    vector_match,
+    vector_or,
+    vector_scalar,
+    vector_unless,
+)
+from lakerunner_spark.operators.range_agg import range_agg
+from lakerunner_spark.operators.step_agg import step_agg_raw
+from lakerunner_spark.operators.vector_agg import bottomk, topk, vector_agg
+from lakerunner_spark.promql import parser as ast
+from lakerunner_spark.promql.parser import parse_promql
+
+# ---------------------------------------------------------------------------
+# Catalog: metric name -> leaf table
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LeafSource:
+    """A queryable metric: raw samples with label columns.
+
+    ``df`` must expose ``ts_col`` (epoch ms), ``value_col`` and the
+    ``labels`` columns. Matchers may also reference label columns not
+    listed in ``labels`` (they filter but don't group).
+    """
+
+    df: DataFrame
+    labels: list[str]
+    value_col: str = "value"
+    ts_col: str = "chq_timestamp"
+
+
+class MetricCatalog:
+    """metric name -> LeafSource (the segment-index lookup, J6/§3.1 step 4)."""
+
+    def __init__(self, sources: dict[str, LeafSource]):
+        self._sources = sources
+
+    def resolve(self, metric: str) -> LeafSource:
+        if metric not in self._sources:
+            raise KeyError(f"unknown metric: {metric!r}")
+        return self._sources[metric]
+
+
+def step_for_duration(span_ms: int) -> int:
+    """The reference's step ladder (queryapi/dates.go:23-42)."""
+    if span_ms <= 65 * 60_000:
+        return 10_000
+    if span_ms <= 12 * 3_600_000:
+        return 60_000
+    if span_ms <= 24 * 3_600_000:
+        return 300_000
+    if span_ms <= 3 * 86_400_000:
+        return 1_200_000
+    return 3_600_000
+
+
+# ---------------------------------------------------------------------------
+# Compiler
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Vec:
+    """A compiled vector: (bucket_ts, *labels, value)."""
+
+    df: DataFrame
+    labels: list[str]
+
+
+_UNARY_COLS = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "sgn": F.signum,
+}
+
+
+class _Compiler:
+    def __init__(
+        self,
+        catalog: MetricCatalog,
+        step_ms: int,
+        start_ms: int | None,
+        end_ms: int | None,
+    ):
+        self.catalog = catalog
+        self.step = step_ms
+        self.start = start_ms
+        self.end = end_ms
+
+    # -- leaves ------------------------------------------------------------
+
+    def _leaf_rows(self, sel: ast.Selector) -> tuple[DataFrame, LeafSource]:
+        """Raw rows for a selector: matchers + offset shift + time range."""
+        src = self.catalog.resolve(sel.metric)
+        df = src.df
+        if sel.offset_ms:
+            # value at t comes from t-offset -> shift data forward
+            df = df.withColumn(src.ts_col, F.col(src.ts_col) + sel.offset_ms)
+        if self.start is not None:
+            lo = self.start - (sel.range_ms or 0)
+            df = df.filter(F.col(src.ts_col) >= lo)
+        if self.end is not None:
+            df = df.filter(F.col(src.ts_col) < self.end)
+        for m in sel.matchers:
+            df = stages.label_matcher(df, m.label, m.op, m.value)
+        return df, src
+
+    def _leaf_instant(self, sel: ast.Selector) -> _Vec:
+        df, src = self._leaf_rows(sel)
+        s = step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
+        out = s.select(
+            "bucket_ts", *src.labels, (F.col("sum") / F.col("count")).alias("value")
+        )
+        return _Vec(out, src.labels)
+
+    def _leaf_range(self, fn: str, sel: ast.Selector, q: float | None = None) -> _Vec:
+        if sel.range_ms is None:
+            raise ValueError(f"promql: {fn} requires a range selector")
+        df, src = self._leaf_rows(sel)
+        if fn == "quantile_over_time":
+            return self._quantile_over_time(df, src, sel.range_ms, q)
+        s = step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
+        r = range_agg(s, fn, sel.range_ms, self.step, src.labels)
+        return _Vec(r, src.labels)
+
+    def _quantile_over_time(
+        self, df: DataFrame, src: LeafSource, range_ms: int, q: float
+    ) -> _Vec:
+        """Exact interpolated quantile over a sliding range window.
+
+        Per-bucket raw values are kept as arrays, the window flattens
+        the trailing range's arrays, and the quantile is computed with
+        array expressions (sort + linear interpolation) — identical to
+        quantile_cont, so DuckDB can oracle it. The reference merges
+        DDSketches instead (quantile_node.go:35-114); exact arrays give
+        the same contract with zero approximation error. The per-bucket
+        arrays are bounded by samples-per-series-per-step, keeping
+        window state small at scale.
+        """
+        b = df.groupBy(
+            bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
+        ).agg(F.collect_list(src.value_col).alias("_vals"))
+        w = (
+            Window.partitionBy(*src.labels)
+            .orderBy("bucket_ts")
+            .rangeBetween(-(range_ms - self.step), 0)
+        )
+        arr = F.array_sort(F.flatten(F.collect_list("_vals").over(w)))
+        n = F.size(arr)
+        idx = (n - 1) * F.lit(q)
+        lo = F.floor(idx).cast("int")
+        frac = idx - F.floor(idx)
+        val = F.element_at(arr, lo + 1) + frac * (
+            F.element_at(arr, F.least(lo + 2, n)) - F.element_at(arr, lo + 1)
+        )
+        out = (
+            b.withColumn("value", val)
+            .select("bucket_ts", *src.labels, "value")
+        )
+        return _Vec(out, src.labels)
+
+    # -- nodes -------------------------------------------------------------
+
+    def compile(self, node) -> _Vec | float:
+        if isinstance(node, ast.Num):
+            return node.value
+        if isinstance(node, ast.Selector):
+            return self._leaf_instant(node)
+        if isinstance(node, ast.Call):
+            return self._compile_call(node)
+        if isinstance(node, ast.Agg):
+            return self._compile_agg(node)
+        if isinstance(node, ast.Binary):
+            return self._compile_binary(node)
+        raise TypeError(f"promql: unknown AST node {type(node).__name__}")
+
+    def _compile_call(self, node: ast.Call) -> _Vec | float:
+        fn = node.fn
+        if fn in ast.RANGE_FUNCS:
+            if fn == "quantile_over_time":
+                qv, sel = node.args
+                if not isinstance(qv, ast.Num) or not isinstance(sel, ast.Selector):
+                    raise ValueError("promql: quantile_over_time(q, selector[range])")
+                return self._leaf_range(fn, sel, qv.value)
+            (sel,) = node.args
+            if not isinstance(sel, ast.Selector):
+                raise ValueError(f"promql: {fn} argument must be a range selector")
+            return self._leaf_range(fn, sel)
+        if fn in _UNARY_COLS:
+            (arg,) = node.args
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError(f"promql: {fn} over scalars not supported")
+            col = _UNARY_COLS[fn](F.col("value"))
+            if fn in ("ceil", "floor"):
+                col = col.cast("double")
+            return _Vec(v.df.withColumn("value", col), v.labels)
+        if fn in ("clamp_min", "clamp_max"):
+            arg, bound = node.args
+            if not isinstance(bound, ast.Num):
+                raise ValueError(f"promql: {fn} bound must be a number")
+            v = self.compile(arg)
+            op = F.greatest if fn == "clamp_min" else F.least
+            return _Vec(
+                v.df.withColumn("value", op(F.col("value"), F.lit(bound.value))),
+                v.labels,
+            )
+        if fn == "scalar":
+            (arg,) = node.args
+            v = self.compile(arg)
+            if v.labels:
+                raise ValueError("promql: scalar() needs a label-free vector")
+            return v  # label-free vector acts as a per-bucket scalar
+        if fn == "vector":
+            (arg,) = node.args
+            if isinstance(arg, ast.Num):
+                raise ValueError("promql: vector(literal) needs a time axis; "
+                                 "use it against a real selector")
+            return self.compile(arg)
+        if fn == "histogram_quantile":
+            qv, arg = node.args
+            if not isinstance(qv, ast.Num):
+                raise ValueError("promql: histogram_quantile q must be a number")
+            if not isinstance(arg, ast.Selector):
+                raise ValueError("promql: histogram_quantile over a selector only")
+            # cooked data stores value distributions, not le-buckets
+            # (F13; quantile_node.go:35-114) -> per-bucket exact quantile
+            df, src = self._leaf_rows(arg)
+            out = df.groupBy(
+                bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
+            ).agg(F.percentile(src.value_col, qv.value).alias("value"))
+            return _Vec(out, src.labels)
+        raise ValueError(f"promql: unsupported function {fn!r}")
+
+    def _compile_agg(self, node: ast.Agg) -> _Vec:
+        v = self.compile(node.expr)
+        if isinstance(v, float):
+            raise ValueError("promql: aggregation over a scalar")
+        if node.op in ("topk", "bottomk"):
+            k = int(node.param)
+            fn = topk if node.op == "topk" else bottomk
+            return _Vec(fn(v.df, k, tiebreak=sorted(v.labels)), v.labels)
+        if node.op == "quantile":
+            keys = self._agg_keys(node, v)
+            out = v.df.groupBy("bucket_ts", *keys).agg(
+                F.percentile("value", node.param).alias("value")
+            )
+            return _Vec(out, keys)
+        keys = self._agg_keys(node, v)
+        out = vector_agg(v.df, node.op, by=keys)
+        return _Vec(out, keys)
+
+    @staticmethod
+    def _agg_keys(node: ast.Agg, v: _Vec) -> list[str]:
+        if node.without is not None:
+            return [c for c in v.labels if c not in set(node.without)]
+        if node.by is not None:
+            return list(node.by)
+        return []
+
+    def _compile_binary(self, node: ast.Binary) -> _Vec | float:
+        lhs = self.compile(node.lhs)
+        rhs = self.compile(node.rhs)
+        op = node.op
+
+        if isinstance(lhs, float) and isinstance(rhs, float):
+            return _fold_scalar(op, lhs, rhs)
+
+        if isinstance(rhs, float):
+            return _Vec(
+                vector_scalar(lhs.df, op, rhs, bool_mode=node.bool_mode), lhs.labels
+            )
+        if isinstance(lhs, float):
+            return _Vec(
+                vector_scalar(
+                    rhs.df, op, lhs, scalar_on_left=True, bool_mode=node.bool_mode
+                ),
+                rhs.labels,
+            )
+
+        match = self._match_labels(node, lhs, rhs)
+        if op == "or":
+            return _Vec(vector_or(lhs.df, rhs.df, match), match)
+        if op == "and":
+            return _Vec(vector_and(lhs.df, rhs.df, match), lhs.labels)
+        if op == "unless":
+            return _Vec(vector_unless(lhs.df, rhs.df, match), lhs.labels)
+        out = vector_match(lhs.df, rhs.df, op, match, bool_mode=node.bool_mode)
+        return _Vec(out, match)
+
+    @staticmethod
+    def _match_labels(node: ast.Binary, lhs: _Vec, rhs: _Vec) -> list[str]:
+        """J1 match key: on(...) subset, else shared labels minus ignoring
+        (binary_node.go matchKey:314 — all labels minus __name__)."""
+        if node.on is not None:
+            return sorted(node.on)
+        common = set(lhs.labels) & set(rhs.labels)
+        if node.ignoring:
+            common -= set(node.ignoring)
+        return sorted(common)
+
+
+def _fold_scalar(op: str, a: float, b: float) -> float:
+    import operator as _op
+
+    table = {
+        "+": _op.add, "-": _op.sub, "*": _op.mul, "/": _op.truediv,
+        "%": _op.mod, ">": _op.gt, ">=": _op.ge, "<": _op.lt,
+        "<=": _op.le, "==": _op.eq, "!=": _op.ne,
+    }
+    out = table[op](a, b)
+    return float(out)
+
+
+def compile_promql(
+    query,
+    catalog: MetricCatalog,
+    step_ms: int,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Compile a PromQL string (or parsed AST) into a DataFrame plan.
+
+    Result columns: ``bucket_ts``, the output label set, ``value``.
+    """
+    node = parse_promql(query) if isinstance(query, str) else query
+    vec = _Compiler(catalog, step_ms, start_ms, end_ms).compile(node)
+    if isinstance(vec, float):
+        raise ValueError("promql: query evaluates to a constant scalar")
+    return vec.df

@@ -1,0 +1,363 @@
+"""PromQL recursive-descent parser -> AST.
+
+Covers the construct set the reference supports (promql/parser.go:180-479):
+selectors with matchers, range/offset, the range functions of A9, the
+unary math functions F9, clamp_min/max F10, scalar(), number literals,
+vector aggregation with by/without (A7), topk/bottomk/quantile (A8),
+binary arithmetic/comparison with the ``bool`` modifier and vector
+matching via on/ignoring (J1-J5), and set ops and/or/unless (J2-J4).
+group_left/group_right is rejected exactly like the reference
+(promql/parser.go:455-460).
+
+RE2-vs-Java-regex note: matcher regexes pass through to ``rlike``;
+the common subset (alternation, classes, anchors, quantifiers) is
+dialect-portable.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Num:
+    value: float
+
+
+@dataclass
+class Matcher:
+    label: str
+    op: str  # = != =~ !~
+    value: str
+
+
+@dataclass
+class Selector:
+    metric: str
+    matchers: list[Matcher] = field(default_factory=list)
+    range_ms: int | None = None
+    offset_ms: int = 0
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list  # mix of AST nodes
+
+
+@dataclass
+class Agg:
+    op: str  # sum avg min max count topk bottomk quantile
+    expr: object
+    by: list[str] | None = None
+    without: list[str] | None = None
+    param: float | None = None  # k for topk/bottomk, q for quantile
+
+
+@dataclass
+class Binary:
+    op: str  # + - * / > >= < <= == != and or unless
+    lhs: object
+    rhs: object
+    bool_mode: bool = False
+    on: list[str] | None = None
+    ignoring: list[str] | None = None
+
+
+RANGE_FUNCS = {
+    "rate", "irate", "increase",
+    "sum_over_time", "count_over_time", "avg_over_time",
+    "min_over_time", "max_over_time", "last_over_time",
+    "quantile_over_time",
+}
+UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
+_CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
+_SET_OPS = {"and", "or", "unless"}
+
+_DUR_UNITS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+              "d": 86_400_000, "w": 604_800_000}
+
+
+def parse_duration_ms(text: str) -> int:
+    """'5m30s' -> 330000 (promql duration syntax)."""
+    total = 0
+    for num, unit in re.findall(r"(\d+)(ms|s|m|h|d|w)", text):
+        total += int(num) * _DUR_UNITS[unit]
+    if total == 0:
+        raise ValueError(f"bad duration: {text!r}")
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<DUR>\d+(?:ms|s|m|h|d|w)(?:\d+(?:ms|s|m|h|d|w))*)
+  | (?P<NUM>\d+\.\d+|\d+|\.\d+)
+  | (?P<ID>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],=<>])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(q: str) -> list[Tok]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            raise ValueError(f"promql: unexpected char {q[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append(Tok(kind, m.group()))
+    toks.append(Tok("EOF", ""))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.encode().decode("unicode_escape")
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"promql: expected {text!r}, got {t.text!r}")
+        return t
+
+    # precedence climbing: or < and/unless < comparison < +- < */%
+    def parse_expr(self) -> object:
+        return self._parse_or()
+
+    def _parse_or(self):
+        lhs = self._parse_and()
+        while self.peek().text == "or":
+            self.next()
+            mods = self._match_modifiers()
+            lhs = Binary("or", lhs, self._parse_and(), **mods)
+        return lhs
+
+    def _parse_and(self):
+        lhs = self._parse_cmp()
+        while self.peek().text in ("and", "unless"):
+            op = self.next().text
+            mods = self._match_modifiers()
+            lhs = Binary(op, lhs, self._parse_cmp(), **mods)
+        return lhs
+
+    def _parse_cmp(self):
+        lhs = self._parse_add()
+        while self.peek().text in _CMP_OPS:
+            op = self.next().text
+            bool_mode = False
+            if self.peek().text == "bool":
+                self.next()
+                bool_mode = True
+            mods = self._match_modifiers()
+            lhs = Binary(op, lhs, self._parse_add(), bool_mode=bool_mode, **mods)
+        return lhs
+
+    def _parse_add(self):
+        lhs = self._parse_mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            mods = self._match_modifiers()
+            lhs = Binary(op, lhs, self._parse_mul(), **mods)
+        return lhs
+
+    def _parse_mul(self):
+        lhs = self._parse_unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            mods = self._match_modifiers()
+            lhs = Binary(op, lhs, self._parse_unary(), **mods)
+        return lhs
+
+    def _match_modifiers(self) -> dict:
+        """on(...) / ignoring(...); group_left/right rejected (parser.go:455-460)."""
+        mods: dict = {}
+        if self.peek().text in ("on", "ignoring"):
+            kw = self.next().text
+            labels = self._label_list()
+            mods["on" if kw == "on" else "ignoring"] = labels
+        if self.peek().text in ("group_left", "group_right"):
+            raise ValueError(
+                f"promql: {self.peek().text} is not supported"
+            )
+        return mods
+
+    def _parse_unary(self):
+        if self.peek().text == "-":
+            self.next()
+            return Binary("-", Num(0.0), self._parse_unary())
+        if self.peek().text == "+":
+            self.next()
+            return self._parse_unary()
+        return self._parse_postfix()
+
+    def _parse_postfix(self):
+        node = self._parse_atom()
+        # [range] and offset postfix
+        while True:
+            t = self.peek()
+            if t.text == "[":
+                self.next()
+                dur = self.next()
+                if dur.kind != "DUR":
+                    raise ValueError(f"promql: expected duration, got {dur.text!r}")
+                self.expect("]")
+                if not isinstance(node, Selector):
+                    raise ValueError("promql: range applies only to selectors")
+                node.range_ms = parse_duration_ms(dur.text)
+            elif t.text == "offset":
+                self.next()
+                dur = self.next()
+                if dur.kind != "DUR":
+                    raise ValueError(f"promql: expected duration, got {dur.text!r}")
+                if not isinstance(node, Selector):
+                    raise ValueError("promql: offset applies only to selectors")
+                node.offset_ms = parse_duration_ms(dur.text)
+            else:
+                return node
+
+    def _parse_atom(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            inner = self.parse_expr()
+            self.expect(")")
+            return inner
+        if t.kind == "NUM":
+            self.next()
+            return Num(float(t.text))
+        if t.kind == "DUR":  # bare number like 5m only valid as durations
+            raise ValueError(f"promql: unexpected duration {t.text!r}")
+        if t.kind == "ID":
+            name = self.next().text
+            if name in AGG_OPS:
+                return self._parse_agg(name)
+            if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
+                "clamp_min", "clamp_max", "scalar", "histogram_quantile", "vector"
+            ):
+                self.expect("(")
+                args = [self.parse_expr()]
+                while self.peek().text == ",":
+                    self.next()
+                    args.append(self.parse_expr())
+                self.expect(")")
+                return Call(name, args)
+            return self._parse_selector(name)
+        if t.text == "{":
+            return self._parse_selector("")
+        raise ValueError(f"promql: unexpected token {t.text!r}")
+
+    def _parse_agg(self, op: str) -> Agg:
+        by = without = None
+        if self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            if kw == "by":
+                by = labels
+            else:
+                without = labels
+        self.expect("(")
+        param = None
+        first = self.parse_expr()
+        if self.peek().text == ",":
+            self.next()
+            second = self.parse_expr()
+            if not isinstance(first, Num):
+                raise ValueError(f"promql: {op} parameter must be a number")
+            param, expr = first.value, second
+        else:
+            expr = first
+        self.expect(")")
+        if by is None and without is None and self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            if kw == "by":
+                by = labels
+            else:
+                without = labels
+        if op in ("topk", "bottomk", "quantile") and param is None:
+            raise ValueError(f"promql: {op} requires a parameter")
+        return Agg(op, expr, by=by, without=without, param=param)
+
+    def _label_list(self) -> list[str]:
+        self.expect("(")
+        labels = []
+        while self.peek().text != ")":
+            t = self.next()
+            if t.kind != "ID":
+                raise ValueError(f"promql: expected label, got {t.text!r}")
+            labels.append(t.text)
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return labels
+
+    def _parse_selector(self, metric: str) -> Selector:
+        matchers: list[Matcher] = []
+        if self.peek().text == "{":
+            self.next()
+            while self.peek().text != "}":
+                label = self.next()
+                if label.kind != "ID":
+                    raise ValueError(f"promql: expected label, got {label.text!r}")
+                op = self.next().text
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise ValueError(f"promql: bad matcher op {op!r}")
+                val = self.next()
+                if val.kind != "STR":
+                    raise ValueError("promql: matcher value must be a string")
+                matchers.append(Matcher(label.text, op, _unquote(val.text)))
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("}")
+        if not metric and not matchers:
+            raise ValueError("promql: empty selector")
+        return Selector(metric, matchers)
+
+
+def parse_promql(query: str):
+    """Parse a PromQL expression string into the AST."""
+    p = _Parser(_tokenize(query))
+    expr = p.parse_expr()
+    if p.peek().kind != "EOF":
+        raise ValueError(f"promql: trailing input at {p.peek().text!r}")
+    return expr

@@ -1,0 +1,353 @@
+"""Front-end-driven query catalog: PromQL / LogQL strings -> plans.
+
+Each entry here exercises the full reference lifecycle (§3.1/§3.2):
+query STRING -> parser -> AST -> DataFrame compiler -> result, with a
+hand-written DuckDB oracle stating the expected semantics.
+
+Instant-vector semantics (documented in promql/compiler.py): a bare
+selector yields the bucket average (sum/count) — the reference's
+last_over_time approximation over pre-aggregated buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakerunner_spark.catalog import default_log_source, default_metric_catalog
+from lakerunner_spark.functions.rounding import portable_round as _pr
+from lakerunner_spark.logql.compiler import compile_logql, compile_logql_exemplar
+from lakerunner_spark.promql.compiler import compile_promql
+from lakerunner_spark.queries import register
+from lakerunner_spark.testdata import EVENTS_MS_SQL
+
+_E = f"({EVENTS_MS_SQL})"
+
+
+def _pq(spark: SparkSession, sf_dir: str, query: str, step_ms: int) -> DataFrame:
+    return compile_promql(query, default_metric_catalog(spark, sf_dir), step_ms)
+
+
+def _lq(spark: SparkSession, sf_dir: str, query: str, step_ms: int) -> DataFrame:
+    return compile_logql(query, default_log_source(spark, sf_dir), step_ms)
+
+
+# -- helper SQL fragments ----------------------------------------------------
+
+# instant vector = per-(bucket, series) average, single-event_type slice
+_AVG_SERIES = f"""
+      SELECT chq_timestamp - chq_timestamp % {{step}} AS bucket_ts, user_id,
+             avg(value) AS value
+      FROM {_E} e WHERE event_type = '{{etype}}'
+      GROUP BY 1, 2
+"""
+
+
+@register(
+    "pqs1_sum_rate",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, sum(value) AS s
+      FROM {_E} e GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, user_id,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type, user_id) >= 240000
+                  THEN sum(s) OVER w / 300.0 END AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY bucket_ts
+                   RANGE BETWEEN 240000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, event_type, pround(sum(value), 6) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def pqs1_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL string -> plan: sum by (event_type) (rate(events[5m]))."""
+    df = _pq(spark, sf_dir, 'sum by (event_type) (rate(events[5m]))', 60_000)
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs2_topk_count",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, user_id,
+             count(value) AS c
+      FROM {_E} e WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT bucket_ts, user_id, CAST(sum(c) OVER w AS DOUBLE) AS value
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, user_id, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket_ts ORDER BY value DESC, user_id ASC) AS rn
+      FROM r
+    ) WHERE rn <= 2
+    """,
+)
+def pqs2_topk_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(2, sum by (user_id) (count_over_time(events{...}[10m])))."""
+    return _pq(
+        spark, sf_dir,
+        'topk(2, sum by (user_id) (count_over_time(events{event_type="purchase"}[10m])))',
+        60_000,
+    )
+
+
+@register(
+    "pqs3_ratio",
+    f"""
+    WITH l AS ({_AVG_SERIES.format(step=3600000, etype="error")}),
+         r AS ({_AVG_SERIES.format(step=3600000, etype="click")})
+    SELECT l.bucket_ts, l.user_id, pround(l.value / r.value, 6) AS value
+    FROM l JOIN r ON l.bucket_ts = r.bucket_ts AND l.user_id = r.user_id
+    WHERE r.value != 0
+    """,
+)
+def pqs3_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector / vector matching on the shared label (user_id)."""
+    df = _pq(
+        spark, sf_dir,
+        'sum by (user_id) (events{event_type="error"})'
+        ' / sum by (user_id) (events{event_type="click"})',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs4_quantile_over_time",
+    f"""
+    SELECT DISTINCT bucket_ts, event_type, user_id,
+           pround(quantile_cont(value, 0.9) OVER (
+             PARTITION BY event_type, user_id ORDER BY bucket_ts
+             RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, value
+      FROM {_E} e WHERE event_type = 'purchase'
+    )
+    """,
+)
+def pqs4_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_over_time: exact interpolated quantile over a 10m window."""
+    df = _pq(
+        spark, sf_dir,
+        'quantile_over_time(0.9, events{event_type="purchase"}[10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs5_unless",
+    f"""
+    WITH l AS ({_AVG_SERIES.format(step=3600000, etype="error")}),
+         r AS ({_AVG_SERIES.format(step=3600000, etype="click")})
+    SELECT l.bucket_ts, l.user_id, pround(l.value, 6) AS value
+    FROM l ANTI JOIN r ON l.bucket_ts = r.bucket_ts AND l.user_id = r.user_id
+    """,
+)
+def pqs5_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op via the front-end: error-series unless click-series."""
+    df = _pq(
+        spark, sf_dir,
+        'sum by (user_id) (events{event_type="error"})'
+        ' unless sum by (user_id) (events{event_type="click"})',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs6_math_clamp",
+    f"""
+    SELECT bucket_ts, event_type,
+           pround(least(abs(sum(value)), 100.0), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS value
+      FROM {_E} e GROUP BY 1, 2, 3
+    )
+    GROUP BY 1, 2
+    """,
+)
+def pqs6_math_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clamp_max(abs(sum by (event_type) (events)), 100)."""
+    df = _pq(
+        spark, sf_dir,
+        'clamp_max(abs(sum by (event_type) (events)), 100)',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs7_histogram_quantile",
+    f"""
+    SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts,
+           event_type, user_id,
+           pround(quantile_cont(value, 0.95), 6) AS value
+    FROM {_E} e WHERE event_type = 'purchase'
+    GROUP BY 1, 2, 3
+    """,
+)
+def pqs7_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile over raw distributions (F13; sketch-free exact)."""
+    df = _pq(
+        spark, sf_dir,
+        'histogram_quantile(0.95, events{event_type="purchase"})',
+        600_000,
+    )
+    return df.select(
+        "bucket_ts", "event_type", "user_id", _pr("value", 6).alias("value")
+    )
+
+
+@register(
+    "pqs8_bool_cmp",
+    f"""
+    WITH base AS ({_AVG_SERIES.format(step=3600000, etype="purchase")})
+    SELECT bucket_ts, user_id,
+           CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END AS value
+    FROM base
+    """,
+)
+def pqs8_bool_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison with the bool modifier via the front-end."""
+    return _pq(
+        spark, sf_dir,
+        'sum by (user_id) (events{event_type="purchase"}) > bool 100',
+        3_600_000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LogQL strings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lqs1_log_rate",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM {_E} e WHERE regexp_full_match(event_type, 'error|click')
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type) >= 540000
+                  THEN sum(c) OVER w / 600.0 END AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, event_type, pround(sum(value), 6) AS value
+    FROM r WHERE value IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def lqs1_log_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL string: sum by (event_type) (rate({event_type=~"error|click"}[10m]))."""
+    df = _lq(
+        spark, sf_dir,
+        'sum by (event_type) (rate({event_type=~"error|click"}[10m]))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "lqs2_bytes_over_time",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             sum(CAST(length(props) AS DOUBLE)) AS b
+      FROM {_E} e WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, sum(b) OVER w AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, event_type, pround(sum(value), 4) AS value
+    FROM r WHERE value IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def lqs2_bytes_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL bytes_over_time on the synthetic log-bytes metric (A10)."""
+    df = _lq(
+        spark, sf_dir,
+        'sum by (event_type) (bytes_over_time({event_type="error"}[10m]))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 4))
+
+
+@register(
+    "lqs3_unwrap_max",
+    f"""
+    WITH rows_f AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             json_extract_string(props, '$.k') AS k,
+             try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS v
+      FROM {_E} e
+      WHERE regexp_full_match(event_type, 'purchase|view')
+        AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) > 10.0
+    ),
+    base AS (
+      SELECT bucket_ts, event_type, k, max(v) AS mx
+      FROM rows_f GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT DISTINCT bucket_ts, event_type,
+             max(mx) OVER (PARTITION BY event_type, k ORDER BY bucket_ts
+                           RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+               AS series_value, k
+      FROM base
+    )
+    SELECT bucket_ts, event_type, pround(max(series_value), 4) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def lqs3_unwrap_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL unwrap pipeline: json parse, numeric filter, unwrap, max_over_time."""
+    df = _lq(
+        spark, sf_dir,
+        'max by (event_type) (max_over_time({event_type=~"purchase|view"}'
+        ' | json k="$.k" | k > 10 | unwrap k [10m]))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 4))
+
+
+@register(
+    "lqs4_exemplar",
+    f"""
+    SELECT event_id, chq_timestamp, event_type,
+           json_extract_string(props, '$.k') AS k
+    FROM {_E} e
+    WHERE event_type = 'error' AND contains(props, '7')
+    ORDER BY chq_timestamp DESC, event_id DESC LIMIT 50
+    """,
+)
+def lqs4_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL exemplar mode: newest 50 matching lines (O1/O2 global limit)."""
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_exemplar(
+        '{event_type="error"} |= "7" | json k="$.k"',
+        src,
+        limit=50,
+        tiebreak=["event_id"],
+    )
+    return df.select("event_id", "chq_timestamp", "event_type", "k")

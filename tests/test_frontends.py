@@ -1,0 +1,196 @@
+"""PromQL/LogQL front-end tests: parser shapes, error cases, and
+compile paths the oracle queries don't exercise (offset, start/end
+windows, step ladder)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakerunner_spark.catalog import default_log_source, default_metric_catalog
+from lakerunner_spark.logql.compiler import compile_logql_exemplar
+from lakerunner_spark.logql.parser import (
+    JsonStage,
+    LabelFilter,
+    LineFilter,
+    LogLeaf,
+    LogRangeAgg,
+    LogVectorAgg,
+    parse_logql,
+)
+from lakerunner_spark.promql import compile_promql, parse_promql, step_for_duration
+from lakerunner_spark.promql.parser import (
+    Agg,
+    Binary,
+    Call,
+    Num,
+    Selector,
+    parse_duration_ms,
+)
+
+
+# ---------------------------------------------------------------------------
+# PromQL parser
+# ---------------------------------------------------------------------------
+
+def test_parse_duration():
+    assert parse_duration_ms("5m") == 300_000
+    assert parse_duration_ms("1h30m") == 5_400_000
+    assert parse_duration_ms("250ms") == 250
+
+
+def test_parse_selector_matchers_range_offset():
+    e = parse_promql('rate(events{event_type="error",user_id!~"1.*"}[5m] offset 1m)')
+    assert isinstance(e, Call) and e.fn == "rate"
+    sel = e.args[0]
+    assert isinstance(sel, Selector)
+    assert sel.metric == "events"
+    assert [(m.label, m.op, m.value) for m in sel.matchers] == [
+        ("event_type", "=", "error"),
+        ("user_id", "!~", "1.*"),
+    ]
+    assert sel.range_ms == 300_000
+    assert sel.offset_ms == 60_000
+
+
+def test_parse_agg_by_without_and_param():
+    e = parse_promql("sum by (a, b) (events)")
+    assert isinstance(e, Agg) and e.op == "sum" and e.by == ["a", "b"]
+    e = parse_promql("avg without (c) (events)")
+    assert e.without == ["c"]
+    e = parse_promql("topk(3, events)")
+    assert e.op == "topk" and e.param == 3.0
+    e = parse_promql("quantile(0.9, events)")
+    assert e.param == 0.9
+
+
+def test_parse_binary_precedence_and_bool():
+    e = parse_promql("a + b * c")
+    assert isinstance(e, Binary) and e.op == "+"
+    assert isinstance(e.rhs, Binary) and e.rhs.op == "*"
+    e = parse_promql("a > bool 100")
+    assert e.op == ">" and e.bool_mode and isinstance(e.rhs, Num)
+    e = parse_promql("a / on(x, y) b")
+    assert e.on == ["x", "y"]
+    e = parse_promql("a and ignoring(z) b")
+    assert e.op == "and" and e.ignoring == ["z"]
+
+
+def test_group_left_rejected_like_reference():
+    with pytest.raises(ValueError, match="group_left"):
+        parse_promql("a / group_left b")
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_promql("sum by (a) (")
+    with pytest.raises(ValueError):
+        parse_promql("topk(events)")  # missing k
+    with pytest.raises(ValueError):
+        parse_promql("{__}")  # matcherless selector body
+    # rate without a range parses fine; the compiler rejects it
+    assert isinstance(parse_promql("rate(events)"), Call)
+
+
+def test_step_ladder_matches_reference():
+    # queryapi/dates.go:23-42
+    assert step_for_duration(60 * 60_000) == 10_000
+    assert step_for_duration(2 * 3_600_000) == 60_000
+    assert step_for_duration(18 * 3_600_000) == 300_000
+    assert step_for_duration(2 * 86_400_000) == 1_200_000
+    assert step_for_duration(10 * 86_400_000) == 3_600_000
+
+
+# ---------------------------------------------------------------------------
+# LogQL parser
+# ---------------------------------------------------------------------------
+
+def test_parse_logql_leaf_pipeline():
+    leaf = parse_logql('{event_type="error"} |= "x" != "y" | json k="$.k" | k > 10')
+    assert isinstance(leaf, LogLeaf)
+    assert [(m.label, m.op, m.value) for m in leaf.matchers] == [
+        ("event_type", "=", "error")
+    ]
+    assert isinstance(leaf.stages[0], LineFilter) and leaf.stages[0].op == "|="
+    assert isinstance(leaf.stages[1], LineFilter) and leaf.stages[1].op == "!="
+    assert isinstance(leaf.stages[2], JsonStage)
+    assert leaf.stages[2].mappings == {"k": "$.k"}
+    assert isinstance(leaf.stages[3], LabelFilter)
+    assert leaf.stages[3].value == 10.0
+
+
+def test_parse_logql_range_and_vector_agg():
+    q = 'sum by (event_type) (rate({event_type=~"a|b"}[10m]))'
+    node = parse_logql(q)
+    assert isinstance(node, LogVectorAgg) and node.op == "sum"
+    assert node.by == ["event_type"]
+    assert isinstance(node.inner, LogRangeAgg) and node.inner.fn == "rate"
+    assert node.inner.leaf.range_ms == 600_000
+
+
+def test_parse_logql_unwrap():
+    node = parse_logql('max_over_time({a="b"} | unwrap duration(lat) [5m])')
+    assert node.leaf.unwrap.label == "lat"
+    assert node.leaf.unwrap.conv == "duration"
+
+
+def test_parse_logql_regexp_named_groups():
+    leaf = parse_logql('{a="b"} | regexp "(?P<verb>[A-Z]+) (?P<path>/\\\\S*)"')
+    stage = leaf.stages[0]
+    assert stage.groups == {"verb": 1, "path": 2}
+    assert "?P<" not in stage.pattern
+
+
+def test_parse_logql_errors():
+    with pytest.raises(ValueError, match="unwrap"):
+        parse_logql('sum_over_time({a="b"}[5m])')
+    with pytest.raises(ValueError, match="range"):
+        parse_logql('rate({a="b"})')
+    with pytest.raises(ValueError, match="does not take"):
+        parse_logql('count_over_time({a="b"} | unwrap k [5m])')
+
+
+# ---------------------------------------------------------------------------
+# Compile paths without oracle coverage
+# ---------------------------------------------------------------------------
+
+def test_compile_offset_and_window(spark, sf_dir):
+    cat = default_metric_catalog(spark, sf_dir)
+    base = compile_promql('sum by (event_type) (events)', cat, 3_600_000)
+    offs = compile_promql(
+        'sum by (event_type) (events offset 1h)', cat, 3_600_000
+    )
+    b = {(r.bucket_ts, r.event_type): r.value for r in base.collect()}
+    o = {(r.bucket_ts, r.event_type): r.value for r in offs.collect()}
+    # offset shifts every bucket forward by exactly 1h
+    assert all(
+        o.get((ts + 3_600_000, et)) == pytest.approx(v) for (ts, et), v in b.items()
+    )
+
+
+def test_compile_time_range_bounds(spark, sf_dir):
+    cat = default_metric_catalog(spark, sf_dir)
+    full = compile_promql('sum by (event_type) (events)', cat, 3_600_000)
+    lo = min(r.bucket_ts for r in full.collect())
+    bounded = compile_promql(
+        'sum by (event_type) (events)', cat, 3_600_000,
+        start_ms=lo + 7_200_000, end_ms=lo + 10_800_000,
+    )
+    ts = {r.bucket_ts for r in bounded.collect()}
+    assert ts and all(lo + 7_200_000 <= t < lo + 10_800_000 for t in ts)
+
+
+def test_compile_rate_requires_range(spark, sf_dir):
+    cat = default_metric_catalog(spark, sf_dir)
+    with pytest.raises(ValueError, match="range"):
+        compile_promql("rate(events)", cat, 60_000)
+
+
+def test_exemplar_ascending(spark, sf_dir):
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_exemplar(
+        '{event_type="error"}', src, limit=10, descending=False,
+        tiebreak=["event_id"],
+    )
+    rows = df.collect()
+    ts = [r.chq_timestamp for r in rows]
+    assert len(rows) == 10 and ts == sorted(ts)
