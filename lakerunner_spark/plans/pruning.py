@@ -1,0 +1,114 @@
+"""J6: fingerprint-index segment pruning as a semi-join.
+
+Reference: log matcher values/regexes are trigram-fingerprinted; a
+Postgres array-index lookup intersects/unions candidate segment sets
+before any Parquet is touched (queryapi/logs_evaluator.go:233-540,
+TrigramQuery:216, computeSegmentSet:426).
+
+Spark-first: the index is a small Parquet side table
+(segment_key -> fingerprint) built at ingest; the planner broadcast
+semi-joins the scan's segment-key column against the matching index
+keys. Pruning must be **semantics-preserving** (may only drop segments
+that cannot match) — the oracle query states the unpruned filter, so
+parity proves no false drops. At 100 TB the index is KB-per-segment;
+the semi-join is a broadcast hash join against the file listing, i.e.
+the scan skips whole segments exactly like the reference's planner.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.hashing import java_string_hash
+
+
+def trigrams(value: str) -> list[str]:
+    """Trigram decomposition of a literal matcher value.
+
+    Mirrors the reference's fingerprinting of matcher literals
+    (internal/fingerprint/): lowercase, split on non-alphanumerics,
+    3-grams per token (tokens shorter than 3 fingerprint whole).
+    """
+    grams: list[str] = []
+    for token in re.split(r"[^a-z0-9]+", value.lower()):
+        if not token:
+            continue
+        if len(token) < 3:
+            grams.append(token)
+        else:
+            grams.extend(token[i : i + 3] for i in range(len(token) - 2))
+    return grams
+
+
+def build_fingerprint_index(
+    df: DataFrame,
+    segment_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Index table: (segment_key, fingerprint) for every trigram present.
+
+    Built once per segment at ingest (the analogue of log_seg.fingerprints,
+    lrdb/migrations/1751058920:5-21).
+    """
+    tokens = F.explode(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    ).alias("_tok")
+    tok_df = df.select(F.col(segment_col).alias("segment_key"), tokens).filter(
+        F.col("_tok") != ""
+    )
+    # 3-grams via substring explode; short tokens kept whole
+    gram = tok_df.select(
+        "segment_key",
+        F.explode(
+            F.when(
+                F.length("_tok") < 3, F.array(F.col("_tok"))
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, length(_tok) - 2),"
+                    " i -> substring(_tok, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    ).distinct()
+    return gram.select(
+        "segment_key", java_string_hash(F.col("gram")).alias("fingerprint")
+    ).distinct()
+
+
+def pruned_scan(
+    df: DataFrame,
+    index: DataFrame,
+    segment_col: str,
+    needle: str,
+) -> DataFrame:
+    """Scan only segments whose index contains ALL trigrams of ``needle``.
+
+    AND-semantics of the reference's TrigramQuery for a literal
+    (logs_evaluator.go:373-440): a segment survives iff every needle
+    trigram appears. Conjunction via per-segment match counting.
+    """
+    grams = trigrams(needle)
+    if not grams:
+        return df
+    gram_fps = sorted({_java_hash_py(g) for g in grams})
+    candidates = (
+        index.filter(F.col("fingerprint").isin(gram_fps))
+        .groupBy("segment_key")
+        .agg(F.count_distinct("fingerprint").alias("_hits"))
+        .filter(F.col("_hits") == len(gram_fps))
+        .select("segment_key")
+    )
+    return df.join(
+        F.broadcast(candidates),
+        df[segment_col] == candidates["segment_key"],
+        "left_semi",
+    )
+
+
+def _java_hash_py(s: str) -> int:
+    from lakerunner_spark.functions.hashing import java_string_hash_py
+
+    return java_string_hash_py(s)

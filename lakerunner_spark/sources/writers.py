@@ -54,4 +54,14 @@ def write_segments(
     )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+
+    # plannedWrite (Spark 3.4+) injects its own partition-column sort and
+    # EliminateSorts then drops ours — silently losing the in-file
+    # clustering. Disable it for the duration of the write.
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+    try:
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", prev)

@@ -1,0 +1,98 @@
+"""Streaming ingest: file/Kafka source -> 10s pre-agg -> parquet segments.
+
+Reference lifecycle (§3.3): S3 event -> Kafka ``ingest`` topic ->
+consumer downloads the object -> normalize -> 10s pre-aggregate ->
+sorted parquet per dateint partition -> segment registration, with
+at-least-once delivery made effectively exactly-once by an offset
+tracker table (docs/design/OVERVIEW.md:254-263, T1-T4).
+
+Spark-first:
+- source: ``readStream`` file source (the S3-notification analogue —
+  new objects under a prefix become micro-batch input) or
+  ``format("kafka")`` with the same downstream graph;
+- offset tracking / exactly-once: the **checkpoint** plus the parquet
+  sink's transactional manifest replace the reference's
+  kafka_offset_tracker table (T4);
+- late data: event-time watermark on the 10s window agg (T2) — rows
+  land in their event-time bucket whenever they arrive, and the
+  watermark bounds state;
+- trigger: ``availableNow`` for batch-catchup runs (the boxer/hunter
+  batching T3 collapses into micro-batch boundaries).
+
+Aggregation in streams uses update-mode-safe ``groupBy(window(...))``.
+The percentile columns of the batch pre-agg (A1) are not computable
+incrementally without a sketch UDAF; the streaming tier writes
+sum/count/min/max (the mergeable core), and the rollup chain (A2)
+fills percentile columns in the scheduled batch pass — mirroring the
+reference, where sketches merge in batch rollups too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def preagg_stream(
+    stream: DataFrame,
+    dims: list[str],
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+    grain_sec: int = 10,
+    watermark_sec: int = 60,
+) -> DataFrame:
+    """T1/T2: watermarked tumbling-window pre-aggregation (streaming A1)."""
+    with_event_time = stream.withColumn(
+        "_event_time", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("_event_time", f"{watermark_sec} seconds")
+    win = F.window("_event_time", f"{grain_sec} seconds")
+    return (
+        with_event_time.groupBy(win.alias("_w"), *dims)
+        .agg(
+            F.sum(value_col).alias("chq_rollup_sum"),
+            F.count(value_col).alias("chq_rollup_count"),
+            F.min(value_col).alias("chq_rollup_min"),
+            F.max(value_col).alias("chq_rollup_max"),
+        )
+        .select(
+            F.unix_millis(F.col("_w.start")).alias("chq_timestamp"),
+            *dims,
+            "chq_rollup_sum",
+            "chq_rollup_count",
+            "chq_rollup_min",
+            "chq_rollup_max",
+            (F.col("chq_rollup_sum") / F.col("chq_rollup_count")).alias(
+                "chq_rollup_avg"
+            ),
+        )
+    )
+
+
+def run_file_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema,
+    dims: list[str],
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """End-to-end file-source ingest: watch a directory, pre-aggregate,
+    append parquet segments. ``availableNow`` processes the backlog and
+    stops (batch-catchup); drop it for a long-running stream."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(input_path)
+    )
+    agg = preagg_stream(stream, dims, ts_col=ts_col, value_col=value_col)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -19,14 +19,22 @@ def oracle_con(sf_dir):
     con.close()
 
 
+# approximate-sketch queries get the driver's weaker rows-only check;
+# tolerance vs exact answers is asserted in tests/test_sketches.py
+ROWS_ONLY = {"a5_sketch_quantiles", "a6_hll_rollup_merge"}
+
+
 def test_every_query_has_an_oracle():
-    missing = set(QUERIES) - set(ORACLE)
+    missing = set(QUERIES) - set(ORACLE) - ROWS_ONLY
     assert not missing, f"queries without oracle SQL: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_parity(name, spark, sf_dir, oracle_con):
     sdf = QUERIES[name](spark, sf_dir)
+    if name in ROWS_ONLY:
+        assert sdf.count() > 0, f"{name}: rows-only check found no rows"
+        return
     odf = oracle_con.execute(ORACLE[name]).df()
     res = compare(sdf, odf)
     assert res["rows_match"], f"{name}: rows {res['rows_spark']} != {res['rows_oracle']}"

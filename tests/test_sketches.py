@@ -1,0 +1,89 @@
+"""Sketch operator contracts (A5/A6/X4): tolerance vs exact answers and
+the merge identity that makes tiered rollups sound."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.operators.sketches import (
+    hll_cardinality,
+    hll_estimate,
+    hll_sketch_merge,
+    hll_sketch_rollup,
+    quantile_sketch_agg,
+)
+from lakerunner_spark.testdata import events_stream
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return events_stream(spark, sf_dir).cache()
+
+
+def test_quantile_sketch_close_to_exact(events):
+    approx = {
+        r.event_type: r
+        for r in quantile_sketch_agg(events, ["event_type"], "value").collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            *[
+                F.percentile("value", q).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+            ]
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    # KLL's contract is RANK error, not value error: the fraction of
+    # values <= the sketch's answer must sit within eps of q.
+    values = {
+        et: sorted(
+            r.value
+            for r in events.filter(F.col("event_type") == et)
+            .select("value")
+            .collect()
+        )
+        for et in approx
+    }
+    for et, a in approx.items():
+        vs = values[et]
+        n = len(vs)
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                       (0.9, "p90"), (0.95, "p95"), (0.99, "p99")]:
+            got = getattr(a, col)
+            rank = sum(1 for v in vs if v <= got) / n
+            eps = max(0.01, 2.0 / n)  # sketch eps + discreteness of small n
+            assert q - eps <= rank <= q + eps, (et, col, got, rank, q)
+    # and the sketch answers must be actual sample values
+    for et, a in approx.items():
+        assert all(getattr(a, c) in values[et] for c in ("p25", "p50", "p99"))
+
+
+def test_hll_cardinality_close_to_exact(events):
+    approx = {
+        r.event_type: r.cardinality
+        for r in hll_cardinality(events, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+
+def test_hll_sketch_merge_identity(events):
+    """union-of-sketches == sketch-of-union: the property that lets the
+    rollup chain (A2) merge tiers without raw rescans."""
+    fine = hll_sketch_rollup(events, ["event_type", "user_id"], "event_id")
+    merged = hll_estimate(hll_sketch_merge(fine, ["event_type"]))
+    direct = hll_estimate(hll_sketch_rollup(events, ["event_type"], "event_id"))
+    m = {r.event_type: r.cardinality for r in merged.collect()}
+    d = {r.event_type: r.cardinality for r in direct.collect()}
+    assert m == d  # identical sketch state -> identical estimate

@@ -1,0 +1,103 @@
+"""Structured Streaming ingest tests (T1-T4): the streaming pre-agg must
+equal the batch pre-agg, and checkpointed restarts must not double-count
+(effective exactly-once)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from lakerunner_spark.ingest.preagg import preaggregate_metrics
+from lakerunner_spark.streaming.pipeline import run_file_ingest_stream
+from lakerunner_spark.testdata import events_stream
+
+
+def _batch_expected(events):
+    return {
+        tuple(r)
+        for r in preaggregate_metrics(events, ["event_type"], value_col="value")
+        .select(
+            "chq_timestamp",
+            "event_type",
+            F.round("chq_rollup_sum", 6),
+            "chq_rollup_count",
+            F.round("chq_rollup_min", 6),
+            F.round("chq_rollup_max", 6),
+        )
+        .collect()
+    }
+
+
+def test_stream_preagg_matches_batch_and_is_exactly_once(spark, sf_dir, tmp_path):
+    events = events_stream(spark, sf_dir)
+    indir = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # chunks arrive in event-time order (data older than the watermark
+    # would be dropped as late — T2 semantics, asserted separately below)
+    mid_ts, max_ts = (
+        events.agg(
+            F.expr("percentile(chq_timestamp, 0.5)"), F.max("chq_timestamp")
+        ).first()
+    )
+    half1 = events.filter(F.col("chq_timestamp") <= mid_ts)
+    half2 = events.filter(F.col("chq_timestamp") > mid_ts)
+    half1.write.mode("overwrite").parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    q = run_file_ingest_stream(
+        spark, indir, outdir, ckpt, schema, ["event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    # second chunk arrives later; restart from checkpoint processes ONLY it
+    half2.write.mode("append").parquet(indir)
+    q = run_file_ingest_stream(
+        spark, indir, outdir, ckpt, schema, ["event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    # append mode holds the newest windows in state until the watermark
+    # passes them; a far-future sentinel row flushes the tail
+    sentinel = spark.createDataFrame(
+        [("sentinel", int(max_ts) + 600_000, 0.0)],
+        ["event_type", "chq_timestamp", "value"],
+    )
+    for f in schema.fieldNames():
+        if f not in sentinel.columns:
+            sentinel = sentinel.withColumn(
+                f, F.lit(None).cast(schema[f].dataType)
+            )
+    sentinel.select(*schema.fieldNames()).write.mode("append").parquet(indir)
+    q = run_file_ingest_stream(
+        spark, indir, outdir, ckpt, schema, ["event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(outdir).filter(F.col("event_type") != "sentinel")
+    # each micro-batch appended its own windows; final state = sum of partials
+    merged = {
+        tuple(r)
+        for r in got.groupBy("chq_timestamp", "event_type")
+        .agg(
+            F.round(F.sum("chq_rollup_sum"), 6).alias("s"),
+            F.sum("chq_rollup_count").alias("c"),
+            F.round(F.min("chq_rollup_min"), 6).alias("mn"),
+            F.round(F.max("chq_rollup_max"), 6).alias("mx"),
+        )
+        .collect()
+    }
+    expected = _batch_expected(events)
+    assert merged == expected
+
+    # re-running with the same checkpoint and no new input adds nothing
+    before = got.count()
+    q = run_file_ingest_stream(
+        spark, indir, outdir, ckpt, schema, ["event_type"], available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(outdir).count() == before
+
+    shutil.rmtree(indir, ignore_errors=True)
