@@ -20,6 +20,7 @@ import lakerunner_spark.queries_relational  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_dataops  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_frontends  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_plans  # noqa: E402,F401 (registers)
+import lakerunner_spark.queries_rangefns  # noqa: E402,F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -43,7 +43,7 @@ _SHINGLES_SQL = """
 
 _SIG_SQL = f"""
   SELECT doc_id,
-         {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+         {", ".join(f"min(substr(md5('{i // 4}|' || shingle), {(i % 4) * 8 + 1}, 8)) AS h{i}" for i in range(8))}
   FROM ({_SHINGLES_SQL}) GROUP BY doc_id
 """
 
@@ -128,8 +128,12 @@ def dd3_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT simhash, count(*) AS n FROM (
       SELECT doc_id,
-             {" + ".join(f"(CASE WHEN sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 THEN CAST({1 << (15 - j)} AS BIGINT) ELSE 0 END)" for j in range(16))} AS simhash
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             {" + ".join(f"(CASE WHEN sum(CASE WHEN (w >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN CAST({1 << (15 - j)} AS BIGINT) ELSE 0 END)" for j in range(16))} AS simhash
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      )
       GROUP BY doc_id
     ) GROUP BY simhash
     """,
