@@ -21,6 +21,8 @@ import lakerunner_spark.queries_dataops  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_frontends  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_plans  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_rangefns  # noqa: E402,F401 (registers)
+import lakerunner_spark.queries_sketch  # noqa: E402,F401 (registers)
+import lakerunner_spark.queries_multimodal  # noqa: E402,F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -78,43 +78,136 @@ def cosine_topk(
 
 def lsh_bucket_signature(
     df: DataFrame,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: sign bits of <v, plane_i> -> bucket id."""
-    sig = None
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), arr, lambda x, y: x.cast("double") * y
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    """Multi-table random-hyperplane LSH: sign bits of <v, plane_i> form
+    a bucket id per hash table; one (table, bucket) row per table —
+    OR-amplification (candidates share ANY table's bucket), the standard
+    recall lever for sign-LSH."""
+    entries = []
+    for t, planes in enumerate(tables):
+        sig = None
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            sig = bit if sig is None else (sig * 2 + bit)
+        entries.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("tb")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("tb.table").alias("table"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF ANN: centroid cells + multi-probe.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors (deterministic;
+    production would k-means a sample — the cell/probe plumbing is
+    identical). Corpus rows are assigned to their max-cosine cell; each
+    query probes its ``n_probe`` closest cells and ranks only those
+    cells' members. Recall grows with n_probe; compute ~ n_probe/n_cells
+    of brute force.
+
+    At scale the cell assignment is one broadcast pass over the corpus
+    (centroids are tiny), the probe join shuffles on cell id — bounded
+    cardinality, uniform by construction.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("_cent"),
+            _norm(vec_col).alias("_centn"),
         )
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        sig = bit if sig is None else (sig * 2 + bit)
-    return df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    )
+
+    def assign(df: DataFrame, idc: str, out: str, top: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            df[idc],
+            df[vec_col],
+            "cell",
+            (
+                _dot(vec_col, "_cent")
+                / (F.col("_centn") * _norm(vec_col))
+            ).alias("_sim"),
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("_sim").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top)
+            .select(idc, vec_col, "cell")
+        )
+
+    cb = assign(corpus, id_col, "cell", 1).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    qb = assign(queries, id_col, "cell", n_probe).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "cell"
+    )
+    pairs = cb.join(F.broadcast(qb), "cell").drop("cell").distinct()
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(
+            _dot("_qv", "_cv")
+            / (F.sqrt(_dot("_qv", "_qv")) * F.sqrt(_dot("_cv", "_cv"))),
+            round_dp,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
-    planes: list[list[float]],
+    tables: list[list[list[float]]],
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
 ) -> DataFrame:
-    """ANN top-k: compare only same-bucket pairs (single-probe)."""
-    qb = lsh_bucket_signature(queries, planes, id_col, vec_col).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "bucket"
+    """ANN top-k over candidates sharing any (table, bucket)."""
+    qb = lsh_bucket_signature(queries, tables, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "table", "bucket"
     )
-    cb = lsh_bucket_signature(corpus, planes, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"), "bucket"
+    cb = lsh_bucket_signature(corpus, tables, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"), "table", "bucket"
     )
-    pairs = cb.join(F.broadcast(qb), "bucket")
+    pairs = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .select("qid", "cid", "_qv", "_cv")
+        .distinct()
+    )
     scored = pairs.select(
         "qid",
         "cid",

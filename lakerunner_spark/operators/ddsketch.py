@@ -1,0 +1,167 @@
+"""DDSketch quantiles as declarative DataFrame ops (X1, A5, F13).
+
+The reference's ``ddsketch_stats_agg`` (DuckDB extension;
+internal/metricsprocessing/metric_ingest_duckdb.go:127,385-407) builds a
+DDSketch per rollup row, stores its bytes in ``chq_sketch``, and merges
+sketches across segments/tiers for quantile queries
+(promql/aggregator.go:83-217, quantile_node.go:35-114).
+
+A DDSketch IS a log-bucketed histogram: bucket(x) = ceil(log_gamma(x)),
+quantile answered from cumulative bucket counts with relative error
+(gamma-1)/(gamma+1). That histogram is representable as plain columns —
+(bucket_index, count) rows — so the whole sketch lifecycle becomes
+groupBy/window algebra:
+
+- build:    groupBy(keys, bucket) count          -- one shuffle, codegen
+- merge:    groupBy(keys, bucket) sum(count)     -- tier rollup, A2
+- quantile: cumulative-count window walk         -- no UDF anywhere
+
+This keeps sketch state exact and engine-portable: the DuckDB oracle
+reproduces bucket indexes and counts bit-for-bit (integer buckets,
+integer counts), unlike opaque sketch bytes. Zero/negative values go to
+reserved buckets like the reference's store (zero tracked separately).
+
+At 100 TB: sketch state is ~(groups × occupied buckets) rows — a few
+hundred buckets span 9 decades at 1% error — and both build and merge
+are single-shuffle partial aggregations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RELATIVE_ACCURACY = 0.01
+
+_ZERO_BUCKET = -2_000_000_000  # reserved index for x == 0
+_NEG_BUCKET = -2_000_000_001  # reserved index for x < 0 (reference stores abs)
+
+
+def gamma_for(relative_accuracy: float) -> float:
+    return (1 + relative_accuracy) / (1 - relative_accuracy)
+
+
+def bucket_index(value, gamma: float):
+    """ceil(log_gamma(x)) for x > 0; reserved buckets otherwise."""
+    c = F.col(value) if isinstance(value, str) else value
+    log_gamma = math.log(gamma)
+    return (
+        F.when(c > 0, F.ceil(F.log(c) / F.lit(log_gamma)).cast("long"))
+        .when(c == 0, F.lit(_ZERO_BUCKET))
+        .otherwise(F.lit(_NEG_BUCKET))
+    )
+
+
+def bucket_index_sql(value_sql: str, gamma: float) -> str:
+    """DuckDB twin of :func:`bucket_index` (oracle parity)."""
+    lg = repr(math.log(gamma))
+    return (
+        f"CASE WHEN {value_sql} > 0"
+        f" THEN CAST(ceil(ln({value_sql}) / {lg}) AS BIGINT)"
+        f" WHEN {value_sql} = 0 THEN {_ZERO_BUCKET}"
+        f" ELSE {_NEG_BUCKET} END"
+    )
+
+
+def ddsketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+) -> DataFrame:
+    """Build per-group sketches: (group_cols..., bucket, count) rows."""
+    gamma = gamma_for(relative_accuracy)
+    return (
+        df.withColumn("bucket", bucket_index(value_col, gamma))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def ddsketch_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches to a coarser grouping: counts add per bucket (the
+    DDSketch merge operation — associative, order-free)."""
+    return df.groupBy(*group_cols, "bucket").agg(F.sum("count").alias("count"))
+
+
+def ddsketch_quantile(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "value",
+) -> DataFrame:
+    """Quantile per group from sketch rows.
+
+    DDSketch rule: the target rank is floor(q * (n - 1)); the answer is
+    the value of the first bucket whose cumulative count exceeds it,
+    estimated as 2*gamma^i/(gamma+1) (mid-bucket, relative-error bound).
+    Implemented as a cumulative-sum window + first matching row.
+    """
+    gamma = gamma_for(relative_accuracy)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = Window.partitionBy(*group_cols)
+    cum = (
+        sketch.withColumn("cum", F.sum("count").over(w))
+        .withColumn("n", F.sum("count").over(totals))
+    )
+    rank = F.floor(F.lit(q) * (F.col("n") - 1))
+    hit = cum.filter(F.col("cum") > rank)
+    first_hit = hit.groupBy(*group_cols).agg(F.min("bucket").alias("bucket"))
+    value = (
+        F.when(
+            F.col("bucket") > F.lit(_ZERO_BUCKET),
+            F.lit(2.0)
+            * F.pow(F.lit(gamma), F.col("bucket"))
+            / F.lit(gamma + 1),
+        )
+        .when(F.col("bucket") == F.lit(_ZERO_BUCKET), F.lit(0.0))
+        .otherwise(F.lit(float("nan")))
+    )
+    return first_hit.withColumn(out_col, value).drop("bucket")
+
+
+def ddsketch_quantile_sql(
+    base_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    q: float,
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "value",
+) -> str:
+    """DuckDB oracle for build+quantile over ``base_sql`` rows."""
+    gamma = gamma_for(relative_accuracy)
+    keys = ", ".join(group_cols)
+    b = bucket_index_sql(value_sql, gamma)
+    return f"""
+    WITH rows_b AS (
+      SELECT {keys}, {b} AS bucket FROM ({base_sql})
+    ),
+    sk AS (
+      SELECT {keys}, bucket, count(*) AS cnt FROM rows_b GROUP BY {keys}, bucket
+    ),
+    cum AS (
+      SELECT {keys}, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY {keys} ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY {keys}) AS n
+      FROM sk
+    ),
+    hit AS (
+      SELECT {keys}, min(bucket) AS bucket
+      FROM cum WHERE cum > floor({q} * (n - 1))
+      GROUP BY {keys}
+    )
+    SELECT {keys},
+           CASE WHEN bucket > {_ZERO_BUCKET}
+                THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1)
+                WHEN bucket = {_ZERO_BUCKET} THEN 0.0
+                ELSE 'NaN'::DOUBLE END AS {out_col}
+    FROM hit
+    """

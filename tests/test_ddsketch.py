@@ -1,0 +1,71 @@
+"""DDSketch contract tests: relative-error bound vs exact quantiles and
+merge associativity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.operators.ddsketch import (
+    ddsketch_agg,
+    ddsketch_merge,
+    ddsketch_quantile,
+)
+from lakerunner_spark.testdata import events_stream
+
+
+@pytest.fixture(scope="module")
+def absvals(spark, sf_dir):
+    return (
+        events_stream(spark, sf_dir)
+        .select("event_type", "user_id", F.abs("value").alias("v"))
+        .cache()
+    )
+
+
+def test_relative_error_bound(absvals):
+    """DDSketch contract: the answer is within relative_accuracy of the
+    sample at rank floor(q*(n-1)) — the same rank rule the sketch uses
+    (no interpolation)."""
+    acc = 0.01
+    sk = ddsketch_agg(absvals, ["event_type"], "v", relative_accuracy=acc)
+    samples: dict[str, list[float]] = {}
+    for r in absvals.select("event_type", "v").collect():
+        samples.setdefault(r.event_type, []).append(r.v)
+    for vs in samples.values():
+        vs.sort()
+    for q in (0.5, 0.9, 0.95, 0.99):
+        approx = {
+            r.event_type: r.value
+            for r in ddsketch_quantile(
+                sk, ["event_type"], q, relative_accuracy=acc
+            ).collect()
+        }
+        for et, vs in samples.items():
+            true = vs[int(q * (len(vs) - 1))]
+            if true == 0:
+                continue
+            assert abs(approx[et] - true) <= 1.05 * acc * true, (
+                q, et, approx[et], true
+            )
+
+
+def test_merge_equals_direct(absvals):
+    fine = ddsketch_agg(absvals, ["event_type", "user_id"], "v")
+    merged = ddsketch_merge(fine, ["event_type"])
+    direct = ddsketch_agg(absvals, ["event_type"], "v")
+    m = {(r.event_type, r.bucket): r["count"] for r in merged.collect()}
+    d = {(r.event_type, r.bucket): r["count"] for r in direct.collect()}
+    assert m == d  # sketch state identical -> any quantile identical
+
+
+def test_zero_and_negative_values(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 0.0), ("a", -5.0), ("a", 10.0)], ["g", "v"]
+    )
+    sk = ddsketch_agg(df, ["g"], "v")
+    buckets = {r.bucket: r["count"] for r in sk.collect()}
+    assert buckets[-2_000_000_000] == 2  # zeros tracked separately
+    assert buckets[-2_000_000_001] == 1  # negatives reserved
+    q0 = ddsketch_quantile(sk, ["g"], 0.5).first().value
+    assert q0 == 0.0  # rank 1 (of 4) lands in the zero bucket

@@ -1,0 +1,101 @@
+"""Multimodal plumbing + ANN recall tests."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.dataops.multimodal import (
+    MEDIA_SCHEMA,
+    byte_histogram_features,
+    extract_features,
+    frame_sample,
+)
+from lakerunner_spark.dataops.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from lakerunner_spark.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", 8, 8, None, bytes(range(64))),
+        (2, "image", 4, 4, None, bytes([255] * 16)),
+        (3, "video", None, None, 5_000, b"\x00\x01" * 100),
+        (4, "audio", None, None, 2_000, None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_with_injected_decoder(media):
+    def fake_decode(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0])]
+
+    out = {r.media_id: r for r in extract_features(media, decoder=fake_decode).collect()}
+    assert out[1].features == [64.0, 0.0]
+    assert out[2].features == [16.0, 255.0]
+    assert out[4].features is None  # null payload passes through
+    assert out[1].n_bytes == 64
+
+
+def test_extract_features_without_codec_raises(media):
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        extract_features(media).collect()
+
+
+def test_byte_histogram_pure_spark(media):
+    out = {r.media_id: r for r in byte_histogram_features(media, buckets=4).collect()}
+    # payload bytes(range(64)) -> all in bucket 0
+    assert out[1].features[0] == 1.0 and sum(out[1].features) == 1.0
+    # payload all-255 -> all in bucket 3
+    assert out[2].features[3] == 1.0
+
+
+def test_frame_sample_bounded(media):
+    frames = frame_sample(media, every_ms=1_000, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_offset_ms)
+    # 5s video at 1s cadence capped at 4 frames
+    assert sorted(by_id[3]) == [0, 1_000, 2_000, 3_000]
+    assert set(by_id) == {3}  # only videos
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _recall(approx_rows, exact_rows) -> float:
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.qid, set()).add(r.cid)
+    hit = tot = 0
+    for r in approx_rows:
+        if r.cid in exact.get(r.qid, set()):
+            hit += 1
+    tot = sum(len(v) for v in exact.values())
+    return hit / tot
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk(q, c, k=5).collect()
+    approx = ivf_topk(q, c, k=5, n_cells=16, n_probe=8).collect()
+    assert _recall(approx, exact) >= 0.6  # half the cells probed
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk(q, c, k=5).collect()
+    rng = random.Random(42)
+    tables = [
+        [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
+        for _ in range(6)
+    ]
+    approx = lsh_bucket_topk(q, c, tables, k=5).collect()
+    # 6 tables x 3 bits, OR-amplified: ~1/8 of pairs scored per table
+    assert _recall(approx, exact) >= 0.5

@@ -21,7 +21,12 @@ def oracle_con(sf_dir):
 
 # approximate-sketch queries get the driver's weaker rows-only check;
 # tolerance vs exact answers is asserted in tests/test_sketches.py
-ROWS_ONLY = {"a5_sketch_quantiles", "a6_hll_rollup_merge"}
+ROWS_ONLY = {
+    "a5_sketch_quantiles",
+    "a6_hll_rollup_merge",
+    "sim2_ivf_topk",
+    "sim3_lsh_topk",
+}
 
 
 def test_every_query_has_an_oracle():
