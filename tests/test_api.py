@@ -1,0 +1,120 @@
+"""API surface tests: every reference route answers, and the HTTP
+adapter serves the same handlers over a real socket."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from lakerunner_spark.api import QueryAPI, serve
+
+
+@pytest.fixture(scope="module")
+def api(spark, sf_dir):
+    return QueryAPI(spark, sf_dir)
+
+
+def test_all_routes_answer(api):
+    params_by_route = {
+        "/api/v1/metrics/tags": {"metric": "events"},
+        "/api/v1/metrics/tagvalues": {"metric": "events", "tag": "event_type"},
+        "/api/v1/metrics/query": {
+            "query": "sum by (event_type) (events)", "step_ms": 3_600_000
+        },
+        "/api/v1/logs/tagvalues": {"tag": "event_type"},
+        "/api/v1/logs/query": {"query": '{event_type="error"}', "limit": 5},
+        "/api/v1/spans/tagvalues": {"tag": "span_name"},
+        "/api/v1/spans/query": {"limit": 5},
+        "/api/v1/promql/validate": {"query": "rate(events[5m])"},
+        "/api/v1/logql/validate": {"query": '{a="b"} |= "x"'},
+    }
+    for route in QueryAPI.ROUTES:
+        out = api.handle(route, params_by_route.get(route))
+        assert isinstance(out, dict) and out, route
+
+
+def test_metrics_query_shape(api):
+    out = api.metrics_query(
+        {"query": "sum by (event_type) (events)", "step_ms": 3_600_000}
+    )
+    assert out["step_ms"] == 3_600_000
+    assert out["result"]
+    s = out["result"][0]
+    assert set(s["labels"]) == {"event_type"}
+    assert all(len(v) == 2 for v in s["values"])
+    ts = [v[0] for v in s["values"]]
+    assert ts == sorted(ts)
+
+
+def test_logs_query_exemplar_vs_aggregate(api):
+    ex = api.logs_query({"query": '{event_type="error"}', "limit": 7})
+    assert len(ex["streams"]) == 7
+    agg = api.logs_query(
+        {
+            "query": 'sum by (event_type) (count_over_time({event_type="error"}[10m]))',
+            "step_ms": 600_000,
+        }
+    )
+    assert agg["result"] and "value" in agg["result"][0]
+
+
+def test_validate_rejects_bad_queries(api):
+    assert api.promql_validate({"query": "sum by ((("})["valid"] is False
+    assert api.promql_validate({"query": "a / group_left b"})["valid"] is False
+    assert api.logql_validate({"query": "rate({a='b'})"})["valid"] is False
+
+
+def test_step_ladder_applied(api):
+    out = api.metrics_query(
+        {
+            "query": "sum by (event_type) (events)",
+            "start_ms": 1_704_067_200_000,
+            "end_ms": 1_704_067_200_000 + 2 * 3_600_000,
+        }
+    )
+    assert out["step_ms"] == 60_000  # <=12h -> 1m ladder rung
+
+
+def test_http_adapter_round_trip(api):
+    server = serve(api, port=18321)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(path, params):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:18321{path}",
+                data=json.dumps(params).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+
+        code, out = post("/api/v1/ping", {})
+        assert code == 200 and out == {"status": "ok"}
+        code, out = post(
+            "/api/v1/metrics/query",
+            {"query": "sum by (event_type) (events)", "step_ms": 3_600_000},
+        )
+        assert code == 200 and out["result"]
+        # unknown route -> 404
+        req = urllib.request.Request("http://127.0.0.1:18321/nope", data=b"{}")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # bad promql -> 400
+        req = urllib.request.Request(
+            "http://127.0.0.1:18321/api/v1/metrics/query",
+            data=json.dumps({"query": "((("}).encode(),
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()

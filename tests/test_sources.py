@@ -92,6 +92,53 @@ def test_otlp_plumbing_with_fake_decoder(spark, tmp_path):
     assert all(r.chq_tsns == r.chq_timestamp * 1_000_000 for r in rows)
 
 
+def test_otlp_metrics_and_traces_plumbing(spark, tmp_path):
+    from lakerunner_spark.sources.otel import read_otlp_metrics, read_otlp_traces
+
+    d = tmp_path / "otlp_mt"
+    d.mkdir()
+    (d / "m.binpb").write_bytes(bytes([2]))
+
+    def fake_metrics(payload: bytes) -> list[dict]:
+        return [
+            {
+                "chq_timestamp": 1_700_000_000_000,
+                "metric_name": "m",
+                "chq_metric_type": "histogram",
+                "value": float(i),
+                "bucket_le": [0.5, float("inf")][i],
+                "resource_service_name": "svc",
+                "attr_keys": [],
+                "attr_values": [],
+            }
+            for i in range(payload[0])
+        ]
+
+    mdf = read_otlp_metrics(spark, str(d), decoder=fake_metrics)
+    rows = mdf.collect()
+    assert len(rows) == 2 and rows[1].bucket_le == float("inf")
+
+    def fake_traces(payload: bytes) -> list[dict]:
+        return [
+            {
+                "chq_timestamp": 1,
+                "chq_tsns": 1_000_000,
+                "span_trace_id": "ab",
+                "span_id": "01",
+                "span_parent_span_id": None,
+                "span_name": "op",
+                "span_kind": "2",
+                "span_status_code": "0",
+                "span_duration": 42,
+                "resource_service_name": "svc",
+            }
+        ]
+
+    tdf = read_otlp_traces(spark, str(d), decoder=fake_traces)
+    t = tdf.collect()
+    assert len(t) == 1 and t[0].span_duration == 42
+
+
 def test_otlp_without_decoder_raises(spark, tmp_path):
     d = tmp_path / "otlp2"
     d.mkdir()
