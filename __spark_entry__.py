@@ -23,6 +23,7 @@ import lakerunner_spark.queries_plans  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_rangefns  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_sketch  # noqa: E402,F401 (registers)
 import lakerunner_spark.queries_multimodal  # noqa: E402,F401 (registers)
+import lakerunner_spark.queries_spans  # noqa: E402,F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -161,7 +161,7 @@ class QueryAPI:
             F.col("event_id").cast("string").alias("span_trace_id"),
             F.col("event_type").alias("span_name"),
             "chq_timestamp",
-            (F.col("value") * 1e6).cast("long").alias("span_duration"),
+            F.round(F.col("value") * 1e6).cast("long").alias("span_duration"),
             "user_id",
         )
 

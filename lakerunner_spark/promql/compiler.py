@@ -129,11 +129,33 @@ class _Compiler:
         self.step = step_ms
         self.start = start_ms
         self.end = end_ms
+        # leaf dedup (promql/exec_planner.go:387-459 dedupeBaseExprs):
+        # identical selectors return the SAME DataFrame object, so Spark
+        # reuses the exchange/subquery for the shared scan+aggregation
+        self._leaf_memo: dict[tuple, tuple[DataFrame, LeafSource]] = {}
+        self._instant_memo: dict[tuple, _Vec] = {}
+
+    @staticmethod
+    def _sel_key(sel: ast.Selector) -> tuple:
+        return (
+            sel.metric,
+            tuple((m.label, m.op, m.value) for m in sel.matchers),
+            sel.range_ms,
+            sel.offset_ms,
+        )
 
     # -- leaves ------------------------------------------------------------
 
     def _leaf_rows(self, sel: ast.Selector) -> tuple[DataFrame, LeafSource]:
         """Raw rows for a selector: matchers + offset shift + time range."""
+        key = self._sel_key(sel)
+        if key in self._leaf_memo:
+            return self._leaf_memo[key]
+        out = self._leaf_rows_uncached(sel)
+        self._leaf_memo[key] = out
+        return out
+
+    def _leaf_rows_uncached(self, sel: ast.Selector) -> tuple[DataFrame, LeafSource]:
         src = self.catalog.resolve(sel.metric)
         df = src.df
         if sel.offset_ms:
@@ -149,12 +171,17 @@ class _Compiler:
         return df, src
 
     def _leaf_instant(self, sel: ast.Selector) -> _Vec:
+        key = self._sel_key(sel)
+        if key in self._instant_memo:
+            return self._instant_memo[key]
         df, src = self._leaf_rows(sel)
         s = step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
         out = s.select(
             "bucket_ts", *src.labels, (F.col("sum") / F.col("count")).alias("value")
         )
-        return _Vec(out, src.labels)
+        vec = _Vec(out, src.labels)
+        self._instant_memo[key] = vec
+        return vec
 
     def _leaf_range(self, fn: str, sel: ast.Selector, q: float | None = None) -> _Vec:
         if sel.range_ms is None:

@@ -1,0 +1,134 @@
+"""Spans/trace query family + remaining PromQL agg coverage.
+
+The spans table is synthesized from events (span_name <- event_type,
+span_duration <- value-derived ns) exactly as the API's span view —
+the reference's span worker SQL shapes (logql/spans_worker_sql.go:95-112)
+are duration aggregates and exemplar selections over these columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakerunner_spark.functions.rounding import portable_round as _pr
+from lakerunner_spark.queries import register
+from lakerunner_spark.testdata import EVENTS_MS_SQL
+
+_E = f"({EVENTS_MS_SQL})"
+
+_SPANS_SQL = f"""
+  SELECT CAST(event_id AS VARCHAR) AS span_trace_id,
+         event_type AS span_name, chq_timestamp,
+         CAST(round(value * 1000000) AS BIGINT) AS span_duration, user_id
+  FROM {_E} e
+"""
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    return e.select(
+        F.col("event_id").cast("string").alias("span_trace_id"),
+        F.col("event_type").alias("span_name"),
+        "chq_timestamp",
+        F.round(F.col("value") * 1e6).cast("long").alias("span_duration"),
+        "user_id",
+    )
+
+
+@register(
+    "sp1_span_duration_stats",
+    f"""
+    SELECT span_name, count(*) AS n_spans,
+           CAST(sum(span_duration) AS BIGINT) AS total_ns,
+           pround(quantile_cont(span_duration, 0.5), 4) AS p50_ns,
+           pround(quantile_cont(span_duration, 0.95), 4) AS p95_ns,
+           CAST(max(span_duration) AS BIGINT) AS max_ns
+    FROM ({_SPANS_SQL})
+    GROUP BY span_name
+    """,
+)
+def sp1_span_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span duration stats per operation (spans_worker_sql.go shapes)."""
+    s = _spans(spark, sf_dir)
+    return s.groupBy("span_name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_duration").alias("total_ns"),
+        _pr(F.percentile("span_duration", 0.5), 4).alias("p50_ns"),
+        _pr(F.percentile("span_duration", 0.95), 4).alias("p95_ns"),
+        F.max("span_duration").alias("max_ns"),
+    )
+
+
+@register(
+    "sp2_slowest_traces",
+    f"""
+    SELECT span_trace_id, span_name, span_duration
+    FROM ({_SPANS_SQL})
+    WHERE span_name = 'purchase'
+    ORDER BY span_duration DESC, span_trace_id ASC LIMIT 20
+    """,
+)
+def sp2_slowest_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar span query: slowest 20 purchase spans (global top-n)."""
+    s = _spans(spark, sf_dir).filter(F.col("span_name") == "purchase")
+    return (
+        s.orderBy(F.col("span_duration").desc(), F.col("span_trace_id").asc())
+        .limit(20)
+        .select("span_trace_id", "span_name", "span_duration")
+    )
+
+
+@register(
+    "pqs10_quantile_agg",
+    f"""
+    SELECT bucket_ts, pround(quantile_cont(value, 0.9), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             user_id, avg(value) AS value
+      FROM {_E} e WHERE event_type = 'view'
+      GROUP BY 1, 2
+    )
+    GROUP BY bucket_ts
+    """,
+)
+def pqs10_quantile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 quantile aggregation over series at each bucket (front-end)."""
+    from lakerunner_spark.catalog import default_metric_catalog
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    df = compile_promql(
+        'quantile(0.9, sum by (user_id) (events{event_type="view"}))',
+        default_metric_catalog(spark, sf_dir),
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs11_bottomk",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, user_id,
+             CAST(count(value) AS DOUBLE) AS value
+      FROM {_E} e WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT bucket_ts, user_id, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket_ts ORDER BY value ASC, user_id ASC) AS rn
+      FROM base
+    ) WHERE rn <= 2
+    """,
+)
+def pqs11_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 bottomk via the front-end (count-valued for exact ranking)."""
+    from lakerunner_spark.catalog import default_metric_catalog
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    return compile_promql(
+        'bottomk(2, sum by (user_id) (count_over_time(events{event_type="click"}[1m])))',
+        default_metric_catalog(spark, sf_dir),
+        60_000,
+    )
