@@ -62,8 +62,12 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
         if isinstance(stage, LineFilter):
             df = st.line_filter(df, stage.op, stage.needle, line_col=src.line_col)
         elif isinstance(stage, JsonStage):
-            df = st.json_parser(df, stage.mappings, line_col=src.line_col)
-            extracted += [c for c in stage.mappings if c not in extracted]
+            if stage.mappings:
+                df = st.json_parser(df, stage.mappings, line_col=src.line_col)
+                extracted += [c for c in stage.mappings if c not in extracted]
+            else:  # | json auto-discovery
+                df, keys = st.json_parser_auto(df, line_col=src.line_col)
+                extracted += [c for c in keys if c not in extracted]
         elif isinstance(stage, LogfmtStage):
             df = st.logfmt_parser(df, stage.keys, line_col=src.line_col)
             extracted += [c for c in stage.keys if c not in extracted]
@@ -169,6 +173,9 @@ def _compile_range(
         u = leaf.unwrap
         df = st.unwrap(df, u.label, conv=u.conv, out_col="_v")
         df = df.filter(F.col("_v").isNotNull())
+        # the unwrapped label becomes the sample value and leaves the
+        # series identity (LogQL unwrap semantics)
+        labels = [l for l in labels if l != u.label]
         fn = node.fn
 
     s = step_agg_raw(df, step_ms, labels, source.ts_col, "_v")

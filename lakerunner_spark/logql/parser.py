@@ -19,11 +19,11 @@ from lakerunner_spark.promql.parser import parse_duration_ms
 LOG_RANGE_FUNCS = {
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-    "last_over_time",
+    "last_over_time", "rate_counter",
 }
 VECTOR_AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk"}
 _UNWRAP_AGGS = {"sum_over_time", "avg_over_time", "min_over_time",
-                "max_over_time", "last_over_time"}
+                "max_over_time", "last_over_time", "rate_counter"}
 
 
 @dataclass
@@ -283,6 +283,7 @@ class _Parser:
     def _parse_pipe_stage(self, leaf: LogLeaf) -> None:
         t = self.next()
         if t.text == "json":
+            # empty mappings = auto-discovery mode (worker_sql.go:455-530)
             mappings: dict[str, str] = {}
             while self.peek().kind == "ID":
                 out = self.next().text
@@ -294,8 +295,6 @@ class _Parser:
                 mappings[out] = path
                 if self.peek().text == ",":
                     self.next()
-            if not mappings:
-                raise ValueError("logql: | json requires explicit mappings here")
             leaf.stages.append(JsonStage(mappings))
             return
         if t.text == "logfmt":

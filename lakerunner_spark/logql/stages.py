@@ -83,6 +83,36 @@ def json_parser(df: DataFrame, keys: dict[str, str], line_col: str = "log_messag
     return out
 
 
+def discover_json_keys(
+    df: DataFrame, line_col: str = "log_message", sample_rows: int = 1000
+) -> list[str]:
+    """Auto-discover top-level JSON keys from a row sample.
+
+    The reference's ``| json`` without mappings extracts every
+    discovered key (logql/worker_sql.go:455-530 needKeys auto mode);
+    here discovery is a bounded sample scan at plan-construction time
+    (one tiny job), then extraction compiles to static columns.
+    """
+    rows = (
+        df.limit(sample_rows)
+        .select(F.explode(F.json_object_keys(F.col(line_col))).alias("k"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.k for r in rows)
+
+
+def json_parser_auto(
+    df: DataFrame, line_col: str = "log_message", sample_rows: int = 1000
+) -> tuple[DataFrame, list[str]]:
+    """P7 auto mode: discover keys, then extract each (normalized names)."""
+    from lakerunner_spark.schema import normalize_name
+
+    keys = discover_json_keys(df, line_col, sample_rows)
+    mappings = {normalize_name(k): f"$.{k}" for k in keys}
+    return json_parser(df, mappings, line_col=line_col), sorted(mappings)
+
+
 def logfmt_parser(df: DataFrame, keys: list[str], line_col: str = "log_message") -> DataFrame:
     """P8: per-key ``regexp_extract(body, 'key=value')`` (worker_sql.go:599-704)."""
     out = df

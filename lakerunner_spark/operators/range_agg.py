@@ -38,6 +38,7 @@ RANGE_FUNCS = [
     "min_over_time",
     "max_over_time",
     "last_over_time",
+    "rate_counter",
 ]
 
 
@@ -83,6 +84,11 @@ def range_agg(
         # reference approximates with the latest bucket's avg
         # (leaf_node.go:346-356)
         value = F.col("sum") / F.col("count")
+    elif func == "rate_counter":
+        # counter increase over the window / seconds (LogQL rate_counter,
+        # promql/rewrite_result.go family): monotone counter delta
+        # approximated from windowed min/max of the unwrapped value
+        value = (F.max("max").over(w) - F.min("min").over(w)) / F.lit(range_sec)
     elif func == "irate":
         # instant rate from the two most recent buckets (leaf_node.go:369-409)
         prev_sum = F.lag("sum", 1).over(wfull)

@@ -26,12 +26,9 @@ from lakerunner_spark.functions.hashing import java_string_hash
 
 
 def trigrams(value: str) -> list[str]:
-    """Trigram decomposition of a literal matcher value.
-
-    Mirrors the reference's fingerprinting of matcher literals
-    (internal/fingerprint/): lowercase, split on non-alphanumerics,
-    3-grams per token (tokens shorter than 3 fingerprint whole).
-    """
+    """Index-side trigram decomposition: lowercase, split on
+    non-alphanumerics, 3-grams per token (short tokens kept whole).
+    Mirrors the reference's fingerprinting (internal/fingerprint/)."""
     grams: list[str] = []
     for token in re.split(r"[^a-z0-9]+", value.lower()):
         if not token:
@@ -39,6 +36,23 @@ def trigrams(value: str) -> list[str]:
         if len(token) < 3:
             grams.append(token)
         else:
+            grams.extend(token[i : i + 3] for i in range(len(token) - 2))
+    return grams
+
+
+def query_trigrams(needle: str) -> list[str]:
+    """Query-side grams usable for pruning.
+
+    Only tokens of length >= 3 produce usable grams: a shorter needle
+    token (say ``a``) can match INSIDE an indexed token (``aa``) whose
+    index entry is the whole short token or longer trigrams — pruning
+    on it would drop matching segments. Returns [] when nothing is
+    prunable (callers must then scan unpruned). Soundness is
+    property-tested (test_trigram_prune_never_false_negative).
+    """
+    grams: list[str] = []
+    for token in re.split(r"[^a-z0-9]+", needle.lower()):
+        if len(token) >= 3:
             grams.extend(token[i : i + 3] for i in range(len(token) - 2))
     return grams
 
@@ -90,9 +104,9 @@ def pruned_scan(
     (logs_evaluator.go:373-440): a segment survives iff every needle
     trigram appears. Conjunction via per-segment match counting.
     """
-    grams = trigrams(needle)
+    grams = query_trigrams(needle)
     if not grams:
-        return df
+        return df  # nothing prunable -> full scan (never false-drop)
     gram_fps = sorted({_java_hash_py(g) for g in grams})
     candidates = (
         index.filter(F.col("fingerprint").isin(gram_fps))

@@ -297,27 +297,19 @@ def lqs2_bytes_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lqs3_unwrap_max",
     f"""
-    WITH rows_f AS (
+    WITH base AS (
       SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
-             json_extract_string(props, '$.k') AS k,
-             try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS v
+             max(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS mx
       FROM {_E} e
       WHERE regexp_full_match(event_type, 'purchase|view')
         AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) > 10.0
-    ),
-    base AS (
-      SELECT bucket_ts, event_type, k, max(v) AS mx
-      FROM rows_f GROUP BY 1, 2, 3
-    ),
-    r AS (
-      SELECT DISTINCT bucket_ts, event_type,
-             max(mx) OVER (PARTITION BY event_type, k ORDER BY bucket_ts
-                           RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
-               AS series_value, k
-      FROM base
+      GROUP BY 1, 2
     )
-    SELECT bucket_ts, event_type, pround(max(series_value), 4) AS value
-    FROM r GROUP BY 1, 2
+    SELECT bucket_ts, event_type,
+           pround(max(mx) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                                RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW),
+                  4) AS value
+    FROM base
     """,
 )
 def lqs3_unwrap_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +321,66 @@ def lqs3_unwrap_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         60_000,
     )
     return df.withColumn("value", _pr("value", 4))
+
+
+@register(
+    "lqs5_json_auto",
+    f"""
+    SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts, event_type,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM {_E} e
+    WHERE try_cast(json_extract_string(props, '$.k') AS DOUBLE) >= 30.0
+      AND event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def lqs5_json_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """| json auto-discovery: keys found by sampling, then filtered on.
+
+    range == step so the window is a single bucket (pure bucket count).
+    """
+    df = _lq(
+        spark, sf_dir,
+        'count_over_time({event_type="view"} | json | k >= 30 [10m])',
+        600_000,
+    )
+    # auto-discovered label k joins the series identity; collapse it for
+    # the oracle's bucket-level count
+    from lakerunner_spark.operators.vector_agg import vector_agg
+
+    return vector_agg(
+        df.filter(F.col("value").isNotNull()), "sum", by=["event_type"]
+    )
+
+
+@register(
+    "lqs6_rate_counter",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             min(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS mn,
+             max(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS mx
+      FROM {_E} e
+      WHERE event_type = 'purchase'
+        AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT bucket_ts, event_type,
+           pround((max(mx) OVER w - min(mn) OVER w) / 600.0, 6) AS value
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def lqs6_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL rate_counter: counter delta over the window / seconds
+    (unwrapped label leaves the series identity -> event_type series)."""
+    df = _lq(
+        spark, sf_dir,
+        'rate_counter({event_type="purchase"} | json k="$.k" | unwrap k [10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
 
 
 @register(

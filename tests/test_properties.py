@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the engine's pure kernels:
+bucket math, duration parsing, type promotion, hashing, and trigram
+pruning soundness."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakerunner_spark.functions.hashing import fnv64a_py, java_string_hash_py
+from lakerunner_spark.plans.pruning import query_trigrams, trigrams
+from lakerunner_spark.promql.parser import parse_duration_ms
+from lakerunner_spark.schema import promote_types
+from pyspark.sql import types as T
+
+
+# -- bucket math -------------------------------------------------------------
+
+@given(ts=st.integers(min_value=0, max_value=2**53), step=st.sampled_from(
+    [10_000, 60_000, 300_000, 1_200_000, 3_600_000]))
+def test_bucket_invariants(ts, step):
+    bucket = ts - ts % step
+    assert bucket <= ts < bucket + step
+    assert bucket % step == 0
+
+
+# -- duration parsing --------------------------------------------------------
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=999),
+            st.sampled_from(["ms", "s", "m", "h", "d", "w"]),
+        ),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda p: p[1],
+    )
+)
+def test_duration_parse_is_sum_of_parts(parts):
+    unit_ms = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+               "d": 86_400_000, "w": 604_800_000}
+    text = "".join(f"{n}{u}" for n, u in parts)
+    assert parse_duration_ms(text) == sum(n * unit_ms[u] for n, u in parts)
+
+
+# -- type promotion ----------------------------------------------------------
+
+_TYPES = [T.BooleanType(), T.LongType(), T.DoubleType(), T.StringType()]
+
+
+@given(a=st.sampled_from(_TYPES), b=st.sampled_from(_TYPES))
+def test_promotion_commutative(a, b):
+    assert promote_types(a, b) == promote_types(b, a)
+
+
+@given(a=st.sampled_from(_TYPES), b=st.sampled_from(_TYPES), c=st.sampled_from(_TYPES))
+def test_promotion_associative(a, b, c):
+    assert promote_types(promote_types(a, b), c) == promote_types(
+        a, promote_types(b, c)
+    )
+
+
+@given(a=st.sampled_from(_TYPES))
+def test_promotion_idempotent(a):
+    assert promote_types(a, a) == a
+
+
+# -- hashing -----------------------------------------------------------------
+
+@given(s=st.text(max_size=200))
+def test_fnv64a_in_int64_range(s):
+    h = fnv64a_py(s)
+    assert -(2**63) <= h < 2**63
+
+
+@given(s=st.text(max_size=200))
+def test_java_hash_in_int32_range(s):
+    h = java_string_hash_py(s)
+    assert -(2**31) <= h < 2**31
+
+
+@given(s=st.text(min_size=1, max_size=50))
+def test_hashes_deterministic(s):
+    assert fnv64a_py(s) == fnv64a_py(s)
+    assert java_string_hash_py(s) == java_string_hash_py(s)
+
+
+# -- trigram pruning soundness ----------------------------------------------
+
+@settings(max_examples=200)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("abc d efg"), min_size=0, max_size=60
+    ),
+    needle=st.text(
+        alphabet=st.sampled_from("abcdefg"), min_size=1, max_size=8
+    ),
+)
+def test_trigram_prune_never_false_negative(text, needle):
+    """If needle appears in text (case-insensitive substring), every
+    PRUNABLE gram of the needle must appear in the text's index gram
+    set — the invariant that makes index pruning semantics-preserving
+    (J6). query_trigrams returning [] means 'don't prune', always safe."""
+    if needle.lower() not in text.lower():
+        return
+    text_grams = set(trigrams(text))
+    for g in query_trigrams(needle):
+        assert g in text_grams, (text, needle, g)
