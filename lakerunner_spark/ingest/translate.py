@@ -1,0 +1,66 @@
+"""Ingest translators: reader output -> canonical cooked-table columns.
+
+Reference: readers are wrapped with translators that normalize
+attribute names, coerce timestamps, and compute identity columns —
+``chq_fingerprint`` for log streams (internal/metricsprocessing/
+log_translator.go:49-105) and ``chq_tid`` for metric series
+(internal/oteltools/pkg/fingerprinter/tid.go:69-117) — before rows
+reach the family writer.
+
+Spark-first: each translator is a column-expression pass (narrow, no
+shuffle); name normalization is pure metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.dataops.text import structural_fingerprint
+from lakerunner_spark.functions.hashing import compute_tid, java_string_hash
+from lakerunner_spark.schema import dateint, normalize_name, normalize_timestamp_ms
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """P15: rename every column to the canonical [a-z0-9_] form."""
+    for old in df.columns:
+        new = normalize_name(old)
+        if new != old:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def with_timestamp(df: DataFrame, source_col: str, out_col: str = "chq_timestamp") -> DataFrame:
+    """F17: coerce an epoch of unknown unit to ms (+ dateint partition col)."""
+    out = df.withColumn(out_col, normalize_timestamp_ms(F.col(source_col)))
+    return out.withColumn("dateint", dateint(F.col(out_col)))
+
+
+def translate_logs(
+    df: DataFrame,
+    message_col: str = "log_message",
+    service_col: str = "service_identifier",
+) -> DataFrame:
+    """Logs family: structural fingerprint of the message template
+    (F16; trie-cluster stand-in: mask variable parts -> hash) as the
+    stream identity used for sorting and index pruning."""
+    masked = structural_fingerprint(F.col(message_col))
+    return df.withColumn(
+        "chq_fingerprint", java_string_hash(masked).cast("long")
+    ).withColumn(
+        service_col,
+        F.coalesce(
+            F.col(service_col) if service_col in df.columns else F.lit(None),
+            F.lit("unknown"),
+        ),
+    )
+
+
+def translate_metrics(
+    df: DataFrame,
+    metric_col: str = "metric_name",
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Metrics family: TID = fnv64a over sorted k=v attribute pairs."""
+    attrs = attr_cols or [c for c in df.columns if c.startswith("attr_")]
+    return df.withColumn("chq_tid", compute_tid(metric_col, *attrs))

@@ -479,6 +479,22 @@ def a15_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a15_tag_values_parsed",
+    f"""
+    SELECT DISTINCT json_extract_string(props, '$.k') AS k
+    FROM {_E} e WHERE event_type = 'error'
+    """,
+)
+def a15_tag_values_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: tag values of a PARSER-CREATED label — the full pipeline runs
+    before DISTINCT (ToWorkerSQLForTagValues, logql/sql_builder.go:33-116)."""
+    e = events_stream(spark, sf_dir)
+    e = stages.label_matcher(e, "event_type", "=", "error")
+    e = stages.json_parser(e, {"k": "$.k"}, line_col="props")
+    return e.select("k").distinct()
+
+
+@register(
     "a16_metadata",
     f"""
     SELECT event_type, min(user_id) AS first_user, count(*) AS n
