@@ -23,6 +23,7 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     "a3_step_agg",
     "a9_rate",
     "a8_topk",

@@ -195,6 +195,116 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND o_orderdate < TIMESTAMP '{_D_1996_03_15}'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join + agg + top-n: fact-fact shuffle join on orderkey,
+    dims broadcast, TakeOrderedAndProject for the limit."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(_D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(_D_1996_03_15))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    f"""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND l_shipdate < TIMESTAMP '{_D_1997_01_01}'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped join + conditional aggregation (CASE partial-agg
+    pushdown), adapted to the synthetic schema's columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(_D_1997_01_01))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "w5_running_revenue",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           pround(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def w5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running total + sequence per customer (general window
+    surface beyond the telemetry RANGE frames)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _pr(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
     "u2_union_streams",
     f"""
     SELECT event_type, CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS chq_timestamp,
