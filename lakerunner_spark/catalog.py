@@ -24,3 +24,33 @@ def default_metric_catalog(spark: SparkSession, sf_dir: str) -> MetricCatalog:
 def default_log_source(spark: SparkSession, sf_dir: str) -> LogSource:
     ev = events_stream(spark, sf_dir).withColumn("log_message", F.col("props"))
     return LogSource(ev, ["event_type"], line_col="log_message")
+
+
+def layout_metric_catalog(
+    spark: SparkSession,
+    metrics_path: str,
+    step_ms: int,
+    label_cols: list[str],
+    available_tiers: list[int] | None = None,
+) -> MetricCatalog:
+    """Catalog over a cooked tiered layout (§3.1 step 4: segment lookup
+    picks the best frequency tier for the step).
+
+    Every metric name resolves lazily to the chosen tier's rows filtered
+    to that metric — partition pruning on frequency_ms/dateint comes
+    from the directory layout; rollup partials compose in step_agg.
+    """
+    from lakerunner_spark.plans.tiers import pick_rollup_tier
+
+    tier = pick_rollup_tier(step_ms, tiers=available_tiers)
+    base = spark.read.parquet(metrics_path).filter(F.col("frequency_ms") == tier)
+
+    class _LayoutCatalog(MetricCatalog):
+        def __init__(self):
+            super().__init__({})
+
+        def resolve(self, metric: str) -> LeafSource:
+            df = base.filter(F.col("metric_name") == metric)
+            return LeafSource(df, list(label_cols), pre_aggregated=True)
+
+    return _LayoutCatalog()

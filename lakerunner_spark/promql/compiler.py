@@ -41,7 +41,7 @@ from lakerunner_spark.operators.binary import (
     vector_unless,
 )
 from lakerunner_spark.operators.range_agg import range_agg
-from lakerunner_spark.operators.step_agg import step_agg_raw
+from lakerunner_spark.operators.step_agg import step_agg, step_agg_raw
 from lakerunner_spark.operators.vector_agg import bottomk, topk, vector_agg
 from lakerunner_spark.promql import parser as ast
 from lakerunner_spark.promql.parser import parse_promql
@@ -53,17 +53,23 @@ from lakerunner_spark.promql.parser import parse_promql
 
 @dataclass
 class LeafSource:
-    """A queryable metric: raw samples with label columns.
+    """A queryable metric: raw samples OR pre-aggregated rollup rows.
 
-    ``df`` must expose ``ts_col`` (epoch ms), ``value_col`` and the
-    ``labels`` columns. Matchers may also reference label columns not
-    listed in ``labels`` (they filter but don't group).
+    ``df`` must expose ``ts_col`` (epoch ms), the ``labels`` columns,
+    and either ``value_col`` (raw) or the ``chq_rollup_{sum,count,min,
+    max}`` columns (``pre_aggregated=True`` — a rollup tier from the
+    cooked layout; step aggregation then composes partials with
+    sum/sum/min/max exactly like A3 over worker rollups). Matchers may
+    also reference label columns not listed in ``labels`` (they filter
+    but don't group). quantile_over_time/histogram_quantile need raw
+    samples and reject pre-aggregated sources.
     """
 
     df: DataFrame
     labels: list[str]
     value_col: str = "value"
     ts_col: str = "chq_timestamp"
+    pre_aggregated: bool = False
 
 
 class MetricCatalog:
@@ -175,7 +181,7 @@ class _Compiler:
         if key in self._instant_memo:
             return self._instant_memo[key]
         df, src = self._leaf_rows(sel)
-        s = step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
+        s = self._step(df, src)
         out = s.select(
             "bucket_ts", *src.labels, (F.col("sum") / F.col("count")).alias("value")
         )
@@ -183,13 +189,23 @@ class _Compiler:
         self._instant_memo[key] = vec
         return vec
 
+    def _step(self, df: DataFrame, src: LeafSource) -> DataFrame:
+        """A3 step aggregation; rollup partials compose via step_agg."""
+        if src.pre_aggregated:
+            return step_agg(df, self.step, src.labels, src.ts_col)
+        return step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
+
     def _leaf_range(self, fn: str, sel: ast.Selector, q: float | None = None) -> _Vec:
         if sel.range_ms is None:
             raise ValueError(f"promql: {fn} requires a range selector")
         df, src = self._leaf_rows(sel)
         if fn == "quantile_over_time":
+            if src.pre_aggregated:
+                raise ValueError(
+                    "promql: quantile_over_time needs raw samples, not a rollup tier"
+                )
             return self._quantile_over_time(df, src, sel.range_ms, q)
-        s = step_agg_raw(df, self.step, src.labels, src.ts_col, src.value_col)
+        s = self._step(df, src)
         r = range_agg(s, fn, sel.range_ms, self.step, src.labels)
         return _Vec(r, src.labels)
 
@@ -296,6 +312,10 @@ class _Compiler:
             # cooked data stores value distributions, not le-buckets
             # (F13; quantile_node.go:35-114) -> per-bucket exact quantile
             df, src = self._leaf_rows(arg)
+            if src.pre_aggregated:
+                raise ValueError(
+                    "promql: histogram_quantile needs raw samples, not a rollup tier"
+                )
             out = df.groupBy(
                 bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
             ).agg(F.percentile(src.value_col, qv.value).alias("value"))
