@@ -56,6 +56,26 @@ def plan_compaction(
     }
 
 
+def plan_table_compaction(
+    table_path: str,
+    target_bytes: int = TARGET_SEGMENT_BYTES,
+    min_mean_fraction: float = 0.5,
+) -> list[dict]:
+    """Walk a partitioned table tree; one task per fragmented partition.
+
+    Healthy partitions produce no task, so the sweep cost is directory
+    metadata only — at 100 TB this runs as a scheduled job enumerating
+    partitions, then `compact_segments` tasks fan out per partition.
+    """
+    tasks: list[dict] = []
+    for root, _dirs, files in os.walk(table_path):
+        if any(f.endswith(".parquet") for f in files):
+            task = plan_compaction(root, target_bytes, min_mean_fraction)
+            if task:
+                tasks.append(task)
+    return sorted(tasks, key=lambda t: t["dir"])
+
+
 def compact_segments(
     spark: SparkSession,
     task: dict,

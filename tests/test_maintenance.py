@@ -50,6 +50,18 @@ def test_compaction_merges_small_files(spark, sf_dir, tmp_path):
     assert plan_compaction(part) is None
 
 
+def test_plan_table_compaction_walks_partitions(spark, sf_dir, tmp_path):
+    from lakerunner_spark.maintenance.compaction import plan_table_compaction
+
+    e = events_stream(spark, sf_dir).limit(2000)
+    table = tmp_path / "tbl"
+    # two partitions: one fragmented, one healthy single-file
+    e.repartition(8).write.parquet(str(table / "dateint=20240101"))
+    e.coalesce(1).write.parquet(str(table / "dateint=20240102"))
+    tasks = plan_table_compaction(str(table))
+    assert len(tasks) == 1 and "dateint=20240101" in tasks[0]["dir"]
+
+
 def test_retention_sweep(tmp_path):
     base = tmp_path / "logs-cooked" / "org_id=a"
     for d in ("20240101", "20240301", "20240501"):
