@@ -1,0 +1,103 @@
+"""One-call ingest: raw rows -> cooked, queryable table families.
+
+The reference's ingest consumer pipeline (§3.3) as two entry points a
+user drives per batch (or from foreachBatch in streaming):
+
+- ``cook_metrics``: translate (TID) -> 10s pre-agg (A1) -> rollup
+  cascade (A2) -> sorted tier-partitioned segments (S7/O5). The output
+  is immediately queryable through ``layout_metric_catalog`` + the
+  PromQL front-end.
+- ``cook_logs``: translate (fingerprint) -> sorted segments + the two
+  companion tables the planner routes to: the 10s count agg file (A13)
+  and the trigram fingerprint index (J6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lakerunner_spark.ingest.preagg import preaggregate_metrics
+from lakerunner_spark.ingest.rollup import rollup_tier
+from lakerunner_spark.ingest.translate import translate_logs, translate_metrics
+from lakerunner_spark.plans.aggfile import build_agg_table
+from lakerunner_spark.plans.pruning import build_fingerprint_index
+from lakerunner_spark.schema import dateint
+from lakerunner_spark.sources.writers import write_segments
+
+DEFAULT_TIERS_MS = [10_000, 60_000, 300_000, 1_200_000, 3_600_000]
+
+
+def cook_metrics(
+    df: DataFrame,
+    base_path: str,
+    org_id: str = "default",
+    metric_col: str = "metric_name",
+    attr_cols: list[str] | None = None,
+    value_col: str = "value",
+    tiers_ms: list[int] | None = None,
+    max_records_per_file: int = 2_000_000,
+) -> list[int]:
+    """Cook raw metric samples into the tiered segment layout.
+
+    Returns the tier list written. The cascade re-aggregates each
+    coarser tier from the previous one (never from raw), so total work
+    is ~2x the 10s pass regardless of tier count.
+    """
+    attrs = attr_cols or [c for c in df.columns if c.startswith("attr_")]
+    tiers = sorted(tiers_ms or DEFAULT_TIERS_MS)
+    if tiers[0] != 10_000:
+        raise ValueError("cook_metrics: the 10s ingest grain must be first")
+
+    cooked = translate_metrics(df, metric_col, attrs)
+    dims = [metric_col, "chq_tid", *attrs]
+    tier_df = preaggregate_metrics(cooked, dims, value_col=value_col)
+    for grain in tiers:
+        if grain != 10_000:
+            tier_df = rollup_tier(tier_df, dims, grain)
+        out = (
+            tier_df.withColumn("org_id", F.lit(org_id))
+            .withColumn("dateint", dateint(F.col("chq_timestamp")))
+            .withColumn("frequency_ms", F.lit(grain))
+        )
+        write_segments(
+            out, f"{base_path}/metrics", "metrics",
+            max_records_per_file=max_records_per_file,
+        )
+    return tiers
+
+
+def cook_logs(
+    df: DataFrame,
+    base_path: str,
+    org_id: str = "default",
+    message_col: str = "log_message",
+    service_col: str = "service_identifier",
+    level_col: str = "log_level",
+    max_records_per_file: int = 2_000_000,
+) -> dict[str, str]:
+    """Cook raw log rows into segments + planner companion tables.
+
+    Returns the written table paths: segments, agg (A13 routing), and
+    index (J6 pruning).
+    """
+    cooked = translate_logs(df, message_col=message_col, service_col=service_col)
+    cooked = cooked.withColumn("org_id", F.lit(org_id)).withColumn(
+        "dateint", dateint(F.col("chq_timestamp"))
+    )
+    paths = {
+        "segments": f"{base_path}/logs",
+        "agg": f"{base_path}/logs_agg",
+        "index": f"{base_path}/logs_index",
+    }
+    write_segments(
+        cooked, paths["segments"], "logs",
+        max_records_per_file=max_records_per_file,
+    )
+    written = cooked.sparkSession.read.parquet(paths["segments"])
+    dims = [c for c in (level_col, "chq_fingerprint") if c in written.columns]
+    build_agg_table(written, dims).write.mode("overwrite").parquet(paths["agg"])
+    build_fingerprint_index(written, service_col, message_col).write.mode(
+        "overwrite"
+    ).parquet(paths["index"])
+    return paths

@@ -1,0 +1,84 @@
+"""One-call cook API: raw rows -> queryable cooked layout end-to-end,
+then the full §3.1 lifecycle (string -> tier-routed plan -> result)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.catalog import layout_metric_catalog
+from lakerunner_spark.ingest.cook import cook_logs, cook_metrics
+from lakerunner_spark.promql.compiler import compile_promql
+from lakerunner_spark.testdata import events_stream
+
+
+@pytest.fixture(scope="module")
+def raw_metrics(spark, sf_dir):
+    return events_stream(spark, sf_dir).select(
+        "chq_timestamp",
+        F.col("event_type").alias("metric_name"),
+        F.col("user_id").cast("string").alias("attr_user"),
+        "value",
+    )
+
+
+def test_cook_metrics_then_promql_lifecycle(spark, raw_metrics, tmp_path):
+    base = str(tmp_path / "cooked")
+    tiers = cook_metrics(
+        raw_metrics, base, org_id="t1", tiers_ms=[10_000, 60_000, 300_000]
+    )
+    assert tiers == [10_000, 60_000, 300_000]
+
+    # full lifecycle: query STRING -> tier pick (300s divides 600s) -> plan
+    step = 600_000
+    cat = layout_metric_catalog(
+        spark, f"{base}/metrics", step,
+        ["metric_name", "attr_user"], available_tiers=tiers,
+    )
+    got = compile_promql("sum by (attr_user) (increase(error[30m]))", cat, step)
+
+    # ground truth from raw rows
+    from lakerunner_spark.promql.compiler import LeafSource, MetricCatalog
+
+    raw_cat = MetricCatalog(
+        {"error": LeafSource(
+            raw_metrics.filter(F.col("metric_name") == "error"),
+            ["metric_name", "attr_user"],
+        )}
+    )
+    want = compile_promql("sum by (attr_user) (increase(error[30m]))", raw_cat, step)
+
+    g = {(r.bucket_ts, r.attr_user): None if r.value is None else round(r.value, 9)
+         for r in got.collect()}
+    w = {(r.bucket_ts, r.attr_user): None if r.value is None else round(r.value, 9)
+         for r in want.collect()}
+    assert g == w and g
+
+
+def test_cook_logs_companions(spark, sf_dir, tmp_path):
+    e = events_stream(spark, sf_dir)
+    logs = e.select(
+        "chq_timestamp",
+        (F.col("chq_timestamp") * 1_000_000).alias("chq_tsns"),
+        F.concat(F.col("event_type"), F.lit(" user="), F.col("user_id")).alias(
+            "log_message"
+        ),
+        F.col("event_type").alias("log_level"),
+        F.col("event_type").alias("service_identifier"),
+    )
+    paths = cook_logs(logs, str(tmp_path / "cooked"), org_id="t1")
+    seg = spark.read.parquet(paths["segments"])
+    agg = spark.read.parquet(paths["agg"])
+    idx = spark.read.parquet(paths["index"])
+    assert seg.count() == logs.count()
+    assert {"agg_bucket", "log_level", "chq_fingerprint", "agg_count"} <= set(
+        agg.columns
+    )
+    assert {"segment_key", "fingerprint"} == set(idx.columns)
+    # agg table counts sum to the segment row count
+    assert agg.agg(F.sum("agg_count")).first()[0] == seg.count()
+
+
+def test_cook_metrics_rejects_missing_10s(raw_metrics, tmp_path):
+    with pytest.raises(ValueError, match="10s"):
+        cook_metrics(raw_metrics, str(tmp_path / "x"), tiers_ms=[60_000])

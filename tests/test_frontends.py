@@ -185,6 +185,55 @@ def test_compile_rate_requires_range(spark, sf_dir):
         compile_promql("rate(events)", cat, 60_000)
 
 
+def test_nested_vector_aggs(spark, sf_dir):
+    """max by (..) over sum by (..) — nested Agg nodes compose."""
+    cat = default_metric_catalog(spark, sf_dir)
+    df = compile_promql(
+        "max by (event_type) (sum by (event_type, user_id) (events))",
+        cat,
+        3_600_000,
+    )
+    inner = compile_promql(
+        "sum by (event_type, user_id) (events)", cat, 3_600_000
+    )
+    got = {(r.bucket_ts, r.event_type): r.value for r in df.collect()}
+    by_bucket: dict = {}
+    for r in inner.collect():
+        key = (r.bucket_ts, r.event_type)
+        by_bucket[key] = max(by_bucket.get(key, float("-inf")), r.value)
+    assert got == by_bucket and got
+
+
+def test_set_op_chain_via_frontend(spark, sf_dir):
+    """(A and B) unless C — set ops chain left-associatively."""
+    cat = default_metric_catalog(spark, sf_dir)
+    q = (
+        'sum by (user_id) (events{event_type="error"})'
+        ' and sum by (user_id) (events{event_type="click"})'
+        ' unless sum by (user_id) (events{event_type="purchase"})'
+    )
+    df = compile_promql(q, cat, 3_600_000)
+    err = compile_promql('sum by (user_id) (events{event_type="error"})', cat, 3_600_000)
+    clk = compile_promql('sum by (user_id) (events{event_type="click"})', cat, 3_600_000)
+    pur = compile_promql('sum by (user_id) (events{event_type="purchase"})', cat, 3_600_000)
+    e = {(r.bucket_ts, r.user_id): r.value for r in err.collect()}
+    c = {(r.bucket_ts, r.user_id) for r in clk.collect()}
+    p = {(r.bucket_ts, r.user_id) for r in pur.collect()}
+    want = {k: v for k, v in e.items() if k in c and k not in p}
+    got = {(r.bucket_ts, r.user_id): r.value for r in df.collect()}
+    assert got == want and got
+
+
+def test_arithmetic_chain_precedence(spark, sf_dir):
+    """v * 2 + 1 evaluates (v*2)+1 per series."""
+    cat = default_metric_catalog(spark, sf_dir)
+    base = compile_promql("sum by (event_type) (events)", cat, 3_600_000)
+    df = compile_promql("sum by (event_type) (events) * 2 + 1", cat, 3_600_000)
+    got = {(r.bucket_ts, r.event_type): r.value for r in df.collect()}
+    want = {(r.bucket_ts, r.event_type): r.value * 2 + 1 for r in base.collect()}
+    assert got == pytest.approx(want)
+
+
 def test_exemplar_ascending(spark, sf_dir):
     src = default_log_source(spark, sf_dir)
     df = compile_logql_exemplar(
