@@ -152,6 +152,44 @@ def jaccard_verify(
     )
 
 
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine >= threshold).
+
+    Exact all-pairs — use on a candidate-bounded set (an LSH/IVF bucket
+    or a sampled slice); at corpus scale, generate candidates with
+    ``similarity.lsh_bucket_topk``/``ivf_topk`` first and verify pairs
+    here (same candidates->verify split as MinHash->Jaccard).
+    """
+    from lakerunner_spark.dataops.similarity import _dot, _norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        _norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        _norm(vec_col).alias("_nb"),
+    )
+    from lakerunner_spark.functions.rounding import portable_round
+
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = portable_round(
+        _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_dp
+    )
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 16
 ) -> DataFrame:

@@ -146,6 +146,30 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd5_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    f AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM e CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+          FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, pround(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+    WHERE pround(dot / (na.nrm * nb.nrm), 4) >= 0.3
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a bounded slice (exact verify
+    stage of the candidates->verify dedup split)."""
+    from lakerunner_spark.dataops.dedup import embedding_neardup
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_neardup(emb, 0.3)
+
+
+@register(
     "sim1_cosine_topk",
     """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),

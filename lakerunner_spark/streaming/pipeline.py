@@ -69,6 +69,50 @@ def preagg_stream(
     )
 
 
+def run_cook_stream(
+    spark: SparkSession,
+    input_path: str,
+    base_path: str,
+    checkpoint_path: str,
+    schema,
+    metric_col: str = "metric_name",
+    attr_cols: list[str] | None = None,
+    value_col: str = "value",
+    tiers_ms: list[int] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming ingest into the FULL cooked layout via foreachBatch.
+
+    Each micro-batch runs the batch cook (translate -> pre-agg ->
+    rollup cascade -> tier-partitioned sorted segments) — the
+    reference's consumer loop (§3.3) with the checkpoint supplying
+    exactly-once batch tracking. Append-only per batch; the scheduled
+    compaction job merges small per-batch segments afterwards, exactly
+    like the reference's boxer/compact cycle.
+    """
+    from lakerunner_spark.ingest.cook import cook_metrics
+
+    def _cook(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cook_metrics(
+            batch_df,
+            base_path,
+            metric_col=metric_col,
+            attr_cols=attr_cols,
+            value_col=value_col,
+            tiers_ms=tiers_ms,
+        )
+
+    stream = spark.readStream.schema(schema).format("parquet").load(input_path)
+    writer = stream.writeStream.foreachBatch(_cook).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_file_ingest_stream(
     spark: SparkSession,
     input_path: str,

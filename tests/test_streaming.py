@@ -9,8 +9,49 @@ import shutil
 from pyspark.sql import functions as F
 
 from lakerunner_spark.ingest.preagg import preaggregate_metrics
-from lakerunner_spark.streaming.pipeline import run_file_ingest_stream
+from lakerunner_spark.streaming.pipeline import run_cook_stream, run_file_ingest_stream
 from lakerunner_spark.testdata import events_stream
+
+
+def test_cook_stream_builds_tiered_layout(spark, sf_dir, tmp_path):
+    """foreachBatch cook: streamed batches land as tiered segments whose
+    merged totals equal the batch cook of all input."""
+    raw = events_stream(spark, sf_dir).select(
+        "chq_timestamp",
+        F.col("event_type").alias("metric_name"),
+        F.col("user_id").cast("string").alias("attr_user"),
+        "value",
+    )
+    indir, base, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "cooked"), str(tmp_path / "ck")
+    )
+    raw.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    q = run_cook_stream(
+        spark, indir, base, ckpt, schema,
+        attr_cols=["attr_user"], tiers_ms=[10_000, 60_000],
+    )
+    q.awaitTermination(180)
+
+    cooked = spark.read.parquet(f"{base}/metrics")
+    tiers = {r.frequency_ms for r in cooked.select("frequency_ms").distinct().collect()}
+    assert tiers == {10_000, 60_000}
+    t60 = cooked.filter(F.col("frequency_ms") == 60_000)
+    got = t60.agg(
+        F.round(F.sum("chq_rollup_sum"), 4), F.sum("chq_rollup_count")
+    ).first()
+    want = raw.agg(F.round(F.sum("value"), 4), F.count("value")).first()
+    assert (got[0], got[1]) == (want[0], want[1])
+
+    # checkpointed restart with no new input cooks nothing new
+    before = cooked.count()
+    q = run_cook_stream(
+        spark, indir, base, ckpt, schema,
+        attr_cols=["attr_user"], tiers_ms=[10_000, 60_000],
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{base}/metrics").count() == before
 
 
 def _batch_expected(events):
