@@ -69,8 +69,12 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                 df, keys = st.json_parser_auto(df, line_col=src.line_col)
                 extracted += [c for c in keys if c not in extracted]
         elif isinstance(stage, LogfmtStage):
-            df = st.logfmt_parser(df, stage.keys, line_col=src.line_col)
-            extracted += [c for c in stage.keys if c not in extracted]
+            if stage.keys:
+                df = st.logfmt_parser(df, stage.keys, line_col=src.line_col)
+                extracted += [c for c in stage.keys if c not in extracted]
+            else:  # | logfmt auto-discovery
+                df, keys = st.logfmt_parser_auto(df, line_col=src.line_col)
+                extracted += [c for c in keys if c not in extracted]
         elif isinstance(stage, RegexpStage):
             df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
             extracted += [c for c in stage.groups if c not in extracted]

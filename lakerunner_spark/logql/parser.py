@@ -298,13 +298,12 @@ class _Parser:
             leaf.stages.append(JsonStage(mappings))
             return
         if t.text == "logfmt":
+            # empty keys = auto-discovery mode
             keys = []
             while self.peek().kind == "ID":
                 keys.append(self.next().text)
                 if self.peek().text == ",":
                     self.next()
-            if not keys:
-                raise ValueError("logql: | logfmt requires explicit keys here")
             leaf.stages.append(LogfmtStage(keys))
             return
         if t.text == "regexp":

@@ -127,6 +127,34 @@ def logfmt_parser(df: DataFrame, keys: list[str], line_col: str = "log_message")
     return out
 
 
+def discover_logfmt_keys(
+    df: DataFrame, line_col: str = "log_message", sample_rows: int = 1000
+) -> list[str]:
+    """Auto-discover logfmt keys (``key=``) from a row sample."""
+    rows = (
+        df.limit(sample_rows)
+        .select(
+            F.explode(
+                F.expr(
+                    f"regexp_extract_all({line_col},"
+                    " '(?:^|\\\\s)([A-Za-z_][A-Za-z0-9_]*)=', 1)"
+                )
+            ).alias("k")
+        )
+        .distinct()
+        .collect()
+    )
+    return sorted(r.k for r in rows)
+
+
+def logfmt_parser_auto(
+    df: DataFrame, line_col: str = "log_message", sample_rows: int = 1000
+) -> tuple[DataFrame, list[str]]:
+    """P8 auto mode: discover keys then extract each."""
+    keys = discover_logfmt_keys(df, line_col, sample_rows)
+    return logfmt_parser(df, keys, line_col=line_col), keys
+
+
 def regexp_parser(
     df: DataFrame, pattern: str, groups: dict[str, int], line_col: str = "log_message"
 ) -> DataFrame:

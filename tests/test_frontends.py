@@ -185,6 +185,36 @@ def test_compile_rate_requires_range(spark, sf_dir):
         compile_promql("rate(events)", cat, 60_000)
 
 
+def test_logfmt_auto_discovery(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql
+
+    ev = events_stream_for_logfmt(spark, sf_dir)
+    src = LogSource(ev, ["event_type"], line_col="log_message")
+    df = compile_logql(
+        'sum by (event_type) (count_over_time({event_type="error"} '
+        '| logfmt | lvl = "error" [10m]))',
+        src,
+        600_000,
+    )
+    rows = df.collect()
+    assert rows and all(r.value > 0 for r in rows)
+
+
+def events_stream_for_logfmt(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    return e.withColumn(
+        "log_message",
+        F.concat(F.lit("lvl="), F.col("event_type"),
+                 F.lit(" uid="), F.col("user_id").cast("string")),
+    )
+
+
 def test_nested_vector_aggs(spark, sf_dir):
     """max by (..) over sum by (..) — nested Agg nodes compose."""
     cat = default_metric_catalog(spark, sf_dir)
