@@ -90,8 +90,16 @@ def lsh_candidates(
     id_col: str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_rows: int = DEFAULT_BAND_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Band the signatures and self-join: pairs sharing >= 1 band bucket."""
+    """Band the signatures and self-join: pairs sharing >= 1 band bucket.
+
+    ``max_bucket_size`` drops buckets with more members ("template
+    spam" — a bucket of B docs emits B² pairs; at corpus scale one
+    boilerplate cluster can dominate the join). Capping trades those
+    pairs away; production pipelines dedup such clusters by exact hash
+    instead.
+    """
     n_bands = num_hashes // band_rows
     band_structs = [
         F.struct(
@@ -105,6 +113,15 @@ def lsh_candidates(
     bands = sig_df.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        sizes = Window.partitionBy("band", "sig")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(sizes))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -61,6 +61,30 @@ def text_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame
     )
 
 
+def quality_components(text: Column) -> dict[str, Column]:
+    """Richer quality signals (all codegen-friendly):
+
+    - stopword_ratio: stopword tokens / tokens (fluency proxy)
+    - punct_ratio: punctuation chars / chars (boilerplate/code proxy)
+    - digit_ratio: digit chars / chars (table/log-dump proxy)
+    - uniq_token_ratio: distinct tokens / tokens (repetition proxy)
+    """
+    toks = F.split(text, " ")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(
+        F.filter(toks, lambda tk: tk.isin(*EN_STOPWORDS))
+    )
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!?'\"()\[\]{}]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return {
+        "stopword_ratio": stop_hits / n_tok,
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digit / n_chars,
+        "uniq_token_ratio": F.size(F.array_distinct(toks)) / n_tok,
+    }
+
+
 def langid_heuristic(text: Column) -> Column:
     """Stopword-vote language ID: >=2 English stopword hits -> 'en',
     1 -> 'en_maybe', else 'other'. (The real signal for the synthetic

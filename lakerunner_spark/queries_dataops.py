@@ -292,6 +292,37 @@ def txt3_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "txt4_quality_components",
+    """
+    SELECT lang,
+           pround(avg(len(list_filter(toks,
+             t -> t IN ('the','a','of','and','to'))) * 1.0 / len(toks)), 6)
+             AS avg_stopword_ratio,
+           pround(avg(length(regexp_replace(text,
+             '[^\\.,;:!?''"()\\[\\]{}]', '', 'g')) * 1.0 / length(text)), 6)
+             AS avg_punct_ratio,
+           pround(avg(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / length(text)), 6) AS avg_digit_ratio,
+           pround(avg(len(list_distinct(toks)) * 1.0 / len(toks)), 6)
+             AS avg_uniq_token_ratio
+    FROM (SELECT lang, text, string_split(text, ' ') AS toks FROM documents)
+    GROUP BY lang
+    """,
+)
+def txt4_quality_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richer quality scoring: stopword/punct/digit/uniq-token ratios."""
+    from lakerunner_spark.dataops.text import quality_components
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents")
+    comps = quality_components(F.col("text"))
+    sel = d.select("lang", *[c.alias(k) for k, c in comps.items()])
+    return sel.groupBy("lang").agg(
+        *[_pr(F.avg(k), 6).alias(f"avg_{k}") for k in comps]
+    )
+
+
+@register(
     "fp1_structural_fingerprint",
     f"""
     SELECT fingerprint, count(*) AS n FROM (

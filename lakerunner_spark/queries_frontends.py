@@ -324,6 +324,71 @@ def lqs3_unwrap_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pqs12_rate_ratio_on",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, sum(value) AS s
+      FROM {_E} e WHERE event_type IN ('error', 'click')
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, user_id,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type, user_id) >= 540000
+                  THEN sum(s) OVER w / 600.0 END AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l.bucket_ts, l.user_id, pround(l.value / r.value, 6) AS value
+    FROM (SELECT * FROM r WHERE event_type = 'error') l
+    JOIN (SELECT * FROM r WHERE event_type = 'click') r
+      ON l.bucket_ts = r.bucket_ts AND l.user_id = r.user_id
+    WHERE r.value != 0
+    """,
+)
+def pqs12_rate_ratio_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate / on(user_id) rate — binary op between two range functions
+    with an explicit match subset through the string front-end."""
+    df = _pq(
+        spark, sf_dir,
+        'rate(events{event_type="error"}[10m])'
+        ' / on(user_id) rate(events{event_type="click"}[10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "lqs7_bytes_rate",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             sum(CAST(length(props) AS DOUBLE)) AS b
+      FROM {_E} e WHERE event_type = 'view'
+      GROUP BY 1, 2
+    )
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - min(bucket_ts)
+                     OVER (PARTITION BY event_type) >= 540000
+                THEN pround(sum(b) OVER w / 600.0, 6) END AS value
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def lqs7_bytes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL bytes_rate: windowed log-bytes per second (A10 family)."""
+    df = _lq(
+        spark, sf_dir,
+        'bytes_rate({event_type="view"}[10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
     "lqs5_json_auto",
     f"""
     SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts, event_type,

@@ -99,3 +99,22 @@ def test_lsh_recall_vs_brute_force(emb):
     approx = lsh_bucket_topk(q, c, tables, k=5).collect()
     # 6 tables x 3 bits, OR-amplified: ~1/8 of pairs scored per table
     assert _recall(approx, exact) >= 0.5
+
+
+def test_lsh_candidates_bucket_cap(spark, sf_dir):
+    """Capping hot buckets only removes pairs from oversized buckets."""
+    from lakerunner_spark.dataops.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+    from lakerunner_spark.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    uncapped = lsh_candidates(sig, "doc_id")
+    capped = lsh_candidates(sig, "doc_id", max_bucket_size=2)
+    u = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    c = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert c <= u  # capping never invents pairs
