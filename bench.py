@@ -34,11 +34,14 @@ HEADLINE = [
     "lqs3_unwrap_max",
     "a13_aggfile_route",
     "a6_cardinality",
+    "x1_ddsketch_p95",
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
     "dd4_simhash",
+    "dd5_embedding_neardup",
     "sim1_cosine_topk",
     "txt1_text_stats",
+    "mm1_byte_histogram",
     "fp1_structural_fingerprint",
 ]
 
