@@ -130,11 +130,13 @@ class _Compiler:
         step_ms: int,
         start_ms: int | None,
         end_ms: int | None,
+        push_grouping: bool = False,
     ):
         self.catalog = catalog
         self.step = step_ms
         self.start = start_ms
         self.end = end_ms
+        self.push_grouping = push_grouping
         # leaf dedup (promql/exec_planner.go:387-459 dedupeBaseExprs):
         # identical selectors return the SAME DataFrame object, so Spark
         # reuses the exchange/subquery for the shared scan+aggregation
@@ -322,7 +324,43 @@ class _Compiler:
             return _Vec(out, src.labels)
         raise ValueError(f"promql: unsupported function {fn!r}")
 
+    # range fns linear in the windowed sums — safe to pre-group
+    _PUSHABLE_FNS = {"rate", "increase", "sum_over_time", "count_over_time"}
+
+    def _try_push_grouping(self, node: ast.Agg) -> _Vec | None:
+        """Grouping pushdown (promql/exec_planner.go:92-115): for
+        ``sum by (g) (linear_range_fn(sel[r]))`` aggregate the leaf
+        directly by g — the raw-data shuffle lands on g-cardinality
+        keys instead of full series cardinality, and the window state
+        shrinks accordingly. Mirrors the reference's pushed-down
+        semantics: the coverage gate applies at GROUP level (the group
+        is the worker's series once GroupBy is pushed).
+        """
+        if not (self.push_grouping and node.op == "sum" and node.by is not None):
+            return None
+        expr = node.expr
+        if not (
+            isinstance(expr, ast.Call)
+            and expr.fn in self._PUSHABLE_FNS
+            and len(expr.args) == 1
+            and isinstance(expr.args[0], ast.Selector)
+        ):
+            return None
+        sel = expr.args[0]
+        if sel.range_ms is None:
+            return None
+        df, src = self._leaf_rows(sel)
+        labels = list(node.by)
+        s = step_agg_raw(df, self.step, labels, src.ts_col, src.value_col) \
+            if not src.pre_aggregated \
+            else step_agg(df, self.step, labels, src.ts_col)
+        r = range_agg(s, expr.fn, sel.range_ms, self.step, labels)
+        return _Vec(r, labels)
+
     def _compile_agg(self, node: ast.Agg) -> _Vec:
+        pushed = self._try_push_grouping(node)
+        if pushed is not None:
+            return pushed
         v = self.compile(node.expr)
         if isinstance(v, float):
             raise ValueError("promql: aggregation over a scalar")
@@ -408,13 +446,21 @@ def compile_promql(
     step_ms: int,
     start_ms: int | None = None,
     end_ms: int | None = None,
+    push_grouping: bool = False,
 ) -> DataFrame:
     """Compile a PromQL string (or parsed AST) into a DataFrame plan.
 
     Result columns: ``bucket_ts``, the output label set, ``value``.
+
+    ``push_grouping`` enables the reference's GroupBy pushdown for
+    ``sum by (g)`` over linear range functions — the leaf aggregates
+    straight to g-cardinality (coverage gating then applies per group,
+    matching the reference's pushed-down worker semantics).
     """
     node = parse_promql(query) if isinstance(query, str) else query
-    vec = _Compiler(catalog, step_ms, start_ms, end_ms).compile(node)
+    vec = _Compiler(
+        catalog, step_ms, start_ms, end_ms, push_grouping=push_grouping
+    ).compile(node)
     if isinstance(vec, float):
         raise ValueError("promql: query evaluates to a constant scalar")
     return vec.df

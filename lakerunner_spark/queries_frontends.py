@@ -389,6 +389,37 @@ def lqs7_bytes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pqs13_pushed_sum_rate",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, sum(value) AS s
+      FROM {_E} e GROUP BY 1, 2
+    )
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - min(bucket_ts)
+                     OVER (PARTITION BY event_type) >= 240000
+                THEN pround(sum(s) OVER w / 300.0, 6) END AS value
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 RANGE BETWEEN 240000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def pqs13_pushed_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum by (event_type) (rate(events[5m])) with grouping PUSHED into
+    the leaf (exec_planner.go keepsAll): one shuffle to event_type
+    cardinality, group-level coverage gate — the oracle states exactly
+    that semantics."""
+    df = compile_promql(
+        'sum by (event_type) (rate(events[5m]))',
+        default_metric_catalog(spark, sf_dir),
+        60_000,
+        push_grouping=True,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
     "lqs5_json_auto",
     f"""
     SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts, event_type,

@@ -185,6 +185,25 @@ def test_compile_rate_requires_range(spark, sf_dir):
         compile_promql("rate(events)", cat, 60_000)
 
 
+def test_push_grouping_plan_shape(spark, sf_dir):
+    """Pushed grouping aggregates ONCE at the leaf (group cardinality);
+    the unpushed plan has a second aggregate over series. Pushed-down
+    value semantics (group-level windows/gate — the reference's
+    keepsAll behavior, which differs from per-series windows when
+    series are sparse within the range) are pinned by the
+    pqs13_pushed_sum_rate oracle."""
+    cat = default_metric_catalog(spark, sf_dir)
+    q = "sum by (event_type) (sum_over_time(events[5m]))"
+    pushed = compile_promql(q, cat, 60_000, push_grouping=True)
+    unpushed = compile_promql(q, cat, 60_000)
+    assert pushed.count() > 0
+    pp = pushed._jdf.queryExecution().executedPlan().toString()
+    up = unpushed._jdf.queryExecution().executedPlan().toString()
+    assert pp.count("HashAggregate") < up.count("HashAggregate")
+    # pushed output exposes exactly the by-labels
+    assert set(pushed.columns) == {"bucket_ts", "event_type", "value"}
+
+
 def test_logfmt_auto_discovery(spark, sf_dir):
     from pyspark.sql import functions as F
 
