@@ -27,24 +27,24 @@ import lakerunner_spark.queries_spans  # noqa: E402,F401 (registers)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sum by (event_type) (rate(events[5m])) on sf0.001.
-
-    The reference's bread-and-butter PromQL shape (SURVEY §7.2): leaf
-    step aggregation (A3) -> sliding range window rate (A9) -> vector
-    aggregation (A7).
+    """Flagship: sum by (event_type) (rate(events[5m])) on sf0.001,
+    through the FULL lifecycle — PromQL string -> parser -> AST ->
+    DataFrame compiler (SURVEY §3.1/§7.2): leaf step aggregation (A3)
+    -> sliding range window rate (A9) -> vector aggregation (A7).
     """
     from pyspark.sql import functions as F
 
-    from lakerunner_spark.operators.range_agg import range_agg
-    from lakerunner_spark.operators.step_agg import step_agg_raw
-    from lakerunner_spark.operators.vector_agg import vector_agg
-    from lakerunner_spark.testdata import events_stream
+    from lakerunner_spark.catalog import default_metric_catalog
+    from lakerunner_spark.promql.compiler import compile_promql
 
-    e = events_stream(spark, "/root/testdata/sf0.001")
-    s = step_agg_raw(e, 60_000, ["event_type", "user_id"])
-    r = range_agg(s, "rate", 300_000, 60_000, ["event_type", "user_id"])
-    v = vector_agg(r.filter(F.col("value").isNotNull()), "sum", by=["event_type"])
-    return v.withColumn("value", F.round("value", 6))
+    df = compile_promql(
+        "sum by (event_type) (rate(events[5m]))",
+        default_metric_catalog(spark, "/root/testdata/sf0.001"),
+        60_000,
+    )
+    return df.filter(F.col("value").isNotNull()).withColumn(
+        "value", F.round("value", 6)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -90,11 +90,14 @@ def range_agg(
         # approximated from windowed min/max of the unwrapped value
         value = (F.max("max").over(w) - F.min("min").over(w)) / F.lit(range_sec)
     elif func == "irate":
-        # instant rate from the two most recent buckets (leaf_node.go:369-409)
-        prev_sum = F.lag("sum", 1).over(wfull)
+        # instant rate from the two most recent buckets, both within the
+        # range window (leaf_node.go:369-409)
         prev_ts = F.lag("bucket_ts", 1).over(wfull)
-        dt_sec = (F.col("bucket_ts") - prev_ts) / 1000.0
-        value = F.when(prev_ts.isNotNull(), F.col("sum") / dt_sec)
+        dt_ms = F.col("bucket_ts") - prev_ts
+        value = F.when(
+            prev_ts.isNotNull() & (dt_ms <= F.lit(range_ms)),
+            F.col("sum") / (dt_ms / 1000.0),
+        )
     else:
         raise ValueError(f"unsupported range function: {func}")
 

@@ -435,6 +435,7 @@ def a9_max_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
     QUALIFY lag(bucket_ts) OVER w IS NOT NULL
+        AND bucket_ts - lag(bucket_ts) OVER w <= 300000
     """,
 )
 def w4_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
