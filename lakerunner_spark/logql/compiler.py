@@ -27,10 +27,14 @@ from pyspark.sql import functions as F
 
 from lakerunner_spark.logql import stages as st
 from lakerunner_spark.logql.parser import (
+    DropStage,
     JsonStage,
+    KeepStage,
     LabelFilter,
+    LabelFormatStage,
     LabelMatcher,
     LineFilter,
+    LineFormatStage,
     LogfmtStage,
     LogLeaf,
     LogRangeAgg,
@@ -53,12 +57,59 @@ class LogSource:
     ts_col: str = "chq_timestamp"
 
 
+import re as _re
+
+_TMPL_RE = _re.compile(r"\{\{\s*\.([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+def _template_column(template: str) -> F.Column:
+    """'x={{.a}}!' -> concat(lit('x='), col('a'), lit('!')) —
+    the Go-template-to-expression compile (logql/sql_builder.go:652-953)."""
+    parts: list[F.Column] = []
+    pos = 0
+    for m in _TMPL_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
 def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataFrame, list[str]]:
-    """Run matchers + stages; return (rows, extracted label columns)."""
+    """Run matchers + stages; return (rows, extracted label columns).
+
+    keep/drop restrict which labels survive into the series identity
+    (P13); label_format/line_format compile templates to expressions
+    (P10/P11).
+    """
+    stream = list(src.labels)
     extracted: list[str] = []
     for m in leaf.matchers:
         df = st.label_matcher(df, m.label, m.op, m.value)
     for stage in leaf.stages:
+        if isinstance(stage, KeepStage):
+            keep = set(stage.labels)
+            stream = [c for c in stream if c in keep]
+            extracted = [c for c in extracted if c in keep]
+            continue
+        if isinstance(stage, DropStage):
+            dropped = set(stage.labels)
+            stream = [c for c in stream if c not in dropped]
+            extracted = [c for c in extracted if c not in dropped]
+            continue
+        if isinstance(stage, LabelFormatStage):
+            for out, value, is_template in stage.assignments:
+                col = _template_column(value) if is_template else F.col(value)
+                df = st.label_format(df, out, col)
+                if out not in extracted:
+                    extracted.append(out)
+            continue
+        if isinstance(stage, LineFormatStage):
+            df = st.line_format(df, _template_column(stage.template),
+                                line_col=src.line_col)
+            continue
         if isinstance(stage, LineFilter):
             df = st.line_filter(df, stage.op, stage.needle, line_col=src.line_col)
         elif isinstance(stage, JsonStage):
@@ -87,7 +138,7 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                 df = st.label_matcher(df, stage.label, stage.op, stage.value)
         else:
             raise TypeError(f"logql: unknown stage {type(stage).__name__}")
-    return df, extracted
+    return df, stream + [c for c in extracted if c not in stream]
 
 
 def compile_logql_exemplar(
@@ -109,7 +160,7 @@ def compile_logql_exemplar(
         raise ValueError("logql: exemplar mode takes a selector+pipeline query")
     if leaf.range_ms is not None:
         raise ValueError("logql: exemplar query cannot have a [range]")
-    df, extracted = _apply_pipeline(source.df, leaf, source)
+    df, _labels = _apply_pipeline(source.df, leaf, source)
     cols = [source.ts_col, *(tiebreak or [])]
     order = [F.col(c).desc() if descending else F.col(c).asc() for c in cols]
     out = df.orderBy(*order).limit(limit)
@@ -163,8 +214,7 @@ def _compile_range(
         df = df.filter(F.col(source.ts_col) >= start_ms - (leaf.range_ms or 0))
     if end_ms is not None:
         df = df.filter(F.col(source.ts_col) < end_ms)
-    df, extracted = _apply_pipeline(df, leaf, source)
-    labels = source.labels + [c for c in extracted if c not in source.labels]
+    df, labels = _apply_pipeline(df, leaf, source)
 
     # synthetic metric family (rewrite_result.go:32-110)
     if node.fn in ("count_over_time", "rate"):

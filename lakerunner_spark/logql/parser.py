@@ -69,6 +69,27 @@ class Unwrap:
 
 
 @dataclass
+class KeepStage:
+    labels: list[str]
+
+
+@dataclass
+class DropStage:
+    labels: list[str]
+
+
+@dataclass
+class LabelFormatStage:
+    # out -> source label name (rename) or template string with {{.x}}
+    assignments: list[tuple[str, str, bool]]  # (out, value, is_template)
+
+
+@dataclass
+class LineFormatStage:
+    template: str  # with {{.label}} placeholders
+
+
+@dataclass
 class LogLeaf:
     """Selector + ordered pipeline (logql/exec_planner.go:60-82 LogLeaf)."""
 
@@ -314,6 +335,43 @@ class _Parser:
             if not groups:
                 raise ValueError("logql: | regexp needs named capture groups")
             leaf.stages.append(RegexpStage(translated, groups))
+            return
+        if t.text in ("keep", "drop"):
+            labels = []
+            while self.peek().kind == "ID":
+                labels.append(self.next().text)
+                if self.peek().text == ",":
+                    self.next()
+            if not labels:
+                raise ValueError(f"logql: | {t.text} requires labels")
+            leaf.stages.append(
+                KeepStage(labels) if t.text == "keep" else DropStage(labels)
+            )
+            return
+        if t.text == "label_format":
+            assignments: list[tuple[str, str, bool]] = []
+            while self.peek().kind == "ID":
+                out = self.next().text
+                self.expect("=")
+                v = self.next()
+                if v.kind == "STR":
+                    assignments.append((out, _unquote(v.text), True))
+                elif v.kind == "ID":
+                    assignments.append((out, v.text, False))
+                else:
+                    raise ValueError("logql: label_format value must be a "
+                                     "label or template string")
+                if self.peek().text == ",":
+                    self.next()
+            if not assignments:
+                raise ValueError("logql: | label_format requires assignments")
+            leaf.stages.append(LabelFormatStage(assignments))
+            return
+        if t.text == "line_format":
+            v = self.next()
+            if v.kind != "STR":
+                raise ValueError("logql: | line_format takes a template string")
+            leaf.stages.append(LineFormatStage(_unquote(v.text)))
             return
         if t.text == "unwrap":
             nxt = self.next()

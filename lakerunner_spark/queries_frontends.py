@@ -480,6 +480,32 @@ def lqs6_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lqs8_label_format_drop",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type || '-lvl' AS sev, CAST(count(*) AS DOUBLE) AS c
+      FROM {_E} e WHERE regexp_full_match(event_type, 'error|click')
+      GROUP BY 1, 2
+    )
+    SELECT bucket_ts, sev, sum(c) OVER w AS value
+    FROM base
+    WINDOW w AS (PARTITION BY sev ORDER BY bucket_ts
+                 RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def lqs8_label_format_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_format template + drop through the string front-end: the
+    derived label replaces the stream label in the series identity."""
+    return _lq(
+        spark, sf_dir,
+        'count_over_time({event_type=~"error|click"}'
+        ' | label_format sev="{{.event_type}}-lvl" | drop event_type [10m])',
+        60_000,
+    )
+
+
+@register(
     "lqs4_exemplar",
     f"""
     SELECT event_id, chq_timestamp, event_type,

@@ -185,6 +185,25 @@ def test_compile_rate_requires_range(spark, sf_dir):
         compile_promql("rate(events)", cat, 60_000)
 
 
+def test_line_format_and_keep(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.catalog import default_log_source
+    from lakerunner_spark.logql.compiler import compile_logql_exemplar
+
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_exemplar(
+        '{event_type="error"} | json k="$.k"'
+        ' | line_format "k is {{.k}}" | keep event_type',
+        src,
+        limit=5,
+        tiebreak=["event_id"],
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.log_message.startswith("k is ") for r in rows)
+
+
 def test_push_grouping_plan_shape(spark, sf_dir):
     """Pushed grouping aggregates ONCE at the leaf (group cardinality);
     the unpushed plan has a second aggregate over series. Pushed-down
