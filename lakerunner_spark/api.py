@@ -142,6 +142,8 @@ class QueryAPI:
                 node, src, limit=limit,
                 descending=params.get("order", "desc") == "desc",
                 tiebreak=params.get("tiebreak"),
+                start_ms=params.get("start_ms"),
+                end_ms=params.get("end_ms"),
             )
             return {"streams": [r.asDict() for r in df.collect()]}
         step = int(params.get("step_ms", 60_000))

@@ -148,6 +148,8 @@ def compile_logql_exemplar(
     descending: bool = True,
     fields: list[str] | None = None,
     tiebreak: list[str] | None = None,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
 ) -> DataFrame:
     """Exemplar mode: raw matching lines, newest-first with a global limit.
 
@@ -160,7 +162,12 @@ def compile_logql_exemplar(
         raise ValueError("logql: exemplar mode takes a selector+pipeline query")
     if leaf.range_ms is not None:
         raise ValueError("logql: exemplar query cannot have a [range]")
-    df, _labels = _apply_pipeline(source.df, leaf, source)
+    rows = source.df
+    if start_ms is not None:
+        rows = rows.filter(F.col(source.ts_col) >= start_ms)
+    if end_ms is not None:
+        rows = rows.filter(F.col(source.ts_col) < end_ms)
+    df, _labels = _apply_pipeline(rows, leaf, source)
     cols = [source.ts_col, *(tiebreak or [])]
     order = [F.col(c).desc() if descending else F.col(c).asc() for c in cols]
     out = df.orderBy(*order).limit(limit)
