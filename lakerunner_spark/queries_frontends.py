@@ -420,6 +420,29 @@ def pqs13_pushed_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pqs14_or",
+    f"""
+    WITH l AS ({_AVG_SERIES.format(step=3600000, etype="error")}),
+         r AS ({_AVG_SERIES.format(step=3600000, etype="click")})
+    SELECT coalesce(l.bucket_ts, r.bucket_ts) AS bucket_ts,
+           coalesce(l.user_id, r.user_id) AS user_id,
+           pround(coalesce(l.value, r.value), 6) AS value
+    FROM l FULL OUTER JOIN r
+      ON l.bucket_ts = r.bucket_ts AND l.user_id = r.user_id
+    """,
+)
+def pqs14_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """or through the string front-end: union preferring LHS on collision."""
+    df = _pq(
+        spark, sf_dir,
+        'sum by (user_id) (events{event_type="error"})'
+        ' or sum by (user_id) (events{event_type="click"})',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
     "lqs5_json_auto",
     f"""
     SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts, event_type,
