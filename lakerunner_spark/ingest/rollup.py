@@ -5,15 +5,12 @@ from the next finer tier; sums/counts/min/max compose exactly, avg is
 recomputed as sum/count, percentiles from merged sketches.
 
 Spark-first: the same groupBy over the coarser bucket. Percentile
-composition note: KLL/percentile_approx sketches aren't exposed as a
-mergeable column by built-ins, so coarser-tier percentiles here are
-approximations re-derived as weighted means of finer percentiles is
-WRONG; we instead carry min/max exactly and mark p* columns null at
-re-rolled tiers unless raw data is re-scanned (the ingest path can
-always produce any tier directly from raw for exact-contract sketches).
-Queries that need quantiles at coarse steps read the 10s tier and
-re-aggregate raw-side (A5 semantics), matching the reference's
-sketch-merge-at-query behavior.
+composition: built-in KLL state isn't a mergeable column, so re-rolled
+tiers don't carry p* columns here; for exact mergeable quantiles
+across tiers attach a map-typed DDSketch column instead
+(operators/ddsketch.py with_sketch_column / merge_sketch_column /
+sketch_column_quantile — merge-equals-direct is tested), the typed
+analogue of the reference's chq_sketch bytes.
 """
 
 from __future__ import annotations

@@ -127,6 +127,66 @@ def ddsketch_quantile(
     return first_hit.withColumn(out_col, value).drop("bucket")
 
 
+def with_sketch_column(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "chq_sketch",
+) -> DataFrame:
+    """Attach a map<bucket,count> DDSketch column per group — the
+    engine's ``chq_sketch`` analogue as a TYPED column (no opaque
+    bytes): rollup rows carry their distribution and coarser tiers
+    merge exactly with :func:`merge_sketch_column`."""
+    gamma = gamma_for(relative_accuracy)
+    per_bucket = (
+        df.withColumn("_b", bucket_index(value_col, gamma))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias(out_col)
+    )
+
+
+def merge_sketch_column(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "chq_sketch",
+) -> DataFrame:
+    """Merge map-typed sketches to a coarser grouping: explode entries,
+    sum counts per bucket, re-assemble — exact DDSketch merge (A2's
+    percentile path without raw rescans)."""
+    exploded = df.select(
+        *group_cols, F.explode(F.col(sketch_col)).alias("_b", "_c")
+    )
+    summed = exploded.groupBy(*group_cols, "_b").agg(F.sum("_c").alias("_c"))
+    return summed.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias(sketch_col)
+    )
+
+
+def sketch_column_quantile(
+    df: DataFrame,
+    group_cols: list[str],
+    q: float,
+    sketch_col: str = "chq_sketch",
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "value",
+) -> DataFrame:
+    """Quantile from a map-typed sketch column."""
+    rows = df.select(
+        *group_cols, F.explode(F.col(sketch_col)).alias("bucket", "count")
+    )
+    return ddsketch_quantile(
+        rows, group_cols, q, relative_accuracy=relative_accuracy, out_col=out_col
+    )
+
+
 def ddsketch_quantile_sql(
     base_sql: str,
     group_cols: list[str],

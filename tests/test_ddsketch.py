@@ -69,3 +69,28 @@ def test_zero_and_negative_values(spark):
     assert buckets[-2_000_000_001] == 1  # negatives reserved
     q0 = ddsketch_quantile(sk, ["g"], 0.5).first().value
     assert q0 == 0.0  # rank 1 (of 4) lands in the zero bucket
+
+
+def test_sketch_column_tier_merge(absvals):
+    """Map-typed sketch columns: attach per fine group, merge to coarse,
+    quantile — equals building the sketch directly at the coarse level
+    (the rollup chain's percentile path without raw rescans)."""
+    from lakerunner_spark.operators.ddsketch import (
+        merge_sketch_column,
+        sketch_column_quantile,
+        with_sketch_column,
+    )
+
+    fine = with_sketch_column(absvals, ["event_type", "user_id"], "v")
+    coarse = merge_sketch_column(fine, ["event_type"])
+    via_tiers = {
+        r.event_type: r.value
+        for r in sketch_column_quantile(coarse, ["event_type"], 0.9).collect()
+    }
+    direct = {
+        r.event_type: r.value
+        for r in ddsketch_quantile(
+            ddsketch_agg(absvals, ["event_type"], "v"), ["event_type"], 0.9
+        ).collect()
+    }
+    assert via_tiers == direct and via_tiers
