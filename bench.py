@@ -24,6 +24,7 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
     "a3_step_agg",
     "a9_rate",
     "a8_topk",

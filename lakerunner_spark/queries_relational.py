@@ -324,3 +324,143 @@ def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
     cols = ["event_type", "chq_timestamp", "value"]
     return a.select(cols).unionByName(b.select(cols))
+
+@register(
+    "tpch_q4_order_priority",
+    f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND o_orderdate < TIMESTAMP '{_D_1997_01_01}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS → left-semi shuffle join on orderkey (both sides
+    hash-partitioned on the key; semi-join never materializes lineitem
+    columns, so the scan prunes to l_orderkey+l_returnflag only)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(_D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(_D_1997_01_01))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q22_idle_rich_customers",
+    f"""
+    SELECT c_mktsegment, count(*) AS numcust,
+           pround(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT pround(avg(c_acctbal), 2) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: broadcast scalar threshold (cross-join of a 1-row agg,
+    never a collect) + left-anti join against date-filtered orders.
+    The threshold is rounded on both engines so the comparison is
+    bit-identical (see oracle-parity rules)."""
+    cust = load_table(spark, sf_dir, "customer")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(_pr(F.avg("c_acctbal"), 2).alias("avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ntz("2000-01-01")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _pr(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT pround(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+    WHERE l_quantity < qty_limit
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated scalar subquery, decorrelated as a
+    pre-aggregated self-join: both sides hash-partition on partkey, so
+    the agg output reuses the join's exchange. Quantities are
+    integer-valued doubles → the avg is order-independent and exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    limits = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li.join(limits, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(_pr(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           pround(o_totalprice, 2) AS o_totalprice_r,
+           pround(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0)
+    GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+    ORDER BY o_totalprice_r DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING-IN subquery → semi-join on a pre-aggregated key
+    set; sum(l_quantity) is exact over integer-valued doubles. Shuffle
+    joins co-partition on orderkey; customer dim broadcasts; the final
+    top-n is TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qsum"))
+        .filter(F.col("qsum") > 150.0)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(_pr(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _pr(F.col("o_totalprice"), 2).alias("o_totalprice_r"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice_r").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
