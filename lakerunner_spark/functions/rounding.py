@@ -45,7 +45,7 @@ def compile_pround(sql: str) -> str:
             elif ch == "," and depth == 1:
                 comma = k
             k += 1
-        expr = sql[j + len(token) : comma]
+        expr = compile_pround(sql[j + len(token) : comma])
         dp = int(sql[comma + 1 : k - 1].strip())
         scale = 10**dp
         out.append(f"(floor(({expr}) * {scale} + 0.5) / {scale})")

@@ -419,6 +419,430 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, pround(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+            AND l_shipdate < TIMESTAMP '{_D_1998_09_02}') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped dual-dimension join with a disjunctive cross-filter on
+    the joined pair. Both nation copies broadcast; the disjunction is
+    evaluated post-join (it references both sides), but the per-side
+    `IN (n1, n2)` implication is pushed into each broadcast dim here so
+    the fact-side joins only carry rows from the two nations."""
+    two = ["NATION_1", "NATION_2"]
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(two))
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1.select(F.col("n_nationkey").alias("snk"),
+                              F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2.select(F.col("n_nationkey").alias("cnk"),
+                              F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(_D_1998_09_02))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "supp_nation")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust.select("c_custkey", "cust_nation")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _pr(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           pround(pround(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                                  ELSE 0.0 END), 2)
+                  / pround(sum(volume), 2), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nation
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            AND o_orderdate >= TIMESTAMP '{_D_1996_01_01}'
+            AND o_orderdate < TIMESTAMP '{_D_1998_09_02}') all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped market-share ratio: 8-way join (all dims broadcast, the
+    only shuffle joins are lineitem⋈orders on orderkey) feeding a
+    conditional-sum / total-sum ratio per year. Both sums are rounded
+    before the division so the ratio is bit-stable across engines."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ntz(_D_1996_01_01))
+        & (F.col("o_orderdate") < _ntz(_D_1998_09_02))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            _pr(
+                _pr(F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0)), 2)
+                / _pr(F.sum(vol), 2),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT nation, o_year,
+           pround(CAST(sum(amount_e4) AS BIGINT) / 10000.0, 2) AS sum_profit
+    FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor((l_extendedprice * (1 - l_discount)
+                             - p_retailprice * 0.01 * l_quantity) * 10000.0
+                            + 0.5) AS BIGINT) AS amount_e4
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped profit rollup by (nation, year). The synthetic schema
+    has no partsupp, so supply cost is modeled as 1% of p_retailprice —
+    the plan family is what matters: LIKE-filtered part dim broadcast
+    into the fact, then a two-key group over join output.
+
+    Profit mixes signs, so cancellation puts a double-sum within eps of
+    a half-cent boundary; per-row amounts are fixed-pointed to integer
+    1e-4 units and summed as BIGINT (exact, order-independent)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.01 * F.col("l_quantity")
+    )
+    amount_e4 = F.floor(amount * 10000.0 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_pr(F.sum(amount_e4) / 10000.0, 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped distribution: left-outer join with an ON-clause filter
+    on the right side only (pushed below the join), per-customer count
+    (counting the nullable right key so unmatched customers count 0),
+    then a second aggregation over the counts. Two shuffles total; the
+    second one is tiny (one row per customer)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT pround(100.0 * pround(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0.0 END), 2)
+                  / pround(sum(l_extendedprice * (1 - l_discount)), 2),
+                  6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+      AND l_shipdate < TIMESTAMP '{_D_1996_03_15}'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo ratio: broadcast part into the date-pruned fact
+    scan, single conditional-sum pass, scalar output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(_D_1996_03_15))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _pr(
+                F.lit(100.0)
+                * _pr(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2)
+                / _pr(F.sum(rev), 2),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             pround(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+        AND l_shipdate < TIMESTAMP '{_D_1996_03_15}'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped argmax via scalar subquery: the per-supplier revenue
+    view is computed once, its 1-row max broadcasts back onto itself
+    (no collect, no second scan of lineitem), and the supplier dim
+    broadcasts. Revenue is rounded before the equality test so the
+    max-comparison is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+        & (F.col("l_shipdate") < _ntz(_D_1996_03_15))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _pr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped distinct-count with NOT-IN exclusion: the excluded
+    supplier set (the reference query's complaint suppliers; here
+    negative-balance ones) is tiny -> broadcast left-anti join; part
+    filter broadcasts; count(DISTINCT) plans as a two-phase expand/agg.
+    lineitem stands in for partsupp as the part-supplier relation."""
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT pround(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive join predicate. Catalyst derives the
+    per-side implications of the OR tree: `p_brand IN (...)` prunes the
+    broadcast side and `l_quantity BETWEEN 1 AND 30` reaches the fact
+    scan as a pushed filter, so the full disjunction only runs on the
+    small joined remainder."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disj = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(
+            _pr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped sole-blame detection: the same fact joins back to
+    itself once as a left-semi (some OTHER supplier touched the order)
+    and once as a left-anti (no OTHER supplier's line was returned) —
+    equi-key on orderkey with a non-equi residual on suppkey, the plan
+    family TPC-H Q21's correlated EXISTS/NOT EXISTS decorrelates to.
+    All three lineitem scans prune to 2-3 columns. The synthetic schema
+    has no receipt/commit dates, so `l_returnflag = 'R'` stands in for
+    the late-delivery predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+@register(
     "tpch_q18_large_volume",
     """
     SELECT c_name, c_custkey, o_orderkey,
