@@ -44,6 +44,24 @@ COMMENT = {
         "(band,sig) — near-unique keys, skew-free; AQE handles any hot "
         "bucket via skew-join splitting."
     ),
+    "tpch_q13_order_distribution": (
+        "Outer-join + double aggregation: orders' ON-clause filter is "
+        "pushed below the join (Filter (3) under the build side), the "
+        "outer join broadcasts at this scale, and each HashAggregate pair "
+        "does map-side partial counts so Exchange (9) carries one row per "
+        "(custkey) and Exchange (12) one row per distinct count value. At "
+        "100 TB the join becomes an SMJ on custkey and the first agg then "
+        "reuses its partitioning."
+    ),
+    "tpch_q21_waiting_supplier": (
+        "Decorrelated EXISTS/NOT EXISTS: lineitem is scanned once per "
+        "role, each pruned to 2 columns at the scan (ReadSchema), with "
+        "the non-equi suppkey residual evaluated inside the semi/anti "
+        "joins. At sf0.1 every build side broadcasts (zero shuffles "
+        "before the final agg); at 100 TB AQE plans the three as SMJs "
+        "sharing one orderkey partitioning. The final top-20 is "
+        "TakeOrderedAndProject."
+    ),
 }
 
 
