@@ -113,3 +113,109 @@ def range_agg(
         out = out.withColumn("value", F.when(covered, F.col("value")))
 
     return out.select("bucket_ts", *series_labels, "value")
+
+
+SPARSE_FUNCS = [
+    "rate",
+    "increase",
+    "sum_over_time",
+    "count_over_time",
+    "avg_over_time",
+    "min_over_time",
+    "max_over_time",
+]
+
+
+def range_agg_sparse(
+    df: DataFrame,
+    func: str,
+    range_ms: int,
+    step_ms: int,
+    series_labels: list[str],
+) -> DataFrame:
+    """Range function with the reference's exact sparse-series semantics.
+
+    The reference (promql/leaf_node.go:287-306 inferSpanMs, :308-430
+    evalRangeAwareScalar) adapts to series whose bucket cadence is
+    coarser than the query step: per bucket,
+
+    - ``eff_span = max(step, ts - prev_ts)`` (first bucket: step);
+    - entries with ``e.ts < ts + eff_span - range`` are evicted — and
+      stay evicted (running state), even if a later bucket's smaller
+      eff_span would re-admit them; a gap wider than the range evicts
+      the current bucket itself;
+    - ``covered = (ts - first_kept) + eff_span``; the value is NaN
+      until ``covered >= range``.
+
+    :func:`range_agg`'s fixed RANGE frame equals this exactly when the
+    series cadence <= step (dense data). This variant reproduces the
+    sparse case declaratively: collect the fixed frame (always a
+    superset of the survivor set, since eff_span >= step), then apply
+    the eviction rule as a pairwise array filter — entry ``e`` survives
+    at the current row iff no bucket ``e2`` processed at or after
+    ``e`` (``e2.ts >= e.ts``) had an eviction cutoff above ``e.ts``.
+    Everything stays JVM-side (higher-order functions, no UDF); the
+    arrays hold at most range/step entries per row of *aggregated*
+    series-resolution data, so the O(n^2) filter is on tiny n.
+    """
+    if func not in SPARSE_FUNCS:
+        raise ValueError(f"unsupported sparse range function: {func}")
+
+    wfull = Window.partitionBy(*series_labels).orderBy(F.col("bucket_ts"))
+    wrange = wfull.rangeBetween(-(range_ms - step_ms), 0)
+
+    prev_ts = F.lag("bucket_ts", 1).over(wfull)
+    delta = F.col("bucket_ts") - prev_ts
+    eff_span = F.greatest(F.lit(step_ms), F.coalesce(delta, F.lit(step_ms)))
+
+    # per-bucket eviction cutoff, collected alongside the stats so the
+    # pairwise survival test can see every later bucket's cutoff
+    cut = F.col("bucket_ts") + eff_span - F.lit(range_ms)
+    stats = F.struct(
+        F.col("bucket_ts").alias("ts"),
+        F.col("sum").alias("s"),
+        F.col("count").alias("c"),
+        F.col("min").alias("mn"),
+        F.col("max").alias("mx"),
+        cut.alias("cut"),
+    )
+    entries = F.collect_list(stats).over(wrange)
+
+    df2 = (
+        df.withColumn("eff_span", eff_span)
+        .withColumn("entries", entries)
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(entries, e -> !exists(entries,"
+                " e2 -> e2.ts >= e.ts AND e.ts < e2.cut))"
+            ),
+        )
+        .withColumn(
+            "covered",
+            F.when(
+                F.size("kept") > 0,
+                F.col("bucket_ts") - F.element_at("kept", 1)["ts"] + F.col("eff_span"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+
+    ksum = F.expr("aggregate(kept, 0D, (a, e) -> a + e.s)")
+    kcnt = F.expr("aggregate(kept, 0D, (a, e) -> a + e.c)")
+    if func == "rate":
+        value = ksum / F.lit(range_ms / 1000.0)
+    elif func in ("increase", "sum_over_time"):
+        value = ksum
+    elif func == "count_over_time":
+        value = kcnt
+    elif func == "avg_over_time":
+        value = F.when(kcnt != 0, ksum / kcnt)
+    elif func == "min_over_time":
+        value = F.expr("array_min(transform(kept, e -> e.mn))")
+    else:  # max_over_time
+        value = F.expr("array_max(transform(kept, e -> e.mx))")
+
+    gated = F.when(F.col("covered") >= F.lit(range_ms), value)
+    return df2.withColumn("value", gated).select(
+        "bucket_ts", *series_labels, "value"
+    )

@@ -135,3 +135,49 @@ def pqs9_without_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         3_600_000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "a9_sparse_sum_over_time",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 30000 AS bucket_ts, event_type,
+             sum(value) AS s
+      FROM {_E} e GROUP BY 1, 2
+    ), spans AS (
+      SELECT *, greatest(10000, coalesce(bucket_ts - lag(bucket_ts)
+               OVER (PARTITION BY event_type ORDER BY bucket_ts), 10000))
+               AS eff_span
+      FROM base
+    ), frames AS (
+      SELECT event_type, bucket_ts, eff_span,
+             list(struct_pack(ts := bucket_ts, s := s,
+                              cut := bucket_ts + eff_span - 60000))
+               OVER (PARTITION BY event_type ORDER BY bucket_ts
+                     RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS entries
+      FROM spans
+    ), kept AS (
+      SELECT event_type, bucket_ts, eff_span,
+             list_filter(entries, e -> len(list_filter(entries,
+                 e2 -> e2.ts >= e.ts AND e.ts < e2.cut)) = 0) AS k
+      FROM frames
+    )
+    SELECT event_type, bucket_ts,
+           CASE WHEN len(k) > 0 AND bucket_ts - k[1].ts + eff_span >= 60000
+                THEN pround(list_sum(list_transform(k, x -> x.s)), 4)
+           END AS value
+    FROM kept
+    """,
+)
+def a9_sparse_sum_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 sparse-cadence path: series bucketed at 30s, queried at step
+    10s / range 60s, so eff_span (leaf_node.go:287-306 inferSpanMs) is
+    the inferred 30s cadence, not the step. Both engines evaluate the
+    identical eviction/coverage rule over identically-ordered lists, so
+    the fold order of the double sum matches bit-for-bit."""
+    from lakerunner_spark.operators.range_agg import range_agg_sparse
+
+    e = events_stream(spark, sf_dir)
+    s = step_agg_raw(e, 30_000, ["event_type"])
+    out = range_agg_sparse(s, "sum_over_time", 60_000, 10_000, ["event_type"])
+    return out.withColumn("value", _pr("value", 4))
