@@ -51,6 +51,8 @@ def layout_metric_catalog(
 
         def resolve(self, metric: str) -> LeafSource:
             df = base.filter(F.col("metric_name") == metric)
-            return LeafSource(df, list(label_cols), pre_aggregated=True)
+            return LeafSource(
+                df, list(label_cols), pre_aggregated=True, frequency_ms=tier
+            )
 
     return _LayoutCatalog()

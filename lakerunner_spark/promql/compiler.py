@@ -40,7 +40,11 @@ from lakerunner_spark.operators.binary import (
     vector_scalar,
     vector_unless,
 )
-from lakerunner_spark.operators.range_agg import range_agg
+from lakerunner_spark.operators.range_agg import (
+    SPARSE_FUNCS,
+    range_agg,
+    range_agg_sparse,
+)
 from lakerunner_spark.operators.step_agg import step_agg, step_agg_raw
 from lakerunner_spark.operators.vector_agg import bottomk, topk, vector_agg
 from lakerunner_spark.promql import parser as ast
@@ -70,6 +74,10 @@ class LeafSource:
     value_col: str = "value"
     ts_col: str = "chq_timestamp"
     pre_aggregated: bool = False
+    # bucket cadence of a pre-aggregated tier (ms). When coarser than
+    # the query step, range functions switch to the sparse-cadence
+    # semantics (leaf_node.go inferSpanMs) instead of the fixed frame.
+    frequency_ms: int | None = None
 
 
 class MetricCatalog:
@@ -208,7 +216,17 @@ class _Compiler:
                 )
             return self._quantile_over_time(df, src, sel.range_ms, q)
         s = self._step(df, src)
-        r = range_agg(s, fn, sel.range_ms, self.step, src.labels)
+        if (
+            src.pre_aggregated
+            and src.frequency_ms is not None
+            and src.frequency_ms > self.step
+            and fn in SPARSE_FUNCS
+        ):
+            # rollup tier coarser than the step: the reference infers the
+            # series cadence and widens eviction/coverage accordingly
+            r = range_agg_sparse(s, fn, sel.range_ms, self.step, src.labels)
+        else:
+            r = range_agg(s, fn, sel.range_ms, self.step, src.labels)
         return _Vec(r, src.labels)
 
     def _quantile_over_time(
@@ -354,7 +372,15 @@ class _Compiler:
         s = step_agg_raw(df, self.step, labels, src.ts_col, src.value_col) \
             if not src.pre_aggregated \
             else step_agg(df, self.step, labels, src.ts_col)
-        r = range_agg(s, expr.fn, sel.range_ms, self.step, labels)
+        if (
+            src.pre_aggregated
+            and src.frequency_ms is not None
+            and src.frequency_ms > self.step
+            and expr.fn in SPARSE_FUNCS
+        ):
+            r = range_agg_sparse(s, expr.fn, sel.range_ms, self.step, labels)
+        else:
+            r = range_agg(s, expr.fn, sel.range_ms, self.step, labels)
         return _Vec(r, labels)
 
     def _compile_agg(self, node: ast.Agg) -> _Vec:

@@ -115,3 +115,47 @@ def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
     e = events_stream(spark, sf_dir)
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_agg(e, ["event_type"], {"a": ("avg", "value")})
+
+
+def test_coarse_tier_routes_to_sparse_semantics(spark, cooked_metrics):
+    """When only a tier coarser than the step survives (retention ate the
+    fine tiers), the front-end must use the sparse-cadence range path:
+    eff_span = the 60s tier cadence, so coverage completes as soon as
+    the kept buckets actually span the range — earlier than the fixed
+    frame's first_bucket + range - step gate."""
+    from lakerunner_spark.operators.range_agg import range_agg, range_agg_sparse
+    from lakerunner_spark.operators.step_agg import step_agg
+
+    step = 10_000
+    cat = layout_metric_catalog(
+        spark, cooked_metrics, step, ["metric_name", "attr_user"],
+        available_tiers=[60_000],
+    )
+    got = compile_promql("sum_over_time(purchase[5m])", cat, step)
+
+    tier_rows = (
+        spark.read.parquet(cooked_metrics)
+        .filter((F.col("frequency_ms") == 60_000)
+                & (F.col("metric_name") == "purchase"))
+    )
+    s = step_agg(tier_rows, step, ["metric_name", "attr_user"])
+    want_sparse = range_agg_sparse(
+        s, "sum_over_time", 300_000, step, ["metric_name", "attr_user"]
+    )
+    want_fixed = range_agg(
+        s, "sum_over_time", 300_000, step, ["metric_name", "attr_user"],
+        coverage_gate=True,
+    )
+
+    def to_map(df):
+        return {
+            (r.bucket_ts, r.attr_user): None if r.value is None else round(r.value, 9)
+            for r in df.collect()
+        }
+
+    g, ws = to_map(got), to_map(want_sparse)
+    assert g == ws and len(g) > 0
+    # the fixed frame ungates later on the ramp — routing must have
+    # actually changed the result (sum_over_time is ungated on the fixed
+    # path, but the sparse path gates on true coverage)
+    assert g != to_map(want_fixed)
