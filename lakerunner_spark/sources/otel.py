@@ -15,11 +15,11 @@ Spark-first plumbing (real and tested):
   flat row set (schema declared up front, wide+sparse like the cooked
   tables).
 
-The actual protobuf decode requires ``opentelemetry-proto``, which is
-NOT in this container — ``decode_otlp_logs_payload`` raises
-NotImplementedError unless a decoder is injected. Tests inject a
-deterministic fake decoder to exercise the full Spark path (schema,
-batching, explode, normalization).
+The protobuf decode is a dependency-free wire-format parser
+(sources/protowire.py) over the public opentelemetry-proto v1 field
+numbers — real ``.binpb(.gz)`` payloads decode without any protobuf
+runtime. A ``decoder`` can still be injected per call (alternative
+formats; deterministic fakes in plumbing tests).
 """
 
 from __future__ import annotations
@@ -50,38 +50,34 @@ Decoder = Callable[[bytes], list[dict]]
 def decode_otlp_logs_payload(payload: bytes) -> list[dict]:
     """Decode one OTLP ExportLogsServiceRequest protobuf.
 
-    Requires opentelemetry-proto (absent in this environment). The
-    decode itself is pure per-payload CPU work; everything around it
-    (distribution, batching, schema) is engine code and tested with an
-    injected fake.
+    Pure-Python wire-format decode (sources/protowire.py) — no protobuf
+    runtime needed. Field numbers follow the public opentelemetry-proto
+    v1 logs.proto: ExportLogsServiceRequest{resource_logs=1},
+    ResourceLogs{resource=1, scope_logs=2}, ScopeLogs{log_records=2},
+    LogRecord{time_unix_nano=1, severity_text=3, body=5, attributes=6,
+    observed_time_unix_nano=11}.
     """
-    try:
-        from opentelemetry.proto.collector.logs.v1 import (  # type: ignore
-            logs_service_pb2,
-        )
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "OTLP decode needs opentelemetry-proto; inject a decoder for tests"
-        ) from exc
-    req = logs_service_pb2.ExportLogsServiceRequest()
-    req.ParseFromString(payload)
+    from lakerunner_spark.sources import protowire as pw
+
     rows: list[dict] = []
-    for rl in req.resource_logs:
-        res_attrs = {a.key: a.value.string_value for a in rl.resource.attributes}
-        for sl in rl.scope_logs:
-            for rec in sl.log_records:
-                ns = rec.time_unix_nano or rec.observed_time_unix_nano
+    for rl in pw.fields_dict(payload).get(1, []):
+        rlm = pw.fields_dict(rl)
+        res = pw.resource_attrs(pw.first(rlm, 1))
+        for sl in rlm.get(2, []):
+            for rec in pw.fields_dict(sl).get(2, []):
+                m = pw.fields_dict(rec)
+                ns = pw.as_u64(pw.first(m, 1, 0)) or pw.as_u64(pw.first(m, 11, 0))
+                attrs = pw.keyvalues(m.get(6, []))
+                sev = pw.as_str(pw.first(m, 3, b""))
                 rows.append(
                     {
                         "chq_timestamp": ns // 1_000_000,
                         "chq_tsns": ns,
-                        "log_message": rec.body.string_value,
-                        "log_level": rec.severity_text or None,
-                        "resource_service_name": res_attrs.get("service.name"),
-                        "attr_keys": [a.key for a in rec.attributes],
-                        "attr_values": [
-                            a.value.string_value for a in rec.attributes
-                        ],
+                        "log_message": pw.any_value_str(pw.first(m, 5)) or "",
+                        "log_level": sev or None,
+                        "resource_service_name": res.get("service.name"),
+                        "attr_keys": [k for k, _ in attrs],
+                        "attr_values": [v for _, v in attrs],
                     }
                 )
     return rows
@@ -125,85 +121,98 @@ OTLP_SPAN_SCHEMA = T.StructType(
 def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
     """Decode one ExportMetricsServiceRequest: one row per datapoint,
     histogram buckets exploded with their ``le`` bound (the reference's
-    otel_metrics_read table function, metric_ingest_duckdb.go:238)."""
-    try:
-        from opentelemetry.proto.collector.metrics.v1 import (  # type: ignore
-            metrics_service_pb2,
-        )
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "OTLP decode needs opentelemetry-proto; inject a decoder for tests"
-        ) from exc
-    req = metrics_service_pb2.ExportMetricsServiceRequest()
-    req.ParseFromString(payload)
+    otel_metrics_read table function, metric_ingest_duckdb.go:238).
+
+    Wire decode per opentelemetry-proto v1 metrics.proto:
+    ExportMetricsServiceRequest{resource_metrics=1},
+    ResourceMetrics{resource=1, scope_metrics=2}, ScopeMetrics{metrics=2},
+    Metric{name=1, gauge=5, sum=7, histogram=9},
+    NumberDataPoint{time_unix_nano=3, as_double=4, as_int=6, attributes=7},
+    HistogramDataPoint{time_unix_nano=3, count=4, sum=5, bucket_counts=6,
+    explicit_bounds=7, attributes=9}.
+    """
+    from lakerunner_spark.sources import protowire as pw
+
     rows: list[dict] = []
-    for rm in req.resource_metrics:
-        res = {a.key: a.value.string_value for a in rm.resource.attributes}
-        svc = res.get("service.name")
-        for sm in rm.scope_metrics:
-            for metric in sm.metrics:
-                kind = metric.WhichOneof("data")
-                if kind == "gauge":
-                    pts, mtype = metric.gauge.data_points, "gauge"
-                elif kind == "sum":
-                    pts, mtype = metric.sum.data_points, "count"
-                elif kind == "histogram":
-                    pts, mtype = metric.histogram.data_points, "histogram"
+    for rm in pw.fields_dict(payload).get(1, []):
+        rmm = pw.fields_dict(rm)
+        svc = pw.resource_attrs(pw.first(rmm, 1)).get("service.name")
+        for sm in rmm.get(2, []):
+            for metric in pw.fields_dict(sm).get(2, []):
+                mm = pw.fields_dict(metric)
+                name = pw.as_str(pw.first(mm, 1, b""))
+                if 5 in mm:  # gauge
+                    pts, mtype = pw.fields_dict(mm[5][0]).get(1, []), "gauge"
+                elif 7 in mm:  # sum (monotonic counter family)
+                    pts, mtype = pw.fields_dict(mm[7][0]).get(1, []), "count"
+                elif 9 in mm:  # histogram
+                    pts, mtype = pw.fields_dict(mm[9][0]).get(1, []), "histogram"
                 else:
                     continue
                 for p in pts:
+                    pm = pw.fields_dict(p)
+                    attrs = pw.keyvalues(
+                        pm.get(9 if mtype == "histogram" else 7, [])
+                    )
                     base = {
-                        "chq_timestamp": p.time_unix_nano // 1_000_000,
-                        "metric_name": metric.name,
+                        "chq_timestamp": pw.as_u64(pw.first(pm, 3, 0)) // 1_000_000,
+                        "metric_name": name,
                         "chq_metric_type": mtype,
                         "resource_service_name": svc,
-                        "attr_keys": [a.key for a in p.attributes],
-                        "attr_values": [a.value.string_value for a in p.attributes],
+                        "attr_keys": [k for k, _ in attrs],
+                        "attr_values": [v for _, v in attrs],
                     }
                     if mtype == "histogram":
-                        for cnt, le in zip(
-                            p.bucket_counts, list(p.explicit_bounds) + [float("inf")]
-                        ):
+                        counts = pw.packed_u64(pm.get(6, []))
+                        bounds = pw.packed_double(pm.get(7, []))
+                        for cnt, le in zip(counts, bounds + [float("inf")]):
                             rows.append(
                                 {**base, "value": float(cnt), "bucket_le": le}
                             )
                     else:
-                        v = p.as_double if p.HasField("as_double") else p.as_int
-                        rows.append({**base, "value": float(v), "bucket_le": None})
+                        if 4 in pm:
+                            v = pw.as_double(pm[4][0])
+                        else:
+                            v = float(pw.as_i64(pw.first(pm, 6, 0)))
+                        rows.append({**base, "value": v, "bucket_le": None})
     return rows
 
 
 def decode_otlp_traces_payload(payload: bytes) -> list[dict]:
     """Decode one ExportTraceServiceRequest: one row per span
-    (ingest_proto_traces.go; span columns per otel_schema.go:79-95)."""
-    try:
-        from opentelemetry.proto.collector.trace.v1 import (  # type: ignore
-            trace_service_pb2,
-        )
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "OTLP decode needs opentelemetry-proto; inject a decoder for tests"
-        ) from exc
-    req = trace_service_pb2.ExportTraceServiceRequest()
-    req.ParseFromString(payload)
+    (ingest_proto_traces.go; span columns per otel_schema.go:79-95).
+
+    Wire decode per opentelemetry-proto v1 trace.proto:
+    ExportTraceServiceRequest{resource_spans=1},
+    ResourceSpans{resource=1, scope_spans=2}, ScopeSpans{spans=2},
+    Span{trace_id=1, span_id=2, parent_span_id=4, name=5, kind=6,
+    start_time_unix_nano=7, end_time_unix_nano=8, status=15},
+    Status{message=2, code=3}.
+    """
+    from lakerunner_spark.sources import protowire as pw
+
     rows: list[dict] = []
-    for rs in req.resource_spans:
-        res = {a.key: a.value.string_value for a in rs.resource.attributes}
-        svc = res.get("service.name")
-        for ss in rs.scope_spans:
-            for sp in ss.spans:
+    for rs in pw.fields_dict(payload).get(1, []):
+        rsm = pw.fields_dict(rs)
+        svc = pw.resource_attrs(pw.first(rsm, 1)).get("service.name")
+        for ss in rsm.get(2, []):
+            for sp in pw.fields_dict(ss).get(2, []):
+                m = pw.fields_dict(sp)
+                start = pw.as_u64(pw.first(m, 7, 0))
+                end = pw.as_u64(pw.first(m, 8, 0))
+                status = pw.fields_dict(pw.first(m, 15, b""))
+                parent = pw.first(m, 4, b"").hex()
                 rows.append(
                     {
-                        "chq_timestamp": sp.start_time_unix_nano // 1_000_000,
-                        "chq_tsns": sp.start_time_unix_nano,
-                        "span_trace_id": sp.trace_id.hex(),
-                        "span_id": sp.span_id.hex(),
-                        "span_parent_span_id": sp.parent_span_id.hex() or None,
-                        "span_name": sp.name,
-                        "span_kind": str(sp.kind),
-                        "span_status_code": str(sp.status.code),
-                        "span_duration": sp.end_time_unix_nano
-                        - sp.start_time_unix_nano,
+                        "chq_timestamp": start // 1_000_000,
+                        "chq_tsns": start,
+                        "span_trace_id": pw.first(m, 1, b"").hex(),
+                        "span_id": pw.first(m, 2, b"").hex(),
+                        "span_parent_span_id": parent or None,
+                        "span_name": pw.as_str(pw.first(m, 5, b"")),
+                        "span_kind": str(pw.first(m, 6, 0)),
+                        "span_status_code": str(pw.first(status, 3, 0)),
+                        "span_duration": end - start,
                         "resource_service_name": svc,
                     }
                 )

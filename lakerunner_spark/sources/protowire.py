@@ -1,0 +1,150 @@
+"""Dependency-free protobuf wire-format decoding for OTLP payloads.
+
+The container has no protobuf runtime, but the protobuf wire format and
+the OpenTelemetry proto schemas are public and stable (opentelemetry-
+proto v1: logs.proto / metrics.proto / trace.proto / common.proto).
+This module implements the subset the OTLP readers need — varint,
+fixed64/fixed32, and length-delimited fields, plus packed repeated
+scalars — so S5/S6 decode real ``.binpb`` payloads with zero optional
+dependencies. The reference links a DuckDB extension for the same job
+(otel_logs_read / otel_metrics_read / otel_traces_read,
+internal/metricsprocessing/logs_ingest_duckdb.go:232).
+
+Only features OTLP actually uses are supported; groups (wire types 3/4)
+are rejected.
+"""
+
+from __future__ import annotations
+
+import struct
+
+VARINT, I64, LEN, I32 = 0, 1, 2, 5
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("protowire: varint too long")
+
+
+def iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) for one serialized message.
+
+    value is int for VARINT, bytes for I64/I32/LEN.
+    """
+    i, n = 0, len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        field, wtype = tag >> 3, tag & 7
+        if wtype == VARINT:
+            val, i = _read_varint(buf, i)
+        elif wtype == I64:
+            val, i = buf[i : i + 8], i + 8
+        elif wtype == LEN:
+            ln, i = _read_varint(buf, i)
+            val, i = buf[i : i + ln], i + ln
+        elif wtype == I32:
+            val, i = buf[i : i + 4], i + 4
+        else:
+            raise ValueError(f"protowire: unsupported wire type {wtype}")
+        yield field, wtype, val
+
+
+def fields_dict(buf: bytes) -> dict[int, list]:
+    """All fields of a message, keyed by field number (repeated-safe)."""
+    out: dict[int, list] = {}
+    for field, _, val in iter_fields(buf):
+        out.setdefault(field, []).append(val)
+    return out
+
+
+def first(msg: dict[int, list], field: int, default=None):
+    vals = msg.get(field)
+    return vals[0] if vals else default
+
+
+def as_u64(val) -> int:
+    """fixed64 bytes OR varint int -> unsigned int."""
+    return val if isinstance(val, int) else struct.unpack("<Q", val)[0]
+
+
+def as_i64(val) -> int:
+    return val if isinstance(val, int) else struct.unpack("<q", val)[0]
+
+
+def as_double(val) -> float:
+    return struct.unpack("<d", val)[0]
+
+
+def as_str(val: bytes) -> str:
+    return val.decode("utf-8", errors="replace")
+
+
+def packed_u64(vals: list) -> list[int]:
+    """Repeated fixed64, packed (LEN of 8-byte chunks) or unpacked."""
+    out: list[int] = []
+    for v in vals:
+        if isinstance(v, bytes) and len(v) > 8:
+            out.extend(struct.unpack(f"<{len(v) // 8}Q", v))
+        else:
+            out.append(as_u64(v))
+    return out
+
+
+def packed_double(vals: list) -> list[float]:
+    out: list[float] = []
+    for v in vals:
+        if isinstance(v, bytes) and len(v) != 8:
+            out.extend(struct.unpack(f"<{len(v) // 8}d", v))
+        else:
+            out.append(as_double(v))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OTLP common.proto
+# ---------------------------------------------------------------------------
+
+# AnyValue field numbers (common.proto)
+_ANY_STRING, _ANY_BOOL, _ANY_INT, _ANY_DOUBLE = 1, 2, 3, 4
+
+
+def any_value_str(buf: bytes | None) -> str | None:
+    """AnyValue -> string form (scalars stringified, like attr columns)."""
+    if buf is None:
+        return None
+    m = fields_dict(buf)
+    if _ANY_STRING in m:
+        return as_str(m[_ANY_STRING][0])
+    if _ANY_INT in m:
+        return str(as_i64(m[_ANY_INT][0]))
+    if _ANY_DOUBLE in m:
+        return repr(as_double(m[_ANY_DOUBLE][0]))
+    if _ANY_BOOL in m:
+        return "true" if m[_ANY_BOOL][0] else "false"
+    return None
+
+
+def keyvalues(vals: list) -> list[tuple[str, str | None]]:
+    """Repeated KeyValue {key=1, value=2} -> [(key, str value)]."""
+    out = []
+    for kv in vals:
+        m = fields_dict(kv)
+        key = as_str(first(m, 1, b""))
+        out.append((key, any_value_str(first(m, 2))))
+    return out
+
+
+def resource_attrs(resource_buf: bytes | None) -> dict[str, str | None]:
+    """Resource {attributes=1} -> {key: value}."""
+    if resource_buf is None:
+        return {}
+    return dict(keyvalues(fields_dict(resource_buf).get(1, [])))

@@ -139,12 +139,13 @@ def test_otlp_metrics_and_traces_plumbing(spark, tmp_path):
     assert len(t) == 1 and t[0].span_duration == 42
 
 
-def test_otlp_without_decoder_raises(spark, tmp_path):
+def test_otlp_malformed_payload_raises(spark, tmp_path):
     d = tmp_path / "otlp2"
     d.mkdir()
-    (d / "a.binpb").write_bytes(bytes([1]))
-    df = read_otlp_logs(spark, str(d))  # real decoder: lib absent here
-    with pytest.raises(Exception, match="(?i)opentelemetry|NotImplemented"):
+    # truncated varint: a continuation byte with no successor
+    (d / "a.binpb").write_bytes(bytes([0x80]))
+    df = read_otlp_logs(spark, str(d))  # built-in wire decoder
+    with pytest.raises(Exception, match="(?i)index|varint|range"):
         df.collect()
 
 
