@@ -23,10 +23,15 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q16_supplier_cnt",
     "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
     "a3_step_agg",
     "a9_rate",
+    "a9_sparse_sum_over_time",
     "a8_topk",
     "j1_vector_arith",
     "a14_summary",
