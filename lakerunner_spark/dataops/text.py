@@ -112,3 +112,72 @@ def structural_fingerprint(line: Column) -> Column:
     """
     template = F.regexp_replace(line, "[0-9]+", "#")
     return F.md5(template)
+
+
+# --------------------- rolling-hash document fingerprints -------------------
+
+# modulus keeps the polynomial fold inside BIGINT on every engine
+# (h < MOD, so h*31 + ascii < 2^35; DuckDB BIGINT overflow would error)
+ROLLING_MOD = 1_000_000_007
+
+
+def _rolling_hash_sql(expr: str) -> str:
+    """Portable polynomial rolling hash of a string: fold h = (h*31+c) % MOD.
+
+    Identical arithmetic is expressible in DuckDB (list_reduce) — see
+    the dd6 oracle — so fingerprints are cross-engine exact.
+    """
+    return (
+        f"aggregate(transform(split({expr}, ''),"
+        f" c -> CAST(ascii(c) AS BIGINT)), 0L,"
+        f" (h, c) -> (h * 31 + c) % {ROLLING_MOD})"
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (one row per print).
+
+    The winnowing scheme (Schleimer/Wilkerson/Aiken, SIGMOD 2003): hash
+    every k-token gram with a rolling hash, slide a window of w
+    consecutive gram hashes, keep the minimum of each window, dedupe.
+    Guarantees any shared run of >= k+w-1 tokens yields a shared
+    fingerprint, at ~1/w storage of full shingling.
+
+    All array expressions (no UDF): tokens -> gram slices -> fold hash
+    -> windowed min -> distinct. Docs with fewer than k tokens emit no
+    fingerprints; with fewer than w grams they emit the single min.
+    """
+    toks = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
+    )
+    # Spark's sequence(1, 0) counts DOWN ([1, 0]) — docs with fewer than
+    # k tokens are dropped before the gram sequence is built
+    d = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+    )
+    d = d.select(id_col, grams.alias("_grams"))
+    gh = F.expr(
+        f"transform(_grams, g -> {_rolling_hash_sql('g')})"
+    )
+    d = d.select(id_col, gh.alias("_gh"))
+    wins = F.expr(
+        f"CASE WHEN size(_gh) >= {w} THEN"
+        f" transform(sequence(1, size(_gh) - {w - 1}),"
+        f"           j -> array_min(slice(_gh, j, {w})))"
+        f" ELSE array(array_min(_gh)) END"
+    )
+    return (
+        d.select(id_col, F.explode(F.array_distinct(wins)).alias("fingerprint"))
+        .distinct()
+    )

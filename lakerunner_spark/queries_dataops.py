@@ -349,3 +349,44 @@ def fp1_structural_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "dd6_winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(tk) - 4),
+                 i -> array_to_string(tk[i:i+4], ' ')) AS grams
+      FROM toks WHERE len(tk) >= 5
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> list_reduce(
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT)),
+                 (hh, c) -> (hh * 31 + c) % 1000000007)) AS gh
+      FROM g
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) >= 4
+                  THEN list_transform(generate_series(1, len(gh) - 3),
+                                      j -> list_min(gh[j:j+3]))
+                  ELSE [list_min(gh)] END AS w
+      FROM h
+    )
+    SELECT DISTINCT doc_id, unnest(w) AS fingerprint FROM wins
+    """,
+)
+def dd6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): k=5 token grams
+    hashed with a portable mod-p polynomial fold, w=4 window minima,
+    deduped — both engines compute the identical integer arithmetic."""
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
