@@ -159,3 +159,61 @@ def frame_sample(
         )
         .select("media_id", "frame_offset_ms", "duration_ms")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+# (payload, target_w, target_h) -> resized payload bytes
+Resizer = Callable[[bytes, int, int], bytes]
+
+
+def resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. Needs a codec library (absent here) —
+    inject a resizer or provide one at deployment."""
+    raise NotImplementedError(
+        "image resize needs a codec library; inject resizer=... instead"
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Resizer | None = None,
+) -> DataFrame:
+    """Resize image payloads partition-parallel (Arrow-batched).
+
+    The output schema records the target dimensions; payloads never
+    touch the driver and each task holds one Arrow batch of them.
+    """
+    rs = resizer or resize_payload
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                rs(bytes(p), width, height) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "media_type", "payload")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )

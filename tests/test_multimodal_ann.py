@@ -118,3 +118,26 @@ def test_lsh_candidates_bucket_cap(spark, sf_dir):
     u = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
     c = {(r.doc_a, r.doc_b) for r in capped.collect()}
     assert c <= u  # capping never invents pairs
+
+
+def test_resize_images_with_injected_resizer(media):
+    from lakerunner_spark.dataops.multimodal import resize_images
+
+    def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        return payload[: w * h]  # deterministic stand-in
+
+    out = {
+        r.media_id: r
+        for r in resize_images(media, 2, 3, resizer=fake_resize).collect()
+    }
+    assert set(out) == {1, 2}  # images only
+    assert out[1].width == 2 and out[1].height == 3
+    assert bytes(out[1].payload) == bytes(range(6))
+    assert bytes(out[2].payload) == bytes([255] * 6)
+
+
+def test_resize_without_codec_raises(media):
+    from lakerunner_spark.dataops.multimodal import resize_images
+
+    with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
+        resize_images(media, 2, 2).collect()
