@@ -888,3 +888,225 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice_r").desc(), F.col("o_orderkey").asc())
         .limit(50)
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             pround(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    regional AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name, unit_cost,
+             min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+      FROM cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_size <= 10 AND r_name = 'EUROPE')
+    SELECT pround(s_acctbal, 2) AS s_acctbal_r, s_name, n_name, p_partkey,
+           p_name, unit_cost
+    FROM regional WHERE unit_cost = best_cost
+    ORDER BY s_acctbal_r DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped min-cost supplier. The reference query's correlated
+    `= (SELECT min(ps_supplycost) ...)` decorrelates to a window MIN
+    over the region-restricted join — one pass, no self-join, no second
+    scan of the fact (contrast q15's broadcast-scalar and q17's pre-agg
+    self-join: three decorrelation families now covered). The synthetic
+    schema has no partsupp, so unit cost is min(extendedprice/quantity)
+    per (part, supplier) from lineitem.
+
+    Scale: the (part, supplier) cost relation is ~|partsupp|, far
+    smaller than lineitem; all dims broadcast; the window partitions by
+    p_partkey, the same key the preceding join shuffled on, so AQE can
+    reuse the exchange. Rounding before the equality test keeps the
+    tie-set identical on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        _pr(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "unit_cost"
+        )
+    )
+    regional = cost.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+    return (
+        regional.withColumn("best_cost", best)
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            _pr(F.col("s_acctbal"), 2).alias("s_acctbal_r"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal_r").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, pround(value_c / 100.0, 2) AS part_value
+    FROM val
+    WHERE value_c * 1000 > (SELECT sum(value_c) FROM val)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped important-parts: per-part value restricted to one
+    region's suppliers, keeping parts above a fraction (0.1%) of the
+    grand total — the HAVING-over-global-aggregate family. The same
+    aggregated view feeds both sides (rows and the scalar total); Spark
+    plans the 1-row total as a broadcast cross join, and AQE reuses the
+    shuffle of the shared groupBy lineage rather than rescanning
+    lineitem.
+
+    Per-row amounts are fixed-pointed to integer cents before summing,
+    so both the total and the `value*1000 > total` comparison are exact
+    integer arithmetic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("long")
+    val = (
+        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_c"))
+    )
+    total = val.agg(F.sum("value_c").alias("total_c"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            _pr(F.col("value_c") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_promotable_suppliers",
+    f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_D_1996_01_01}'
+        AND l_shipdate < TIMESTAMP '{_D_1997_01_01}'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%blue%')
+      GROUP BY l_partkey, l_suppkey),
+    qual AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, qty,
+               sum(qty) OVER (PARTITION BY l_partkey) AS total_qty
+        FROM shipped) t
+      WHERE qty * 5 > total_qty)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name = 'ASIA')
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped promotable suppliers: a nested semi-join chain.
+    lineitem is first semi-pruned by the LIKE-filtered part list, the
+    per-(part, supplier) shipped quantity is compared against a
+    window-computed per-part total (the reference's correlated `> 0.5 *
+    sum(...)` threshold; >20% share here), and the distinct qualifying
+    supplier keys semi-join into the supplier dim alongside a
+    region-restricted nation semi-join — supplier rows are never
+    duplicated, only filtered. Quantities are integer-valued doubles
+    cast to BIGINT, so the share comparison `qty*5 > total` is exact.
+
+    Scale: both semi-join build sides (blue parts, qualifying
+    suppliers) are tiny and broadcast; the only big shuffle is the
+    groupBy on (partkey, suppkey), and the window reuses its
+    partitioning on l_partkey."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    blue = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%blue%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
+            & (F.col("l_shipdate") < _ntz(_D_1997_01_01))
+        )
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    qual = (
+        shipped.withColumn("total_qty", total)
+        .filter(F.col("qty") * 5 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
