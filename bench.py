@@ -49,6 +49,9 @@ HEADLINE = [
     "txt1_text_stats",
     "mm1_byte_histogram",
     "fp1_structural_fingerprint",
+    "dd7_neardup_clusters",
+    "ds1_hash_split",
+    "ds3_sequence_pack",
 ]
 
 

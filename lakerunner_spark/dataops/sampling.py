@@ -1,0 +1,146 @@
+"""Deterministic dataset splitting, sampling, and sequence packing.
+
+Training pipelines need *reproducible* membership decisions — the same
+document must land in the same split on every run, on any cluster size,
+without coordination. All operators here key off a multiplicative
+integer hash of the stable document id (Knuth's 2654435761 = closest
+prime to 2^32/phi), so membership is a pure per-row expression: no
+shuffle, no RNG state, no driver involvement, and the DuckDB oracle
+reproduces it bit-for-bit with the same arithmetic.
+
+Sequence packing (greedy fill of fixed token budgets) is inherently
+sequential *within* a stream, so it is parallelized the way production
+packers do: hash-partition documents into independent streams, pack
+each stream with a linear greedy pass (Arrow-batched applyInPandas),
+emit (doc -> pack) assignments. Pack quality loses nothing — packing
+efficiency depends on the token-length distribution, which is identical
+in every hash bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KNUTH = 2654435761  # 2^32 / golden ratio, prime
+MOD = 4294967296  # 2^32
+
+
+def id_hash(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform hash of a BIGINT id into [0, 2^32).
+
+    `(id + salt) * 2654435761 mod 2^32` — exact in BIGINT arithmetic
+    for ids < ~3.4e9 per partition-salt; for larger id spaces chain two
+    rounds. Identical SQL runs on DuckDB (see id_hash_sql).
+    """
+    return ((id_col + F.lit(salt)) * F.lit(KNUTH)) % F.lit(MOD)
+
+
+def id_hash_sql(id_expr: str, salt: int = 0) -> str:
+    return f"(({id_expr} + {salt}) * {KNUTH}) % {MOD}"
+
+
+def hash_split(
+    id_col: Column, weights: Iterable[tuple[str, float]], salt: int = 0
+) -> Column:
+    """Assign each id to a named split with the given weights.
+
+    weights: ordered (name, fraction) pairs summing to 1.0. The split
+    boundary thresholds are integer cutoffs on the 32-bit hash, so
+    assignment is exact and stable under re-runs and data growth.
+    """
+    h = id_hash(id_col, salt)
+    expr = None
+    acc = 0.0
+    items = list(weights)
+    for name, frac in items[:-1]:
+        acc += frac
+        cutoff = int(acc * MOD)
+        cond = h < F.lit(cutoff)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def hash_split_sql(id_expr: str, weights: Iterable[tuple[str, float]], salt: int = 0) -> str:
+    h = id_hash_sql(id_expr, salt)
+    items = list(weights)
+    parts = []
+    acc = 0.0
+    for name, frac in items[:-1]:
+        acc += frac
+        parts.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
+
+
+def hash_sample(id_col: Column, fraction: Column | float, salt: int = 0) -> Column:
+    """Boolean keep-mask retaining ~fraction of ids, deterministically.
+
+    fraction may be a per-row Column (stratified sampling: different
+    rates per stratum). Subset property: sample(0.1) ⊂ sample(0.2) at
+    the same salt, which makes growing a sample cheap.
+    """
+    frac = F.lit(fraction) if isinstance(fraction, float) else fraction
+    return id_hash(id_col, salt) < (frac * F.lit(MOD)).cast("long")
+
+
+def hash_sample_sql(id_expr: str, fraction_expr: str, salt: int = 0) -> str:
+    return f"{id_hash_sql(id_expr, salt)} < CAST({fraction_expr} * {MOD} AS BIGINT)"
+
+
+_PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+    ]
+)
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Greedy sequence packing into fixed token budgets.
+
+    Documents are hash-partitioned into `num_buckets` independent
+    streams (bucket = id mod num_buckets), each stream ordered by id
+    and packed greedily: a pack closes when the next document would
+    exceed `budget` (an oversized document occupies a pack alone).
+    Returns (bucket, doc_id, n_tokens, pack_id) — pack identity is
+    (bucket, pack_id).
+
+    Scale: each bucket packs independently inside one Arrow-batched
+    applyInPandas task — the only shuffle is the hash partition. At
+    100 TB, num_buckets rises to O(cores); greedy-within-bucket packing
+    efficiency is unaffected because each bucket sees the same length
+    distribution. Deterministic: no RNG, order is (bucket, id).
+    """
+    prepared = df.select(
+        (F.col(id_col) % F.lit(num_buckets)).alias("bucket"),
+        F.col(id_col).alias("doc_id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        pid, acc = 0, 0
+        for t in pdf["n_tokens"]:
+            if acc > 0 and acc + t > budget:
+                pid += 1
+                acc = 0
+            acc += t
+            pack_ids.append(pid)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf
+
+    return prepared.groupBy("bucket").applyInPandas(pack, schema=_PACK_SCHEMA)

@@ -390,3 +390,161 @@ def dd6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: clustering, splits, sampling, packing
+# ---------------------------------------------------------------------------
+
+_NEARDUP_PAIRS_SQL = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    f AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM e CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+          FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b
+    FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+    WHERE pround(dot / (na.nrm * nb.nrm), 4) >= 0.3
+"""
+
+
+@register(
+    "dd7_neardup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_NEARDUP_PAIRS_SQL}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(u, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e2.u, w.label FROM edges e2 JOIN walk w ON w.u = e2.v
+    ),
+    comp AS (SELECT u AS node, min(label) AS component FROM walk GROUP BY u),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT node, component, cluster_size
+    FROM comp JOIN sizes USING (component)
+    """,
+)
+def dd7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of verified near-dup pairs -> one canonical id
+    (the cluster minimum) per document: the pairs->delete-list step of a
+    production dedup pipeline. Spark side runs iterative min-label
+    propagation (dataops/graph.py, one shuffle per round, converges in
+    O(cluster diameter)); the oracle computes the same components with a
+    recursive CTE."""
+    from lakerunner_spark.dataops.dedup import embedding_neardup
+    from lakerunner_spark.dataops.graph import neardup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = embedding_neardup(emb, 0.3)
+    return neardup_clusters(pairs, "id_a", "id_b")
+
+
+_SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+@register(
+    "ds1_hash_split",
+    None,  # assembled below once sampling helpers are imported
+)
+def ds1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from a multiplicative
+    integer hash of doc_id — reproducible on any cluster size with no
+    RNG state; both engines do the identical BIGINT arithmetic."""
+    from lakerunner_spark.dataops.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", hash_split(F.col("doc_id"), _SPLIT_WEIGHTS))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "ds2_stratified_sample",
+    None,
+)
+def ds2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language keep rates (50%
+    en, 20% otherwise) applied as a pure per-row hash threshold — no
+    shuffle, subset-stable as rates grow."""
+    from lakerunner_spark.dataops.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    frac = F.when(F.col("lang") == "en", F.lit(0.5)).otherwise(F.lit(0.2))
+    kept = hash_sample(F.col("doc_id"), frac, salt=7)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+
+
+@register(
+    "ds3_sequence_pack",
+    """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id % 8 AS bucket, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed(bucket, rn, n_tokens, pack_id, acc) AS (
+      SELECT bucket, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.bucket, d.rn, d.n_tokens,
+             CASE WHEN p.acc + d.n_tokens > 512
+                  THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.acc + d.n_tokens > 512
+                  THEN d.n_tokens ELSE p.acc + d.n_tokens END
+      FROM docs d JOIN packed p ON d.bucket = p.bucket AND d.rn = p.rn + 1
+    )
+    SELECT bucket, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY bucket, pack_id
+    """,
+)
+def ds3_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token budgets across 8
+    hash-partitioned independent streams (Arrow-batched applyInPandas
+    per bucket); the oracle replays the same greedy recurrence with a
+    recursive CTE. Output is per-pack fill statistics."""
+    from lakerunner_spark.dataops.sampling import sequence_pack
+    from lakerunner_spark.dataops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    packed = sequence_pack(d, "doc_id", "n_tokens", budget=512, num_buckets=8)
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+# oracle SQL for the hash-based splits, built from the same helpers so
+# the arithmetic can't drift from the Spark expressions
+from lakerunner_spark.dataops.sampling import hash_sample_sql, hash_split_sql
+from lakerunner_spark.queries import ORACLE
+
+ORACLE["ds1_hash_split"] = f"""
+    SELECT {hash_split_sql("doc_id", _SPLIT_WEIGHTS)} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+"""
+
+ORACLE["ds2_stratified_sample"] = f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN {hash_sample_sql("doc_id", "(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)", salt=7)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY lang
+"""

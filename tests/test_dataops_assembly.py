@@ -1,0 +1,114 @@
+"""Unit tests for dataset-assembly operators: connected components,
+deterministic splits/sampling, sequence packing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lakerunner_spark.dataops.graph import connected_components, neardup_clusters
+from lakerunner_spark.dataops.sampling import (
+    MOD,
+    hash_sample,
+    hash_split,
+    id_hash,
+    sequence_pack,
+)
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_converges(spark):
+    # a path graph is the worst case for min-label propagation: the
+    # label must walk the full diameter
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    comp = connected_components(edges).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1
+
+
+def test_neardup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    rows = neardup_clusters(pairs).collect()
+    sizes = {r["node"]: r["cluster_size"] for r in rows}
+    assert sizes == {1: 3, 2: 3, 3: 3, 10: 2, 11: 2}
+    # delete list = nodes that are not their own component
+    deletes = {r["node"] for r in rows if r["node"] != r["component"]}
+    assert deletes == {2, 3, 11}
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 5000).withColumn(
+        "split",
+        hash_split(F.col("id"), [("train", 0.8), ("val", 0.1), ("test", 0.1)]),
+    )
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    # within a few percent of the requested weights
+    assert abs(counts["train"] / 5000 - 0.8) < 0.05
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    # identical on re-run (pure expression, no RNG)
+    again = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_hash_sample_subset_property(spark):
+    df = spark.range(0, 4000)
+    small = df.filter(hash_sample(F.col("id"), 0.1)).select("id")
+    large = df.filter(hash_sample(F.col("id"), 0.3)).select("id")
+    # growing the rate only adds rows, never swaps them
+    assert small.exceptAll(large).count() == 0
+    n_small, n_large = small.count(), large.count()
+    assert abs(n_small / 4000 - 0.1) < 0.03
+    assert abs(n_large / 4000 - 0.3) < 0.04
+
+
+def test_id_hash_range(spark):
+    rows = spark.range(0, 100).select(id_hash(F.col("id")).alias("h")).collect()
+    assert all(0 <= r["h"] < MOD for r in rows)
+
+
+def test_sequence_pack_greedy(spark):
+    # one bucket => a single deterministic greedy stream ordered by id
+    df = spark.createDataFrame(
+        [(0, 300), (1, 300), (2, 100), (3, 600), (4, 50)],
+        ["doc_id", "n_tokens"],
+    )
+    rows = sequence_pack(df, "doc_id", "n_tokens", budget=512, num_buckets=1).collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in rows}
+    # 300 -> p0; +300 exceeds -> p1; +100 fits p1; 600 oversized -> p2 alone;
+    # 50 opens p3 (600 closed its pack by exceeding the budget)
+    assert packs == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_sequence_pack_budget_respected(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).alias("n_tokens"),
+    )
+    packed = sequence_pack(df, "doc_id", "n_tokens", budget=128, num_buckets=4)
+    # every pack either fits the budget or is a single oversized doc
+    bad = (
+        packed.groupBy("bucket", "pack_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+        .filter((F.col("fill") > 128) & (F.col("n") > 1))
+        .count()
+    )
+    assert bad == 0
+    # nothing lost
+    assert packed.agg(F.sum("n_tokens")).first()[0] == df.agg(F.sum("n_tokens")).first()[0]
