@@ -52,6 +52,8 @@ HEADLINE = [
     "dd7_neardup_clusters",
     "ds1_hash_split",
     "ds3_sequence_pack",
+    "dd8_decontaminate",
+    "ds4_domain_mixture",
 ]
 
 

@@ -237,3 +237,33 @@ def simhash(
         bit = F.when(F.col(f"v{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         sig = bit if sig is None else (sig * 2 + bit)
     return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share >= 1
+    word n-gram with an evaluation/benchmark set.
+
+    Returns (id, n_hit_grams) for *contaminated* training docs only —
+    n_hit_grams = number of distinct benchmark n-grams the doc contains.
+    Callers left-join this back to the corpus (null => clean).
+
+    Scale (100 TB corpus vs a benchmark suite of a few MB): the distinct
+    benchmark n-gram set is tiny, so the join is an explicit broadcast —
+    the training shingle stream is filtered map-side with NO shuffle of
+    corpus data; the only shuffle is the per-doc groupBy over the
+    surviving hit rows (a vanishingly small fraction). This is the same
+    candidates-stay-local shape production decontamination runs use.
+    """
+    t = shingles(train, text_col, id_col, n=n)
+    b = shingles(bench, text_col, id_col, n=n).select("shingle").distinct()
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_hit_grams"))
+    )

@@ -58,9 +58,16 @@ def connected_components(
         .withColumn("label", F.col("u"))
         .localCheckpoint(eager=True)
     )
+    # Convergence check: per-node labels are non-increasing, so the
+    # label total strictly decreases on any change — comparing totals
+    # costs one narrow scan of the checkpointed round output instead of
+    # a join against the previous round. Decimal sum so huge id spaces
+    # can't wrap 64-bit arithmetic into a false fixed point.
+    label_total = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_total = labels.agg(label_total).first()[0]
     for _ in range(max_rounds):
         # min label over the closed neighborhood: own label ∪ neighbors'
-        merged = (
+        labels = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
             .unionByName(labels)
@@ -68,15 +75,10 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.join(labels.withColumnRenamed("label", "old_label"), "u")
-            .filter(F.col("label") < F.col("old_label"))
-            .limit(1)
-            .count()
-        )
-        labels = merged
-        if changed == 0:
+        total = labels.agg(label_total).first()[0]
+        if total == prev_total:
             break
+        prev_total = total
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
 
 

@@ -85,11 +85,14 @@ def hash_sample(id_col: Column, fraction: Column | float, salt: int = 0) -> Colu
     the same salt, which makes growing a sample cheap.
     """
     frac = F.lit(fraction) if isinstance(fraction, float) else fraction
-    return id_hash(id_col, salt) < (frac * F.lit(MOD)).cast("long")
+    # explicit floor: Spark's double->long cast truncates but DuckDB's
+    # rounds, so a computed fractional cutoff would disagree at the
+    # boundary hash value without it
+    return id_hash(id_col, salt) < F.floor(frac * F.lit(MOD)).cast("long")
 
 
 def hash_sample_sql(id_expr: str, fraction_expr: str, salt: int = 0) -> str:
-    return f"{id_hash_sql(id_expr, salt)} < CAST({fraction_expr} * {MOD} AS BIGINT)"
+    return f"{id_hash_sql(id_expr, salt)} < CAST(floor({fraction_expr} * {MOD}) AS BIGINT)"
 
 
 _PACK_SCHEMA = T.StructType(

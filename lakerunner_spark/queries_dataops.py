@@ -548,3 +548,107 @@ ORACLE["ds2_stratified_sample"] = f"""
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination + mixture sampling
+# ---------------------------------------------------------------------------
+
+def _shingles_n_sql(n: int) -> str:
+    join_expr = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(n))
+    return f"""
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tokens) - {n - 2}),
+                    i -> {join_expr})) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      WHERE len(tokens) >= {n}
+    """
+
+
+@register(
+    "dd8_decontaminate",
+    f"""
+    WITH sh AS ({_shingles_n_sql(5)}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    hits AS (SELECT t.doc_id, count(DISTINCT t.shingle) AS n_hit_grams
+             FROM sh t JOIN bench b USING (shingle)
+             WHERE t.doc_id % 20 != 0 GROUP BY t.doc_id)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_train,
+           CAST(count(h.n_hit_grams) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(sum(h.n_hit_grams), 0) AS BIGINT) AS hit_grams
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 != 0
+    GROUP BY d.lang
+    """,
+)
+def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 0 stand in
+    for the eval suite; training docs sharing any word 5-gram with it
+    are flagged. Spark broadcasts the (tiny) benchmark n-gram set so the
+    corpus-side shingle stream never shuffles."""
+    from lakerunner_spark.dataops.dedup import ngram_decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    hits = ngram_decontaminate(train, bench, "text", "doc_id", n=5)
+    return train.join(hits, "doc_id", "left").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count("n_hit_grams").alias("n_contaminated"),
+        F.coalesce(F.sum("n_hit_grams"), F.lit(0)).alias("hit_grams"),
+    )
+
+
+_MIX_BUDGET = 2000.0  # target tokens per source
+
+
+@register("ds4_domain_mixture", None)
+def ds4_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to a per-source token budget: compute
+    each source's total tokens, derive keep rate = min(1, budget/total),
+    apply the deterministic hash sample. One small agg + a broadcast
+    join of the 20-row rate table — the corpus pass is shuffle-free."""
+    from lakerunner_spark.dataops.sampling import hash_sample
+    from lakerunner_spark.dataops.text import token_count
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    rates = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot_tokens"))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0), portable_round(F.lit(_MIX_BUDGET) / F.col("tot_tokens"), 6)
+            ),
+        )
+    )
+    j = tok.join(F.broadcast(rates), "source")
+    kept = hash_sample(F.col("doc_id"), F.col("rate"), salt=11)
+    return j.groupBy("source", "tot_tokens", "rate").agg(
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias("kept_tokens"),
+    )
+
+
+from lakerunner_spark.functions.rounding import compile_pround as _compile_pround
+
+_MIX_KEEP = hash_sample_sql("t.doc_id", "r.rate", salt=11)
+
+ORACLE["ds4_domain_mixture"] = _compile_pround(f"""
+    WITH tok AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+    rates AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                     least(CAST(1.0 AS DOUBLE),
+                           pround({_MIX_BUDGET} / CAST(sum(n_tokens) AS BIGINT), 6)) AS rate
+              FROM tok GROUP BY source)
+    SELECT t.source, r.tot_tokens, r.rate,
+           CAST(sum(CASE WHEN {_MIX_KEEP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {_MIX_KEEP} THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM tok t JOIN rates r USING (source)
+    GROUP BY t.source, r.tot_tokens, r.rate
+""")

@@ -112,3 +112,33 @@ def test_sequence_pack_budget_respected(spark):
     assert bad == 0
     # nothing lost
     assert packed.agg(F.sum("n_tokens")).first()[0] == df.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_ngram_decontaminate(spark):
+    from lakerunner_spark.dataops.dedup import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps over a fence"),  # 5-gram hit
+            (2, "completely unrelated training text with no overlap here"),
+            (3, "short text"),  # < n tokens, drops out of shingling
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r["doc_id"]: r["n_hit_grams"] for r in
+            ngram_decontaminate(train, bench, "text", "doc_id", n=5).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
+
+
+def test_mixture_rate_keeps_everything_under_budget(spark, sf_dir):
+    # budget far above any source's total => rate 1.0 => keep all
+    from lakerunner_spark.queries_dataops import ds4_domain_mixture  # noqa: F401
+    from lakerunner_spark.dataops.sampling import hash_sample
+
+    df = spark.range(0, 100).withColumn("keep", hash_sample(F.col("id"), 1.0))
+    assert df.filter(~F.col("keep")).count() == 0
