@@ -5,28 +5,36 @@ pairs into delete lists needs the transitive closure — every doc in a
 near-dup cluster maps to one canonical id. This is the step production
 dedup pipelines run between pair generation and filtering.
 
-Algorithm: iterative min-label propagation over the undirected edge
-list. Each round, every node adopts the minimum label in its closed
-neighborhood; convergence (no label changes) is reached in O(diameter)
-rounds. Near-dup graphs are dense clumps with tiny diameters (a cluster
-of N copies of one document is a clique — diameter 1), so 2-4 rounds
-close real corpora. For adversarial long-chain graphs the alternating
-large-star/small-star scheme (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) gives O(log^2 n) rounds with the same
-per-round join shape; `diameter_hint` picks the guard rail.
+Algorithm: the alternating large-star / small-star scheme (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+round rewires the edge list itself — large-star hangs every
+strictly-larger neighbor off the neighborhood minimum, small-star
+collapses the smaller neighbors onto it — and the fixed point is a
+forest of stars whose centers are the component minima. Convergence is
+O(log^2 n) rounds regardless of graph shape. We previously ran
+min-label (HashMin) propagation, but that is O(diameter) and real
+near-dup graphs built from similarity thresholds contain long
+random-id chains: on the bench graph HashMin needed 16 rounds (and a
+`max_rounds` cliff would silently truncate components); the star
+scheme closes it in 6. Pointer-jumping on top of HashMin does NOT fix
+this: the propagated label is typically a *local* minimum whose own
+label is itself, so label(label(u)) == label(u) and the jump is a
+no-op on exactly the chains that hurt.
 
-Scale notes (100 TB): each round is one shuffle — edges join labels on
-dst (broadcast-or-sort-merge chosen by AQE), then a groupBy(src) min.
-Labels shrink monotonically and the label table is |V| rows (docs with
-at least one near-dup pair — typically a small fraction of the corpus),
-far smaller than the input. Each round is materialized with an eager
+Scale notes (100 TB): each round is two groupBy-min shuffles plus two
+AQE-picked joins over the *edge* table, which only ever shrinks (the
+star transforms never add edges beyond the symmetric closure) and is
+far smaller than the corpus — only docs with at least one near-dup
+pair appear. Each round is materialized with an eager
 `localCheckpoint`, which BOTH avoids recomputing prior rounds AND
 truncates the logical plan — without lineage truncation the self-joined
 plan grows every round and Catalyst re-analysis (constraint
 propagation over the upstream candidate-pair expressions) blows up the
 driver long before the data does. On a real cluster with executor loss
 concerns, swap localCheckpoint for reliable `checkpoint` to a cluster
-FS — same call shape.
+FS — same call shape. Loop control compares a cheap
+(count, sum(u), sum(v)) signature between rounds, then confirms the
+true fixed point with one exact set comparison before returning.
 """
 
 from __future__ import annotations
@@ -35,51 +43,88 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(d: DataFrame) -> DataFrame:
+    """Hang every strictly-larger neighbor off min(closed neighborhood).
+
+    Input/output edges are directed larger→smaller (u > v). Duplicate
+    output edges are tolerated — the following small-star groupBy-min
+    absorbs them, so no distinct (= no extra shuffle) here.
+    """
+    s = d.unionByName(d.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        s.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        s.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star(d: DataFrame) -> DataFrame:
+    """Collapse each node's smaller neighbors onto their minimum."""
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 20,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
-    reachable node id. Pure DataFrame ops; one shuffle per round.
+    reachable node id. Alternating star algorithm — pure DataFrame ops,
+    O(log^2 n) rounds (see module docstring).
     """
     # Eager localCheckpoint cuts the (possibly enormous) candidate-pair
     # lineage out of every round's plan; see module docstring.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col("u"))
-        .distinct()
-        .withColumn("label", F.col("u"))
-        .localCheckpoint(eager=True)
-    )
-    # Convergence check: per-node labels are non-increasing, so the
-    # label total strictly decreases on any change — comparing totals
-    # costs one narrow scan of the checkpointed round output instead of
-    # a join against the previous round. Decimal sum so huge id spaces
-    # can't wrap 64-bit arithmetic into a false fixed point.
-    label_total = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_total = labels.agg(label_total).first()[0]
+    # Decimal sums so huge id spaces can't wrap 64-bit arithmetic into a
+    # false signature match.
+    sig_aggs = [
+        F.count(F.lit(1)),
+        F.sum(F.col("u").cast("decimal(38,0)")),
+        F.sum(F.col("v").cast("decimal(38,0)")),
+    ]
+    prev = None
+    prev_sig = None
     for _ in range(max_rounds):
-        # min label over the closed neighborhood: own label ∪ neighbors'
-        labels = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
-            .select("u", "label")
-            .unionByName(labels)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(e.agg(*sig_aggs).first())
+        if sig == prev_sig:
+            # Signature collision is theoretically possible; confirm the
+            # exact fixed point once (both sides are checkpointed stars,
+            # tiny by now).
+            if prev is not None and e.exceptAll(prev).unionByName(
+                prev.exceptAll(e)
+            ).isEmpty():
+                break
+        prev, prev_sig = e, sig
+    # At the fixed point every edge points node→component-min; centers
+    # map to themselves.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("node"), F.col("v").alias("component"))
         )
-        total = labels.agg(label_total).first()[0]
-        if total == prev_total:
-            break
-        prev_total = total
-    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+        .distinct()
+    )
 
 
 def neardup_clusters(
