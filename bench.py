@@ -54,6 +54,7 @@ HEADLINE = [
     "ds3_sequence_pack",
     "dd8_decontaminate",
     "ds4_domain_mixture",
+    "txt5_repetition_filter",
 ]
 
 

@@ -181,3 +181,29 @@ def winnow_fingerprints(
         d.select(id_col, F.explode(F.array_distinct(wins)).alias("fingerprint"))
         .distinct()
     )
+
+
+def dup_ngram_ratio(text_expr: str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats within the document —
+    the Gopher-style repetition signal (Rae et al. 2021 use duplicate
+    line/paragraph/n-gram fractions to drop degenerate pages).
+
+    ratio = 1 - distinct_grams / total_grams; documents with fewer than
+    `n` tokens have no grams and score 0.0. `text_expr` is a SQL
+    expression string (usually a column name).
+
+    Pure higher-order array expression evaluated per row inside
+    whole-stage codegen — unlike the dedup shingle path there is NO
+    explode and NO shuffle, so at 100 TB this runs as a narrow map over
+    the corpus scan and the only shuffle is whatever tiny aggregate the
+    caller adds on top. The outer single-element transform() binds the
+    token array to a lambda variable so split() is evaluated once.
+    """
+    concat_args = ", ' ', ".join(f"_t[i+{j}]" for j in range(n))
+    return F.expr(
+        f"transform(array(split({text_expr}, ' ')), _t -> "
+        f"CASE WHEN size(_t) < {n} THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"1.0 - size(array_distinct(transform(sequence(0, size(_t) - {n}), "
+        f"i -> concat({concat_args})))) / "
+        f"CAST(size(_t) - {n - 1} AS DOUBLE) END)[0]"
+    )

@@ -652,3 +652,41 @@ ORACLE["ds4_domain_mixture"] = _compile_pround(f"""
     FROM tok t JOIN rates r USING (source)
     GROUP BY t.source, r.tot_tokens, r.rate
 """)
+
+
+@register(
+    "txt5_repetition_filter",
+    """
+    WITH r AS (
+      SELECT lang,
+             CASE WHEN len(toks) < 3 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 - len(list_distinct(
+                         list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                       / CAST(len(toks) - 2 AS DOUBLE) END AS dup_ratio
+      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           pround(avg(dup_ratio), 6) AS avg_dup_ratio
+    FROM r GROUP BY lang
+    """,
+)
+def txt5_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-language count of documents
+    whose duplicate word-3-gram fraction exceeds 0.2, plus the average
+    fraction. The ratio is a pure higher-order array expression (no
+    explode, no shuffle) — see dataops/text.py dup_ngram_ratio."""
+    from lakerunner_spark.dataops.text import dup_ngram_ratio
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select("lang", dup_ngram_ratio("text", n=3).alias("dup_ratio"))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup_ratio") > 0.2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        _pr(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
+    )

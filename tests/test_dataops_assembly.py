@@ -142,3 +142,20 @@ def test_mixture_rate_keeps_everything_under_budget(spark, sf_dir):
 
     df = spark.range(0, 100).withColumn("keep", hash_sample(F.col("id"), 1.0))
     assert df.filter(~F.col("keep")).count() == 0
+
+
+def test_dup_ngram_ratio(spark):
+    from lakerunner_spark.dataops.text import dup_ngram_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 grams, 3 distinct -> 1 - 3/7
+            (2, "the quick brown fox jumps"),  # all distinct -> 0.0
+            (3, "x y"),  # < 3 tokens -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id", dup_ngram_ratio("text").alias("r")).collect()}
+    assert abs(got[1] - (1 - 3 / 7)) < 1e-12
+    assert got[2] == 0.0 and got[3] == 0.0
