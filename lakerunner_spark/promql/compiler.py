@@ -288,6 +288,14 @@ class _Compiler:
                 if not isinstance(qv, ast.Num) or not isinstance(sel, ast.Selector):
                     raise ValueError("promql: quantile_over_time(q, selector[range])")
                 return self._leaf_range(fn, sel, qv.value)
+            if fn == "median_over_time":
+                # the reference serves this from the DDSketch mid-quantile;
+                # exact q=0.5 interpolation meets the same contract with
+                # zero approximation error
+                (sel,) = node.args
+                if not isinstance(sel, ast.Selector):
+                    raise ValueError("promql: median_over_time(selector[range])")
+                return self._leaf_range("quantile_over_time", sel, 0.5)
             (sel,) = node.args
             if not isinstance(sel, ast.Selector):
                 raise ValueError(f"promql: {fn} argument must be a range selector")
@@ -323,6 +331,45 @@ class _Compiler:
                 raise ValueError("promql: vector(literal) needs a time axis; "
                                  "use it against a real selector")
             return self.compile(arg)
+        if fn in ("sort", "sort_desc"):
+            # Presentation-order operator: orders each evaluation bucket's
+            # elements by value. Sorting is a property of the returned rows
+            # (Spark preserves ORDER BY into collect), not of the values —
+            # verified by unit test; value parity via the oracle.
+            (arg,) = node.args
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError(f"promql: {fn} over scalars not supported")
+            val = F.col("value").desc() if fn == "sort_desc" else F.col("value").asc()
+            return _Vec(v.df.orderBy(F.col("bucket_ts").asc(), val), v.labels)
+        if fn == "label_replace":
+            varg, dst, repl, srcl, regex = node.args
+            for a in (dst, repl, srcl, regex):
+                if not isinstance(a, ast.Str):
+                    raise ValueError(
+                        "promql: label_replace(v, dst, replacement, src, regex)"
+                    )
+            v = self.compile(varg)
+            if isinstance(v, float):
+                raise ValueError("promql: label_replace over scalars not supported")
+            # PromQL semantics: regex is fully anchored against src's value
+            # (absent label = ""); on match dst becomes the expanded
+            # replacement ($1...), otherwise the series is unchanged.
+            src_col = (
+                F.col(srcl.value).cast("string")
+                if srcl.value in v.df.columns
+                else F.lit("")
+            )
+            anchored = f"^(?:{regex.value})$"
+            expanded = F.regexp_replace(src_col, anchored, repl.value)
+            if dst.value in v.df.columns:
+                new_dst = F.when(src_col.rlike(anchored), expanded).otherwise(
+                    F.col(dst.value).cast("string")
+                )
+            else:
+                new_dst = F.when(src_col.rlike(anchored), expanded)
+            labels = v.labels + ([dst.value] if dst.value not in v.labels else [])
+            return _Vec(v.df.withColumn(dst.value, new_dst), labels)
         if fn == "histogram_quantile":
             qv, arg = node.args
             if not isinstance(qv, ast.Num):

@@ -30,6 +30,11 @@ class Num:
 
 
 @dataclass
+class Str:
+    value: str
+
+
+@dataclass
 class Matcher:
     label: str
     op: str  # = != =~ !~
@@ -73,7 +78,7 @@ RANGE_FUNCS = {
     "rate", "irate", "increase",
     "sum_over_time", "count_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "last_over_time",
-    "quantile_over_time",
+    "quantile_over_time", "median_over_time",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
@@ -267,12 +272,16 @@ class _Parser:
             return Num(float(t.text))
         if t.kind == "DUR":  # bare number like 5m only valid as durations
             raise ValueError(f"promql: unexpected duration {t.text!r}")
+        if t.kind == "STR":  # string literal (label_replace arguments)
+            self.next()
+            return Str(_unquote(t.text))
         if t.kind == "ID":
             name = self.next().text
             if name in AGG_OPS:
                 return self._parse_agg(name)
             if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
-                "clamp_min", "clamp_max", "scalar", "histogram_quantile", "vector"
+                "clamp_min", "clamp_max", "scalar", "histogram_quantile", "vector",
+                "sort", "sort_desc", "label_replace"
             ):
                 self.expect("(")
                 args = [self.parse_expr()]

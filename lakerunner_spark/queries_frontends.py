@@ -548,3 +548,88 @@ def lqs4_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     return df.select("event_id", "chq_timestamp", "event_type", "k")
+
+
+@register(
+    "pqs15_median_over_time",
+    f"""
+    SELECT DISTINCT bucket_ts, event_type, user_id,
+           pround(quantile_cont(value, 0.5) OVER (
+             PARTITION BY event_type, user_id ORDER BY bucket_ts
+             RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, value
+      FROM {_E} e WHERE event_type = 'error'
+    )
+    """,
+)
+def pqs15_median_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """median_over_time: the reference serves it from the DDSketch
+    mid-quantile (promql/leaf_node.go median case); exact interpolated
+    q=0.5 meets the same contract with zero approximation error."""
+    df = _pq(
+        spark, sf_dir,
+        'median_over_time(events{event_type="error"}[10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs16_label_replace",
+    f"""
+    SELECT bucket_ts, event_type, value, CASE
+             WHEN regexp_full_match(event_type, '(err).*')
+             THEN regexp_replace(event_type, '^(?:(err).*)$', '\\1-class')
+           END AS klass
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, pround(sum(value), 6) AS value
+      FROM (
+        SELECT chq_timestamp, event_type, user_id, avg(value) AS value
+        FROM (
+          SELECT chq_timestamp - chq_timestamp % 3600000 AS chq_timestamp,
+                 event_type, user_id, value FROM {_E} e
+        ) GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    """,
+)
+def pqs16_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace: anchored regex against the src label, $1 expansion
+    into a new dst label, non-matching series unchanged (dst stays NULL)."""
+    df = _pq(
+        spark, sf_dir,
+        'label_replace(sum by (event_type) (events), '
+        '"klass", "$1-class", "event_type", "(err).*")',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs17_sort_desc",
+    f"""
+    SELECT bucket_ts, event_type, pround(value, 6) AS value FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, sum(value) AS value
+      FROM (
+        SELECT chq_timestamp, event_type, user_id, avg(value) AS value
+        FROM (
+          SELECT chq_timestamp - chq_timestamp % 3600000 AS chq_timestamp,
+                 event_type, user_id, value FROM {_E} e
+        ) GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    """,
+)
+def pqs17_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_desc: presentation ordering by value within each bucket; value
+    parity via the oracle, row ordering asserted in test_frontends."""
+    df = _pq(
+        spark, sf_dir,
+        'sort_desc(sum by (event_type) (events))',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
