@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
+    "cook1_metrics_tid",
     "a3_step_agg",
     "a9_rate",
     "a9_sparse_sum_over_time",

@@ -3,10 +3,15 @@
 - ``fnv64a`` / ``compute_tid``: the reference identifies a time series by
   TID = fnv64a over the sorted ``k=v`` attribute pairs
   (internal/oteltools/pkg/fingerprinter/tid.go:69-117). Reimplemented
-  bit-for-bit so indexes stay compatible; vectorized as a Pandas UDF
-  (Arrow batches — the ingest hot path must not be row-at-a-time Python).
-- ``java_string_hash``: trigram fingerprint hash ``h = 31*h + c``
-  (internal/fingerprint/fingerprint.go:144-172).
+  bit-for-bit as a PURE Spark SQL expression (aggregate over the UTF-8
+  byte sequence) — the ingest hot path stays inside whole-stage codegen,
+  no Python anywhere. 64-bit wrapping arithmetic is ANSI-safe via 32-bit
+  half decomposition: h is carried as (hi, lo) 32-bit halves and the FNV
+  prime 0x100000001B3 = 2^40 + 435, so every intermediate fits well
+  inside a signed 64-bit long (max ~2^42) and overflow never occurs.
+- ``java_string_hash``: trigram fingerprint hash ``h = 31*h + c`` over
+  UTF-16 code units (internal/fingerprint/fingerprint.go:144-172), same
+  expression-only approach (surrogate pairs expanded in the fold).
 - ``portable_hash64``: engine-neutral 64-bit hash built purely from
   ``md5`` + hex→int, available identically in Spark SQL and DuckDB —
   used by MinHash/SimHash so the correctness oracle can reproduce it.
@@ -14,12 +19,8 @@
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 _FNV64_OFFSET = 0xCBF29CE484222325
 _FNV64_PRIME = 0x100000001B3
@@ -41,25 +42,110 @@ def fnv64a_py(s: str) -> int:
 
 
 def java_string_hash_py(s: str) -> int:
-    """Java String.hashCode()-style loop, 32-bit wrap (fingerprint.go:149-172)."""
+    """Java String.hashCode()-style loop, 32-bit wrap, over UTF-16 code
+    units — supplementary code points hash as their surrogate pair,
+    exactly like the JVM (fingerprint.go:149-172)."""
     h = 0
     for ch in s:
-        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+        cp = ord(ch)
+        if cp >= 0x10000:
+            cp -= 0x10000
+            h = (31 * h + (0xD800 + (cp >> 10))) & 0xFFFFFFFF
+            h = (31 * h + (0xDC00 + (cp & 0x3FF))) & 0xFFFFFFFF
+        else:
+            h = (31 * h + cp) & 0xFFFFFFFF
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
-@pandas_udf(T.LongType())
-def fnv64a(series: pd.Series) -> pd.Series:
-    return series.map(lambda s: fnv64a_py(s) if s is not None else None).astype(
-        "Int64"
+# FNV offset basis split into 32-bit halves; prime = 2^40 + 435
+_OFF_HI = _FNV64_OFFSET >> 32
+_OFF_LO = _FNV64_OFFSET & 0xFFFFFFFF
+_M32 = 0xFFFFFFFF
+
+
+def _as_expr(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def fnv64a(col: Column | str) -> Column:
+    """fnv64a of a UTF-8 string as a pure SQL expression (signed int64).
+
+    Fold over the byte sequence with the state as two 32-bit halves
+    (named_struct hi/lo). One step, h' = (h XOR b) * (2^40 + 435):
+
+        lo1 = lo ^ b                       (b only touches the low byte)
+        h'*435  -> lo: (lo1*435) & M32, carry: (lo1*435) >> 32
+        h'<<40  -> contributes (lo1 << 8) & M32 to hi only
+                   (hi<<40 overflows past bit 63 entirely; lo1<<40's
+                   low 32 bits are zero)
+        hi' = (hi*435 + carry + ((lo1 << 8) & M32)) & M32
+
+    Every intermediate is < 2^42 — no 64-bit overflow, ANSI-safe.
+    Byte extraction: hex(encode(s)) walked two nibbles at a time.
+    """
+    c = _as_expr(col)
+    hx = F.hex(F.encode(c, "UTF-8"))
+    m32 = F.lit(_M32)
+    bytes_arr = F.when(
+        F.length(hx) == 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+            lambda i: F.conv(F.substring(hx, i * 2 - 1, F.lit(2)), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+    zero = F.struct(
+        F.lit(_OFF_HI).cast("long").alias("hi"),
+        F.lit(_OFF_LO).cast("long").alias("lo"),
     )
 
+    def _step(acc: Column, b: Column) -> Column:
+        lo1 = acc.getField("lo").bitwiseXOR(b)
+        t1 = lo1 * 435
+        new_lo = t1.bitwiseAND(m32)
+        new_hi = (
+            acc.getField("hi") * 435
+            + F.shiftright(t1, 32)
+            + F.shiftleft(lo1, 8).bitwiseAND(m32)
+        ).bitwiseAND(m32)
+        return F.struct(new_hi.alias("hi"), new_lo.alias("lo"))
 
-@pandas_udf(T.LongType())
-def java_string_hash(series: pd.Series) -> pd.Series:
-    return series.map(
-        lambda s: java_string_hash_py(s) if s is not None else None
-    ).astype("Int64")
+    def _finish(acc: Column) -> Column:
+        return F.shiftleft(acc.getField("hi"), 32).bitwiseOR(acc.getField("lo"))
+
+    return F.when(c.isNotNull(), F.aggregate(bytes_arr, zero, _step, _finish))
+
+
+def java_string_hash(col: Column | str) -> Column:
+    """Java String.hashCode() (h = 31*h + c over UTF-16 code units) as a
+    pure SQL expression; supplementary code points fold as their two
+    surrogate halves, matching the JVM. 32-bit wrap via & mask (max
+    intermediate < 2^38 — ANSI-safe)."""
+    c = _as_expr(col)
+    chars = F.when(F.length(c) == 0, F.array()).otherwise(
+        F.split(c, "")
+    )
+    cps = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    folded = F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda h, cp: F.when(
+            cp >= 65536,
+            (
+                31
+                * (
+                    (31 * h + 55296 + F.shiftright(cp - 65536, 10))
+                    .bitwiseAND(F.lit(_M32))
+                )
+                + 56320
+                + (cp - 65536).bitwiseAND(F.lit(1023))
+            ).bitwiseAND(F.lit(_M32)),
+        ).otherwise((31 * h + cp).bitwiseAND(F.lit(_M32))),
+    )
+    signed = F.when(folded >= 2147483648, folded - 4294967296).otherwise(folded)
+    return F.when(c.isNotNull(), signed)
 
 
 def compute_tid(metric_name: Column | str, *attr_cols: str) -> Column:
@@ -79,6 +165,44 @@ def compute_tid(metric_name: Column | str, *attr_cols: str) -> Column:
         )
     joined = F.concat_ws("|", *parts)
     return fnv64a(joined)
+
+
+def fnv64a_sql(s_sql: str) -> str:
+    """DuckDB twin of :func:`fnv64a` — same hex-walk + 32-bit-half fold
+    via ``list_reduce`` (the offset basis is prepended so the first
+    lambda application is exactly ``(offset ^ b0) * prime``). Bit-for-bit
+    parity lets the driver's oracle hash-match TID values (F15)."""
+    hx = f"hex(encode({s_sql}))"
+    xs = (
+        f"[struct_pack(hi := {_OFF_HI}::BIGINT, lo := {_OFF_LO}::BIGINT)] || "
+        f"list_transform(range(1, length({hx})//2 + 1), "
+        f"i -> struct_pack(hi := 0::BIGINT, "
+        f"lo := CAST(('0x' || substr({hx}, (i*2-1)::INT, 2)) AS BIGINT)))"
+    )
+    red = (
+        f"list_reduce({xs}, (acc, e) -> struct_pack("
+        f"hi := (acc.hi * 435 + ((xor(acc.lo, e.lo) * 435) >> 32)"
+        f" + ((xor(acc.lo, e.lo) << 8) & {_M32})) & {_M32}, "
+        f"lo := (xor(acc.lo, e.lo) * 435) & {_M32}))"
+    )
+    return (
+        f"list_transform([{red}], r -> "
+        f"(r.hi - CASE WHEN r.hi >= 2147483648 THEN 4294967296 ELSE 0 END)"
+        f" * 4294967296 + r.lo)[1]"
+    )
+
+
+def compute_tid_sql(metric_sql: str, *attr_cols: str) -> str:
+    """DuckDB twin of :func:`compute_tid` (concat_ws skips NULL parts in
+    both engines; empty attr values are skipped like tid.go)."""
+    parts = [f"'metric_name=' || {metric_sql}"]
+    for key in sorted(attr_cols):
+        parts.append(
+            f"CASE WHEN {key} IS NOT NULL AND CAST({key} AS VARCHAR) != ''"
+            f" THEN '{key}=' || CAST({key} AS VARCHAR) END"
+        )
+    joined = f"concat_ws('|', {', '.join(parts)})"
+    return fnv64a_sql(joined)
 
 
 def portable_hash64(col: Column | str, seed: int = 0) -> Column:

@@ -127,6 +127,132 @@ def ddsketch_quantile(
     return first_hit.withColumn(out_col, value).drop("bucket")
 
 
+def ddsketch_quantile_over_time(
+    df: DataFrame,
+    labels: list[str],
+    range_ms: int,
+    step_ms: int,
+    q: float,
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "value",
+) -> DataFrame:
+    """Sliding-range quantile served from the DDSketch bucket algebra.
+
+    The reference answers large-range quantiles by merging stored
+    DDSketches per output bucket (promql/quantile_node.go:35-114,
+    aggregator.go:83-217) — never by re-sorting raw samples. This is
+    that plan, declaratively:
+
+    1. build one sketch per (series, step bucket): groupBy count over
+       log-bucketed values — the A1 ingest shape;
+    2. each step-bucket sketch row contributes to the ``range/step``
+       trailing output windows it falls inside — an ``explode`` over a
+       ``sequence`` of output bucket_ts (the tumbling→sliding expansion);
+    3. merge per output bucket: groupBy sum(count) — the DDSketch merge;
+    4. quantile via the cumulative-count walk (:func:`ddsketch_quantile`).
+
+    No per-row raw-value arrays anywhere (contrast the exact
+    interpolated path, which flattens ``collect_list`` arrays and holds
+    every raw sample of the trailing range in one row): state here is
+    (series x step-buckets x occupied sketch buckets) rows, each O(1),
+    and the explode factor range/step is plain row volume that shuffles
+    linearly. Output rows exist only for step buckets that contain at
+    least one sample, matching the exact path's contract.
+    """
+    gamma = gamma_for(relative_accuracy)
+    k = max(1, range_ms // step_ms)
+    rows = df.filter(F.col(value_col).isNotNull())
+    bts = F.col(ts_col) - F.col(ts_col) % F.lit(step_ms)
+    sk = (
+        rows.select(
+            bts.alias("_bts"), *labels, bucket_index(value_col, gamma).alias("bucket")
+        )
+        .groupBy("_bts", *labels, "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    contrib = sk.withColumn(
+        "bucket_ts",
+        F.explode(
+            F.sequence(
+                F.col("_bts"),
+                F.col("_bts") + F.lit((k - 1) * step_ms),
+                F.lit(step_ms),
+            )
+        ),
+    ).drop("_bts")
+    merged = contrib.groupBy("bucket_ts", *labels, "bucket").agg(
+        F.sum("count").alias("count")
+    )
+    actual = rows.select(bts.alias("bucket_ts"), *labels).distinct()
+    merged = merged.join(actual, ["bucket_ts", *labels], "left_semi")
+    return ddsketch_quantile(
+        merged,
+        ["bucket_ts", *labels],
+        q,
+        relative_accuracy=relative_accuracy,
+        out_col=out_col,
+    )
+
+
+def ddsketch_quantile_over_time_sql(
+    base_sql: str,
+    labels: list[str],
+    range_ms: int,
+    step_ms: int,
+    q: float,
+    ts_sql: str = "chq_timestamp",
+    value_sql: str = "value",
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_col: str = "value",
+) -> str:
+    """DuckDB oracle twin of :func:`ddsketch_quantile_over_time`."""
+    gamma = gamma_for(relative_accuracy)
+    k = max(1, range_ms // step_ms)
+    keys = ", ".join(labels)
+    return f"""
+    WITH rows_v AS (
+      SELECT {ts_sql} - {ts_sql} % {step_ms} AS _bts, {keys}, {value_sql} AS _v
+      FROM ({base_sql}) WHERE {value_sql} IS NOT NULL
+    ),
+    sk AS (
+      SELECT _bts, {keys}, {bucket_index_sql('_v', gamma)} AS bucket,
+             count(*) AS cnt
+      FROM rows_v GROUP BY ALL
+    ),
+    contrib AS (
+      SELECT _bts + o.off * {step_ms} AS bucket_ts, {keys}, bucket, cnt
+      FROM sk CROSS JOIN (SELECT unnest(range(0, {k})) AS off) o
+    ),
+    actual AS (SELECT DISTINCT _bts AS bucket_ts, {keys} FROM rows_v),
+    merged AS (
+      SELECT c.bucket_ts, {', '.join('c.' + l for l in labels)}, c.bucket,
+             sum(c.cnt) AS cnt
+      FROM contrib c JOIN actual a USING (bucket_ts, {keys})
+      GROUP BY ALL
+    ),
+    cum AS (
+      SELECT bucket_ts, {keys}, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY bucket_ts, {keys} ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY bucket_ts, {keys}) AS n
+      FROM merged
+    ),
+    hit AS (
+      SELECT bucket_ts, {keys}, min(bucket) AS bucket
+      FROM cum WHERE cum > floor({q} * (n - 1))
+      GROUP BY ALL
+    )
+    SELECT bucket_ts, {keys},
+           CASE WHEN bucket > {_ZERO_BUCKET}
+                THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1)
+                WHEN bucket = {_ZERO_BUCKET} THEN 0.0
+                ELSE 'NaN'::DOUBLE END AS {out_col}
+    FROM hit
+    """
+
+
 def with_sketch_column(
     df: DataFrame,
     group_cols: list[str],

@@ -92,6 +92,15 @@ class MetricCatalog:
         return self._sources[metric]
 
 
+# quantile_over_time routing: ranges spanning more than this many step
+# buckets are served from the DDSketch bucket algebra (merge in
+# O(occupied buckets), no raw-value arrays — the reference's contract,
+# promql/quantile_node.go:35-114); smaller ranges use the exact
+# interpolated path, whose per-row array is bounded by
+# samples-per-series within the short range.
+QUANTILE_SKETCH_MIN_BUCKETS = 60
+
+
 def step_for_duration(span_ms: int) -> int:
     """The reference's step ladder (queryapi/dates.go:23-42)."""
     if span_ms <= 65 * 60_000:
@@ -232,17 +241,38 @@ class _Compiler:
     def _quantile_over_time(
         self, df: DataFrame, src: LeafSource, range_ms: int, q: float
     ) -> _Vec:
-        """Exact interpolated quantile over a sliding range window.
+        """Quantile over a sliding range window, route chosen by range size.
 
-        Per-bucket raw values are kept as arrays, the window flattens
-        the trailing range's arrays, and the quantile is computed with
-        array expressions (sort + linear interpolation) — identical to
-        quantile_cont, so DuckDB can oracle it. The reference merges
-        DDSketches instead (quantile_node.go:35-114); exact arrays give
-        the same contract with zero approximation error. The per-bucket
-        arrays are bounded by samples-per-series-per-step, keeping
-        window state small at scale.
+        Short ranges (<= QUANTILE_SKETCH_MIN_BUCKETS step buckets):
+        exact interpolated quantile — per-bucket raw values kept as
+        arrays, the window flattens the trailing range's arrays, and the
+        quantile is computed with array expressions (sort + linear
+        interpolation), identical to quantile_cont so DuckDB can oracle
+        it. The per-row array is bounded by samples-per-series within
+        the short range.
+
+        Large ranges: the array would hold every raw sample of the
+        trailing range per row — unbounded. Those route through the
+        DDSketch bucket algebra (operators/ddsketch.py), merging in
+        O(occupied buckets) exactly as the reference serves quantiles
+        from stored sketches (quantile_node.go:35-114), within the
+        sketch's relative-error contract.
         """
+        if range_ms // self.step > QUANTILE_SKETCH_MIN_BUCKETS:
+            from lakerunner_spark.operators.ddsketch import (
+                ddsketch_quantile_over_time,
+            )
+
+            out = ddsketch_quantile_over_time(
+                df,
+                src.labels,
+                range_ms,
+                self.step,
+                q,
+                ts_col=src.ts_col,
+                value_col=src.value_col,
+            )
+            return _Vec(out, src.labels)
         b = df.groupBy(
             bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
         ).agg(F.collect_list(src.value_col).alias("_vals"))
@@ -289,9 +319,9 @@ class _Compiler:
                     raise ValueError("promql: quantile_over_time(q, selector[range])")
                 return self._leaf_range(fn, sel, qv.value)
             if fn == "median_over_time":
-                # the reference serves this from the DDSketch mid-quantile;
-                # exact q=0.5 interpolation meets the same contract with
-                # zero approximation error
+                # Extension beyond the reference (its rewriter marks
+                # median_over_time unsupported); delegates to
+                # quantile_over_time q=0.5, sharing its route selection.
                 (sel,) = node.args
                 if not isinstance(sel, ast.Selector):
                     raise ValueError("promql: median_over_time(selector[range])")
@@ -353,15 +383,18 @@ class _Compiler:
             if isinstance(v, float):
                 raise ValueError("promql: label_replace over scalars not supported")
             # PromQL semantics: regex is fully anchored against src's value
-            # (absent label = ""); on match dst becomes the expanded
-            # replacement ($1...), otherwise the series is unchanged.
+            # (absent label or NULL value = ""); on match dst becomes the
+            # expanded replacement ($1...), otherwise the series is
+            # unchanged.
             src_col = (
-                F.col(srcl.value).cast("string")
+                F.coalesce(F.col(srcl.value).cast("string"), F.lit(""))
                 if srcl.value in v.df.columns
                 else F.lit("")
             )
             anchored = f"^(?:{regex.value})$"
-            expanded = F.regexp_replace(src_col, anchored, repl.value)
+            expanded = F.regexp_replace(
+                src_col, anchored, _java_replacement(repl.value, regex.value)
+            )
             if dst.value in v.df.columns:
                 new_dst = F.when(src_col.rlike(anchored), expanded).otherwise(
                     F.col(dst.value).cast("string")
@@ -499,6 +532,88 @@ class _Compiler:
         if node.ignoring:
             common -= set(node.ignoring)
         return sorted(common)
+
+
+def _count_capture_groups(pattern: str) -> int:
+    """Count capturing groups in a regex (unescaped ``(`` that are not
+    ``(?:``/lookaround; ``(?<name>`` and ``(?P<name>`` count)."""
+    n = 0
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            nxt = pattern[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1
+            elif pattern[i + 2 : i + 3] == "P" and pattern[i + 3 : i + 4] == "<":
+                n += 1
+            elif pattern[i + 2 : i + 3] == "<" and pattern[i + 3 : i + 4] not in (
+                "=",
+                "!",
+            ):
+                n += 1
+        i += 1
+    return n
+
+
+def _java_replacement(repl: str, pattern: str) -> str:
+    """Translate an RE2 Expand replacement string to Java regexp_replace.
+
+    PromQL's label_replace uses RE2 expansion: ``$1``/``$name``/
+    ``${name}`` expand groups (name = longest run of ``[A-Za-z0-9_]``,
+    so ``$1foo`` means a group NAMED "1foo", not group 1 + "foo");
+    references to groups that don't exist expand to the empty string;
+    ``$$`` and a dangling ``$`` are literal. Java's replacement syntax
+    instead throws on a dangling ``$`` or an out-of-range group and
+    treats ``\\`` as an escape — so each token is rewritten to its safe
+    Java equivalent here.
+    """
+    ngroups = _count_capture_groups(pattern)
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "\\":
+            out.append("\\\\")
+            i += 1
+            continue
+        if c != "$":
+            out.append(c)
+            i += 1
+            continue
+        j = i + 1
+        if j < len(repl) and repl[j] == "$":
+            out.append("\\$")
+            i = j + 1
+            continue
+        if j < len(repl) and repl[j] == "{":
+            k = repl.find("}", j)
+            if k == -1:  # unterminated ${ -> literal $
+                out.append("\\$")
+                i += 1
+                continue
+            name = repl[j + 1 : k]
+            i = k + 1
+        else:
+            k = j
+            while k < len(repl) and (repl[k].isalnum() or repl[k] == "_"):
+                k += 1
+            name = repl[j:k]
+            i = k
+            if not name:  # dangling $ -> literal
+                out.append("\\$")
+                continue
+        if name.isdigit():
+            if int(name) <= ngroups:  # $0 = whole match, always valid
+                out.append("$" + name)
+            # out-of-range numeric ref -> empty (RE2 Expand)
+        elif f"<{name}>" in pattern:
+            out.append("${" + name + "}")
+        # unknown named ref -> empty (RE2 Expand)
+    return "".join(out)
 
 
 def _fold_scalar(op: str, a: float, b: float) -> float:

@@ -536,6 +536,42 @@ def a1_preagg_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cook1_oracle() -> str:
+    from lakerunner_spark.functions.hashing import compute_tid_sql
+
+    tid = compute_tid_sql("event_type", "user_id")
+    return f"""
+    SELECT chq_tid, CAST(count(*) AS BIGINT) AS n,
+           pround(sum(value), 4) AS sum_value
+    FROM (SELECT {tid} AS chq_tid, value
+          FROM (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, value
+                FROM {_E} e))
+    GROUP BY chq_tid
+    """
+
+
+@register("cook1_metrics_tid", _cook1_oracle())
+def cook1_metrics_tid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 cook path: TID = fnv64a over sorted k=v pairs, computed as a
+    pure JVM-side SQL expression (no Python in the ingest hot path;
+    tid.go:69-117), then the per-series aggregate. The oracle reproduces
+    fnv64a bit-for-bit in DuckDB via list_reduce — TID values hash-match
+    across engines."""
+    from lakerunner_spark.ingest.translate import translate_metrics
+
+    e = events_stream(spark, sf_dir).withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    cooked = translate_metrics(
+        e.withColumnRenamed("event_type", "metric_name"),
+        attr_cols=["user_id"],
+    )
+    return cooked.groupBy("chq_tid").agg(
+        F.count(F.lit(1)).alias("n"),
+        _pr(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 @register(
     "a2_rollup_chain",
     f"""

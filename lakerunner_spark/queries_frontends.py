@@ -565,9 +565,8 @@ def lqs4_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pqs15_median_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """median_over_time: the reference serves it from the DDSketch
-    mid-quantile (promql/leaf_node.go median case); exact interpolated
-    q=0.5 meets the same contract with zero approximation error."""
+    """median_over_time: an extension beyond the reference (its rewriter
+    marks it unsupported); delegates to exact quantile_over_time q=0.5."""
     df = _pq(
         spark, sf_dir,
         'median_over_time(events{event_type="error"}[10m])',
@@ -626,10 +625,46 @@ def pqs16_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pqs17_sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort_desc: presentation ordering by value within each bucket; value
-    parity via the oracle, row ordering asserted in test_frontends."""
+    parity via the oracle (order-insensitive), row ordering asserted in
+    tests/test_frontends.py::test_sort_desc_ordering."""
     df = _pq(
         spark, sf_dir,
         'sort_desc(sum by (event_type) (events))',
         3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+def _pqs18_oracle() -> str:
+    from lakerunner_spark.operators.ddsketch import (
+        ddsketch_quantile_over_time_sql,
+    )
+
+    inner = ddsketch_quantile_over_time_sql(
+        f"SELECT chq_timestamp, event_type, user_id, value "
+        f"FROM {_E} e WHERE event_type = 'purchase'",
+        ["event_type", "user_id"],
+        range_ms=7_200_000,
+        step_ms=60_000,
+        q=0.95,
+    )
+    return (
+        "SELECT bucket_ts, event_type, user_id, pround(value, 6) AS value "
+        f"FROM ({inner})"
+    )
+
+
+@register("pqs18_quantile_sketch_route", _pqs18_oracle())
+def pqs18_quantile_sketch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-range quantile_over_time served from the DDSketch bucket
+    algebra (promql/quantile_node.go:35-114 contract): [2h] at 60s step
+    is 120 buckets > QUANTILE_SKETCH_MIN_BUCKETS, so the compiler routes
+    away from the exact collect_list path — no raw-value arrays in the
+    plan (asserted in tests/test_frontends.py::test_quantile_sketch_route_plan);
+    the oracle reproduces the sketch algebra bit-for-bit."""
+    df = _pq(
+        spark, sf_dir,
+        'quantile_over_time(0.95, events{event_type="purchase"}[2h])',
+        60_000,
     )
     return df.withColumn("value", _pr("value", 6))

@@ -311,3 +311,126 @@ def test_exemplar_ascending(spark, sf_dir):
     rows = df.collect()
     ts = [r.chq_timestamp for r in rows]
     assert len(rows) == 10 and ts == sorted(ts)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: sort ordering, quantile sketch routing, label_replace
+# ---------------------------------------------------------------------------
+
+
+def test_sort_desc_ordering(spark, sf_dir):
+    """sort_desc's only observable behavior is row order: within each
+    bucket_ts, collected values must be non-increasing (and sort asc
+    non-decreasing) — the oracle compares order-insensitively, so this
+    is the ordering's sole verification."""
+    cat = default_metric_catalog(spark, sf_dir)
+    rows = compile_promql(
+        "sort_desc(sum by (event_type) (events))", cat, 3_600_000
+    ).collect()
+    assert rows
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket_ts, []).append(r.value)
+    assert all(vs == sorted(vs, reverse=True) for vs in by_bucket.values())
+
+    rows = compile_promql(
+        "sort(sum by (event_type) (events))", cat, 3_600_000
+    ).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket_ts, []).append(r.value)
+    assert all(vs == sorted(vs) for vs in by_bucket.values())
+
+
+def test_quantile_sketch_route_plan(spark, sf_dir):
+    """Large-range quantile_over_time must NOT materialize raw-value
+    arrays: the sketch route's physical plan has no collect_list /
+    array_sort, while the short-range exact path keeps them."""
+    cat = default_metric_catalog(spark, sf_dir)
+    big = compile_promql(
+        'quantile_over_time(0.95, events{event_type="purchase"}[2h])',
+        cat, 60_000,
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "array_sort" not in plan
+
+    small = compile_promql(
+        'quantile_over_time(0.9, events{event_type="purchase"}[10m])',
+        cat, 60_000,
+    )
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan_small
+
+
+def test_quantile_sketch_route_accuracy(spark, sf_dir):
+    """Sketch-served quantiles honor DDSketch's relative-error contract:
+    within 1% of the DISCRETE rank sample (value at rank
+    floor(q*(n-1)) of the trailing window), computed independently in
+    Python from the raw rows."""
+    import math
+
+    cat = default_metric_catalog(spark, sf_dir)
+    step, rng, q = 60_000, 7_200_000, 0.95
+    sketch = {
+        (r.bucket_ts, r.user_id): r.value
+        for r in compile_promql(
+            'quantile_over_time(0.95, events{event_type="purchase"}[2h])',
+            cat, step,
+        ).collect()
+    }
+    src = cat.resolve("events")
+    raw = (
+        src.df.filter(src.df.event_type == "purchase")
+        .select(src.ts_col, "user_id", src.value_col)
+        .collect()
+    )
+    per_user: dict = {}
+    for r in raw:
+        bts = r[0] - r[0] % step
+        per_user.setdefault(r[1], []).append((bts, r[2]))
+    checked = 0
+    for (bucket_ts, user), got in sketch.items():
+        vals = sorted(
+            v
+            for b, v in per_user[user]
+            if bucket_ts - (rng - step) <= b <= bucket_ts
+        )
+        truth = vals[math.floor(q * (len(vals) - 1))]
+        if truth > 0:
+            assert abs(got - truth) / truth < 0.0102
+            checked += 1
+    assert checked > 50
+
+
+def test_label_replace_null_src_label(spark, sf_dir):
+    """A NULL src-label value follows PromQL's absent-label semantics:
+    it matches as the empty string (ADVICE r2)."""
+    cat = default_metric_catalog(spark, sf_dir)
+    # klass only exists on err* series -> NULL elsewhere; a second
+    # label_replace against klass with an empty-matching regex must
+    # set dst on those NULL rows.
+    q = ('label_replace(label_replace(sum by (event_type) (events), '
+         '"klass", "$1-class", "event_type", "(err).*"), '
+         '"filled", "none", "klass", "")')
+    rows = compile_promql(q, cat, 3_600_000).collect()
+    assert rows
+    for r in rows:
+        if r.klass is None:
+            assert r.filled == "none"
+        else:
+            assert r.filled is None
+
+
+def test_label_replace_replacement_translation():
+    """RE2 Expand -> Java replacement translation (ADVICE r2)."""
+    from lakerunner_spark.promql.compiler import _java_replacement
+
+    assert _java_replacement("$1-x", "(a)(b)") == "$1-x"
+    assert _java_replacement("$3", "(a)(b)") == ""          # out of range
+    assert _java_replacement("$$", "(a)") == "\\$"          # literal $
+    assert _java_replacement("x$", "(a)") == "x\\$"         # dangling $
+    assert _java_replacement("${1}", "(a)") == "$1"
+    assert _java_replacement("$1foo", "(a)") == ""          # name "1foo"
+    assert _java_replacement("${name}", "(?<name>a)") == "${name}"
+    assert _java_replacement("${nope}", "(?<name>a)") == ""
+    assert _java_replacement("a\\b", "(x)") == "a\\\\b"

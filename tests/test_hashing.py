@@ -60,3 +60,34 @@ def test_compute_tid_deterministic_and_order_free(spark):
     # python-side equivalence for row 0
     expect = fnv64a_py("metric_name=cpu|region=us|svc=api")
     assert tids[0] == expect
+
+
+def test_hash_expressions_match_python(spark):
+    """The JVM-side SQL expressions (no Python in the ingest hot path)
+    must agree bit-for-bit with the golden Python implementations,
+    including multi-byte UTF-8, surrogate pairs, and NULL."""
+    from lakerunner_spark.functions.hashing import fnv64a, java_string_hash
+
+    cases = [
+        "", "a", "foobar", "metric_name=cpu|region=us|svc=api",
+        "héllo wörld", "日本語テキスト", "emoji 🎉🚀 test", "x" * 64,
+        "tab\tand\nnewline", chr(0x10000),
+    ]
+    df = spark.createDataFrame([(s,) for s in cases] + [(None,)], ["s"])
+    rows = df.select(
+        "s", fnv64a("s").alias("f"), java_string_hash("s").alias("j")
+    ).collect()
+    for r in rows:
+        if r.s is None:
+            assert r.f is None and r.j is None
+        else:
+            assert r.f == fnv64a_py(r.s), repr(r.s)
+            assert r.j == java_string_hash_py(r.s), repr(r.s)
+
+
+def test_hash_expressions_no_python_in_plan(spark):
+    """The plan for TID computation must contain no Python UDF eval."""
+    df = spark.createDataFrame([("cpu", "api")], ["metric_name", "svc"])
+    out = df.select(compute_tid("metric_name", "svc").alias("tid"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
