@@ -47,11 +47,78 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Curated leading order: one high-value entry per operator family so a
+# prefix sample of the catalog exercises every plane (scan/pipeline/
+# ingest/join/agg/window/frontends/relational/dataops/multimodal) —
+# the remaining registrations follow in registration order.
+_PRIORITY = [
+    "s1_scan_project_filter",
+    "cook1_metrics_tid",
+    "a1_preagg_10s",
+    "a2_rollup_chain",
+    "a3_step_agg",
+    "a9_rate",
+    "a8_topk",
+    "a13_aggfile_route",
+    "a6_cardinality",
+    "x1_ddsketch_p95",
+    "j1_vector_arith",
+    "j3_vector_and",
+    "o1_order_limit",
+    "p3_time_range",
+    "p6_line_filter",
+    "p7_json_parser",
+    "p8_logfmt_roundtrip",
+    "p9_regexp_parser",
+    "f17_ts_normalize",
+    "pqs1_sum_rate",
+    "pqs2_topk_count",
+    "pqs4_quantile_over_time",
+    "pqs16_label_replace",
+    "pqs18_quantile_sketch_route",
+    "lqs1_log_rate",
+    "lqs3_unwrap_max",
+    "lqs4_exemplar",
+    "lqs9_decolorize",
+    "lqs10_label_replace",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "dd1_dedup_exact",
+    "dd2_minhash_lsh",
+    "dd3_jaccard_verify",
+    "dd5_embedding_neardup",
+    "dd7_neardup_clusters",
+    "dd8_decontaminate",
+    "ds1_hash_split",
+    "ds3_sequence_pack",
+    "ds4_domain_mixture",
+    "sim1_cosine_topk",
+    "txt1_text_stats",
+    "txt5_repetition_filter",
+    "fp1_structural_fingerprint",
+    "mm1_byte_histogram",
+    "mm2_png_features",
+    "u2_union_streams",
+    "w5_running_revenue",
+]
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _PRIORITY if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY §2 (+ dataops)."""
-    return dict(_q.QUERIES)
+    return _ordered(_q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(_q.ORACLE)
+    return _ordered(_q.ORACLE)

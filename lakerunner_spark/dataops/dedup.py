@@ -169,6 +169,51 @@ def jaccard_verify(
     )
 
 
+def neardup_verify(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Verify candidate near-dup pairs by exact embedding cosine — the
+    verify stage of the candidates->verify split, mirroring
+    :func:`jaccard_verify`.
+
+    Requires an EXPLICIT candidate-pair DataFrame (``a_col``/``b_col``)
+    produced by a bounded generator (``similarity.lsh_bucket_topk`` /
+    ``ivf_topk`` buckets, MinHash bands, a sampled slice); there is
+    deliberately no corpus-level entry point on this path, so an
+    accidental all-pairs plan cannot be built. Scale: two equi-joins of
+    the pair table against the corpus on the id — the corpus never
+    self-joins, shuffle volume is O(|candidates|).
+    """
+    from lakerunner_spark.dataops.similarity import _dot, _norm
+    from lakerunner_spark.functions.rounding import portable_round
+
+    a = corpus.select(
+        F.col(id_col).alias(a_col),
+        F.col(vec_col).alias("_va"),
+        _norm(vec_col).alias("_na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias(b_col),
+        F.col(vec_col).alias("_vb"),
+        _norm(vec_col).alias("_nb"),
+    )
+    pairs = candidates.select(a_col, b_col).join(a, a_col).join(b, b_col)
+    cos = portable_round(
+        _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_dp
+    )
+    return (
+        pairs.select(a_col, b_col, cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     threshold: float,
@@ -176,34 +221,25 @@ def embedding_neardup(
     vec_col: str = "embedding",
     round_dp: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (a, b, cosine >= threshold).
+    """DEPRECATED corpus-level all-pairs helper: prefer generating
+    candidates (LSH/IVF/MinHash) and verifying with
+    :func:`neardup_verify`. Retained only for candidate-bounded slices
+    that are already small; delegates to neardup_verify over broadcast
+    all-pairs candidates (id_a < id_b)."""
+    import warnings
 
-    Exact all-pairs — use on a candidate-bounded set (an LSH/IVF bucket
-    or a sampled slice); at corpus scale, generate candidates with
-    ``similarity.lsh_bucket_topk``/``ivf_topk`` first and verify pairs
-    here (same candidates->verify split as MinHash->Jaccard).
-    """
-    from lakerunner_spark.dataops.similarity import _dot, _norm
-
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        _norm(vec_col).alias("_na"),
+    warnings.warn(
+        "embedding_neardup is all-pairs; use neardup_verify with bounded "
+        "candidates at corpus scale",
+        DeprecationWarning,
+        stacklevel=2,
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        _norm(vec_col).alias("_nb"),
+    cand = df.select(F.col(id_col).alias("id_a")).join(
+        F.broadcast(df.select(F.col(id_col).alias("id_b"))),
+        F.col("id_a") < F.col("id_b"),
     )
-    from lakerunner_spark.functions.rounding import portable_round
-
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    cos = portable_round(
-        _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_dp
-    )
-    return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    return neardup_verify(
+        cand, df, threshold, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
 
 

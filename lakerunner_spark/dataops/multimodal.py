@@ -52,15 +52,159 @@ FEATURE_SCHEMA = T.StructType(
 ImageDecoder = Callable[[bytes], list[float]]
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal stdlib PNG encoder: 8-bit RGB, filter 0, no interlace.
+
+    ``rgb`` is row-major RGBRGB... (3*width*height bytes). Used to
+    synthesize deterministic test/benchmark images; also a legitimate
+    sink codec (zlib + struct only — runs in any executor)."""
+    import struct
+    import zlib
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("encode_png: rgb length must be 3*width*height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = 3 * width
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decoder (zlib + struct): returns
+    ``(width, height, channels, samples)`` with samples row-major.
+
+    Supports 8-bit greyscale (color type 0), RGB (2), and RGBA (6),
+    non-interlaced, with all five scanline filters (None/Sub/Up/
+    Average/Paeth). That covers every PNG this engine or common ML
+    pipelines emit; palette/16-bit/interlaced images raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("decode_png: not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+                raise NotImplementedError(
+                    "decode_png: only 8-bit non-interlaced gray/RGB/RGBA"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("decode_png: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = channels * width
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"decode_png: bad filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def png_features(payload: bytes) -> list[float]:
+    """PNG payload -> 8-dim feature vector:
+    [width, height, mean_r, mean_g, mean_b, mean_gray, min_gray,
+    max_gray] (gray = (r+g+b)/3 per pixel; greyscale images use the
+    single channel for all three means)."""
+    w, h, ch, samples = decode_png(payload)
+    n = w * h
+    if ch == 1:
+        grays = [float(v) for v in samples]
+        mr = mg = mb = sum(grays) / n
+    else:
+        # channel slices: stride ch starting at offset 0/1/2 (alpha,
+        # when present at offset 3, is simply never sliced)
+        rs = samples[0::ch]
+        gs = samples[1::ch]
+        bs = samples[2::ch]
+        mr = sum(rs) / n
+        mg = sum(gs) / n
+        mb = sum(bs) / n
+        grays = [(r + g + b) / 3.0 for r, g, b in zip(rs, gs, bs)]
+    return [
+        float(w),
+        float(h),
+        mr,
+        mg,
+        mb,
+        sum(grays) / n,
+        min(grays),
+        max(grays),
+    ]
+
+
 def decode_image(payload: bytes) -> list[float]:
     """Decode an image payload to a feature vector.
 
-    Real implementation needs an image codec (Pillow/opencv), absent in
-    this container — inject a decoder for tests or provide one at
-    deployment (reference: this is the X2-style extension seam).
+    PNG decodes natively (stdlib zlib+struct, :func:`decode_png`); other
+    formats need a codec library (Pillow/opencv), absent in this
+    container — inject a decoder for tests or provide one at deployment
+    (reference: this is the X2-style extension seam).
     """
+    if payload[:8] == PNG_SIGNATURE:
+        return png_features(payload)
     raise NotImplementedError(
-        "image decode needs a codec library; inject decoder=... instead"
+        "non-PNG image decode needs a codec library; inject decoder=... instead"
     )
 
 

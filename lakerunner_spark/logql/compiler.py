@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 
 from lakerunner_spark.logql import stages as st
 from lakerunner_spark.logql.parser import (
+    DecolorizeStage,
     DropStage,
     JsonStage,
+    LabelReplaceStage,
     KeepStage,
     LabelFilter,
     LabelFormatStage,
@@ -109,6 +111,14 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
         if isinstance(stage, LineFormatStage):
             df = st.line_format(df, _template_column(stage.template),
                                 line_col=src.line_col)
+            continue
+        if isinstance(stage, DecolorizeStage):
+            df = st.decolorize(df, line_col=src.line_col)
+            continue
+        if isinstance(stage, LabelReplaceStage):
+            df = st.label_replace(df, stage.dst, stage.repl, stage.src, stage.regex)
+            if stage.dst not in extracted and stage.dst not in stream:
+                extracted.append(stage.dst)
             continue
         if isinstance(stage, LineFilter):
             df = st.line_filter(df, stage.op, stage.needle, line_col=src.line_col)

@@ -90,6 +90,24 @@ class LineFormatStage:
 
 
 @dataclass
+class DecolorizeStage:
+    """``| decolorize``: strip ANSI SGR color sequences from the line
+    (accepted by the reference pipeline parser, logql/parser.go:677)."""
+
+
+@dataclass
+class LabelReplaceStage:
+    """``| label_replace(dst, "replacement", src, "regex")`` inside a log
+    pipeline (reference parser accepts label_replace as a pipeline stage,
+    logql/parser.go:677); PromQL label_replace semantics applied per row."""
+
+    dst: str
+    repl: str
+    src: str
+    regex: str
+
+
+@dataclass
 class LogLeaf:
     """Selector + ordered pipeline (logql/exec_planner.go:60-82 LogLeaf)."""
 
@@ -336,7 +354,34 @@ class _Parser:
                 raise ValueError("logql: | regexp needs named capture groups")
             leaf.stages.append(RegexpStage(translated, groups))
             return
-        if t.text in ("keep", "drop"):
+        if t.text == "decolorize":
+            leaf.stages.append(DecolorizeStage())
+            return
+        if t.text == "label_replace":
+            self.expect("(")
+            dst = self.next()
+            if dst.kind != "ID":
+                raise ValueError("logql: label_replace(dst, \"repl\", src, \"regex\")")
+            self.expect(",")
+            repl = self.next()
+            if repl.kind != "STR":
+                raise ValueError("logql: label_replace replacement must be a string")
+            self.expect(",")
+            src = self.next()
+            if src.kind != "ID":
+                raise ValueError("logql: label_replace src must be a label name")
+            self.expect(",")
+            regex = self.next()
+            if regex.kind != "STR":
+                raise ValueError("logql: label_replace regex must be a string")
+            self.expect(")")
+            leaf.stages.append(
+                LabelReplaceStage(
+                    dst.text, _unquote(repl.text), src.text, _unquote(regex.text)
+                )
+            )
+            return
+        if t.text in ("keep", "drop", "keep_labels", "drop_labels"):
             labels = []
             while self.peek().kind == "ID":
                 labels.append(self.next().text)
@@ -345,7 +390,9 @@ class _Parser:
             if not labels:
                 raise ValueError(f"logql: | {t.text} requires labels")
             leaf.stages.append(
-                KeepStage(labels) if t.text == "keep" else DropStage(labels)
+                KeepStage(labels)
+                if t.text in ("keep", "keep_labels")
+                else DropStage(labels)
             )
             return
         if t.text == "label_format":

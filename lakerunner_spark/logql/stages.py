@@ -192,3 +192,48 @@ def unwrap(df: DataFrame, label: str, conv: str = "", out_col: str = "_unwrapped
 def keep_fields(df: DataFrame, fields: list[str]) -> DataFrame:
     """P13: restrict returned columns — Catalyst prunes the scan to match."""
     return df.select(*fields)
+
+
+# ANSI SGR (Select Graphic Rendition) escape: ESC [ <params> m
+_ANSI_SGR_PATTERN = "\x1b\\[[0-9;]*m"
+
+
+def decolorize(df: DataFrame, line_col: str = "log_message") -> DataFrame:
+    """``| decolorize``: strip ANSI color sequences from the line
+    (pipeline stage accepted by the reference, logql/parser.go:677).
+    Pure regexp_replace — whole-stage codegen."""
+    return df.withColumn(
+        line_col, F.regexp_replace(F.col(line_col), _ANSI_SGR_PATTERN, "")
+    )
+
+
+def decolorize_sql(line_sql: str) -> str:
+    """DuckDB oracle twin of :func:`decolorize`."""
+    return f"regexp_replace({line_sql}, e'\\x1b\\\\[[0-9;]*m', '', 'g')"
+
+
+def label_replace(
+    df: DataFrame, dst: str, repl: str, src: str, regex: str
+) -> DataFrame:
+    """PromQL label_replace semantics applied as a pipeline stage: the
+    regex is fully anchored against src's value (absent label or NULL =
+    ""); on match dst becomes the RE2-expanded replacement, otherwise
+    the row is unchanged (dst keeps its value, or stays NULL)."""
+    from lakerunner_spark.functions.regexops import re2_replacement_to_java
+
+    src_col = (
+        F.coalesce(F.col(src).cast("string"), F.lit(""))
+        if src in df.columns
+        else F.lit("")
+    )
+    anchored = f"^(?:{regex})$"
+    expanded = F.regexp_replace(
+        src_col, anchored, re2_replacement_to_java(repl, regex)
+    )
+    if dst in df.columns:
+        new_dst = F.when(src_col.rlike(anchored), expanded).otherwise(
+            F.col(dst).cast("string")
+        )
+    else:
+        new_dst = F.when(src_col.rlike(anchored), expanded)
+    return df.withColumn(dst, new_dst)

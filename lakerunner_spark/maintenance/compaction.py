@@ -76,6 +76,63 @@ def plan_table_compaction(
     return sorted(tasks, key=lambda t: t["dir"])
 
 
+def _commit_path(partition_dir: str, txid: str) -> str:
+    return os.path.join(partition_dir, f"_compact_commit_{txid}.json")
+
+
+def _write_commit(partition_dir: str, txid: str, record: dict) -> str:
+    """Atomically publish the commit record (temp file + rename — the
+    rename IS the transaction point)."""
+    import json
+
+    path = _commit_path(partition_dir, txid)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def recover_compaction(partition_dir: str) -> str | None:
+    """Repair a partition after a compaction crash; returns the action
+    taken ('rolled_forward' | 'rolled_back' | None).
+
+    Protocol invariants (see :func:`compact_segments`):
+    - no commit record present -> the transaction never happened; any
+      staging directory is garbage (original files are all intact,
+      because old-file deletion only starts after the commit record is
+      published). Roll BACK: delete staging.
+    - commit record present -> the transaction is decided. Roll
+      FORWARD: move any staged files not yet in place, delete any old
+      files still present, then drop the record.
+    """
+    import glob
+    import json
+
+    action = None
+    for commit in sorted(glob.glob(os.path.join(partition_dir, "_compact_commit_*.json"))):
+        with open(commit) as f:
+            rec = json.load(f)
+        for src, dst in rec["moves"]:
+            if os.path.exists(src) and not os.path.exists(dst):
+                shutil.move(src, dst)
+        for old in rec["old_files"]:
+            if os.path.exists(old):
+                os.remove(old)
+        shutil.rmtree(rec["staging"], ignore_errors=True)
+        os.remove(commit)
+        action = "rolled_forward"
+    if action is None:
+        parent = os.path.dirname(partition_dir)
+        base = os.path.basename(partition_dir)
+        for stale in glob.glob(os.path.join(parent, f"_compact_*_{base}")):
+            shutil.rmtree(stale, ignore_errors=True)
+            action = "rolled_back"
+    return action
+
+
 def compact_segments(
     spark: SparkSession,
     task: dict,
@@ -84,33 +141,56 @@ def compact_segments(
 ) -> int:
     """Execute one compaction task; returns the output file count.
 
-    Rewrite happens into a staging dir then swaps in, so a crashed job
-    leaves the original segments intact (the reference gets the same
-    from upload-then-republish semantics, OVERVIEW.md:277).
+    Crash-safe write-ahead protocol (temp dir + manifest commit — the
+    same transactional shape Structured Streaming's file-sink manifest
+    gives the T4 path; the reference gets it from upload-then-republish
+    + Postgres registration, OVERVIEW.md:277):
+
+    1. write compacted output to a sibling staging dir; verify _SUCCESS;
+    2. atomically publish a commit record (tmp + rename) listing the
+       planned moves and the old files — this rename is the txn point;
+    3. move new files in, delete old files, drop the record.
+
+    A crash before (2) leaves the original segments untouched (staging
+    is garbage-collected by :func:`recover_compaction`); a crash after
+    (2) is rolled forward by replaying the record. Run
+    recover_compaction over partitions at job start.
     """
     sort_keys = SEGMENT_SORT_KEYS[family]
     df = spark.read.option("mergeSchema", "true").parquet(*task["files"])
     sort_cols = [k for k in sort_keys if k in df.columns]
 
+    txid = uuid.uuid4().hex[:8]
     staging = os.path.join(
         os.path.dirname(task["dir"]),
-        f"_compact_{uuid.uuid4().hex[:8]}_{os.path.basename(task['dir'])}",
+        f"_compact_{txid}_{os.path.basename(task['dir'])}",
     )
     out = df.repartition(task["target_files"])
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").option("compression", compression).parquet(staging)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"compaction staging write incomplete: {staging}")
 
-    # atomic-ish swap: move new files in, remove old ones
+    staged = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    moves = [
+        (
+            os.path.join(staging, f),
+            os.path.join(task["dir"], f"compacted_{txid}_{i:05d}.parquet"),
+        )
+        for i, f in enumerate(staged)
+    ]
+    _write_commit(
+        task["dir"],
+        txid,
+        {"staging": staging, "moves": moves, "old_files": task["files"]},
+    )
+    for src, dst in moves:
+        shutil.move(src, dst)
     for f in task["files"]:
         os.remove(f)
-    n = 0
-    for f in os.listdir(staging):
-        if f.endswith(".parquet"):
-            shutil.move(
-                os.path.join(staging, f),
-                os.path.join(task["dir"], f"compacted_{n:05d}.parquet"),
-            )
-            n += 1
     shutil.rmtree(staging, ignore_errors=True)
-    return n
+    os.remove(_commit_path(task["dir"], txid))
+    return len(moves)

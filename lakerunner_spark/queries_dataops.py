@@ -161,12 +161,19 @@ def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on a bounded slice (exact verify
-    stage of the candidates->verify dedup split)."""
-    from lakerunner_spark.dataops.dedup import embedding_neardup
+    """Embedding-cosine near-dup pairs via the guarded candidates->verify
+    API: candidates are an explicit bounded pair set (here all pairs of a
+    200-vector slice), verified by exact cosine in neardup_verify — the
+    all-pairs corpus entry point is deprecated."""
+    from lakerunner_spark.dataops.dedup import neardup_verify
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return embedding_neardup(emb, 0.3)
+    ids = emb.select(F.col("vec_id"))
+    cand = ids.select(F.col("vec_id").alias("id_a")).join(
+        F.broadcast(ids.select(F.col("vec_id").alias("id_b"))),
+        F.col("id_a") < F.col("id_b"),
+    )
+    return neardup_verify(cand, emb, 0.3)
 
 
 @register(

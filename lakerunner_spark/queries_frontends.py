@@ -550,6 +550,77 @@ def lqs4_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("event_id", "chq_timestamp", "event_type", "k")
 
 
+def _lqs9_oracle() -> str:
+    from lakerunner_spark.logql.stages import decolorize_sql
+
+    d = decolorize_sql("colored")
+    return f"""
+    SELECT event_id, chq_timestamp, event_type,
+           json_extract_string({d}, '$.k') AS k, {d} AS log_message
+    FROM (SELECT event_id, chq_timestamp, event_type,
+                 chr(27) || '[31m' || props || chr(27) || '[0m' AS colored
+          FROM {_E} e WHERE event_type = 'error')
+    ORDER BY chq_timestamp DESC, event_id DESC LIMIT 50
+    """
+
+
+@register("lqs9_decolorize", _lqs9_oracle())
+def lqs9_decolorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``| decolorize`` strips ANSI SGR sequences (logql/parser.go:677):
+    the colored wrapper breaks JSON parsing, so the parsed key is the
+    observable — it extracts only if decolorize ran first."""
+    from lakerunner_spark.logql.compiler import LogSource
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(F.lit("\x1b[31m"), F.col("props"), F.lit("\x1b[0m")),
+    )
+    src = LogSource(ev, ["event_type"], line_col="log_message")
+    df = compile_logql_exemplar(
+        '{event_type="error"} | decolorize | json k="$.k"',
+        src,
+        limit=50,
+        tiebreak=["event_id"],
+    )
+    return df.select("event_id", "chq_timestamp", "event_type", "k", "log_message")
+
+
+@register(
+    "lqs10_label_replace",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             CASE WHEN regexp_full_match(event_type, '(err)or')
+                  THEN regexp_replace(event_type, '^(?:(err)or)$', '\\1!')
+             END AS klass,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM {_E} e WHERE regexp_full_match(event_type, 'error|click')
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, klass, sum(c) OVER w AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, klass ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, klass, pround(sum(value), 6) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def lqs10_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_replace as a LogQL pipeline stage (logql/parser.go:677):
+    series gain a derived klass label mid-pipeline; the final vector
+    aggregation groups by it (non-matching series keep klass NULL)."""
+    df = _lq(
+        spark, sf_dir,
+        'sum by (klass) (count_over_time({event_type=~"error|click"}'
+        ' | label_replace(klass, "$1!", event_type, "(err)or") [10m]))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
 @register(
     "pqs15_median_over_time",
     f"""

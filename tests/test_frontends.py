@@ -434,3 +434,32 @@ def test_label_replace_replacement_translation():
     assert _java_replacement("${name}", "(?<name>a)") == "${name}"
     assert _java_replacement("${nope}", "(?<name>a)") == ""
     assert _java_replacement("a\\b", "(x)") == "a\\\\b"
+
+
+def test_parse_decolorize_and_pipeline_label_replace():
+    from lakerunner_spark.logql.parser import (
+        DecolorizeStage,
+        KeepStage,
+        LabelReplaceStage,
+    )
+
+    leaf = parse_logql('{a="b"} | decolorize | json k="$.k"')
+    assert any(isinstance(s, DecolorizeStage) for s in leaf.stages)
+
+    leaf = parse_logql(
+        '{a="b"} | label_replace(dst, "$1-x", src, "(v).*") | keep_labels dst'
+    )
+    lr = [s for s in leaf.stages if isinstance(s, LabelReplaceStage)][0]
+    assert (lr.dst, lr.repl, lr.src, lr.regex) == ("dst", "$1-x", "src", "(v).*")
+    assert any(isinstance(s, KeepStage) and s.labels == ["dst"] for s in leaf.stages)
+
+
+def test_decolorize_stage_strips_ansi(spark):
+    from lakerunner_spark.logql.stages import decolorize
+
+    df = spark.createDataFrame(
+        [("\x1b[31mred\x1b[0m plain \x1b[1;32mbold-green\x1b[m",)],
+        ["log_message"],
+    )
+    out = decolorize(df).collect()[0].log_message
+    assert out == "red plain bold-green"

@@ -83,3 +83,99 @@ def test_retention_sweep(tmp_path):
     assert not (base / "dateint=20240101").exists()
     assert (base / "dateint=20240301").exists()
     assert (base / "dateint=20240501").exists()
+
+
+def _fragmented_partition(spark, sf_dir, tmp_path, name):
+    e = (
+        events_stream(spark, sf_dir)
+        .limit(3000)
+        .withColumnRenamed("event_type", "metric_name")
+        .withColumn("chq_tid", F.col("user_id").cast("long"))
+    )
+    part = str(tmp_path / name / "dateint=20240101")
+    e.repartition(8).write.mode("overwrite").parquet(part)
+    for f in os.listdir(part):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(part, f))
+    return part, spark.read.parquet(part).count()
+
+
+def test_compaction_crash_before_commit_rolls_back(spark, sf_dir, tmp_path):
+    """Kill after the staging write but BEFORE the commit record: the
+    original segments are untouched; recovery garbage-collects staging
+    and the partition reads exactly as before."""
+    import shutil as _sh
+
+    from lakerunner_spark.maintenance.compaction import recover_compaction
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "crash1")
+    task = plan_compaction(part)
+    files_before = sorted(os.listdir(part))
+
+    # simulate: staging dir fully written, then crash (no commit record)
+    staging = os.path.join(
+        os.path.dirname(part), f"_compact_deadbeef_{os.path.basename(part)}"
+    )
+    spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(staging)
+
+    assert recover_compaction(part) == "rolled_back"
+    assert not os.path.exists(staging)
+    assert sorted(os.listdir(part)) == files_before
+    assert spark.read.parquet(part).count() == total
+    _sh.rmtree(os.path.dirname(part), ignore_errors=True)
+
+
+def test_compaction_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path):
+    """Kill AFTER the commit record with the swap half done (one new
+    file moved in, old files still present): recovery replays the
+    record — partition ends with exactly the compacted files and the
+    original row count."""
+    import glob
+    import json
+    import shutil as _sh
+
+    from lakerunner_spark.maintenance.compaction import (
+        _write_commit,
+        recover_compaction,
+    )
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "crash2")
+    task = plan_compaction(part)
+
+    txid = "cafef00d"
+    staging = os.path.join(
+        os.path.dirname(part), f"_compact_{txid}_{os.path.basename(part)}"
+    )
+    spark.read.option("mergeSchema", "true").parquet(*task["files"]).repartition(
+        2
+    ).write.mode("overwrite").parquet(staging)
+    staged = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    assert len(staged) == 2
+    moves = [
+        (
+            os.path.join(staging, f),
+            os.path.join(part, f"compacted_{txid}_{i:05d}.parquet"),
+        )
+        for i, f in enumerate(staged)
+    ]
+    _write_commit(
+        part, txid, {"staging": staging, "moves": moves, "old_files": task["files"]}
+    )
+    # crash mid-swap: only the first move happened, no old file deleted
+    _sh.move(*moves[0])
+
+    assert recover_compaction(part) == "rolled_forward"
+    assert not os.path.exists(staging)
+    assert not glob.glob(os.path.join(part, "_compact_commit_*.json"))
+    files = sorted(f for f in os.listdir(part) if f.endswith(".parquet"))
+    assert files == [f"compacted_{txid}_{i:05d}.parquet" for i in range(2)]
+    assert spark.read.parquet(part).count() == total
+    _sh.rmtree(os.path.dirname(part), ignore_errors=True)
+
+
+def test_recover_noop_on_healthy_partition(spark, sf_dir, tmp_path):
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "healthy")
+    from lakerunner_spark.maintenance.compaction import recover_compaction
+
+    assert recover_compaction(part) is None
+    assert spark.read.parquet(part).count() == total

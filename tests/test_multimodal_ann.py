@@ -141,3 +141,79 @@ def test_resize_without_codec_raises(media):
 
     with pytest.raises(Exception, match="(?i)codec|NotImplemented"):
         resize_images(media, 2, 2).collect()
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec (round-3: de-stubbed image decode)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_and_filters():
+    import random
+    import struct
+    import zlib
+
+    from lakerunner_spark.dataops.multimodal import (
+        PNG_SIGNATURE,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes((y * 17 + x * 5 + c * 11) % 256
+                for y in range(8) for x in range(8) for c in range(3))
+    w, h, ch, samples = decode_png(encode_png(8, 8, rgb))
+    assert (w, h, ch) == (8, 8, 3) and samples == rgb
+
+    # hand-build a PNG exercising every scanline filter type (0-4)
+    random.seed(7)
+    rgb = bytes(random.randrange(256) for _ in range(3 * 16 * 16))
+    stride = 48
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(16):
+        line = bytearray(rgb[y * stride:(y + 1) * stride])
+        ft = (0, 1, 2, 3, 4)[y % 5]
+        enc = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, 2, -1):
+                enc[i] = (line[i] - line[i - 3]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        out += bytes([ft]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0)
+    png = (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(png)[3] == rgb
+
+
+def test_decode_image_dispatch():
+    import pytest
+
+    from lakerunner_spark.dataops.multimodal import (
+        decode_image,
+        encode_png,
+        png_features,
+    )
+
+    rgb = bytes(range(0, 192))
+    png = encode_png(8, 8, rgb)
+    assert decode_image(png) == png_features(png)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not a png")
