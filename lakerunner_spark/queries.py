@@ -562,6 +562,9 @@ def cook1_metrics_tid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_stream(spark, sf_dir).withColumn(
         "user_id", F.col("user_id").cast("string")
     )
+    # the bench table is one small file = one input split; real ingest
+    # hashes across many segment files, so spread the cook accordingly
+    e = e.repartition(spark.sparkContext.defaultParallelism)
     cooked = translate_metrics(
         e.withColumnRenamed("event_type", "metric_name"),
         attr_cols=["user_id"],

@@ -53,6 +53,24 @@ COMMENT = {
         "100 TB the join becomes an SMJ on custkey and the first agg then "
         "reuses its partitioning."
     ),
+    "pqs18_quantile_sketch_route": (
+        "Large-range quantile served from the DDSketch bucket algebra: "
+        "NO collect_list / raw-value arrays anywhere in the plan. The "
+        "sketch builds with one HashAggregate pair on (step-bucket, "
+        "series, log-bucket); the tumbling->sliding expansion is a "
+        "map-side Generate (explode), re-merged by a second partial/final "
+        "aggregate; the quantile walk is two window functions over "
+        "(bucket_ts, series) — per-row state is O(1) regardless of how "
+        "many raw samples the 2h range holds, which is exactly what the "
+        "exact interpolated path could not guarantee."
+    ),
+    "cook1_metrics_tid": (
+        "TID hashing entirely inside the JVM: the fold over UTF-8 bytes "
+        "is expression-only (aggregate HOF; no BatchEvalPython / "
+        "ArrowEvalPython anywhere), so ingest hashing scales with cores, "
+        "not with Python serialization. One HashAggregate pair groups by "
+        "the computed chq_tid."
+    ),
     "tpch_q21_waiting_supplier": (
         "Decorrelated EXISTS/NOT EXISTS: lineitem is scanned once per "
         "role, each pruned to 2 columns at the scan (ReadSchema), with "
