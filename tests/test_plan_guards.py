@@ -1,0 +1,72 @@
+"""Engine-wide physical-plan invariants over the ENTIRE query catalog.
+
+Two global guarantees the scale story depends on, enforced as tests so
+no future operator regresses them silently:
+
+1. No Python evaluation (BatchEvalPython / ArrowEvalPython / MapInPandas)
+   in any registered query plan, except the explicitly documented Arrow
+   seams (sequence packing's applyInPandas stream and the multimodal
+   decode stage) — "UDFs are the slow path" as a checked invariant, not
+   a convention.
+2. No CartesianProduct join anywhere except the queries that broadcast
+   a bounded side by design (documented candidate-bounded all-pairs /
+   query-broadcast ANN shapes, which plan as BroadcastNestedLoopJoin).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# Arrow/Pandas seams that are the documented design (linear, partition-
+# parallel, Arrow-batched), not accidental slow paths:
+PYTHON_ALLOWED = {
+    "ds3_sequence_pack",   # applyInPandas greedy packer (inherently sequential per stream)
+    "mm2_png_features",    # mapInPandas image decode (codec work is Python by design)
+}
+
+# Bounded all-pairs / broadcast shapes where a nested-loop join with a
+# broadcast side is the intended plan:
+NLJ_ALLOWED = {
+    "dd5_embedding_neardup",  # candidate pairs on a bounded slice
+    "sim1_cosine_topk",       # broadcast queries x corpus scan
+    "sim2_ivf_topk",          # broadcast centroids assignment
+    "sim3_lsh_topk",          # broadcast hyperplanes
+    "mm2_png_features",       # tiny literal DF
+    "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
+    "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
+}
+
+
+def _plans(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # pragma: no cover - registry must compile
+            pytest.fail(f"{name}: plan construction failed: {e}")
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_eval_outside_allowlist(spark, sf_dir):
+    offenders = []
+    for name, plan in _plans(spark, sf_dir):
+        if name in PYTHON_ALLOWED:
+            continue
+        if any(
+            tok in plan
+            for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                        "FlatMapGroupsInPandas")
+        ):
+            offenders.append(name)
+    assert not offenders, f"Python eval leaked into: {offenders}"
+
+
+def test_no_cartesian_product_outside_allowlist(spark, sf_dir):
+    offenders = []
+    for name, plan in _plans(spark, sf_dir):
+        if "CartesianProduct" in plan:
+            offenders.append(name)  # a TRUE cartesian is never acceptable
+        elif "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
+            offenders.append(name + " (BNLJ)")
+    assert not offenders, f"unbounded join shapes in: {offenders}"
