@@ -38,7 +38,9 @@ HEADLINE = [
     "a14_summary",
     "o1_order_limit",
     "pqs1_sum_rate",
+    "pqs18_quantile_sketch_route",
     "lqs3_unwrap_max",
+    "lqs10_label_replace",
     "a13_aggfile_route",
     "a6_cardinality",
     "x1_ddsketch_p95",

@@ -145,13 +145,20 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, out: str, top: int) -> DataFrame:
+        from lakerunner_spark.functions.rounding import portable_round
+
+        # 12-dp rounding before the argmax: double summation ORDER
+        # differs between engines (and between partitions), so ranking
+        # on the raw float would let a last-ulp difference flip a cell
+        # assignment; 12 dp is far beyond any real similarity gap and
+        # makes the assignment engine-deterministic (oracle-able).
         scored = df.crossJoin(F.broadcast(cents)).select(
             df[idc],
             df[vec_col],
             "cell",
-            (
-                _dot(vec_col, "_cent")
-                / (F.col("_centn") * _norm(vec_col))
+            portable_round(
+                _dot(vec_col, "_cent") / (F.col("_centn") * _norm(vec_col)),
+                12,
             ).alias("_sim"),
         )
         w = Window.partitionBy(idc).orderBy(
@@ -169,11 +176,13 @@ def ivf_topk(
     qb = assign(queries, id_col, "cell", n_probe).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "cell"
     )
+    from lakerunner_spark.functions.rounding import portable_round
+
     pairs = cb.join(F.broadcast(qb), "cell").drop("cell").distinct()
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(
+        portable_round(
             _dot("_qv", "_cv")
             / (F.sqrt(_dot("_qv", "_qv")) * F.sqrt(_dot("_cv", "_cv"))),
             round_dp,
@@ -208,10 +217,12 @@ def lsh_bucket_topk(
         .select("qid", "cid", "_qv", "_cv")
         .distinct()
     )
+    from lakerunner_spark.functions.rounding import portable_round
+
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(
+        portable_round(
             _dot("_qv", "_cv")
             / (
                 F.sqrt(_dot("_qv", "_qv")) * F.sqrt(_dot("_cv", "_cv"))

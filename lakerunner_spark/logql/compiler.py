@@ -227,6 +227,10 @@ def _compile_range(
 ) -> tuple[DataFrame, list[str]]:
     leaf = node.leaf
     df = source.df
+    if leaf.offset_ms:
+        # value at t comes from t-offset -> shift data forward (same
+        # contract as the PromQL leaf; exec_planner.go:71)
+        df = df.withColumn(source.ts_col, F.col(source.ts_col) + leaf.offset_ms)
     if start_ms is not None:
         df = df.filter(F.col(source.ts_col) >= start_ms - (leaf.range_ms or 0))
     if end_ms is not None:

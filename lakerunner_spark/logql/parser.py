@@ -115,6 +115,9 @@ class LogLeaf:
     stages: list = field(default_factory=list)  # LineFilter/JsonStage/.../LabelFilter
     unwrap: Unwrap | None = None
     range_ms: int | None = None
+    # `[5m] offset 1m` — evaluate against data shifted back by offset
+    # (logql/exec_planner.go:71 Offset)
+    offset_ms: int = 0
 
 
 @dataclass
@@ -315,6 +318,14 @@ class _Parser:
                     raise ValueError(f"logql: expected duration, got {dur.text!r}")
                 self.expect("]")
                 leaf.range_ms = parse_duration_ms(dur.text)
+                if self.peek().text == "offset":
+                    self.next()
+                    off = self.next()
+                    if off.kind != "DUR":
+                        raise ValueError(
+                            f"logql: expected duration after offset, got {off.text!r}"
+                        )
+                    leaf.offset_ms = parse_duration_ms(off.text)
                 return leaf
             else:
                 return leaf

@@ -622,6 +622,38 @@ def lqs10_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lqs11_range_offset",
+    f"""
+    WITH base AS (
+      SELECT (chq_timestamp + 3600000)
+             - (chq_timestamp + 3600000) % 60000 AS bucket_ts, event_type,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM {_E} e WHERE event_type = 'error'
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, sum(c) OVER w AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, event_type, pround(sum(value), 6) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def lqs11_range_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL range offset (`[10m] offset 1h`, exec_planner.go:71): the
+    window evaluates against data shifted back by the offset — every
+    bucket reads one hour earlier."""
+    df = _lq(
+        spark, sf_dir,
+        'sum by (event_type) (count_over_time({event_type="error"}[10m] offset 1h))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
     "pqs15_median_over_time",
     f"""
     SELECT DISTINCT bucket_ts, event_type, user_id,

@@ -67,31 +67,163 @@ def mm1_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim2_ivf_topk")
+@register(
+    "sim2_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    cents AS (SELECT vec_id AS cell, embedding FROM c ORDER BY vec_id ASC LIMIT 16),
+    qf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    cf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    kf AS (SELECT cell, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM cents CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    qn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM qf GROUP BY vec_id),
+    cn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM cf GROUP BY vec_id),
+    kn AS (SELECT cell, sqrt(sum(v * v)) AS nrm FROM kf GROUP BY cell),
+    c_sim AS (
+      SELECT cf.vec_id AS cid, kf.cell,
+             pround(sum(cf.v * kf.v) / (cn.nrm * kn.nrm), 12) AS sim
+      FROM cf JOIN kf ON cf.i = kf.i
+      JOIN cn ON cn.vec_id = cf.vec_id JOIN kn ON kn.cell = kf.cell
+      GROUP BY cf.vec_id, kf.cell, cn.nrm, kn.nrm
+    ),
+    c_assign AS (
+      SELECT cid, cell FROM (
+        SELECT cid, cell, row_number() OVER (
+          PARTITION BY cid ORDER BY sim DESC, cell ASC) AS rn
+        FROM c_sim
+      ) WHERE rn <= 1
+    ),
+    q_sim AS (
+      SELECT qf.vec_id AS qid, kf.cell,
+             pround(sum(qf.v * kf.v) / (qn.nrm * kn.nrm), 12) AS sim
+      FROM qf JOIN kf ON qf.i = kf.i
+      JOIN qn ON qn.vec_id = qf.vec_id JOIN kn ON kn.cell = kf.cell
+      GROUP BY qf.vec_id, kf.cell, qn.nrm, kn.nrm
+    ),
+    q_probe AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell, row_number() OVER (
+          PARTITION BY qid ORDER BY sim DESC, cell ASC) AS rn
+        FROM q_sim
+      ) WHERE rn <= 8
+    ),
+    pairs AS (
+      SELECT DISTINCT q_probe.qid, c_assign.cid
+      FROM q_probe JOIN c_assign USING (cell)
+    ),
+    dots AS (
+      SELECT p.qid, p.cid, sum(qf.v * cf.v) AS dot
+      FROM pairs p
+      JOIN qf ON qf.vec_id = p.qid JOIN cf ON cf.vec_id = p.cid AND cf.i = qf.i
+      GROUP BY p.qid, p.cid
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT d.qid, d.cid,
+             pround(d.dot / (qn.nrm * cn.nrm), 4) AS cosine,
+             row_number() OVER (PARTITION BY d.qid
+                                ORDER BY pround(d.dot / (qn.nrm * cn.nrm), 4) DESC,
+                                         d.cid ASC) AS rn
+      FROM dots d JOIN qn ON qn.vec_id = d.qid JOIN cn ON cn.vec_id = d.cid
+    ) WHERE rn <= 5
+    """,
+)
 def sim2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: IVF cells + multi-probe (recall vs brute force
-    asserted in tests)."""
+    """ANN scale path: IVF cells + multi-probe, EXACT oracle — centroid
+    selection (16 lowest-id corpus vectors), max-cosine cell assignment,
+    8-cell probes, and final rounded-cosine ranking are all reproduced
+    step-for-step in DuckDB (assignment argmax on 12-dp-rounded sims so
+    float summation order can't flip a cell across engines). Recall vs
+    brute force additionally asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
     return ivf_topk(q, c, k=5, n_cells=16, n_probe=8)
 
 
-@register("sim3_lsh_topk")
-def sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH buckets (single-probe)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 3)
-    c = emb.filter(F.col("vec_id") >= 3)
-    # deterministic pseudo-random hyperplanes: L tables of b bits
+def _sim3_tables() -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes: 6 tables of 3 bits."""
     import random
 
     rng = random.Random(42)
-    tables = [
+    return [
         [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(3)]
         for _ in range(6)
     ]
-    return lsh_bucket_topk(q, c, tables, k=5)
+
+
+def _sim3_oracle() -> str:
+    """DuckDB twin of the full LSH pipeline: the SAME hyperplane
+    literals (repr round-trips doubles exactly), sign-bit buckets,
+    OR-amplified candidate join, rounded-cosine ranking."""
+    rows = []
+    for t, planes in enumerate(_sim3_tables()):
+        for p_idx, plane in enumerate(planes):
+            for i, w in enumerate(plane):
+                rows.append(f"({t},{p_idx},{i + 1},{w!r})")
+    planes_values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(tbl, p, i, w) AS (VALUES
+      {planes_values}
+    ),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    qf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    cf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    qn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM qf GROUP BY vec_id),
+    cn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM cf GROUP BY vec_id),
+    qdots AS (
+      SELECT qf.vec_id, pl.tbl, pl.p, sum(qf.v * pl.w) AS dot
+      FROM qf JOIN planes pl ON qf.i = pl.i GROUP BY 1, 2, 3
+    ),
+    cdots AS (
+      SELECT cf.vec_id, pl.tbl, pl.p, sum(cf.v * pl.w) AS dot
+      FROM cf JOIN planes pl ON cf.i = pl.i GROUP BY 1, 2, 3
+    ),
+    qb AS (
+      SELECT vec_id AS qid, tbl,
+             CAST(sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END * (1 << (2 - p)))
+                  AS BIGINT) AS bucket
+      FROM qdots GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT vec_id AS cid, tbl,
+             CAST(sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END * (1 << (2 - p)))
+                  AS BIGINT) AS bucket
+      FROM cdots GROUP BY 1, 2
+    ),
+    pairs AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (tbl, bucket)),
+    dots AS (
+      SELECT pr.qid, pr.cid, sum(qf.v * cf.v) AS dot
+      FROM pairs pr
+      JOIN qf ON qf.vec_id = pr.qid JOIN cf ON cf.vec_id = pr.cid AND cf.i = qf.i
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT d.qid, d.cid,
+             pround(d.dot / (qn.nrm * cn.nrm), 4) AS cosine,
+             row_number() OVER (PARTITION BY d.qid
+                                ORDER BY pround(d.dot / (qn.nrm * cn.nrm), 4) DESC,
+                                         d.cid ASC) AS rn
+      FROM dots d JOIN qn ON qn.vec_id = d.qid JOIN cn ON cn.vec_id = d.cid
+    ) WHERE rn <= 5
+    """
+
+
+@register("sim3_lsh_topk", _sim3_oracle())
+def sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH buckets (OR-amplified),
+    EXACT oracle — hyperplane literals, sign-bit bucket ids, the
+    (table, bucket) candidate join, and rounded-cosine ranking all
+    reproduced in DuckDB. Recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return lsh_bucket_topk(q, c, _sim3_tables(), k=5)
 
 
 _MM2_PX = """
