@@ -86,6 +86,8 @@ def lsh_bucket_signature(
     a bucket id per hash table; one (table, bucket) row per table —
     OR-amplification (candidates share ANY table's bucket), the standard
     recall lever for sign-LSH."""
+    from lakerunner_spark.functions.rounding import portable_round
+
     entries = []
     for t, planes in enumerate(tables):
         sig = None
@@ -98,7 +100,14 @@ def lsh_bucket_signature(
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            # sign decided on the 12-dp-rounded dot: float summation
+            # order differs across engines/partitions, and a dot within
+            # one ulp of zero must not flip a bucket bit (oracle parity)
+            bit = (
+                F.when(portable_round(dot, 12) >= 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
             sig = bit if sig is None else (sig * 2 + bit)
         entries.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
     return df.select(

@@ -1,70 +1,104 @@
 """RE2 → Java regex interop helpers shared by the PromQL and LogQL
 front-ends (SURVEY §7.4.5: LogQL/Prometheus use RE2; Spark executes
 Java regex — named-group syntax and replacement-expand rules differ at
-the edges)."""
+the edges).
+
+Replacement expansion is NOT delegated to Java's ``regexp_replace``
+replacement parser (which throws on dangling ``$``/out-of-range groups
+and greedily mis-parses ``$10`` / ``${1}0``): instead the replacement
+string is tokenized here into literals and group indexes, and callers
+assemble the expansion as ``concat(lit, regexp_extract(src, pat, i),
+...)`` — every token's semantics is decided by THIS code, matching RE2
+Expand exactly.
+"""
 
 from __future__ import annotations
 
 
-def count_capture_groups(pattern: str) -> int:
-    """Count capturing groups in a regex (unescaped ``(`` that are not
-    ``(?:``/lookaround; ``(?<name>`` and ``(?P<name>`` count)."""
+def scan_groups(pattern: str) -> tuple[int, dict[str, int]]:
+    """Scan a regex for capturing groups.
+
+    Returns (count, name -> index). Skips escaped parens and parens
+    inside character classes; ``(?P<name>`` (RE2) and ``(?<name>``
+    (Java) both count as capturing with a name; other ``(?`` forms
+    (non-capturing, lookaround, flags) don't capture.
+    """
     n = 0
+    names: dict[str, int] = {}
     i = 0
+    in_class = False
     while i < len(pattern):
         c = pattern[i]
         if c == "\\":
             i += 2
             continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
         if c == "(":
-            nxt = pattern[i + 1 : i + 2]
-            if nxt != "?":
+            rest = pattern[i + 1 :]
+            if not rest.startswith("?"):
                 n += 1
-            elif pattern[i + 2 : i + 3] == "P" and pattern[i + 3 : i + 4] == "<":
-                n += 1
-            elif pattern[i + 2 : i + 3] == "<" and pattern[i + 3 : i + 4] not in (
-                "=",
-                "!",
+            elif rest.startswith("?P<") or (
+                rest.startswith("?<")
+                and not rest.startswith("?<=")
+                and not rest.startswith("?<!")
             ):
                 n += 1
+                j = pattern.find(">", i)
+                if j != -1:
+                    names[pattern[i + 1 : j].split("<", 1)[1]] = n
         i += 1
-    return n
+    return n, names
 
 
-def re2_replacement_to_java(repl: str, pattern: str) -> str:
-    """Translate an RE2 Expand replacement string to Java regexp_replace.
+def count_capture_groups(pattern: str) -> int:
+    return scan_groups(pattern)[0]
 
-    PromQL's label_replace uses RE2 expansion: ``$1``/``$name``/
-    ``${name}`` expand groups (name = longest run of ``[A-Za-z0-9_]``,
-    so ``$1foo`` means a group NAMED "1foo", not group 1 + "foo");
-    references to groups that don't exist expand to the empty string;
-    ``$$`` and a dangling ``$`` are literal. Java's replacement syntax
-    instead throws on a dangling ``$`` or an out-of-range group and
-    treats ``\\`` as an escape — so each token is rewritten to its safe
-    Java equivalent here.
+
+def replacement_parts(repl: str, pattern: str) -> list[str | int]:
+    """Tokenize an RE2 Expand replacement string against ``pattern``.
+
+    Returns a list of literal strings and capture-group indexes
+    (0 = whole match). RE2 Expand rules: ``$1``/``$name``/``${name}``
+    expand groups (a bare ``$name`` takes the LONGEST run of
+    ``[A-Za-z0-9_]``, so ``$1foo`` means a group NAMED "1foo", not
+    group 1 + "foo"); references to groups that don't exist expand to
+    the empty string; ``$$`` and a dangling ``$`` are literal. Braced
+    numeric refs (``${1}0``) stay unambiguous here because the index is
+    resolved at tokenize time, never re-parsed by Java.
     """
-    ngroups = count_capture_groups(pattern)
-    out: list[str] = []
+    ngroups, names = scan_groups(pattern)
+    parts: list[str | int] = []
+
+    def lit(s: str) -> None:
+        if parts and isinstance(parts[-1], str):
+            parts[-1] += s
+        elif s:
+            parts.append(s)
+
     i = 0
     while i < len(repl):
         c = repl[i]
-        if c == "\\":
-            out.append("\\\\")
-            i += 1
-            continue
         if c != "$":
-            out.append(c)
+            lit(c)
             i += 1
             continue
         j = i + 1
         if j < len(repl) and repl[j] == "$":
-            out.append("\\$")
+            lit("$")
             i = j + 1
             continue
         if j < len(repl) and repl[j] == "{":
             k = repl.find("}", j)
             if k == -1:  # unterminated ${ -> literal $
-                out.append("\\$")
+                lit("$")
                 i += 1
                 continue
             name = repl[j + 1 : k]
@@ -76,13 +110,39 @@ def re2_replacement_to_java(repl: str, pattern: str) -> str:
             name = repl[j:k]
             i = k
             if not name:  # dangling $ -> literal
-                out.append("\\$")
+                lit("$")
                 continue
         if name.isdigit():
-            if int(name) <= ngroups:  # $0 = whole match, always valid
-                out.append("$" + name)
+            idx = int(name)
+            if idx <= ngroups:  # $0 = whole match, always valid
+                parts.append(idx)
             # out-of-range numeric ref -> empty (RE2 Expand)
-        elif f"<{name}>" in pattern:
-            out.append("${" + name + "}")
+        elif name in names:
+            parts.append(names[name])
         # unknown named ref -> empty (RE2 Expand)
-    return "".join(out)
+    return parts
+
+
+def java_pattern(pattern: str) -> str:
+    """RE2 named-group syntax -> Java (``(?P<`` -> ``(?<``)."""
+    return pattern.replace("(?P<", "(?<")
+
+
+def expand_replacement(src_col, anchored_pattern: str, repl: str, pattern: str):
+    """Build the RE2-Expand result as a Column: concat of literals and
+    ``regexp_extract`` group captures against the anchored pattern.
+    Only meaningful on rows where the pattern matches (callers gate with
+    ``rlike``); on non-matching rows regexp_extract yields "" harmlessly.
+    """
+    from pyspark.sql import functions as F
+
+    parts = replacement_parts(repl, pattern)
+    if not parts:
+        return F.lit("")
+    cols = [
+        F.lit(p)
+        if isinstance(p, str)
+        else F.regexp_extract(src_col, java_pattern(anchored_pattern), p)
+        for p in parts
+    ]
+    return F.concat(*cols) if len(cols) > 1 else cols[0]

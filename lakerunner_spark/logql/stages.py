@@ -217,9 +217,14 @@ def label_replace(
 ) -> DataFrame:
     """PromQL label_replace semantics applied as a pipeline stage: the
     regex is fully anchored against src's value (absent label or NULL =
-    ""); on match dst becomes the RE2-expanded replacement, otherwise
-    the row is unchanged (dst keeps its value, or stays NULL)."""
-    from lakerunner_spark.functions.regexops import re2_replacement_to_java
+    ""); on match dst becomes the RE2-expanded replacement (empty
+    expansion removes the label — Prometheus treats empty label values
+    as absent), otherwise the row is unchanged (dst keeps its value, or
+    stays NULL)."""
+    from lakerunner_spark.functions.regexops import (
+        expand_replacement,
+        java_pattern,
+    )
 
     src_col = (
         F.coalesce(F.col(src).cast("string"), F.lit(""))
@@ -227,13 +232,10 @@ def label_replace(
         else F.lit("")
     )
     anchored = f"^(?:{regex})$"
-    expanded = F.regexp_replace(
-        src_col, anchored, re2_replacement_to_java(repl, regex)
-    )
+    expanded = F.nullif(expand_replacement(src_col, anchored, repl, regex), F.lit(""))
+    matched = src_col.rlike(java_pattern(anchored))
     if dst in df.columns:
-        new_dst = F.when(src_col.rlike(anchored), expanded).otherwise(
-            F.col(dst).cast("string")
-        )
+        new_dst = F.when(matched, expanded).otherwise(F.col(dst).cast("string"))
     else:
-        new_dst = F.when(src_col.rlike(anchored), expanded)
+        new_dst = F.when(matched, expanded)
     return df.withColumn(dst, new_dst)

@@ -80,9 +80,21 @@ def _commit_path(partition_dir: str, txid: str) -> str:
     return os.path.join(partition_dir, f"_compact_commit_{txid}.json")
 
 
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _write_commit(partition_dir: str, txid: str, record: dict) -> str:
     """Atomically publish the commit record (temp file + rename — the
-    rename IS the transaction point)."""
+    rename IS the transaction point). The file is fsync'd before the
+    rename and the DIRECTORY after it, so the rename's directory entry
+    is durable before any old-file deletion may hit disk — without the
+    directory fsync a crash could persist a later unlink but not the
+    rename, losing data with no record to roll forward."""
     import json
 
     path = _commit_path(partition_dir, txid)
@@ -92,6 +104,7 @@ def _write_commit(partition_dir: str, txid: str, record: dict) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(partition_dir)
     return path
 
 
@@ -112,6 +125,10 @@ def recover_compaction(partition_dir: str) -> str | None:
     import json
 
     action = None
+    # a crash inside _write_commit can strand a .tmp record: the txn
+    # never committed (the rename is the commit point) -> plain garbage
+    for tmp in glob.glob(os.path.join(partition_dir, "_compact_commit_*.json.tmp")):
+        os.remove(tmp)
     for commit in sorted(glob.glob(os.path.join(partition_dir, "_compact_commit_*.json"))):
         with open(commit) as f:
             rec = json.load(f)

@@ -19,7 +19,9 @@ groupBy/window algebra:
 This keeps sketch state exact and engine-portable: the DuckDB oracle
 reproduces bucket indexes and counts bit-for-bit (integer buckets,
 integer counts), unlike opaque sketch bytes. Zero/negative values go to
-reserved buckets like the reference's store (zero tracked separately).
+a reserved zero bucket and a mirrored negative store (true DDSketch
+keeps the same two-store shape), so mixed-sign data quantiles carry the
+relative-error contract on |x|.
 
 At 100 TB: sketch state is ~(groups × occupied buckets) rows — a few
 hundred buckets span 9 decades at 1% error — and both build and merge
@@ -36,7 +38,13 @@ from pyspark.sql import functions as F
 DEFAULT_RELATIVE_ACCURACY = 0.01
 
 _ZERO_BUCKET = -2_000_000_000  # reserved index for x == 0
-_NEG_BUCKET = -2_000_000_001  # reserved index for x < 0 (reference stores abs)
+# Negative store (real DDSketch keeps a mirrored second store): x < 0
+# maps to _NEG_BASE - ceil(log_gamma(-x)), which keeps the TOTAL order
+# of bucket indexes aligned with the order of values — every negative
+# bucket sorts below _ZERO_BUCKET, and within negatives a more negative
+# x gets a smaller index — so one cumulative walk answers quantiles
+# over mixed-sign data with the same relative-error contract on |x|.
+_NEG_BASE = -2_005_000_000
 
 
 def gamma_for(relative_accuracy: float) -> float:
@@ -44,13 +52,16 @@ def gamma_for(relative_accuracy: float) -> float:
 
 
 def bucket_index(value, gamma: float):
-    """ceil(log_gamma(x)) for x > 0; reserved buckets otherwise."""
+    """ceil(log_gamma(x)) for x > 0; mirrored negative store for x < 0;
+    reserved zero bucket."""
     c = F.col(value) if isinstance(value, str) else value
     log_gamma = math.log(gamma)
     return (
         F.when(c > 0, F.ceil(F.log(c) / F.lit(log_gamma)).cast("long"))
         .when(c == 0, F.lit(_ZERO_BUCKET))
-        .otherwise(F.lit(_NEG_BUCKET))
+        .otherwise(
+            F.lit(_NEG_BASE) - F.ceil(F.log(-c) / F.lit(log_gamma)).cast("long")
+        )
     )
 
 
@@ -61,7 +72,8 @@ def bucket_index_sql(value_sql: str, gamma: float) -> str:
         f"CASE WHEN {value_sql} > 0"
         f" THEN CAST(ceil(ln({value_sql}) / {lg}) AS BIGINT)"
         f" WHEN {value_sql} = 0 THEN {_ZERO_BUCKET}"
-        f" ELSE {_NEG_BUCKET} END"
+        f" ELSE {_NEG_BASE} - CAST(ceil(ln(-({value_sql})) / {lg}) AS BIGINT)"
+        f" END"
     )
 
 
@@ -122,7 +134,11 @@ def ddsketch_quantile(
             / F.lit(gamma + 1),
         )
         .when(F.col("bucket") == F.lit(_ZERO_BUCKET), F.lit(0.0))
-        .otherwise(F.lit(float("nan")))
+        .otherwise(  # negative store: mid-bucket of |x|, sign restored
+            F.lit(-2.0)
+            * F.pow(F.lit(gamma), F.lit(_NEG_BASE) - F.col("bucket"))
+            / F.lit(gamma + 1)
+        )
     )
     return first_hit.withColumn(out_col, value).drop("bucket")
 
@@ -185,7 +201,10 @@ def ddsketch_quantile_over_time(
     merged = contrib.groupBy("bucket_ts", *labels, "bucket").agg(
         F.sum("count").alias("count")
     )
-    actual = rows.select(bts.alias("bucket_ts"), *labels).distinct()
+    # occupied (bucket, series) set comes from the ALREADY-AGGREGATED
+    # sketch rows — identical set to a raw re-scan, orders of magnitude
+    # smaller input
+    actual = sk.select(F.col("_bts").alias("bucket_ts"), *labels).distinct()
     merged = merged.join(actual, ["bucket_ts", *labels], "left_semi")
     return ddsketch_quantile(
         merged,
@@ -225,7 +244,7 @@ def ddsketch_quantile_over_time_sql(
       SELECT _bts + o.off * {step_ms} AS bucket_ts, {keys}, bucket, cnt
       FROM sk CROSS JOIN (SELECT unnest(range(0, {k})) AS off) o
     ),
-    actual AS (SELECT DISTINCT _bts AS bucket_ts, {keys} FROM rows_v),
+    actual AS (SELECT DISTINCT _bts AS bucket_ts, {keys} FROM sk),
     merged AS (
       SELECT c.bucket_ts, {', '.join('c.' + l for l in labels)}, c.bucket,
              sum(c.cnt) AS cnt
@@ -248,7 +267,8 @@ def ddsketch_quantile_over_time_sql(
            CASE WHEN bucket > {_ZERO_BUCKET}
                 THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1)
                 WHEN bucket = {_ZERO_BUCKET} THEN 0.0
-                ELSE 'NaN'::DOUBLE END AS {out_col}
+                ELSE -2.0 * power({gamma!r}, {_NEG_BASE} - bucket)
+                     / ({gamma!r} + 1) END AS {out_col}
     FROM hit
     """
 
@@ -348,6 +368,7 @@ def ddsketch_quantile_sql(
            CASE WHEN bucket > {_ZERO_BUCKET}
                 THEN 2.0 * power({gamma!r}, bucket) / ({gamma!r} + 1)
                 WHEN bucket = {_ZERO_BUCKET} THEN 0.0
-                ELSE 'NaN'::DOUBLE END AS {out_col}
+                ELSE -2.0 * power({gamma!r}, {_NEG_BASE} - bucket)
+                     / ({gamma!r} + 1) END AS {out_col}
     FROM hit
     """

@@ -31,9 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakerunner_spark.functions.regexops import (
-    re2_replacement_to_java as _java_replacement,
-)
+from lakerunner_spark.functions.regexops import expand_replacement, java_pattern
 from lakerunner_spark.functions.timeops import bucket_ts
 from lakerunner_spark.logql import stages
 from lakerunner_spark.operators.binary import (
@@ -387,23 +385,26 @@ class _Compiler:
                 raise ValueError("promql: label_replace over scalars not supported")
             # PromQL semantics: regex is fully anchored against src's value
             # (absent label or NULL value = ""); on match dst becomes the
-            # expanded replacement ($1...), otherwise the series is
-            # unchanged.
+            # RE2-expanded replacement (empty expansion removes the label —
+            # Prometheus treats empty label values as absent), otherwise
+            # the series is unchanged.
             src_col = (
                 F.coalesce(F.col(srcl.value).cast("string"), F.lit(""))
                 if srcl.value in v.df.columns
                 else F.lit("")
             )
             anchored = f"^(?:{regex.value})$"
-            expanded = F.regexp_replace(
-                src_col, anchored, _java_replacement(repl.value, regex.value)
+            expanded = F.nullif(
+                expand_replacement(src_col, anchored, repl.value, regex.value),
+                F.lit(""),
             )
+            matched = src_col.rlike(java_pattern(anchored))
             if dst.value in v.df.columns:
-                new_dst = F.when(src_col.rlike(anchored), expanded).otherwise(
+                new_dst = F.when(matched, expanded).otherwise(
                     F.col(dst.value).cast("string")
                 )
             else:
-                new_dst = F.when(src_col.rlike(anchored), expanded)
+                new_dst = F.when(matched, expanded)
             labels = v.labels + ([dst.value] if dst.value not in v.labels else [])
             return _Vec(v.df.withColumn(dst.value, new_dst), labels)
         if fn == "histogram_quantile":

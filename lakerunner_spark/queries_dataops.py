@@ -442,11 +442,16 @@ def dd7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (dataops/graph.py, one shuffle per round, converges in
     O(cluster diameter)); the oracle computes the same components with a
     recursive CTE."""
-    from lakerunner_spark.dataops.dedup import embedding_neardup
+    from lakerunner_spark.dataops.dedup import neardup_verify
     from lakerunner_spark.dataops.graph import neardup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    pairs = embedding_neardup(emb, 0.3)
+    ids = emb.select("vec_id")
+    cand = ids.select(F.col("vec_id").alias("id_a")).join(
+        F.broadcast(ids.select(F.col("vec_id").alias("id_b"))),
+        F.col("id_a") < F.col("id_b"),
+    )
+    pairs = neardup_verify(cand, emb, 0.3)
     return neardup_clusters(pairs, "id_a", "id_b")
 
 

@@ -186,14 +186,14 @@ def _sim3_oracle() -> str:
     ),
     qb AS (
       SELECT vec_id AS qid, tbl,
-             CAST(sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END * (1 << (2 - p)))
-                  AS BIGINT) AS bucket
+             CAST(sum(CASE WHEN pround(dot, 12) >= 0 THEN 1 ELSE 0 END
+                      * (1 << (2 - p))) AS BIGINT) AS bucket
       FROM qdots GROUP BY 1, 2
     ),
     cb AS (
       SELECT vec_id AS cid, tbl,
-             CAST(sum(CASE WHEN dot >= 0 THEN 1 ELSE 0 END * (1 << (2 - p)))
-                  AS BIGINT) AS bucket
+             CAST(sum(CASE WHEN pround(dot, 12) >= 0 THEN 1 ELSE 0 END
+                      * (1 << (2 - p))) AS BIGINT) AS bucket
       FROM cdots GROUP BY 1, 2
     ),
     pairs AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (tbl, bucket)),

@@ -63,10 +63,22 @@ def test_zero_and_negative_values(spark):
     df = spark.createDataFrame(
         [("a", 0.0), ("a", 0.0), ("a", -5.0), ("a", 10.0)], ["g", "v"]
     )
+    import math
+
+    from lakerunner_spark.operators.ddsketch import (
+        _NEG_BASE,
+        DEFAULT_RELATIVE_ACCURACY,
+        gamma_for,
+    )
+
     sk = ddsketch_agg(df, ["g"], "v")
     buckets = {r.bucket: r["count"] for r in sk.collect()}
     assert buckets[-2_000_000_000] == 2  # zeros tracked separately
-    assert buckets[-2_000_000_001] == 1  # negatives reserved
+    # negatives live in the mirrored store: _NEG_BASE - ceil(log_g(5))
+    g = gamma_for(DEFAULT_RELATIVE_ACCURACY)
+    neg_bucket = _NEG_BASE - math.ceil(math.log(5.0) / math.log(g))
+    assert buckets[neg_bucket] == 1
+    assert neg_bucket < -2_000_000_000  # sorts below the zero bucket
     q0 = ddsketch_quantile(sk, ["g"], 0.5).first().value
     assert q0 == 0.0  # rank 1 (of 4) lands in the zero bucket
 
@@ -94,3 +106,28 @@ def test_sketch_column_tier_merge(absvals):
         ).collect()
     }
     assert via_tiers == direct and via_tiers
+
+
+def test_ddsketch_negative_store(spark):
+    """Mixed-sign data: the mirrored negative store answers quantiles
+    with the same relative-error contract on |x| (no NaN cliff —
+    r3 review fix); bucket order must follow value order."""
+    import math
+
+    from lakerunner_spark.operators.ddsketch import (
+        ddsketch_agg,
+        ddsketch_quantile,
+    )
+
+    vals = [-1000.0, -10.0, -0.5, 0.0, 0.5, 10.0, 1000.0, -333.3, 42.0]
+    df = spark.createDataFrame([(1, v) for v in vals], ["g", "value"])
+    sk = ddsketch_agg(df, ["g"])
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        got = ddsketch_quantile(sk, ["g"], q).collect()[0].value
+        rank = math.floor(q * (len(vals) - 1))
+        truth = sorted(vals)[rank]
+        if truth == 0:
+            assert got == 0.0, q
+        else:
+            assert got * truth > 0, (q, got, truth)  # sign preserved
+            assert abs(got - truth) / abs(truth) < 0.0102, (q, got, truth)

@@ -422,18 +422,41 @@ def test_label_replace_null_src_label(spark, sf_dir):
 
 
 def test_label_replace_replacement_translation():
-    """RE2 Expand -> Java replacement translation (ADVICE r2)."""
-    from lakerunner_spark.promql.compiler import _java_replacement
+    """RE2 Expand tokenization (ADVICE r2 + r3 review fixes): group
+    counting skips char-classes, braced numeric refs stay unambiguous,
+    names resolve via the scanner (not literal text match)."""
+    from lakerunner_spark.functions.regexops import (
+        replacement_parts,
+        scan_groups,
+    )
 
-    assert _java_replacement("$1-x", "(a)(b)") == "$1-x"
-    assert _java_replacement("$3", "(a)(b)") == ""          # out of range
-    assert _java_replacement("$$", "(a)") == "\\$"          # literal $
-    assert _java_replacement("x$", "(a)") == "x\\$"         # dangling $
-    assert _java_replacement("${1}", "(a)") == "$1"
-    assert _java_replacement("$1foo", "(a)") == ""          # name "1foo"
-    assert _java_replacement("${name}", "(?<name>a)") == "${name}"
-    assert _java_replacement("${nope}", "(?<name>a)") == ""
-    assert _java_replacement("a\\b", "(x)") == "a\\\\b"
+    assert replacement_parts("$1-x", "(a)(b)") == [1, "-x"]
+    assert replacement_parts("$3", "(a)(b)") == []          # out of range
+    assert replacement_parts("$$", "(a)") == ["$"]          # literal $
+    assert replacement_parts("x$", "(a)") == ["x$"]         # dangling $
+    assert replacement_parts("${1}", "(a)") == [1]
+    assert replacement_parts("$1foo", "(a)") == []          # name "1foo"
+    assert replacement_parts("${name}", "(?P<name>a)") == [1]
+    assert replacement_parts("${nope}", "(?P<name>a)") == []
+    assert replacement_parts("a\\b", "(x)") == ["a\\b"]
+    # braced ref followed by a digit: group 1 + literal "0", never $10
+    assert replacement_parts("${1}0", "(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)") == [1, "0"]
+    # '(' inside a character class is not a group
+    assert scan_groups("[(](a)")[0] == 1
+    assert replacement_parts("$2", "[(](a)") == []          # out of range
+    # literal "<name>" text is not a named group
+    assert replacement_parts("$b", "x<b>y(q)") == []
+    assert scan_groups("(?P<v>a)(?:x)(?<=y)(w)") == (2, {"v": 1})
+
+
+def test_label_replace_empty_expansion_removes_label(spark, sf_dir):
+    """Empty expansion removes the dst label (Prometheus: empty label
+    value == absent label) -> NULL, not empty string."""
+    cat = default_metric_catalog(spark, sf_dir)
+    q = ('label_replace(sum by (event_type) (events), '
+         '"klass", "$2", "event_type", "(err).*")')  # $2 out of range -> ""
+    rows = compile_promql(q, cat, 3_600_000).collect()
+    assert rows and all(r.klass is None for r in rows)
 
 
 def test_parse_decolorize_and_pipeline_label_replace():

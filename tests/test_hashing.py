@@ -91,3 +91,33 @@ def test_hash_expressions_no_python_in_plan(spark):
     out = df.select(compute_tid("metric_name", "svc").alias("tid"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_expressions_fuzz_batch(spark):
+    """Batched fuzz: 200 random strings (mixed ASCII/Latin/CJK/emoji/
+    controls, lengths 0-300) through both SQL expressions in ONE job,
+    compared bit-for-bit with the Python golden implementations."""
+    import random
+
+    from lakerunner_spark.functions.hashing import fnv64a, java_string_hash
+
+    rng = random.Random(1234)
+    pools = [
+        lambda: chr(rng.randrange(32, 127)),          # ASCII
+        lambda: chr(rng.randrange(0xA0, 0x250)),      # Latin ext
+        lambda: chr(rng.randrange(0x4E00, 0x9FFF)),   # CJK (3-byte UTF-8)
+        lambda: chr(rng.randrange(0x1F300, 0x1F700)),  # emoji (4-byte, surrogate pair)
+        lambda: chr(rng.randrange(1, 32)),            # controls
+    ]
+    cases = [
+        "".join(rng.choice(pools)() for _ in range(rng.randrange(0, 300)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    rows = df.select(
+        "s", fnv64a("s").alias("f"), java_string_hash("s").alias("j")
+    ).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert r.f == fnv64a_py(r.s), repr(r.s)
+        assert r.j == java_string_hash_py(r.s), repr(r.s)
