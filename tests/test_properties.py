@@ -107,3 +107,31 @@ def test_trigram_prune_never_false_negative(text, needle):
     text_grams = set(trigrams(text))
     for g in query_trigrams(needle):
         assert g in text_grams, (text, needle, g)
+
+
+@settings(max_examples=300)
+@given(
+    repl=st.text(
+        alphabet=st.sampled_from("$ab1{}_\\0"), min_size=0, max_size=20
+    ),
+    pattern=st.sampled_from(
+        ["(a)", "(a)(b)", "[(](a)", "(?P<n>x)(y)", "(?:z)(q)", "a"]
+    ),
+)
+def test_replacement_parts_total_and_wellformed(repl, pattern):
+    """replacement_parts never throws, emits only literals and in-range
+    group indexes, and literal-only replacements reassemble verbatim."""
+    from lakerunner_spark.functions.regexops import (
+        replacement_parts,
+        scan_groups,
+    )
+
+    parts = replacement_parts(repl, pattern)
+    n, _names = scan_groups(pattern)
+    for p in parts:
+        if isinstance(p, int):
+            assert 0 <= p <= n
+        else:
+            assert isinstance(p, str) and p != ""
+    if "$" not in repl:
+        assert parts == ([repl] if repl else [])
