@@ -169,6 +169,23 @@ def jaccard_verify(
     )
 
 
+def all_pairs_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Explicit all-pairs candidate generator (id_a < id_b) for a
+    BOUNDED slice — the candidate half of the candidates->verify split
+    when the slice is small enough that all pairs are acceptable. At
+    corpus scale use the LSH/IVF/MinHash generators instead."""
+    ids = df.select(F.col(id_col))
+    return ids.select(F.col(id_col).alias(a_col)).join(
+        F.broadcast(ids.select(F.col(id_col).alias(b_col))),
+        F.col(a_col) < F.col(b_col),
+    )
+
+
 def neardup_verify(
     candidates: DataFrame,
     corpus: DataFrame,
@@ -234,12 +251,13 @@ def embedding_neardup(
         DeprecationWarning,
         stacklevel=2,
     )
-    cand = df.select(F.col(id_col).alias("id_a")).join(
-        F.broadcast(df.select(F.col(id_col).alias("id_b"))),
-        F.col("id_a") < F.col("id_b"),
-    )
     return neardup_verify(
-        cand, df, threshold, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+        all_pairs_candidates(df, id_col=id_col),
+        df,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
     )
 
 

@@ -58,10 +58,6 @@ def scan_groups(pattern: str) -> tuple[int, dict[str, int]]:
     return n, names
 
 
-def count_capture_groups(pattern: str) -> int:
-    return scan_groups(pattern)[0]
-
-
 def replacement_parts(repl: str, pattern: str) -> list[str | int]:
     """Tokenize an RE2 Expand replacement string against ``pattern``.
 
@@ -105,14 +101,20 @@ def replacement_parts(repl: str, pattern: str) -> list[str | int]:
             i = k + 1
         else:
             k = j
-            while k < len(repl) and (repl[k].isalnum() or repl[k] == "_"):
+            # RE2 Expand names are ASCII [A-Za-z0-9_] only — a Unicode
+            # digit/letter after $ is literal text, never a name char
+            # (and str.isdigit() alone would accept '²', which int()
+            # rejects)
+            while k < len(repl) and (
+                repl[k].isascii() and (repl[k].isalnum() or repl[k] == "_")
+            ):
                 k += 1
             name = repl[j:k]
             i = k
             if not name:  # dangling $ -> literal
                 lit("$")
                 continue
-        if name.isdigit():
+        if name.isascii() and name.isdigit():
             idx = int(name)
             if idx <= ngroups:  # $0 = whole match, always valid
                 parts.append(idx)
@@ -124,8 +126,51 @@ def replacement_parts(repl: str, pattern: str) -> list[str | int]:
 
 
 def java_pattern(pattern: str) -> str:
-    """RE2 named-group syntax -> Java (``(?P<`` -> ``(?<``)."""
-    return pattern.replace("(?P<", "(?<")
+    """Strip group NAMES for Java execution: ``(?P<name>`` / ``(?<name>``
+    -> plain capturing ``(``.
+
+    Groups are referenced by index only (``replacement_parts`` resolves
+    names via :func:`scan_groups`), and Java restricts group names to
+    ``[a-zA-Z][a-zA-Z0-9]*`` — translating an RE2 name containing ``_``
+    or starting with a digit would make Pattern.compile throw. Stripping
+    is scanner-based (escapes and character classes respected), not a
+    blanket replace.
+    """
+    out: list[str] = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(":
+            rest = pattern[i + 1 :]
+            if rest.startswith("?P<") or (
+                rest.startswith("?<")
+                and not rest.startswith("?<=")
+                and not rest.startswith("?<!")
+            ):
+                j = pattern.find(">", i)
+                if j != -1:
+                    out.append("(")
+                    i = j + 1
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def expand_replacement(src_col, anchored_pattern: str, repl: str, pattern: str):
@@ -133,6 +178,12 @@ def expand_replacement(src_col, anchored_pattern: str, repl: str, pattern: str):
     ``regexp_extract`` group captures against the anchored pattern.
     Only meaningful on rows where the pattern matches (callers gate with
     ``rlike``); on non-matching rows regexp_extract yields "" harmlessly.
+
+    Cost note: one regex execution per distinct group reference (plus
+    the caller's rlike) instead of the single regexp_replace this
+    replaced — accepted because replacements reference one or two groups
+    in practice and Java's replacement parser cannot express RE2's
+    out-of-range/longest-name/``${1}0`` semantics safely.
     """
     from pyspark.sql import functions as F
 

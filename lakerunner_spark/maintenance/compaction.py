@@ -192,6 +192,16 @@ def compact_segments(
     staged = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet")
     )
+    # the commit record must never be durable BEFORE the data it
+    # promises to roll forward: fsync every staged file + the staging
+    # dir entry first (Spark's local-FS writer does not fsync)
+    for f in staged:
+        fd = os.open(os.path.join(staging, f), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    _fsync_dir(staging)
     moves = [
         (
             os.path.join(staging, f),

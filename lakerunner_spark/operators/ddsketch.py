@@ -83,10 +83,16 @@ def ddsketch_agg(
     value_col: str = "value",
     relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
 ) -> DataFrame:
-    """Build per-group sketches: (group_cols..., bucket, count) rows."""
+    """Build per-group sketches: (group_cols..., bucket, count) rows.
+
+    NULL values are excluded up front — a sketch counts values, and a
+    NULL bucket row would sort nulls-first in Spark's cumulative walk
+    but nulls-last in DuckDB's, silently shifting every quantile.
+    """
     gamma = gamma_for(relative_accuracy)
     return (
-        df.withColumn("bucket", bucket_index(value_col, gamma))
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("bucket", bucket_index(value_col, gamma))
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -286,7 +292,8 @@ def with_sketch_column(
     merge exactly with :func:`merge_sketch_column`."""
     gamma = gamma_for(relative_accuracy)
     per_bucket = (
-        df.withColumn("_b", bucket_index(value_col, gamma))
+        df.filter(F.col(value_col).isNotNull())  # sketches count values
+        .withColumn("_b", bucket_index(value_col, gamma))
         .groupBy(*group_cols, "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )

@@ -165,15 +165,13 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     API: candidates are an explicit bounded pair set (here all pairs of a
     200-vector slice), verified by exact cosine in neardup_verify — the
     all-pairs corpus entry point is deprecated."""
-    from lakerunner_spark.dataops.dedup import neardup_verify
+    from lakerunner_spark.dataops.dedup import (
+        all_pairs_candidates,
+        neardup_verify,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    ids = emb.select(F.col("vec_id"))
-    cand = ids.select(F.col("vec_id").alias("id_a")).join(
-        F.broadcast(ids.select(F.col("vec_id").alias("id_b"))),
-        F.col("id_a") < F.col("id_b"),
-    )
-    return neardup_verify(cand, emb, 0.3)
+    return neardup_verify(all_pairs_candidates(emb), emb, 0.3)
 
 
 @register(
@@ -442,16 +440,14 @@ def dd7_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (dataops/graph.py, one shuffle per round, converges in
     O(cluster diameter)); the oracle computes the same components with a
     recursive CTE."""
-    from lakerunner_spark.dataops.dedup import neardup_verify
+    from lakerunner_spark.dataops.dedup import (
+        all_pairs_candidates,
+        neardup_verify,
+    )
     from lakerunner_spark.dataops.graph import neardup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    ids = emb.select("vec_id")
-    cand = ids.select(F.col("vec_id").alias("id_a")).join(
-        F.broadcast(ids.select(F.col("vec_id").alias("id_b"))),
-        F.col("id_a") < F.col("id_b"),
-    )
-    pairs = neardup_verify(cand, emb, 0.3)
+    pairs = neardup_verify(all_pairs_candidates(emb), emb, 0.3)
     return neardup_clusters(pairs, "id_a", "id_b")
 
 

@@ -2,8 +2,10 @@
 
 ``mm1`` exercises the binary-column plumbing end-to-end with an exact
 oracle (payloads synthesized from ASCII text, histogram over hex-parsed
-bytes). The ANN variants are rows-only here; recall-vs-brute-force is
-asserted in tests/test_multimodal_ann.py.
+bytes); ``mm2`` decodes real PNGs with the stdlib codec. The ANN
+variants carry EXACT DuckDB oracles (centroid assignment / hyperplane
+sign buckets reproduced step-for-step); recall-vs-brute-force is
+additionally asserted in tests/test_multimodal_ann.py.
 """
 
 from __future__ import annotations

@@ -486,3 +486,35 @@ def test_decolorize_stage_strips_ansi(spark):
     )
     out = decolorize(df).collect()[0].log_message
     assert out == "red plain bold-green"
+
+
+def test_label_replace_underscore_named_group(spark, sf_dir):
+    """RE2 names may contain '_' (illegal in Java group names): the
+    pattern must execute with names STRIPPED, references resolved by
+    index (r3 review fix)."""
+    cat = default_metric_catalog(spark, sf_dir)
+    q = ('label_replace(sum by (event_type) (events), '
+         '"klass", "${the_kind}!", "event_type", "(?P<the_kind>err).*")')
+    rows = compile_promql(q, cat, 3_600_000).collect()
+    assert rows
+    assert {r.klass for r in rows if r.event_type == "error"} == {"err!"}
+    assert all(r.klass is None for r in rows if r.event_type != "error")
+
+
+def test_replacement_parts_unicode_digits():
+    """Non-ASCII digits are literal text, never group references."""
+    from lakerunner_spark.functions.regexops import replacement_parts
+
+    assert replacement_parts("$²", "(a)") == ["$²"]
+    assert replacement_parts("$１", "(a)") == ["$１"]
+    assert replacement_parts("${²}", "(a)") == []
+
+
+def test_java_pattern_strips_names():
+    from lakerunner_spark.functions.regexops import java_pattern
+
+    assert java_pattern("(?P<foo_bar>x)(y)") == "(x)(y)"
+    assert java_pattern("(?<a1>x)") == "(x)"
+    assert java_pattern("(?<=x)(?<!y)(?:z)") == "(?<=x)(?<!y)(?:z)"
+    assert java_pattern(r"\(?P<not>") == r"\(?P<not>"
+    assert java_pattern("[(?P<c>]") == "[(?P<c>]"

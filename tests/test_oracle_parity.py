@@ -22,10 +22,8 @@ def oracle_con(sf_dir):
 # approximate-sketch queries get the driver's weaker rows-only check;
 # tolerance vs exact answers is asserted in tests/test_sketches.py
 ROWS_ONLY = {
-    "a5_sketch_quantiles",
-    "a6_hll_rollup_merge",
-    "sim2_ivf_topk",
-    "sim3_lsh_topk",
+    "a5_sketch_quantiles",   # KLL percentile_approx — opaque sketch
+    "a6_hll_rollup_merge",   # HLL sketch bytes — opaque
 }
 
 
