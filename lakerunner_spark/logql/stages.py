@@ -33,15 +33,20 @@ def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
     regexp_full_match; logql/sql_builder.go:592-606). Line filters
     (P6) stay unanchored.
     """
+    from lakerunner_spark.functions.regexops import java_pattern
+
     c = F.col(label)
     if op == "=":
         return df.filter(c == value)
     if op == "!=":
         return df.filter(c.isNull() | (c != value))
+    # RE2 named groups in a matcher regex would crash Java's
+    # Pattern.compile (name charset differs) — strip names, groups are
+    # never referenced from matchers
     if op == "=~":
-        return df.filter(c.rlike(f"^(?:{value})$"))
+        return df.filter(c.rlike(java_pattern(f"^(?:{value})$")))
     if op == "!~":
-        return df.filter(~c.rlike(f"^(?:{value})$"))
+        return df.filter(~c.rlike(java_pattern(f"^(?:{value})$")))
     raise ValueError(f"unsupported matcher op: {op}")
 
 
@@ -56,16 +61,19 @@ def numeric_label_filter(df: DataFrame, label: str, op: str, value: float) -> Da
 
 
 def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_message") -> DataFrame:
-    """P6: line filters ``|= != |~ !~`` on the message body."""
+    """P6: line filters ``|= != |~ !~`` on the message body. Regex
+    needles are RE2 — group names stripped for Java execution."""
+    from lakerunner_spark.functions.regexops import java_pattern
+
     c = F.col(line_col)
     if op == "|=":
         return df.filter(c.contains(needle))
     if op == "!=":
         return df.filter(~c.contains(needle))
     if op == "|~":
-        return df.filter(c.rlike(needle))
+        return df.filter(c.rlike(java_pattern(needle)))
     if op == "!~":
-        return df.filter(~c.rlike(needle))
+        return df.filter(~c.rlike(java_pattern(needle)))
     raise ValueError(f"unsupported line filter op: {op}")
 
 

@@ -69,7 +69,12 @@ def plan_table_compaction(
     """
     tasks: list[dict] = []
     for root, _dirs, files in os.walk(table_path):
+        if os.path.basename(root).startswith("_compact_"):
+            continue  # staging dir of an in-flight/crashed txn, not a partition
         if any(f.endswith(".parquet") for f in files):
+            # repair any crashed prior compaction before planning over
+            # this partition (roll forward/back per the commit record)
+            recover_compaction(root)
             task = plan_compaction(root, target_bytes, min_mean_fraction)
             if task:
                 tasks.append(task)

@@ -9,9 +9,10 @@ matching via on/ignoring (J1-J5), and set ops and/or/unless (J2-J4).
 group_left/group_right is rejected exactly like the reference
 (promql/parser.go:455-460).
 
-RE2-vs-Java-regex note: matcher regexes pass through to ``rlike``;
-the common subset (alternation, classes, anchors, quantifiers) is
-dialect-portable.
+RE2-vs-Java-regex note: matcher regexes execute via ``rlike`` with RE2
+group names stripped (functions/regexops.java_pattern — Java's name
+charset is stricter); the common subset (alternation, classes, anchors,
+quantifiers) is dialect-portable.
 """
 
 from __future__ import annotations

@@ -518,3 +518,18 @@ def test_java_pattern_strips_names():
     assert java_pattern("(?<=x)(?<!y)(?:z)") == "(?<=x)(?<!y)(?:z)"
     assert java_pattern(r"\(?P<not>") == r"\(?P<not>"
     assert java_pattern("[(?P<c>]") == "[(?P<c>]"
+
+
+def test_named_group_regex_in_matchers_and_line_filters(spark, sf_dir):
+    """RE2 named groups inside matcher / line-filter regexes execute
+    (names stripped for Java) instead of crashing Pattern.compile."""
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_exemplar(
+        '{event_type=~"(?P<err_kind>err).*"} |~ "(?P<num_7>7)"',
+        src,
+        limit=5,
+        tiebreak=["event_id"],
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.event_type == "error" and "7" in r.log_message for r in rows)

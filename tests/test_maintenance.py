@@ -179,3 +179,20 @@ def test_recover_noop_on_healthy_partition(spark, sf_dir, tmp_path):
 
     assert recover_compaction(part) is None
     assert spark.read.parquet(part).count() == total
+
+
+def test_plan_table_compaction_recovers_and_skips_staging(spark, sf_dir, tmp_path):
+    """The table sweep repairs crashed transactions before planning and
+    never plans a 'compaction' over a staging directory."""
+    from lakerunner_spark.maintenance.compaction import plan_table_compaction
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "sweep")
+    table = os.path.dirname(part)
+    # stale staging dir from a crashed pre-commit txn, with parquet inside
+    staging = os.path.join(table, f"_compact_feedf00d_{os.path.basename(part)}")
+    spark.read.parquet(part).limit(100).repartition(4).write.parquet(staging)
+
+    tasks = plan_table_compaction(table)
+    assert [t["dir"] for t in tasks] == [part]  # staging never planned
+    assert not os.path.exists(staging)          # rolled back by recovery
+    assert spark.read.parquet(part).count() == total
