@@ -58,17 +58,25 @@ def scan_groups(pattern: str) -> tuple[int, dict[str, int]]:
     return n, names
 
 
+def _is_name_char(ch: str) -> bool:
+    """Go RE2 Expand name charset: unicode letter, Nd digit, or '_'
+    (Python isalpha/isdecimal match Go's IsLetter/IsDigit categories)."""
+    return ch.isalpha() or ch.isdecimal() or ch == "_"
+
+
 def replacement_parts(repl: str, pattern: str) -> list[str | int]:
     """Tokenize an RE2 Expand replacement string against ``pattern``.
 
     Returns a list of literal strings and capture-group indexes
-    (0 = whole match). RE2 Expand rules: ``$1``/``$name``/``${name}``
-    expand groups (a bare ``$name`` takes the LONGEST run of
-    ``[A-Za-z0-9_]``, so ``$1foo`` means a group NAMED "1foo", not
-    group 1 + "foo"); references to groups that don't exist expand to
-    the empty string; ``$$`` and a dangling ``$`` are literal. Braced
-    numeric refs (``${1}0``) stay unambiguous here because the index is
-    resolved at tokenize time, never re-parsed by Java.
+    (0 = whole match). RE2 Expand rules (Go regexp's ``extract``):
+    ``$1``/``$name``/``${name}`` expand groups (a bare ``$name`` takes
+    the LONGEST run of name chars — unicode letters/digits/underscore —
+    so ``$1foo`` means a group NAMED "1foo", not group 1 + "foo"); a
+    numeric ref is ASCII digits only; references to groups that don't
+    exist expand to the empty string; ``$$``, a dangling ``$``, and an
+    invalid ``${...}`` are literal. Braced numeric refs (``${1}0``)
+    stay unambiguous here because the index is resolved at tokenize
+    time, never re-parsed by Java.
     """
     ngroups, names = scan_groups(pattern)
     parts: list[str | int] = []
@@ -98,16 +106,15 @@ def replacement_parts(repl: str, pattern: str) -> list[str | int]:
                 i += 1
                 continue
             name = repl[j + 1 : k]
+            if not name or not all(_is_name_char(ch) for ch in name):
+                # Go writes an invalid ${...} literally
+                lit(repl[i : k + 1])
+                i = k + 1
+                continue
             i = k + 1
         else:
             k = j
-            # RE2 Expand names are ASCII [A-Za-z0-9_] only — a Unicode
-            # digit/letter after $ is literal text, never a name char
-            # (and str.isdigit() alone would accept '²', which int()
-            # rejects)
-            while k < len(repl) and (
-                repl[k].isascii() and (repl[k].isalnum() or repl[k] == "_")
-            ):
+            while k < len(repl) and _is_name_char(repl[k]):
                 k += 1
             name = repl[j:k]
             i = k

@@ -174,31 +174,20 @@ def _unquote(s: str) -> str:
     return s[1:-1].encode().decode("unicode_escape")
 
 
-_NAMED_GROUP_RE = re.compile(r"\(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>")
-
-
 def _translate_named_groups(pattern: str) -> tuple[str, dict[str, int]]:
     """RE2 ``(?P<name>...)`` -> numbered groups + name->index map.
 
     Regex-dialect bridge (SURVEY §7.4 item 5): capture-group *names*
     are the only RE2 feature the pipeline needs that Java spells
-    differently; extraction is by index on both engines.
+    differently; extraction is by index on both engines. Delegates to
+    the shared scanner (functions/regexops), which — unlike a regex
+    rewrite — does not miscount escaped parens or parens inside
+    character classes as capture groups.
     """
-    groups: dict[str, int] = {}
-    idx = 0
-    out = []
-    pos = 0
-    for m in re.finditer(r"\((?!\?)|\(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>", pattern):
-        out.append(pattern[pos:m.start()])
-        idx += 1
-        if m.group(1):
-            groups[m.group(1)] = idx
-            out.append("(")
-        else:
-            out.append(m.group())
-        pos = m.end()
-    out.append(pattern[pos:])
-    return "".join(out), groups
+    from lakerunner_spark.functions.regexops import java_pattern, scan_groups
+
+    _, names = scan_groups(pattern)
+    return java_pattern(pattern), dict(names)
 
 
 class _Parser:

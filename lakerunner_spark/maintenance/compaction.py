@@ -60,21 +60,26 @@ def plan_table_compaction(
     table_path: str,
     target_bytes: int = TARGET_SEGMENT_BYTES,
     min_mean_fraction: float = 0.5,
+    stale_after_s: float = 6 * 3600,
 ) -> list[dict]:
     """Walk a partitioned table tree; one task per fragmented partition.
 
     Healthy partitions produce no task, so the sweep cost is directory
     metadata only — at 100 TB this runs as a scheduled job enumerating
     partitions, then `compact_segments` tasks fan out per partition.
+    Crashed transactions are repaired inline (commit records replay
+    idempotently; pre-commit staging is only garbage-collected after
+    ``stale_after_s`` so a concurrently RUNNING compaction's staging dir
+    is never yanked out from under it).
     """
     tasks: list[dict] = []
-    for root, _dirs, files in os.walk(table_path):
-        if os.path.basename(root).startswith("_compact_"):
-            continue  # staging dir of an in-flight/crashed txn, not a partition
+    for root, dirs, files in os.walk(table_path):
+        # staging trees are transaction-private: never descend (a crashed
+        # write's _temporary attempt dirs hold .parquet that must not be
+        # mistaken for a partition)
+        dirs[:] = [d for d in dirs if not d.startswith("_compact_")]
         if any(f.endswith(".parquet") for f in files):
-            # repair any crashed prior compaction before planning over
-            # this partition (roll forward/back per the commit record)
-            recover_compaction(root)
+            recover_compaction(root, stale_after_s=stale_after_s)
             task = plan_compaction(root, target_bytes, min_mean_fraction)
             if task:
                 tasks.append(task)
@@ -85,7 +90,8 @@ def _commit_path(partition_dir: str, txid: str) -> str:
     return os.path.join(partition_dir, f"_compact_commit_{txid}.json")
 
 
-def _fsync_dir(path: str) -> None:
+def _fsync_path(path: str) -> None:
+    """fsync a file or directory by descriptor."""
     fd = os.open(path, os.O_RDONLY)
     try:
         os.fsync(fd)
@@ -109,11 +115,13 @@ def _write_commit(partition_dir: str, txid: str, record: dict) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
-    _fsync_dir(partition_dir)
+    _fsync_path(partition_dir)
     return path
 
 
-def recover_compaction(partition_dir: str) -> str | None:
+def recover_compaction(
+    partition_dir: str, stale_after_s: float = 0.0
+) -> str | None:
     """Repair a partition after a compaction crash; returns the action
     taken ('rolled_forward' | 'rolled_back' | None).
 
@@ -121,37 +129,57 @@ def recover_compaction(partition_dir: str) -> str | None:
     - no commit record present -> the transaction never happened; any
       staging directory is garbage (original files are all intact,
       because old-file deletion only starts after the commit record is
-      published). Roll BACK: delete staging.
+      published). Roll BACK: delete staging — but only once it is older
+      than ``stale_after_s``: a freshly-modified staging dir may belong
+      to a compaction that is STILL RUNNING pre-commit, and "crashed"
+      is indistinguishable from "in flight" without an age threshold.
     - commit record present -> the transaction is decided. Roll
-      FORWARD: move any staged files not yet in place, delete any old
-      files still present, then drop the record.
+      FORWARD by replaying the record; every step is guarded so the
+      replay is idempotent and tolerates the original writer (or a
+      concurrent recovery) finishing the same step first.
     """
+    import contextlib
     import glob
     import json
+    import time
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(path) >= stale_after_s
+        except OSError:
+            return False
 
     action = None
     # a crash inside _write_commit can strand a .tmp record: the txn
     # never committed (the rename is the commit point) -> plain garbage
     for tmp in glob.glob(os.path.join(partition_dir, "_compact_commit_*.json.tmp")):
-        os.remove(tmp)
+        if _old_enough(tmp):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)
     for commit in sorted(glob.glob(os.path.join(partition_dir, "_compact_commit_*.json"))):
-        with open(commit) as f:
-            rec = json.load(f)
+        try:
+            with open(commit) as f:
+                rec = json.load(f)
+        except FileNotFoundError:  # another recovery just finished it
+            continue
         for src, dst in rec["moves"]:
             if os.path.exists(src) and not os.path.exists(dst):
-                shutil.move(src, dst)
+                with contextlib.suppress(FileNotFoundError):
+                    shutil.move(src, dst)
         for old in rec["old_files"]:
-            if os.path.exists(old):
+            with contextlib.suppress(FileNotFoundError):
                 os.remove(old)
         shutil.rmtree(rec["staging"], ignore_errors=True)
-        os.remove(commit)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(commit)
         action = "rolled_forward"
     if action is None:
         parent = os.path.dirname(partition_dir)
         base = os.path.basename(partition_dir)
         for stale in glob.glob(os.path.join(parent, f"_compact_*_{base}")):
-            shutil.rmtree(stale, ignore_errors=True)
-            action = "rolled_back"
+            if _old_enough(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+                action = "rolled_back"
     return action
 
 
@@ -201,12 +229,8 @@ def compact_segments(
     # promises to roll forward: fsync every staged file + the staging
     # dir entry first (Spark's local-FS writer does not fsync)
     for f in staged:
-        fd = os.open(os.path.join(staging, f), os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-    _fsync_dir(staging)
+        _fsync_path(os.path.join(staging, f))
+    _fsync_path(staging)
     moves = [
         (
             os.path.join(staging, f),

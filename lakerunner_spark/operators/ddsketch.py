@@ -355,6 +355,7 @@ def ddsketch_quantile_sql(
     return f"""
     WITH rows_b AS (
       SELECT {keys}, {b} AS bucket FROM ({base_sql})
+      WHERE {value_sql} IS NOT NULL
     ),
     sk AS (
       SELECT {keys}, bucket, count(*) AS cnt FROM rows_b GROUP BY {keys}, bucket

@@ -502,12 +502,16 @@ def test_label_replace_underscore_named_group(spark, sf_dir):
 
 
 def test_replacement_parts_unicode_digits():
-    """Non-ASCII digits are literal text, never group references."""
+    """Go RE2 Expand unicode semantics: name chars are unicode
+    letters/Nd digits/underscore; numeric refs are ASCII-only; '²'
+    (Number-other, not Nd) is not a name char; an invalid ${...} is
+    literal."""
     from lakerunner_spark.functions.regexops import replacement_parts
 
-    assert replacement_parts("$²", "(a)") == ["$²"]
-    assert replacement_parts("$１", "(a)") == ["$１"]
-    assert replacement_parts("${²}", "(a)") == []
+    assert replacement_parts("$²", "(a)") == ["$²"]     # not a name char
+    assert replacement_parts("$１", "(a)") == []         # name "１" unknown -> empty
+    assert replacement_parts("${²}", "(a)") == ["${²}"]  # invalid braced -> literal
+    assert replacement_parts("$aé", "(a)") == []         # name "aé" unknown -> empty
 
 
 def test_java_pattern_strips_names():

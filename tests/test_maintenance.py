@@ -192,7 +192,14 @@ def test_plan_table_compaction_recovers_and_skips_staging(spark, sf_dir, tmp_pat
     staging = os.path.join(table, f"_compact_feedf00d_{os.path.basename(part)}")
     spark.read.parquet(part).limit(100).repartition(4).write.parquet(staging)
 
+    # a FRESH staging dir may belong to a live compaction: the default
+    # staleness gate must leave it alone (and still never plan over it)
     tasks = plan_table_compaction(table)
+    assert [t["dir"] for t in tasks] == [part]
+    assert os.path.exists(staging)
+
+    # declared stale -> garbage-collected
+    tasks = plan_table_compaction(table, stale_after_s=0)
     assert [t["dir"] for t in tasks] == [part]  # staging never planned
     assert not os.path.exists(staging)          # rolled back by recovery
     assert spark.read.parquet(part).count() == total
