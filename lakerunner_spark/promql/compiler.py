@@ -274,7 +274,10 @@ class _Compiler:
                 value_col=src.value_col,
             )
             return _Vec(out, src.labels)
-        b = df.groupBy(
+        # NULL samples carry no value; dropping them up front also keeps
+        # the bucket set identical to the sketch route's (a bucket whose
+        # samples are all NULL yields no output row on either path)
+        b = df.filter(F.col(src.value_col).isNotNull()).groupBy(
             bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
         ).agg(F.collect_list(src.value_col).alias("_vals"))
         w = (
