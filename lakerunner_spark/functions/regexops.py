@@ -107,9 +107,10 @@ def replacement_parts(repl: str, pattern: str) -> list[str | int]:
                 continue
             name = repl[j + 1 : k]
             if not name or not all(_is_name_char(ch) for ch in name):
-                # Go writes an invalid ${...} literally
-                lit(repl[i : k + 1])
-                i = k + 1
+                # invalid ${...}: Go emits only the '$' literally and
+                # RE-SCANS from '{' (refs inside the braces still expand)
+                lit("$")
+                i += 1
                 continue
             i = k + 1
         else:
@@ -121,7 +122,12 @@ def replacement_parts(repl: str, pattern: str) -> list[str | int]:
             if not name:  # dangling $ -> literal
                 lit("$")
                 continue
-        if name.isascii() and name.isdigit():
+        if (
+            name.isascii()
+            and name.isdigit()
+            and not (len(name) > 1 and name[0] == "0")
+        ):
+            # Go treats a leading-zero run ('01') as a NAME, not a number
             idx = int(name)
             if idx <= ngroups:  # $0 = whole match, always valid
                 parts.append(idx)

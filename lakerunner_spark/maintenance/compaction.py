@@ -119,8 +119,24 @@ def _write_commit(partition_dir: str, txid: str, record: dict) -> str:
     return path
 
 
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in a tree — a live Spark staging write
+    touches files under ``_temporary`` without touching the top-level
+    dir, so the top-level mtime alone would misjudge liveness."""
+    import contextlib
+
+    newest = 0.0
+    with contextlib.suppress(OSError):
+        newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            with contextlib.suppress(OSError):
+                newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+    return newest
+
+
 def recover_compaction(
-    partition_dir: str, stale_after_s: float = 0.0
+    partition_dir: str, stale_after_s: float = 6 * 3600
 ) -> str | None:
     """Repair a partition after a compaction crash; returns the action
     taken ('rolled_forward' | 'rolled_back' | None).
@@ -129,14 +145,19 @@ def recover_compaction(
     - no commit record present -> the transaction never happened; any
       staging directory is garbage (original files are all intact,
       because old-file deletion only starts after the commit record is
-      published). Roll BACK: delete staging — but only once it is older
-      than ``stale_after_s``: a freshly-modified staging dir may belong
-      to a compaction that is STILL RUNNING pre-commit, and "crashed"
-      is indistinguishable from "in flight" without an age threshold.
+      published). Roll BACK: delete staging — but only once nothing in
+      its TREE has been modified for ``stale_after_s`` (a compaction
+      that is STILL RUNNING pre-commit keeps writing under
+      ``_temporary``; "crashed" is indistinguishable from "in flight"
+      without an age threshold, so the safe default is hours — pass 0
+      only when no compaction can be in flight).
     - commit record present -> the transaction is decided. Roll
       FORWARD by replaying the record; every step is guarded so the
       replay is idempotent and tolerates the original writer (or a
-      concurrent recovery) finishing the same step first.
+      concurrent recovery) finishing the same step first. Old files are
+      deleted ONLY after every staged replacement is verified in place;
+      a record whose staged data is missing raises instead of silently
+      discarding the only remaining copy.
     """
     import contextlib
     import glob
@@ -144,10 +165,8 @@ def recover_compaction(
     import time
 
     def _old_enough(path: str) -> bool:
-        try:
-            return time.time() - os.path.getmtime(path) >= stale_after_s
-        except OSError:
-            return False
+        newest = _newest_mtime(path)
+        return newest > 0 and time.time() - newest >= stale_after_s
 
     action = None
     # a crash inside _write_commit can strand a .tmp record: the txn
@@ -166,6 +185,13 @@ def recover_compaction(
             if os.path.exists(src) and not os.path.exists(dst):
                 with contextlib.suppress(FileNotFoundError):
                     shutil.move(src, dst)
+        missing = [dst for _src, dst in rec["moves"] if not os.path.exists(dst)]
+        if missing:
+            raise RuntimeError(
+                f"compaction commit {commit} cannot be rolled forward: "
+                f"staged replacements missing ({missing[:3]}...); old "
+                f"files preserved for manual repair"
+            )
         for old in rec["old_files"]:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(old)
@@ -243,10 +269,25 @@ def compact_segments(
         txid,
         {"staging": staging, "moves": moves, "old_files": task["files"]},
     )
+    # post-commit steps mirror the recovery replay's guards: a concurrent
+    # sweep may legitimately finish any of these steps first (the commit
+    # record is the source of truth, whoever executes it)
+    import contextlib
+
     for src, dst in moves:
-        shutil.move(src, dst)
+        if os.path.exists(src) and not os.path.exists(dst):
+            with contextlib.suppress(FileNotFoundError):
+                shutil.move(src, dst)
+    missing = [dst for _src, dst in moves if not os.path.exists(dst)]
+    if missing:
+        raise RuntimeError(
+            f"compaction {txid}: staged replacements missing after swap "
+            f"({missing[:3]}...); old files preserved"
+        )
     for f in task["files"]:
-        os.remove(f)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(f)
     shutil.rmtree(staging, ignore_errors=True)
-    os.remove(_commit_path(task["dir"], txid))
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(_commit_path(task["dir"], txid))
     return len(moves)

@@ -510,8 +510,15 @@ def test_replacement_parts_unicode_digits():
 
     assert replacement_parts("$²", "(a)") == ["$²"]     # not a name char
     assert replacement_parts("$１", "(a)") == []         # name "１" unknown -> empty
-    assert replacement_parts("${²}", "(a)") == ["${²}"]  # invalid braced -> literal
+    assert replacement_parts("${²}", "(a)") == ["${²}"]  # $ literal + rescan
     assert replacement_parts("$aé", "(a)") == []         # name "aé" unknown -> empty
+    # Go numeric refs: ASCII digits, no leading zeros ('01' is a NAME)
+    assert replacement_parts("$0", "(a)") == [0]
+    assert replacement_parts("$00", "(a)") == []
+    assert replacement_parts("$01", "(a)") == []
+    assert replacement_parts("${01}", "(a)") == []
+    # invalid braced content re-scans: refs inside still expand
+    assert replacement_parts("${x$1}", "(a)") == ["${x", 1, "}"]
 
 
 def test_java_pattern_strips_names():

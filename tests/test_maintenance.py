@@ -118,7 +118,7 @@ def test_compaction_crash_before_commit_rolls_back(spark, sf_dir, tmp_path):
     )
     spark.read.parquet(part).coalesce(1).write.mode("overwrite").parquet(staging)
 
-    assert recover_compaction(part) == "rolled_back"
+    assert recover_compaction(part, stale_after_s=0) == "rolled_back"
     assert not os.path.exists(staging)
     assert sorted(os.listdir(part)) == files_before
     assert spark.read.parquet(part).count() == total
