@@ -62,6 +62,7 @@ _PRIORITY = [
     "a13_aggfile_route",
     "a6_cardinality",
     "x1_ddsketch_p95",
+    "x1_ddsketch_signed_median",
     "j1_vector_arith",
     "j3_vector_and",
     "o1_order_limit",

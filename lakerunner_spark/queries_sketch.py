@@ -60,3 +60,33 @@ def x1_ddsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = ddsketch_merge(fine, ["event_type"])
     out = ddsketch_quantile(coarse, ["event_type"], 0.5)
     return out.withColumn("value", _pr("value", 6))
+
+
+# deterministic mixed-sign transform: values recentred around zero so
+# roughly half the samples land in the mirrored negative store
+_SIGNED_E = (
+    f"SELECT event_type, user_id, value - 50.0 AS v FROM ({EVENTS_MS_SQL})"
+)
+
+
+@register(
+    "x1_ddsketch_signed_median",
+    f"""
+    SELECT event_type, pround(value, 6) AS value FROM (
+      {ddsketch_quantile_sql(_SIGNED_E, ["event_type"], "v", 0.5)}
+    )
+    """,
+)
+def x1_ddsketch_signed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 negative store: median over MIXED-SIGN data — the mirrored
+    negative-bucket mapping keeps index order aligned with value order,
+    so one cumulative walk answers quantiles across signs (no NaN; the
+    DuckDB oracle reproduces the signed bucket algebra bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", (F.col("value") - 50.0).alias("v")
+    )
+    sk = ddsketch_agg(e, ["event_type"], "v")
+    out = ddsketch_quantile(sk, ["event_type"], 0.5)
+    return out.withColumn("value", _pr("value", 6))

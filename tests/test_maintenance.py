@@ -203,3 +203,28 @@ def test_plan_table_compaction_recovers_and_skips_staging(spark, sf_dir, tmp_pat
     assert [t["dir"] for t in tasks] == [part]  # staging never planned
     assert not os.path.exists(staging)          # rolled back by recovery
     assert spark.read.parquet(part).count() == total
+
+
+def test_recover_raises_on_lost_staged_data(spark, sf_dir, tmp_path):
+    """A commit record whose staged replacements are gone must raise
+    and PRESERVE the old files — never silently delete the only copy."""
+    import pytest as _pytest
+
+    from lakerunner_spark.maintenance.compaction import (
+        _write_commit,
+        recover_compaction,
+    )
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "lost")
+    task = plan_compaction(part)
+    staging = os.path.join(os.path.dirname(part), f"_compact_dead_{os.path.basename(part)}")
+    # record promises moves whose sources never existed (staging lost)
+    moves = [(os.path.join(staging, "gone.parquet"),
+              os.path.join(part, "compacted_dead_00000.parquet"))]
+    _write_commit(part, "dead", {"staging": staging, "moves": moves,
+                                 "old_files": task["files"]})
+    with _pytest.raises(RuntimeError, match="staged replacements missing"):
+        recover_compaction(part)
+    # old files untouched, record kept for repair
+    assert all(os.path.exists(f) for f in task["files"])
+    assert spark.read.parquet(part).count() == total
