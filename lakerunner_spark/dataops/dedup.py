@@ -321,3 +321,72 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_hit_grams"))
     )
+
+
+# --------------------------- chunk-level dedup ------------------------------
+
+
+def chunk_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Fixed-size token chunks hashed for partial-overlap dedup:
+    (id, chunk_idx, chunk_hash) rows.
+
+    Document-level exact dedup misses the common long-document failure
+    mode where two pages share most of their body but differ in a
+    header/footer. Chunk-granularity hashing (the approximation of
+    exact substring dedup production pipelines run when a distributed
+    suffix array is overkill) catches those: split into consecutive
+    `chunk_tokens`-token chunks, hash each, and compare chunks across
+    the corpus. The trailing partial chunk is kept (it still dedups
+    exact tails).
+
+    Scale notes (100 TB): chunking is a narrow per-row array transform
+    (tokens regroup into ~tokens/chunk_tokens strings — no row blowup
+    beyond the explode, which is map-side); the only shuffle is
+    whatever aggregation the caller runs on `chunk_hash`, whose keys
+    are near-unique md5s — uniform, skew-free by construction except
+    for genuinely duplicated chunks, which is the signal itself.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    chunks = F.expr(
+        f"transform(sequence(0, (size(_toks) - 1) div {chunk_tokens}),"
+        f" i -> concat_ws(' ', slice(_toks, i * {chunk_tokens} + 1, {chunk_tokens})))"
+    )
+    c = toks.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+    return c.select(
+        id_col, "chunk_idx", F.md5(F.col("_chunk")).alias("chunk_hash")
+    )
+
+
+def chunk_dup_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Per-document duplicate-chunk fraction: (id, n_chunks, n_dup_chunks,
+    dup_chunk_ratio) where a chunk is "duplicate" if its hash occurs in
+    at least one OTHER document.
+
+    Two shuffles: groupBy chunk_hash for corpus-wide occurrence counts,
+    then groupBy doc for the per-doc ratio. The hash->doc-set join stays
+    on the (small) chunk-hash table, never re-shuffling text.
+    """
+    ch = chunk_hashes(df, text_col, id_col, chunk_tokens)
+    occ = ch.groupBy("chunk_hash").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    flagged = ch.join(occ, "chunk_hash").select(
+        id_col, (F.col("_ndocs") > 1).cast("int").alias("_dup")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_dup").alias("n_dup_chunks"),
+        (F.sum("_dup") / F.count(F.lit(1))).alias("dup_chunk_ratio"),
+    )

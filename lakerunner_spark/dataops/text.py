@@ -183,6 +183,43 @@ def winnow_fingerprints(
     )
 
 
+# ------------------------------- PII scrub ---------------------------------
+
+# Patterns deliberately restricted to the syntax subset where Java regex
+# (Spark) and RE2 (DuckDB/Go) agree exactly — explicit character classes,
+# bounded repetition, no lookaround, no backreferences — so the scrub is
+# engine-portable and the DuckDB oracle reproduces it byte-for-byte.
+# Ordering matters: EMAIL first (its local part may contain digits a
+# PHONE pattern would nibble), then IPV4 (dotted digits PHONE would
+# partially eat), PHONE last.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (before scrubbing): {kind: count}."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Mask emails / IPv4s / phone numbers with typed placeholder tokens.
+
+    Pure chained regexp_replace — whole-stage codegen, no UDF — applied
+    in PII_PATTERNS order so overlapping matches resolve
+    deterministically on every engine.
+    """
+    out = text
+    for _, pat, mask in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, mask)
+    return out
+
+
 def dup_ngram_ratio(text_expr: str, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats within the document —
     the Gopher-style repetition signal (Rae et al. 2021 use duplicate

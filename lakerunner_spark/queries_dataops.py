@@ -698,3 +698,175 @@ def txt5_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
         _pr(F.avg("dup_ratio"), 6).alias("avg_dup_ratio"),
     )
+
+
+_CHUNK = 16
+
+@register(
+    "dd9_chunk_dedup",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(0, (len(t) - 1) // {_CHUNK} + 1),
+               i -> md5(array_to_string(list_slice(t, i*{_CHUNK} + 1, i*{_CHUNK} + {_CHUNK}), ' '))))
+             AS chunk_hash
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 1
+    ),
+    occ AS (SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+            FROM ch GROUP BY chunk_hash),
+    per_doc AS (
+      SELECT c.doc_id, any_value(c.source) AS source,
+             count(*) AS n_chunks,
+             sum(CASE WHEN o.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ch c JOIN occ o USING (chunk_hash) GROUP BY c.doc_id
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(n_dup) AS BIGINT) AS dup_chunks,
+           pround(avg(n_dup * 1.0 / n_chunks), 6) AS avg_dup_ratio
+    FROM per_doc GROUP BY source
+    """,
+)
+def dd9_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity dedup (exact-substring approximation): per-source
+    duplicate-chunk stats over fixed 16-token chunks. Catches the
+    partial-overlap case document-level exact dedup misses — see
+    dataops/dedup.py chunk_dup_ratio for the two-shuffle plan."""
+    from lakerunner_spark.dataops.dedup import chunk_dup_ratio
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents")
+    ratios = chunk_dup_ratio(d, "text", "doc_id", chunk_tokens=_CHUNK)
+    j = ratios.join(d.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").alias("total_chunks"),
+        F.sum("n_dup_chunks").alias("dup_chunks"),
+        _pr(F.avg(F.col("n_dup_chunks") / F.col("n_chunks")), 6).alias(
+            "avg_dup_ratio"
+        ),
+    )
+
+
+# PII regexes inline in the oracle: the exact PII_PATTERNS strings
+# (Java-regex/RE2 common subset, so both engines match identically).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?"
+
+
+@register(
+    "txt6_pii_scrub",
+    f"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com at 10.0.'
+                  || (doc_id % 256) || '.7 or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS INT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+    FROM inj
+    """,
+)
+def txt6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails/IPv4s/phones with typed placeholders.
+    Deterministic PII is injected per doc (the synthetic corpus has
+    none) and the scrubbed strings are compared byte-for-byte against
+    the DuckDB oracle — both engines run the identical regex subset.
+    Chained regexp_replace, whole-stage codegen, no UDF."""
+    from lakerunner_spark.dataops.text import pii_counts, pii_scrub
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = d.select("doc_id", txt.alias("_txt"))
+    counts = pii_counts(F.col("_txt"))
+    return d.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["phone"].cast("int").alias("n_phone"),
+        pii_scrub(F.col("_txt")).alias("scrubbed"),
+    )
+
+
+@register(
+    "txt7_quality_pipeline",
+    """
+    WITH sig AS (
+      SELECT source, string_split(text, ' ') AS toks, text FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             len(toks) AS n_tok,
+             len(list_filter(toks,
+                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0 / len(toks)
+               AS stop_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+             CASE WHEN len(toks) < 3 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(list_transform(
+                         range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                       / CAST(len(toks) - 2 AS DOUBLE) END AS dup_ratio
+      FROM sig
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok >= 10 AND stop_ratio >= 0.02
+                          AND uniq_ratio >= 0.3 AND dup_ratio <= 0.4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           pround(avg(stop_ratio), 6) AS avg_stop_ratio,
+           pround(avg(uniq_ratio), 6) AS avg_uniq_ratio
+    FROM scored GROUP BY source
+    """,
+)
+def txt7_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style cleaning pipeline: length gate + stopword
+    ratio + unique-token ratio + repetition filter, per-source keep
+    counts. One narrow pass over the corpus (all per-row array
+    expressions, no UDF, no shuffle before the final tiny groupBy) —
+    the shape a 100 TB pre-training filter run takes."""
+    from lakerunner_spark.dataops.text import (
+        dup_ngram_ratio,
+        quality_components,
+    )
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    qc = quality_components(t)
+    scored = d.select(
+        "source",
+        F.size(F.split(t, " ")).alias("n_tok"),
+        qc["stopword_ratio"].alias("stop_ratio"),
+        qc["uniq_token_ratio"].alias("uniq_ratio"),
+        dup_ngram_ratio("text", n=3).alias("dup_ratio"),
+    )
+    keep = (
+        (F.col("n_tok") >= 10)
+        & (F.col("stop_ratio") >= 0.02)
+        & (F.col("uniq_ratio") >= 0.3)
+        & (F.col("dup_ratio") <= 0.4)
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        _pr(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        _pr(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
+    )

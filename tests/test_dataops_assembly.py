@@ -159,3 +159,67 @@ def test_dup_ngram_ratio(spark):
            df.select("doc_id", dup_ngram_ratio("text").alias("r")).collect()}
     assert abs(got[1] - (1 - 3 / 7)) < 1e-12
     assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_chunk_dup_ratio_partial_overlap(spark):
+    """Two docs sharing one exact 4-token chunk but differing elsewhere:
+    doc-level exact dedup sees nothing, chunk dedup flags the shared chunk."""
+    from lakerunner_spark.dataops.dedup import chunk_dup_ratio
+
+    shared = "w1 w2 w3 w4"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " a b c d"),   # chunks: [shared, 'a b c d']
+            (2, shared + " e f g h"),   # chunks: [shared, 'e f g h']
+            (3, "p q r s t u v w"),     # no shared chunks
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in chunk_dup_ratio(df, "text", "doc_id", chunk_tokens=4).collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["n_dup_chunks"] == 1
+    assert abs(got[1]["dup_chunk_ratio"] - 0.5) < 1e-12
+    assert got[2]["n_dup_chunks"] == 1
+    assert got[3]["n_dup_chunks"] == 0
+
+
+def test_chunk_hashes_trailing_partial(spark):
+    from lakerunner_spark.dataops.dedup import chunk_hashes
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = chunk_hashes(df, "text", "doc_id", chunk_tokens=2).collect()
+    # 5 tokens @ 2/chunk -> 3 chunks, last is the 1-token tail
+    assert len(rows) == 3
+    assert sorted(r["chunk_idx"] for r in rows) == [0, 1, 2]
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from lakerunner_spark.dataops.text import pii_counts, pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "host 192.168.001.254 down"),
+            (3, "call +44-800-555-0199 today"),
+            (4, "clean text with no pii at all"),
+        ],
+        ["i", "t"],
+    )
+    c = pii_counts(F.col("t"))
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            pii_scrub(F.col("t")).alias("s"),
+            c["email"].alias("e"),
+            c["ipv4"].alias("p"),
+            c["phone"].alias("f"),
+        ).collect()
+    }
+    assert out[1]["s"] == "mail <EMAIL> now" and out[1]["e"] == 1
+    assert out[2]["s"] == "host <IP> down" and out[2]["p"] == 1
+    assert out[3]["s"] == "call <PHONE> today" and out[3]["f"] == 1
+    assert out[4]["s"] == "clean text with no pii at all"
+    assert out[4]["e"] == out[4]["p"] == out[4]["f"] == 0
