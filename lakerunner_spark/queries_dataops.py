@@ -870,3 +870,83 @@ def txt7_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
         _pr(F.avg("uniq_ratio"), 6).alias("avg_uniq_ratio"),
     )
+
+
+_DD10_TAU = 0.6
+
+@register(
+    "dd10_dedup_pipeline",
+    f"""
+    WITH RECURSIVE cand AS ({_CANDIDATES_SQL}),
+    sets AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sets GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE pround(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6)
+            >= {_DD10_TAU}
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    walk(u, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e2.u, w.label FROM edges e2 JOIN walk w ON w.u = e2.v
+    ),
+    comp AS (SELECT u AS node, min(label) AS component FROM walk GROUP BY u),
+    deleted AS (SELECT node FROM comp WHERE node != component)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN x.node IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_deleted,
+           CAST(sum(CASE WHEN x.node IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d LEFT JOIN deleted x ON x.node = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dd10_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup pipeline, the full production shape in
+    one plan: shingles -> MinHash signatures -> LSH candidates -> exact
+    Jaccard verify (tau=0.6) -> connected components -> delete list
+    (cluster min survives) -> per-source kept/deleted counts.
+
+    Scale: every stage is the bucketed/broadcast design already proven
+    piecewise (dd2/dd3/dd7) — the corpus never self-joins all-pairs; the
+    delete list is far smaller than the corpus, so the final filter is a
+    broadcast left-anti join against the scan."""
+    from lakerunner_spark.dataops.graph import neardup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+    verified = jaccard_verify(sh, cand, "doc_id").filter(
+        F.col("jaccard") >= _DD10_TAU
+    )
+    clusters = neardup_clusters(verified, "doc_a", "doc_b")
+    deleted = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    flagged = d.join(
+        F.broadcast(deleted.withColumn("_del", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("_del").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("_del").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )

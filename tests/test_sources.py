@@ -187,3 +187,18 @@ def test_write_segments_layout(spark, tmp_path, sf_dir):
     ).select("metric_name", "chq_tid", "chq_timestamp").collect()
     keys = [(r.metric_name, r.chq_tid, r.chq_timestamp) for r in one]
     assert keys == sorted(keys)
+
+
+def test_configure_s3a_sets_hadoop_and_sql_conf(spark):
+    from lakerunner_spark.sources.objectstore import configure_s3a
+
+    configure_s3a(spark, endpoint="http://minio:9000", path_style_access=True)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+    assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.experimental.input.fadvise") == "random"
+    # committer classes need the spark-hadoop-cloud jar; in this sandbox
+    # they must be skipped (not raise), and recorded
+    for k in configure_s3a.skipped:
+        assert k.startswith("spark.sql.")
