@@ -58,6 +58,8 @@ HEADLINE = [
     "dd8_decontaminate",
     "ds4_domain_mixture",
     "txt5_repetition_filter",
+    "txt7_quality_pipeline",
+    "dd10_dedup_pipeline",
 ]
 
 

@@ -135,3 +135,41 @@ def test_replacement_parts_total_and_wellformed(repl, pattern):
             assert isinstance(p, str) and p != ""
     if "$" not in repl:
         assert parts == ([repl] if repl else [])
+
+
+# --------------------------- PII pattern properties -------------------------
+# PII_PATTERNS is the shared artifact between the Spark scrub and the
+# DuckDB oracle (Java-regex/RE2 common subset, which Python `re` also
+# implements identically); these properties validate the pattern SET —
+# masks never create new matches, and the scrub is idempotent.
+
+import re as _re
+
+from lakerunner_spark.dataops.text import PII_PATTERNS
+
+
+def _py_scrub(s: str) -> str:
+    for _, pat, mask in PII_PATTERNS:
+        s = _re.sub(pat, mask, s)
+    return s
+
+
+_PII_SNIPPETS = st.sampled_from([
+    "bob.smith+x@sub.example.org", "a@b.co", "10.0.3.7",
+    "192.168.001.254", "+1-555-0042", "+44-800-555-0199",
+])
+_FILLER = st.text(
+    alphabet="abcdefghijklmnop QRSTUV.,-", min_size=0, max_size=30
+)
+
+
+@settings(max_examples=300)
+@given(parts=st.lists(st.one_of(_PII_SNIPPETS, _FILLER), max_size=6))
+def test_pii_scrub_idempotent_and_complete(parts):
+    s = " ".join(parts)
+    once = _py_scrub(s)
+    # complete: no pattern still matches after the scrub
+    for _, pat, _m in PII_PATTERNS:
+        assert not _re.search(pat, once), (pat, once)
+    # idempotent: masks never assemble into new matches
+    assert _py_scrub(once) == once
