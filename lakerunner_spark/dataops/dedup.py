@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakerunner_spark.functions.rounding import portable_round
+
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_ROWS = 2
 
@@ -160,7 +162,11 @@ def jaccard_verify(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            # portable_round, not F.round: the ratio feeds oracle-compared
+            # outputs and threshold filters (dd3/dd10), and F.round's
+            # shortest-decimal HALF_UP disagrees with DuckDB's round on
+            # half-boundary doubles (see functions/rounding.py)
+            portable_round(
                 F.col("shared")
                 / (F.col("n_a") + F.col("n_b") - F.col("shared")),
                 6,

@@ -200,9 +200,15 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-kind PII match counts (before scrubbing): {kind: count}."""
+    """Per-kind PII match counts (before scrubbing): {kind: count}.
+
+    NULL text counts 0 for every kind (without the guard, ``F.size`` of
+    the NULL extract result returns -1 under Spark's sizeOfNull default,
+    deflating downstream sums)."""
     return {
-        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        kind: F.when(text.isNull(), F.lit(0)).otherwise(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        )
         for kind, pat, _ in PII_PATTERNS
     }
 

@@ -61,6 +61,7 @@ def plan_table_compaction(
     target_bytes: int = TARGET_SEGMENT_BYTES,
     min_mean_fraction: float = 0.5,
     stale_after_s: float = 6 * 3600,
+    strict: bool = False,
 ) -> list[dict]:
     """Walk a partitioned table tree; one task per fragmented partition.
 
@@ -71,23 +72,114 @@ def plan_table_compaction(
     idempotently; pre-commit staging is only garbage-collected after
     ``stale_after_s`` so a concurrently RUNNING compaction's staging dir
     is never yanked out from under it).
+
+    A partition whose recovery FAILS (e.g. a commit record whose staged
+    data was lost) is isolated, not fatal: it is skipped and reported in
+    ``plan_table_compaction.damaged`` (fresh per call) so one damaged
+    partition can't block planning/repair for the whole table. Pass
+    ``strict=True`` to raise instead after the full walk.
     """
     tasks: list[dict] = []
+    damaged: list[tuple[str, str]] = []
     for root, dirs, files in os.walk(table_path):
         # staging trees are transaction-private: never descend (a crashed
         # write's _temporary attempt dirs hold .parquet that must not be
         # mistaken for a partition)
         dirs[:] = [d for d in dirs if not d.startswith("_compact_")]
         if any(f.endswith(".parquet") for f in files):
-            recover_compaction(root, stale_after_s=stale_after_s)
+            try:
+                recover_compaction(root, stale_after_s=stale_after_s)
+            except RuntimeError as e:
+                damaged.append((root, str(e)))
+                continue  # never plan over an undecided transaction
             task = plan_compaction(root, target_bytes, min_mean_fraction)
             if task:
                 tasks.append(task)
+    plan_table_compaction.damaged = damaged
+    if damaged and strict:
+        raise RuntimeError(
+            f"{len(damaged)} partition(s) need manual compaction repair: "
+            f"{[d for d, _ in damaged][:5]}"
+        )
     return sorted(tasks, key=lambda t: t["dir"])
 
 
 def _commit_path(partition_dir: str, txid: str) -> str:
     return os.path.join(partition_dir, f"_compact_commit_{txid}.json")
+
+
+def _lock_path(partition_dir: str) -> str:
+    return os.path.join(partition_dir, "_compact_lock.json")
+
+
+def _staging_path(partition_dir: str, txid: str) -> str:
+    return os.path.join(
+        os.path.dirname(partition_dir),
+        f"_compact_{txid}_{os.path.basename(partition_dir)}",
+    )
+
+
+def _acquire_lock(partition_dir: str, txid: str, stale_after_s: float) -> None:
+    """Exclusive per-partition compaction intent lock (O_CREAT|O_EXCL —
+    atomic on POSIX local/NFS; on object stores swap for a conditional
+    put). Fences the double-compaction race: without it two sweeps can
+    both stage, both commit, and both roll forward over the same input
+    files — every row silently duplicated. A crashed holder's lock is
+    broken only once BOTH the lock file and its transaction's staging
+    tree have been idle for ``stale_after_s`` (the staging tree is where
+    a live pre-commit writer shows a heartbeat)."""
+    import json
+    import time
+
+    path = _lock_path(partition_dir)
+    for _ in range(2):  # second try after breaking a stale lock
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"txid": txid, "pid": os.getpid(), "ts": time.time()}
+                    ).encode(),
+                )
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            return
+        except FileExistsError:
+            holder_txid = None
+            import contextlib
+
+            with contextlib.suppress(OSError, ValueError):
+                with open(path) as f:
+                    holder_txid = json.load(f).get("txid")
+            newest = _newest_mtime(path)
+            if holder_txid:
+                newest = max(
+                    newest, _newest_mtime(_staging_path(partition_dir, holder_txid))
+                )
+            if newest > 0 and time.time() - newest >= stale_after_s:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
+                continue
+            raise RuntimeError(
+                f"compaction of {partition_dir} already in progress "
+                f"(lock held by txid {holder_txid}); not re-compacting"
+            )
+    raise RuntimeError(f"could not acquire compaction lock: {path}")
+
+
+def _release_lock(partition_dir: str, txid: str) -> None:
+    """Remove the lock only if this transaction still owns it."""
+    import contextlib
+    import json
+
+    path = _lock_path(partition_dir)
+    with contextlib.suppress(OSError, ValueError):
+        with open(path) as f:
+            if json.load(f).get("txid") != txid:
+                return
+        os.remove(path)
 
 
 def _fsync_path(path: str) -> None:
@@ -198,14 +290,55 @@ def recover_compaction(
         shutil.rmtree(rec["staging"], ignore_errors=True)
         with contextlib.suppress(FileNotFoundError):
             os.remove(commit)
+        # the crashed writer never released its lock; its txid is in the
+        # commit filename
+        txid = os.path.basename(commit)[len("_compact_commit_"):-len(".json")]
+        _release_lock(partition_dir, txid)
         action = "rolled_forward"
     if action is None:
+        import re
+
         parent = os.path.dirname(partition_dir)
         base = os.path.basename(partition_dir)
-        for stale in glob.glob(os.path.join(parent, f"_compact_*_{base}")):
+        # STRICT name parse, not a glob ending in _{base}: a bare glob
+        # `_compact_*_{base}` also matches a SIBLING partition's staging
+        # when one basename is an underscore-suffix of another (e.g.
+        # `type=a` matching `_compact_<tx>_sub_type=a`), deleting a
+        # foreign transaction's staged data. The txid is always 8 hex
+        # chars (compact_segments), so require exactly
+        # `_compact_<8hex>_<base>` and never touch anything else.
+        pat = re.compile(r"^_compact_([0-9a-f]{8})_(.+)$")
+        for name in os.listdir(parent) if os.path.isdir(parent) else []:
+            m = pat.match(name)
+            if not m or m.group(2) != base:
+                continue
+            # pre-commit garbage only: a txid with a commit record is
+            # decided and belongs to the roll-forward path above
+            if os.path.exists(_commit_path(partition_dir, m.group(1))):
+                continue
+            stale = os.path.join(parent, name)
             if _old_enough(stale):
                 shutil.rmtree(stale, ignore_errors=True)
                 action = "rolled_back"
+        # a pre-commit crash also strands the lock; break it by the same
+        # combined staleness rule _acquire_lock uses
+        lock = _lock_path(partition_dir)
+        if os.path.exists(lock):
+            import json as _json
+            import time as _time
+
+            holder = None
+            with contextlib.suppress(OSError, ValueError):
+                with open(lock) as f:
+                    holder = _json.load(f).get("txid")
+            newest = _newest_mtime(lock)
+            if holder:
+                newest = max(
+                    newest, _newest_mtime(_staging_path(partition_dir, holder))
+                )
+            if newest > 0 and _time.time() - newest >= stale_after_s:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(lock)
     return action
 
 
@@ -214,6 +347,7 @@ def compact_segments(
     task: dict,
     family: str,
     compression: str = "zstd",
+    stale_after_s: float = 6 * 3600,
 ) -> int:
     """Execute one compaction task; returns the output file count.
 
@@ -222,58 +356,97 @@ def compact_segments(
     gives the T4 path; the reference gets it from upload-then-republish
     + Postgres registration, OVERVIEW.md:277):
 
+    0. acquire the partition's exclusive intent lock, then re-verify the
+       planned input files still exist (plan-to-execute races: another
+       worker may have compacted this partition since planning);
     1. write compacted output to a sibling staging dir; verify _SUCCESS;
     2. atomically publish a commit record (tmp + rename) listing the
        planned moves and the old files — this rename is the txn point;
-    3. move new files in, delete old files, drop the record.
+    3. move new files in, delete old files, drop the record, release
+       the lock.
 
     A crash before (2) leaves the original segments untouched (staging
-    is garbage-collected by :func:`recover_compaction`); a crash after
-    (2) is rolled forward by replaying the record. Run
+    and lock are garbage-collected by :func:`recover_compaction`); a
+    crash after (2) is rolled forward by replaying the record. Run
     recover_compaction over partitions at job start.
     """
+    import contextlib
+    import glob
+
     sort_keys = SEGMENT_SORT_KEYS[family]
-    df = spark.read.option("mergeSchema", "true").parquet(*task["files"])
-    sort_cols = [k for k in sort_keys if k in df.columns]
-
     txid = uuid.uuid4().hex[:8]
-    staging = os.path.join(
-        os.path.dirname(task["dir"]),
-        f"_compact_{txid}_{os.path.basename(task['dir'])}",
-    )
-    out = df.repartition(task["target_files"])
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").option("compression", compression).parquet(staging)
-    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        raise RuntimeError(f"compaction staging write incomplete: {staging}")
-
-    staged = sorted(
-        f for f in os.listdir(staging) if f.endswith(".parquet")
-    )
-    # the commit record must never be durable BEFORE the data it
-    # promises to roll forward: fsync every staged file + the staging
-    # dir entry first (Spark's local-FS writer does not fsync)
-    for f in staged:
-        _fsync_path(os.path.join(staging, f))
-    _fsync_path(staging)
-    moves = [
-        (
-            os.path.join(staging, f),
-            os.path.join(task["dir"], f"compacted_{txid}_{i:05d}.parquet"),
+    _acquire_lock(task["dir"], txid, stale_after_s)
+    try:
+        # an undecided commit record means a crashed transaction whose
+        # roll-forward hasn't run; compacting on top of it would publish
+        # a second record over the same old_files — replaying both
+        # duplicates every row. Refuse until recover_compaction runs.
+        pending = glob.glob(
+            os.path.join(task["dir"], "_compact_commit_*.json")
         )
-        for i, f in enumerate(staged)
-    ]
-    _write_commit(
-        task["dir"],
-        txid,
-        {"staging": staging, "moves": moves, "old_files": task["files"]},
-    )
+        if pending:
+            raise RuntimeError(
+                f"partition {task['dir']} has undecided compaction "
+                f"commits ({pending}); run recover_compaction first"
+            )
+        gone = [f for f in task["files"] if not os.path.exists(f)]
+        if gone:
+            raise RuntimeError(
+                f"compaction {txid}: planned input files no longer exist "
+                f"(compacted concurrently?): {gone[:3]}"
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(*task["files"])
+        sort_cols = [k for k in sort_keys if k in df.columns]
+
+        staging = _staging_path(task["dir"], txid)
+        out = df.repartition(task["target_files"])
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").option("compression", compression).parquet(
+            staging
+        )
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            raise RuntimeError(
+                f"compaction staging write incomplete: {staging}"
+            )
+        staged = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        # the commit record must never be durable BEFORE the data it
+        # promises to roll forward: fsync every staged file + the staging
+        # dir entry first (Spark's local-FS writer does not fsync)
+        for f in staged:
+            _fsync_path(os.path.join(staging, f))
+        _fsync_path(staging)
+        moves = [
+            (
+                os.path.join(staging, f),
+                os.path.join(task["dir"], f"compacted_{txid}_{i:05d}.parquet"),
+            )
+            for i, f in enumerate(staged)
+        ]
+        _write_commit(
+            task["dir"],
+            txid,
+            {"staging": staging, "moves": moves, "old_files": task["files"]},
+        )
+    except BaseException:
+        if os.path.exists(_commit_path(task["dir"], txid)):
+            # decided but incomplete: keep staging AND the lock — the
+            # recovery replay rolls forward and releases the lock; a
+            # released lock here would let a second compaction publish
+            # a second record over the same old_files
+            raise
+        # pre-commit failure: originals are untouched; drop our staging
+        # eagerly and free the partition for the next attempt
+        with contextlib.suppress(OSError):
+            shutil.rmtree(_staging_path(task["dir"], txid), ignore_errors=True)
+        _release_lock(task["dir"], txid)
+        raise
+
     # post-commit steps mirror the recovery replay's guards: a concurrent
     # sweep may legitimately finish any of these steps first (the commit
     # record is the source of truth, whoever executes it)
-    import contextlib
-
     for src, dst in moves:
         if os.path.exists(src) and not os.path.exists(dst):
             with contextlib.suppress(FileNotFoundError):
@@ -290,4 +463,5 @@ def compact_segments(
     shutil.rmtree(staging, ignore_errors=True)
     with contextlib.suppress(FileNotFoundError):
         os.remove(_commit_path(task["dir"], txid))
+    _release_lock(task["dir"], txid)
     return len(moves)

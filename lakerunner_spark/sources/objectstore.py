@@ -27,10 +27,15 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 S3A_DEFAULTS: dict[str, str] = {
-    # credential resolution: env vars -> profile -> instance role
+    # credential resolution, tried in list order (most-explicit first so
+    # operator-supplied credentials can override an ambient instance
+    # role): fs.s3a.access.key conf (+session token) -> env vars ->
+    # instance/pod role. Matches S3A's own documented default chain.
     "spark.hadoop.fs.s3a.aws.credentials.provider": (
-        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider,"
-        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider"
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider,"
+        "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,"
+        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
+        "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider"
     ),
     # S3 has no atomic rename: commit output via multipart completion
     "spark.hadoop.fs.s3a.committer.name": "magic",

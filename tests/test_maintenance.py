@@ -228,3 +228,126 @@ def test_recover_raises_on_lost_staged_data(spark, sf_dir, tmp_path):
     # old files untouched, record kept for repair
     assert all(os.path.exists(f) for f in task["files"])
     assert spark.read.parquet(part).count() == total
+
+
+def test_second_compaction_of_same_task_is_fenced(spark, sf_dir, tmp_path):
+    """Replaying a stale task after the partition was already compacted
+    must refuse — without the input-existence fence both transactions
+    commit and every row is silently duplicated."""
+    import pytest as _pytest
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "fence")
+    task = plan_compaction(part)
+    assert compact_segments(spark, task, "metrics") == 1
+    with _pytest.raises(RuntimeError, match="no longer exist"):
+        compact_segments(spark, task, "metrics")
+    assert spark.read.parquet(part).count() == total
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) == 1  # no second output generation
+
+
+def test_lock_blocks_concurrent_compaction(spark, sf_dir, tmp_path):
+    """A held (fresh) lock blocks a second compaction; a stale lock is
+    broken and the compaction proceeds."""
+    import pytest as _pytest
+
+    from lakerunner_spark.maintenance.compaction import (
+        _acquire_lock,
+        _lock_path,
+    )
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "lock")
+    task = plan_compaction(part)
+    _acquire_lock(part, "aaaaaaaa", 3600)
+    with _pytest.raises(RuntimeError, match="already in progress"):
+        compact_segments(spark, task, "metrics", stale_after_s=3600)
+    # nothing changed under the held lock
+    assert spark.read.parquet(part).count() == total
+    # stale-break path: age threshold 0 treats the idle holder as dead
+    assert compact_segments(spark, task, "metrics", stale_after_s=0) == 1
+    assert spark.read.parquet(part).count() == total
+    assert not os.path.exists(_lock_path(part))  # released on success
+
+
+def test_rollback_never_touches_sibling_partition_staging(spark, sf_dir, tmp_path):
+    """Partition basenames where one is an underscore-suffix of another
+    (`type=a` vs `sub_type=a`): recovery of one must never delete the
+    other's staging, even when declared stale."""
+    from lakerunner_spark.maintenance.compaction import recover_compaction
+
+    parent = tmp_path / "tree"
+    e = events_stream(spark, sf_dir).limit(200)
+    part_a = str(parent / "type=a")
+    part_b = str(parent / "sub_type=a")
+    e.coalesce(2).write.parquet(part_a)
+    e.coalesce(2).write.parquet(part_b)
+    staging_b = str(parent / "_compact_0123abcd_sub_type=a")
+    e.limit(50).coalesce(1).write.parquet(staging_b)
+
+    # A's recovery: the bare glob `_compact_*_type=a` WOULD match B's
+    # staging; the strict name parse must not
+    assert recover_compaction(part_a, stale_after_s=0) is None
+    assert os.path.exists(staging_b)
+    # B's own recovery legitimately garbage-collects it
+    assert recover_compaction(part_b, stale_after_s=0) == "rolled_back"
+    assert not os.path.exists(staging_b)
+
+
+def test_damaged_partition_does_not_block_sweep(spark, sf_dir, tmp_path):
+    """One partition with an unrecoverable commit record (staged data
+    lost) must not stop the sweep from planning healthy partitions."""
+    import pytest as _pytest
+
+    from lakerunner_spark.maintenance.compaction import (
+        _write_commit,
+        plan_table_compaction,
+    )
+
+    part_ok, _ = _fragmented_partition(spark, sf_dir, tmp_path, "sweep2")
+    table = str(tmp_path / "sweep2")
+    part_bad = os.path.join(table, "dateint=20240102")
+    e = events_stream(spark, sf_dir).limit(500)
+    e.coalesce(2).write.parquet(part_bad)
+    staging = os.path.join(table, "_compact_deadbea7_dateint=20240102")
+    _write_commit(
+        part_bad,
+        "deadbea7",
+        {
+            "staging": staging,
+            "moves": [(os.path.join(staging, "gone.parquet"),
+                       os.path.join(part_bad, "compacted_deadbea7_00000.parquet"))],
+            "old_files": [],
+        },
+    )
+    tasks = plan_table_compaction(table)
+    assert [t["dir"] for t in tasks] == [part_ok]
+    assert [d for d, _ in plan_table_compaction.damaged] == [part_bad]
+    with _pytest.raises(RuntimeError, match="manual compaction repair"):
+        plan_table_compaction(table, strict=True)
+
+
+def test_compact_refuses_undecided_commit(spark, sf_dir, tmp_path):
+    """compact_segments must refuse a partition holding an undecided
+    commit record instead of publishing a second record over the same
+    old files (replaying both would duplicate every row)."""
+    import pytest as _pytest
+
+    from lakerunner_spark.maintenance.compaction import (
+        _lock_path,
+        _write_commit,
+    )
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "undecided")
+    task = plan_compaction(part)
+    staging = os.path.join(
+        os.path.dirname(part), f"_compact_beadfeed_{os.path.basename(part)}"
+    )
+    _write_commit(
+        part,
+        "beadfeed",
+        {"staging": staging, "moves": [], "old_files": []},
+    )
+    with _pytest.raises(RuntimeError, match="undecided"):
+        compact_segments(spark, task, "metrics")
+    assert not os.path.exists(_lock_path(part))  # released on refusal
+    assert spark.read.parquet(part).count() == total
