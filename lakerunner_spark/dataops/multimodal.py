@@ -193,18 +193,103 @@ def png_features(payload: bytes) -> list[float]:
     ]
 
 
-def decode_image(payload: bytes) -> list[float]:
-    """Decode an image payload to a feature vector.
+# ------------------------------ WAV (audio) --------------------------------
 
-    PNG decodes natively (stdlib zlib+struct, :func:`decode_png`); other
-    formats need a codec library (Pillow/opencv), absent in this
-    container — inject a decoder for tests or provide one at deployment
-    (reference: this is the X2-style extension seam).
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Minimal stdlib WAV encoder: 16-bit PCM mono RIFF/WAVE.
+
+    Synthesizes deterministic test/benchmark audio; also a legitimate
+    sink codec (struct only)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib WAV decoder (struct): ``(sample_rate, channels,
+    samples)`` with samples interleaved. 16-bit PCM only (format tag 1);
+    compressed/float WAVs raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    samples: list[int] = []
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError("decode_wav: 16-bit PCM only")
+        elif tag == b"data":
+            n = len(body) // 2
+            samples = list(struct.unpack(f"<{n}h", body[: 2 * n]))
+    if rate is None:
+        raise ValueError("decode_wav: missing fmt chunk")
+    return rate, channels or 1, samples
+
+
+def wav_features(payload: bytes) -> list[float]:
+    """WAV payload -> 5-dim feature vector:
+    [duration_ms, sample_rate, rms, peak_abs, zero_crossing_rate]
+    (zcr = fraction of adjacent sample pairs whose (s < 0) sign
+    differs — the standard voiced/unvoiced + noisiness signal)."""
+    import math
+
+    rate, channels, samples = decode_wav(payload)
+    n_frames = len(samples) // channels
+    if n_frames == 0:
+        return [0.0, float(rate), 0.0, 0.0, 0.0]
+    rms = math.sqrt(sum(float(s) * s for s in samples) / len(samples))
+    peak = float(max(abs(s) for s in samples))
+    flips = sum(
+        1
+        for a, b in zip(samples, samples[channels:])
+        if (a < 0) != (b < 0)
+    )
+    zcr = flips / (len(samples) - channels) if len(samples) > channels else 0.0
+    return [
+        1000.0 * n_frames / rate,
+        float(rate),
+        rms,
+        peak,
+        zcr,
+    ]
+
+
+def decode_image(payload: bytes) -> list[float]:
+    """Decode a media payload to a feature vector.
+
+    PNG (stdlib zlib+struct, :func:`decode_png`) and 16-bit PCM WAV
+    (:func:`decode_wav`) decode natively; other formats need a codec
+    library (Pillow/ffmpeg/...), absent in this container — inject a
+    decoder for tests or provide one at deployment (reference: this is
+    the X2-style extension seam).
     """
     if payload[:8] == PNG_SIGNATURE:
         return png_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_features(payload)
     raise NotImplementedError(
-        "non-PNG image decode needs a codec library; inject decoder=... instead"
+        "non-PNG/WAV decode needs a codec library; inject decoder=... instead"
     )
 
 
@@ -320,11 +405,28 @@ Resizer = Callable[[bytes, int, int], bytes]
 
 
 def resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. Needs a codec library (absent here) —
-    inject a resizer or provide one at deployment."""
-    raise NotImplementedError(
-        "image resize needs a codec library; inject resizer=... instead"
-    )
+    """Resize an image payload, nearest-neighbor.
+
+    PNG resizes natively (decode -> sample -> re-encode RGB with the
+    stdlib codec; greyscale replicates, alpha drops); other formats need
+    a codec library — inject a resizer or provide one at deployment."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise NotImplementedError(
+            "non-PNG resize needs a codec library; inject resizer=... instead"
+        )
+    w, h, ch, samples = decode_png(payload)
+    out = bytearray(3 * width * height)
+    for ty in range(height):
+        sy = ty * h // height
+        for tx in range(width):
+            sx = tx * w // width
+            src = (sy * w + sx) * ch
+            dst = (ty * width + tx) * 3
+            if ch == 1:
+                out[dst] = out[dst + 1] = out[dst + 2] = samples[src]
+            else:
+                out[dst : dst + 3] = samples[src : src + 3]
+    return encode_png(width, height, bytes(out))
 
 
 def resize_images(

@@ -291,3 +291,69 @@ def mm2_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     )
+
+
+_MM3_RATE = 8000
+_MM3_N = 256
+
+# deterministic PCM16 sample generator shared by query and oracle
+_MM3_SAMPLES = f"""
+      SELECT m, i, CAST(((m*31 + i*7) % 2001) - 1000 AS DOUBLE) AS v
+      FROM range(0, 10) t0(m) CROSS JOIN range(0, {_MM3_N}) t1(i)
+"""
+
+
+@register(
+    "mm3_wav_features",
+    f"""
+    WITH s AS ({_MM3_SAMPLES}),
+    zc AS (
+      SELECT m, sum(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END) AS flips
+      FROM (SELECT m, v, lag(v) OVER (PARTITION BY m ORDER BY i) AS pv FROM s)
+      WHERE pv IS NOT NULL GROUP BY m
+    )
+    SELECT s.m AS media_id,
+           pround(1000.0 * {_MM3_N} / {_MM3_RATE}, 6) AS duration_ms,
+           CAST({_MM3_RATE} AS DOUBLE) AS sample_rate,
+           pround(sqrt(avg(s.v * s.v)), 6) AS rms,
+           max(abs(s.v)) AS peak_abs,
+           pround(any_value(zc.flips) * 1.0 / ({_MM3_N} - 1), 6) AS zcr
+    FROM s JOIN zc ON zc.m = s.m
+    GROUP BY s.m
+    """,
+)
+def mm3_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode, no injection: deterministic 16-bit PCM WAVs
+    are encoded and decoded with the engine's stdlib WAV codec
+    (multimodal.encode_wav/decode_wav) inside mapInPandas; the oracle
+    computes duration/rms/peak/zero-crossing-rate in closed form from
+    the same sample generator — any codec defect breaks the hash."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_features,
+    )
+
+    rows = []
+    for m in range(10):
+        samples = [((m * 31 + i * 7) % 2001) - 1000 for i in range(_MM3_N)]
+        rows.append(
+            (
+                m,
+                "audio",
+                None,
+                None,
+                1000 * _MM3_N // _MM3_RATE,
+                bytearray(encode_wav(_MM3_RATE, samples)),
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    names = ["duration_ms", "sample_rate", "rms", "peak_abs", "zcr"]
+    return feats.select(
+        "media_id",
+        *[
+            _pr(F.element_at("features", i + 1), 6).alias(n)
+            for i, n in enumerate(names)
+        ],
+    )

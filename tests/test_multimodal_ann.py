@@ -217,3 +217,77 @@ def test_decode_image_dispatch():
     assert decode_image(png) == png_features(png)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not a png")
+
+
+# ---------------------------------------------------------------------------
+# stdlib WAV codec + native PNG resize (round-3 continuation)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_features():
+    from lakerunner_spark.dataops.multimodal import (
+        decode_image,
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 5, -5, 0]
+    wav = encode_wav(16000, samples)
+    rate, channels, back = decode_wav(wav)
+    assert (rate, channels, back) == (16000, 1, samples)
+
+    feats = wav_features(wav)
+    assert feats[0] == 1000.0 * 8 / 16000   # duration_ms
+    assert feats[1] == 16000.0              # sample_rate
+    assert feats[3] == 32768.0              # peak_abs
+    # zcr: sign flips in [0,1000,-1000,32767,-32768,5,-5,0] at pairs
+    # (1000,-1000),(-1000,32767),(32767,-32768),(-32768,5),(5,-5),(-5,0)
+    assert feats[4] == 6 / 7
+    # the generic seam routes RIFF/WAVE to the wav decoder
+    assert decode_image(wav) == feats
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_png_native_resize_nearest_neighbor():
+    from lakerunner_spark.dataops.multimodal import (
+        decode_png,
+        encode_png,
+        resize_payload,
+    )
+
+    # 4x4 image with per-pixel distinct red channel
+    rgb = bytes(
+        v for y in range(4) for x in range(4) for v in (y * 4 + x, 0, 255)
+    )
+    png = encode_png(4, 4, rgb)
+    out = resize_payload(png, 2, 2)
+    w, h, ch, samples = decode_png(out)
+    assert (w, h, ch) == (2, 2, 3)
+    # nearest neighbor picks source pixels (0,0),(0,2),(2,0),(2,2)
+    reds = [samples[i * 3] for i in range(4)]
+    assert reds == [0, 2, 8, 10]
+    assert all(samples[i * 3 + 2] == 255 for i in range(4))
+
+
+def test_resize_images_native_png(spark):
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", 4, 4, None,
+         bytearray(encode_png(4, 4, bytes(48 * [7])))),
+        (2, "audio", None, None, 10, bytearray(b"RIFF1234WAVE")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, 2, 2).collect()
+    assert len(out) == 1  # audio row filtered by media_type
+    w, h, ch, samples = decode_png(bytes(out[0]["payload"]))
+    assert (w, h) == (2, 2) and set(samples) == {7}
