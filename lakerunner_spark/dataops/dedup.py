@@ -68,16 +68,25 @@ def shingles(
     )
 
 
+def _shingle_array_expr(n: int, tokens_col: str = "tokens") -> str:
+    """SQL expr: token array -> word n-gram shingle array (per row)."""
+    concat_args = ", ' ', ".join(f"{tokens_col}[i+{j}]" for j in range(n))
+    return (
+        f"transform(sequence(0, size({tokens_col})-{n}),"
+        f" i -> concat({concat_args}))"
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, id_col: str, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """Per-doc MinHash signature from md5 chunks.
+    """Per-doc MinHash signature from md5 chunks (exploded-shingle form).
 
     One md5 yields four 8-hex-char (32-bit) hash values, so
     ``num_hashes`` functions need only ``ceil(n/4)`` digests per
     shingle: h_i = min(substr(md5('<i//4>|' || shingle), (i%4)*8+1, 8)).
-    4× less hashing than one digest per function on the explode-heavy
-    shingle stream — the dedup hot path at 100 TB.
+    Prefer :func:`minhash_signatures_narrow` when starting from the
+    corpus — it computes the same values with no explode and no shuffle.
     """
     aggs = []
     for i in range(num_hashes):
@@ -85,6 +94,54 @@ def minhash_signatures(
         digest = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
         aggs.append(F.min(F.substring(digest, chunk * 8 + 1, 8)).alias(f"h{i}"))
     return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_narrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """MinHash signatures as a NARROW map over the corpus — no explode,
+    no shuffle. Value-identical to ``minhash_signatures(shingles(df))``
+    (same shingle strings, same md5 chunks, min over the same set), but
+    the shingle stream never materializes as rows: each doc's signature
+    is ``array_min`` over per-row higher-order array expressions, so at
+    100 TB the signature stage is part of the corpus scan instead of a
+    corpus×tokens shuffle. Docs with < n tokens drop out (as in
+    ``shingles``). Digest arrays are computed once per seed in a
+    separate projection so the md5 work isn't repeated per 32-bit chunk.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
+    ).filter(F.size("tokens") >= n)
+    sh = toks.select(id_col, F.expr(_shingle_array_expr(n)).alias("_sh"))
+    n_seeds = (num_hashes + 3) // 4
+    digests = sh.select(
+        id_col,
+        *[
+            F.expr(
+                f"transform(_sh, s -> md5(concat('{seed}|', s)))"
+            ).alias(f"_d{seed}")
+            for seed in range(n_seeds)
+        ],
+    )
+    cols = []
+    for i in range(num_hashes):
+        seed, chunk = divmod(i, 4)
+        cols.append(
+            F.expr(
+                f"array_min(transform(_d{seed},"
+                f" x -> substring(x, {chunk * 8 + 1}, 8)))"
+            ).alias(f"h{i}")
+        )
+    # terminal repartition: the signature table is tiny (n_docs × eight
+    # 8-char strings) and the LSH stage self-joins it — without an
+    # exchange boundary here both join sides would re-scan and re-hash
+    # the CORPUS (no ReusedExchange for exchange-free plans); with it,
+    # Spark computes signatures once and reuses the shuffle output.
+    return digests.select(id_col, *cols).repartition(id_col)
 
 
 def lsh_candidates(
@@ -133,6 +190,43 @@ def lsh_candidates(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def jaccard_verify_narrow(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — array form.
+
+    Value-identical to :func:`jaccard_verify` but the shingle sets stay
+    per-row arrays: two id-keyed joins attach each side's distinct
+    shingle array and ``array_intersect`` computes |A∩B| in codegen.
+    The exploded-shingle table (corpus×tokens rows, which the classic
+    form must ``distinct()`` — a full shuffle of it) never exists; the
+    only shuffled relations are the corpus-sized array table and the
+    (far smaller) candidate pairs. Per-row array size is bounded by
+    document length, the same bound the parser/stats stages already
+    assume.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
+    ).filter(F.size("tokens") >= n)
+    sets = toks.select(
+        id_col, F.array_distinct(F.expr(_shingle_array_expr(n))).alias("_set")
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("_set").alias("_sb"))
+    j = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return j.select(
+        "doc_a",
+        "doc_b",
+        portable_round(inter / union, 6).alias("jaccard"),
     )
 
 

@@ -12,9 +12,9 @@ from pyspark.sql import functions as F
 
 from lakerunner_spark.dataops.dedup import (
     exact_dedup_stats,
-    jaccard_verify,
+    jaccard_verify_narrow,
     lsh_candidates,
-    minhash_signatures,
+    minhash_signatures_narrow,
     shingles,
     simhash,
 )
@@ -85,10 +85,11 @@ def dd1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate pairs."""
+    """MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate pairs.
+    Signatures via the narrow no-explode path (value-identical to the
+    exploded form the oracle mirrors — test_narrow_minhash_parity)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
     return lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
 
 
@@ -115,12 +116,12 @@ def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd3_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard verification of LSH candidate pairs."""
+    """Exact n-gram Jaccard verification of LSH candidate pairs — both
+    stages on the narrow array paths (no exploded-shingle shuffle)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
     cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
-    return jaccard_verify(sh, cand, "doc_id")
+    return jaccard_verify_narrow(d, cand, "text", "doc_id", n=3)
 
 
 @register(
@@ -928,10 +929,9 @@ def dd10_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.dataops.graph import neardup_clusters
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d, "text", "doc_id", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
     cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
-    verified = jaccard_verify(sh, cand, "doc_id").filter(
+    verified = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3).filter(
         F.col("jaccard") >= _DD10_TAU
     )
     clusters = neardup_clusters(verified, "doc_a", "doc_b")

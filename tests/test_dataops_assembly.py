@@ -223,3 +223,30 @@ def test_pii_scrub_masks_and_counts(spark):
     assert out[3]["s"] == "call <PHONE> today" and out[3]["f"] == 1
     assert out[4]["s"] == "clean text with no pii at all"
     assert out[4]["e"] == out[4]["p"] == out[4]["f"] == 0
+
+
+def test_narrow_minhash_and_jaccard_parity(spark, sf_dir):
+    """The narrow (no-explode) MinHash/Jaccard paths must be
+    value-identical to the exploded forms the DuckDB oracles mirror."""
+    from lakerunner_spark.dataops.dedup import (
+        jaccard_verify,
+        jaccard_verify_narrow,
+        lsh_candidates,
+        minhash_signatures,
+        minhash_signatures_narrow,
+        shingles,
+    )
+    from lakerunner_spark.testdata import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    sh = shingles(d, "text", "doc_id", n=3)
+    sig_wide = minhash_signatures(sh, "doc_id", num_hashes=8)
+    sig_narrow = minhash_signatures_narrow(d, "text", "doc_id", n=3,
+                                           num_hashes=8)
+    assert sig_wide.exceptAll(sig_narrow).isEmpty()
+    assert sig_narrow.exceptAll(sig_wide).isEmpty()
+
+    cand = lsh_candidates(sig_narrow, "doc_id", num_hashes=8, band_rows=2)
+    jw = jaccard_verify(sh, cand, "doc_id")
+    jn = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3)
+    assert jw.exceptAll(jn).isEmpty() and jn.exceptAll(jw).isEmpty()
