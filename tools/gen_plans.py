@@ -39,10 +39,28 @@ COMMENT = {
         "HashAggregate pair."
     ),
     "dd2_minhash_lsh": (
-        "Shingle explode is map-side (no shuffle); signatures shuffle once "
-        "on doc_id with partial min; the LSH self-join shuffles on "
-        "(band,sig) — near-unique keys, skew-free; AQE handles any hot "
-        "bucket via skew-join splitting."
+        "Narrow MinHash: signatures are per-row array expressions over the "
+        "corpus scan — NO shingle explode, NO shingle shuffle; the only "
+        "pre-join exchange is the tiny doc-keyed signature table, which "
+        "the LSH self-join then reuses (ReusedExchange) instead of "
+        "re-hashing the corpus per side. The join shuffles on (band,sig) "
+        "— near-unique keys, skew-free; AQE splits any hot bucket."
+    ),
+    "dd3_jaccard_verify": (
+        "Array-form verify: each candidate side pulls its distinct "
+        "shingle ARRAY by doc id and array_intersect computes |A∩B| "
+        "in-place — the exploded shingle table (corpus×tokens rows, "
+        "which the classic form must distinct() and join by shingle) "
+        "never exists. Candidate pairs are small, so both attach joins "
+        "broadcast; at 100 TB they become id-keyed SMJs over the "
+        "corpus-sized array table, still never token-sized."
+    ),
+    "txt7_quality_pipeline": (
+        "The composed C4/Gopher cleaning pass: every gate (length, "
+        "stopword ratio, uniq-token ratio, dup-3-gram ratio) is a "
+        "per-row array expression, so the whole filter is ONE narrow "
+        "map over the corpus scan — exactly one Exchange in the plan, "
+        "the final per-source aggregate of a handful of rows."
     ),
     "tpch_q13_order_distribution": (
         "Outer-join + double aggregation: orders' ON-clause filter is "
