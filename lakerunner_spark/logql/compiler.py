@@ -242,7 +242,11 @@ def _compile_range(
         df = df.withColumn("_v", F.lit(1.0))
         fn = {"count_over_time": "sum_over_time", "rate": "rate"}[node.fn]
     elif node.fn in ("bytes_over_time", "bytes_rate"):
-        df = df.withColumn("_v", F.length(F.col(source.line_col)).cast("double"))
+        # byte length, not character count: Loki sums len(entry.Line)
+        # in BYTES; F.length counts chars and undercounts non-ASCII
+        df = df.withColumn(
+            "_v", F.octet_length(F.col(source.line_col)).cast("double")
+        )
         fn = {"bytes_over_time": "sum_over_time", "bytes_rate": "rate"}[node.fn]
     else:  # unwrap aggs
         u = leaf.unwrap

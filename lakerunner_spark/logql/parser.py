@@ -171,7 +171,11 @@ def _tokenize(q: str) -> list[_Tok]:
 def _unquote(s: str) -> str:
     if s.startswith("`"):
         return s[1:-1]
-    return s[1:-1].encode().decode("unicode_escape")
+    # see promql/parser.py _unquote: latin-1 + backslashreplace keeps
+    # non-ASCII intact while decoding escape sequences
+    return (
+        s[1:-1].encode("latin-1", "backslashreplace").decode("unicode_escape")
+    )
 
 
 def _translate_named_groups(pattern: str) -> tuple[str, dict[str, int]]:

@@ -32,14 +32,20 @@ def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
     semantics (the reference compiles them to DuckDB ``~`` =
     regexp_full_match; logql/sql_builder.go:592-606). Line filters
     (P6) stay unanchored.
+
+    An absent label (NULL column) compares as the EMPTY STRING, the
+    Prometheus/Loki rule: ``{job=""}`` selects rows without the label,
+    ``{job=~".*"}`` keeps them, ``{job!=""}`` excludes them. Without
+    the coalesce every comparison over NULL is NULL and those rows
+    silently fall out of all four operators.
     """
     from lakerunner_spark.functions.regexops import java_pattern
 
-    c = F.col(label)
+    c = F.coalesce(F.col(label).cast("string"), F.lit(""))
     if op == "=":
         return df.filter(c == value)
     if op == "!=":
-        return df.filter(c.isNull() | (c != value))
+        return df.filter(c != value)
     # RE2 named groups in a matcher regex would crash Java's
     # Pattern.compile (name charset differs) — strip names, groups are
     # never referenced from matchers

@@ -57,6 +57,20 @@ def _apply_op(op: str, left: Column, right: Column, bool_mode: bool) -> tuple[Co
     raise ValueError(f"unsupported binary op: {op}")
 
 
+def _null_safe_cond(keys: list[str]):
+    """Join condition with NULL-safe label equality: a series missing a
+    label (NULL column) must match a series missing it on the other side
+    — Prometheus identity treats an absent label as present-and-empty,
+    and the reference matches Go maps where both sides simply lack the
+    key (binary_node.go matchKey). Plain `=` would NULL out and silently
+    drop such series from every binary op."""
+    cond = None
+    for k in keys:
+        c = F.col(f"_l.{k}").eqNullSafe(F.col(f"_r.{k}"))
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def vector_match(
     left: DataFrame,
     right: DataFrame,
@@ -68,14 +82,14 @@ def vector_match(
 ) -> DataFrame:
     """vector <op> vector: inner join on (bucket, match key) (J1)."""
     keys = [bucket_col, *match_labels]
-    lhs = left.select(*keys, F.col(value_col).alias("_lv"))
-    rhs = right.select(*keys, F.col(value_col).alias("_rv"))
-    joined = lhs.join(rhs, keys, "inner")
+    lhs = left.select(*keys, F.col(value_col).alias("_lv")).alias("_l")
+    rhs = right.select(*keys, F.col(value_col).alias("_rv")).alias("_r")
+    joined = lhs.join(rhs, _null_safe_cond(keys), "inner")
     value, keep = _apply_op(op, F.col("_lv"), F.col("_rv"), bool_mode)
     out = joined.withColumn(value_col, value)
     if keep is not None:
         out = out.filter(keep)
-    return out.select(*keys, value_col)
+    return out.select(*[F.col(f"_l.{k}").alias(k) for k in keys], value_col)
 
 
 def vector_scalar(
@@ -90,6 +104,10 @@ def vector_scalar(
     lv = F.lit(scalar) if scalar_on_left else F.col(value_col)
     rv = F.col(value_col) if scalar_on_left else F.lit(scalar)
     value, keep = _apply_op(op, lv, rv, bool_mode)
+    if scalar_on_left and op in _CMP and not bool_mode:
+        # filter comparisons keep the VECTOR element's value; _apply_op
+        # returns `left`, which here is the scalar constant
+        value = F.col(value_col)
     out = df.withColumn(value_col, value)
     if keep is not None:
         out = out.filter(keep)
@@ -105,11 +123,17 @@ def vector_or(
 ) -> DataFrame:
     """LHS ∪ RHS preferring LHS on key collision (J2)."""
     keys = [bucket_col, *match_labels]
-    lhs = left.select(*keys, F.col(value_col).alias("_lv"))
-    rhs = right.select(*keys, F.col(value_col).alias("_rv"))
-    return (
-        lhs.join(rhs, keys, "full_outer")
-        .select(*keys, F.coalesce("_lv", "_rv").alias(value_col))
+    lhs = left.select(*keys, F.col(value_col).alias("_lv")).alias("_l")
+    rhs = right.select(*keys, F.col(value_col).alias("_rv")).alias("_r")
+    joined = lhs.join(rhs, _null_safe_cond(keys), "full_outer")
+    # matched rows have null-safely-equal keys, so coalesce picks the
+    # same identity from whichever side is present (a both-NULL matched
+    # label stays NULL, correctly)
+    out_keys = [
+        F.coalesce(F.col(f"_l.{k}"), F.col(f"_r.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(
+        *out_keys, F.coalesce("_lv", "_rv").alias(value_col)
     )
 
 
@@ -122,7 +146,9 @@ def vector_and(
 ) -> DataFrame:
     """LHS rows whose (bucket, key) exists in RHS (J3) — left_semi."""
     keys = [bucket_col, *match_labels]
-    return left.join(right.select(*keys).distinct(), keys, "left_semi")
+    lhs = left.alias("_l")
+    rhs = right.select(*keys).distinct().alias("_r")
+    return lhs.join(rhs, _null_safe_cond(keys), "left_semi")
 
 
 def vector_unless(
@@ -134,4 +160,6 @@ def vector_unless(
 ) -> DataFrame:
     """LHS rows whose (bucket, key) is absent from RHS (J4) — left_anti."""
     keys = [bucket_col, *match_labels]
-    return left.join(right.select(*keys).distinct(), keys, "left_anti")
+    lhs = left.alias("_l")
+    rhs = right.select(*keys).distinct().alias("_r")
+    return lhs.join(rhs, _null_safe_cond(keys), "left_anti")

@@ -85,17 +85,23 @@ def range_agg(
         # (leaf_node.go:346-356)
         value = F.col("sum") / F.col("count")
     elif func == "rate_counter":
-        # counter increase over the window / seconds (LogQL rate_counter,
-        # promql/rewrite_result.go family): monotone counter delta
-        # approximated from windowed min/max of the unwrapped value
-        value = (F.max("max").over(w) - F.min("min").over(w)) / F.lit(range_sec)
+        # LogQL rate_counter: the reference rewrites it to plain PromQL
+        # "rate" over the unwrapped synthetic metric
+        # (rewrite_result.go:73 `case "rate_counter": fam, promOp =
+        # SynthLogUnwrap, "rate"`) — windowed sum / range seconds, no
+        # counter-reset special-casing. Reference-exact.
+        value = wsum / F.lit(range_sec)
     elif func == "irate":
-        # instant rate from the two most recent buckets, both within the
-        # range window (leaf_node.go:369-409)
+        # Extension beyond the reference (whose irate degenerates to
+        # rate — sql_builder.go:51 "same SQL as rate; API can do
+        # last-two-samples nuance later"): instant rate from the two
+        # most recent buckets. Both must lie within the range window,
+        # whose frame holds buckets back to range-step — a previous
+        # bucket range_ms back would already be outside it.
         prev_ts = F.lag("bucket_ts", 1).over(wfull)
         dt_ms = F.col("bucket_ts") - prev_ts
         value = F.when(
-            prev_ts.isNotNull() & (dt_ms <= F.lit(range_ms)),
+            prev_ts.isNotNull() & (dt_ms <= F.lit(range_ms - step_ms)),
             F.col("sum") / (dt_ms / 1000.0),
         )
     else:
@@ -103,7 +109,13 @@ def range_agg(
 
     out = df.withColumn("value", value)
 
-    if coverage_gate and func in {"rate", "increase", "avg_over_time"}:
+    # The reference gates EVERY windowed range function on coverage —
+    # evalRangeAwareScalar returns NaN while covered < range for
+    # sum/count/avg/min/max/last_over_time, rate, and increase alike
+    # (leaf_node.go:357,394) — so tier/path choice can't change results.
+    # irate stays ungated (per-pair guard above; the reference has no
+    # true irate path to mirror).
+    if coverage_gate and func != "irate":
         first_bucket = F.min("bucket_ts").over(
             Window.partitionBy(*series_labels)
             .orderBy("bucket_ts")

@@ -62,6 +62,11 @@ def _ranked(
     bucket_col: str,
     tiebreak: list[str],
 ) -> DataFrame:
+    # absent samples (coverage-gate NULLs) and NaN never occupy a rank
+    # slot: the reference collects "scalar, finite entries only"
+    # (top_k_node.go Eval skips NaN); without this, Spark's ASC NULLS
+    # FIRST would hand bottomk's k slots to warm-up NULLs
+    df = df.filter(F.col(value_col).isNotNull() & ~F.isnan(value_col))
     order = [F.col(value_col).asc() if ascending else F.col(value_col).desc()]
     # deterministic tiebreak so results are stable across engines/runs
     order += [F.col(c).asc() for c in tiebreak]
@@ -80,7 +85,15 @@ def topk(
     bucket_col: str = "bucket_ts",
     tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Per-bucket top-k series by value (top_k_node.go:25-100)."""
+    """Per-bucket top-k series by value (top_k_node.go:25-100).
+
+    Ranking is GLOBAL per bucket even when the query carries a by/
+    without grouping: the reference's parser drops Grouping for
+    topk/bottomk (parser.go:404-419) and TopKNode ranks the whole
+    child map, so `topk(2, x) by (job)` ranks across all jobs —
+    reference-faithful, diverging from upstream Prometheus's per-group
+    ranking by design.
+    """
     tiebreak = tiebreak or [
         c for c in df.columns if c not in (bucket_col, value_col)
     ]

@@ -542,8 +542,15 @@ class _Compiler:
 
 
 def _fold_scalar(op: str, a: float, b: float) -> float:
+    import math
     import operator as _op
 
+    # scalar / 0 is IEEE-style in PromQL: ±Inf by sign, 0/0 = NaN —
+    # Python's truediv would raise ZeroDivisionError instead
+    if op == "/" and b == 0.0:
+        return math.nan if a == 0.0 else math.copysign(math.inf, a)
+    if op == "%" and b == 0.0:
+        return math.nan
     table = {
         "+": _op.add, "-": _op.sub, "*": _op.mul, "/": _op.truediv,
         "%": _op.mod, ">": _op.gt, ">=": _op.ge, "<": _op.lt,

@@ -108,7 +108,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
   | (?P<DUR>\d+(?:ms|s|m|h|d|w)(?:\d+(?:ms|s|m|h|d|w))*)
-  | (?P<NUM>\d+\.\d+|\d+|\.\d+)
+  | (?P<NUM>(?:\d+\.\d+|\d+|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<ID>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],=<>])
@@ -140,7 +140,11 @@ def _tokenize(q: str) -> list[Tok]:
 
 def _unquote(s: str) -> str:
     body = s[1:-1]
-    return body.encode().decode("unicode_escape")
+    # latin-1 + backslashreplace keeps non-ASCII text intact through the
+    # escape decode: a bare .encode() would UTF-8-encode 'ñ' and
+    # unicode_escape would then read those bytes as latin-1 mojibake;
+    # this round-trips every char while still decoding \n, \", \uXXXX
+    return body.encode("latin-1", "backslashreplace").decode("unicode_escape")
 
 
 # ---------------------------------------------------------------------------

@@ -412,14 +412,16 @@ def a9_avg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS ({_STEP_BASE_SQL})
     SELECT bucket_ts, event_type,
-           pround(max(mx) OVER w, 4) AS value
+           CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type) >= 240000
+                THEN pround(max(mx) OVER w, 4) END AS value
     FROM base
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                  RANGE BETWEEN 240000 PRECEDING AND CURRENT ROW)
     """,
 )
 def a9_max_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: max_over_time — windowed max (reference keeps a deque; Spark: MAX frame)."""
+    """A9: max_over_time — windowed max, coverage-gated (leaf_node.go:394)."""
     e = events_stream(spark, sf_dir)
     s = step_agg_raw(e, 60_000, ["event_type"])
     r = range_agg(s, "max_over_time", 300_000, 60_000, ["event_type"])
@@ -435,11 +437,12 @@ def a9_max_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
     QUALIFY lag(bucket_ts) OVER w IS NOT NULL
-        AND bucket_ts - lag(bucket_ts) OVER w <= 300000
+        AND bucket_ts - lag(bucket_ts) OVER w <= 240000
     """,
 )
 def w4_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: irate — instant rate from the two most recent buckets."""
+    """W4: irate — instant rate from the two most recent buckets, both
+    within the range window (buckets reach back range-step = 240s)."""
     e = events_stream(spark, sf_dir)
     s = step_agg_raw(e, 60_000, ["event_type"])
     r = range_agg(s, "irate", 300_000, 60_000, ["event_type"])

@@ -79,7 +79,10 @@ def pqs1_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_E} e WHERE event_type = 'purchase' GROUP BY 1, 2
     ),
     r AS (
-      SELECT bucket_ts, user_id, CAST(sum(c) OVER w AS DOUBLE) AS value
+      SELECT bucket_ts, user_id,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                         OVER (PARTITION BY user_id) >= 540000
+                  THEN CAST(sum(c) OVER w AS DOUBLE) END AS value
       FROM base
       WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
                    RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
@@ -87,7 +90,7 @@ def pqs1_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket_ts, user_id, value FROM (
       SELECT *, row_number() OVER (
         PARTITION BY bucket_ts ORDER BY value DESC, user_id ASC) AS rn
-      FROM r
+      FROM r WHERE value IS NOT NULL
     ) WHERE rn <= 2
     """,
 )
@@ -270,12 +273,15 @@ def lqs1_log_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
-             sum(CAST(length(props) AS DOUBLE)) AS b
+             sum(CAST(strlen(props) AS DOUBLE)) AS b
       FROM {_E} e WHERE event_type = 'error'
       GROUP BY 1, 2
     ),
     r AS (
-      SELECT bucket_ts, event_type, sum(b) OVER w AS value
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                         OVER (PARTITION BY event_type) >= 540000
+                  THEN sum(b) OVER w END AS value
       FROM base
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                    RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
@@ -285,7 +291,9 @@ def lqs1_log_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lqs2_bytes_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LogQL bytes_over_time on the synthetic log-bytes metric (A10)."""
+    """LogQL bytes_over_time on the synthetic log-bytes metric (A10):
+    strlen (bytes, matching octet_length) and coverage-gated like every
+    windowed range fn."""
     df = _lq(
         spark, sf_dir,
         'sum by (event_type) (bytes_over_time({event_type="error"}[10m]))',
@@ -305,11 +313,16 @@ def lqs2_bytes_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) > 10.0
       GROUP BY 1, 2
     )
-    SELECT bucket_ts, event_type,
-           pround(max(mx) OVER (PARTITION BY event_type ORDER BY bucket_ts
-                                RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW),
-                  4) AS value
-    FROM base
+    SELECT bucket_ts, event_type, value FROM (
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                         OVER (PARTITION BY event_type) >= 540000
+                  THEN pround(max(mx) OVER (
+                         PARTITION BY event_type ORDER BY bucket_ts
+                         RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW), 4)
+             END AS value
+      FROM base
+    ) WHERE value IS NOT NULL
     """,
 )
 def lqs3_unwrap_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,7 +378,7 @@ def pqs12_rate_ratio_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
-             sum(CAST(length(props) AS DOUBLE)) AS b
+             sum(CAST(strlen(props) AS DOUBLE)) AS b
       FROM {_E} e WHERE event_type = 'view'
       GROUP BY 1, 2
     )
@@ -477,23 +490,25 @@ def lqs5_json_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
-             min(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS mn,
-             max(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS mx
+             sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS s
       FROM {_E} e
       WHERE event_type = 'purchase'
         AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT bucket_ts, event_type,
-           pround((max(mx) OVER w - min(mn) OVER w) / 600.0, 6) AS value
+           CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type) >= 540000
+                THEN pround(sum(s) OVER w / 600.0, 6) END AS value
     FROM base
     WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                  RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
     """,
 )
 def lqs6_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LogQL rate_counter: counter delta over the window / seconds
-    (unwrapped label leaves the series identity -> event_type series)."""
+    """LogQL rate_counter: the reference rewrites it to plain PromQL
+    rate over the unwrapped synthetic metric (rewrite_result.go:73) —
+    windowed sum / range seconds, coverage-gated."""
     df = _lq(
         spark, sf_dir,
         'rate_counter({event_type="purchase"} | json k="$.k" | unwrap k [10m])',
@@ -511,7 +526,10 @@ def lqs6_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {_E} e WHERE regexp_full_match(event_type, 'error|click')
       GROUP BY 1, 2
     )
-    SELECT bucket_ts, sev, sum(c) OVER w AS value
+    SELECT bucket_ts, sev,
+           CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY sev) >= 540000
+                THEN sum(c) OVER w END AS value
     FROM base
     WINDOW w AS (PARTITION BY sev ORDER BY bucket_ts
                  RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
@@ -599,13 +617,16 @@ def lqs9_decolorize(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3
     ),
     r AS (
-      SELECT bucket_ts, event_type, klass, sum(c) OVER w AS value
+      SELECT bucket_ts, event_type, klass,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                         OVER (PARTITION BY event_type, klass) >= 540000
+                  THEN sum(c) OVER w END AS value
       FROM base
       WINDOW w AS (PARTITION BY event_type, klass ORDER BY bucket_ts
                    RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
     )
     SELECT bucket_ts, klass, pround(sum(value), 6) AS value
-    FROM r GROUP BY 1, 2
+    FROM r WHERE value IS NOT NULL GROUP BY 1, 2
     """,
 )
 def lqs10_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,13 +653,16 @@ def lqs10_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     r AS (
-      SELECT bucket_ts, event_type, sum(c) OVER w AS value
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                         OVER (PARTITION BY event_type) >= 540000
+                  THEN sum(c) OVER w END AS value
       FROM base
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
                    RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
     )
     SELECT bucket_ts, event_type, pround(sum(value), 6) AS value
-    FROM r GROUP BY 1, 2
+    FROM r WHERE value IS NOT NULL GROUP BY 1, 2
     """,
 )
 def lqs11_range_offset(spark: SparkSession, sf_dir: str) -> DataFrame:

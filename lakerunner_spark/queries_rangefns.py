@@ -58,12 +58,14 @@ def a9_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_sum_over_time",
     f"""
     WITH base AS ({_BASE})
-    SELECT bucket_ts, event_type, pround(sum(s) OVER w, 4) AS value
+    SELECT bucket_ts, event_type,
+           {_GATE} THEN pround(sum(s) OVER w, 4) END AS value
     FROM base {_W}
     """,
 )
 def a9_sum_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: sum_over_time — ungated windowed sum."""
+    """A9: sum_over_time — windowed sum, coverage-gated like every
+    windowed range fn (leaf_node.go:357 gates the whole case list)."""
     return _ranged(spark, sf_dir, "sum_over_time").withColumn(
         "value", _pr("value", 4)
     )
@@ -73,12 +75,13 @@ def a9_sum_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_count_over_time",
     f"""
     WITH base AS ({_BASE})
-    SELECT bucket_ts, event_type, CAST(sum(c) OVER w AS DOUBLE) AS value
+    SELECT bucket_ts, event_type,
+           {_GATE} THEN CAST(sum(c) OVER w AS DOUBLE) END AS value
     FROM base {_W}
     """,
 )
 def a9_count_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: count_over_time — windowed sample count."""
+    """A9: count_over_time — windowed sample count, coverage-gated."""
     return _ranged(spark, sf_dir, "count_over_time")
 
 
@@ -86,12 +89,14 @@ def a9_count_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a9_min_over_time",
     f"""
     WITH base AS ({_BASE})
-    SELECT bucket_ts, event_type, pround(min(mn) OVER w, 4) AS value
+    SELECT bucket_ts, event_type,
+           {_GATE} THEN pround(min(mn) OVER w, 4) END AS value
     FROM base {_W}
     """,
 )
 def a9_min_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9: min_over_time — the reference's min-deque as a window MIN."""
+    """A9: min_over_time — the reference's min-deque as a window MIN,
+    coverage-gated (leaf_node.go:394)."""
     return _ranged(spark, sf_dir, "min_over_time").withColumn(
         "value", _pr("value", 4)
     )
@@ -101,11 +106,14 @@ def a9_min_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_last_over_time",
     f"""
     WITH base AS ({_BASE})
-    SELECT bucket_ts, event_type, pround(s / c, 6) AS value FROM base
+    SELECT bucket_ts, event_type,
+           {_GATE} THEN pround(s / c, 6) END AS value
+    FROM base {_W}
     """,
 )
 def w3_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: last_over_time ≈ latest bucket's average (leaf_node.go:346-356)."""
+    """W3: last_over_time ≈ latest bucket's average (leaf_node.go:346-356),
+    coverage-gated like the rest of its case list (leaf_node.go:357)."""
     return _ranged(spark, sf_dir, "last_over_time").withColumn(
         "value", _pr("value", 6)
     )

@@ -22,6 +22,7 @@ import pytest
 PYTHON_ALLOWED = {
     "ds3_sequence_pack",   # applyInPandas greedy packer (inherently sequential per stream)
     "mm2_png_features",    # mapInPandas image decode (codec work is Python by design)
+    "mm3_wav_features",    # mapInPandas audio decode (stdlib WAV codec)
 }
 
 # Bounded all-pairs / broadcast shapes where a nested-loop join with a

@@ -1,0 +1,143 @@
+"""Regression tests for PromQL/LogQL semantic edge cases the synthetic
+oracle corpus cannot exercise: NULL (absent) labels, scalar-on-left
+comparisons, NULL-valued ranking input, non-ASCII string literals,
+scientific notation, scalar folding at /0."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.operators.binary import (
+    vector_and,
+    vector_match,
+    vector_or,
+    vector_scalar,
+    vector_unless,
+)
+from lakerunner_spark.operators.vector_agg import bottomk, topk
+
+
+@pytest.fixture()
+def null_label_pair(spark):
+    """Two vectors sharing a series whose `job` label is absent (NULL)."""
+    lhs = spark.createDataFrame(
+        [(0, None, 10.0), (0, "api", 1.0)], ["bucket_ts", "job", "value"]
+    )
+    rhs = spark.createDataFrame(
+        [(0, None, 4.0), (0, "web", 2.0)], ["bucket_ts", "job", "value"]
+    )
+    return lhs, rhs
+
+
+def test_null_label_series_match_each_other(spark, null_label_pair):
+    """An absent label matches an absent label — Prometheus identity
+    treats missing as present-and-empty; plain `=` joins drop it."""
+    lhs, rhs = null_label_pair
+    got = vector_match(lhs, rhs, "+", ["job"]).collect()
+    assert {(r["job"], r["value"]) for r in got} == {(None, 14.0)}
+
+    anded = vector_and(lhs, rhs, ["job"]).collect()
+    assert [(r["job"], r["value"]) for r in anded] == [(None, 10.0)]
+
+    unl = vector_unless(lhs, rhs, ["job"]).collect()
+    assert [(r["job"], r["value"]) for r in unl] == [("api", 1.0)]
+
+    ored = vector_or(lhs, rhs, ["job"]).collect()
+    assert {(r["job"], r["value"]) for r in ored} == {
+        (None, 10.0),  # LHS wins the NULL-keyed collision
+        ("api", 1.0),
+        ("web", 2.0),
+    }
+
+
+def test_scalar_on_left_comparison_keeps_vector_value(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "b", 5.0)], ["bucket_ts", "job", "value"]
+    )
+    # 3 > value filters to value<3 and KEEPS the vector's value
+    got = vector_scalar(df, ">", 3.0, scalar_on_left=True).collect()
+    assert [(r["job"], r["value"]) for r in got] == [("a", 1.0)]
+    # bool mode still emits 1.0/0.0
+    got = vector_scalar(df, ">", 3.0, scalar_on_left=True, bool_mode=True)
+    assert {(r["job"], r["value"]) for r in got.collect()} == {
+        ("a", 1.0), ("b", 0.0),
+    }
+
+
+def test_ranking_skips_null_and_nan(spark):
+    df = spark.createDataFrame(
+        [(0, "a", None), (0, "b", 2.0), (0, "c", 1.0),
+         (0, "d", float("nan")), (0, "e", 3.0)],
+        "bucket_ts LONG, job STRING, value DOUBLE",
+    )
+    bot = bottomk(df, 2, tiebreak=["job"]).collect()
+    assert [(r["job"], r["value"]) for r in bot] == [("c", 1.0), ("b", 2.0)]
+    top = topk(df, 2, tiebreak=["job"]).collect()
+    assert [(r["job"], r["value"]) for r in top] == [("e", 3.0), ("b", 2.0)]
+
+
+def test_label_matcher_absent_equals_empty(spark):
+    from lakerunner_spark.logql import stages
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "api"), (3, "")],
+        "id LONG, job STRING",
+    )
+    eq_empty = stages.label_matcher(df, "job", "=", "")
+    assert sorted(r["id"] for r in eq_empty.collect()) == [1, 3]
+    re_all = stages.label_matcher(df, "job", "=~", ".*")
+    assert sorted(r["id"] for r in re_all.collect()) == [1, 2, 3]
+    ne_empty = stages.label_matcher(df, "job", "!=", "")
+    assert sorted(r["id"] for r in ne_empty.collect()) == [2]
+    nre = stages.label_matcher(df, "job", "!~", "api")
+    assert sorted(r["id"] for r in nre.collect()) == [1, 3]
+
+
+def test_unquote_preserves_non_ascii():
+    from lakerunner_spark.logql.parser import _unquote as lq_unquote
+    from lakerunner_spark.promql.parser import _unquote as pq_unquote
+
+    assert pq_unquote('"caña"') == "caña"
+    assert pq_unquote('"tab\\tend"') == "tab\tend"
+    assert pq_unquote('"\\u20ac and €"') == "€ and €"
+    assert lq_unquote('"héllo\\n"') == "héllo\n"
+    assert lq_unquote("`raw\\n`") == "raw\\n"  # backtick = no escapes
+
+
+def test_scientific_notation_literals():
+    from lakerunner_spark.promql.parser import parse_promql
+
+    node = parse_promql("1e3")
+    assert node.value == 1000.0
+    node = parse_promql("2.5e-2")
+    assert node.value == 0.025
+
+
+def test_fold_scalar_division_by_zero():
+    from lakerunner_spark.promql.compiler import _fold_scalar
+
+    assert _fold_scalar("/", 1.0, 0.0) == math.inf
+    assert _fold_scalar("/", -1.0, 0.0) == -math.inf
+    assert math.isnan(_fold_scalar("/", 0.0, 0.0))
+    assert math.isnan(_fold_scalar("%", 5.0, 0.0))
+
+
+def test_bytes_over_time_counts_bytes(spark):
+    """bytes_* must count UTF-8 bytes, not characters (Loki len(line))."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql
+
+    df = spark.createDataFrame(
+        [(0, "err", "héllo"), (60_000, "err", "ascii")],
+        "chq_timestamp LONG, event_type STRING, log_message STRING",
+    )
+    src = LogSource(df=df, labels=["event_type"])
+    out = compile_logql(
+        'sum by (event_type) (bytes_over_time({event_type="err"}[1m]))',
+        src,
+        60_000,
+    ).collect()
+    by_ts = {r["bucket_ts"]: r["value"] for r in out}
+    assert by_ts[0] == 6.0  # "héllo" = 6 UTF-8 bytes, 5 chars
