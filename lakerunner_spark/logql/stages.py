@@ -50,9 +50,9 @@ def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
     # Pattern.compile (name charset differs) — strip names, groups are
     # never referenced from matchers
     if op == "=~":
-        return df.filter(c.rlike(java_pattern(f"^(?:{value})$")))
+        return df.filter(c.rlike(java_pattern(f"\\A(?:{value})\\z")))
     if op == "!~":
-        return df.filter(~c.rlike(java_pattern(f"^(?:{value})$")))
+        return df.filter(~c.rlike(java_pattern(f"\\A(?:{value})\\z")))
     raise ValueError(f"unsupported matcher op: {op}")
 
 
@@ -245,7 +245,7 @@ def label_replace(
         if src in df.columns
         else F.lit("")
     )
-    anchored = f"^(?:{regex})$"
+    anchored = f"\\A(?:{regex})\\z"
     expanded = F.nullif(expand_replacement(src_col, anchored, repl, regex), F.lit(""))
     matched = src_col.rlike(java_pattern(anchored))
     if dst in df.columns:

@@ -396,7 +396,7 @@ class _Compiler:
                 if srcl.value in v.df.columns
                 else F.lit("")
             )
-            anchored = f"^(?:{regex.value})$"
+            anchored = f"\\A(?:{regex.value})\\z"
             expanded = F.nullif(
                 expand_replacement(src_col, anchored, repl.value, regex.value),
                 F.lit(""),
@@ -505,6 +505,10 @@ class _Compiler:
         op = node.op
 
         if isinstance(lhs, float) and isinstance(rhs, float):
+            if op in _fold_scalar.CMP_OPS and not node.bool_mode:
+                raise ValueError(
+                    "promql: comparisons between scalars must use BOOL modifier"
+                )
             return _fold_scalar(op, lhs, rhs)
 
         if isinstance(rhs, float):
@@ -558,6 +562,9 @@ def _fold_scalar(op: str, a: float, b: float) -> float:
     }
     out = table[op](a, b)
     return float(out)
+
+
+_fold_scalar.CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 
 
 def compile_promql(
