@@ -88,7 +88,9 @@ class QueryAPI:
         start = params.get("start_ms")
         end = params.get("end_ms")
         step = params.get("step_ms") or (
-            step_for_duration(end - start) if start and end else 60_000
+            step_for_duration(end - start)
+            if start is not None and end is not None
+            else 60_000
         )
         df = compile_promql(
             q,
@@ -226,9 +228,13 @@ class QueryAPI:
         "/healthz": "healthz",
     }
 
+    class RouteNotFound(KeyError):
+        """Unknown URL path — distinct from a handler's missing-param
+        KeyError so the HTTP adapter can return 404 vs 400 correctly."""
+
     def handle(self, path: str, params: dict | None = None) -> dict:
         if path not in self.ROUTES:
-            raise KeyError(f"no route: {path}")
+            raise QueryAPI.RouteNotFound(f"no route: {path}")
         return getattr(self, self.ROUTES[path])(params or {})
 
 
@@ -244,8 +250,10 @@ def serve(api: QueryAPI, port: int = 8080):
                 params: dict[str, Any] = json.loads(body or b"{}")
                 out = api.handle(self.path, params)
                 code = 200
-            except KeyError as e:
+            except QueryAPI.RouteNotFound as e:
                 out, code = {"error": str(e)}, 404
+            except KeyError as e:  # missing request parameter
+                out, code = {"error": f"missing parameter: {e}"}, 400
             except Exception as e:  # noqa: BLE001 - surface as 400
                 out, code = {"error": str(e)}, 400
             payload = json.dumps(out).encode()

@@ -43,7 +43,14 @@ def layout_metric_catalog(
     from lakerunner_spark.plans.tiers import pick_rollup_tier
 
     tier = pick_rollup_tier(step_ms, tiers=available_tiers)
-    base = spark.read.parquet(metrics_path).filter(F.col("frequency_ms") == tier)
+    # mergeSchema: the 10s tier carries chq_rollup_p* columns the rollup
+    # tiers lack; without schema union the p* columns' visibility would
+    # depend on which file's footer Spark samples first
+    base = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(metrics_path)
+        .filter(F.col("frequency_ms") == tier)
+    )
 
     class _LayoutCatalog(MetricCatalog):
         def __init__(self):

@@ -44,10 +44,31 @@ def cook_metrics(
     coarser tier from the previous one (never from raw), so total work
     is ~2x the 10s pass regardless of tier count.
     """
-    attrs = attr_cols or [c for c in df.columns if c.startswith("attr_")]
+    if attr_cols is None:
+        # default dims must keep DISTINCT SERIES distinct: the OTLP
+        # decoder emits chq_metric_type (gauge vs counter sharing a
+        # name), bucket_le (histogram buckets — one row per bucket), and
+        # resource_service_name alongside attr_* — omitting any of them
+        # would silently merge those series during pre-aggregation
+        attrs = [c for c in df.columns if c.startswith("attr_")] + [
+            c
+            for c in ("chq_metric_type", "bucket_le", "resource_service_name")
+            if c in df.columns
+        ]
+    else:
+        attrs = attr_cols
     tiers = sorted(tiers_ms or DEFAULT_TIERS_MS)
     if tiers[0] != 10_000:
         raise ValueError("cook_metrics: the 10s ingest grain must be first")
+    for finer, coarser in zip(tiers, tiers[1:]):
+        # each tier re-aggregates from the previous one, which is only
+        # exact when every finer bucket nests inside one coarser bucket
+        if coarser % finer:
+            raise ValueError(
+                f"cook_metrics: tier {coarser}ms is not a multiple of "
+                f"{finer}ms — re-aggregation would split buckets across "
+                "boundaries"
+            )
 
     cooked = translate_metrics(df, metric_col, attrs)
     dims = [metric_col, "chq_tid", *attrs]
@@ -75,11 +96,21 @@ def cook_logs(
     service_col: str = "service_identifier",
     level_col: str = "log_level",
     max_records_per_file: int = 2_000_000,
+    incremental: bool = False,
 ) -> dict[str, str]:
     """Cook raw log rows into segments + planner companion tables.
 
     Returns the written table paths: segments, agg (A13 routing), and
     index (J6 pruning).
+
+    ``incremental=True`` (the foreachBatch streaming mode) builds the
+    companion tables from THIS batch's rows and appends — per-batch
+    cost stays O(batch). Both consumers tolerate the appended
+    duplicates by construction: the agg route re-sums ``agg_count`` per
+    key (plans/aggfile.py route_count_query) and the pruning index is
+    consumed via semi-join/count_distinct (plans/pruning.py). The
+    default full-rebuild mode re-reads all segments and overwrites —
+    O(total), but self-healing if a previous companion write was lost.
     """
     cooked = translate_logs(df, message_col=message_col, service_col=service_col)
     cooked = cooked.withColumn("org_id", F.lit(org_id)).withColumn(
@@ -94,10 +125,14 @@ def cook_logs(
         cooked, paths["segments"], "logs",
         max_records_per_file=max_records_per_file,
     )
-    written = cooked.sparkSession.read.parquet(paths["segments"])
-    dims = [c for c in (level_col, "chq_fingerprint") if c in written.columns]
-    build_agg_table(written, dims).write.mode("overwrite").parquet(paths["agg"])
-    build_fingerprint_index(written, service_col, message_col).write.mode(
-        "overwrite"
+    if incremental:
+        src, mode = cooked, "append"
+    else:
+        src = cooked.sparkSession.read.parquet(paths["segments"])
+        mode = "overwrite"
+    dims = [c for c in (level_col, "chq_fingerprint") if c in src.columns]
+    build_agg_table(src, dims).write.mode(mode).parquet(paths["agg"])
+    build_fingerprint_index(src, service_col, message_col).write.mode(
+        mode
     ).parquet(paths["index"])
     return paths

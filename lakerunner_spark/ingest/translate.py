@@ -22,12 +22,31 @@ from lakerunner_spark.schema import dateint, normalize_name, normalize_timestamp
 
 
 def normalize_columns(df: DataFrame) -> DataFrame:
-    """P15: rename every column to the canonical [a-z0-9_] form."""
+    """P15: rename every column to the canonical [a-z0-9_] form.
+
+    Distinct raw names can normalize to the SAME canonical name (e.g.
+    'Host-Name' and 'host.name' -> host_name); without disambiguation
+    the duplicate column poisons every later F.col() reference and
+    write.parquet aborts the batch. Collisions get a deterministic
+    ``_2``/``_3`` suffix in source-column order.
+    """
+    taken: set[str] = set()
+    cols = []
     for old in df.columns:
         new = normalize_name(old)
-        if new != old:
-            df = df.withColumnRenamed(old, new)
-    return df
+        if new in taken:
+            k = 2
+            while f"{new}_{k}" in taken:
+                k += 1
+            new = f"{new}_{k}"
+        taken.add(new)
+        # one select, not chained withColumnRenamed: the chained form
+        # passes through transient duplicate-name states that rename
+        # both columns at once. Backtick-quote so 'host.name' stays a
+        # top-level column reference, not a struct path.
+        quoted = old.replace("`", "``")
+        cols.append(F.col(f"`{quoted}`").alias(new))
+    return df.select(*cols)
 
 
 def with_timestamp(df: DataFrame, source_col: str, out_col: str = "chq_timestamp") -> DataFrame:

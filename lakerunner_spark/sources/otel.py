@@ -62,7 +62,7 @@ def decode_otlp_logs_payload(payload: bytes) -> list[dict]:
     rows: list[dict] = []
     for rl in pw.fields_dict(payload).get(1, []):
         rlm = pw.fields_dict(rl)
-        res = pw.resource_attrs(pw.first(rlm, 1))
+        res = pw.resource_attrs(pw.merged(rlm, 1))
         for sl in rlm.get(2, []):
             for rec in pw.fields_dict(sl).get(2, []):
                 m = pw.fields_dict(rec)
@@ -73,7 +73,7 @@ def decode_otlp_logs_payload(payload: bytes) -> list[dict]:
                     {
                         "chq_timestamp": ns // 1_000_000,
                         "chq_tsns": ns,
-                        "log_message": pw.any_value_str(pw.first(m, 5)) or "",
+                        "log_message": pw.any_value_str(pw.merged(m, 5)) or "",
                         "log_level": sev or None,
                         "resource_service_name": res.get("service.name"),
                         "attr_keys": [k for k, _ in attrs],
@@ -136,17 +136,17 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
     rows: list[dict] = []
     for rm in pw.fields_dict(payload).get(1, []):
         rmm = pw.fields_dict(rm)
-        svc = pw.resource_attrs(pw.first(rmm, 1)).get("service.name")
+        svc = pw.resource_attrs(pw.merged(rmm, 1)).get("service.name")
         for sm in rmm.get(2, []):
             for metric in pw.fields_dict(sm).get(2, []):
                 mm = pw.fields_dict(metric)
                 name = pw.as_str(pw.first(mm, 1, b""))
                 if 5 in mm:  # gauge
-                    pts, mtype = pw.fields_dict(mm[5][0]).get(1, []), "gauge"
+                    pts, mtype = pw.fields_dict(pw.merged(mm, 5)).get(1, []), "gauge"
                 elif 7 in mm:  # sum (monotonic counter family)
-                    pts, mtype = pw.fields_dict(mm[7][0]).get(1, []), "count"
+                    pts, mtype = pw.fields_dict(pw.merged(mm, 7)).get(1, []), "count"
                 elif 9 in mm:  # histogram
-                    pts, mtype = pw.fields_dict(mm[9][0]).get(1, []), "histogram"
+                    pts, mtype = pw.fields_dict(pw.merged(mm, 9)).get(1, []), "histogram"
                 else:
                     continue
                 for p in pts:
@@ -171,7 +171,7 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
                             )
                     else:
                         if 4 in pm:
-                            v = pw.as_double(pm[4][0])
+                            v = pw.as_double(pm[4][-1])
                         else:
                             v = float(pw.as_i64(pw.first(pm, 6, 0)))
                         rows.append({**base, "value": v, "bucket_le": None})
@@ -194,13 +194,13 @@ def decode_otlp_traces_payload(payload: bytes) -> list[dict]:
     rows: list[dict] = []
     for rs in pw.fields_dict(payload).get(1, []):
         rsm = pw.fields_dict(rs)
-        svc = pw.resource_attrs(pw.first(rsm, 1)).get("service.name")
+        svc = pw.resource_attrs(pw.merged(rsm, 1)).get("service.name")
         for ss in rsm.get(2, []):
             for sp in pw.fields_dict(ss).get(2, []):
                 m = pw.fields_dict(sp)
                 start = pw.as_u64(pw.first(m, 7, 0))
                 end = pw.as_u64(pw.first(m, 8, 0))
-                status = pw.fields_dict(pw.first(m, 15, b""))
+                status = pw.fields_dict(pw.merged(m, 15) or b"")
                 parent = pw.first(m, 4, b"").hex()
                 rows.append(
                     {

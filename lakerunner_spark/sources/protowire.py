@@ -44,14 +44,26 @@ def iter_fields(buf: bytes):
     while i < n:
         tag, i = _read_varint(buf, i)
         field, wtype = tag >> 3, tag & 7
+        # every branch bounds-checks: a truncated payload (cut upload)
+        # must FAIL, not silently decode the prefix that happens to fit
+        # — python slicing would shorten out-of-range reads without error
         if wtype == VARINT:
             val, i = _read_varint(buf, i)
         elif wtype == I64:
+            if i + 8 > n:
+                raise ValueError("protowire: truncated fixed64 field")
             val, i = buf[i : i + 8], i + 8
         elif wtype == LEN:
             ln, i = _read_varint(buf, i)
+            if i + ln > n:
+                raise ValueError(
+                    f"protowire: truncated LEN field (need {ln} bytes, "
+                    f"have {n - i})"
+                )
             val, i = buf[i : i + ln], i + ln
         elif wtype == I32:
+            if i + 4 > n:
+                raise ValueError("protowire: truncated fixed32 field")
             val, i = buf[i : i + 4], i + 4
         else:
             raise ValueError(f"protowire: unsupported wire type {wtype}")
@@ -67,8 +79,21 @@ def fields_dict(buf: bytes) -> dict[int, list]:
 
 
 def first(msg: dict[int, list], field: int, default=None):
+    """Non-repeated SCALAR field value: protobuf's last-one-wins rule
+    (a spec-valid encoder may emit the field twice; parsers must keep
+    the last occurrence, not the first)."""
     vals = msg.get(field)
-    return vals[0] if vals else default
+    return vals[-1] if vals else default
+
+
+def merged(msg: dict[int, list], field: int) -> bytes | None:
+    """Non-repeated EMBEDDED-MESSAGE field: protobuf requires MERGING
+    multiple occurrences; for wire bytes, concatenation-then-parse is
+    exactly that merge. Using only the first (or last) occurrence drops
+    whatever the other occurrences carried (e.g. a Sum submessage split
+    across two occurrences, each with some datapoints)."""
+    vals = msg.get(field)
+    return b"".join(vals) if vals else None
 
 
 def as_u64(val) -> int:
@@ -88,25 +113,38 @@ def as_str(val: bytes) -> str:
     return val.decode("utf-8", errors="replace")
 
 
-def packed_u64(vals: list) -> list[int]:
-    """Repeated fixed64, packed (LEN of 8-byte chunks) or unpacked."""
-    out: list[int] = []
+def _packed_fixed8(vals: list, fmt_char: str, caster) -> list:
+    """Repeated 8-byte scalars, packed (LEN of 8-byte chunks) or
+    unpacked. One consistent rule for both u64 and double:
+
+    - a varint occurrence is a single unpacked value;
+    - 8 bytes is ambiguous between one packed element and one unpacked
+      I64 occurrence — identical decode either way;
+    - any other multiple of 8 (including 0 — a legal explicit empty
+      packed field) decodes as ``len/8`` packed elements;
+    - a non-multiple of 8 is a truncated buffer and raises instead of
+      silently dropping the tail.
+    """
+    out: list = []
     for v in vals:
-        if isinstance(v, bytes) and len(v) > 8:
-            out.extend(struct.unpack(f"<{len(v) // 8}Q", v))
+        if isinstance(v, bytes):
+            if len(v) % 8:
+                raise ValueError(
+                    f"protowire: packed fixed64 length {len(v)} is not a "
+                    "multiple of 8"
+                )
+            out.extend(struct.unpack(f"<{len(v) // 8}{fmt_char}", v))
         else:
-            out.append(as_u64(v))
+            out.append(caster(v))
     return out
+
+
+def packed_u64(vals: list) -> list[int]:
+    return _packed_fixed8(vals, "Q", as_u64)
 
 
 def packed_double(vals: list) -> list[float]:
-    out: list[float] = []
-    for v in vals:
-        if isinstance(v, bytes) and len(v) != 8:
-            out.extend(struct.unpack(f"<{len(v) // 8}d", v))
-        else:
-            out.append(as_double(v))
-    return out
+    return _packed_fixed8(vals, "d", as_double)
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +177,7 @@ def keyvalues(vals: list) -> list[tuple[str, str | None]]:
     for kv in vals:
         m = fields_dict(kv)
         key = as_str(first(m, 1, b""))
-        out.append((key, any_value_str(first(m, 2))))
+        out.append((key, any_value_str(merged(m, 2))))
     return out
 
 

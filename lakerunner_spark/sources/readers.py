@@ -38,11 +38,11 @@ def read_csv(spark: SparkSession, *paths: str, infer: bool = True) -> DataFrame:
         .option("inferSchema", str(infer).lower())
         .csv(list(paths))
     )
-    for old in df.columns:
-        new = normalize_name(old)
-        if new != old:
-            df = df.withColumnRenamed(old, new)
-    return df
+    from lakerunner_spark.ingest.translate import normalize_columns
+
+    # collision-safe normalization (distinct headers can normalize to
+    # the same canonical name — see normalize_columns)
+    return normalize_columns(df)
 
 
 def read_jsonlines(spark: SparkSession, *paths: str) -> DataFrame:
@@ -67,16 +67,31 @@ def flatten(df: DataFrame, sep: str = "_") -> DataFrame:
         if not struct_fields:
             return df
         cols = []
+        taken: set[str] = set()
+
+        def _unique(name: str) -> str:
+            # flattening can collide with an existing top-level column
+            # (struct a.b vs column a_b) — disambiguate like
+            # normalize_columns does instead of emitting duplicates
+            if name not in taken:
+                taken.add(name)
+                return name
+            k = 2
+            while f"{name}_{k}" in taken:
+                k += 1
+            taken.add(f"{name}_{k}")
+            return f"{name}_{k}"
+
         for f in df.schema.fields:
             if isinstance(f.dataType, T.StructType):
                 for sub in f.dataType.fields:
                     cols.append(
                         F.col(f"`{f.name}`.`{sub.name}`").alias(
-                            normalize_name(f"{f.name}{sep}{sub.name}")
+                            _unique(normalize_name(f"{f.name}{sep}{sub.name}"))
                         )
                     )
             else:
-                cols.append(F.col(f"`{f.name}`"))
+                cols.append(F.col(f"`{f.name}`").alias(_unique(f.name)))
         df = df.select(*cols)
 
 

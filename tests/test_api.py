@@ -118,3 +118,35 @@ def test_http_adapter_round_trip(api):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_missing_param_is_400_not_404(api):
+    server = serve(api, port=18322)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18322/api/v1/metrics/query", data=b"{}"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            # missing 'query' param: client error, NOT route-miss
+            assert e.code == 400
+            assert "missing parameter" in json.loads(e.read())["error"]
+    finally:
+        server.shutdown()
+
+
+def test_step_ladder_applies_at_epoch_zero(api):
+    """start_ms=0 is a legitimate epoch value; the falsy-zero check
+    used to silently fall back to a hardcoded 60s step."""
+    out = api.metrics_query(
+        {
+            "query": "sum by (event_type) (events)",
+            "start_ms": 0,
+            "end_ms": 3_600_000,
+        }
+    )
+    assert out["step_ms"] == 10_000  # <=65m rung, not the 60s fallback

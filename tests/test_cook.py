@@ -82,3 +82,34 @@ def test_cook_logs_companions(spark, sf_dir, tmp_path):
 def test_cook_metrics_rejects_missing_10s(raw_metrics, tmp_path):
     with pytest.raises(ValueError, match="10s"):
         cook_metrics(raw_metrics, str(tmp_path / "x"), tiers_ms=[60_000])
+
+
+def test_cook_logs_incremental_matches_rebuild(spark, sf_dir, tmp_path):
+    """Two incremental batches must answer the agg route identically to
+    one full-rebuild cook over the same rows (append-built companions:
+    consumers re-sum agg_count / distinct the index)."""
+    from lakerunner_spark.ingest.cook import cook_logs
+    from lakerunner_spark.plans.aggfile import route_count_query
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir).limit(2000).withColumnRenamed(
+        "props", "log_message"
+    ).withColumn("service_identifier", F.col("event_type"))
+    b1 = e.filter(F.col("event_id") % 2 == 0)
+    b2 = e.filter(F.col("event_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    cook_logs(b1, inc, incremental=True)
+    cook_logs(b2, inc, incremental=True)
+
+    full = str(tmp_path / "full")
+    cook_logs(e, full)
+
+    def agg_counts(base):
+        agg = spark.read.parquet(f"{base}/logs_agg")
+        dims = [c for c in agg.columns if c not in ("agg_bucket", "agg_count")]
+        df, used = route_count_query(None, agg, dims, 600_000, [])
+        assert used
+        return {r["bucket_ts"]: r["count"] for r in df.collect()}
+
+    assert agg_counts(inc) == agg_counts(full)

@@ -205,3 +205,70 @@ def test_traces_decode():
     root = rows[1]
     assert root["span_parent_span_id"] is None
     assert root["span_status_code"] == "0"  # unset status -> UNSET
+
+
+# ------------------- wire-robustness (round-3 hardening) -------------------
+
+
+def test_truncated_payload_raises():
+    import pytest
+
+    from lakerunner_spark.sources import protowire as pw
+
+    good = f_str(1, "hello") + f_fixed64(2, 42)
+    # whole message parses
+    assert pw.fields_dict(good)
+    # cut mid-LEN payload: must raise, not decode the prefix
+    with pytest.raises(ValueError, match="truncated"):
+        pw.fields_dict(good[:4])
+    # cut mid-fixed64
+    with pytest.raises(ValueError, match="truncated"):
+        pw.fields_dict(good[:-3])
+    # truncated fixed32
+    with pytest.raises(ValueError, match="truncated"):
+        pw.fields_dict(tag(1, 5) + b"\x01\x02")
+
+
+def test_packed_decoders_consistent():
+    import pytest
+
+    from lakerunner_spark.sources import protowire as pw
+
+    # legal explicit empty packed field -> no elements, no crash
+    assert pw.packed_u64([b""]) == []
+    assert pw.packed_double([b""]) == []
+    # 16 bytes -> two elements for both
+    two = struct.pack("<QQ", 7, 9)
+    assert pw.packed_u64([two]) == [7, 9]
+    # 8 bytes -> one element (ambiguous packed/unpacked, same decode)
+    assert pw.packed_u64([struct.pack("<Q", 5)]) == [5]
+    # non-multiple of 8 is truncation, not silent tail-drop
+    with pytest.raises(ValueError, match="not a multiple"):
+        pw.packed_u64([b"\x01\x02\x03"])
+    with pytest.raises(ValueError, match="not a multiple"):
+        pw.packed_double([b"\x01" * 12])
+
+
+def test_split_submessage_occurrences_merge():
+    """Protobuf: multiple occurrences of a non-repeated embedded message
+    MERGE (concatenate-then-parse); datapoints split across two `sum`
+    submessage occurrences must all decode."""
+    from lakerunner_spark.sources.otel import decode_otlp_metrics_payload
+
+    def dp(ts_ns: int, v: float) -> bytes:
+        return f_fixed64(3, ts_ns) + f_double(4, v)
+
+    sum1 = f_len(1, dp(1_700_000_000_000_000_000, 1.0))
+    sum2 = f_len(1, dp(1_700_000_001_000_000_000, 2.0))
+    metric = f_str(1, "reqs") + f_len(7, sum1) + f_len(7, sum2)
+    scope = f_len(2, metric)
+    rm = f_len(1, resource(SVC)) + f_len(2, scope)
+    rows = decode_otlp_metrics_payload(f_len(1, rm))
+    assert sorted(r["value"] for r in rows) == [1.0, 2.0]
+
+
+def test_scalar_last_one_wins():
+    from lakerunner_spark.sources import protowire as pw
+
+    m = pw.fields_dict(f_str(1, "first") + f_str(1, "second"))
+    assert pw.as_str(pw.first(m, 1)) == "second"
