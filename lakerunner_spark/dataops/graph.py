@@ -104,6 +104,7 @@ def connected_components(
     ]
     prev = None
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig = tuple(e.agg(*sig_aggs).first())
@@ -114,8 +115,21 @@ def connected_components(
             if prev is not None and e.exceptAll(prev).unionByName(
                 prev.exceptAll(e)
             ).isEmpty():
+                converged = True
                 break
         prev, prev_sig = e, sig
+    if not converged:
+        # Returning a non-star edge set would hand nodes MULTIPLE
+        # conflicting component labels and delete-lists could then drop
+        # canonical keepers — the exact silent-truncation failure this
+        # module's docstring criticizes; fail loudly instead. The star
+        # scheme converges in O(log^2 n) rounds, so 50 rounds covers any
+        # conceivable graph (2^50-scale chains); reaching here means a
+        # bug or an adversarial input, not normal data.
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_rounds} "
+            "rounds; refusing to emit a non-converged labeling"
+        )
     # At the fixed point every edge points node→component-min; centers
     # map to themselves.
     return (

@@ -33,15 +33,43 @@ MOD = 4294967296  # 2^32
 def id_hash(id_col: Column, salt: int = 0) -> Column:
     """Deterministic uniform hash of a BIGINT id into [0, 2^32).
 
-    `(id + salt) * 2654435761 mod 2^32` — exact in BIGINT arithmetic
-    for ids < ~3.4e9 per partition-salt; for larger id spaces chain two
-    rounds. Identical SQL runs on DuckDB (see id_hash_sql).
+    ``(id + salt) * 2654435761 mod 2^32`` evaluated WITHOUT int64
+    overflow or sign surprises, for the full BIGINT id space: the naive
+    product wraps for |id| >= ~3.47e9 (Spark wraps silently, DuckDB
+    raises — breaking oracle parity) and Spark's ``%`` follows the
+    dividend's sign, so negative ids would hash negative and land in
+    the first split / every sample. The id is first reduced to
+    a = ((id+salt) mod 2^32 + 2^32) mod 2^32, then multiplied in
+    16-bit halves (each partial < 2^48, exact in int64):
+
+        h = ((a>>16) * K * 2^16 + (a & 0xFFFF) * K) mod 2^32
+
+    The high 32 bits fold in additively first (ids that differ only in
+    their high word — timestamp-prefixed snowflakes, multiples of 2^32 —
+    must not collide), using arithmetic-shift+mask, which Spark's
+    ``shiftright`` and DuckDB's ``>>`` evaluate identically on the
+    two's-complement pattern. Identical integer algebra runs on DuckDB
+    (see id_hash_sql); for ids < 2^16 the whole chain reduces to the
+    original single multiply, so existing split assignments for small
+    id spaces are unchanged.
     """
-    return ((id_col + F.lit(salt)) * F.lit(KNUTH)) % F.lit(MOD)
+    b = id_col.cast("long") + F.lit(salt)
+    lo32 = b.bitwiseAND(F.lit(MOD - 1))
+    hi32 = F.shiftright(b, 32).bitwiseAND(F.lit(MOD - 1))
+    a = (lo32 + hi32) % F.lit(MOD)
+    hi = (a / F.lit(65536)).cast("long")  # a >> 16, a is non-negative
+    lo = a % F.lit(65536)
+    return (
+        (hi * F.lit(KNUTH) % F.lit(MOD)) * F.lit(65536) + lo * F.lit(KNUTH)
+    ) % F.lit(MOD)
 
 
 def id_hash_sql(id_expr: str, salt: int = 0) -> str:
-    return f"(({id_expr} + {salt}) * {KNUTH}) % {MOD}"
+    b = f"(CAST({id_expr} AS BIGINT) + {salt})"
+    a = f"((({b} & {MOD - 1}) + (({b} >> 32) & {MOD - 1})) % {MOD})"
+    hi = f"CAST(floor({a} / 65536) AS BIGINT)"
+    lo = f"({a} % 65536)"
+    return f"((({hi} * {KNUTH} % {MOD}) * 65536 + {lo} * {KNUTH}) % {MOD})"
 
 
 def hash_split(

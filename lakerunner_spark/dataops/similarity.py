@@ -61,12 +61,16 @@ def cosine_topk(
     )
     # queries side is small -> broadcast; corpus scan streams once
     pairs = c.crossJoin(F.broadcast(q))
+    from lakerunner_spark.functions.rounding import portable_round
+
     scored = pairs.select(
         "qid",
         "cid",
-        F.round(_dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), round_dp).alias(
-            "cosine"
-        ),
+        # portable_round, not F.round: Spark ROUND and DuckDB disagree
+        # on half-boundary doubles, which would flip k-th-place ties
+        portable_round(
+            _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), round_dp
+        ).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid").asc())
     return (
@@ -161,12 +165,18 @@ def ivf_topk(
         # on the raw float would let a last-ulp difference flip a cell
         # assignment; 12 dp is far beyond any real similarity gap and
         # makes the assignment engine-deterministic (oracle-able).
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            df[idc],
-            df[vec_col],
+        # Norm computed ONCE per row before the centroid cross join (not
+        # once per centroid) and carried through for the scoring stage.
+        base = df.select(
+            df[idc], df[vec_col], _norm(vec_col).alias("_n")
+        )
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            idc,
+            vec_col,
+            "_n",
             "cell",
             portable_round(
-                _dot(vec_col, "_cent") / (F.col("_centn") * _norm(vec_col)),
+                _dot(vec_col, "_cent") / (F.col("_centn") * F.col("_n")),
                 12,
             ).alias("_sim"),
         )
@@ -176,24 +186,32 @@ def ivf_topk(
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= top)
-            .select(idc, vec_col, "cell")
+            .select(idc, vec_col, "_n", "cell")
         )
 
     cb = assign(corpus, id_col, "cell", 1).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"), "cell"
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_n").alias("_cn"),
+        "cell",
     )
     qb = assign(queries, id_col, "cell", n_probe).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "cell"
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_n").alias("_qn"),
+        "cell",
     )
     from lakerunner_spark.functions.rounding import portable_round
 
-    pairs = cb.join(F.broadcast(qb), "cell").drop("cell").distinct()
+    # no distinct: a corpus row belongs to exactly ONE cell (top=1), so
+    # a (qid, cid) pair can only arise through that cell — the distinct
+    # this replaced shuffled full embedding vectors for nothing
+    pairs = cb.join(F.broadcast(qb), "cell").drop("cell")
     scored = pairs.select(
         "qid",
         "cid",
         portable_round(
-            _dot("_qv", "_cv")
-            / (F.sqrt(_dot("_qv", "_qv")) * F.sqrt(_dot("_cv", "_cv"))),
+            _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
             round_dp,
         ).alias("cosine"),
     )
@@ -214,28 +232,43 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     round_dp: int = 4,
 ) -> DataFrame:
-    """ANN top-k over candidates sharing any (table, bucket)."""
-    qb = lsh_bucket_signature(queries, tables, id_col, vec_col).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"), "table", "bucket"
+    """ANN top-k over candidates sharing any (table, bucket).
+
+    OR-amplification means a (qid, cid) pair can match in several
+    tables, so the dedup is real — but it runs on ID PAIRS only; the
+    embedding vectors and norms are attached afterwards by id-keyed
+    joins, so the distinct never shuffles vector payloads and each
+    row's norm is computed once, not once per candidate pair.
+    """
+    qsig = lsh_bucket_signature(queries, tables, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), "table", "bucket"
     )
-    cb = lsh_bucket_signature(corpus, tables, id_col, vec_col).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv"), "table", "bucket"
+    csig = lsh_bucket_signature(corpus, tables, id_col, vec_col).select(
+        F.col(id_col).alias("cid"), "table", "bucket"
     )
-    pairs = (
-        cb.join(F.broadcast(qb), ["table", "bucket"])
-        .select("qid", "cid", "_qv", "_cv")
+    pair_ids = (
+        csig.join(F.broadcast(qsig), ["table", "bucket"])
+        .select("qid", "cid")
         .distinct()
     )
+    qv = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("_cv"),
+        _norm(vec_col).alias("_cn"),
+    )
+    pairs = pair_ids.join(F.broadcast(qv), "qid").join(cv, "cid")
     from lakerunner_spark.functions.rounding import portable_round
 
     scored = pairs.select(
         "qid",
         "cid",
         portable_round(
-            _dot("_qv", "_cv")
-            / (
-                F.sqrt(_dot("_qv", "_qv")) * F.sqrt(_dot("_cv", "_cv"))
-            ),
+            _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
             round_dp,
         ).alias("cosine"),
     )

@@ -37,12 +37,20 @@ def cook_metrics(
     value_col: str = "value",
     tiers_ms: list[int] | None = None,
     max_records_per_file: int = 2_000_000,
+    extra_dims: list[str] | None = None,
+    write_mode: str = "append",
 ) -> list[int]:
     """Cook raw metric samples into the tiered segment layout.
 
     Returns the tier list written. The cascade re-aggregates each
     coarser tier from the previous one (never from raw), so total work
     is ~2x the 10s pass regardless of tier count.
+
+    ``extra_dims`` are carried through the aggregation WITHOUT joining
+    the TID (series identity) — used by the streaming path to thread
+    the constant ``ingest_batch`` column through to partitioning.
+    ``write_mode="overwrite"`` + a batch-scoped partition column makes
+    a retried micro-batch idempotent (dynamic partition overwrite).
     """
     if attr_cols is None:
         # default dims must keep DISTINCT SERIES distinct: the OTLP
@@ -71,7 +79,7 @@ def cook_metrics(
             )
 
     cooked = translate_metrics(df, metric_col, attrs)
-    dims = [metric_col, "chq_tid", *attrs]
+    dims = [metric_col, "chq_tid", *attrs, *(extra_dims or [])]
     tier_df = preaggregate_metrics(cooked, dims, value_col=value_col)
     for grain in tiers:
         if grain != 10_000:
@@ -84,6 +92,7 @@ def cook_metrics(
         write_segments(
             out, f"{base_path}/metrics", "metrics",
             max_records_per_file=max_records_per_file,
+            mode=write_mode,
         )
     return tiers
 

@@ -46,10 +46,22 @@ def quantile_sketch_agg(
     """
     qs = quantiles or DEFAULT_QUANTILES
     aggs = [
-        F.percentile_approx(value_col, q, accuracy).alias(f"p{int(q * 100)}")
+        F.percentile_approx(value_col, q, accuracy).alias(_q_label(q))
         for q in qs
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def _q_label(q: float) -> str:
+    """Quantile -> column label: p50, p99, p99_9, p57.
+
+    round-then-format, never int(q*100): binary floats truncate (0.57
+    would label as p56) and 3-decimal quantiles would collide (0.999
+    and 0.99 both as p99)."""
+    pct = round(q * 1000) / 10  # exact to 0.1%
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return f"p{int(pct)}_{round(pct * 10) % 10}"
 
 
 def hll_cardinality(

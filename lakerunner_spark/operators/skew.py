@@ -41,12 +41,22 @@ def salted_agg(
     {sum, count, min, max}. Result is EXACTLY equal to the direct
     groupBy (tested), with the first shuffle's key cardinality
     multiplied by salt_n so no reducer owns a whole hot key.
+
+    The salt is a DETERMINISTIC function of the row (hash of every
+    aggregated input column), never ``rand()``: a random salt is a
+    nondeterministic shuffle key, and a fetch-failure map-stage retry
+    would re-salt rows differently — reducers that committed partials
+    from the first attempt then double-count (or drop) rows silently.
+    Hashing the value columns also spreads a hot key's rows because hot
+    keys are hot across many distinct values; identical rows land on
+    one salt, which is correct (they aggregate the same either way).
     """
     for func, _ in aggs.values():
         if func not in _PARTIAL:
             raise ValueError(f"salted_agg: non-algebraic func {func!r}")
+    in_cols = sorted({col for _, col in aggs.values()})
     salted = df.withColumn(
-        "_salt", (F.rand(seed=0) * salt_n).cast("int")
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in in_cols]), salt_n)
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[

@@ -103,10 +103,13 @@ SPANS_BASE_SCHEMA = T.StructType(
 )
 
 # Partition columns per family (reference layout: docs/design/OVERVIEW.md:62-75)
+# ingest_batch (innermost, present only on streaming cooks) scopes each
+# micro-batch's output to its own partition directories so a retried
+# batch OVERWRITES its previous attempt instead of appending duplicates
 PARTITION_COLUMNS = {
-    "logs": ["org_id", "dateint"],
-    "metrics": ["org_id", "dateint", "frequency_ms"],
-    "spans": ["org_id", "dateint"],
+    "logs": ["org_id", "dateint", "ingest_batch"],
+    "metrics": ["org_id", "dateint", "frequency_ms", "ingest_batch"],
+    "spans": ["org_id", "dateint", "ingest_batch"],
 }
 
 # Sort order within segment files (reference §2.6 O5)

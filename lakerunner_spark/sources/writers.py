@@ -21,9 +21,18 @@ on the sort keys → row-group skipping on (metric_name, tid, ts).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 from lakerunner_spark.schema import PARTITION_COLUMNS, SEGMENT_SORT_KEYS
+
+# serializes the plannedWrite toggle-and-plan window: the conf is
+# session-global, so two concurrent write_segments calls interleaving
+# set/restore could plan one write WITH plannedWrite enabled —
+# EliminateSorts then drops its sortWithinPartitions and that file's
+# clustering is silently lost
+_write_lock = threading.Lock()
 
 
 def write_segments(
@@ -52,16 +61,27 @@ def write_segments(
         .option("compression", "zstd")
         .option("maxRecordsPerFile", max_records_per_file)
     )
+    if mode == "overwrite" and partition_cols:
+        # overwrite only the partitions THIS write produces (the
+        # idempotent-retry contract for batch-scoped streaming writes),
+        # never the whole table
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
 
     # plannedWrite (Spark 3.4+) injects its own partition-column sort and
     # EliminateSorts then drops ours — silently losing the in-file
-    # clustering. Disable it for the duration of the write.
+    # clustering. Disable it for the duration of the write, under a
+    # process lock (see _write_lock).
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.optimizer.plannedWrite.enabled", "true")
-    spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
-    try:
-        writer.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", prev)
+    with _write_lock:
+        prev = spark.conf.get(
+            "spark.sql.optimizer.plannedWrite.enabled", "true"
+        )
+        spark.conf.set("spark.sql.optimizer.plannedWrite.enabled", "false")
+        try:
+            writer.parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.plannedWrite.enabled", prev
+            )

@@ -82,7 +82,12 @@ def run_dedup_stream(
     Novel documents append to ``output_path/batch=<id>``; their hashes
     append to the ``state_path`` store. Restarting with new input files
     emits only never-seen documents; the union of all output batches
-    equals batch-mode ``exact_dedup`` over everything ingested so far.
+    covers exactly the same distinct TEXTS as batch-mode ``exact_dedup``
+    over everything ingested so far. The kept ROW per text differs by
+    construction: the stream keeps the first-ARRIVED occurrence (lowest
+    id within its batch), while batch mode keeps the globally lowest id
+    — an inherent property of incremental dedup (the keeper is decided
+    when first seen; a "better" id arriving later is a duplicate).
     """
     def _dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -95,13 +95,21 @@ def run_cook_stream(
     def _cook(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # batch-scoped idempotence: the batch id becomes an innermost
+        # partition column written with dynamic overwrite, so a batch
+        # replayed after a crash between cook and checkpoint-commit
+        # OVERWRITES its own partitions instead of appending every
+        # tier's rows a second time (same contract streaming/dedup.py
+        # uses; the checkpoint alone only dedups FULLY committed batches)
         cook_metrics(
-            batch_df,
+            batch_df.withColumn("ingest_batch", F.lit(batch_id)),
             base_path,
             metric_col=metric_col,
             attr_cols=attr_cols,
             value_col=value_col,
             tiers_ms=tiers_ms,
+            extra_dims=["ingest_batch"],
+            write_mode="overwrite",
         )
 
     stream = spark.readStream.schema(schema).format("parquet").load(input_path)
@@ -131,6 +139,13 @@ def run_file_ingest_stream(
         spark.readStream.schema(schema).format("parquet").load(input_path)
     )
     agg = preagg_stream(stream, dims, ts_col=ts_col, value_col=value_col)
+    # CAVEAT (inherent to append-mode watermarked aggregation): windows
+    # ending after (max event time - watermark) stay in state, so an
+    # availableNow catch-up run withholds the trailing ~watermark_sec of
+    # windows until strictly newer-timestamped data arrives on a later
+    # run. For a one-shot "cook everything and stop" job, use
+    # run_cook_stream — its foreachBatch cook aggregates each batch
+    # completely with no watermark withholding.
     writer = (
         agg.writeStream.outputMode("append")
         .format("parquet")

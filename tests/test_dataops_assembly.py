@@ -250,3 +250,60 @@ def test_narrow_minhash_and_jaccard_parity(spark, sf_dir):
     jw = jaccard_verify(sh, cand, "doc_id")
     jn = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3)
     assert jw.exceptAll(jn).isEmpty() and jn.exceptAll(jw).isEmpty()
+
+
+def test_id_hash_sign_and_overflow_safe(spark):
+    """Negative and huge ids must hash into [0, 2^32) with DuckDB
+    parity — the naive multiply wrapped int64 (DuckDB raises where
+    Spark wraps) and Spark's % sign made negative ids always sample."""
+    import duckdb
+
+    from lakerunner_spark.dataops.sampling import (
+        MOD,
+        hash_sample,
+        id_hash,
+        id_hash_sql,
+    )
+
+    ids = [-5, -1, 0, 1, 65535, 65536, 3_500_000_000, 2**62, -(2**61)]
+    df = spark.createDataFrame([(i,) for i in ids], "id LONG")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", id_hash(F.col("id")).alias("h")).collect()
+    }
+    assert all(0 <= h < MOD for h in got.values())
+    con = duckdb.connect()
+    for i in ids:
+        (oh,) = con.execute(f"SELECT {id_hash_sql(str(i))}").fetchone()
+        assert oh == got[i], f"id {i}: spark {got[i]} duckdb {oh}"
+    # a negative id is NOT unconditionally kept at tiny fractions;
+    # only id=0 (hash 0) legitimately stays under any cutoff
+    kept = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", hash_sample(F.col("id"), 0.0001).alias("k")
+        ).collect()
+    }
+    assert kept[0] and sum(kept.values()) == 1
+    # ids differing only in the high word must not collide
+    assert got[2**62] != got[-(2**61)] != got[0]
+
+
+def test_quantile_labels_exact():
+    from lakerunner_spark.operators.sketches import _q_label
+
+    assert _q_label(0.5) == "p50"
+    assert _q_label(0.57) == "p57"     # int(0.57*100) would be 56
+    assert _q_label(0.99) == "p99"
+    assert _q_label(0.999) == "p99_9"  # no collision with 0.99
+    assert _q_label(0.25) == "p25"
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    from lakerunner_spark.dataops.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(edges, max_rounds=0)

@@ -142,3 +142,28 @@ def test_stream_preagg_matches_batch_and_is_exactly_once(spark, sf_dir, tmp_path
     assert spark.read.parquet(outdir).count() == before
 
     shutil.rmtree(indir, ignore_errors=True)
+
+
+def test_cook_stream_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a micro-batch (crash between cook and checkpoint
+    commit) must OVERWRITE its own batch partitions, not append
+    duplicates — ingest_batch partition + dynamic overwrite."""
+    from lakerunner_spark.ingest.cook import cook_metrics
+
+    raw = events_stream(spark, sf_dir).limit(1000).select(
+        "chq_timestamp",
+        F.col("event_type").alias("metric_name"),
+        "value",
+    ).withColumn("ingest_batch", F.lit(7))
+    base = str(tmp_path / "cooked")
+    cook_metrics(raw, base, tiers_ms=[10_000],
+                 extra_dims=["ingest_batch"], write_mode="overwrite")
+    first = spark.read.parquet(f"{base}/metrics")
+    n1 = first.count()
+    s1 = first.agg(F.round(F.sum("chq_rollup_sum"), 6)).first()[0]
+    # replay the same batch id
+    cook_metrics(raw, base, tiers_ms=[10_000],
+                 extra_dims=["ingest_batch"], write_mode="overwrite")
+    again = spark.read.parquet(f"{base}/metrics")
+    assert again.count() == n1
+    assert again.agg(F.round(F.sum("chq_rollup_sum"), 6)).first()[0] == s1
