@@ -228,6 +228,59 @@ def sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(q, c, _sim3_tables(), k=5)
 
 
+@register(
+    "sim4_quantized_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    cf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    mx AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM cf GROUP BY vec_id),
+    dq AS (
+      SELECT cf.vec_id, cf.i,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE greatest(-127, least(127, floor(v / scale + 0.5)))
+             END * scale AS dv
+      FROM cf JOIN mx USING (vec_id)
+    ),
+    qf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    qn AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM qf GROUP BY vec_id),
+    cn AS (SELECT vec_id, sqrt(sum(dv * dv)) AS nrm FROM dq GROUP BY vec_id),
+    dots AS (
+      SELECT qf.vec_id AS qid, dq.vec_id AS cid, sum(qf.v * dq.dv) AS dot
+      FROM qf JOIN dq ON qf.i = dq.i GROUP BY 1, 2
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT d.qid, d.cid,
+             pround(d.dot / (qn.nrm * cn.nrm), 4) AS cosine,
+             row_number() OVER (PARTITION BY d.qid
+                                ORDER BY pround(d.dot / (qn.nrm * cn.nrm), 4) DESC,
+                                         d.cid ASC) AS rn
+      FROM dots d JOIN qn ON qn.vec_id = d.qid JOIN cn ON cn.vec_id = d.cid
+    ) WHERE rn <= 5
+    """,
+)
+def sim4_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized candidate scoring: the corpus is symmetric-int8
+    quantized (4x smaller), dequantized, and exact cosine top-k runs
+    over the reconstruction — the oracle reproduces the quantize ->
+    dequantize -> rank pipeline value-for-value, proving the
+    quantization math is engine-exact (floor-half-up rounding, clamped
+    ±127, per-vector scale)."""
+    from lakerunner_spark.dataops.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    dq = dequantize_embeddings(quantize_embeddings(c))
+    return cosine_topk(q, dq, k=5)
+
+
 _MM2_PX = """
       SELECT m, y, x, c,
              CAST((m*37 + y*17 + x*5 + c*11) % 256 AS DOUBLE) AS v

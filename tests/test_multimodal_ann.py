@@ -291,3 +291,33 @@ def test_resize_images_native_png(spark):
     assert len(out) == 1  # audio row filtered by media_type
     w, h, ch, samples = decode_png(bytes(out[0]["payload"]))
     assert (w, h) == (2, 2) and set(samples) == {7}
+
+
+def test_quantize_roundtrip_bounds(spark):
+    """int8 quantization: values clamp to ±127, zero vectors survive,
+    and reconstruction error is bounded by scale/2 per element."""
+    from lakerunner_spark.dataops.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+        (3, [100.0, -0.001, 50.0, 3.3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qd = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in qd.collect()}
+    assert all(-127 <= v <= 127 for r in got.values() for v in r["qvec"])
+    assert got[2]["scale"] == 0.0 and got[2]["qvec"] == [0, 0, 0, 0]
+    assert got[1]["qvec"] == [127, -127, 64, 0]  # 0.5/ (1/127) = 63.5 -> 64
+
+    back = {
+        r["vec_id"]: r["embedding"]
+        for r in dequantize_embeddings(qd).collect()
+    }
+    for vid, vec in rows:
+        scale = got[vid]["scale"]
+        for orig, rec in zip(vec, back[vid]):
+            assert abs(orig - rec) <= scale / 2 + 1e-12
