@@ -71,6 +71,40 @@ def pqs1_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pqs19_offset_rate",
+    f"""
+    WITH base AS (
+      SELECT (chq_timestamp + 3600000)
+             - (chq_timestamp + 3600000) % 60000 AS bucket_ts,
+             event_type, user_id, sum(value) AS s
+      FROM {_E} e WHERE event_type = 'click' GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT bucket_ts, event_type, user_id,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type, user_id) >= 540000
+                  THEN sum(s) OVER w / 600.0 END AS value
+      FROM base
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_ts, event_type, pround(sum(value), 6) AS value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def pqs19_offset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector offset (`[10m] offset 1h`): the leaf shifts data
+    forward by the offset before bucketing (exec_planner offset
+    semantics), so every evaluation bucket reads one hour earlier."""
+    df = _pq(
+        spark, sf_dir,
+        'sum by (event_type) (rate(events{event_type="click"}[10m] offset 1h))',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
     "pqs2_topk_count",
     f"""
     WITH base AS (
