@@ -32,6 +32,7 @@ NLJ_ALLOWED = {
     "sim1_cosine_topk",       # broadcast queries x corpus scan
     "sim2_ivf_topk",          # broadcast centroids assignment
     "sim3_lsh_topk",          # broadcast hyperplanes
+    "sim4_quantized_topk",    # broadcast queries x dequantized corpus (cosine_topk)
     "mm2_png_features",       # tiny literal DF
     "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
