@@ -309,7 +309,6 @@ def neardup_verify(
     self-joins, shuffle volume is O(|candidates|).
     """
     from lakerunner_spark.dataops.similarity import _dot, _norm
-    from lakerunner_spark.functions.rounding import portable_round
 
     a = corpus.select(
         F.col(id_col).alias(a_col),

@@ -232,16 +232,28 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         tag = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            # a chunk whose declared length overruns the payload is a
+            # cut-off upload; decoding the prefix would silently yield
+            # wrong duration/rms/zcr features (same contract as
+            # protowire's truncated-LEN-field raise)
+            raise ValueError(
+                f"decode_wav: truncated {tag!r} chunk "
+                f"(declares {length} bytes, {len(body)} remain)"
+            )
         pos += 8 + length + (length & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("decode_wav: short fmt chunk")
             fmt, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if fmt != 1 or bits != 16:
                 raise NotImplementedError("decode_wav: 16-bit PCM only")
         elif tag == b"data":
-            n = len(body) // 2
-            samples = list(struct.unpack(f"<{n}h", body[: 2 * n]))
+            if length & 1:
+                raise ValueError("decode_wav: odd 16-bit PCM data length")
+            samples = list(struct.unpack(f"<{length // 2}h", body))
     if rate is None:
         raise ValueError("decode_wav: missing fmt chunk")
     return rate, channels or 1, samples

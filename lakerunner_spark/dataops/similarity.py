@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lakerunner_spark.functions.rounding import portable_round
+
 
 def _dot(a: str, b: str) -> F.Column:
     return F.expr(
@@ -61,7 +63,6 @@ def cosine_topk(
     )
     # queries side is small -> broadcast; corpus scan streams once
     pairs = c.crossJoin(F.broadcast(q))
-    from lakerunner_spark.functions.rounding import portable_round
 
     scored = pairs.select(
         "qid",
@@ -90,7 +91,6 @@ def lsh_bucket_signature(
     a bucket id per hash table; one (table, bucket) row per table —
     OR-amplification (candidates share ANY table's bucket), the standard
     recall lever for sign-LSH."""
-    from lakerunner_spark.functions.rounding import portable_round
 
     entries = []
     for t, planes in enumerate(tables):
@@ -158,7 +158,6 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idc: str, out: str, top: int) -> DataFrame:
-        from lakerunner_spark.functions.rounding import portable_round
 
         # 12-dp rounding before the argmax: double summation ORDER
         # differs between engines (and between partitions), so ranking
@@ -201,7 +200,6 @@ def ivf_topk(
         F.col("_n").alias("_qn"),
         "cell",
     )
-    from lakerunner_spark.functions.rounding import portable_round
 
     # no distinct: a corpus row belongs to exactly ONE cell (top=1), so
     # a (qid, cid) pair can only arise through that cell — the distinct
@@ -262,7 +260,6 @@ def lsh_bucket_topk(
         _norm(vec_col).alias("_cn"),
     )
     pairs = pair_ids.join(F.broadcast(qv), "qid").join(cv, "cid")
-    from lakerunner_spark.functions.rounding import portable_round
 
     scored = pairs.select(
         "qid",

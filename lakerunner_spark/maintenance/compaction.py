@@ -62,6 +62,7 @@ def plan_table_compaction(
     min_mean_fraction: float = 0.5,
     stale_after_s: float = 6 * 3600,
     strict: bool = False,
+    damaged_out: list[tuple[str, str]] | None = None,
 ) -> list[dict]:
     """Walk a partitioned table tree; one task per fragmented partition.
 
@@ -74,13 +75,17 @@ def plan_table_compaction(
     is never yanked out from under it).
 
     A partition whose recovery FAILS (e.g. a commit record whose staged
-    data was lost) is isolated, not fatal: it is skipped and reported in
-    ``plan_table_compaction.damaged`` (fresh per call) so one damaged
-    partition can't block planning/repair for the whole table. Pass
-    ``strict=True`` to raise instead after the full walk.
+    data was lost) is isolated, not fatal: it is skipped and appended to
+    the caller-owned ``damaged_out`` list so one damaged partition can't
+    block planning/repair for the whole table (a caller-owned list, not
+    a function attribute, so concurrent sweeps can't clobber each
+    other's reports). Pass ``strict=True`` to raise instead after the
+    full walk.
     """
     tasks: list[dict] = []
-    damaged: list[tuple[str, str]] = []
+    damaged: list[tuple[str, str]] = (
+        damaged_out if damaged_out is not None else []
+    )
     for root, dirs, files in os.walk(table_path):
         # staging trees are transaction-private: never descend (a crashed
         # write's _temporary attempt dirs hold .parquet that must not be
@@ -95,7 +100,6 @@ def plan_table_compaction(
             task = plan_compaction(root, target_bytes, min_mean_fraction)
             if task:
                 tasks.append(task)
-    plan_table_compaction.damaged = damaged
     if damaged and strict:
         raise RuntimeError(
             f"{len(damaged)} partition(s) need manual compaction repair: "
@@ -119,15 +123,88 @@ def _staging_path(partition_dir: str, txid: str) -> str:
     )
 
 
+def _lock_staleness(
+    partition_dir: str, stale_after_s: float
+) -> tuple[bool, str | None]:
+    """(is_stale, holder_txid) for the partition's compaction lock.
+
+    Stale means BOTH the lock file and its holder transaction's staging
+    tree have been idle for ``stale_after_s`` (the staging tree is where
+    a live pre-commit writer shows a heartbeat). An absent lock is never
+    stale (nothing to break)."""
+    import contextlib
+    import json
+    import time
+
+    path = _lock_path(partition_dir)
+    holder = None
+    with contextlib.suppress(OSError, ValueError):
+        with open(path) as f:
+            holder = json.load(f).get("txid")
+    newest = _newest_mtime(path)
+    if holder:
+        newest = max(newest, _newest_mtime(_staging_path(partition_dir, holder)))
+    return (newest > 0 and time.time() - newest >= stale_after_s), holder
+
+
+# breaking a stale lock takes milliseconds; a break mutex older than
+# this belongs to a crashed breaker and may itself be cleared
+_BREAK_MUTEX_STALE_S = 60.0
+
+
+def _break_if_stale(partition_dir: str, stale_after_s: float) -> tuple[bool, str | None]:
+    """Break the partition's compaction lock iff it is stale; returns
+    (broken, holder_txid).
+
+    The break is serialized through a short-lived O_EXCL break mutex.
+    Check-then-remove without it is a double-compaction hole: two sweeps
+    both judge the SAME lock stale, the first removes it and immediately
+    re-acquires via O_EXCL, and the second's delete then lands on the
+    winner's FRESH lock — both believe they hold the partition, both
+    stage and publish commits over the same old_files, and every row is
+    silently duplicated. Holding the mutex, the breaker re-verifies
+    staleness (the lock may have turned over since the pre-mutex check)
+    before removing, and non-breakers can never remove a lock at all.
+    A breaker that crashes mid-break strands only the mutex, which is
+    cleared after ``_BREAK_MUTEX_STALE_S`` (the critical section is
+    milliseconds). Local/NFS POSIX semantics; on object stores swap the
+    O_EXCL create for a conditional put."""
+    import contextlib
+    import time
+
+    path = _lock_path(partition_dir)
+    bpath = path + ".break"
+    stale, holder = _lock_staleness(partition_dir, stale_after_s)
+    if not stale:
+        return False, holder
+    with contextlib.suppress(OSError):
+        if time.time() - os.path.getmtime(bpath) >= _BREAK_MUTEX_STALE_S:
+            os.remove(bpath)
+    try:
+        os.close(os.open(bpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        # another sweep is mid-break; treat the lock as held — the
+        # breaker (or the next sweep) will finish the job
+        return False, holder
+    try:
+        stale, holder = _lock_staleness(partition_dir, stale_after_s)
+        if not stale:
+            return False, holder
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+        return True, holder
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(bpath)
+
+
 def _acquire_lock(partition_dir: str, txid: str, stale_after_s: float) -> None:
     """Exclusive per-partition compaction intent lock (O_CREAT|O_EXCL —
     atomic on POSIX local/NFS; on object stores swap for a conditional
     put). Fences the double-compaction race: without it two sweeps can
     both stage, both commit, and both roll forward over the same input
     files — every row silently duplicated. A crashed holder's lock is
-    broken only once BOTH the lock file and its transaction's staging
-    tree have been idle for ``stale_after_s`` (the staging tree is where
-    a live pre-commit writer shows a heartbeat)."""
+    broken via :func:`_break_if_stale` (serialized, re-verified)."""
     import json
     import time
 
@@ -147,20 +224,8 @@ def _acquire_lock(partition_dir: str, txid: str, stale_after_s: float) -> None:
                 os.close(fd)
             return
         except FileExistsError:
-            holder_txid = None
-            import contextlib
-
-            with contextlib.suppress(OSError, ValueError):
-                with open(path) as f:
-                    holder_txid = json.load(f).get("txid")
-            newest = _newest_mtime(path)
-            if holder_txid:
-                newest = max(
-                    newest, _newest_mtime(_staging_path(partition_dir, holder_txid))
-                )
-            if newest > 0 and time.time() - newest >= stale_after_s:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(path)
+            broken, holder_txid = _break_if_stale(partition_dir, stale_after_s)
+            if broken:
                 continue
             raise RuntimeError(
                 f"compaction of {partition_dir} already in progress "
@@ -321,24 +386,9 @@ def recover_compaction(
                 shutil.rmtree(stale, ignore_errors=True)
                 action = "rolled_back"
         # a pre-commit crash also strands the lock; break it by the same
-        # combined staleness rule _acquire_lock uses
-        lock = _lock_path(partition_dir)
-        if os.path.exists(lock):
-            import json as _json
-            import time as _time
-
-            holder = None
-            with contextlib.suppress(OSError, ValueError):
-                with open(lock) as f:
-                    holder = _json.load(f).get("txid")
-            newest = _newest_mtime(lock)
-            if holder:
-                newest = max(
-                    newest, _newest_mtime(_staging_path(partition_dir, holder))
-                )
-            if newest > 0 and _time.time() - newest >= stale_after_s:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(lock)
+        # serialized, re-verified staleness rule _acquire_lock uses
+        if os.path.exists(_lock_path(partition_dir)):
+            _break_if_stale(partition_dir, stale_after_s)
     return action
 
 

@@ -42,21 +42,29 @@ def salted_agg(
     groupBy (tested), with the first shuffle's key cardinality
     multiplied by salt_n so no reducer owns a whole hot key.
 
-    The salt is a DETERMINISTIC function of the row (hash of every
-    aggregated input column), never ``rand()``: a random salt is a
-    nondeterministic shuffle key, and a fetch-failure map-stage retry
-    would re-salt rows differently — reducers that committed partials
-    from the first attempt then double-count (or drop) rows silently.
-    Hashing the value columns also spreads a hot key's rows because hot
-    keys are hot across many distinct values; identical rows land on
-    one salt, which is correct (they aggregate the same either way).
+    The salt is a DETERMINISTIC function of (map partition, row), never
+    ``rand()``: a random salt is a nondeterministic shuffle key, and a
+    fetch-failure map-stage retry would re-salt rows differently —
+    reducers that committed partials from the first attempt then
+    double-count (or drop) rows silently. ``spark_partition_id()`` is
+    retry-deterministic (the same map partition recomputes with the
+    same id) and spreads a hot key across as many salts as the input
+    partitions holding it, independent of value cardinality — hashing
+    the aggregated columns ALONE collapses to a handful of salts when a
+    hot key's values are low-cardinality (e.g. a 0/1 flag under count),
+    silently defeating the mitigation. The value-column hash is mixed
+    in on top so a single giant input partition still fans out.
     """
     for func, _ in aggs.values():
         if func not in _PARTIAL:
             raise ValueError(f"salted_agg: non-algebraic func {func!r}")
     in_cols = sorted({col for _, col in aggs.values()})
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in in_cols]), salt_n)
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), *[F.col(c) for c in in_cols]),
+            salt_n,
+        ),
     )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[

@@ -555,9 +555,12 @@ def _fold_scalar(op: str, a: float, b: float) -> float:
         return math.nan if a == 0.0 else math.copysign(math.inf, a)
     if op == "%" and b == 0.0:
         return math.nan
+    # '%' is Go math.Mod (sign follows the DIVIDEND) in PromQL — like
+    # Spark's vector-side '%' and C fmod, unlike Python's operator.mod
+    # whose result sign follows the divisor: (-5) % 3 must be -2, not 1
     table = {
         "+": _op.add, "-": _op.sub, "*": _op.mul, "/": _op.truediv,
-        "%": _op.mod, ">": _op.gt, ">=": _op.ge, "<": _op.lt,
+        "%": math.fmod, ">": _op.gt, ">=": _op.ge, "<": _op.lt,
         "<=": _op.le, "==": _op.eq, "!=": _op.ne,
     }
     out = table[op](a, b)

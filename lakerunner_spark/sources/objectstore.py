@@ -59,6 +59,7 @@ def configure_s3a(
     endpoint: str | None = None,
     path_style_access: bool = False,
     extra: dict[str, str] | None = None,
+    skipped_out: list[str] | None = None,
 ) -> SparkSession:
     """Apply s3a settings to a live session (hadoopConfiguration is
     mutable at runtime; the spark.sql.* committer settings must be set
@@ -71,11 +72,13 @@ def configure_s3a(
     The committer spark.sql.* settings validate their class at set time,
     so they only take effect where the ``spark-hadoop-cloud`` jar is on
     the classpath (any real S3-capable cluster); elsewhere — like this
-    sandbox — they are skipped, recorded on the returned session as
-    ``configure_s3a.skipped`` for callers that want to assert.
+    sandbox — they are skipped, appended to the caller-owned
+    ``skipped_out`` list for callers that want to assert (a caller-owned
+    list, not a function attribute, so concurrent configurations can't
+    clobber each other's reports).
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    skipped: list[str] = []
+    skipped: list[str] = skipped_out if skipped_out is not None else []
     for k, v in {**S3A_DEFAULTS, **(extra or {})}.items():
         if k.startswith("spark.hadoop."):
             hconf.set(k[len("spark.hadoop."):], v)
@@ -88,5 +91,4 @@ def configure_s3a(
         hconf.set("fs.s3a.endpoint", endpoint)
     if path_style_access:
         hconf.set("fs.s3a.path.style.access", "true")
-    configure_s3a.skipped = skipped
     return spark

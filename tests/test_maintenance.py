@@ -4,6 +4,7 @@ retention sweeps exactly the expired dateint partitions."""
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -269,6 +270,40 @@ def test_lock_blocks_concurrent_compaction(spark, sf_dir, tmp_path):
     assert not os.path.exists(_lock_path(part))  # released on success
 
 
+def test_stale_lock_break_is_serialized(spark, sf_dir, tmp_path):
+    """Breaking a stale lock goes through a break mutex: while one
+    sweep is mid-break, a second sweep must NOT remove the lock (the
+    check-then-remove race would let it delete the winner's FRESH lock
+    and double-compact). A crashed breaker's old mutex is cleared."""
+    from lakerunner_spark.maintenance.compaction import (
+        _acquire_lock,
+        _break_if_stale,
+        _lock_path,
+    )
+
+    part, _ = _fragmented_partition(spark, sf_dir, tmp_path, "brk")
+    _acquire_lock(part, "deadbeef", 3600)
+    lock = _lock_path(part)
+
+    # a fresh lock is never broken
+    broken, holder = _break_if_stale(part, stale_after_s=3600)
+    assert (broken, holder) == (False, "deadbeef") and os.path.exists(lock)
+
+    # an in-flight break (fresh mutex) blocks other breakers even when
+    # the lock itself is judged stale
+    bpath = lock + ".break"
+    open(bpath, "w").close()
+    broken, _ = _break_if_stale(part, stale_after_s=0)
+    assert not broken and os.path.exists(lock)
+    # a crashed breaker's mutex (older than the mutex window) is cleared
+    # and the stale lock then breaks
+    old = time.time() - 3600
+    os.utime(bpath, (old, old))
+    broken, holder = _break_if_stale(part, stale_after_s=0)
+    assert broken and holder == "deadbeef"
+    assert not os.path.exists(lock) and not os.path.exists(bpath)
+
+
 def test_rollback_never_touches_sibling_partition_staging(spark, sf_dir, tmp_path):
     """Partition basenames where one is an underscore-suffix of another
     (`type=a` vs `sub_type=a`): recovery of one must never delete the
@@ -319,9 +354,10 @@ def test_damaged_partition_does_not_block_sweep(spark, sf_dir, tmp_path):
             "old_files": [],
         },
     )
-    tasks = plan_table_compaction(table)
+    damaged: list = []
+    tasks = plan_table_compaction(table, damaged_out=damaged)
     assert [t["dir"] for t in tasks] == [part_ok]
-    assert [d for d, _ in plan_table_compaction.damaged] == [part_bad]
+    assert [d for d, _ in damaged] == [part_bad]
     with _pytest.raises(RuntimeError, match="manual compaction repair"):
         plan_table_compaction(table, strict=True)
 

@@ -252,6 +252,23 @@ def test_wav_roundtrip_and_features():
         decode_wav(b"RIFFxxxxNOPE")
 
 
+def test_wav_truncated_data_chunk_raises():
+    """A data chunk whose declared length overruns the payload is a
+    cut-off upload: it must raise, not silently decode the prefix into
+    wrong duration/rms/zcr features."""
+    import pytest as _pytest
+
+    from lakerunner_spark.dataops.multimodal import decode_wav, encode_wav
+
+    wav = encode_wav(16000, list(range(-100, 100)))
+    truncated = wav[: len(wav) - 37]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(truncated)
+    # a short fmt chunk is equally malformed
+    with _pytest.raises(ValueError, match="truncated|short fmt"):
+        decode_wav(wav[:20])
+
+
 def test_png_native_resize_nearest_neighbor():
     from lakerunner_spark.dataops.multimodal import (
         decode_png,

@@ -125,6 +125,17 @@ def test_fold_scalar_division_by_zero():
     assert math.isnan(_fold_scalar("%", 5.0, 0.0))
 
 
+def test_fold_scalar_mod_sign_follows_dividend():
+    """PromQL '%' is Go math.Mod: the result's sign follows the
+    DIVIDEND (like Spark's vector-side '%'), not the divisor as
+    Python's operator.mod would give."""
+    from lakerunner_spark.promql.compiler import _fold_scalar
+
+    assert _fold_scalar("%", -5.0, 3.0) == -2.0
+    assert _fold_scalar("%", 5.0, -3.0) == 2.0
+    assert _fold_scalar("%", 5.0, 3.0) == 2.0
+
+
 def test_bytes_over_time_counts_bytes(spark):
     """bytes_* must count UTF-8 bytes, not characters (Loki len(line))."""
     from lakerunner_spark.logql.compiler import LogSource, compile_logql

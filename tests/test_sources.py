@@ -192,7 +192,13 @@ def test_write_segments_layout(spark, tmp_path, sf_dir):
 def test_configure_s3a_sets_hadoop_and_sql_conf(spark):
     from lakerunner_spark.sources.objectstore import configure_s3a
 
-    configure_s3a(spark, endpoint="http://minio:9000", path_style_access=True)
+    skipped: list = []
+    configure_s3a(
+        spark,
+        endpoint="http://minio:9000",
+        path_style_access=True,
+        skipped_out=skipped,
+    )
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.committer.name") == "magic"
     assert hconf.get("fs.s3a.endpoint") == "http://minio:9000"
@@ -200,5 +206,5 @@ def test_configure_s3a_sets_hadoop_and_sql_conf(spark):
     assert hconf.get("fs.s3a.experimental.input.fadvise") == "random"
     # committer classes need the spark-hadoop-cloud jar; in this sandbox
     # they must be skipped (not raise), and recorded
-    for k in configure_s3a.skipped:
+    for k in skipped:
         assert k.startswith("spark.sql.")
