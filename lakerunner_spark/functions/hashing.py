@@ -151,11 +151,112 @@ def java_string_hash(col: Column | str) -> Column:
     return F.when(c.isNotNull(), signed)
 
 
-def compute_tid(metric_name: Column | str, *attr_cols: str) -> Column:
+# ---------------------------------------------------------------------------
+# Vectorized fast path (bulk ingest)
+#
+# The SQL-expression folds above are pure-JVM but run as higher-order
+# functions (transform/aggregate), which are CodegenFallback: every
+# byte-step is an interpreted expression-tree walk. Measured on this
+# box (local[32], 1M rows of ~30-byte strings): expression fnv64a
+# ~0.11M rows/s TOTAL (~3.5k rows/s/core); the numpy kernel below does
+# ~0.7M rows/s on ONE core (~200x/core), Arrow-batched. Bulk ingest
+# (translate_metrics/translate_logs) uses the fast path; the expression
+# versions remain as the zero-Python option and the DuckDB-oracle twin
+# (both produce identical bits — property-tested in test_hashing).
+# ---------------------------------------------------------------------------
+
+
+def _ragged_bytes(series, dtype):
+    """(lens, offsets, flat) view of a pandas Series of bytes objects."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    lens = np.fromiter((len(b) for b in vals), dtype=np.int64, count=len(vals))
+    total = b"".join(vals)
+    flat = np.frombuffer(total, dtype=dtype)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(vals) else lens
+    return lens, offs, flat
+
+
+def fnv64a_batch(s):
+    """Vectorized fnv64a over a pandas Series of strings -> nullable
+    Int64 Series (NULL in = NULL out, same as the expression). The fold
+    is position-parallel: one masked (xor, mul) over every still-active
+    row per byte position, wrapping in uint64."""
+    import numpy as np
+    import pandas as pd
+
+    mask = s.isna()
+    b = s.fillna("").str.encode("utf-8")
+    n = len(b)
+    out = np.full(n, _FNV64_OFFSET, dtype=np.uint64)
+    if n:
+        lens, offs, flat = _ragged_bytes(b, np.uint8)
+        prime = np.uint64(_FNV64_PRIME)
+        with np.errstate(over="ignore"):
+            for j in range(int(lens.max()) if len(lens) else 0):
+                active = lens > j
+                pos = offs[active] + j
+                out[active] = (out[active] ^ flat[pos].astype(np.uint64)) * prime
+    res = pd.Series(out.view(np.int64), index=s.index, dtype="Int64")
+    res[mask] = pd.NA
+    return res
+
+
+def java_string_hash_batch(s):
+    """Vectorized Java String.hashCode over a pandas Series of strings
+    -> nullable Int64 (UTF-16BE code units, 31*h + u, 32-bit wrap,
+    sign-extended) — same bits as :func:`java_string_hash`."""
+    import numpy as np
+    import pandas as pd
+
+    mask = s.isna()
+    b = s.fillna("").str.encode("utf-16-be")
+    n = len(b)
+    out = np.zeros(n, dtype=np.uint32)
+    if n:
+        lens, offs, flat = _ragged_bytes(b, ">u2")
+        lens //= 2
+        offs //= 2
+        t31 = np.uint32(31)
+        with np.errstate(over="ignore"):
+            for j in range(int(lens.max()) if len(lens) else 0):
+                active = lens > j
+                pos = offs[active] + j
+                out[active] = out[active] * t31 + flat[pos].astype(np.uint32)
+    res = pd.Series(
+        out.view(np.int32).astype(np.int64), index=s.index, dtype="Int64"
+    )
+    res[mask] = pd.NA
+    return res
+
+
+def _make_fast_udf(kernel):
+    from pyspark.sql.types import LongType
+
+    return F.pandas_udf(kernel, LongType())
+
+
+def fnv64a_fast(col: Column | str) -> Column:
+    """Arrow-batched vectorized fnv64a — identical bits to
+    :func:`fnv64a`, ~200x the per-core throughput (see module note)."""
+    return _make_fast_udf(fnv64a_batch)(_as_expr(col).cast("string"))
+
+
+def java_string_hash_fast(col: Column | str) -> Column:
+    """Arrow-batched vectorized Java string hash — identical bits to
+    :func:`java_string_hash`."""
+    return _make_fast_udf(java_string_hash_batch)(_as_expr(col).cast("string"))
+
+
+def compute_tid(
+    metric_name: Column | str, *attr_cols: str, fast: bool = False
+) -> Column:
     """TID for a series: fnv64a over 'metric_name=<v>' + sorted 'attr=<v>'.
 
     Mirrors tid.go:69-117 — keys sorted lexicographically, null/empty
-    attributes skipped, pairs joined with '|'.
+    attributes skipped, pairs joined with '|'. ``fast=True`` hashes via
+    the vectorized Arrow kernel (same bits; use for bulk ingest).
     """
     name_col = F.col(metric_name) if isinstance(metric_name, str) else metric_name
     parts = [F.concat(F.lit("metric_name="), name_col)]
@@ -167,7 +268,7 @@ def compute_tid(metric_name: Column | str, *attr_cols: str) -> Column:
             )
         )
     joined = F.concat_ws("|", *parts)
-    return fnv64a(joined)
+    return fnv64a_fast(joined) if fast else fnv64a(joined)
 
 
 def fnv64a_sql(s_sql: str) -> str:

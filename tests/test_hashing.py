@@ -121,3 +121,72 @@ def test_hash_expressions_fuzz_batch(spark):
     for r in rows:
         assert r.f == fnv64a_py(r.s), repr(r.s)
         assert r.j == java_string_hash_py(r.s), repr(r.s)
+
+
+def test_fast_kernels_match_expressions(spark):
+    """The vectorized Arrow kernels (bulk-ingest fast path) must produce
+    the SAME bits as the SQL expressions and the Python goldens — fuzz
+    over mixed scripts, empty strings, and NULLs, plus the pandas-level
+    batch kernels directly."""
+    import random
+
+    import pandas as pd
+
+    from lakerunner_spark.functions.hashing import (
+        fnv64a,
+        fnv64a_batch,
+        fnv64a_fast,
+        java_string_hash,
+        java_string_hash_batch,
+        java_string_hash_fast,
+    )
+
+    rng = random.Random(99)
+    pools = [
+        lambda: chr(rng.randrange(32, 127)),
+        lambda: chr(rng.randrange(0xA0, 0x250)),
+        lambda: chr(rng.randrange(0x4E00, 0x9FFF)),
+        lambda: chr(rng.randrange(0x1F300, 0x1F700)),  # astral -> surrogates
+    ]
+    cases: list[str | None] = [
+        "".join(rng.choice(pools)() for _ in range(rng.randrange(0, 120)))
+        for _ in range(150)
+    ]
+    cases += ["", None, "a", "metric_name=x|user_id=42"]
+
+    # pandas-level kernels vs Python goldens (incl. null propagation)
+    ser = pd.Series(cases, dtype="object")
+    fb, jb = fnv64a_batch(ser), java_string_hash_batch(ser)
+    for i, s in enumerate(cases):
+        if s is None:
+            assert fb[i] is pd.NA and jb[i] is pd.NA
+        else:
+            assert fb[i] == fnv64a_py(s), repr(s)
+            assert jb[i] == java_string_hash_py(s), repr(s)
+
+    # Spark-level: fast UDF vs expression, one job
+    df = spark.createDataFrame([(s,) for s in cases], ["s"])
+    rows = df.select(
+        fnv64a("s").alias("fe"),
+        fnv64a_fast("s").alias("ff"),
+        java_string_hash("s").alias("je"),
+        java_string_hash_fast("s").alias("jf"),
+    ).collect()
+    for r in rows:
+        assert r.fe == r.ff
+        assert r.je == r.jf
+
+
+def test_compute_tid_fast_matches_slow(spark):
+    from lakerunner_spark.functions.hashing import compute_tid
+
+    df = spark.createDataFrame(
+        [("m1", "u1"), ("m2", None), ("m3", ""), (None, "u4")],
+        ["metric_name", "user_id"],
+    )
+    rows = df.select(
+        compute_tid("metric_name", "user_id").alias("slow"),
+        compute_tid("metric_name", "user_id", fast=True).alias("fast"),
+    ).collect()
+    for r in rows:
+        assert r.slow == r.fast
