@@ -76,14 +76,57 @@ def _small_star(d: DataFrame) -> DataFrame:
     )
 
 
+# Below this many distinct edges the transitive closure is solved with
+# exact union-find on the driver (one collect, ~tens of MB) instead of
+# O(log^2 n) distributed rounds, each of which costs 2-3 shuffles plus
+# a materialization barrier. The EDGE table here is pairs that survived
+# candidate generation + verification — orders of magnitude smaller
+# than the corpus — so even 100 TB corpora often land under this. The
+# distributed star rounds remain the path for genuinely huge pair sets.
+LOCAL_EDGE_THRESHOLD = 500_000
+
+
+def _local_components(edge_rows) -> list[tuple]:
+    """Exact union-find (path compression; roots keep the minimum id).
+
+    Same semantics as the star fixed point: every node labels with the
+    min reachable id. Comparison is the ids' natural Python ordering,
+    matching greatest/least in the distributed path for both numeric
+    and string ids."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for u, v in edge_rows:
+        nodes.add(u)
+        nodes.add(v)
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if rv < ru:
+            ru, rv = rv, ru
+        parent[rv] = ru  # smaller id becomes the root
+    return [(x, find(x)) for x in sorted(nodes)]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
-    reachable node id. Alternating star algorithm — pure DataFrame ops,
+    reachable node id. Small edge sets (post-verify pair tables are
+    tiny relative to the corpus) solve exactly on the driver; larger
+    ones run the alternating star algorithm — pure DataFrame ops,
     O(log^2 n) rounds (see module docstring).
     """
     # Eager localCheckpoint cuts the (possibly enormous) candidate-pair
@@ -95,6 +138,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if e.count() <= local_threshold:
+        from pyspark.sql import types as T
+
+        rows = [(r["u"], r["v"]) for r in e.collect()]
+        schema = T.StructType(
+            [
+                T.StructField("node", e.schema["u"].dataType),
+                T.StructField("component", e.schema["v"].dataType),
+            ]
+        )
+        return e.sparkSession.createDataFrame(_local_components(rows), schema)
     # Decimal sums so huge id spaces can't wrap 64-bit arithmetic into a
     # false signature match.
     sig_aggs = [

@@ -306,4 +306,36 @@ def test_connected_components_raises_without_convergence(spark):
 
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="no fixed point"):
-        connected_components(edges, max_rounds=0)
+        connected_components(edges, max_rounds=0, local_threshold=0)
+
+
+def test_connected_components_local_and_distributed_agree(spark):
+    """The driver-side union-find fast path and the distributed star
+    rounds must produce identical labelings — random graph with chains,
+    cliques, and singleton-free edge soup."""
+    import random
+
+    from lakerunner_spark.dataops.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 140)]          # long chain
+    edges += [(rng.randrange(50), rng.randrange(50)) for _ in range(80)]
+    edges += [(200, 201), (201, 202), (202, 200)]          # cycle
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], ["src", "dst"]
+    )
+    local = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist and local
+    # every component label is the min of its member set
+    by_comp: dict = {}
+    for n, c in local:
+        by_comp.setdefault(c, set()).add(n)
+    for c, members in by_comp.items():
+        assert c == min(members | {c})
