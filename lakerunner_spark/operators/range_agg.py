@@ -39,7 +39,29 @@ RANGE_FUNCS = [
     "max_over_time",
     "last_over_time",
     "rate_counter",
+    # extensions beyond the reference (which stops at the list above):
+    # classic PromQL gauge/counter analytics over the per-step values
+    # (the bucket average, consistent with last_over_time's bucket-avg
+    # convention). All stay declarative window expressions.
+    "delta",
+    "deriv",
+    "predict_linear",
+    "resets",
+    "changes",
+    "stddev_over_time",
+    "stdvar_over_time",
 ]
+
+# extensions computed from per-step values (need the _avg/_flag helpers)
+_STEP_VALUE_FUNCS = {
+    "delta",
+    "deriv",
+    "predict_linear",
+    "resets",
+    "changes",
+    "stddev_over_time",
+    "stdvar_over_time",
+}
 
 
 def range_agg(
@@ -49,11 +71,14 @@ def range_agg(
     step_ms: int,
     series_labels: list[str],
     coverage_gate: bool = True,
+    param: float | None = None,
 ) -> DataFrame:
     """Apply a PromQL range function over step_agg output.
 
     Input df columns: bucket_ts, *series_labels, sum, count, min, max.
-    Output: bucket_ts, *series_labels, value.
+    Output: bucket_ts, *series_labels, value. ``param`` is the extra
+    scalar of parameterized functions (predict_linear's horizon, in
+    seconds).
     """
     w = (
         Window.partitionBy(*series_labels)
@@ -65,6 +90,11 @@ def range_agg(
     range_sec = range_ms / 1000.0
     wsum = F.sum("sum").over(w)
     wcount = F.sum("count").over(w)
+
+    if func in _STEP_VALUE_FUNCS:
+        return _step_value_range_agg(
+            df, func, range_ms, step_ms, series_labels, coverage_gate, param
+        )
 
     if func == "rate":
         value: Column = wsum / F.lit(range_sec)
@@ -124,6 +154,107 @@ def range_agg(
         covered = (F.col("bucket_ts") - first_bucket) >= F.lit(range_ms - step_ms)
         out = out.withColumn("value", F.when(covered, F.col("value")))
 
+    return out.select("bucket_ts", *series_labels, "value")
+
+
+def _step_value_range_agg(
+    df: DataFrame,
+    func: str,
+    range_ms: int,
+    step_ms: int,
+    series_labels: list[str],
+    coverage_gate: bool,
+    param: float | None,
+) -> DataFrame:
+    """Extension range functions over the per-step series values.
+
+    The "sample" here is each step bucket's average (sum/count) — the
+    same per-step value convention last_over_time already uses — so
+    every function is a plain window expression over the aggregated
+    series, never a raw-sample array:
+
+    - delta: current step value minus the first value in the window
+      (gauge difference; no extrapolation — the window endpoints ARE
+      step boundaries here).
+    - deriv / predict_linear: least-squares slope over (t, value)
+      points in the window; predict_linear extrapolates
+      ``param`` seconds past the current step. The time axis is
+      re-based to the series' first bucket BEFORE squaring —
+      epoch-millisecond x values make n*Σx² - (Σx)² cancel
+      catastrophically in doubles (x² ~ 3e18, true denominator ~ 1e5);
+      translation doesn't change the slope but keeps every
+      intermediate exactly representable.
+    - resets / changes: count of adjacent-pair decreases / differences
+      inside the window. Per-row flags compare each bucket to its
+      predecessor; the frame sum minus the frame's FIRST flag drops
+      exactly the one pair that reaches outside the window.
+    - stddev/stdvar_over_time: population variance of the step values
+      via windowed Σy and Σy² (small magnitudes — no cancellation
+      hazard at telemetry scales).
+    """
+    w = (
+        Window.partitionBy(*series_labels)
+        .orderBy(F.col("bucket_ts"))
+        .rangeBetween(-(range_ms - step_ms), 0)
+    )
+    wfull = Window.partitionBy(*series_labels).orderBy(F.col("bucket_ts"))
+    wseries = (
+        Window.partitionBy(*series_labels)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    out = df.withColumn("_avg", F.col("sum") / F.col("count"))
+    y = F.col("_avg")
+
+    if func == "delta":
+        value: Column = y - F.first("_avg").over(w)
+    elif func in ("deriv", "predict_linear"):
+        series_t0 = F.min("bucket_ts").over(wseries)
+        out = out.withColumn("_x", (F.col("bucket_ts") - series_t0) / 1000.0)
+        x = F.col("_x")
+        n = F.count("_avg").over(w).cast("double")
+        sx = F.sum(x).over(w)
+        sy = F.sum(y).over(w)
+        sxy = F.sum(x * y).over(w)
+        sxx = F.sum(x * x).over(w)
+        den = n * sxx - sx * sx
+        slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+        if func == "deriv":
+            value = slope
+        else:
+            horizon = float(param if param is not None else 0.0)
+            value = sy / n + slope * (x + F.lit(horizon) - sx / n)
+    elif func in ("resets", "changes"):
+        # compare step values rounded to 6 decimals: the bucket sums
+        # underneath are float reductions whose order is not fixed
+        # (hash-agg partials), so exact </!= on them is run-to-run and
+        # engine-to-engine unstable exactly at ties — the rounded
+        # comparison is the defined (portable) semantics
+        from lakerunner_spark.functions.rounding import portable_round
+
+        yr = portable_round(y, 6)
+        prev = F.lag(yr).over(wfull)
+        cmp = (yr < prev) if func == "resets" else (yr != prev)
+        out = out.withColumn(
+            "_flag", F.coalesce(cmp.cast("long"), F.lit(0))
+        )
+        value = (
+            F.sum("_flag").over(w) - F.first("_flag").over(w)
+        ).cast("double")
+    else:  # stddev_over_time / stdvar_over_time
+        n = F.count("_avg").over(w).cast("double")
+        mean = F.sum(y).over(w) / n
+        var = F.sum(y * y).over(w) / n - mean * mean
+        # fp cancellation can land epsilon-negative for constant series
+        var = F.greatest(var, F.lit(0.0))
+        value = F.sqrt(var) if func == "stddev_over_time" else var
+
+    out = out.withColumn("value", value)
+    if coverage_gate:
+        first_bucket = F.min("bucket_ts").over(wseries)
+        covered = (F.col("bucket_ts") - first_bucket) >= F.lit(range_ms - step_ms)
+        out = out.withColumn("value", F.when(covered, F.col("value")))
     return out.select("bucket_ts", *series_labels, "value")
 
 

@@ -236,7 +236,7 @@ class _Compiler:
             # series cadence and widens eviction/coverage accordingly
             r = range_agg_sparse(s, fn, sel.range_ms, self.step, src.labels)
         else:
-            r = range_agg(s, fn, sel.range_ms, self.step, src.labels)
+            r = range_agg(s, fn, sel.range_ms, self.step, src.labels, param=q)
         return _Vec(r, src.labels)
 
     def _quantile_over_time(
@@ -322,6 +322,13 @@ class _Compiler:
                 if not isinstance(qv, ast.Num) or not isinstance(sel, ast.Selector):
                     raise ValueError("promql: quantile_over_time(q, selector[range])")
                 return self._leaf_range(fn, sel, qv.value)
+            if fn == "predict_linear":
+                # predict_linear(selector[range], t_seconds) — horizon
+                # is the SECOND argument (unlike quantile_over_time)
+                sel, tv = node.args
+                if not isinstance(tv, ast.Num) or not isinstance(sel, ast.Selector):
+                    raise ValueError("promql: predict_linear(selector[range], t)")
+                return self._leaf_range(fn, sel, tv.value)
             if fn == "median_over_time":
                 # Extension beyond the reference (its rewriter marks
                 # median_over_time unsupported); delegates to

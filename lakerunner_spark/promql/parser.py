@@ -80,6 +80,11 @@ RANGE_FUNCS = {
     "sum_over_time", "count_over_time", "avg_over_time",
     "min_over_time", "max_over_time", "last_over_time",
     "quantile_over_time", "median_over_time",
+    # extensions beyond the reference parser (promql/parser.go:362
+    # stops at the list above): classic PromQL analytics over the
+    # per-step values — see operators/range_agg.py
+    "delta", "deriv", "predict_linear", "resets", "changes",
+    "stddev_over_time", "stdvar_over_time",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}

@@ -829,3 +829,45 @@ def pqs18_quantile_sketch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         60_000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs20_predict_linear",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, sum(value) AS s, count(value) AS c
+      FROM {_E} e WHERE event_type = 'purchase' GROUP BY 1, 2, 3
+    ),
+    b3 AS (SELECT bucket_ts, event_type, user_id,
+                  (bucket_ts - min(bucket_ts) OVER
+                     (PARTITION BY event_type, user_id)) / 1000.0 AS x,
+                  s / c AS y,
+                  min(bucket_ts) OVER (PARTITION BY event_type, user_id) AS t0
+           FROM base),
+    wd AS (SELECT bucket_ts, event_type, user_id, x, t0,
+                  CAST(count(*) OVER w AS DOUBLE) AS n,
+                  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                  sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+           FROM b3
+           WINDOW w AS (PARTITION BY event_type, user_id ORDER BY bucket_ts
+                        RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW))
+    SELECT bucket_ts, event_type, user_id,
+           CASE WHEN bucket_ts - t0 >= 540000 THEN
+             pround(CASE WHEN n * sxx - sx * sx != 0
+                         THEN sy / n + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                              * (x + 600 - sx / n) END, 6)
+           END AS value
+    FROM wd
+    """,
+)
+def pqs20_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear through the PromQL front end (extension function:
+    parser + compiler route the horizon argument into the windowed
+    least-squares expressions — operators/range_agg.py)."""
+    df = _pq(
+        spark, sf_dir,
+        'predict_linear(events{event_type="purchase"}[10m], 600)',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))

@@ -189,3 +189,190 @@ def a9_sparse_sum_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = step_agg_raw(e, 30_000, ["event_type"])
     out = range_agg_sparse(s, "sum_over_time", 60_000, 10_000, ["event_type"])
     return out.withColumn("value", _pr("value", 4))
+
+
+# ---------------------------------------------------------------------------
+# Extension range functions (beyond the reference's list): classic
+# PromQL analytics over the per-step values. Engine: the same
+# declarative window frame as every A9 function (operators/range_agg.py
+# _step_value_range_agg); oracles mirror the formulas term for term.
+# ---------------------------------------------------------------------------
+
+_B2 = """
+  b2 AS (SELECT bucket_ts, event_type, s / c AS y,
+                min(bucket_ts) OVER (PARTITION BY event_type) AS t0
+         FROM base)
+"""
+
+
+def _ranged_ext(
+    spark: SparkSession, sf_dir: str, fn: str, param: float | None = None
+) -> DataFrame:
+    e = events_stream(spark, sf_dir)
+    s = step_agg_raw(e, 60_000, ["event_type"])
+    return range_agg(s, fn, 300_000, 60_000, ["event_type"], param=param)
+
+
+@register(
+    "a9x_delta",
+    f"""
+    WITH base AS ({_BASE}), {_B2}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             pround(y - first_value(y) OVER w, 6) END AS value
+    FROM b2 {_W}
+    """,
+)
+def a9x_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta (extension): current step value minus the first value in
+    the window — gauge difference over per-step averages."""
+    return _ranged_ext(spark, sf_dir, "delta").withColumn("value", _pr("value", 6))
+
+
+_DERIV_WD = f"""
+    base AS ({_BASE}),
+    b3 AS (SELECT bucket_ts, event_type,
+                  (bucket_ts - min(bucket_ts) OVER (PARTITION BY event_type))
+                    / 1000.0 AS x,
+                  s / c AS y,
+                  min(bucket_ts) OVER (PARTITION BY event_type) AS t0
+           FROM base),
+    wd AS (SELECT bucket_ts, event_type, x, t0,
+                  CAST(count(*) OVER w AS DOUBLE) AS n,
+                  sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                  sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+           FROM b3 {_W})
+"""
+
+
+@register(
+    "a9x_deriv",
+    f"""
+    WITH {_DERIV_WD}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             pround(CASE WHEN n * sxx - sx * sx != 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+           END AS value
+    FROM wd
+    """,
+)
+def a9x_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deriv (extension): least-squares slope of the per-step values,
+    time axis re-based per series before squaring (see range_agg)."""
+    return _ranged_ext(spark, sf_dir, "deriv").withColumn("value", _pr("value", 6))
+
+
+@register(
+    "a9x_predict_linear",
+    f"""
+    WITH {_DERIV_WD}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             pround(CASE WHEN n * sxx - sx * sx != 0
+                         THEN sy / n + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                              * (x + 600 - sx / n) END, 6)
+           END AS value
+    FROM wd
+    """,
+)
+def a9x_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_linear (extension): regression line extrapolated 600 s
+    past the current step."""
+    return _ranged_ext(spark, sf_dir, "predict_linear", param=600.0).withColumn(
+        "value", _pr("value", 6)
+    )
+
+
+_FLAGGED = """
+  b2 AS (SELECT bucket_ts, event_type, pround(s / c, 6) AS y,
+                min(bucket_ts) OVER (PARTITION BY event_type) AS t0
+         FROM base),
+  fl AS (SELECT bucket_ts, event_type, t0,
+                coalesce(CAST({cmp} AS BIGINT), 0) AS flag
+         FROM (SELECT *, lag(y) OVER (PARTITION BY event_type
+                                      ORDER BY bucket_ts) AS prev
+               FROM b2))
+"""
+
+
+@register(
+    "a9x_resets",
+    f"""
+    WITH base AS ({_BASE}),
+    {_FLAGGED.format(cmp="y < prev")}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             CAST(sum(flag) OVER w - first_value(flag) OVER w AS DOUBLE)
+           END AS value
+    FROM fl {_W}
+    """,
+)
+def a9x_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resets (extension): adjacent-pair decreases inside the window
+    (frame sum minus the frame's first flag drops the one pair that
+    reaches outside). Step values compared after 6-decimal rounding —
+    the defined portable semantics (see range_agg)."""
+    return _ranged_ext(spark, sf_dir, "resets")
+
+
+@register(
+    "a9x_changes",
+    f"""
+    WITH base AS ({_BASE}),
+    {_FLAGGED.format(cmp="y != prev")}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             CAST(sum(flag) OVER w - first_value(flag) OVER w AS DOUBLE)
+           END AS value
+    FROM fl {_W}
+    """,
+)
+def a9x_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes (extension): adjacent-pair value changes inside the
+    window, same rounded-comparison semantics as resets."""
+    return _ranged_ext(spark, sf_dir, "changes")
+
+
+@register(
+    "a9x_stddev_over_time",
+    f"""
+    WITH base AS ({_BASE}), {_B2}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             pround(sqrt(greatest(
+               sum(y * y) OVER w / CAST(count(*) OVER w AS DOUBLE)
+               - (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE))
+                 * (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE)), 0.0)), 6)
+           END AS value
+    FROM b2 {_W}
+    """,
+)
+def a9x_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev_over_time (extension): population stddev of the per-step
+    values via windowed sum-of-squares."""
+    return _ranged_ext(spark, sf_dir, "stddev_over_time").withColumn(
+        "value", _pr("value", 6)
+    )
+
+
+@register(
+    "a9x_stdvar_over_time",
+    f"""
+    WITH base AS ({_BASE}), {_B2}
+    SELECT bucket_ts, event_type,
+           CASE WHEN bucket_ts - t0 >= 240000 THEN
+             pround(greatest(
+               sum(y * y) OVER w / CAST(count(*) OVER w AS DOUBLE)
+               - (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE))
+                 * (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE)), 0.0), 6)
+           END AS value
+    FROM b2 {_W}
+    """,
+)
+def a9x_stdvar_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stdvar_over_time (extension): population variance twin of
+    a9x_stddev_over_time."""
+    return _ranged_ext(spark, sf_dir, "stdvar_over_time").withColumn(
+        "value", _pr("value", 6)
+    )

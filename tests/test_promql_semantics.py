@@ -152,3 +152,66 @@ def test_bytes_over_time_counts_bytes(spark):
     ).collect()
     by_ts = {r["bucket_ts"]: r["value"] for r in out}
     assert by_ts[0] == 6.0  # "héllo" = 6 UTF-8 bytes, 5 chars
+
+
+def test_extension_range_funcs_on_synthetic_series(spark):
+    """deriv of an exact line recovers its slope; delta is last-first;
+    resets counts drops; predict_linear extrapolates the line; stddev
+    of a constant series is 0 (coverage-gated rows only)."""
+    from lakerunner_spark.operators.range_agg import range_agg
+
+    rows = []
+    for i in range(10):
+        ts = 1_000_000 + i * 60_000
+        rows.append((ts, "lin", float(2 * i), 1.0))      # y = 2*i
+        rows.append((ts, "const", 7.0, 1.0))
+        rows.append((ts, "saw", float(i % 3), 1.0))       # drops at i%3==0
+    df = spark.createDataFrame(
+        rows, ["bucket_ts", "series", "sum", "count"]
+    ).withColumn("min", F.col("sum")).withColumn("max", F.col("sum"))
+
+    def vals(fn, param=None):
+        out = range_agg(df, fn, 300_000, 60_000, ["series"], param=param)
+        return {
+            (r.series, r.bucket_ts): r.value
+            for r in out.collect()
+            if r.value is not None
+        }
+
+    last_ts = 1_000_000 + 9 * 60_000
+    d = vals("deriv")
+    assert abs(d[("lin", last_ts)] - 2 / 60.0) < 1e-12   # 2 per minute
+    assert abs(d[("const", last_ts)]) < 1e-12
+    dl = vals("delta")
+    assert dl[("lin", last_ts)] == 8.0                    # 18 - 10
+    assert dl[("const", last_ts)] == 0.0
+    pl = vals("predict_linear", param=600.0)
+    # line continues: value at t+600s = y_now + slope*600
+    assert abs(pl[("lin", last_ts)] - (18.0 + (2 / 60.0) * 600)) < 1e-9
+    rs = vals("resets")
+    # saw: 0,1,2,0,1,2,0,1,2,0 -> window of 5 ending at i=9 covers
+    # values 2,0,1,2,0: pairs (2,0),(0,1),(1,2),(2,0) -> two drops
+    assert rs[("saw", last_ts)] == 2.0
+    assert rs[("lin", last_ts)] == 0.0
+    ch = vals("changes")
+    assert ch[("const", last_ts)] == 0.0
+    assert ch[("lin", last_ts)] == 4.0
+    sd = vals("stddev_over_time")
+    assert sd[("const", last_ts)] == 0.0
+
+
+def test_predict_linear_parses_and_validates():
+    from lakerunner_spark.promql.parser import parse_promql
+
+    node = parse_promql('predict_linear(events{a="b"}[10m], 600)')
+    assert node.fn == "predict_linear"
+    import pytest
+
+    from lakerunner_spark.promql.compiler import MetricCatalog, compile_promql
+
+    with pytest.raises(ValueError, match="predict_linear"):
+        compile_promql(
+            "predict_linear(events[10m], events[5m])",
+            MetricCatalog({}),
+            60_000,
+        )
