@@ -151,6 +151,29 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
     return df, stream + [c for c in extracted if c not in stream]
 
 
+def compile_logql_lines(
+    query,
+    source: LogSource,
+    start_ms: int | None = None,
+    end_ms: int | None = None,
+) -> DataFrame:
+    """Line mode: the selector+pipeline applied with no ordering or
+    limit — the building block under exemplar mode, exposed for callers
+    that aggregate the parsed lines themselves."""
+    leaf = parse_logql(query) if isinstance(query, str) else query
+    if not isinstance(leaf, LogLeaf):
+        raise ValueError("logql: line mode takes a selector+pipeline query")
+    if leaf.range_ms is not None:
+        raise ValueError("logql: line query cannot have a [range]")
+    rows = source.df
+    if start_ms is not None:
+        rows = rows.filter(F.col(source.ts_col) >= start_ms)
+    if end_ms is not None:
+        rows = rows.filter(F.col(source.ts_col) < end_ms)
+    df, _labels = _apply_pipeline(rows, leaf, source)
+    return df
+
+
 def compile_logql_exemplar(
     query,
     source: LogSource,

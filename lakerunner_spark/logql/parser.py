@@ -358,6 +358,15 @@ class _Parser:
                 raise ValueError("logql: | regexp needs named capture groups")
             leaf.stages.append(RegexpStage(translated, groups))
             return
+        if t.text == "pattern":
+            tmpl = self.next()
+            if tmpl.kind != "STR":
+                raise ValueError("logql: | pattern takes a template string")
+            from lakerunner_spark.logql.stages import pattern_to_regex
+
+            translated, groups = pattern_to_regex(_unquote(tmpl.text))
+            leaf.stages.append(RegexpStage(translated, groups))
+            return
         if t.text == "decolorize":
             leaf.stages.append(DecolorizeStage())
             return

@@ -179,6 +179,69 @@ def regexp_parser(
     return out
 
 
+# regex metacharacters escaped identically in Java regex and RE2 —
+# pattern templates translate to the dialect-portable subset
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _escape_literal(lit: str) -> str:
+    return "".join("\\" + ch if ch in _REGEX_META else ch for ch in lit)
+
+
+import re as _re
+
+_PATTERN_CAP = _re.compile(r"<(_|[A-Za-z_][A-Za-z0-9_]*)>")
+
+
+def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
+    """Loki ``| pattern`` template -> (anchored regex, name -> group idx).
+
+    Extension beyond the reference's stage list (logql/parser.go:677
+    stops at regexp/json/logfmt/...): ``<name>`` captures the shortest
+    run up to the next literal (non-greedy), ``<_>`` skips one, and the
+    final capture — when the template ends with one — takes the line's
+    remainder. Literals must separate captures (adjacent captures are
+    ambiguous and rejected, as in Loki). The emitted regex uses only
+    the Java/RE2-portable subset, so the same string drives Spark's
+    regexp_extract and a DuckDB oracle."""
+    caps = list(_PATTERN_CAP.finditer(template))
+    if not caps:
+        raise ValueError("logql: | pattern needs at least one <capture>")
+    parts: list[str] = []
+    groups: dict[str, int] = {}
+    prev_end = 0
+    for m in caps:
+        if m.start() == prev_end and parts and parts[-1].endswith(")"):
+            raise ValueError(
+                "logql: | pattern captures must be separated by literals"
+            )
+        parts.append(_escape_literal(template[prev_end : m.start()]))
+        is_final = m.end() == len(template) and m is caps[-1]
+        body = ".*" if is_final else ".*?"
+        name = m.group(1)
+        if name == "_":
+            parts.append(f"(?:{body})")
+        else:
+            if name in groups:
+                raise ValueError(f"logql: | pattern duplicate capture <{name}>")
+            groups[name] = len(groups) + 1
+            parts.append(f"({body})")
+        prev_end = m.end()
+    parts.append(_escape_literal(template[prev_end:]))
+    if not groups:
+        raise ValueError("logql: | pattern needs at least one named <capture>")
+    return "^" + "".join(parts), groups
+
+
+def pattern_parser(
+    df: DataFrame, template: str, line_col: str = "log_message"
+) -> DataFrame:
+    """``| pattern "<a> - <b>"``: template captures -> columns, compiled
+    to the same regexp_extract plan as ``| regexp``."""
+    pattern, groups = pattern_to_regex(template)
+    return regexp_parser(df, pattern, groups, line_col=line_col)
+
+
 def label_format(df: DataFrame, out_col: str, expr: Column) -> DataFrame:
     """P10: label_format template compiled to a scalar Column expression."""
     return df.withColumn(out_col, expr)

@@ -871,3 +871,27 @@ def pqs20_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         60_000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "lqs12_pattern",
+    f"""
+    SELECT kv, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT regexp_extract(props, '^\\{{"k": (.*?)\\}}', 1) AS kv
+          FROM {_E} e WHERE event_type = 'error')
+    GROUP BY kv
+    """,
+)
+def lqs12_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``| pattern`` (extension beyond the reference's stage list):
+    template captures compile to the same regexp_extract plan as
+    ``| regexp`` via the Java/RE2-portable translation in
+    logql/stages.pattern_to_regex — the oracle runs the identical
+    generated regex."""
+    from lakerunner_spark.logql.compiler import compile_logql_lines
+
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_lines(
+        '{event_type="error"} | pattern "{\\"k\\": <kv>}"', src
+    )
+    return df.groupBy("kv").agg(F.count(F.lit(1)).alias("n"))

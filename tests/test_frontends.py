@@ -544,3 +544,43 @@ def test_named_group_regex_in_matchers_and_line_filters(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 5
     assert all(r.event_type == "error" and "7" in r.log_message for r in rows)
+
+
+def test_pattern_translator_cases():
+    from lakerunner_spark.logql.stages import pattern_to_regex
+
+    pat, groups = pattern_to_regex('{"k": <kv>}')
+    assert pat == '^\\{"k": (.*?)\\}' and groups == {"kv": 1}
+    # final capture takes the remainder (greedy), anon groups don't count
+    pat, groups = pattern_to_regex('<ip> - - <_> "<method> <rest>')
+    assert pat.endswith("(.*)") and groups == {"ip": 1, "method": 2, "rest": 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="separated by literals"):
+        pattern_to_regex("<a><b>")
+    with pytest.raises(ValueError, match="at least one"):
+        pattern_to_regex("no captures here")
+    with pytest.raises(ValueError, match="duplicate"):
+        pattern_to_regex("<a> x <a>")
+
+
+def test_pattern_stage_in_pipeline(spark):
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "err", "10.0.0.1 - GET /a 200"),
+            (1, "err", "10.0.0.2 - POST /b 500"),
+            (2, "err", "garbage line"),
+        ],
+        "chq_timestamp LONG, event_type STRING, log_message STRING",
+    )
+    src = LogSource(df=df, labels=["event_type"])
+    out = compile_logql_lines(
+        '{event_type="err"} | pattern "<ip> - <method> <uri> <status>"', src
+    )
+    rows = {r.chq_timestamp: (r.ip, r.method, r.uri, r.status) for r in out.collect()}
+    assert rows[0] == ("10.0.0.1", "GET", "/a", "200")
+    assert rows[1] == ("10.0.0.2", "POST", "/b", "500")
+    # unmatched lines extract empty strings (same contract as | regexp)
+    assert rows[2] == ("", "", "", "")
