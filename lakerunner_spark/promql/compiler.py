@@ -360,6 +360,70 @@ class _Compiler:
                 v.df.withColumn("value", op(F.col("value"), F.lit(bound.value))),
                 v.labels,
             )
+        if fn == "clamp":
+            # clamp(v, lo, hi) — 3-arg generalization of clamp_min/max
+            # (extension: the reference parser stops at the 2-arg forms)
+            arg, lo, hi = node.args
+            if not isinstance(lo, ast.Num) or not isinstance(hi, ast.Num):
+                raise ValueError("promql: clamp bounds must be numbers")
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError("promql: clamp over scalars not supported")
+            if lo.value > hi.value:  # Prometheus drops all elements
+                return _Vec(v.df.filter(F.lit(False)), v.labels)
+            col = F.least(
+                F.greatest(F.col("value"), F.lit(lo.value)), F.lit(hi.value)
+            )
+            return _Vec(v.df.withColumn("value", col), v.labels)
+        if fn == "round":
+            # round(v[, to_nearest]) — nearest multiple, ties away from
+            # the floor (Prometheus: floor(v/to + 0.5) * to)
+            if len(node.args) == 1:
+                (arg,), to = node.args, 1.0
+            else:
+                arg, tv = node.args
+                if not isinstance(tv, ast.Num):
+                    raise ValueError("promql: round to_nearest must be a number")
+                to = tv.value
+            if to == 0.0:
+                raise ValueError("promql: round to_nearest must be non-zero")
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError("promql: round over scalars not supported")
+            col = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+            return _Vec(v.df.withColumn("value", col.cast("double")), v.labels)
+        if fn == "timestamp":
+            # timestamp(v): each element's evaluation timestamp in
+            # seconds — here the step bucket's epoch seconds
+            (arg,) = node.args
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError("promql: timestamp over scalars not supported")
+            col = (F.col("bucket_ts") / F.lit(1000.0)).cast("double")
+            return _Vec(v.df.withColumn("value", col), v.labels)
+        if fn == "label_join":
+            varg, dst, sep, *srcs = node.args
+            if not isinstance(dst, ast.Str) or not isinstance(sep, ast.Str) or not all(
+                isinstance(s, ast.Str) for s in srcs
+            ):
+                raise ValueError(
+                    "promql: label_join(v, dst, separator, src...)"
+                )
+            v = self.compile(varg)
+            if isinstance(v, float):
+                raise ValueError("promql: label_join over scalars not supported")
+            # absent source labels join as empty strings (PromQL treats
+            # missing as empty); an all-empty result removes dst
+            parts = [
+                F.coalesce(F.col(s.value).cast("string"), F.lit(""))
+                if s.value in v.df.columns
+                else F.lit("")
+                for s in srcs
+            ]
+            joined = F.concat_ws(sep.value, *parts) if parts else F.lit("")
+            new_dst = F.nullif(joined, F.lit(""))
+            labels = v.labels + ([dst.value] if dst.value not in v.labels else [])
+            return _Vec(v.df.withColumn(dst.value, new_dst), labels)
         if fn == "scalar":
             (arg,) = node.args
             v = self.compile(arg)

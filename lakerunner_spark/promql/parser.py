@@ -290,8 +290,9 @@ class _Parser:
             if name in AGG_OPS:
                 return self._parse_agg(name)
             if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
-                "clamp_min", "clamp_max", "scalar", "histogram_quantile", "vector",
-                "sort", "sort_desc", "label_replace"
+                "clamp_min", "clamp_max", "clamp", "scalar", "histogram_quantile",
+                "vector", "sort", "sort_desc", "label_replace", "label_join",
+                "round", "timestamp"
             ):
                 self.expect("(")
                 args = [self.parse_expr()]

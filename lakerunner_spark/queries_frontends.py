@@ -895,3 +895,51 @@ def lqs12_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{event_type="error"} | pattern "{\\"k\\": <kv>}"', src
     )
     return df.groupBy("kv").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "pqs21_round_label_join",
+    f"""
+    SELECT bucket_ts, event_type, user_id,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS series_key,
+           floor(value / 0.5 + 0.5) * 0.5 AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS value
+      FROM {_E} e GROUP BY 1, 2, 3
+    )
+    """,
+)
+def pqs21_round_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round(v, 0.5) + label_join (extensions): nearest-multiple
+    rounding with ties away from the floor, then a joined series key
+    label from the existing labels."""
+    df = _pq(
+        spark, sf_dir,
+        'label_join(round(events, 0.5), "series_key", ":",'
+        ' "event_type", "user_id")',
+        3_600_000,
+    )
+    return df.select("bucket_ts", "event_type", "user_id", "series_key", "value")
+
+
+@register(
+    "pqs22_timestamp_clamp",
+    f"""
+    SELECT bucket_ts, event_type,
+           least(greatest(bucket_ts / 1000.0, 1.0), 1e18) AS value
+    FROM (
+      SELECT DISTINCT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type
+      FROM {_E} e
+    )
+    """,
+)
+def pqs22_timestamp_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp(v) + 3-arg clamp (extensions): element evaluation time
+    in epoch seconds, clamped into a wide band."""
+    return _pq(
+        spark, sf_dir,
+        'clamp(timestamp(sum by (event_type) (events)), 1, 1e18)',
+        3_600_000,
+    )

@@ -215,3 +215,36 @@ def test_predict_linear_parses_and_validates():
             MetricCatalog({}),
             60_000,
         )
+
+
+def test_round_label_join_clamp_semantics(spark):
+    """round ties go away from the floor; clamp with lo > hi drops all
+    elements; label_join of absent labels yields empty -> dst removed."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.25), (0, "b", -1.25), (0, "c", 2.75)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+
+    vals = {
+        r.job: r.value
+        for r in compile_promql("round(m, 0.5)", cat, 60_000).collect()
+    }
+    # floor(v/0.5 + 0.5)*0.5: 1.25 -> 1.5 (tie up), -1.25 -> -1.0, 2.75 -> 3.0
+    assert vals == {"a": 1.5, "b": -1.0, "c": 3.0}
+
+    assert compile_promql("clamp(m, 5, 1)", cat, 60_000).count() == 0
+
+    rows = compile_promql(
+        'label_join(m, "k", "-", "job", "missing")', cat, 60_000
+    ).collect()
+    assert {r.k for r in rows} == {"a-", "b-", "c-"}
+
+    ts = compile_promql("timestamp(m)", cat, 60_000).collect()
+    assert all(r.value == 0.0 for r in ts)
