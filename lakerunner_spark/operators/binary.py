@@ -92,6 +92,78 @@ def vector_match(
     return out.select(*[F.col(f"_l.{k}").alias(k) for k in keys], value_col)
 
 
+def vector_match_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    match_labels: list[str],
+    many_labels: list[str],
+    group: str,
+    extra_labels: list[str] | None = None,
+    bucket_col: str = "bucket_ts",
+    value_col: str = "value",
+    bool_mode: bool = False,
+) -> DataFrame:
+    """Many-to-one vector matching (extension: the reference rejects
+    group_left/right, promql parser.go:455-460; Prometheus defines it).
+
+    ``group='left'``: the LHS is the many side — each LHS series joins
+    its single RHS partner on (bucket, match key); output labels are the
+    many side's labels plus ``extra_labels`` copied from the one side
+    (absent labels copy as NULL = removed). ``group='right'`` mirrors.
+    The one side MUST be unique per match key — duplicates make the
+    query ambiguous, and the plan raises at execution exactly like
+    Prometheus's "found duplicate series for the match group" (a window
+    count over the one side feeds a raise_error filter; the one side is
+    post-aggregation tiny, so the extra exchange is negligible).
+    """
+    extra_labels = extra_labels or []
+    keys = [bucket_col, *match_labels]
+    many_df, one_df = (left, right) if group == "left" else (right, left)
+
+    one_cols = [*keys, F.col(value_col).alias("_ov")]
+    for lbl in extra_labels:
+        col = F.col(lbl) if lbl in one_df.columns else F.lit(None).cast("string")
+        one_cols.append(col.alias(f"_x_{lbl}"))
+    one = one_df.select(*one_cols)
+    from pyspark.sql import Window
+
+    one = one.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    ).alias("_r")
+
+    many_keep = [c for c in many_labels if c not in extra_labels]
+    many = many_df.select(
+        *dict.fromkeys([*keys, *many_keep]),
+        F.col(value_col).alias("_mv"),
+    ).alias("_l")
+
+    joined = many.join(one, _null_safe_cond(keys), "inner").filter(
+        F.when(
+            F.col("_n") > 1,
+            F.raise_error(
+                F.lit(
+                    "promql: found duplicate series for the match group on "
+                    "the one side of group_" + group
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    lv, rv = (
+        (F.col("_mv"), F.col("_ov"))
+        if group == "left"
+        else (F.col("_ov"), F.col("_mv"))
+    )
+    value, keep = _apply_op(op, lv, rv, bool_mode)
+    out = joined.withColumn(value_col, value)
+    if keep is not None:
+        out = out.filter(keep)
+    out_cols = [F.col(f"_l.{k}").alias(k) for k in keys]
+    out_cols += [F.col(f"_l.{c}").alias(c) for c in many_keep if c not in keys]
+    out_cols += [F.col(f"_x_{lbl}").alias(lbl) for lbl in extra_labels]
+    return out.select(*out_cols, value_col)
+
+
 def vector_scalar(
     df: DataFrame,
     op: str,

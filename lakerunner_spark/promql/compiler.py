@@ -601,6 +601,32 @@ class _Compiler:
             return _Vec(vector_and(lhs.df, rhs.df, match), lhs.labels)
         if op == "unless":
             return _Vec(vector_unless(lhs.df, rhs.df, match), lhs.labels)
+        if getattr(node, "group", None):
+            # many-to-one matching (extension; Prometheus semantics —
+            # the reference rejects group modifiers)
+            from lakerunner_spark.operators.binary import vector_match_grouped
+
+            extras = list(node.group_labels or [])
+            if set(extras) & set(match):
+                raise ValueError(
+                    "promql: group_" + node.group + " labels must not "
+                    "overlap the match labels"
+                )
+            many = lhs if node.group == "left" else rhs
+            out = vector_match_grouped(
+                lhs.df,
+                rhs.df,
+                op,
+                match,
+                many_labels=many.labels,
+                group=node.group,
+                extra_labels=extras,
+                bool_mode=node.bool_mode,
+            )
+            labels = [c for c in many.labels if c not in extras]
+            labels += [c for c in match if c not in labels]
+            labels += extras
+            return _Vec(out, labels)
         out = vector_match(lhs.df, rhs.df, op, match, bool_mode=node.bool_mode)
         return _Vec(out, match)
 

@@ -73,6 +73,9 @@ class Binary:
     bool_mode: bool = False
     on: list[str] | None = None
     ignoring: list[str] | None = None
+    # many-to-one matching (extension; None = strict one-to-one)
+    group: str | None = None  # "left" | "right"
+    group_labels: list[str] | None = None
 
 
 RANGE_FUNCS = {
@@ -224,15 +227,28 @@ class _Parser:
         return lhs
 
     def _match_modifiers(self) -> dict:
-        """on(...) / ignoring(...); group_left/right rejected (parser.go:455-460)."""
+        """on(...) / ignoring(...) with optional group_left/right.
+
+        The reference rejects group modifiers outright (parser.go:455-
+        460); here they are supported as an extension, but — exactly as
+        in Prometheus — only in combination with on(...)/ignoring(...):
+        a bare group modifier has no defined match key and is rejected.
+        """
         mods: dict = {}
         if self.peek().text in ("on", "ignoring"):
             kw = self.next().text
             labels = self._label_list()
             mods["on" if kw == "on" else "ignoring"] = labels
         if self.peek().text in ("group_left", "group_right"):
-            raise ValueError(
-                f"promql: {self.peek().text} is not supported"
+            kw = self.next().text
+            if not mods:
+                raise ValueError(
+                    f"promql: {kw} requires on(...) or ignoring(...)"
+                )
+            mods["group"] = "left" if kw == "group_left" else "right"
+            # optional label list copied from the one side
+            mods["group_labels"] = (
+                self._label_list() if self.peek().text == "(" else []
             )
         return mods
 

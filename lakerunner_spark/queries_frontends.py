@@ -943,3 +943,33 @@ def pqs22_timestamp_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         'clamp(timestamp(sum by (event_type) (events)), 1, 1e18)',
         3_600_000,
     )
+
+
+@register(
+    "pqs23_group_left_share",
+    f"""
+    WITH s AS (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS v
+      FROM {_E} e GROUP BY 1, 2, 3
+    ),
+    d AS (SELECT bucket_ts, event_type, sum(v) AS dv FROM s GROUP BY 1, 2)
+    SELECT s.bucket_ts, s.event_type, s.user_id,
+           pround(s.v / d.dv, 6) AS value
+    FROM s JOIN d USING (bucket_ts, event_type)
+    WHERE d.dv != 0
+    """,
+)
+def pqs23_group_left_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_left many-to-one matching (extension — the reference
+    rejects group modifiers, promql parser.go:455-460): each
+    (event_type, user_id) series divides by its event_type total, the
+    classic share-of-group query that one-to-one matching cannot
+    express."""
+    df = _pq(
+        spark, sf_dir,
+        'sum by (event_type, user_id) (events)'
+        ' / on(event_type) group_left sum by (event_type) (events)',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))

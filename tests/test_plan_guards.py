@@ -23,6 +23,10 @@ PYTHON_ALLOWED = {
     "ds3_sequence_pack",   # applyInPandas greedy packer (inherently sequential per stream)
     "mm2_png_features",    # mapInPandas image decode (codec work is Python by design)
     "mm3_wav_features",    # mapInPandas audio decode (stdlib WAV codec)
+    "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
+                           # ingest path, ~200x/core vs the expression fold
+                           # (functions/hashing.py module note; bit-identity
+                           # fuzz-tested in test_hashing)
 }
 
 # Bounded all-pairs / broadcast shapes where a nested-loop join with a

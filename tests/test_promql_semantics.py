@@ -248,3 +248,81 @@ def test_round_label_join_clamp_semantics(spark):
 
     ts = compile_promql("timestamp(m)", cat, 60_000).collect()
     assert all(r.value == 0.0 for r in ts)
+
+
+def test_group_left_right_semantics(spark):
+    """Many-to-one matching: value order follows the written operands,
+    extra labels copy from the one side, a duplicate one side raises,
+    and a bare group modifier (no on/ignoring) is still rejected."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    many = spark.createDataFrame(
+        [(0, "a", "u1", 2.0), (0, "a", "u2", 6.0), (0, "b", "u1", 10.0)],
+        "chq_timestamp LONG, et STRING, uid STRING, value DOUBLE",
+    )
+    one = spark.createDataFrame(
+        [(0, "a", 4.0, "o1"), (0, "b", 5.0, "o2")],
+        "chq_timestamp LONG, et STRING, value DOUBLE, owner STRING",
+    )
+    cat = MetricCatalog(
+        {
+            "m": LeafSource(df=many, labels=["et", "uid"]),
+            "o": LeafSource(df=one, labels=["et", "owner"]),
+        }
+    )
+
+    rows = compile_promql(
+        "sum by (et, uid) (m) / on(et) group_left"
+        " sum by (et) (o)", cat, 60_000
+    ).collect()
+    got = {(r.et, r.uid): r.value for r in rows}
+    assert got == {("a", "u1"): 0.5, ("a", "u2"): 1.5, ("b", "u1"): 2.0}
+
+    # group_right mirrors: one side on the left
+    rows = compile_promql(
+        "sum by (et) (o) / on(et) group_right"
+        " sum by (et, uid) (m)", cat, 60_000
+    ).collect()
+    got = {(r.et, r.uid): r.value for r in rows}
+    assert got == {("a", "u1"): 2.0, ("a", "u2"): 4.0 / 6.0, ("b", "u1"): 0.5}
+
+    # extra label copied from the one side
+    rows = compile_promql(
+        "sum by (et, uid) (m) + on(et) group_left(owner)"
+        " sum by (et, owner) (o)", cat, 60_000
+    ).collect()
+    assert {(r.et, r.uid, r.owner) for r in rows} == {
+        ("a", "u1", "o1"), ("a", "u2", "o1"), ("b", "u1", "o2"),
+    }
+
+    # duplicate series on the one side -> runtime error
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    dup = spark.createDataFrame(
+        [(0, "a", "x", 1.0), (0, "a", "y", 2.0)],
+        "chq_timestamp LONG, et STRING, extra STRING, value DOUBLE",
+    )
+    cat2 = MetricCatalog(
+        {
+            "m": LeafSource(df=many, labels=["et", "uid"]),
+            "o": LeafSource(df=dup, labels=["et", "extra"]),
+        }
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        compile_promql(
+            "sum by (et, uid) (m) / on(et) group_left"
+            " sum by (et, extra) (o)", cat2, 60_000
+        ).collect()
+
+    # overlap between group labels and match labels rejected
+    with pytest.raises(ValueError, match="overlap"):
+        compile_promql(
+            "sum by (et, uid) (m) / on(et) group_left(et)"
+            " sum by (et) (o)", cat, 60_000
+        )
