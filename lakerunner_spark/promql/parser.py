@@ -6,8 +6,11 @@ unary math functions F9, clamp_min/max F10, scalar(), number literals,
 vector aggregation with by/without (A7), topk/bottomk/quantile (A8),
 binary arithmetic/comparison with the ``bool`` modifier and vector
 matching via on/ignoring (J1-J5), and set ops and/or/unless (J2-J4).
-group_left/group_right is rejected exactly like the reference
-(promql/parser.go:455-460).
+Beyond the reference, extensions cover the classic PromQL surface its
+parser rejects: group_left/group_right many-to-one matching (valid only
+with on/ignoring, as in Prometheus), delta/deriv/predict_linear/resets/
+changes/stddev_over_time/stdvar_over_time, stddev/stdvar/group
+aggregations, round/clamp/label_join/timestamp, and median_over_time.
 
 RE2-vs-Java-regex note: matcher regexes execute via ``rlike`` with RE2
 group names stripped (functions/regexops.java_pattern — Java's name
@@ -90,7 +93,10 @@ RANGE_FUNCS = {
     "stddev_over_time", "stdvar_over_time",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
-AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile"}
+AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
+           # extensions beyond the reference (its parser maps only the
+           # list above): Prometheus stddev/stdvar/group aggregations
+           "stddev", "stdvar", "group"}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 _SET_OPS = {"and", "or", "unless"}
 

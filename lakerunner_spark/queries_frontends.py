@@ -973,3 +973,57 @@ def pqs23_group_left_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         3_600_000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+_SERIES_1H = f"""
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS v
+      FROM {_E} e GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "pqs24_stddev_agg",
+    f"""
+    WITH s AS ({_SERIES_1H})
+    SELECT bucket_ts, event_type,
+           pround(sqrt(greatest(
+             sum(v * v) / CAST(count(v) AS DOUBLE)
+             - (sum(v) / CAST(count(v) AS DOUBLE))
+               * (sum(v) / CAST(count(v) AS DOUBLE)), 0.0)), 6) AS value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def pqs24_stddev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev aggregation (extension): population stddev across the
+    series of each group, explicit sum/sumsq formula mirrored by the
+    oracle term for term."""
+    df = _pq(spark, sf_dir, 'stddev by (event_type) (events)', 3_600_000)
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs25_stdvar_group_agg",
+    f"""
+    WITH s AS ({_SERIES_1H}),
+    sv AS (
+      SELECT bucket_ts, event_type,
+             pround(greatest(
+               sum(v * v) / CAST(count(v) AS DOUBLE)
+               - (sum(v) / CAST(count(v) AS DOUBLE))
+                 * (sum(v) / CAST(count(v) AS DOUBLE)), 0.0), 6) AS stdvar_v
+      FROM s GROUP BY 1, 2
+    )
+    SELECT bucket_ts, event_type, stdvar_v, 1.0 AS group_v FROM sv
+    """,
+)
+def pqs25_stdvar_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stdvar + group aggregations (extensions) joined on the group key
+    — group marks presence with 1.0 per populated group."""
+    sv = _pq(spark, sf_dir, 'stdvar by (event_type) (events)', 3_600_000) \
+        .withColumnRenamed("value", "stdvar_v")
+    gp = _pq(spark, sf_dir, 'group by (event_type) (events)', 3_600_000) \
+        .withColumnRenamed("value", "group_v")
+    return sv.join(gp, ["bucket_ts", "event_type"]).select(
+        "bucket_ts", "event_type", _pr("stdvar_v", 6).alias("stdvar_v"), "group_v"
+    )
