@@ -39,7 +39,10 @@ HEADLINE = [
     "o1_order_limit",
     "pqs1_sum_rate",
     "pqs18_quantile_sketch_route",
+    "pqs20_predict_linear",
+    "pqs23_group_left_share",
     "lqs3_unwrap_max",
+    "lqs12_pattern",
     "lqs10_label_replace",
     "a13_aggfile_route",
     "a6_cardinality",
