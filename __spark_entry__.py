@@ -58,6 +58,7 @@ _PRIORITY = [
     "a2_rollup_chain",
     "a3_step_agg",
     "a9_rate",
+    "a9x_deriv",
     "a8_topk",
     "a13_aggfile_route",
     "a6_cardinality",
@@ -77,11 +78,14 @@ _PRIORITY = [
     "pqs4_quantile_over_time",
     "pqs16_label_replace",
     "pqs18_quantile_sketch_route",
+    "pqs20_predict_linear",
+    "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
     "lqs4_exemplar",
     "lqs9_decolorize",
     "lqs10_label_replace",
+    "lqs12_pattern",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
