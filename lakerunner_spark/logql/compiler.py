@@ -279,7 +279,25 @@ def _compile_range(
         # series identity (LogQL unwrap semantics)
         labels = [l for l in labels if l != u.label]
         fn = node.fn
+        if fn == "quantile_over_time":
+            # extension: exact interpolated quantile over the RAW
+            # unwrapped samples in the window (Loki semantics), shared
+            # with the PromQL short-range path
+            from lakerunner_spark.operators.range_agg import (
+                exact_quantile_over_time,
+            )
+
+            out = exact_quantile_over_time(
+                df,
+                labels,
+                leaf.range_ms,
+                step_ms,
+                node.param,
+                ts_col=source.ts_col,
+                value_col="_v",
+            )
+            return out, labels
 
     s = step_agg_raw(df, step_ms, labels, source.ts_col, "_v")
-    out = range_agg(s, fn, leaf.range_ms, step_ms, labels)
+    out = range_agg(s, fn, leaf.range_ms, step_ms, labels, param=node.param)
     return out, labels

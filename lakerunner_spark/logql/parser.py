@@ -20,10 +20,15 @@ LOG_RANGE_FUNCS = {
     "count_over_time", "rate", "bytes_over_time", "bytes_rate",
     "sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
     "last_over_time", "rate_counter",
+    # extensions (Loki ops beyond the reference's rewriter):
+    "first_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time",
 }
 VECTOR_AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk"}
 _UNWRAP_AGGS = {"sum_over_time", "avg_over_time", "min_over_time",
-                "max_over_time", "last_over_time", "rate_counter"}
+                "max_over_time", "last_over_time", "rate_counter",
+                "first_over_time", "stddev_over_time", "stdvar_over_time",
+                "quantile_over_time"}
 
 
 @dataclass
@@ -124,6 +129,7 @@ class LogLeaf:
 class LogRangeAgg:
     fn: str
     leaf: LogLeaf
+    param: float | None = None  # q for quantile_over_time
 
 
 @dataclass
@@ -249,6 +255,15 @@ class _Parser:
     def _parse_range_agg(self) -> LogRangeAgg:
         fn = self.next().text
         self.expect("(")
+        param = None
+        if fn == "quantile_over_time":
+            t = self.next()
+            if t.kind != "NUM":
+                raise ValueError(
+                    "logql: quantile_over_time(q, selector | unwrap x [range])"
+                )
+            param = float(t.text)
+            self.expect(",")
         leaf = self._parse_leaf()
         self.expect(")")
         if leaf.range_ms is None:
@@ -258,7 +273,7 @@ class _Parser:
         if fn in ("count_over_time", "rate", "bytes_over_time", "bytes_rate") \
                 and leaf.unwrap is not None:
             raise ValueError(f"logql: {fn} does not take an unwrap")
-        return LogRangeAgg(fn, leaf)
+        return LogRangeAgg(fn, leaf, param=param)
 
     def _label_list(self) -> list[str]:
         self.expect("(")

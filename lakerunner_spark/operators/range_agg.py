@@ -50,6 +50,7 @@ RANGE_FUNCS = [
     "changes",
     "stddev_over_time",
     "stdvar_over_time",
+    "first_over_time",
 ]
 
 # extensions computed from per-step values (need the _avg/_flag helpers)
@@ -61,6 +62,7 @@ _STEP_VALUE_FUNCS = {
     "changes",
     "stddev_over_time",
     "stdvar_over_time",
+    "first_over_time",
 }
 
 
@@ -209,6 +211,10 @@ def _step_value_range_agg(
 
     if func == "delta":
         value: Column = y - F.first("_avg").over(w)
+    elif func == "first_over_time":
+        # earliest step value in the window (dual of last_over_time's
+        # latest-bucket-average convention)
+        value = F.first("_avg").over(w)
     elif func in ("deriv", "predict_linear"):
         series_t0 = F.min("bucket_ts").over(wseries)
         out = out.withColumn("_x", (F.col("bucket_ts") - series_t0) / 1000.0)
@@ -256,6 +262,51 @@ def _step_value_range_agg(
         covered = (F.col("bucket_ts") - first_bucket) >= F.lit(range_ms - step_ms)
         out = out.withColumn("value", F.when(covered, F.col("value")))
     return out.select("bucket_ts", *series_labels, "value")
+
+
+def exact_quantile_over_time(
+    df: DataFrame,
+    labels: list[str],
+    range_ms: int,
+    step_ms: int,
+    q: float,
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact interpolated quantile over a sliding range window of RAW
+    samples (identical to SQL quantile_cont, so DuckDB can oracle it):
+    per-bucket raw values kept as arrays, the window flattens the
+    trailing range's arrays, and the quantile is computed with array
+    expressions (sort + linear interpolation). The per-row array is
+    bounded by samples-per-series within the range — callers owning a
+    large-range path (the PromQL compiler's DDSketch route) must gate
+    BEFORE calling this. Shared by the PromQL quantile_over_time short-
+    range path and LogQL's unwrap quantile_over_time.
+    """
+    from lakerunner_spark.functions.timeops import bucket_ts
+
+    # NULL samples carry no value; dropping them up front also keeps
+    # the bucket set identical to the sketch route's (a bucket whose
+    # samples are all NULL yields no output row on either path)
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket_ts(ts_col, step_ms).alias("bucket_ts"), *labels)
+        .agg(F.collect_list(value_col).alias("_vals"))
+    )
+    w = (
+        Window.partitionBy(*labels)
+        .orderBy("bucket_ts")
+        .rangeBetween(-(range_ms - step_ms), 0)
+    )
+    arr = F.array_sort(F.flatten(F.collect_list("_vals").over(w)))
+    n = F.size(arr)
+    idx = (n - 1) * F.lit(q)
+    lo = F.floor(idx).cast("int")
+    frac = idx - F.floor(idx)
+    val = F.element_at(arr, lo + 1) + frac * (
+        F.element_at(arr, F.least(lo + 2, n)) - F.element_at(arr, lo + 1)
+    )
+    return b.withColumn("value", val).select("bucket_ts", *labels, "value")
 
 
 SPARSE_FUNCS = [

@@ -274,28 +274,16 @@ class _Compiler:
                 value_col=src.value_col,
             )
             return _Vec(out, src.labels)
-        # NULL samples carry no value; dropping them up front also keeps
-        # the bucket set identical to the sketch route's (a bucket whose
-        # samples are all NULL yields no output row on either path)
-        b = df.filter(F.col(src.value_col).isNotNull()).groupBy(
-            bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
-        ).agg(F.collect_list(src.value_col).alias("_vals"))
-        w = (
-            Window.partitionBy(*src.labels)
-            .orderBy("bucket_ts")
-            .rangeBetween(-(range_ms - self.step), 0)
-        )
-        arr = F.array_sort(F.flatten(F.collect_list("_vals").over(w)))
-        n = F.size(arr)
-        idx = (n - 1) * F.lit(q)
-        lo = F.floor(idx).cast("int")
-        frac = idx - F.floor(idx)
-        val = F.element_at(arr, lo + 1) + frac * (
-            F.element_at(arr, F.least(lo + 2, n)) - F.element_at(arr, lo + 1)
-        )
-        out = (
-            b.withColumn("value", val)
-            .select("bucket_ts", *src.labels, "value")
+        from lakerunner_spark.operators.range_agg import exact_quantile_over_time
+
+        out = exact_quantile_over_time(
+            df,
+            src.labels,
+            range_ms,
+            self.step,
+            q,
+            ts_col=src.ts_col,
+            value_col=src.value_col,
         )
         return _Vec(out, src.labels)
 

@@ -1027,3 +1027,79 @@ def pqs25_stdvar_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sv.join(gp, ["bucket_ts", "event_type"]).select(
         "bucket_ts", "event_type", _pr("stdvar_v", 6).alias("stdvar_v"), "group_v"
     )
+
+
+@register(
+    "lqs13_quantile_unwrap",
+    f"""
+    SELECT DISTINCT bucket_ts, event_type,
+           pround(quantile_cont(v, 0.9) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             try_cast(json_extract_string(props, '$.k') AS DOUBLE) AS v
+      FROM {_E} e WHERE event_type = 'purchase'
+        AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+    )
+    """,
+)
+def lqs13_quantile_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL quantile_over_time over unwrapped raw samples (extension):
+    exact interpolated quantile shared with the PromQL short-range
+    path (operators/range_agg.exact_quantile_over_time)."""
+    df = _lq(
+        spark, sf_dir,
+        'quantile_over_time(0.9, {event_type="purchase"}'
+        ' | json k="$.k" | unwrap k [10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "lqs14_first_stddev_unwrap",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts, event_type,
+             sum(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS s,
+             count(try_cast(json_extract_string(props, '$.k') AS DOUBLE)) AS c
+      FROM {_E} e WHERE event_type = 'purchase'
+        AND try_cast(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT bucket_ts, event_type, s / c AS y,
+                  min(bucket_ts) OVER (PARTITION BY event_type) AS t0
+           FROM base)
+    SELECT bucket_ts, event_type, first_v, stddev_v FROM (
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - t0 >= 540000 THEN
+               pround(first_value(y) OVER w, 6) END AS first_v,
+             CASE WHEN bucket_ts - t0 >= 540000 THEN
+               pround(sqrt(greatest(
+                 sum(y * y) OVER w / CAST(count(*) OVER w AS DOUBLE)
+                 - (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE))
+                   * (sum(y) OVER w / CAST(count(*) OVER w AS DOUBLE)), 0.0)), 6)
+             END AS stddev_v
+      FROM b2
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW)
+    ) WHERE first_v IS NOT NULL OR stddev_v IS NOT NULL
+    """,
+)
+def lqs14_first_stddev_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogQL first_over_time + stddev_over_time over unwrap
+    (extensions): per-step-value window expressions, coverage-gated
+    like the A9 family."""
+    q = ('{event_type="purchase"} | json k="$.k" | unwrap k [10m]')
+    first = _lq(spark, sf_dir, f'first_over_time({q})', 60_000) \
+        .withColumnRenamed("value", "first_v")
+    sd = _lq(spark, sf_dir, f'stddev_over_time({q})', 60_000) \
+        .withColumnRenamed("value", "stddev_v")
+    out = first.join(sd, ["bucket_ts", "event_type"]).filter(
+        F.col("first_v").isNotNull() | F.col("stddev_v").isNotNull()
+    )
+    return out.select(
+        "bucket_ts", "event_type",
+        _pr("first_v", 6).alias("first_v"), _pr("stddev_v", 6).alias("stddev_v"),
+    )
