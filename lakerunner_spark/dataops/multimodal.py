@@ -166,7 +166,12 @@ def png_features(payload: bytes) -> list[float]:
     [width, height, mean_r, mean_g, mean_b, mean_gray, min_gray,
     max_gray] (gray = (r+g+b)/3 per pixel; greyscale images use the
     single channel for all three means)."""
-    w, h, ch, samples = decode_png(payload)
+    return _pixel_features(*decode_png(payload))
+
+
+def _pixel_features(
+    w: int, h: int, ch: int, samples: bytes
+) -> list[float]:
     n = w * h
     if ch == 1:
         grays = [float(v) for v in samples]
@@ -191,6 +196,90 @@ def png_features(payload: bytes) -> list[float]:
         min(grays),
         max(grays),
     ]
+
+
+# ------------------------------ BMP ----------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal stdlib BMP encoder: 24-bit BI_RGB, bottom-up rows.
+
+    ``rgb`` is row-major top-down RGBRGB... (3*width*height bytes);
+    rows are written bottom-up in BGR with 4-byte padding, per the
+    format. struct only — runs in any executor."""
+    import struct
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("encode_bmp: rgb length must be 3*width*height")
+    stride = (3 * width + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = rgb[3 * width * y : 3 * width * (y + 1)]
+        for x in range(width):
+            r, g, b = row[3 * x : 3 * x + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * (stride - 3 * width)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib BMP decoder (struct): ``(width, height, channels,
+    samples)`` with samples row-major TOP-DOWN and channels in RGB(A)
+    order — the same tuple contract as :func:`decode_png`.
+
+    Supports uncompressed (BI_RGB) 24-bit and 32-bit DIBs with the
+     40-byte BITMAPINFOHEADER (or larger headers with the same prefix);
+    bottom-up (positive height) and top-down (negative) both decode.
+    Palette/16-bit/RLE raise."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("decode_bmp: truncated header")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("decode_bmp: pre-BITMAPINFOHEADER DIBs")
+    width, height, _planes, bpp, compression = struct.unpack_from(
+        "<iiHHI", payload, 18
+    )
+    if compression != 0:
+        raise NotImplementedError("decode_bmp: compressed BMPs")
+    if bpp not in (24, 32):
+        raise NotImplementedError("decode_bmp: 24/32-bit BI_RGB only")
+    top_down = height < 0
+    height = abs(height)
+    ch = bpp // 8
+    out_ch = 3 if bpp == 24 else 4
+    stride = (ch * width + 3) & ~3
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError(
+            f"decode_bmp: truncated pixel data "
+            f"(needs {need} bytes, has {len(payload)})"
+        )
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    samples = bytearray()
+    for y in rows:
+        base = data_off + y * stride
+        for x in range(width):
+            px = payload[base + ch * x : base + ch * x + ch]
+            samples += bytes((px[2], px[1], px[0]))  # BGR(A) -> RGB
+            if out_ch == 4:
+                samples.append(px[3])
+    return width, height, out_ch, bytes(samples)
+
+
+def bmp_features(payload: bytes) -> list[float]:
+    """BMP payload -> the same 8-dim pixel-stats vector as
+    :func:`png_features`."""
+    return _pixel_features(*decode_bmp(payload))
 
 
 # ------------------------------ WAV (audio) --------------------------------
@@ -298,10 +387,12 @@ def decode_image(payload: bytes) -> list[float]:
     """
     if payload[:8] == PNG_SIGNATURE:
         return png_features(payload)
+    if payload[:2] == b"BM":
+        return bmp_features(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_features(payload)
     raise NotImplementedError(
-        "non-PNG/WAV decode needs a codec library; inject decoder=... instead"
+        "non-PNG/BMP/WAV decode needs a codec library; inject decoder=... instead"
     )
 
 

@@ -410,3 +410,60 @@ def mm3_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     )
+
+
+@register(
+    "mm4_bmp_features",
+    f"""
+    WITH px AS ({_MM2_PX}),
+    gray AS (SELECT m, y, x, avg(v) AS g FROM px GROUP BY 1, 2, 3),
+    chan AS (
+      SELECT m, avg(CASE WHEN c = 0 THEN v END) AS mean_r,
+             avg(CASE WHEN c = 1 THEN v END) AS mean_g,
+             avg(CASE WHEN c = 2 THEN v END) AS mean_b
+      FROM px GROUP BY m
+    ),
+    g2 AS (SELECT m, avg(g) AS mean_gray, min(g) AS min_gray,
+                  max(g) AS max_gray
+           FROM gray GROUP BY m)
+    SELECT m AS media_id, 8.0 AS width, 8.0 AS height,
+           pround(mean_r, 6) AS mean_r, pround(mean_g, 6) AS mean_g,
+           pround(mean_b, 6) AS mean_b, pround(mean_gray, 6) AS mean_gray,
+           pround(min_gray, 6) AS min_gray, pround(max_gray, 6) AS max_gray
+    FROM chan JOIN g2 USING (m)
+    """,
+)
+def mm4_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode, no injection: the SAME deterministic pixel
+    formula as mm2 is encoded with the stdlib BMP codec (bottom-up
+    padded BGR rows) and decoded inside mapInPandas — the shared oracle
+    proves the two codecs agree pixel-for-pixel on top of the PNG
+    proof."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        extract_features,
+    )
+
+    rows = []
+    for m in range(10):
+        rgb = bytes(
+            (m * 37 + y * 17 + x * 5 + c * 11) % 256
+            for y in range(8)
+            for x in range(8)
+            for c in range(3)
+        )
+        rows.append((m, "image", 8, 8, None, bytearray(encode_bmp(8, 8, rgb))))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media)
+    names = [
+        "width", "height", "mean_r", "mean_g", "mean_b",
+        "mean_gray", "min_gray", "max_gray",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            _pr(F.element_at("features", i + 1), 6).alias(n)
+            for i, n in enumerate(names)
+        ],
+    )

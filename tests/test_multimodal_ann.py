@@ -338,3 +338,57 @@ def test_quantize_roundtrip_bounds(spark):
         scale = got[vid]["scale"]
         for orig, rec in zip(vec, back[vid]):
             assert abs(orig - rec) <= scale / 2 + 1e-12
+
+
+def test_bmp_roundtrip_matches_png_features():
+    """encode_bmp -> decode_bmp recovers exact pixels (odd width
+    exercises row padding); the same pixels through the PNG codec give
+    identical features — cross-codec consistency; truncation raises."""
+    from lakerunner_spark.dataops.multimodal import (
+        bmp_features,
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+        encode_png,
+        png_features,
+    )
+
+    w, h = 5, 4  # odd 3*w = 15 -> stride pads to 16
+    rgb = bytes((x * 7 + 3) % 256 for x in range(3 * w * h))
+    bmp = encode_bmp(w, h, rgb)
+    gw, gh, ch, samples = decode_bmp(bmp)
+    assert (gw, gh, ch) == (w, h, 3)
+    assert samples == rgb
+
+    assert bmp_features(bmp) == png_features(encode_png(w, h, rgb))
+    assert decode_image(bmp) == bmp_features(bmp)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp[:-8])
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX123456")
+
+
+def test_bmp_top_down_and_32bit():
+    """A hand-built top-down 32-bit BMP decodes with RGBA channel order
+    and no row flip."""
+    import struct
+
+    from lakerunner_spark.dataops.multimodal import decode_bmp
+
+    w, h = 2, 2
+    # pixels top-down, BGRA on disk
+    px = [
+        (10, 20, 30, 40), (50, 60, 70, 80),
+        (90, 100, 110, 120), (130, 140, 150, 160),
+    ]
+    body = b"".join(bytes(p) for p in px)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body),
+                       2835, 2835, 0, 0)
+    gw, gh, ch, samples = decode_bmp(hdr + body)
+    assert (gw, gh, ch) == (w, h, 4)
+    # first pixel: disk BGRA (10,20,30,40) -> RGBA (30,20,10,40)
+    assert tuple(samples[:4]) == (30, 20, 10, 40)
+    assert tuple(samples[-4:]) == (150, 140, 130, 160)

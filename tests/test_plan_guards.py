@@ -23,6 +23,7 @@ PYTHON_ALLOWED = {
     "ds3_sequence_pack",   # applyInPandas greedy packer (inherently sequential per stream)
     "mm2_png_features",    # mapInPandas image decode (codec work is Python by design)
     "mm3_wav_features",    # mapInPandas audio decode (stdlib WAV codec)
+    "mm4_bmp_features",    # mapInPandas image decode (stdlib BMP codec)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
@@ -38,6 +39,7 @@ NLJ_ALLOWED = {
     "sim3_lsh_topk",          # broadcast hyperplanes
     "sim4_quantized_topk",    # broadcast queries x dequantized corpus (cosine_topk)
     "mm2_png_features",       # tiny literal DF
+    "mm4_bmp_features",       # tiny literal DF
     "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
 }
