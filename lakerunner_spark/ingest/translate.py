@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakerunner_spark.dataops.text import structural_fingerprint
-from lakerunner_spark.functions.hashing import compute_tid, java_string_hash_fast
+from lakerunner_spark.functions.hashing import (
+    compute_tid,
+    java_string_hash,
+    java_string_hash_fast,
+)
 from lakerunner_spark.schema import dateint, normalize_name, normalize_timestamp_ms
 
 
@@ -59,15 +63,20 @@ def translate_logs(
     df: DataFrame,
     message_col: str = "log_message",
     service_col: str = "service_identifier",
+    fast: bool = True,
 ) -> DataFrame:
     """Logs family: structural fingerprint of the message template
     (F16; trie-cluster stand-in: mask variable parts -> hash) as the
-    stream identity used for sorting and index pruning."""
+    stream identity used for sorting and index pruning.
+
+    ``fast=True`` (default) hashes via the vectorized Arrow kernel —
+    same bits, ~200x/core — which needs pandas/pyarrow/numpy on the
+    executors; ``fast=False`` selects the pure-JVM expression hash for
+    clusters without Python dependencies."""
     masked = structural_fingerprint(F.col(message_col))
-    # vectorized Arrow kernel: same bits as the expression hash, ~200x
-    # the per-core throughput — this runs per log line at ingest
+    hasher = java_string_hash_fast if fast else java_string_hash
     return df.withColumn(
-        "chq_fingerprint", java_string_hash_fast(masked).cast("long")
+        "chq_fingerprint", hasher(masked).cast("long")
     ).withColumn(
         service_col,
         F.coalesce(
@@ -81,9 +90,13 @@ def translate_metrics(
     df: DataFrame,
     metric_col: str = "metric_name",
     attr_cols: list[str] | None = None,
+    fast: bool = True,
 ) -> DataFrame:
-    """Metrics family: TID = fnv64a over sorted k=v attribute pairs
-    (vectorized Arrow kernel — identical bits to the expression path,
-    measured ~200x per-core; this runs per sample at ingest)."""
+    """Metrics family: TID = fnv64a over sorted k=v attribute pairs.
+
+    ``fast=True`` (default) uses the vectorized Arrow kernel —
+    identical bits to the expression path, measured ~200x per-core —
+    which needs pandas/pyarrow/numpy on the executors; ``fast=False``
+    selects the pure-JVM expression for Python-free clusters."""
     attrs = attr_cols or [c for c in df.columns if c.startswith("attr_")]
-    return df.withColumn("chq_tid", compute_tid(metric_col, *attrs, fast=True))
+    return df.withColumn("chq_tid", compute_tid(metric_col, *attrs, fast=fast))

@@ -280,9 +280,30 @@ def _compile_range(
         labels = [l for l in labels if l != u.label]
         fn = node.fn
         if fn == "quantile_over_time":
-            # extension: exact interpolated quantile over the RAW
-            # unwrapped samples in the window (Loki semantics), shared
-            # with the PromQL short-range path
+            # extension: quantile over the RAW unwrapped samples in the
+            # window (Loki semantics), with the same range-size routing
+            # as the PromQL path — large ranges go through the DDSketch
+            # bucket algebra so no per-row raw-value array is ever
+            # unbounded; short ranges use the exact interpolated path
+            from lakerunner_spark.promql.compiler import (
+                QUANTILE_SKETCH_MIN_BUCKETS,
+            )
+
+            if leaf.range_ms // step_ms > QUANTILE_SKETCH_MIN_BUCKETS:
+                from lakerunner_spark.operators.ddsketch import (
+                    ddsketch_quantile_over_time,
+                )
+
+                out = ddsketch_quantile_over_time(
+                    df,
+                    labels,
+                    leaf.range_ms,
+                    step_ms,
+                    node.param,
+                    ts_col=source.ts_col,
+                    value_col="_v",
+                )
+                return out, labels
             from lakerunner_spark.operators.range_agg import (
                 exact_quantile_over_time,
             )

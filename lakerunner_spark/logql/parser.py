@@ -263,6 +263,10 @@ class _Parser:
                     "logql: quantile_over_time(q, selector | unwrap x [range])"
                 )
             param = float(t.text)
+            if not 0.0 <= param <= 1.0:
+                # out-of-range q would index past the sample array at
+                # execution (ANSI error); reject at parse time instead
+                raise ValueError("logql: quantile_over_time q must be in [0, 1]")
             self.expect(",")
         leaf = self._parse_leaf()
         self.expect(")")

@@ -200,10 +200,13 @@ def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
     stops at regexp/json/logfmt/...): ``<name>`` captures the shortest
     run up to the next literal (non-greedy), ``<_>`` skips one, and the
     final capture — when the template ends with one — takes the line's
-    remainder. Literals must separate captures (adjacent captures are
-    ambiguous and rejected, as in Loki). The emitted regex uses only
-    the Java/RE2-portable subset, so the same string drives Spark's
-    regexp_extract and a DuckDB oracle."""
+    remainder. The pattern is anchored at BOTH ends like Loki's: a
+    template ending in a literal only matches lines that end with it
+    (append ``<_>`` to skip trailing content). Literals must separate
+    captures (adjacent captures are ambiguous and rejected, as in
+    Loki). The emitted regex uses only the Java/RE2-portable subset, so
+    the same string drives Spark's regexp_extract and a DuckDB
+    oracle."""
     caps = list(_PATTERN_CAP.finditer(template))
     if not caps:
         raise ValueError("logql: | pattern needs at least one <capture>")
@@ -227,10 +230,14 @@ def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
             groups[name] = len(groups) + 1
             parts.append(f"({body})")
         prev_end = m.end()
-    parts.append(_escape_literal(template[prev_end:]))
+    tail = template[prev_end:]
+    parts.append(_escape_literal(tail))
     if not groups:
         raise ValueError("logql: | pattern needs at least one named <capture>")
-    return "^" + "".join(parts), groups
+    # end-anchor when the template ends in a literal (a template-final
+    # capture already consumes the remainder via its greedy .*)
+    suffix = "$" if tail else ""
+    return "^" + "".join(parts) + suffix, groups
 
 
 def pattern_parser(

@@ -82,6 +82,11 @@ def range_agg(
     scalar of parameterized functions (predict_linear's horizon, in
     seconds).
     """
+    if func in _STEP_VALUE_FUNCS:
+        return _step_value_range_agg(
+            df, func, range_ms, step_ms, series_labels, coverage_gate, param
+        )
+
     w = (
         Window.partitionBy(*series_labels)
         .orderBy(F.col("bucket_ts"))
@@ -92,11 +97,6 @@ def range_agg(
     range_sec = range_ms / 1000.0
     wsum = F.sum("sum").over(w)
     wcount = F.sum("count").over(w)
-
-    if func in _STEP_VALUE_FUNCS:
-        return _step_value_range_agg(
-            df, func, range_ms, step_ms, series_labels, coverage_gate, param
-        )
 
     if func == "rate":
         value: Column = wsum / F.lit(range_sec)

@@ -20,10 +20,18 @@ def _var_pop(c):
     F.var_pop): the Sum/SumSq composition is reproducible term-for-term
     in the DuckDB oracle, where Welford-style built-ins can differ in
     final ulps. Values are telemetry-scale, so the textbook formula has
-    no cancellation hazard; epsilon-negative results clamp to 0."""
+    no cancellation hazard; epsilon-negative results clamp to 0.
+
+    All-NULL groups yield NULL like every other aggregator (the
+    absent-sample convention for coverage-gate warm-up rows) — without
+    the count guard, F.greatest(NULL, 0.0) would skip the NULL and
+    fabricate 0.0."""
     n = F.count(c).cast("double")
     mean = F.sum(c) / n
-    return F.greatest(F.sum(c * c) / n - mean * mean, F.lit(0.0))
+    return F.when(
+        F.count(c) > 0,
+        F.greatest(F.sum(c * c) / n - mean * mean, F.lit(0.0)),
+    )
 
 
 _AGG_FUNCS = {
@@ -34,8 +42,9 @@ _AGG_FUNCS = {
     "count": lambda c: F.count(c).cast("double"),
     "stddev": lambda c: F.sqrt(_var_pop(c)),
     "stdvar": _var_pop,
-    # PromQL `group`: 1 for every group that has any element
-    "group": lambda c: (F.count(c) * 0 + 1).cast("double"),
+    # PromQL `group`: 1 for every group with at least one present
+    # sample; all-NULL groups stay NULL (absent) like the rest
+    "group": lambda c: F.when(F.count(c) > 0, F.lit(1.0)),
 }
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lakerunner_spark.functions.regexops import expand_replacement, java_pattern
@@ -309,6 +309,12 @@ class _Compiler:
                 qv, sel = node.args
                 if not isinstance(qv, ast.Num) or not isinstance(sel, ast.Selector):
                     raise ValueError("promql: quantile_over_time(q, selector[range])")
+                if not 0.0 <= qv.value <= 1.0:
+                    # out-of-range q would index past the sample array
+                    # at execution (ANSI error); reject at compile time
+                    raise ValueError(
+                        "promql: quantile_over_time q must be in [0, 1]"
+                    )
                 return self._leaf_range(fn, sel, qv.value)
             if fn == "predict_linear":
                 # predict_linear(selector[range], t_seconds) — horizon

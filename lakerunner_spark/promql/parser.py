@@ -192,7 +192,7 @@ class _Parser:
         lhs = self._parse_and()
         while self.peek().text == "or":
             self.next()
-            mods = self._match_modifiers()
+            mods = self._match_modifiers(set_op="or")
             lhs = Binary("or", lhs, self._parse_and(), **mods)
         return lhs
 
@@ -200,7 +200,7 @@ class _Parser:
         lhs = self._parse_cmp()
         while self.peek().text in ("and", "unless"):
             op = self.next().text
-            mods = self._match_modifiers()
+            mods = self._match_modifiers(set_op=op)
             lhs = Binary(op, lhs, self._parse_cmp(), **mods)
         return lhs
 
@@ -232,13 +232,14 @@ class _Parser:
             lhs = Binary(op, lhs, self._parse_unary(), **mods)
         return lhs
 
-    def _match_modifiers(self) -> dict:
+    def _match_modifiers(self, set_op: str | None = None) -> dict:
         """on(...) / ignoring(...) with optional group_left/right.
 
         The reference rejects group modifiers outright (parser.go:455-
         460); here they are supported as an extension, but — exactly as
-        in Prometheus — only in combination with on(...)/ignoring(...):
-        a bare group modifier has no defined match key and is rejected.
+        in Prometheus — only in combination with on(...)/ignoring(...)
+        (a bare group modifier has no defined match key) and never on
+        and/or/unless ('no grouping allowed for set operations').
         """
         mods: dict = {}
         if self.peek().text in ("on", "ignoring"):
@@ -247,6 +248,10 @@ class _Parser:
             mods["on" if kw == "on" else "ignoring"] = labels
         if self.peek().text in ("group_left", "group_right"):
             kw = self.next().text
+            if set_op is not None:
+                raise ValueError(
+                    f"promql: no grouping ({kw}) allowed for {set_op!r}"
+                )
             if not mods:
                 raise ValueError(
                     f"promql: {kw} requires on(...) or ignoring(...)"

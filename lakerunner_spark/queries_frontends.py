@@ -877,7 +877,7 @@ def pqs20_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lqs12_pattern",
     f"""
     SELECT kv, CAST(count(*) AS BIGINT) AS n
-    FROM (SELECT regexp_extract(props, '^\\{{"k": (.*?)\\}}', 1) AS kv
+    FROM (SELECT regexp_extract(props, '^\\{{"k": (.*?)\\}}$', 1) AS kv
           FROM {_E} e WHERE event_type = 'error')
     GROUP BY kv
     """,

@@ -550,7 +550,12 @@ def test_pattern_translator_cases():
     from lakerunner_spark.logql.stages import pattern_to_regex
 
     pat, groups = pattern_to_regex('{"k": <kv>}')
-    assert pat == '^\\{"k": (.*?)\\}' and groups == {"kv": 1}
+    assert pat == '^\\{"k": (.*?)\\}$' and groups == {"kv": 1}
+    # end-anchored like Loki: trailing content fails a literal-final
+    # template
+    import re as _re
+    assert _re.match(pat, '{"k": 7}')
+    assert not _re.match(pat, '{"k": 7} trailing')
     # final capture takes the remainder (greedy), anon groups don't count
     pat, groups = pattern_to_regex('<ip> - - <_> "<method> <rest>')
     assert pat.endswith("(.*)") and groups == {"ip": 1, "method": 2, "rest": 3}
@@ -584,3 +589,23 @@ def test_pattern_stage_in_pipeline(spark):
     assert rows[1] == ("10.0.0.2", "POST", "/b", "500")
     # unmatched lines extract empty strings (same contract as | regexp)
     assert rows[2] == ("", "", "", "")
+
+
+def test_logql_quantile_large_range_routes_to_sketch(spark, sf_dir):
+    """A LogQL quantile over a range spanning more than
+    QUANTILE_SKETCH_MIN_BUCKETS step buckets must plan through the
+    DDSketch bucket algebra — no collect_list raw-value arrays."""
+    from lakerunner_spark.catalog import default_log_source
+    from lakerunner_spark.logql.compiler import compile_logql
+
+    src = default_log_source(spark, sf_dir)
+    # 10m range / 5s step = 120 buckets > 60 threshold
+    df = compile_logql(
+        'quantile_over_time(0.9, {event_type="purchase"}'
+        ' | json k="$.k" | unwrap k [10m])',
+        src,
+        5_000,
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    assert df.count() >= 0  # executes

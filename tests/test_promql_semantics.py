@@ -326,3 +326,44 @@ def test_group_left_right_semantics(spark):
             "sum by (et, uid) (m) / on(et) group_left(et)"
             " sum by (et) (o)", cat, 60_000
         )
+
+
+def test_all_null_groups_stay_absent(spark):
+    """group/stddev/stdvar must yield NULL for groups whose samples are
+    all NULL (coverage warm-up rows), like every other aggregator —
+    never fabricate 1.0 / 0.0."""
+    from lakerunner_spark.operators.vector_agg import vector_agg
+
+    df = spark.createDataFrame(
+        [(0, "a", None), (0, "b", None), (60_000, "a", 2.0)],
+        "bucket_ts LONG, job STRING, value DOUBLE",
+    )
+    for fn, present in [("group", 1.0), ("stdvar", 0.0), ("stddev", 0.0)]:
+        rows = {r.bucket_ts: r.value for r in vector_agg(df, fn, by=[]).collect()}
+        assert rows[0] is None, fn
+        assert rows[60_000] == present, fn
+
+
+def test_group_modifier_rejected_on_set_ops():
+    import pytest
+
+    from lakerunner_spark.promql.parser import parse_promql
+
+    for op in ("and", "or", "unless"):
+        with pytest.raises(ValueError, match="no grouping"):
+            parse_promql(f"a {op} on(x) group_left b")
+
+
+def test_quantile_over_time_q_range_validated():
+    import pytest
+
+    from lakerunner_spark.promql.compiler import MetricCatalog, compile_promql
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        compile_promql(
+            "quantile_over_time(1.5, m[5m])", MetricCatalog({}), 60_000
+        )
+    from lakerunner_spark.logql.parser import parse_logql
+
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        parse_logql('quantile_over_time(1.5, {a="b"} | unwrap v [5m])')
