@@ -1,0 +1,92 @@
+"""Classic le-bucket histogram_quantile (Prometheus interpolation).
+
+Extension beyond the reference: its histogram_quantile serves exact
+per-bucket quantiles from raw value distributions (the cooked layout
+stores samples, not le-buckets — promql/quantile_node.go:35-114), so
+Prometheus-style ``_bucket`` series with cumulative counts per ``le``
+have no evaluator there. OTLP histograms DO arrive as exploded buckets
+(sources/otel.py read_otlp_metrics), and dashboards ported from
+Prometheus use ``histogram_quantile(q, sum by (le, ...) (rate(
+x_bucket[5m])))`` — this operator closes that path.
+
+Semantics follow Prometheus's bucketQuantile (prometheus/promql/
+quantile.go): buckets ordered by upper bound ``le`` (cumulative
+counts), rank = q * total (the +Inf bucket's count); the target bucket
+is the first whose cumulative count reaches the rank, and the result
+interpolates linearly inside it:
+
+- target is the +Inf bucket -> the largest finite ``le``;
+- target is the first bucket -> ``le`` itself when ``le <= 0``, else
+  interpolate from a 0 lower bound;
+- otherwise -> prev_le + (le - prev_le) * (rank - prev_cum)/(cum - prev_cum).
+
+Spark-first: one window pass per (bucket_ts, labels) group ordered by
+the numeric ``le`` — lag() supplies the previous bound/count, a
+max-over-partition supplies the total, and the single target row is
+selected by ``cum >= rank AND (prev is null OR prev_cum < rank)``. No
+arrays, no UDFs; everything whole-stage-codegen window expressions on
+post-aggregation data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_quantile_buckets(
+    df: DataFrame,
+    q: float,
+    le_col: str = "le",
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """``histogram_quantile(q, v)`` for a vector carrying an ``le``
+    label with cumulative bucket counts.
+
+    Input columns: ``bucket_col``, the label columns (including
+    ``le_col``), ``value_col``. Output: the same labels WITHOUT ``le``,
+    plus ``value``. Groups whose buckets never reach the rank (e.g.
+    total = 0) drop out, matching Prometheus's NaN-row omission in this
+    engine's absent-row model.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("histogram_quantile q must be in [0, 1]")
+    keys = [c for c in df.columns if c not in (bucket_col, le_col, value_col)]
+    # "+Inf"/"inf" cast to Infinity in both Spark and DuckDB
+    le_num = F.col(le_col).cast("double")
+    d = df.withColumn("_le", le_num).filter(F.col("_le").isNotNull())
+
+    wp = Window.partitionBy(bucket_col, *keys)
+    w = wp.orderBy("_le")
+    total = F.max(value_col).over(wp)  # cumulative -> max is the +Inf count
+    rank = F.lit(q) * total
+    prev_le = F.lag("_le").over(w)
+    prev_v = F.lag(value_col).over(w)
+    cum = F.col(value_col)
+
+    is_target = (cum >= rank) & (prev_v.isNull() | (prev_v < rank))
+    inf = float("inf")
+    value = (
+        F.when(F.col("_le") == inf, prev_le)  # +Inf bucket -> largest finite le
+        .when(
+            prev_le.isNull(),
+            F.when(F.col("_le") <= 0, F.col("_le")).otherwise(
+                F.col("_le") * rank / cum
+            ),
+        )
+        .otherwise(
+            prev_le + (F.col("_le") - prev_le) * (rank - prev_v) / (cum - prev_v)
+        )
+    )
+    out = (
+        d.withColumn("_t", is_target & (total > 0))
+        .withColumn("_q", value)
+        # window expressions must land in columns before the filter
+        .filter(F.col("_t"))
+        # a lone +Inf bucket has no finite bound to report (Prometheus
+        # NaN) -> absent row in this engine's model
+        .filter(F.col("_q").isNotNull())
+        .select(bucket_col, *keys, F.col("_q").alias("value"))
+    )
+    return out

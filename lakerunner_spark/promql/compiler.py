@@ -480,7 +480,23 @@ class _Compiler:
             if not isinstance(qv, ast.Num):
                 raise ValueError("promql: histogram_quantile q must be a number")
             if not isinstance(arg, ast.Selector):
-                raise ValueError("promql: histogram_quantile over a selector only")
+                # extension: Prometheus-style le-bucket interpolation
+                # for a computed vector carrying an `le` label (e.g.
+                # sum by (le, ...) (rate(x_bucket[5m])) — OTLP exploded
+                # histograms arrive in exactly this shape). The
+                # reference only evaluates the selector form below.
+                from lakerunner_spark.operators.histogram import (
+                    histogram_quantile_buckets,
+                )
+
+                v = self.compile(arg)
+                if isinstance(v, float) or "le" not in v.labels:
+                    raise ValueError(
+                        "promql: histogram_quantile needs a selector or a "
+                        "vector with an 'le' label"
+                    )
+                out = histogram_quantile_buckets(v.df, qv.value)
+                return _Vec(out, [c for c in v.labels if c != "le"])
             # cooked data stores value distributions, not le-buckets
             # (F13; quantile_node.go:35-114) -> per-bucket exact quantile
             df, src = self._leaf_rows(arg)

@@ -1103,3 +1103,68 @@ def lqs14_first_stddev_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts", "event_type",
         _pr("first_v", 6).alias("first_v"), _pr("stddev_v", 6).alias("stddev_v"),
     )
+
+
+@register(
+    "pqs26_histogram_quantile_buckets",
+    f"""
+    WITH s AS (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, value
+      FROM {_E} e
+    ),
+    les AS (SELECT unnest([25.0, 50.0, 75.0, CAST('inf' AS DOUBLE)]) AS le),
+    b AS (
+      SELECT bucket_ts, event_type, le,
+             CAST(sum(CASE WHEN value <= le THEN 1 ELSE 0 END) AS DOUBLE) AS cum
+      FROM s CROSS JOIN les GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT bucket_ts, event_type, le, cum,
+             max(cum) OVER (PARTITION BY bucket_ts, event_type) AS total,
+             lag(le) OVER (PARTITION BY bucket_ts, event_type
+                           ORDER BY le) AS ple,
+             lag(cum) OVER (PARTITION BY bucket_ts, event_type
+                            ORDER BY le) AS pcum
+      FROM b
+    )
+    SELECT bucket_ts, event_type, pround(
+        CASE WHEN le = CAST('inf' AS DOUBLE) THEN ple
+             WHEN ple IS NULL THEN
+               CASE WHEN le <= 0 THEN le ELSE le * (0.9 * total) / cum END
+             ELSE ple + (le - ple) * (0.9 * total - pcum) / (cum - pcum)
+        END, 6) AS value
+    FROM w
+    WHERE total > 0 AND cum >= 0.9 * total
+      AND (pcum IS NULL OR pcum < 0.9 * total)
+      AND NOT (le = CAST('inf' AS DOUBLE) AND ple IS NULL)
+    """,
+)
+def pqs26_histogram_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic le-bucket histogram_quantile (extension): cumulative
+    bucket counts synthesized from events (the OTLP exploded-histogram
+    shape), interpolated with Prometheus's bucketQuantile rules —
+    oracle replicates the interpolation term for term."""
+    from lakerunner_spark.operators.histogram import histogram_quantile_buckets
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    les = spark.createDataFrame(
+        [(25.0,), (50.0,), (75.0,), (float("inf"),)], ["le"]
+    )
+    b = (
+        e.crossJoin(F.broadcast(les))
+        .groupBy(
+            (F.col("chq_timestamp") - F.col("chq_timestamp") % 3_600_000)
+            .alias("bucket_ts"),
+            "event_type",
+            "le",
+        )
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0))
+            .cast("double")
+            .alias("value")
+        )
+    )
+    out = histogram_quantile_buckets(b, 0.9)
+    return out.withColumn("value", _pr("value", 6))

@@ -367,3 +367,57 @@ def test_quantile_over_time_q_range_validated():
 
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         parse_logql('quantile_over_time(1.5, {a="b"} | unwrap v [5m])')
+
+
+def test_histogram_quantile_le_buckets(spark):
+    """le-bucket interpolation (extension): Prometheus bucketQuantile
+    rules — in-bucket interpolation, +Inf falls back to the largest
+    finite le, rank-in-first-bucket interpolates from 0 (or returns le
+    when le <= 0), and it routes through the compiler for non-selector
+    args carrying an `le` label."""
+    from lakerunner_spark.operators.histogram import histogram_quantile_buckets
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    rows = [
+        # series "j": buckets 10/20/+Inf with cum 5/15/20; q=0.5 ->
+        # rank 10, target le=20: 10 + (20-10)*(10-5)/(15-5) = 15
+        (0, "j", "10", 5.0), (0, "j", "20", 15.0), (0, "j", "+Inf", 20.0),
+        # series "k": everything in the first bucket; q=0.5 -> rank 5,
+        # target le=10: 10 * 5/10 = 5 (interpolate from 0)
+        (0, "k", "10", 10.0), (0, "k", "20", 10.0), (0, "k", "+Inf", 10.0),
+        # series "n": negative-bound first bucket; rank falls there ->
+        # return le itself (-1)
+        (0, "n", "-1", 8.0), (0, "n", "5", 10.0), (0, "n", "+Inf", 10.0),
+        # series "inf": rank lands in +Inf -> largest finite le (30)
+        (0, "inf", "30", 1.0), (0, "inf", "+Inf", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_ts LONG, job STRING, le STRING, value DOUBLE"
+    )
+    got = {
+        r.job: r.value
+        for r in histogram_quantile_buckets(df, 0.5).collect()
+    }
+    assert got == {"j": 15.0, "k": 5.0, "n": -1.0, "inf": 30.0}
+
+    # compiler path: non-selector arg with le label
+    leaf = df.withColumnRenamed("bucket_ts", "chq_timestamp")
+    cat = MetricCatalog({"m_bucket": LeafSource(df=leaf, labels=["job", "le"])})
+    out = compile_promql(
+        "histogram_quantile(0.5, sum by (job, le) (m_bucket))", cat, 60_000
+    ).collect()
+    assert {r.job: r.value for r in out} == {"j": 15.0, "k": 5.0, "n": -1.0,
+                                            "inf": 30.0}
+    assert all(not hasattr(r, "le") for r in out)
+
+    # a vector without le is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="le"):
+        compile_promql(
+            "histogram_quantile(0.5, sum by (job) (m_bucket))", cat, 60_000
+        )
