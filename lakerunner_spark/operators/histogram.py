@@ -34,6 +34,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cumulate_buckets(
+    df: DataFrame,
+    le_col: str = "le",
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Per-bucket counts -> cumulative counts (running sum by ``le``).
+
+    OTLP histograms carry NON-cumulative bucket_counts (sources/otel.py
+    explodes them one row per bound); Prometheus le-bucket semantics —
+    and :func:`histogram_quantile_buckets` — expect cumulative counts.
+    One narrow window pass per series converts between the two."""
+    keys = [c for c in df.columns if c not in (bucket_col, le_col, value_col)]
+    w = (
+        Window.partitionBy(bucket_col, *keys)
+        .orderBy(F.col(le_col).cast("double"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(value_col, F.sum(value_col).over(w))
+
+
 def histogram_quantile_buckets(
     df: DataFrame,
     q: float,

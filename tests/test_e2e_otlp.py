@@ -126,3 +126,32 @@ def test_cooked_layout_properties(cooked):
     )
     # "request # ok" and "request # boom" -> exactly two structural shapes
     assert shapes == 2
+
+
+def test_otlp_histogram_to_quantile(spark, tmp_path):
+    """Full path: OTLP wire bytes -> exploded per-bucket rows ->
+    cumulative counts -> Prometheus le-bucket quantile. The payload's
+    histogram has counts [1, 2, 3] at bounds [0.5, 2.5, +Inf]
+    (cumulative 1/3/6): q=0.5 -> rank 3, target le=2.5:
+    0.5 + (2.5-0.5)*(3-1)/(3-1) = 2.5."""
+    from test_protowire import _metrics_payload
+
+    from lakerunner_spark.operators.histogram import (
+        cumulate_buckets,
+        histogram_quantile_buckets,
+    )
+    from lakerunner_spark.sources.otel import read_otlp_metrics
+
+    p = tmp_path / "m.binpb"
+    p.write_bytes(_metrics_payload())
+    rows = read_otlp_metrics(spark, str(tmp_path))
+    hist = rows.filter(F.col("chq_metric_type") == "histogram").select(
+        F.col("chq_timestamp").alias("bucket_ts"),
+        "metric_name",
+        F.col("bucket_le").alias("le"),
+        "value",
+    )
+    cum = cumulate_buckets(hist)
+    assert [r.value for r in cum.orderBy("le").collect()] == [1.0, 3.0, 6.0]
+    out = histogram_quantile_buckets(cum, 0.5).collect()
+    assert len(out) == 1 and out[0].value == 2.5 and out[0].metric_name == "latency"
