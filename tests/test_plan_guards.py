@@ -40,6 +40,7 @@ NLJ_ALLOWED = {
     "sim4_quantized_topk",    # broadcast queries x dequantized corpus (cosine_topk)
     "mm2_png_features",       # tiny literal DF
     "mm4_bmp_features",       # tiny literal DF
+    "pqs26_histogram_quantile_buckets",  # broadcast 4-row le-bounds literal
     "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
 }
