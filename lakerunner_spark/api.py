@@ -112,6 +112,39 @@ class QueryAPI:
             s["values"].sort()
         return {"step_ms": step, "result": list(series.values())}
 
+    def prometheus_query_range(self, params: dict) -> dict:
+        """Prometheus HTTP API-shaped range query (extension): the
+        same engine evaluation as :meth:`metrics_query`, rendered in
+        the ``/api/v1/query_range`` wire format (resultType=matrix,
+        float timestamps in seconds, stringified sample values) so the
+        engine can back any Prometheus-datasource client unchanged.
+
+        Accepts Prometheus-style ``start``/``end`` (epoch seconds) and
+        ``step`` (seconds), falling back to the engine's ``*_ms``
+        parameter names.
+        """
+        p = dict(params)
+        if "start" in p and "start_ms" not in p:
+            p["start_ms"] = int(float(p["start"]) * 1000)
+        if "end" in p and "end_ms" not in p:
+            p["end_ms"] = int(float(p["end"]) * 1000)
+        if "step" in p and "step_ms" not in p:
+            p["step_ms"] = int(float(p["step"]) * 1000)
+        inner = self.metrics_query(p)
+        result = []
+        for s in inner["result"]:
+            values = [
+                [ts_ms / 1000.0, str(v)]
+                for ts_ms, v in s["values"]
+                if v is not None
+            ]
+            if values:
+                result.append({"metric": s["labels"], "values": values})
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": result},
+        }
+
     # -- logs -------------------------------------------------------------
 
     def logs_tags(self, params: dict | None = None) -> dict:
@@ -216,6 +249,7 @@ class QueryAPI:
         "/api/v1/metrics/tags": "metrics_tags",
         "/api/v1/metrics/tagvalues": "metrics_tagvalues",
         "/api/v1/metrics/query": "metrics_query",
+        "/api/v1/query_range": "prometheus_query_range",
         "/api/v1/logs/tags": "logs_tags",
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",

@@ -24,6 +24,9 @@ def test_all_routes_answer(api):
         "/api/v1/metrics/query": {
             "query": "sum by (event_type) (events)", "step_ms": 3_600_000
         },
+        "/api/v1/query_range": {
+            "query": "sum by (event_type) (events)", "step": 3600
+        },
         "/api/v1/logs/tagvalues": {"tag": "event_type"},
         "/api/v1/logs/query": {"query": '{event_type="error"}', "limit": 5},
         "/api/v1/spans/tagvalues": {"tag": "span_name"},
@@ -150,3 +153,28 @@ def test_step_ladder_applies_at_epoch_zero(api):
         }
     )
     assert out["step_ms"] == 10_000  # <=65m rung, not the 60s fallback
+
+
+def test_prometheus_query_range_shape(api):
+    """The /api/v1/query_range shim renders the Prometheus wire format:
+    matrix resultType, [sec, "str"] sample pairs, per-series metric
+    label objects — and accepts Prometheus-style second-based params."""
+    out = api.handle(
+        "/api/v1/query_range",
+        {
+            "query": 'sum by (event_type) (rate(events[5m]))',
+            "start": 0,
+            "end": 10**10,
+            "step": 60,
+        },
+    )
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "matrix"
+    result = out["data"]["result"]
+    assert result, "expected at least one series"
+    for series in result:
+        assert set(series["metric"]) == {"event_type"}
+        for ts, v in series["values"]:
+            assert isinstance(ts, float) and isinstance(v, str)
+            float(v)  # parseable sample value
+        assert series["values"] == sorted(series["values"])
