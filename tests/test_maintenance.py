@@ -387,3 +387,36 @@ def test_compact_refuses_undecided_commit(spark, sf_dir, tmp_path):
         compact_segments(spark, task, "metrics")
     assert not os.path.exists(_lock_path(part))  # released on refusal
     assert spark.read.parquet(part).count() == total
+
+
+def test_concurrent_compactions_one_wins_no_duplicates(spark, sf_dir, tmp_path):
+    """Two threads race compact_segments on the SAME partition: exactly
+    one must win, the loser must fail with the in-progress error (or
+    the planned-inputs-gone error if it starts after the winner's
+    swap), and the partition's rows are intact — never duplicated."""
+    import threading
+
+    part, total = _fragmented_partition(spark, sf_dir, tmp_path, "race")
+    task = plan_compaction(part)
+    results: list = [None, None]
+
+    def run(i):
+        try:
+            results[i] = ("ok", compact_segments(spark, task, "metrics"))
+        except Exception as e:  # noqa: BLE001
+            results[i] = ("err", str(e))
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    outcomes = sorted(kind for kind, _ in results)
+    assert outcomes == ["err", "ok"], results
+    err = next(msg for kind, msg in results if kind == "err")
+    assert "already in progress" in err or "no longer exist" in err, err
+    assert spark.read.parquet(part).count() == total
+    assert not os.path.exists(
+        os.path.join(part, "_compact_lock.json")
+    )  # winner released
