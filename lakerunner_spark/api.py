@@ -112,25 +112,59 @@ class QueryAPI:
             s["values"].sort()
         return {"step_ms": step, "result": list(series.values())}
 
+    @staticmethod
+    def _prom_time_ms(v) -> int:
+        """Prometheus time parameter -> epoch ms: float epoch seconds
+        or an RFC3339 timestamp ('Z' accepted)."""
+        try:
+            return int(float(v) * 1000)
+        except (TypeError, ValueError):
+            pass
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    @staticmethod
+    def _prom_step_ms(v) -> int:
+        """Prometheus step parameter -> ms: float seconds or a duration
+        string like '15s'/'5m'."""
+        try:
+            return int(float(v) * 1000)
+        except (TypeError, ValueError):
+            from lakerunner_spark.promql.parser import parse_duration_ms
+
+            return parse_duration_ms(str(v))
+
     def prometheus_query_range(self, params: dict) -> dict:
         """Prometheus HTTP API-shaped range query (extension): the
         same engine evaluation as :meth:`metrics_query`, rendered in
         the ``/api/v1/query_range`` wire format (resultType=matrix,
-        float timestamps in seconds, stringified sample values) so the
-        engine can back any Prometheus-datasource client unchanged.
+        float timestamps in seconds, stringified sample values).
 
-        Accepts Prometheus-style ``start``/``end`` (epoch seconds) and
-        ``step`` (seconds), falling back to the engine's ``*_ms``
-        parameter names.
+        Accepts Prometheus-style ``start``/``end`` (epoch seconds or
+        RFC3339) and ``step`` (seconds or a duration string like
+        '15s'), falling back to the engine's ``*_ms`` parameter names;
+        the HTTP adapter feeds it query-string and form parameters, so
+        real Prometheus clients' GET/POST shapes reach it. Failures
+        return the Prometheus ``{"status": "error", ...}`` envelope
+        instead of raising.
         """
-        p = dict(params)
-        if "start" in p and "start_ms" not in p:
-            p["start_ms"] = int(float(p["start"]) * 1000)
-        if "end" in p and "end_ms" not in p:
-            p["end_ms"] = int(float(p["end"]) * 1000)
-        if "step" in p and "step_ms" not in p:
-            p["step_ms"] = int(float(p["step"]) * 1000)
-        inner = self.metrics_query(p)
+        try:
+            p = dict(params)
+            if "start" in p and "start_ms" not in p:
+                p["start_ms"] = self._prom_time_ms(p["start"])
+            if "end" in p and "end_ms" not in p:
+                p["end_ms"] = self._prom_time_ms(p["end"])
+            if "step" in p and "step_ms" not in p:
+                p["step_ms"] = self._prom_step_ms(p["step"])
+            inner = self.metrics_query(p)
+        except KeyError:
+            raise  # missing `query` -> the adapter's 400 path
+        except Exception as e:  # noqa: BLE001 - Prometheus error envelope
+            return {"status": "error", "errorType": "bad_data", "error": str(e)}
         result = []
         for s in inner["result"]:
             values = [
@@ -273,16 +307,27 @@ class QueryAPI:
 
 
 def serve(api: QueryAPI, port: int = 8080):
-    """Minimal stdlib HTTP adapter (POST JSON body = params)."""
+    """Minimal stdlib HTTP adapter. Params merge from the URL query
+    string, a JSON body, or a form-encoded body — the GET
+    ``?query=...&step=15s`` and POST form shapes real Prometheus
+    clients send both reach the handlers."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlsplit
 
     class Handler(BaseHTTPRequestHandler):
         def _respond(self):
             length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else b"{}"
+            body = self.rfile.read(length) if length else b""
+            split = urlsplit(self.path)
             try:
-                params: dict[str, Any] = json.loads(body or b"{}")
-                out = api.handle(self.path, params)
+                params: dict[str, Any] = dict(parse_qsl(split.query))
+                if body:
+                    ctype = (self.headers.get("Content-Type") or "").lower()
+                    if "x-www-form-urlencoded" in ctype:
+                        params.update(dict(parse_qsl(body.decode())))
+                    else:
+                        params.update(json.loads(body))
+                out = api.handle(split.path, params)
                 code = 200
             except QueryAPI.RouteNotFound as e:
                 out, code = {"error": str(e)}, 404

@@ -61,33 +61,50 @@ def histogram_quantile_buckets(
     le_col: str = "le",
     value_col: str = "value",
     bucket_col: str = "bucket_ts",
+    cumulative: bool = True,
 ) -> DataFrame:
     """``histogram_quantile(q, v)`` for a vector carrying an ``le``
-    label with cumulative bucket counts.
+    label with cumulative bucket counts (``cumulative=False`` first
+    runs :func:`cumulate_buckets` — the OTLP per-bucket shape).
 
     Input columns: ``bucket_col``, the label columns (including
     ``le_col``), ``value_col``. Output: the same labels WITHOUT ``le``,
-    plus ``value``. Groups whose buckets never reach the rank (e.g.
-    total = 0) drop out, matching Prometheus's NaN-row omission in this
-    engine's absent-row model.
+    plus ``value``. Prometheus-rule guards, all yielding ABSENT rows
+    where Prometheus yields NaN:
+
+    - groups whose top bucket is not ``+Inf`` drop out (bucketQuantile
+      requires it — without it "total" is a guess);
+    - empty histograms (total = 0) drop out;
+    - cumulative counts are made monotone first (running max — the
+      ensureMonotonic fixup for rate()-induced dips); without it the
+      target predicate can match several buckets and emit conflicting
+      duplicate rows per series.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError("histogram_quantile q must be in [0, 1]")
+    if not cumulative:
+        df = cumulate_buckets(
+            df, le_col=le_col, value_col=value_col, bucket_col=bucket_col
+        )
     keys = [c for c in df.columns if c not in (bucket_col, le_col, value_col)]
     # "+Inf"/"inf" cast to Infinity in both Spark and DuckDB
     le_num = F.col(le_col).cast("double")
     d = df.withColumn("_le", le_num).filter(F.col("_le").isNotNull())
 
+    inf = float("inf")
     wp = Window.partitionBy(bucket_col, *keys)
     w = wp.orderBy("_le")
-    total = F.max(value_col).over(wp)  # cumulative -> max is the +Inf count
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    # ensureMonotonic: running max over the le-ordered cumulative counts
+    d = d.withColumn("_cum", F.max(value_col).over(wrun))
+    has_inf = F.max(F.when(F.col("_le") == inf, 1).otherwise(0)).over(wp)
+    total = F.max("_cum").over(wp)  # monotone -> the +Inf bucket's count
     rank = F.lit(q) * total
     prev_le = F.lag("_le").over(w)
-    prev_v = F.lag(value_col).over(w)
-    cum = F.col(value_col)
+    prev_v = F.lag("_cum").over(w)
+    cum = F.col("_cum")
 
     is_target = (cum >= rank) & (prev_v.isNull() | (prev_v < rank))
-    inf = float("inf")
     value = (
         F.when(F.col("_le") == inf, prev_le)  # +Inf bucket -> largest finite le
         .when(
@@ -97,11 +114,14 @@ def histogram_quantile_buckets(
             ),
         )
         .otherwise(
-            prev_le + (F.col("_le") - prev_le) * (rank - prev_v) / (cum - prev_v)
+            # no /0 possible: the target predicate requires
+            # prev_v < rank <= cum, so cum > prev_v here
+            prev_le
+            + (F.col("_le") - prev_le) * (rank - prev_v) / (cum - prev_v)
         )
     )
     out = (
-        d.withColumn("_t", is_target & (total > 0))
+        d.withColumn("_t", is_target & (total > 0) & (has_inf == 1))
         .withColumn("_q", value)
         # window expressions must land in columns before the filter
         .filter(F.col("_t"))

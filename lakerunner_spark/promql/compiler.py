@@ -482,9 +482,15 @@ class _Compiler:
             if not isinstance(arg, ast.Selector):
                 # extension: Prometheus-style le-bucket interpolation
                 # for a computed vector carrying an `le` label (e.g.
-                # sum by (le, ...) (rate(x_bucket[5m])) — OTLP exploded
-                # histograms arrive in exactly this shape). The
-                # reference only evaluates the selector form below.
+                # sum by (le, ...) (rate(x_bucket[5m]))). CONTRACT: the
+                # vector's counts are CUMULATIVE per le (Prometheus
+                # _bucket semantics). OTLP explodes NON-cumulative
+                # bucket counts — run operators/histogram.py
+                # cumulate_buckets when cooking OTLP buckets into a
+                # catalog metric (test_otlp_histogram_to_quantile shows
+                # the composition); feeding raw OTLP counts here would
+                # silently misrank. The reference only evaluates the
+                # selector form below.
                 from lakerunner_spark.operators.histogram import (
                     histogram_quantile_buckets,
                 )

@@ -178,3 +178,45 @@ def test_prometheus_query_range_shape(api):
             assert isinstance(ts, float) and isinstance(v, str)
             float(v)  # parseable sample value
         assert series["values"] == sorted(series["values"])
+
+
+def test_http_adapter_serves_prometheus_client_shapes(api):
+    """Real Prometheus clients send GET with a query string (duration
+    step, RFC3339 start) or POST form bodies; both must reach the
+    query_range handler through the HTTP adapter, and bad queries get
+    the Prometheus error envelope."""
+    import http.client
+    import json as _json
+    import threading
+    from urllib.parse import urlencode
+
+    srv = serve(api, port=0)  # ephemeral port
+    try:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        qs = urlencode({
+            "query": "sum by (event_type) (events)",
+            "start": "1970-01-01T00:00:00Z",
+            "end": 10**10,
+            "step": "1h",
+        })
+        conn.request("GET", f"/api/v1/query_range?{qs}")
+        resp = conn.getresponse()
+        out = _json.loads(resp.read())
+        assert resp.status == 200 and out["status"] == "success"
+        assert out["data"]["result"], out
+
+        body = urlencode({"query": "rate(events[5m]", "step": "60"})
+        conn.request(
+            "POST", "/api/v1/query_range", body,
+            {"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        resp = conn.getresponse()
+        out = _json.loads(resp.read())
+        assert out["status"] == "error" and out["errorType"] == "bad_data"
+        conn.close()
+    finally:
+        srv.shutdown()

@@ -421,3 +421,36 @@ def test_histogram_quantile_le_buckets(spark):
         compile_promql(
             "histogram_quantile(0.5, sum by (job) (m_bucket))", cat, 60_000
         )
+
+
+def test_histogram_quantile_prometheus_guards(spark):
+    """ensureMonotonic fixup (one target row despite a dip), missing
+    +Inf top bucket -> absent, and cumulative=False cumulates OTLP-style
+    per-bucket counts first."""
+    from lakerunner_spark.operators.histogram import histogram_quantile_buckets
+
+    # dip at le=20 (rate artifact): running max -> [5,5,6]; q=0.5 ->
+    # rank 3, first bucket (cum 5 >= 3, prev null), le=10 > 0:
+    # 10 * 3/5 = 6
+    dip = spark.createDataFrame(
+        [(0, "d", "10", 5.0), (0, "d", "20", 2.0), (0, "d", "+Inf", 6.0)],
+        "bucket_ts LONG, job STRING, le STRING, value DOUBLE",
+    )
+    rows = histogram_quantile_buckets(dip, 0.5).collect()
+    assert len(rows) == 1 and rows[0].value == 6.0
+
+    # no +Inf bucket -> Prometheus NaN -> absent row
+    no_inf = spark.createDataFrame(
+        [(0, "x", "10", 5.0), (0, "x", "20", 9.0)],
+        "bucket_ts LONG, job STRING, le STRING, value DOUBLE",
+    )
+    assert histogram_quantile_buckets(no_inf, 0.5).count() == 0
+
+    # OTLP per-bucket counts [1,2,3] -> cumulative [1,3,6]; q=0.5 ->
+    # rank 3, target le=2.5: 0.5 + 2*(3-1)/(3-1) = 2.5
+    otlp = spark.createDataFrame(
+        [(0, "o", "0.5", 1.0), (0, "o", "2.5", 2.0), (0, "o", "+Inf", 3.0)],
+        "bucket_ts LONG, job STRING, le STRING, value DOUBLE",
+    )
+    rows = histogram_quantile_buckets(otlp, 0.5, cumulative=False).collect()
+    assert len(rows) == 1 and rows[0].value == 2.5
