@@ -574,6 +574,25 @@ class _Compiler:
                 F.percentile("value", node.param).alias("value")
             )
             return _Vec(out, keys)
+        if node.op == "count_values":
+            # extension: histogram of sample values — each distinct
+            # value becomes a label (formatted with the engine's
+            # canonical double rendering; Prometheus uses Go's shortest
+            # form, which differs for some magnitudes — documented
+            # engine semantics, not wire parity)
+            dst = node.param_str
+            keys = self._agg_keys(node, v)
+            if dst in keys or dst == "bucket_ts":
+                raise ValueError(
+                    f"promql: count_values destination {dst!r} collides "
+                    "with a grouping label"
+                )
+            out = (
+                v.df.withColumn(dst, F.col("value").cast("string"))
+                .groupBy("bucket_ts", *keys, dst)
+                .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            )
+            return _Vec(out, keys + [dst])
         keys = self._agg_keys(node, v)
         out = vector_agg(v.df, node.op, by=keys)
         return _Vec(out, keys)

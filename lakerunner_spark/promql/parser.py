@@ -66,6 +66,7 @@ class Agg:
     by: list[str] | None = None
     without: list[str] | None = None
     param: float | None = None  # k for topk/bottomk, q for quantile
+    param_str: str | None = None  # destination label for count_values
 
 
 @dataclass
@@ -95,8 +96,8 @@ RANGE_FUNCS = {
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
            # extensions beyond the reference (its parser maps only the
-           # list above): Prometheus stddev/stdvar/group aggregations
-           "stddev", "stdvar", "group"}
+           # list above): Prometheus stddev/stdvar/group/count_values
+           "stddev", "stdvar", "group", "count_values"}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 _SET_OPS = {"and", "or", "unless"}
 
@@ -344,13 +345,21 @@ class _Parser:
                 without = labels
         self.expect("(")
         param = None
+        param_str = None
         first = self.parse_expr()
         if self.peek().text == ",":
             self.next()
             second = self.parse_expr()
-            if not isinstance(first, Num):
+            if op == "count_values":
+                if not isinstance(first, Str):
+                    raise ValueError(
+                        'promql: count_values("label", vector)'
+                    )
+                param_str, expr = first.value, second
+            elif not isinstance(first, Num):
                 raise ValueError(f"promql: {op} parameter must be a number")
-            param, expr = first.value, second
+            else:
+                param, expr = first.value, second
         else:
             expr = first
         self.expect(")")
@@ -363,7 +372,10 @@ class _Parser:
                 without = labels
         if op in ("topk", "bottomk", "quantile") and param is None:
             raise ValueError(f"promql: {op} requires a parameter")
-        return Agg(op, expr, by=by, without=without, param=param)
+        if op == "count_values" and param_str is None:
+            raise ValueError('promql: count_values("label", vector)')
+        return Agg(op, expr, by=by, without=without, param=param,
+                   param_str=param_str)
 
     def _label_list(self) -> list[str]:
         self.expect("(")

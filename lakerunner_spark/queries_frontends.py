@@ -1168,3 +1168,31 @@ def pqs26_histogram_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFr
     )
     out = histogram_quantile_buckets(b, 0.9)
     return out.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs27_count_values",
+    f"""
+    SELECT bucket_ts,
+           CAST(floor(v + 0.5) * 1.0 AS VARCHAR) AS bucketed,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS v
+      FROM {_E} e GROUP BY 1, 2, 3
+    )
+    GROUP BY 1, 2
+    """,
+)
+def pqs27_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_values aggregation (extension): per-bucket histogram of
+    rounded series values as a new label; without `by` every original
+    label drops, like Prometheus. round(v) pre-buckets to integral
+    doubles whose string rendering is identical across engines."""
+    df = _pq(
+        spark, sf_dir,
+        'count_values("bucketed", round('
+        'sum by (event_type, user_id) (events)))',
+        3_600_000,
+    )
+    return df

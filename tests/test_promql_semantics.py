@@ -454,3 +454,36 @@ def test_histogram_quantile_prometheus_guards(spark):
     )
     rows = histogram_quantile_buckets(otlp, 0.5, cumulative=False).collect()
     assert len(rows) == 1 and rows[0].value == 2.5
+
+
+def test_count_values_semantics(spark):
+    """count_values: value histogram as a label; `by` keeps listed
+    labels, bare form drops all; destination collisions rejected."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (0, "b", 1.0), (0, "c", 2.0)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+
+    rows = compile_promql('count_values("v", m)', cat, 60_000).collect()
+    assert {(r.v, r.value) for r in rows} == {("1.0", 2.0), ("2.0", 1.0)}
+
+    rows = compile_promql(
+        'count_values("v", m) by (job)', cat, 60_000
+    ).collect()
+    assert {(r.job, r.v, r.value) for r in rows} == {
+        ("a", "1.0", 1.0), ("b", "1.0", 1.0), ("c", "2.0", 1.0),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        compile_promql('count_values("job", m) by (job)', cat, 60_000)
+    with pytest.raises(ValueError, match="count_values"):
+        compile_promql("count_values(1, m)", cat, 60_000)
