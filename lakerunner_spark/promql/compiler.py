@@ -418,6 +418,33 @@ class _Compiler:
             new_dst = F.nullif(joined, F.lit(""))
             labels = v.labels + ([dst.value] if dst.value not in v.labels else [])
             return _Vec(v.df.withColumn(dst.value, new_dst), labels)
+        if fn == "absent":
+            # extension: 1 at every evaluation step where the inner
+            # vector has NO samples. The engine materializes only
+            # buckets with data, so the step grid must come from the
+            # query window — absent() therefore requires explicit
+            # start/end bounds (alerting evaluators always have them).
+            # Labels: none (the Prometheus equality-matcher fill-in is
+            # not reproduced; documented extension semantics).
+            (arg,) = node.args
+            v = self.compile(arg)
+            if isinstance(v, float):
+                raise ValueError("promql: absent over scalars not supported")
+            if self.start is None or self.end is None:
+                raise ValueError(
+                    "promql: absent() needs an explicit query window "
+                    "(start/end)"
+                )
+            spark = v.df.sparkSession
+            lo = self.start - self.start % self.step
+            grid = spark.range(lo, self.end, self.step).select(
+                F.col("id").alias("bucket_ts")
+            )
+            present = v.df.select("bucket_ts").distinct()
+            out = grid.join(present, "bucket_ts", "left_anti").withColumn(
+                "value", F.lit(1.0)
+            )
+            return _Vec(out, [])
         if fn == "scalar":
             (arg,) = node.args
             v = self.compile(arg)

@@ -320,7 +320,7 @@ class _Parser:
             if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
                 "clamp_min", "clamp_max", "clamp", "scalar", "histogram_quantile",
                 "vector", "sort", "sort_desc", "label_replace", "label_join",
-                "round", "timestamp"
+                "round", "timestamp", "absent"
             ):
                 self.expect("(")
                 args = [self.parse_expr()]

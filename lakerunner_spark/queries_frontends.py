@@ -1196,3 +1196,36 @@ def pqs27_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         3_600_000,
     )
     return df
+
+
+@register(
+    "pqs28_absent",
+    f"""
+    WITH grid AS (
+      SELECT unnest(range(1706572800000, 1706745600000, 3600000)) AS bucket_ts
+    ),
+    present AS (
+      SELECT DISTINCT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts
+      FROM {_E} e
+      WHERE event_type = 'error'
+        AND chq_timestamp >= 1706572800000 AND chq_timestamp < 1706745600000
+    )
+    SELECT g.bucket_ts, 1.0 AS value
+    FROM grid g ANTI JOIN present p ON p.bucket_ts = g.bucket_ts
+    """,
+)
+def pqs28_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent() (extension): 1 at every step of the query window where
+    the inner vector has no samples — the step grid anti-joined against
+    the materialized buckets. The window straddles the testdata's final
+    day, so the result mixes present (excluded) and absent buckets."""
+    from lakerunner_spark.catalog import default_metric_catalog
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    return compile_promql(
+        'absent(sum by (event_type) (events{event_type="error"}))',
+        default_metric_catalog(spark, sf_dir),
+        3_600_000,
+        start_ms=1_706_572_800_000,
+        end_ms=1_706_745_600_000,
+    )

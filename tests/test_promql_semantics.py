@@ -487,3 +487,27 @@ def test_count_values_semantics(spark):
         compile_promql('count_values("job", m) by (job)', cat, 60_000)
     with pytest.raises(ValueError, match="count_values"):
         compile_promql("count_values(1, m)", cat, 60_000)
+
+
+def test_absent_requires_window_and_flags_gaps(spark):
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (120_000, "a", 2.0)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    rows = compile_promql(
+        "absent(m)", cat, 60_000, start_ms=0, end_ms=240_000
+    ).collect()
+    # buckets 0 and 120000 have data; 60000 and 180000 are absent
+    assert {r.bucket_ts: r.value for r in rows} == {60_000: 1.0, 180_000: 1.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        compile_promql("absent(m)", cat, 60_000)
