@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # footer-stats answers for bare COUNT/MIN/MAX scans — the
+        # metadata-plane queries (A14-style) never touch row data
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # TIMESTAMP(NANOS) parquet columns surface as LongType ns — the
         # engine's chq_tsns convention (the reference stores ns as Int64)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
