@@ -250,3 +250,45 @@ def dup_ngram_ratio(text_expr: str, n: int = 3) -> Column:
         f"i -> concat({concat_args})))) / "
         f"CAST(size(_t) - {n - 1} AS DOUBLE) END)[0]"
     )
+
+
+# HTML boilerplate stripping: (pattern, replacement) stages applied in
+# order. Patterns use only the Java/RE2-common subset (inline (?is)
+# flags, non-greedy spans, NO backreferences — RE2 has none), so the
+# identical strings drive Spark and the DuckDB oracle ('g' flag there).
+HTML_STRIP_STAGES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),   # active content first
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                     # comments
+    (r"(?i)<[a-z!/][^>]*>", " "),                 # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),                                # collapse whitespace
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Web-corpus cleaning: drop script/style/comment blocks, strip
+    tags, decode the common entities, collapse whitespace — a narrow
+    chained-regexp_replace pass (whole-stage codegen, no UDF), the
+    standard first stage of an HTML crawl -> pretraining-text pipeline.
+    Not a full HTML5 parser: CDATA and exotic entities pass through;
+    for tag soup the tag regex errs toward removal."""
+    c = text
+    for pat, rep in HTML_STRIP_STAGES:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def strip_html_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_html` — same stages, 'g' flag."""
+    c = expr
+    for pat, rep in HTML_STRIP_STAGES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''").replace("\\", "\\\\")
+        c = f"regexp_replace({c}, '{p}', '{r}', 'g')"
+    return f"trim({c})"

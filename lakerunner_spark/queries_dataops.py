@@ -950,3 +950,36 @@ def dd10_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+def _txt8_oracle() -> str:
+    from lakerunner_spark.dataops.text import strip_html_sql
+
+    html = (
+        "'<html><!-- hdr --><body onload=\"x()\"><p>' || text || "
+        "'</p><style>p{color:red}</style><script>var a=1;</script>"
+        "&amp; &lt;tail&gt;</body></html>'"
+    )
+    stripped = strip_html_sql(html)
+    return f"""
+    SELECT doc_id, {stripped} AS clean
+    FROM documents WHERE doc_id < 50
+    """
+
+
+@register("txt8_strip_html", _txt8_oracle())
+def txt8_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (dataops/text.strip_html): documents
+    wrapped in deterministic markup (tags, comments, style/script
+    blocks, entities) come back as clean text — the oracle runs the
+    identical stage chain via the portable regex subset."""
+    from lakerunner_spark.dataops.text import strip_html
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    html = F.concat(
+        F.lit('<html><!-- hdr --><body onload="x()"><p>'),
+        F.col("text"),
+        F.lit('</p><style>p{color:red}</style><script>var a=1;</script>'
+              "&amp; &lt;tail&gt;</body></html>"),
+    )
+    return d.select("doc_id", strip_html(html).alias("clean"))

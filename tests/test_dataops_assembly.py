@@ -339,3 +339,33 @@ def test_connected_components_local_and_distributed_agree(spark):
         by_comp.setdefault(c, set()).add(n)
     for c, members in by_comp.items():
         assert c == min(members | {c})
+
+
+def test_strip_html_cases(spark):
+    """Tag soup, nested blocks, entities, and plain text through
+    strip_html — plus the no-backreference constraint that keeps the
+    stage chain RE2-portable."""
+    import re
+
+    from lakerunner_spark.dataops.text import HTML_STRIP_STAGES, strip_html
+
+    cases = {
+        "<p>hello <b>world</b></p>": "hello world",
+        "<script>if (a<b) x();</script>text": "text",
+        "<style>p { color: red }</style>ok": "ok",
+        "<!-- note -->a &amp; b &lt;c&gt;": "a & b <c>",
+        "no markup at all": "no markup at all",
+        "a\n\n  b\tc": "a b c",
+        "&quot;q&quot; &#39;s&#39; x&nbsp;y": "\"q\" 's' x y",
+    }
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r.i: r.c
+        for r in df.select("i", strip_html(F.col("t")).alias("c")).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i], want)
+
+    for pat, _rep in HTML_STRIP_STAGES:
+        assert not re.search(r"\\[0-9]", pat), f"backreference in {pat!r}"
