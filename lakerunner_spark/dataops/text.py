@@ -259,14 +259,20 @@ def dup_ngram_ratio(text_expr: str, n: int = 3) -> Column:
 HTML_STRIP_STAGES: list[tuple[str, str]] = [
     (r"(?is)<script\b[^>]*>.*?</script>", " "),   # active content first
     (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    # truncated pages: an UNCLOSED script/style block runs to EOF —
+    # without this fallback its raw code leaks into the clean text
+    (r"(?is)<script\b[^>]*>.*$", " "),
+    (r"(?is)<style\b[^>]*>.*$", " "),
     (r"(?s)<!--.*?-->", " "),                     # comments
     (r"(?i)<[a-z!/][^>]*>", " "),                 # any remaining tag
+    # entity decode: &amp; LAST — decoding it first double-unescapes
+    # author-escaped text like '&amp;lt;' into live markup
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     (r"\s+", " "),                                # collapse whitespace
 ]
 

@@ -427,6 +427,11 @@ class _Compiler:
             # Labels: none (the Prometheus equality-matcher fill-in is
             # not reproduced; documented extension semantics).
             (arg,) = node.args
+            if isinstance(arg, ast.Selector) and arg.range_ms is not None:
+                raise ValueError(
+                    "promql: absent() expects an instant vector, not a "
+                    "range selector (absent_over_time is not supported)"
+                )
             v = self.compile(arg)
             if isinstance(v, float):
                 raise ValueError("promql: absent over scalars not supported")
@@ -436,8 +441,13 @@ class _Compiler:
                     "(start/end)"
                 )
             spark = v.df.sparkSession
-            lo = self.start - self.start % self.step
-            grid = spark.range(lo, self.end, self.step).select(
+            # only FULLY-covered steps: the leaf filter drops samples
+            # outside [start, end), so a partially-covered boundary
+            # bucket could look falsely absent — ceil-align the grid's
+            # start, floor-align its end
+            lo = -(-self.start // self.step) * self.step
+            hi = (self.end // self.step) * self.step
+            grid = spark.range(lo, hi, self.step).select(
                 F.col("id").alias("bucket_ts")
             )
             present = v.df.select("bucket_ts").distinct()
@@ -609,10 +619,10 @@ class _Compiler:
             # engine semantics, not wire parity)
             dst = node.param_str
             keys = self._agg_keys(node, v)
-            if dst in keys or dst == "bucket_ts":
+            if dst in keys or dst in ("bucket_ts", "value"):
                 raise ValueError(
                     f"promql: count_values destination {dst!r} collides "
-                    "with a grouping label"
+                    "with a grouping label or result column"
                 )
             out = (
                 v.df.withColumn(dst, F.col("value").cast("string"))

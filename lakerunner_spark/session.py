@@ -39,9 +39,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # footer-stats answers for bare COUNT/MIN/MAX scans — the
-        # metadata-plane queries (A14-style) never touch row data
-        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOTE: spark.sql.parquet.aggregatePushdown deliberately NOT
+        # set — parquet sits on the default spark.sql.sources.
+        # useV1SourceList, whose V1 scan has no aggregate pushdown, so
+        # the flag would be a silent no-op; moving parquet to DSv2 for
+        # it changes every scan's code path and is out of scope
         # TIMESTAMP(NANOS) parquet columns surface as LongType ns — the
         # engine's chq_tsns convention (the reference stores ns as Int64)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -369,3 +369,24 @@ def test_strip_html_cases(spark):
 
     for pat, _rep in HTML_STRIP_STAGES:
         assert not re.search(r"\\[0-9]", pat), f"backreference in {pat!r}"
+
+
+def test_strip_html_escaped_entities_and_unclosed_blocks(spark):
+    """&amp;-escaped markup must NOT double-decode into live tags, and
+    an unclosed script/style block (truncated page) must not leak code
+    into the clean text."""
+    from lakerunner_spark.dataops.text import strip_html
+
+    cases = {
+        "&amp;lt;b&amp;gt; stays text": "&lt;b&gt; stays text",
+        "a<script>var x=1; track(user)": "a",
+        "b<style>p{color:red": "b",
+        "c &amp; d": "c & d",
+    }
+    df = spark.createDataFrame(list(enumerate(cases)), ["i", "t"])
+    got = {
+        r.i: r.c
+        for r in df.select("i", strip_html(F.col("t")).alias("c")).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i], want)

@@ -511,3 +511,35 @@ def test_absent_requires_window_and_flags_gaps(spark):
 
     with pytest.raises(ValueError, match="window"):
         compile_promql("absent(m)", cat, 60_000)
+
+
+def test_absent_alignment_and_range_rejection(spark):
+    """absent() evaluates only FULLY-covered steps (a sample excluded
+    by the window filter must not make its partially-covered boundary
+    bucket read as absent), and range selectors are rejected."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(70_000, "a", 1.0)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    rows = compile_promql(
+        "absent(m)", cat, 60_000, start_ms=90_000, end_ms=250_000
+    ).collect()
+    # grid covers only fully-inside steps 120000..240000; bucket 60000
+    # (holding the excluded ts=70000 sample) is NOT falsely reported
+    assert {r.bucket_ts for r in rows} == {120_000, 180_000}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="instant vector"):
+        compile_promql(
+            "absent(m[5m])", cat, 60_000, start_ms=0, end_ms=240_000
+        )
+    with pytest.raises(ValueError, match="collides"):
+        compile_promql('count_values("value", m)', cat, 60_000)
