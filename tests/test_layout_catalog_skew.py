@@ -159,3 +159,59 @@ def test_coarse_tier_routes_to_sparse_semantics(spark, cooked_metrics):
     # actually changed the result (sum_over_time is ungated on the fixed
     # path, but the sparse path gates on true coverage)
     assert g != to_map(want_fixed)
+
+
+def test_bloom_prune_sound_and_skips(spark):
+    """Bloom pruning must NEVER drop a segment containing the needle
+    (soundness: every contained trigram set its bits), and must
+    actually skip non-matching segments for selective needles. Results
+    after pruning equal the unpruned filter exactly."""
+    from lakerunner_spark.plans.pruning import (
+        build_bloom_index,
+        build_fingerprint_index,
+        pruned_scan,
+        pruned_scan_bloom,
+    )
+
+    rows = []
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel"]
+    for seg in range(8):
+        for i in range(20):
+            rows.append((f"seg{seg}", f"{words[seg]} line {i} common tail"))
+    rows.append(("seg7", "the rare zebra quake token"))
+    df = spark.createDataFrame(rows, ["segment_key", "line"])
+
+    bloom = build_bloom_index(df, "segment_key", "line").cache()
+    assert bloom.count() == 8
+    # fixed size: every segment's bitset has exactly BLOOM_WORDS longs
+    from lakerunner_spark.plans.pruning import BLOOM_WORDS
+
+    assert all(len(r.bloom) == BLOOM_WORDS for r in bloom.collect())
+
+    for needle in ["zebra quake", "charlie", "common tail", "absent needle"]:
+        exact = df.filter(F.lower("line").contains(needle)).collect()
+        got = pruned_scan_bloom(df, bloom, "segment_key", needle).filter(
+            F.lower("line").contains(needle)
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exact)), needle
+
+    # selectivity: the rare needle's scan touches only seg7
+    pruned = pruned_scan_bloom(df, bloom, "segment_key", "zebra quake")
+    assert {r.segment_key for r in pruned.select("segment_key").distinct().collect()} == {"seg7"}
+
+    # agreement with the exact index on surviving segment sets (bloom
+    # may keep extra segments, never fewer)
+    idx = build_fingerprint_index(df, "segment_key", "line")
+    for needle in ["charlie", "zebra", "line"]:
+        exact_segs = {
+            r.segment_key
+            for r in pruned_scan(df, idx, "segment_key", needle)
+            .select("segment_key").distinct().collect()
+        }
+        bloom_segs = {
+            r.segment_key
+            for r in pruned_scan_bloom(df, bloom, "segment_key", needle)
+            .select("segment_key").distinct().collect()
+        }
+        assert exact_segs <= bloom_segs, needle

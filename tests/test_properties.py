@@ -250,3 +250,20 @@ def test_batch_hash_kernels_match_python(s):
     assert fb[0] == fnv64a_py(s) and jb[0] == java_string_hash_py(s)
     assert fb[1] is pd.NA and jb[1] is pd.NA
     assert fb[2] == fnv64a_py(s + "x")
+
+
+@given(s=st.text(alphabet=st.sampled_from("abcdefghij0123 "), min_size=3,
+                 max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_bloom_positions_in_range_and_deterministic(s):
+    from lakerunner_spark.plans.pruning import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        _bloom_positions_py,
+        _java_hash_py,
+    )
+
+    pos = _bloom_positions_py(_java_hash_py(s))
+    assert len(pos) == BLOOM_HASHES
+    assert all(0 <= p < BLOOM_BITS for p in pos)
+    assert pos == _bloom_positions_py(_java_hash_py(s))
