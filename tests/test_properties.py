@@ -267,3 +267,20 @@ def test_bloom_positions_in_range_and_deterministic(s):
     assert len(pos) == BLOOM_HASHES
     assert all(0 <= p < BLOOM_BITS for p in pos)
     assert pos == _bloom_positions_py(_java_hash_py(s))
+
+
+@given(s=st.text(alphabet=st.sampled_from(
+    'abce(){}[]<>|=!~+-*/%,."\' 0123456789_ms'), max_size=60))
+@settings(max_examples=400, deadline=None)
+def test_parsers_fail_closed_on_garbage(s):
+    """Random near-grammar garbage must either parse or raise
+    ValueError — never IndexError/KeyError/AttributeError (fail-closed
+    front ends; the API validate endpoints rely on it)."""
+    from lakerunner_spark.logql.parser import parse_logql
+    from lakerunner_spark.promql.parser import parse_promql
+
+    for parse in (parse_promql, parse_logql):
+        try:
+            parse(s)
+        except ValueError:
+            pass
