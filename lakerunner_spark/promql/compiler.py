@@ -239,6 +239,63 @@ class _Compiler:
             r = range_agg(s, fn, sel.range_ms, self.step, src.labels, param=q)
         return _Vec(r, src.labels)
 
+    def _subquery_range(
+        self, fn: str, sub: ast.Subquery, q: float | None = None
+    ) -> _Vec:
+        """Range function over a subquery ``expr[range:step]``
+        (extension — the reference parser has no subquery form).
+
+        The inner expression compiles with the subquery step as ITS
+        query step (window widened by the subquery range so trailing
+        windows are fully fed); its per-substep samples then feed the
+        outer range function exactly like step-aggregated leaf buckets
+        (sum=value, count=1 — each substep contributes one sample).
+        When the substep differs from the query step, output rows are
+        aligned to the query-step grid.
+        """
+        substep = sub.step_ms or self.step
+        inner_start = None if self.start is None else self.start - sub.range_ms
+        inner = _Compiler(
+            self.catalog,
+            substep,
+            inner_start,
+            self.end,
+            push_grouping=self.push_grouping,
+        ).compile(sub.expr)
+        if isinstance(inner, float):
+            raise ValueError("promql: subquery over a scalar")
+        # NULL inner samples (coverage warm-ups) are absent, not zero
+        df = inner.df.filter(F.col("value").isNotNull())
+        if fn == "quantile_over_time":
+            from lakerunner_spark.operators.range_agg import (
+                exact_quantile_over_time,
+            )
+
+            out = exact_quantile_over_time(
+                df.withColumnRenamed("bucket_ts", "_sts"),
+                inner.labels,
+                sub.range_ms,
+                substep,
+                q,
+                ts_col="_sts",
+                value_col="value",
+            )
+        else:
+            s = df.select(
+                "bucket_ts",
+                *inner.labels,
+                F.col("value").alias("sum"),
+                F.lit(1).cast("long").alias("count"),
+                F.col("value").alias("min"),
+                F.col("value").alias("max"),
+            )
+            out = range_agg(
+                s, fn, sub.range_ms, substep, inner.labels, param=q
+            )
+        if substep != self.step:
+            out = out.filter(F.col("bucket_ts") % F.lit(self.step) == 0)
+        return _Vec(out, inner.labels)
+
     def _quantile_over_time(
         self, df: DataFrame, src: LeafSource, range_ms: int, q: float
     ) -> _Vec:
@@ -307,6 +364,12 @@ class _Compiler:
         if fn in ast.RANGE_FUNCS:
             if fn == "quantile_over_time":
                 qv, sel = node.args
+                if isinstance(qv, ast.Num) and isinstance(sel, ast.Subquery):
+                    if not 0.0 <= qv.value <= 1.0:
+                        raise ValueError(
+                            "promql: quantile_over_time q must be in [0, 1]"
+                        )
+                    return self._subquery_range(fn, sel, qv.value)
                 if not isinstance(qv, ast.Num) or not isinstance(sel, ast.Selector):
                     raise ValueError("promql: quantile_over_time(q, selector[range])")
                 if not 0.0 <= qv.value <= 1.0:
@@ -320,7 +383,11 @@ class _Compiler:
                 # predict_linear(selector[range], t_seconds) — horizon
                 # is the SECOND argument (unlike quantile_over_time)
                 sel, tv = node.args
-                if not isinstance(tv, ast.Num) or not isinstance(sel, ast.Selector):
+                if not isinstance(tv, ast.Num):
+                    raise ValueError("promql: predict_linear(selector[range], t)")
+                if isinstance(sel, ast.Subquery):
+                    return self._subquery_range(fn, sel, tv.value)
+                if not isinstance(sel, ast.Selector):
                     raise ValueError("promql: predict_linear(selector[range], t)")
                 return self._leaf_range(fn, sel, tv.value)
             if fn == "median_over_time":
@@ -332,6 +399,8 @@ class _Compiler:
                     raise ValueError("promql: median_over_time(selector[range])")
                 return self._leaf_range("quantile_over_time", sel, 0.5)
             (sel,) = node.args
+            if isinstance(sel, ast.Subquery):
+                return self._subquery_range(fn, sel)
             if not isinstance(sel, ast.Selector):
                 raise ValueError(f"promql: {fn} argument must be a range selector")
             return self._leaf_range(fn, sel)

@@ -70,6 +70,17 @@ class Agg:
 
 
 @dataclass
+class Subquery:
+    """``expr[range:step]`` (extension) — the inner expression sampled
+    at ``step_ms`` (None = the query step), consumed by a range
+    function over ``range_ms``."""
+
+    expr: object
+    range_ms: int
+    step_ms: int | None = None
+
+
+@dataclass
 class Binary:
     op: str  # + - * / > >= < <= == != and or unless
     lhs: object
@@ -283,9 +294,24 @@ class _Parser:
                 dur = self.next()
                 if dur.kind != "DUR":
                     raise ValueError(f"promql: expected duration, got {dur.text!r}")
+                # subquery form expr[range:step] — ':' / ':<dur>'
+                # tokenizes as an ID because ':' is in the ID charset
+                if self.peek().kind == "ID" and self.peek().text.startswith(":"):
+                    stok = self.next().text
+                    sub_step = (
+                        parse_duration_ms(stok[1:]) if len(stok) > 1 else None
+                    )
+                    self.expect("]")
+                    node = Subquery(
+                        node, parse_duration_ms(dur.text), sub_step
+                    )
+                    continue
                 self.expect("]")
                 if not isinstance(node, Selector):
-                    raise ValueError("promql: range applies only to selectors")
+                    raise ValueError(
+                        "promql: range applies only to selectors "
+                        "(use expr[range:step] for subqueries)"
+                    )
                 node.range_ms = parse_duration_ms(dur.text)
             elif t.text == "offset":
                 self.next()

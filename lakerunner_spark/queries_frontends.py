@@ -1230,3 +1230,43 @@ def pqs28_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ms=1_706_572_800_000,
         end_ms=1_706_745_600_000,
     )
+
+
+@register(
+    "pqs29_subquery_max",
+    f"""
+    WITH inner_v AS (
+      SELECT bucket_ts, event_type, sum(v) AS value
+      FROM (
+        SELECT chq_timestamp - chq_timestamp % 1200000 AS bucket_ts,
+               event_type, user_id, avg(value) AS v
+        FROM {_E} e GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT bucket_ts, event_type,
+             CASE WHEN bucket_ts - min(bucket_ts)
+                       OVER (PARTITION BY event_type) >= 6000000 THEN
+               pround(max(value) OVER (
+                 PARTITION BY event_type ORDER BY bucket_ts
+                 RANGE BETWEEN 6000000 PRECEDING AND CURRENT ROW), 6)
+             END AS value
+      FROM inner_v
+    )
+    SELECT bucket_ts, event_type, value
+    FROM w WHERE bucket_ts % 3600000 = 0 AND value IS NOT NULL
+    """,
+)
+def pqs29_subquery_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery (extension): max_over_time over an inner vector sampled
+    at a 20m substep, windowed 2h, results aligned to the 1h query
+    grid — the classic 'max of a rate' dashboard shape the plain range
+    selector can't express."""
+    df = _pq(
+        spark, sf_dir,
+        'max_over_time((sum by (event_type) (events))[2h:20m])',
+        3_600_000,
+    )
+    return df.filter(F.col("value").isNotNull()).withColumn(
+        "value", _pr("value", 6)
+    )

@@ -543,3 +543,45 @@ def test_absent_alignment_and_range_rejection(spark):
         )
     with pytest.raises(ValueError, match="collides"):
         compile_promql('count_values("value", m)', cat, 60_000)
+
+
+def test_subquery_range_semantics(spark):
+    """expr[range:step]: the inner vector samples at the substep, the
+    outer range function windows those samples, output aligns to the
+    query-step grid; quantile_over_time works over subqueries; a plain
+    range on a non-selector still errors with a subquery hint."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    rows = [
+        (i * 60_000, "a", float(i)) for i in range(12)  # 0..11 by minute
+    ]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, job STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+
+    # max of the inner sums over a trailing 4m window at 2m substeps,
+    # reported on the 4m query grid
+    out = compile_promql(
+        "max_over_time((sum by (job) (m))[4m:2m])", cat, 240_000
+    ).collect()
+    got = {r.bucket_ts: r.value for r in out if r.value is not None}
+    # instant vector = bucket AVERAGE (the engine's leaf convention):
+    # substep 2m bucket holds samples i, i+1 -> avg = i + 0.5; the 4m
+    # window covers 2 substeps; gate passes from ts 240k:
+    # max(avg@120k=2.5, avg@240k=4.5) = 4.5; at 480k: max(6.5, 8.5)
+    assert got == {240_000: 4.5, 480_000: 8.5}
+
+    q = compile_promql(
+        "quantile_over_time(0.5, (sum by (job) (m))[4m:2m])", cat, 240_000
+    ).collect()
+    assert all(r.value is not None for r in q)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="subqueries"):
+        compile_promql("rate(sum by (job) (m)[5m])", cat, 60_000)
