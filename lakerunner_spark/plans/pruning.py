@@ -115,6 +115,14 @@ def pruned_scan(
         .filter(F.col("_hits") == len(gram_fps))
         .select("segment_key")
     )
+    return _semi_join_candidates(df, segment_col, candidates)
+
+
+def _semi_join_candidates(
+    df: DataFrame, segment_col: str, candidates: DataFrame
+) -> DataFrame:
+    """Shared pruning tail: broadcast the surviving segment keys and
+    left-semi-join the scan against them."""
     return df.join(
         F.broadcast(candidates),
         df[segment_col] == candidates["segment_key"],
@@ -220,8 +228,4 @@ def pruned_scan_bloom(
             )
             cond = hit if cond is None else cond & hit
     candidates = bloom_index.filter(cond).select("segment_key")
-    return df.join(
-        F.broadcast(candidates),
-        df[segment_col] == candidates["segment_key"],
-        "left_semi",
-    )
+    return _semi_join_candidates(df, segment_col, candidates)

@@ -254,6 +254,15 @@ class _Compiler:
         aligned to the query-step grid.
         """
         substep = sub.step_ms or self.step
+        if self.step % substep != 0:
+            # the output grid is the substep positions filtered to the
+            # query grid; a non-dividing substep would silently drop
+            # query steps (Prometheus evaluates at every step) — reject
+            # rather than return an almost-empty series
+            raise ValueError(
+                f"promql: subquery step ({substep}ms) must divide the "
+                f"query step ({self.step}ms)"
+            )
         inner_start = None if self.start is None else self.start - sub.range_ms
         inner = _Compiler(
             self.catalog,
@@ -349,6 +358,11 @@ class _Compiler:
     def compile(self, node) -> _Vec | float:
         if isinstance(node, ast.Num):
             return node.value
+        if isinstance(node, ast.Subquery):
+            raise ValueError(
+                "promql: a subquery (expr[range:step]) must be the "
+                "argument of a range function"
+            )
         if isinstance(node, ast.Selector):
             return self._leaf_instant(node)
         if isinstance(node, ast.Call):
@@ -395,6 +409,8 @@ class _Compiler:
                 # median_over_time unsupported); delegates to
                 # quantile_over_time q=0.5, sharing its route selection.
                 (sel,) = node.args
+                if isinstance(sel, ast.Subquery):
+                    return self._subquery_range("quantile_over_time", sel, 0.5)
                 if not isinstance(sel, ast.Selector):
                     raise ValueError("promql: median_over_time(selector[range])")
                 return self._leaf_range("quantile_over_time", sel, 0.5)

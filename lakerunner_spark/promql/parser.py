@@ -102,7 +102,7 @@ RANGE_FUNCS = {
     # stops at the list above): classic PromQL analytics over the
     # per-step values — see operators/range_agg.py
     "delta", "deriv", "predict_linear", "resets", "changes",
-    "stddev_over_time", "stdvar_over_time",
+    "stddev_over_time", "stdvar_over_time", "first_over_time",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
@@ -298,10 +298,25 @@ class _Parser:
                 # tokenizes as an ID because ':' is in the ID charset
                 if self.peek().kind == "ID" and self.peek().text.startswith(":"):
                     stok = self.next().text
-                    sub_step = (
-                        parse_duration_ms(stok[1:]) if len(stok) > 1 else None
-                    )
+                    if len(stok) > 1:
+                        # strict duration syntax: parse_duration_ms
+                        # skips garbage ('5minutes' would silently read
+                        # as 5m), so fullmatch the token first
+                        if not re.fullmatch(
+                            r"(?:\d+(?:ms|s|m|h|d|w))+", stok[1:]
+                        ):
+                            raise ValueError(
+                                f"promql: bad subquery step {stok[1:]!r}"
+                            )
+                        sub_step = parse_duration_ms(stok[1:])
+                    else:
+                        sub_step = None
                     self.expect("]")
+                    if isinstance(node, Selector) and node.range_ms is not None:
+                        raise ValueError(
+                            "promql: subquery over a range selector "
+                            "(expr[range][range:step]) is not allowed"
+                        )
                     node = Subquery(
                         node, parse_duration_ms(dur.text), sub_step
                     )

@@ -585,3 +585,38 @@ def test_subquery_range_semantics(spark):
 
     with pytest.raises(ValueError, match="subqueries"):
         compile_promql("rate(sum by (job) (m)[5m])", cat, 60_000)
+
+
+def test_subquery_error_paths(spark):
+    """Subqueries fail closed: non-dividing substeps, subqueries
+    outside range functions, range selectors inside subqueries, and
+    malformed step tokens all raise ValueError; median_over_time
+    accepts subqueries like quantile_over_time does."""
+    import pytest
+
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+    from lakerunner_spark.promql.parser import parse_promql
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0)], "chq_timestamp LONG, job STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+
+    with pytest.raises(ValueError, match="divide"):
+        compile_promql("max_over_time(m[6m:3m])", cat, 240_000)
+    with pytest.raises(ValueError, match="range function"):
+        compile_promql("sum by (job) (m[5m:1m])", cat, 60_000)
+    with pytest.raises(ValueError, match="range selector"):
+        parse_promql("rate(m[5m][1h:1m])")
+    with pytest.raises(ValueError, match="bad subquery step"):
+        parse_promql("m[1h:5minutes]")
+    # median delegates to the quantile subquery path
+    out = compile_promql("median_over_time(m[4m:2m])", cat, 120_000)
+    assert out.count() >= 0
+    # first_over_time now routes through the PromQL front end
+    out = compile_promql("first_over_time(m[4m])", cat, 120_000)
+    assert out.count() >= 0
