@@ -30,6 +30,11 @@ _ARITH = {
     "*": operator.mul,
     "/": operator.truediv,
     "%": operator.mod,
+    # extensions beyond the reference's operator set: PromQL '^' and
+    # 'atan2' (java.lang.Math semantics == Go math: (-8)^0.5 -> NaN,
+    # 0^0 -> 1, atan2 defined for all finite pairs — no row dropping)
+    "^": F.pow,
+    "atan2": F.atan2,
 }
 _CMP = {
     ">": operator.gt,

@@ -138,6 +138,23 @@ _UNARY_COLS = {
     "log10": F.log10,
     "sqrt": F.sqrt,
     "sgn": F.signum,
+    # extensions beyond the reference: Prometheus trig / hyperbolic /
+    # angle functions, all JVM-side builtins (java.lang.Math semantics
+    # — out-of-domain inputs yield NaN, matching Go's math package)
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "deg": F.degrees,
+    "rad": F.radians,
 }
 
 
@@ -238,6 +255,64 @@ class _Compiler:
         else:
             r = range_agg(s, fn, sel.range_ms, self.step, src.labels, param=q)
         return _Vec(r, src.labels)
+
+    def _presence_over_time(self, node: ast.Call) -> _Vec:
+        """absent_over_time / present_over_time (extensions beyond the
+        reference's range-function list).
+
+        Engine bucket convention: a sample landing in step bucket ``s``
+        makes the trailing range window of every step in
+        ``[s, s + range - step]`` non-empty — the same frame
+        :func:`range_agg` uses. present_over_time explodes each sample
+        bucket into that step span (at most range/step extra rows per
+        aggregated bucket, deduped per series — never raw-sample
+        cardinality); absent_over_time anti-joins the union of those
+        spans against the explicit query grid and, like absent(),
+        therefore needs start/end bounds. Neither is coverage-gated
+        (Prometheus semantics: presence is defined from the first
+        sample).
+        """
+        fn = node.fn
+        (arg,) = node.args
+        if not isinstance(arg, ast.Selector) or arg.range_ms is None:
+            raise ValueError(f"promql: {fn} expects a range selector")
+        range_ms = arg.range_ms
+        df, src = self._leaf_rows(arg)
+        s = self._step(df, src)
+        # range < step degenerates to the bucket itself (the trailing
+        # window never reaches a neighboring step)
+        span_ms = max(range_ms - self.step, 0)
+        span = F.sequence(
+            F.col("bucket_ts"),
+            F.col("bucket_ts") + F.lit(span_ms),
+            F.lit(self.step),
+        )
+        steps = s.select(F.explode(span).alias("bucket_ts"), *src.labels)
+        if self.start is not None:
+            lo = -(-self.start // self.step) * self.step
+            steps = steps.filter(F.col("bucket_ts") >= F.lit(lo))
+        if self.end is not None:
+            hi = (self.end // self.step) * self.step
+            steps = steps.filter(F.col("bucket_ts") < F.lit(hi))
+        if fn == "present_over_time":
+            out = steps.distinct().withColumn("value", F.lit(1.0))
+            return _Vec(out, src.labels)
+        if self.start is None or self.end is None:
+            raise ValueError(
+                "promql: absent_over_time() needs an explicit query "
+                "window (start/end)"
+            )
+        spark = s.sparkSession
+        lo = -(-self.start // self.step) * self.step
+        hi = (self.end // self.step) * self.step
+        grid = spark.range(lo, hi, self.step).select(
+            F.col("id").alias("bucket_ts")
+        )
+        present = steps.select("bucket_ts").distinct()
+        out = grid.join(present, "bucket_ts", "left_anti").withColumn(
+            "value", F.lit(1.0)
+        )
+        return _Vec(out, [])
 
     def _subquery_range(
         self, fn: str, sub: ast.Subquery, q: float | None = None
@@ -375,6 +450,14 @@ class _Compiler:
 
     def _compile_call(self, node: ast.Call) -> _Vec | float:
         fn = node.fn
+        if fn == "pi":
+            if node.args:
+                raise ValueError("promql: pi() takes no arguments")
+            import math
+
+            return math.pi
+        if fn in ("absent_over_time", "present_over_time"):
+            return self._presence_over_time(node)
         if fn in ast.RANGE_FUNCS:
             if fn == "quantile_over_time":
                 qv, sel = node.args
@@ -515,7 +598,7 @@ class _Compiler:
             if isinstance(arg, ast.Selector) and arg.range_ms is not None:
                 raise ValueError(
                     "promql: absent() expects an instant vector, not a "
-                    "range selector (absent_over_time is not supported)"
+                    "range selector (use absent_over_time)"
                 )
             v = self.compile(arg)
             if isinstance(v, float):
@@ -563,6 +646,24 @@ class _Compiler:
                 raise ValueError(f"promql: {fn} over scalars not supported")
             val = F.col("value").desc() if fn == "sort_desc" else F.col("value").asc()
             return _Vec(v.df.orderBy(F.col("bucket_ts").asc(), val), v.labels)
+        if fn in ("sort_by_label", "sort_by_label_desc"):
+            # Presentation-order extension (Prometheus experimental
+            # feature): order each bucket's elements by the given label
+            # values. Absent labels sort as empty (first ascending).
+            varg, *labs = node.args
+            if not labs or not all(isinstance(s, ast.Str) for s in labs):
+                raise ValueError(f"promql: {fn}(v, label, ...)")
+            v = self.compile(varg)
+            if isinstance(v, float):
+                raise ValueError(f"promql: {fn} over scalars not supported")
+            desc = fn.endswith("_desc")
+            keys = []
+            for s in labs:
+                if s.value not in v.df.columns:
+                    continue  # missing label = constant empty, no effect
+                c = F.col(s.value)
+                keys.append(c.desc_nulls_last() if desc else c.asc_nulls_first())
+            return _Vec(v.df.orderBy(F.col("bucket_ts").asc(), *keys), v.labels)
         if fn == "label_replace":
             varg, dst, repl, srcl, regex = node.args
             for a in (dst, repl, srcl, regex):
@@ -812,10 +913,24 @@ def _fold_scalar(op: str, a: float, b: float) -> float:
     # '%' is Go math.Mod (sign follows the DIVIDEND) in PromQL — like
     # Spark's vector-side '%' and C fmod, unlike Python's operator.mod
     # whose result sign follows the divisor: (-5) % 3 must be -2, not 1
+    if op == "^":
+        # Go math.Pow semantics where Python raises: negative base with
+        # fractional exponent -> NaN; 0 to a negative power -> +Inf;
+        # finite overflow -> ±Inf (negative only for odd-integer exps)
+        try:
+            return float(math.pow(a, b))
+        except ValueError:
+            if a == 0.0 and b < 0.0:
+                return math.inf
+            return math.nan
+        except OverflowError:
+            neg = a < 0.0 and b == int(b) and int(b) % 2 == 1
+            return -math.inf if neg else math.inf
     table = {
         "+": _op.add, "-": _op.sub, "*": _op.mul, "/": _op.truediv,
         "%": math.fmod, ">": _op.gt, ">=": _op.ge, "<": _op.lt,
         "<=": _op.le, "==": _op.eq, "!=": _op.ne,
+        "atan2": math.atan2,
     }
     out = table[op](a, b)
     return float(out)

@@ -104,7 +104,13 @@ RANGE_FUNCS = {
     "delta", "deriv", "predict_linear", "resets", "changes",
     "stddev_over_time", "stdvar_over_time", "first_over_time",
 }
-UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn"}
+UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
+               # extensions beyond the reference: Prometheus trig /
+               # hyperbolic / angle-conversion functions (all map to
+               # JVM-side Spark built-ins — promql/compiler._UNARY_COLS)
+               "sin", "cos", "tan", "asin", "acos", "atan",
+               "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+               "deg", "rad"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
            # extensions beyond the reference (its parser maps only the
            # list above): Prometheus stddev/stdvar/group/count_values
@@ -137,7 +143,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>(?:\d+\.\d+|\d+|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<ID>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%(){}\[\],=<>])
+  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
     """,
     re.VERBOSE,
 )
@@ -238,7 +244,9 @@ class _Parser:
 
     def _parse_mul(self):
         lhs = self._parse_unary()
-        while self.peek().text in ("*", "/", "%"):
+        # atan2 is an infix binary operator at * precedence
+        # (Prometheus operator table; extension beyond the reference)
+        while self.peek().text in ("*", "/", "%", "atan2"):
             op = self.next().text
             mods = self._match_modifiers()
             lhs = Binary(op, lhs, self._parse_unary(), **mods)
@@ -282,7 +290,18 @@ class _Parser:
         if self.peek().text == "+":
             self.next()
             return self._parse_unary()
-        return self._parse_postfix()
+        return self._parse_pow()
+
+    def _parse_pow(self):
+        # '^' binds tighter than unary minus and is right-associative
+        # (Prometheus: -x^2 == -(x^2), 2^3^2 == 2^(3^2)); the rhs may
+        # itself be signed, hence the recursion into _parse_unary
+        lhs = self._parse_postfix()
+        if self.peek().text == "^":
+            self.next()
+            mods = self._match_modifiers()
+            return Binary("^", lhs, self._parse_unary(), **mods)
+        return lhs
 
     def _parse_postfix(self):
         node = self._parse_atom()
@@ -360,14 +379,18 @@ class _Parser:
                 return self._parse_agg(name)
             if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
                 "clamp_min", "clamp_max", "clamp", "scalar", "histogram_quantile",
-                "vector", "sort", "sort_desc", "label_replace", "label_join",
-                "round", "timestamp", "absent"
+                "vector", "sort", "sort_desc", "sort_by_label",
+                "sort_by_label_desc", "label_replace", "label_join",
+                "round", "timestamp", "absent", "absent_over_time",
+                "present_over_time", "pi"
             ):
                 self.expect("(")
-                args = [self.parse_expr()]
-                while self.peek().text == ",":
-                    self.next()
-                    args.append(self.parse_expr())
+                args = []
+                if self.peek().text != ")":
+                    args = [self.parse_expr()]
+                    while self.peek().text == ",":
+                        self.next()
+                        args.append(self.parse_expr())
                 self.expect(")")
                 return Call(name, args)
             return self._parse_selector(name)

@@ -1270,3 +1270,134 @@ def pqs29_subquery_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("value").isNotNull()).withColumn(
         "value", _pr("value", 6)
     )
+
+
+_SUM_ETYPE_1H = f"""
+      SELECT bucket_ts, event_type, sum(v) AS v
+      FROM ({_SERIES_1H}) GROUP BY 1, 2
+"""
+
+
+@register(
+    "pqs30_trig",
+    f"""
+    WITH g AS ({_SUM_ETYPE_1H})
+    SELECT bucket_ts, event_type,
+           pround(sin(v) * sin(v) + cos(v) * cos(v)
+                  + degrees(atan(v)) / 90.0, 6) AS value
+    FROM g
+    """,
+)
+def pqs30_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig + angle-conversion + '^' power extensions: the Pythagorean
+    identity plus a degrees-normalized arctangent, exercising sin/cos/
+    atan/deg, vector^scalar pow, and '^'-over-'*' precedence in one
+    expression (all JVM-side builtins)."""
+    v = 'sum by (event_type) (events)'
+    df = _pq(
+        spark, sf_dir,
+        f'sin({v}) ^ 2 + cos({v}) ^ 2 + deg(atan({v})) / 90',
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs31_hyperbolic",
+    f"""
+    WITH g AS ({_SUM_ETYPE_1H})
+    SELECT bucket_ts, event_type,
+           pround(
+             (CASE WHEN v >= 0 THEN 1 - 2 / (exp(2 * v) + 1)
+                   ELSE 2 / (exp(-2 * v) + 1) - 1 END)
+             + (CASE WHEN v >= 0 THEN ln(v + sqrt(v * v + 1))
+                     ELSE -ln(-v + sqrt(v * v + 1)) END), 6) AS value
+    FROM g
+    """,
+)
+def pqs31_hyperbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperbolic extensions tanh/asinh: DuckDB has no hyperbolic
+    builtins, so the oracle states them via overflow-stable exp/ln
+    identities (tanh saturates to ±1 where exp overflows to inf,
+    exactly like java.lang.Math.tanh)."""
+    v = 'sum by (event_type) (events)'
+    df = _pq(spark, sf_dir, f'tanh({v}) + asinh({v})', 3_600_000)
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs32_pow_atan2",
+    f"""
+    WITH g AS ({_SUM_ETYPE_1H})
+    SELECT bucket_ts, event_type,
+           pround(atan2(pow(abs(v), 0.5), pi()), 6) AS value
+    FROM g
+    """,
+)
+def pqs32_pow_atan2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'^' power and the atan2 infix operator (extensions beyond the
+    reference's operator table), with pi() as the zero-argument scalar
+    on the x side of atan2."""
+    v = 'sum by (event_type) (events)'
+    df = _pq(spark, sf_dir, f'abs({v}) ^ 0.5 atan2 pi()', 3_600_000)
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs33_present_over_time",
+    f"""
+    WITH b AS (
+      SELECT DISTINCT chq_timestamp - chq_timestamp % 600000 AS s,
+             event_type, user_id
+      FROM {_E} e WHERE event_type = 'purchase'
+    )
+    SELECT DISTINCT bucket_ts, event_type, user_id, 1.0 AS value FROM (
+      SELECT unnest(range(s, s + 1800000, 600000)) AS bucket_ts,
+             event_type, user_id
+      FROM b
+    )
+    """,
+)
+def pqs33_present_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """present_over_time (extension): each sample bucket s marks steps
+    [s, s + range - step] present for its series — the oracle explodes
+    the identical spans and dedupes."""
+    return _pq(
+        spark, sf_dir,
+        'present_over_time(events{event_type="purchase"}[30m])',
+        600_000,
+    )
+
+
+@register(
+    "pqs34_absent_over_time",
+    f"""
+    WITH grid AS (
+      SELECT unnest(range(1706572800000, 1706745600000, 3600000)) AS bucket_ts
+    ),
+    b AS (
+      SELECT DISTINCT chq_timestamp - chq_timestamp % 3600000 AS s
+      FROM {_E} e
+      WHERE event_type = 'error'
+        AND chq_timestamp >= 1706572800000 AND chq_timestamp < 1706745600000
+    ),
+    present AS (
+      SELECT DISTINCT bucket_ts FROM (
+        SELECT unnest(range(s, s + 7200000, 3600000)) AS bucket_ts FROM b
+      ) WHERE bucket_ts < 1706745600000
+    )
+    SELECT g.bucket_ts, 1.0 AS value
+    FROM grid g ANTI JOIN present p ON p.bucket_ts = g.bucket_ts
+    """,
+)
+def pqs34_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent_over_time (extension): 1 at every step of the explicit
+    query grid whose trailing [2h] window holds no sample of any
+    matching series — the dual of pqs28's instant absent()."""
+    return compile_promql(
+        'absent_over_time(events{event_type="error"}[2h])',
+        default_metric_catalog(spark, sf_dir),
+        3_600_000,
+        start_ms=1_706_572_800_000,
+        end_ms=1_706_745_600_000,
+    )

@@ -620,3 +620,145 @@ def test_subquery_error_paths(spark):
     # first_over_time now routes through the PromQL front end
     out = compile_promql("first_over_time(m[4m])", cat, 120_000)
     assert out.count() >= 0
+
+
+def test_pow_operator_semantics(spark):
+    """'^': right-associative, tighter than unary minus, Go math.Pow
+    scalar folding at the edge cases Python raises on."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+        _fold_scalar,
+    )
+
+    # scalar folds (Go math.Pow semantics)
+    assert _fold_scalar("^", 0.0, 0.0) == 1.0
+    assert _fold_scalar("^", 0.0, -1.0) == math.inf
+    assert math.isnan(_fold_scalar("^", -8.0, 0.5))
+    assert _fold_scalar("^", 1e308, 2.0) == math.inf
+    assert _fold_scalar("^", -1e308, 3.0) == -math.inf
+    assert _fold_scalar("atan2", 1.0, 2.0) == math.atan2(1.0, 2.0)
+
+    df = spark.createDataFrame(
+        [(0, "a", 3.0)], "chq_timestamp LONG, job STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    # right-assoc: 2^3^2 = 2^(3^2) = 512, not (2^3)^2 = 64
+    rows = compile_promql("m ^ 3 ^ 2", cat, 60_000).collect()
+    assert rows[0].value == 3.0 ** 9
+    # '-m ^ 2' parses as -(m^2)
+    rows = compile_promql("- m ^ 2", cat, 60_000).collect()
+    assert rows[0].value == -9.0
+    # vector atan2 scalar
+    rows = compile_promql("m atan2 2", cat, 60_000).collect()
+    assert rows[0].value == math.atan2(3.0, 2.0)
+    # java.lang.Math.pow NaN case on the vector side
+    rows = compile_promql("(0 - m) ^ 0.5", cat, 60_000).collect()
+    assert math.isnan(rows[0].value)
+
+
+def test_pi_and_zero_arg_guards(spark):
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 2.0)], "chq_timestamp LONG, job STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    rows = compile_promql("m * pi()", cat, 60_000).collect()
+    assert rows[0].value == 2.0 * math.pi
+    with pytest.raises(ValueError):
+        compile_promql("pi(m)", cat, 60_000)
+    with pytest.raises(ValueError):
+        compile_promql("abs()", cat, 60_000)  # zero-arg non-pi fails closed
+    with pytest.raises(ValueError):
+        compile_promql("pi() + pi()", cat, 60_000)  # constant-only query
+
+
+def test_presence_over_time_semantics(spark):
+    """present_over_time spans [s, s+range-step] per sample bucket
+    (degenerating to the bucket itself when range < step);
+    absent_over_time needs the explicit grid."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (300_000, "a", 2.0)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    rows = compile_promql("present_over_time(m[3m])", cat, 60_000).collect()
+    # sample buckets 0 and 300000; each covers itself + 2 later steps
+    assert {r.bucket_ts for r in rows} == {
+        0, 60_000, 120_000, 300_000, 360_000, 420_000
+    }
+    assert all(r.value == 1.0 and r.job == "a" for r in rows)
+
+    # range < step: only the sample buckets themselves
+    rows = compile_promql("present_over_time(m[1m])", cat, 300_000).collect()
+    assert {r.bucket_ts for r in rows} == {0, 300_000}
+
+    rows = compile_promql(
+        "absent_over_time(m[2m])", cat, 60_000, start_ms=0, end_ms=360_000
+    ).collect()
+    # present spans: 0,60000 and 300000(,360000 clipped); absent: 120k..240k
+    assert {r.bucket_ts for r in rows} == {120_000, 180_000, 240_000}
+
+    with pytest.raises(ValueError, match="window"):
+        compile_promql("absent_over_time(m[2m])", cat, 60_000)
+    with pytest.raises(ValueError, match="range selector"):
+        compile_promql("present_over_time(m)", cat, 60_000)
+
+
+def test_sort_by_label_ordering(spark):
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "b", 1.0), (0, "a", 2.0), (0, None, 3.0), (0, "c", 4.0)],
+        "chq_timestamp LONG, job STRING, value DOUBLE",
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    got = [r.job for r in
+           compile_promql('sort_by_label(m, "job")', cat, 60_000).collect()]
+    assert got == [None, "a", "b", "c"]  # absent label sorts first asc
+    got = [r.job for r in
+           compile_promql('sort_by_label_desc(m, "job")', cat, 60_000).collect()]
+    assert got == ["c", "b", "a", None]
+    # unknown label: no-op ordering key, query still valid
+    compile_promql('sort_by_label(m, "nope")', cat, 60_000).collect()
+    with pytest.raises(ValueError):
+        compile_promql("sort_by_label(m)", cat, 60_000)
+
+
+def test_trig_unary_domain_edges(spark):
+    """Out-of-domain trig inputs follow java.lang.Math (NaN), matching
+    Go's math package: asin(2) = NaN, acosh(0.5) = NaN."""
+    from lakerunner_spark.promql.compiler import (
+        LeafSource,
+        MetricCatalog,
+        compile_promql,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 2.0)], "chq_timestamp LONG, job STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
+    assert math.isnan(compile_promql("asin(m)", cat, 60_000).collect()[0].value)
+    assert math.isnan(
+        compile_promql("acosh(m / 4)", cat, 60_000).collect()[0].value
+    )
+    v = compile_promql("deg(rad(m))", cat, 60_000).collect()[0].value
+    assert abs(v - 2.0) < 1e-12
+    v = compile_promql("atanh(tanh(m))", cat, 60_000).collect()[0].value
+    assert abs(v - 2.0) < 1e-9
