@@ -51,6 +51,8 @@ RANGE_FUNCS = [
     "stddev_over_time",
     "stdvar_over_time",
     "first_over_time",
+    "holt_winters",  # (alias double_exponential_smoothing)
+    "mad_over_time",  # raw-sample exact path (exact_mad_over_time)
 ]
 
 # extensions computed from per-step values (need the _avg/_flag helpers)
@@ -82,6 +84,11 @@ def range_agg(
     scalar of parameterized functions (predict_linear's horizon, in
     seconds).
     """
+    if func == "holt_winters":
+        sf, tf = param
+        return holt_winters_range_agg(
+            df, range_ms, step_ms, series_labels, sf, tf, coverage_gate
+        )
     if func in _STEP_VALUE_FUNCS:
         return _step_value_range_agg(
             df, func, range_ms, step_ms, series_labels, coverage_gate, param
@@ -299,14 +306,137 @@ def exact_quantile_over_time(
         .rangeBetween(-(range_ms - step_ms), 0)
     )
     arr = F.array_sort(F.flatten(F.collect_list("_vals").over(w)))
-    n = F.size(arr)
+    val = _interp_at(arr, F.size(arr), q)
+    return b.withColumn("value", val).select("bucket_ts", *labels, "value")
+
+
+def _interp_at(arr: Column, n: Column, q: float) -> Column:
+    """quantile_cont interpolation at q over a SORTED array (the same
+    formula exact_quantile_over_time inlines — shared so MAD's two
+    medians stay bit-identical to DuckDB's)."""
     idx = (n - 1) * F.lit(q)
     lo = F.floor(idx).cast("int")
     frac = idx - F.floor(idx)
-    val = F.element_at(arr, lo + 1) + frac * (
+    return F.element_at(arr, lo + 1) + frac * (
         F.element_at(arr, F.least(lo + 2, n)) - F.element_at(arr, lo + 1)
     )
-    return b.withColumn("value", val).select("bucket_ts", *labels, "value")
+
+
+def exact_mad_over_time(
+    df: DataFrame,
+    labels: list[str],
+    range_ms: int,
+    step_ms: int,
+    ts_col: str = "chq_timestamp",
+    value_col: str = "value",
+) -> DataFrame:
+    """Median absolute deviation over a sliding range window of RAW
+    samples (extension: Prometheus's experimental mad_over_time):
+    ``median(|x - median(x)|)`` with both medians interpolated exactly
+    like quantile_cont, so DuckDB's ``mad()`` window aggregate oracles
+    it bit-for-bit. Same bounded-array contract as
+    :func:`exact_quantile_over_time` — per-row arrays hold the trailing
+    range's raw samples, so callers must keep ranges short (there is no
+    sketch route: MAD's inner re-centering is not servable from a
+    mergeable sketch)."""
+    from lakerunner_spark.functions.timeops import bucket_ts
+
+    b = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket_ts(ts_col, step_ms).alias("bucket_ts"), *labels)
+        .agg(F.collect_list(value_col).alias("_vals"))
+    )
+    w = (
+        Window.partitionBy(*labels)
+        .orderBy("bucket_ts")
+        .rangeBetween(-(range_ms - step_ms), 0)
+    )
+    arr = F.array_sort(F.flatten(F.collect_list("_vals").over(w)))
+    out = b.withColumn("_arr", arr).withColumn(
+        "_med", _interp_at(F.col("_arr"), F.size("_arr"), 0.5)
+    )
+    dev = F.array_sort(
+        F.transform(F.col("_arr"), lambda x: F.abs(x - F.col("_med")))
+    )
+    out = out.withColumn(
+        "value", _interp_at(dev, F.size("_arr"), 0.5)
+    )
+    return out.select("bucket_ts", *labels, "value")
+
+
+def holt_winters_range_agg(
+    df: DataFrame,
+    range_ms: int,
+    step_ms: int,
+    series_labels: list[str],
+    sf: float,
+    tf: float,
+    coverage_gate: bool = True,
+) -> DataFrame:
+    """holt_winters / double_exponential_smoothing (extension beyond
+    the reference): Prometheus's trend-aware exponential smoothing fold
+    over the window's per-step values (the bucket-average sample
+    convention every _STEP_VALUE_FUNCS extension uses).
+
+    The recurrence (level s, trend b; Prometheus funcHoltWinters):
+
+        s[0] = v[0]; b[0] = v[1] - v[0]
+        for i >= 1:
+            b' = b                     if i == 1
+               = tf*(s1-s0) + (1-tf)*b otherwise
+            s0, s1 = s1, sf*v[i] + (1-sf)*(s1 + b')
+
+    is inherently sequential per window, so it runs as one
+    ``aggregate`` fold over the ts-sorted window array — interpreted
+    per element (HOFs are CodegenFallback), but each array holds at
+    most range/step step-values of AGGREGATED series data, never raw
+    samples, so the per-row cost is a few dozen float ops. Windows with
+    fewer than two samples yield NULL (Prometheus drops them)."""
+    w = (
+        Window.partitionBy(*series_labels)
+        .orderBy(F.col("bucket_ts"))
+        .rangeBetween(-(range_ms - step_ms), 0)
+    )
+    wseries = (
+        Window.partitionBy(*series_labels)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("_avg", F.col("sum") / F.col("count"))
+    # struct sort key = (ts, value): ts leads, so array_sort restores
+    # time order regardless of collect_list's partition order
+    ent = F.struct(F.col("bucket_ts").alias("ts"), F.col("_avg").alias("v"))
+    out = out.withColumn(
+        "_vals",
+        F.transform(F.array_sort(F.collect_list(ent).over(w)), lambda e: e["v"]),
+    )
+    # literals are precomputed in Python and injected with full
+    # precision so the oracle can inject the *same* doubles
+    sfl, omsf = repr(float(sf)), repr(1.0 - float(sf))
+    tfl, omtf = repr(float(tf)), repr(1.0 - float(tf))
+    fold = (
+        "aggregate("
+        " slice(_vals, 2, size(_vals) - 1),"
+        " named_struct('i', 1, 's0', CAST(0.0 AS DOUBLE),"
+        "              's1', element_at(_vals, 1),"
+        "              'b', element_at(_vals, 2) - element_at(_vals, 1)),"
+        " (acc, x) -> named_struct("
+        "   'i', acc.i + 1,"
+        "   's0', acc.s1,"
+        f"  's1', {sfl} * x + {omsf} * (acc.s1 +"
+        f"        (CASE WHEN acc.i = 1 THEN acc.b"
+        f"              ELSE {tfl} * (acc.s1 - acc.s0) + {omtf} * acc.b END)),"
+        f"  'b', CASE WHEN acc.i = 1 THEN acc.b"
+        f"            ELSE {tfl} * (acc.s1 - acc.s0) + {omtf} * acc.b END),"
+        " acc -> acc.s1)"
+    )
+    value = F.when(F.size("_vals") >= 2, F.expr(fold))
+    out = out.withColumn("value", value)
+    if coverage_gate:
+        first_bucket = F.min("bucket_ts").over(wseries)
+        covered = (F.col("bucket_ts") - first_bucket) >= F.lit(range_ms - step_ms)
+        out = out.withColumn("value", F.when(covered, F.col("value")))
+    return out.select("bucket_ts", *series_labels, "value")
 
 
 SPARSE_FUNCS = [

@@ -364,6 +364,19 @@ class _Compiler:
                 ts_col="_sts",
                 value_col="value",
             )
+        elif fn == "mad_over_time":
+            from lakerunner_spark.operators.range_agg import (
+                exact_mad_over_time,
+            )
+
+            out = exact_mad_over_time(
+                df.withColumnRenamed("bucket_ts", "_sts"),
+                inner.labels,
+                sub.range_ms,
+                substep,
+                ts_col="_sts",
+                value_col="value",
+            )
         else:
             s = df.select(
                 "bucket_ts",
@@ -487,6 +500,60 @@ class _Compiler:
                 if not isinstance(sel, ast.Selector):
                     raise ValueError("promql: predict_linear(selector[range], t)")
                 return self._leaf_range(fn, sel, tv.value)
+            if fn in ("holt_winters", "double_exponential_smoothing"):
+                # holt_winters(v[range], sf, tf) — Prometheus 3.x renames
+                # it double_exponential_smoothing; both accepted
+                sel, sfv, tfv = node.args
+                if not isinstance(sfv, ast.Num) or not isinstance(tfv, ast.Num):
+                    raise ValueError(
+                        "promql: holt_winters(v[range], sf, tf)"
+                    )
+                if not 0.0 < sfv.value < 1.0 or not 0.0 < tfv.value < 1.0:
+                    raise ValueError(
+                        "promql: holt_winters smoothing factors must be "
+                        "in (0, 1)"
+                    )
+                param = (sfv.value, tfv.value)
+                if isinstance(sel, ast.Subquery):
+                    return self._subquery_range("holt_winters", sel, param)
+                if not isinstance(sel, ast.Selector):
+                    raise ValueError(
+                        "promql: holt_winters(v[range], sf, tf)"
+                    )
+                return self._leaf_range("holt_winters", sel, param)
+            if fn == "mad_over_time":
+                # extension (Prometheus experimental): exact interpolated
+                # MAD over raw samples — no sketch route exists (the
+                # inner re-centering isn't mergeable), so this shares
+                # the exact quantile path's bounded-range contract
+                (sel,) = node.args
+                from lakerunner_spark.operators.range_agg import (
+                    exact_mad_over_time,
+                )
+
+                if isinstance(sel, ast.Subquery):
+                    return self._subquery_range(fn, sel)
+                if not isinstance(sel, ast.Selector):
+                    raise ValueError(
+                        "promql: mad_over_time(selector[range])"
+                    )
+                if sel.range_ms is None:
+                    raise ValueError("promql: mad_over_time requires a range")
+                df, src = self._leaf_rows(sel)
+                if src.pre_aggregated:
+                    raise ValueError(
+                        "promql: mad_over_time needs raw samples, not a "
+                        "rollup tier"
+                    )
+                out = exact_mad_over_time(
+                    df,
+                    src.labels,
+                    sel.range_ms,
+                    self.step,
+                    ts_col=src.ts_col,
+                    value_col=src.value_col,
+                )
+                return _Vec(out, src.labels)
             if fn == "median_over_time":
                 # Extension beyond the reference (its rewriter marks
                 # median_over_time unsupported); delegates to

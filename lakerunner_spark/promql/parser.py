@@ -103,6 +103,7 @@ RANGE_FUNCS = {
     # per-step values — see operators/range_agg.py
     "delta", "deriv", "predict_linear", "resets", "changes",
     "stddev_over_time", "stdvar_over_time", "first_over_time",
+    "mad_over_time", "holt_winters", "double_exponential_smoothing",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
                # extensions beyond the reference: Prometheus trig /

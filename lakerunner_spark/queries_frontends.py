@@ -1401,3 +1401,82 @@ def pqs34_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ms=1_706_572_800_000,
         end_ms=1_706_745_600_000,
     )
+
+
+@register(
+    "pqs35_mad_over_time",
+    f"""
+    SELECT DISTINCT bucket_ts, event_type, user_id,
+           pround(mad(value) OVER (
+             PARTITION BY event_type, user_id ORDER BY bucket_ts
+             RANGE BETWEEN 540000 PRECEDING AND CURRENT ROW), 6) AS value
+    FROM (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, value
+      FROM {_E} e WHERE event_type = 'purchase'
+    )
+    """,
+)
+def pqs35_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_over_time (extension; Prometheus experimental): exact
+    interpolated median absolute deviation over the raw samples of a
+    10m sliding window — DuckDB's mad() window aggregate is the oracle,
+    both medians quantile_cont-interpolated."""
+    df = _pq(
+        spark, sf_dir,
+        'mad_over_time(events{event_type="purchase"}[10m])',
+        60_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs36_holt_winters",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+             event_type, user_id, avg(value) AS y
+      FROM {_E} e WHERE event_type = 'purchase' GROUP BY 1, 2, 3
+    ),
+    fr AS (
+      SELECT b1.bucket_ts, b1.event_type, b1.user_id,
+             list(b2.y ORDER BY b2.bucket_ts) AS vals
+      FROM base b1 JOIN base b2
+        ON b2.event_type = b1.event_type AND b2.user_id = b1.user_id
+       AND b2.bucket_ts BETWEEN b1.bucket_ts - 10800000 AND b1.bucket_ts
+      GROUP BY 1, 2, 3
+    ),
+    cov AS (
+      SELECT bucket_ts, event_type, user_id, vals,
+             min(bucket_ts) OVER (PARTITION BY event_type, user_id) AS t0
+      FROM fr
+    ),
+    rec AS (
+      SELECT bucket_ts, event_type, user_id, len(vals) AS n, vals, 1 AS i,
+             CAST(0 AS DOUBLE) AS s0, vals[1] AS s1, vals[2] - vals[1] AS b
+      FROM cov WHERE len(vals) >= 2 AND bucket_ts - t0 >= 10800000
+      UNION ALL
+      SELECT bucket_ts, event_type, user_id, n, vals, i + 1, s1,
+             0.3 * vals[i + 1] + 0.7 * (s1 +
+               CASE WHEN i = 1 THEN b ELSE 0.6 * (s1 - s0) + 0.4 * b END),
+             CASE WHEN i = 1 THEN b ELSE 0.6 * (s1 - s0) + 0.4 * b END
+      FROM rec WHERE i < n
+    )
+    SELECT bucket_ts, event_type, user_id, pround(s1, 6) AS value
+    FROM rec WHERE i = n
+    """,
+)
+def pqs36_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_winters (extension; Prometheus trend-aware smoothing): the
+    sequential level/trend fold over each [4h] window's per-step
+    values, stated declaratively on both sides — a SQL `aggregate`
+    fold in Spark, a recursive CTE unrolling the identical recurrence
+    in the oracle (same float literals, same operation order)."""
+    df = _pq(
+        spark, sf_dir,
+        'holt_winters(events{event_type="purchase"}[4h], 0.3, 0.6)',
+        3_600_000,
+    )
+    return df.filter(F.col("value").isNotNull()).withColumn(
+        "value", _pr("value", 6)
+    )
