@@ -288,8 +288,22 @@ def _compile_range(
             from lakerunner_spark.promql.compiler import (
                 QUANTILE_SKETCH_MIN_BUCKETS,
             )
+            from lakerunner_spark.operators.density import (
+                QUANTILE_EXACT_MAX_SAMPLES,
+                estimate_range_samples,
+            )
 
-            if leaf.range_ms // step_ms > QUANTILE_SKETCH_MIN_BUCKETS:
+            use_sketch = leaf.range_ms // step_ms > QUANTILE_SKETCH_MIN_BUCKETS
+            if not use_sketch:
+                # bucket count bounds the window span, not the samples
+                # per bucket — dense log streams route to the sketch too
+                use_sketch = (
+                    estimate_range_samples(
+                        df, labels, leaf.range_ms, source.ts_col, "_v"
+                    )
+                    > QUANTILE_EXACT_MAX_SAMPLES
+                )
+            if use_sketch:
                 from lakerunner_spark.operators.ddsketch import (
                     ddsketch_quantile_over_time,
                 )

@@ -351,19 +351,37 @@ class _Compiler:
         # NULL inner samples (coverage warm-ups) are absent, not zero
         df = inner.df.filter(F.col("value").isNotNull())
         if fn == "quantile_over_time":
-            from lakerunner_spark.operators.range_agg import (
-                exact_quantile_over_time,
-            )
+            # the inner grid yields at most one value per substep per
+            # series, so samples-per-window == range/substep buckets —
+            # the bucket-count gate IS the density gate here
+            if sub.range_ms // substep > QUANTILE_SKETCH_MIN_BUCKETS:
+                from lakerunner_spark.operators.ddsketch import (
+                    ddsketch_quantile_over_time,
+                )
 
-            out = exact_quantile_over_time(
-                df.withColumnRenamed("bucket_ts", "_sts"),
-                inner.labels,
-                sub.range_ms,
-                substep,
-                q,
-                ts_col="_sts",
-                value_col="value",
-            )
+                out = ddsketch_quantile_over_time(
+                    df.withColumnRenamed("bucket_ts", "_sts"),
+                    inner.labels,
+                    sub.range_ms,
+                    substep,
+                    q,
+                    ts_col="_sts",
+                    value_col="value",
+                )
+            else:
+                from lakerunner_spark.operators.range_agg import (
+                    exact_quantile_over_time,
+                )
+
+                out = exact_quantile_over_time(
+                    df.withColumnRenamed("bucket_ts", "_sts"),
+                    inner.labels,
+                    sub.range_ms,
+                    substep,
+                    q,
+                    ts_col="_sts",
+                    value_col="value",
+                )
         elif fn == "mad_over_time":
             from lakerunner_spark.operators.range_agg import (
                 exact_mad_over_time,
@@ -412,8 +430,28 @@ class _Compiler:
         O(occupied buckets) exactly as the reference serves quantiles
         from stored sketches (quantile_node.go:35-114), within the
         sketch's relative-error contract.
+
+        The bucket count alone doesn't bound the arrays — a dense raw
+        series (100 Hz under a 10 s step) packs ~1,000 samples per
+        bucket — so short ranges additionally run a one-pass density
+        estimate (operators/density.py) and route to the sketch when
+        the estimated samples-per-series-per-window exceeds
+        QUANTILE_EXACT_MAX_SAMPLES.
         """
-        if range_ms // self.step > QUANTILE_SKETCH_MIN_BUCKETS:
+        use_sketch = range_ms // self.step > QUANTILE_SKETCH_MIN_BUCKETS
+        if not use_sketch:
+            from lakerunner_spark.operators.density import (
+                QUANTILE_EXACT_MAX_SAMPLES,
+                estimate_range_samples,
+            )
+
+            use_sketch = (
+                estimate_range_samples(
+                    df, src.labels, range_ms, src.ts_col, src.value_col
+                )
+                > QUANTILE_EXACT_MAX_SAMPLES
+            )
+        if use_sketch:
             from lakerunner_spark.operators.ddsketch import (
                 ddsketch_quantile_over_time,
             )
@@ -544,6 +582,26 @@ class _Compiler:
                     raise ValueError(
                         "promql: mad_over_time needs raw samples, not a "
                         "rollup tier"
+                    )
+                from lakerunner_spark.operators.density import (
+                    QUANTILE_EXACT_MAX_SAMPLES,
+                    estimate_range_samples,
+                )
+
+                est = estimate_range_samples(
+                    df, src.labels, sel.range_ms, src.ts_col, src.value_col
+                )
+                if est > QUANTILE_EXACT_MAX_SAMPLES:
+                    # MAD's inner re-centering is not servable from a
+                    # mergeable sketch, so there is no bounded-memory
+                    # route for dense series — fail closed rather than
+                    # build unbounded per-row arrays
+                    raise ValueError(
+                        "promql: mad_over_time over a series this dense "
+                        f"(~{est:.0f} samples per window, limit "
+                        f"{QUANTILE_EXACT_MAX_SAMPLES}) would buffer "
+                        "every raw sample of the range per output row; "
+                        "narrow the range or pre-aggregate"
                     )
                 out = exact_mad_over_time(
                     df,
