@@ -86,6 +86,7 @@ _PRIORITY = [
     "lqs9_decolorize",
     "lqs10_label_replace",
     "lqs12_pattern",
+    "lqs15_pattern_line_filter",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",

@@ -148,7 +148,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>\d+\.\d+|\d+|\.\d+)
   | (?P<ID>[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<STR>"(?:\\.|[^"\\])*"|`[^`]*`)
-  | (?P<OP>\|=|\|~|!=|!~|=~|>=|<=|==|[-(){}\[\],=|><])
+  | (?P<OP>\|=|\|~|\|>|!=|!~|!>|=~|>=|<=|==|[-(){}\[\],=|><])
     """,
     re.VERBOSE,
 )
@@ -312,9 +312,14 @@ class _Parser:
 
         while True:
             t = self.peek()
-            if t.text in ("|=", "|~"):
+            if t.text in ("|=", "|~", "|>", "!>"):
                 self.next()
                 needle = self.next()
+                if needle.kind != "STR":
+                    raise ValueError(
+                        f"logql: line filter {t.text} needs a string, "
+                        f"got {needle.text!r}"
+                    )
                 leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
             elif t.text in ("!=", "!~") and self.toks[self.i + 1].kind == "STR":
                 self.next()

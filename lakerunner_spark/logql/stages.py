@@ -80,6 +80,14 @@ def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_messag
         return df.filter(c.rlike(java_pattern(needle)))
     if op == "!~":
         return df.filter(~c.rlike(java_pattern(needle)))
+    if op in ("|>", "!>"):
+        # pattern line filters (Loki 3.x): the reference maps
+        # LineMatchPattern/LineMatchNotPattern onto regex line filters
+        # (logql/parser.go:347-350); the template compiles through the
+        # same translation as the ``| pattern`` parser stage, with all
+        # captures demoted to wildcards
+        pattern, _ = pattern_to_regex(needle, as_filter=True)
+        return df.filter(c.rlike(pattern) if op == "|>" else ~c.rlike(pattern))
     raise ValueError(f"unsupported line filter op: {op}")
 
 
@@ -193,8 +201,17 @@ import re as _re
 _PATTERN_CAP = _re.compile(r"<(_|[A-Za-z_][A-Za-z0-9_]*)>")
 
 
-def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
+def pattern_to_regex(
+    template: str, as_filter: bool = False
+) -> tuple[str, dict[str, int]]:
     """Loki ``| pattern`` template -> (anchored regex, name -> group idx).
+
+    ``as_filter=True`` compiles the template for the ``|>`` / ``!>``
+    pattern LINE FILTERS (the reference maps those onto regex line
+    filters, logql/parser.go:347-350): every capture — named or ``<_>``
+    — becomes a non-capturing wildcard (a filter keeps no columns) and
+    the named-capture requirement is dropped; anchoring and the
+    adjacent-captures rejection are unchanged.
 
     Extension beyond the reference's stage list (logql/parser.go:677
     stops at regexp/json/logfmt/...): ``<name>`` captures the shortest
@@ -222,7 +239,7 @@ def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
         is_final = m.end() == len(template) and m is caps[-1]
         body = ".*" if is_final else ".*?"
         name = m.group(1)
-        if name == "_":
+        if name == "_" or as_filter:
             parts.append(f"(?:{body})")
         else:
             if name in groups:
@@ -232,7 +249,7 @@ def pattern_to_regex(template: str) -> tuple[str, dict[str, int]]:
         prev_end = m.end()
     tail = template[prev_end:]
     parts.append(_escape_literal(tail))
-    if not groups:
+    if not groups and not as_filter:
         raise ValueError("logql: | pattern needs at least one named <capture>")
     # end-anchor when the template ends in a literal (a template-final
     # capture already consumes the remainder via its greedy .*)

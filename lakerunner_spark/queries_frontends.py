@@ -897,6 +897,38 @@ def lqs12_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("kv").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _lqs15_oracle() -> str:
+    from lakerunner_spark.logql.stages import pattern_to_regex
+
+    keep, _ = pattern_to_regex('{"k": 1<_>}', as_filter=True)
+    drop, _ = pattern_to_regex("<_>7}", as_filter=True)
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'error'
+      AND regexp_matches(props, '{keep}')
+      AND NOT regexp_matches(props, '{drop}')
+    GROUP BY event_type
+    """
+
+
+@register("lqs15_pattern_line_filter", _lqs15_oracle())
+def lqs15_pattern_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``|>`` / ``!>`` pattern line filters (Loki 3.x): the reference
+    maps LineMatchPattern/LineMatchNotPattern onto regex line filters
+    (logql/parser.go:347-350); the template compiles through the same
+    pattern_to_regex translation as the ``| pattern`` stage with all
+    captures demoted to wildcards, so the oracle runs the identical
+    generated regex."""
+    from lakerunner_spark.logql.compiler import compile_logql_lines
+
+    src = default_log_source(spark, sf_dir)
+    df = compile_logql_lines(
+        '{event_type="error"} |> "{\\"k\\": 1<_>}" !> "<_>7}"', src
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register(
     "pqs21_round_label_join",
     f"""

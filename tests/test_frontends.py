@@ -609,3 +609,44 @@ def test_logql_quantile_large_range_routes_to_sketch(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" not in plan
     assert df.count() >= 0  # executes
+
+
+def test_pattern_line_filters(spark):
+    """|> / !> pattern line filters (reference logql/parser.go:347-350
+    maps them onto regex filters): anchored template matching with
+    captures as wildcards; malformed templates fail closed."""
+    import pytest
+
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+
+    rows = [
+        (0, "w", "GET /api 200"),
+        (1, "w", "POST /api 500"),
+        (2, "w", "GET /img 200 extra"),
+        (3, "w", "GET /health 200"),
+    ]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, app STRING, log_message STRING"
+    )
+    src = LogSource(df, ["app"])
+
+    got = compile_logql_lines('{app="w"} |> "GET <_> 200"', src).collect()
+    # anchored at both ends: the "extra"-suffixed line must not match
+    assert sorted(r.log_message for r in got) == [
+        "GET /api 200",
+        "GET /health 200",
+    ]
+
+    got = compile_logql_lines(
+        '{app="w"} |> "GET <_> 200" !> "<_>health<_>"', src
+    ).collect()
+    assert [r.log_message for r in got] == ["GET /api 200"]
+
+    # template-final capture consumes the remainder (no end anchor)
+    got = compile_logql_lines('{app="w"} |> "GET <path> <_>"', src).collect()
+    assert len(got) == 3
+
+    with pytest.raises(ValueError, match="separated by literals"):
+        compile_logql_lines('{app="w"} |> "<a><b>"', src).collect()
+    with pytest.raises(ValueError, match="needs a string"):
+        compile_logql_lines('{app="w"} |> 42', src).collect()
