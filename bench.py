@@ -65,6 +65,21 @@ HEADLINE = [
     "dd10_dedup_pipeline",
 ]
 
+# the 10 heaviest plans, re-run at sf1 (10× rows) as the measured scale
+# step — wall time should grow ~linearly if the plan audit is honest
+SF1_HEADLINE = [
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "dd2_minhash_lsh",
+    "dd3_jaccard_verify",
+    "dd7_neardup_clusters",
+    "dd10_dedup_pipeline",
+    "pqs18_quantile_sketch_route",
+]
+
 
 def main() -> None:
     from lakerunner_spark.session import get_spark
@@ -96,18 +111,42 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+    }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # sf1 scale step: the 10 heaviest queries at 10× the default bench
+    # size (deterministic key-shifted replication of sf0.1 — see
+    # tools/make_sf1.py). Measures that the plan shapes that argue
+    # "scale-safe" actually grow ~linearly in wall time.
+    if out["sf"] == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from tools.make_sf1 import make_sf1
+
+        sf1_dir = make_sf1(
+            SF_DIR, os.path.join(os.path.dirname(__file__), ".localdata/sf1")
         )
-    )
+        sf1_timings: dict[str, float] = {}
+        sf1_total = 0.0
+        for name in SF1_HEADLINE:
+            fn = queries[name]
+            best, n = float("inf"), 0
+            for _ in range(iterations):
+                t0 = time.perf_counter()
+                df = fn(spark, sf1_dir)
+                n = df.count()
+                best = min(best, time.perf_counter() - t0)
+            sf1_timings[name] = round(best, 3)
+            sf1_total += best
+            print(f"# sf1 {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        out["sf1_queries"] = sf1_timings
+        out["sf1_total_sec"] = round(sf1_total, 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
