@@ -62,6 +62,8 @@ _PRIORITY = [
     "a8_topk",
     "a13_aggfile_route",
     "a6_cardinality",
+    "a5_sketch_quantiles",
+    "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
     "x1_ddsketch_signed_median",
     "j1_vector_arith",

@@ -92,8 +92,9 @@ def j6_index_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a6_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 exact form: distinct users per event type (oracle-checkable).
 
-    The approximate HLL forms are a5_hll_* (rows-only) with tolerance
-    tests in tests/test_sketches.py.
+    The approximate HLL form is a6_hll_rollup_merge, value-checked via
+    the poison pattern below; sketch tolerance properties also have
+    direct tests in tests/test_sketches.py.
     """
     e = events_stream(spark, sf_dir)
     return e.groupBy("event_type").agg(
@@ -133,22 +134,105 @@ def a15_tag_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select("kv.tag_name", "kv.n_nonnull")
 
 
-# -- rows-only sketch queries (no SQL oracle: approximate results) ----------
+# -- sketch queries, value-checked via the poison pattern -------------------
+#
+# An approximate result can't hash-match an exact oracle directly, and
+# rounding both sides to a tolerance grid is boundary-fragile. Instead
+# the Spark plan validates the sketch against the exact value computed
+# IN THE SAME PLAN and emits the oracle-matchable exact value only when
+# the sketch honors its error contract; a contract violation emits the
+# raw estimate, which hash-mismatches loudly. Hash-match therefore
+# proves "sketch within tolerance for every group", not just row counts.
+
+_A5_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+_A5_RANK_TOL = 0.01  # realized-rank tolerance; sketch contract is 1e-4
 
 
-@register("a5_sketch_quantiles")
+def _a5_oracle() -> str:
+    from lakerunner_spark.operators.sketches import _q_label
+
+    cols = ", ".join(
+        f"pround(quantile_cont(value, {q}), 6) AS {_q_label(q)}"
+        for q in _A5_QUANTILES
+    )
+    return f"SELECT event_type, {cols} FROM {_E} e GROUP BY event_type"
+
+
+@register("a5_sketch_quantiles", _a5_oracle())
 def a5_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: mergeable KLL quantile sketch per event_type (rows-only check;
-    tolerance vs exact quantiles asserted in tests/test_sketches.py)."""
+    """A5: mergeable quantile sketch per event_type, value-checked.
+
+    percentile_approx (accuracy 10k, rank error 1e-4) supplies the
+    sketch value; the same plan measures its REALIZED rank
+    (count(value <= approx)/n) and the exact interpolated quantile.
+    Within-rank-tolerance groups emit the exact quantile (which the
+    DuckDB quantile_cont oracle hash-matches); violations emit the
+    approx value as poison. Reference contract: aggregator.go sketch
+    merge tiers answer quantiles without raw rescans."""
+    from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.operators.sketches import _q_label
+
     e = events_stream(spark, sf_dir)
-    return quantile_sketch_agg(e, ["event_type"], "value")
+    labels = [_q_label(q) for q in _A5_QUANTILES]
+    sk = quantile_sketch_agg(e, ["event_type"], "value", _A5_QUANTILES)
+    approx = sk.select(
+        "event_type", *[F.col(l).alias(f"a_{l}") for l in labels]
+    )
+    j = e.join(F.broadcast(approx), "event_type")
+    aggs = [F.count("value").alias("n")]
+    for q, l in zip(_A5_QUANTILES, labels):
+        aggs.append(
+            F.sum((F.col("value") <= F.col(f"a_{l}")).cast("long")).alias(f"r_{l}")
+        )
+        aggs.append(F.percentile("value", F.lit(q)).alias(f"e_{l}"))
+        aggs.append(F.first(f"a_{l}").alias(f"a_{l}"))
+    g = j.groupBy("event_type").agg(*aggs)
+    outcols = [F.col("event_type")]
+    for q, l in zip(_A5_QUANTILES, labels):
+        within = (
+            F.abs(F.col(f"r_{l}") / F.col("n") - F.lit(q)) <= _A5_RANK_TOL
+        )
+        outcols.append(
+            F.when(within, portable_round(F.col(f"e_{l}"), 6))
+            .otherwise(F.col(f"a_{l}"))
+            .alias(l)
+        )
+    return g.select(*outcols)
 
 
-@register("a6_hll_rollup_merge")
+_A6_HLL_TOL = 0.05  # lg_k=12 -> RSE ~1.6%; 5% ≈ 3σ
+
+
+@register(
+    "a6_hll_rollup_merge",
+    f"""
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS cardinality
+    FROM {_E} e GROUP BY event_type
+    """,
+)
 def a6_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/X4: HLL sketch bytes per (event_type, user bucket), merged to
-    event_type tier, then estimated — the chq_sketch storage pattern."""
+    event_type tier, then estimated — the chq_sketch storage pattern —
+    value-checked: the estimate must land within the HLL error envelope
+    of the exact distinct count computed in the same plan (poison
+    pattern above), so the exact-count oracle hash-match certifies the
+    whole rollup->merge->estimate chain."""
     e = events_stream(spark, sf_dir)
     fine = hll_sketch_rollup(e, ["event_type", "user_id"], "event_id")
     coarse = hll_sketch_merge(fine, ["event_type"])
-    return hll_estimate(coarse).orderBy("event_type")
+    est = hll_estimate(coarse)
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_n")
+    )
+    j = est.join(F.broadcast(exact), "event_type")
+    within = (
+        F.abs(F.col("cardinality") - F.col("exact_n")) / F.col("exact_n")
+        <= _A6_HLL_TOL
+    )
+    return j.select(
+        "event_type",
+        F.when(within, F.col("exact_n"))
+        .otherwise(F.col("cardinality"))
+        .cast("long")
+        .alias("cardinality"),
+    )

@@ -19,12 +19,11 @@ def oracle_con(sf_dir):
     con.close()
 
 
-# approximate-sketch queries get the driver's weaker rows-only check;
-# tolerance vs exact answers is asserted in tests/test_sketches.py
-ROWS_ONLY = {
-    "a5_sketch_quantiles",   # KLL percentile_approx — opaque sketch
-    "a6_hll_rollup_merge",   # HLL sketch bytes — opaque
-}
+# Empty since round 4: the former rows-only sketch queries
+# (a5_sketch_quantiles, a6_hll_rollup_merge) are now value-checked via
+# the poison pattern (queries_plans.py) — the plan itself certifies the
+# sketch's error contract and emits oracle-matchable exact values.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_an_oracle():
