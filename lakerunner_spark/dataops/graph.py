@@ -31,8 +31,8 @@ truncates the logical plan — without lineage truncation the self-joined
 plan grows every round and Catalyst re-analysis (constraint
 propagation over the upstream candidate-pair expressions) blows up the
 driver long before the data does. On a real cluster with executor loss
-concerns, swap localCheckpoint for reliable `checkpoint` to a cluster
-FS — same call shape. Loop control compares a cheap
+concerns, pass ``checkpoint_dir=`` (a cluster-FS path) to switch every
+round to reliable ``checkpoint()``. Loop control compares a cheap
 (count, sum(u), sum(v)) signature between rounds, then confirms the
 true fixed point with one exact set comparison before returning.
 """
@@ -122,21 +122,37 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 50,
     local_threshold: int = LOCAL_EDGE_THRESHOLD,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min
     reachable node id. Small edge sets (post-verify pair tables are
     tiny relative to the corpus) solve exactly on the driver; larger
     ones run the alternating star algorithm — pure DataFrame ops,
     O(log^2 n) rounds (see module docstring).
+
+    ``checkpoint_dir``: when set, per-round materialization uses
+    reliable ``checkpoint()`` into that directory (cluster FS) so round
+    state survives executor loss — the right mode on a real cluster,
+    where losing an executor mid-round would otherwise recompute from a
+    lineage this function deliberately truncated. When None (default),
+    executor-local ``localCheckpoint`` — cheaper, correct on local mode
+    and on clusters where a failed round can simply be re-run.
     """
-    # Eager localCheckpoint cuts the (possibly enormous) candidate-pair
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # Eager checkpoint cuts the (possibly enormous) candidate-pair
     # lineage out of every round's plan; see module docstring.
-    e = (
+    e = _materialize(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if e.count() <= local_threshold:
         from pyspark.sql import types as T
@@ -160,7 +176,7 @@ def connected_components(
     prev_sig = None
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _materialize(_small_star(_large_star(e)))
         sig = tuple(e.agg(*sig_aggs).first())
         if sig == prev_sig:
             # Signature collision is theoretically possible; confirm the

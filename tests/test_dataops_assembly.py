@@ -390,3 +390,26 @@ def test_strip_html_escaped_entities_and_unclosed_blocks(spark):
     }
     for i, (src, want) in enumerate(cases.items()):
         assert got[i] == want, (src, got[i], want)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round materialization to reliable
+    checkpoint(): same labeling, and checkpoint files actually land in
+    the directory (proof the reliable path ran, not localCheckpoint)."""
+    import os
+
+    from lakerunner_spark.dataops.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(20)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, local_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    want = {(i, 0) for i in range(21)} | {(n, 100) for n in (100, 101, 102)}
+    assert got == want
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "no reliable checkpoint files written"
