@@ -65,35 +65,28 @@ _PRIORITY = [
     "a5_sketch_quantiles",
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
-    "x1_ddsketch_signed_median",
     "j1_vector_arith",
-    "j3_vector_and",
     "o1_order_limit",
-    "p3_time_range",
-    "p6_line_filter",
     "p7_json_parser",
     "p8_logfmt_roundtrip",
     "p9_regexp_parser",
-    "f17_ts_normalize",
     "pqs1_sum_rate",
-    "pqs2_topk_count",
     "pqs4_quantile_over_time",
-    "pqs16_label_replace",
     "pqs18_quantile_sketch_route",
     "pqs20_predict_linear",
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
-    "lqs4_exemplar",
     "lqs9_decolorize",
     "lqs10_label_replace",
     "lqs12_pattern",
     "lqs15_pattern_line_filter",
+    "sp3_trace_lookup",
+    "sp4_span_duration_rate",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q9_product_profit",
-    "tpch_q13_order_distribution",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "dd1_dedup_exact",
@@ -107,9 +100,21 @@ _PRIORITY = [
     "ds4_domain_mixture",
     "sim1_cosine_topk",
     "txt1_text_stats",
-    "txt5_repetition_filter",
     "fp1_structural_fingerprint",
     "mm1_byte_histogram",
+    # below the driver's 50-sample line: every entry above touches a
+    # distinct operator family; these variants stay oracle-checked in
+    # tests/test_oracle_parity.py
+    "txt5_repetition_filter",
+    "x1_ddsketch_signed_median",
+    "j3_vector_and",
+    "p3_time_range",
+    "p6_line_filter",
+    "f17_ts_normalize",
+    "pqs2_topk_count",
+    "pqs16_label_replace",
+    "lqs4_exemplar",
+    "tpch_q13_order_distribution",
     "mm2_png_features",
     "u2_union_streams",
     "w5_running_revenue",

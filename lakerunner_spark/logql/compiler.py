@@ -260,8 +260,13 @@ def _compile_range(
         df = df.filter(F.col(source.ts_col) < end_ms)
     df, labels = _apply_pipeline(df, leaf, source)
 
-    # synthetic metric family (rewrite_result.go:32-110)
-    if node.fn in ("count_over_time", "rate"):
+    # synthetic metric family (rewrite_result.go:32-110); an unwrapped
+    # rate takes the unwrap branch instead (Loki: per-second rate of the
+    # sum of the unwrapped values — same rewrite the reference applies
+    # to rate_counter, rewrite_result.go:73)
+    if node.fn == "count_over_time" or (
+        node.fn == "rate" and leaf.unwrap is None
+    ):
         df = df.withColumn("_v", F.lit(1.0))
         fn = {"count_over_time": "sum_over_time", "rate": "rate"}[node.fn]
     elif node.fn in ("bytes_over_time", "bytes_rate"):

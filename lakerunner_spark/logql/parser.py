@@ -274,7 +274,11 @@ class _Parser:
             raise ValueError(f"logql: {fn} requires a [range]")
         if fn in _UNWRAP_AGGS and leaf.unwrap is None:
             raise ValueError(f"logql: {fn} requires an unwrap stage")
-        if fn in ("count_over_time", "rate", "bytes_over_time", "bytes_rate") \
+        # rate over an unwrapped range IS valid Loki ("per second rate of
+        # the sum of all values in the interval"); the reference likewise
+        # rewrites unwrapped rates onto the PromQL rate path
+        # (rewrite_result.go:73). The count/bytes forms take lines only.
+        if fn in ("count_over_time", "bytes_over_time", "bytes_rate") \
                 and leaf.unwrap is not None:
             raise ValueError(f"logql: {fn} does not take an unwrap")
         return LogRangeAgg(fn, leaf, param=param)

@@ -132,3 +132,115 @@ def pqs11_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_metric_catalog(spark, sf_dir),
         60_000,
     )
+
+_TRACED_SPANS_SQL = f"""
+  SELECT CAST(user_id AS VARCHAR) || '-' ||
+           CAST(chq_timestamp - chq_timestamp % 3600000 AS VARCHAR)
+           AS span_trace_id,
+         CAST(event_id AS VARCHAR) AS span_id,
+         event_type AS span_name, chq_timestamp,
+         CAST(round(value * 1000000) AS BIGINT) AS span_duration
+  FROM {_E} e
+"""
+
+
+def _traced_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span view with MULTI-SPAN traces: spans by the same user within
+    the same hour share a trace (the synthetic analogue of the span
+    table's span_trace_id/span_id base columns,
+    spans_worker_sql.go:98-112)."""
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    trace = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("-"),
+        (F.col("chq_timestamp") - F.col("chq_timestamp") % 3_600_000).cast(
+            "string"
+        ),
+    )
+    return e.select(
+        trace.alias("span_trace_id"),
+        F.col("event_id").cast("string").alias("span_id"),
+        F.col("event_type").alias("span_name"),
+        "chq_timestamp",
+        F.round(F.col("value") * 1e6).cast("long").alias("span_duration"),
+    )
+
+
+@register(
+    "sp3_trace_lookup",
+    f"""
+    WITH s AS ({_TRACED_SPANS_SQL}),
+    top_trace AS (
+      SELECT span_trace_id FROM s GROUP BY span_trace_id
+      ORDER BY count(*) DESC, span_trace_id ASC LIMIT 1
+    )
+    SELECT s.span_trace_id, s.span_id, s.span_name,
+           s.chq_timestamp, s.span_duration
+    FROM s JOIN top_trace USING (span_trace_id)
+    ORDER BY s.chq_timestamp ASC, s.span_id ASC
+    """,
+)
+def sp3_trace_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-id exemplar lookup: every span of one trace, time-ordered
+    (the reference's exemplar finalizeSelect path orders by chq_tsns,
+    spans_worker_sql.go:85-88). The trace is chosen deterministically
+    (largest span count, id tiebreak); the lookup itself is a broadcast
+    semi-join on span_trace_id — at 100 TB the same shape rides the
+    fingerprint/segment index instead of a scan, but the per-trace
+    result is always tiny."""
+    s = _traced_spans(spark, sf_dir)
+    top = (
+        s.groupBy("span_trace_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("span_trace_id").asc())
+        .limit(1)
+        .select("span_trace_id")
+    )
+    return (
+        s.join(F.broadcast(top), "span_trace_id")
+        .orderBy(F.col("chq_timestamp").asc(), F.col("span_id").asc())
+        .select(
+            "span_trace_id", "span_id", "span_name",
+            "chq_timestamp", "span_duration",
+        )
+    )
+
+
+@register(
+    "sp4_span_duration_rate",
+    f"""
+    SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+           span_name,
+           pround(sum(span_duration) / 3600.0 / 1000000.0, 6) AS rate_ms
+    FROM ({_SPANS_SQL})
+    GROUP BY 1, 2
+    """,
+)
+def sp4_span_duration_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_duration-unwrap range aggregation over spans, THROUGH the
+    LogQL compiler (the reference compiles spans range aggs with the
+    same LogLeaf pipeline + unwrap machinery as logs,
+    spans_worker_sql.go:21-88): rate({span_name=~".+"} | unwrap
+    span_duration [1h]) at 1h step — windowed sum / range seconds per
+    span_name, scaled ns->ms for float-parity-friendly magnitudes."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql
+
+    s = _spans(spark, sf_dir)
+    src = LogSource(
+        s,
+        labels=["span_name", "span_duration"],
+        line_col="span_name",
+        ts_col="chq_timestamp",
+    )
+    df = compile_logql(
+        'rate({span_name=~".+"} | unwrap span_duration [1h])',
+        src,
+        3_600_000,
+    )
+    return df.select(
+        "bucket_ts",
+        "span_name",
+        _pr(F.col("value") / 1e6, 6).alias("rate_ms"),
+    )
