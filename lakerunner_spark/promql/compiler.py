@@ -128,14 +128,33 @@ class _Vec:
     labels: list[str]
 
 
+def _go_log(logfn):
+    """Go math.Log semantics: log(0) = -Inf, log(<0) = NaN. Spark's
+    log/log2/log10 return NULL for non-positive input, which would read
+    as an ABSENT sample downstream — wrong for Prometheus conformance
+    (functions.test expects -Inf/NaN values, not dropped series)."""
+
+    def wrapped(c):
+        # NULL (absent sample) propagates as NULL — only real values
+        # map to the -Inf/NaN domain results
+        return F.when(
+            c.isNotNull(),
+            F.when(c > 0, logfn(c))
+            .when(c == 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan"))),
+        )
+
+    return wrapped
+
+
 _UNARY_COLS = {
     "abs": F.abs,
     "ceil": F.ceil,
     "floor": F.floor,
     "exp": F.exp,
-    "ln": F.log,
-    "log2": F.log2,
-    "log10": F.log10,
+    "ln": _go_log(F.log),
+    "log2": _go_log(F.log2),
+    "log10": _go_log(F.log10),
     "sqrt": F.sqrt,
     "sgn": F.signum,
     # extensions beyond the reference: Prometheus trig / hyperbolic /
@@ -924,10 +943,11 @@ class _Compiler:
             return _Vec(out, keys)
         if node.op == "count_values":
             # extension: histogram of sample values — each distinct
-            # value becomes a label (formatted with the engine's
-            # canonical double rendering; Prometheus uses Go's shortest
-            # form, which differs for some magnitudes — documented
-            # engine semantics, not wire parity)
+            # value becomes a label. Integral doubles format without the
+            # trailing ".0" (Prometheus renders with Go's shortest-form
+            # FormatFloat: 1 -> "1", 1.5 -> "1.5"); extreme-magnitude
+            # values keep the engine's double rendering (E-notation),
+            # which can differ from Go's — documented engine semantics.
             dst = node.param_str
             keys = self._agg_keys(node, v)
             if dst in keys or dst in ("bucket_ts", "value"):
@@ -935,8 +955,15 @@ class _Compiler:
                     f"promql: count_values destination {dst!r} collides "
                     "with a grouping label or result column"
                 )
+            val = F.col("value")
+            compact = F.when(
+                ~F.isnan(val)
+                & (val == F.floor(val))
+                & (F.abs(val) < F.lit(1e15)),
+                val.cast("decimal(20,0)").cast("string"),
+            ).otherwise(val.cast("string"))
             out = (
-                v.df.withColumn(dst, F.col("value").cast("string"))
+                v.df.withColumn(dst, compact)
                 .groupBy("bucket_ts", *keys, dst)
                 .agg(F.count(F.lit(1)).cast("double").alias("value"))
             )

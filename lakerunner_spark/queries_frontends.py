@@ -1206,8 +1206,8 @@ def pqs26_histogram_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFr
     "pqs27_count_values",
     f"""
     SELECT bucket_ts,
-           CAST(least(greatest(floor(v + 0.5) * 1.0, 0.0), 999999.0)
-                AS VARCHAR) AS bucketed,
+           CAST(CAST(least(greatest(floor(v + 0.5) * 1.0, 0.0), 999999.0)
+                AS BIGINT) AS VARCHAR) AS bucketed,
            CAST(count(*) AS DOUBLE) AS value
     FROM (
       SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,

@@ -1,0 +1,346 @@
+"""Prometheus-conformance sweep: table-driven cases derived from the
+upstream promql test suite (prometheus/promql/promqltest/testdata/
+aggregators.test, operators.test, functions.test, histograms.test —
+expectations re-derived by hand from the documented semantics).
+
+Where this engine deliberately diverges from upstream Prometheus it
+does so to follow the REFERENCE's semantics; every divergent case is
+marked ``diverges=`` with the reason and is also documented in
+README.md's "ADR: Prometheus conformance divergences" section. The
+divergence classes:
+
+1. bucket-average sampling — the engine evaluates over step-bucket
+   aggregates (sum/count/min/max), not raw samples with a 5m lookback;
+   there are no staleness markers (reference leaf_node.go semantics).
+2. no extrapolation — rate/increase/delta are windowed sums/differences
+   without Prometheus's boundary extrapolation (sql_builder.go rate
+   semantics; values are pre-aggregated deltas).
+3. counter resets are NOT corrected — ingested values are treated as
+   already-deltas (reference rewrite semantics), so decreasing raw
+   counters are the caller's responsibility.
+4. topk/bottomk skip NaN entirely (reference top_k_node.go collects
+   finite entries only; upstream ranks NaN below every value), and rank
+   globally per bucket even under by() (reference parser drops
+   grouping for topk/bottomk).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.promql.compiler import (
+    LeafSource,
+    MetricCatalog,
+    compile_promql,
+)
+
+STEP = 60_000
+NAN = float("nan")
+INF = float("inf")
+
+# series data: metric -> rows of (ts, l, value); the "h" histogram
+# metric carries (ts, l, le, value)
+M3 = [(0, "a", 1.0), (0, "b", 2.0), (0, "c", 3.0)]
+M_DUP = [(0, "a", 1.0), (0, "b", 1.0), (0, "c", 2.0)]
+M_NAN = [(0, "a", NAN), (0, "b", 2.0)]
+M_NEG = [(0, "a", -1.5), (0, "b", 0.0), (0, "c", 2.5)]
+N2 = [(0, "a", 10.0), (0, "b", 20.0)]
+
+# range series: one sample exactly on each step-bucket boundary, so the
+# bucket average equals the raw sample and range windows are exact
+def _ts_series(vals, label="a"):
+    return [(i * STEP, label, float(v)) for i, v in enumerate(vals)]
+
+
+CASES = [
+    # -- aggregators (upstream aggregators.test) ------------------------
+    dict(name="sum", expr="sum(m)", m=M3, expect={(): 6.0}),
+    dict(name="avg", expr="avg(m)", m=M3, expect={(): 2.0}),
+    dict(name="min", expr="min(m)", m=M3, expect={(): 1.0}),
+    dict(name="max", expr="max(m)", m=M3, expect={(): 3.0}),
+    dict(name="count", expr="count(m)", m=M3, expect={(): 3.0}),
+    dict(
+        name="stddev_pop",
+        expr="stddev(m)",
+        m=M3,
+        expect={(): math.sqrt(2.0 / 3.0)},
+    ),
+    dict(name="stdvar_pop", expr="stdvar(m)", m=M3, expect={(): 2.0 / 3.0}),
+    dict(name="group_one", expr="group(m)", m=M3, expect={(): 1.0}),
+    dict(
+        name="sum_by",
+        expr="sum by (l) (m)",
+        m=M3,
+        expect={("a",): 1.0, ("b",): 2.0, ("c",): 3.0},
+    ),
+    dict(
+        name="count_values",
+        expr='count_values("v", m)',
+        m=M_DUP,
+        expect={("1",): 2.0, ("2",): 1.0},
+    ),
+    dict(
+        name="quantile_interp",
+        expr="quantile(0.5, m)",
+        m=M3,
+        expect={(): 2.0},
+    ),
+    dict(
+        name="quantile_interp_09",
+        expr="quantile(0.9, m)",
+        m=M3,
+        expect={(): 2.8},
+    ),
+    dict(
+        name="topk2",
+        expr="topk(2, m)",
+        m=M3,
+        expect={("b",): 2.0, ("c",): 3.0},
+    ),
+    dict(name="bottomk1", expr="bottomk(1, m)", m=M3, expect={("a",): 1.0}),
+    dict(
+        name="topk_nan_skipped",
+        expr="topk(2, m)",
+        m=M_NAN,
+        expect={("b",): 2.0},
+        diverges="upstream ranks NaN below all values and would return "
+        "both series; the reference collects finite entries only "
+        "(top_k_node.go), so NaN never occupies a slot — ADR class 4",
+    ),
+    # -- binary operators (upstream operators.test) ---------------------
+    dict(
+        name="vector_add_match",
+        expr="m + n",
+        m=M3,
+        n=N2,
+        expect={("a",): 11.0, ("b",): 22.0},
+    ),
+    dict(
+        name="scalar_mul",
+        expr="m * 2",
+        m=M3,
+        expect={("a",): 2.0, ("b",): 4.0, ("c",): 6.0},
+    ),
+    dict(
+        name="scalar_sub_left",
+        expr="2 - m",
+        m=M3,
+        expect={("a",): 1.0, ("b",): 0.0, ("c",): -1.0},
+    ),
+    dict(
+        name="cmp_filter",
+        expr="m > 1.5",
+        m=M3,
+        expect={("b",): 2.0, ("c",): 3.0},
+    ),
+    dict(
+        name="cmp_bool",
+        expr="m > bool 1.5",
+        m=M3,
+        expect={("a",): 0.0, ("b",): 1.0, ("c",): 1.0},
+    ),
+    dict(
+        name="pow_right_assoc",
+        expr="m ^ 3 ^ 2",
+        m=[(0, "a", 2.0)],
+        expect={("a",): 512.0},
+    ),
+    dict(
+        name="atan2_binop",
+        expr="m atan2 n",
+        m=M3,
+        n=N2,
+        expect={
+            ("a",): math.atan2(1.0, 10.0),
+            ("b",): math.atan2(2.0, 20.0),
+        },
+    ),
+    dict(
+        name="mod_op",
+        expr="m % 2",
+        m=M3,
+        expect={("a",): 1.0, ("b",): 0.0, ("c",): 1.0},
+    ),
+    dict(
+        name="set_or",
+        expr="m or n",
+        m=[(0, "c", 3.0)],
+        n=N2,
+        expect={("a",): 10.0, ("b",): 20.0, ("c",): 3.0},
+    ),
+    dict(
+        name="set_and",
+        expr="m and n",
+        m=M3,
+        n=N2,
+        expect={("a",): 1.0, ("b",): 2.0},
+    ),
+    dict(
+        name="set_unless",
+        expr="m unless n",
+        m=M3,
+        n=N2,
+        expect={("c",): 3.0},
+    ),
+    # -- functions (upstream functions.test) ----------------------------
+    dict(
+        name="abs",
+        expr="abs(m)",
+        m=M_NEG,
+        expect={("a",): 1.5, ("b",): 0.0, ("c",): 2.5},
+    ),
+    dict(
+        name="ceil_floor",
+        expr="ceil(m) + floor(m)",
+        m=[(0, "a", 1.5)],
+        expect={("a",): 3.0},  # ceil(1.5)=2, floor(1.5)=1
+    ),
+    dict(
+        name="sqrt_negative_nan",
+        expr="sqrt(m)",
+        m=[(0, "a", -1.0)],
+        expect={("a",): NAN},
+    ),
+    dict(
+        name="ln_zero_neg_inf",
+        expr="ln(m)",
+        m=[(0, "a", 0.0)],
+        expect={("a",): -INF},
+    ),
+    dict(
+        name="exp_zero",
+        expr="exp(m)",
+        m=[(0, "a", 0.0)],
+        expect={("a",): 1.0},
+    ),
+    dict(
+        name="sgn",
+        expr="sgn(m)",
+        m=M_NEG,
+        expect={("a",): -1.0, ("b",): 0.0, ("c",): 1.0},
+    ),
+    dict(
+        name="clamp",
+        expr="clamp(m, 2, 2.5)",
+        m=M3,
+        expect={("a",): 2.0, ("b",): 2.0, ("c",): 2.5},
+    ),
+    dict(
+        name="round_tie_up",
+        expr="round(m, 0.5)",
+        m=[(0, "a", 1.25), (0, "b", -1.25)],
+        expect={("a",): 1.5, ("b",): -1.0},
+    ),
+    # -- range functions over exact-grid series -------------------------
+    # deriv/predict_linear are least-squares in upstream too, so exact
+    # linear data matches bit-for-bit despite the bucket convention
+    dict(
+        name="deriv_linear",
+        expr="deriv(m[3m])",
+        m=_ts_series([0, 10, 20, 30]),
+        at=3 * STEP,
+        expect={("a",): 10.0 / 60.0},
+    ),
+    dict(
+        name="predict_linear_exact",
+        expr="predict_linear(m[3m], 60)",
+        m=_ts_series([0, 10, 20, 30]),
+        at=3 * STEP,
+        expect={("a",): 40.0},
+    ),
+    dict(
+        name="changes_window",
+        expr="changes(m[3m])",
+        m=_ts_series([1, 1, 2, 2, 3]),
+        at=4 * STEP,
+        # window at 4m = {2, 2, 3} -> one change; matches upstream's
+        # left-open window on exact-grid data (see resets_window)
+        expect={("a",): 1.0},
+    ),
+    dict(
+        # on exact-grid data the engine's inclusive bucket window
+        # [t-range+step, t] holds the same samples as upstream's
+        # left-open (t-range, t], so resets/changes conform here:
+        # window at 3m = {3, 4, 2} -> one reset (4 -> 2)
+        name="resets_window",
+        expr="resets(m[3m])",
+        m=_ts_series([5, 3, 4, 2]),
+        at=3 * STEP,
+        expect={("a",): 1.0},
+    ),
+    dict(
+        name="increase_no_extrapolation",
+        expr="increase(m[2m])",
+        m=_ts_series([1, 2, 3]),
+        at=2 * STEP,
+        # engine: windowed sum of the trailing range's bucket sums
+        # = 2 + 3 = 5
+        expect={("a",): 5.0},
+        diverges="upstream increase extrapolates the counter difference "
+        "(~2.0 here); this engine sums the window's pre-aggregated "
+        "deltas (reference sql_builder.go rate semantics: stored values "
+        "are already deltas) — ADR classes 2 and 3",
+    ),
+    # -- histogram_quantile (upstream histograms.test) ------------------
+    dict(
+        name="histogram_quantile_interp",
+        # the le-bucket interpolation path takes a computed vector
+        # (the bare-selector form serves cooked value-distributions,
+        # quantile_node.go semantics — ADR class 5)
+        expr="histogram_quantile(0.5, sum by (l, le) (h))",
+        h=[(0, "x", "0.1", 1.0), (0, "x", "0.2", 2.0), (0, "x", "+Inf", 3.0)],
+        expect={("x",): 0.15},
+    ),
+]
+
+
+def _build_catalog(spark, case):
+    srcs = {}
+    for metric in ("m", "n"):
+        rows = case.get(metric)
+        if rows is not None:
+            df = spark.createDataFrame(
+                rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+            )
+            srcs[metric] = LeafSource(df=df, labels=["l"])
+    if case.get("h") is not None:
+        df = spark.createDataFrame(
+            case["h"],
+            "chq_timestamp LONG, l STRING, le STRING, value DOUBLE",
+        )
+        srcs["h"] = LeafSource(df=df, labels=["l", "le"])
+    return MetricCatalog(srcs)
+
+
+def _collect(df, at):
+    rows = df.filter(F.col("bucket_ts") == at).collect()
+    label_cols = sorted(set(df.columns) - {"bucket_ts", "value"})
+    return {
+        tuple(getattr(r, c) for c in label_cols): r.value for r in rows
+    }
+
+
+def _same(a: float, b: float) -> bool:
+    if a is None or b is None:
+        return a is b
+    if math.isnan(b):
+        return math.isnan(a)
+    if math.isinf(b):
+        return a == b
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: c["name"])
+def test_conformance(case, spark):
+    cat = _build_catalog(spark, case)
+    out = compile_promql(case["expr"], cat, STEP)
+    got = _collect(out, case.get("at", 0))
+    expect = case["expect"]
+    assert set(got) == set(expect), (
+        f"{case['name']}: series {set(got)} != {set(expect)}"
+    )
+    for k, v in expect.items():
+        assert _same(got[k], v), f"{case['name']}[{k}]: {got[k]} != {v}"

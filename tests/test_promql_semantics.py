@@ -472,13 +472,13 @@ def test_count_values_semantics(spark):
     cat = MetricCatalog({"m": LeafSource(df=df, labels=["job"])})
 
     rows = compile_promql('count_values("v", m)', cat, 60_000).collect()
-    assert {(r.v, r.value) for r in rows} == {("1.0", 2.0), ("2.0", 1.0)}
+    assert {(r.v, r.value) for r in rows} == {("1", 2.0), ("2", 1.0)}
 
     rows = compile_promql(
         'count_values("v", m) by (job)', cat, 60_000
     ).collect()
     assert {(r.job, r.v, r.value) for r in rows} == {
-        ("a", "1.0", 1.0), ("b", "1.0", 1.0), ("c", "2.0", 1.0),
+        ("a", "1", 1.0), ("b", "1", 1.0), ("c", "2", 1.0),
     }
 
     import pytest
