@@ -113,6 +113,29 @@ def main() -> None:
         "Generated from `.explain('formatted')`; commentary explains why each",
         "plan is the one we want at 100 TB. Regenerate: `python tools/gen_plans.py`.",
         "",
+        "## Scale step: sf1 (10× rows, tools/make_sf1.py)",
+        "",
+        "`bench.py` re-runs the 10 heaviest queries at sf1 (deterministic",
+        "key-shifted ×10 replication of sf0.1; document replicas word-perturbed",
+        "so cross-replica shingle sets are disjoint) and reports them under",
+        "`sf1_queries` in the JSON line. Measured growth is ≤7× for every query",
+        "at 10× data (several sub-2× — fixed-overhead dominated at this size).",
+        "",
+        "Plan shapes under AQE at sf1, vs sf0.1 (post-execution `executedPlan`):",
+        "",
+        "- **tpch_q3**: the orders⋈lineitem join flips BroadcastHashJoin →",
+        "  SortMergeJoin; the customer dim join stays broadcast. This is the",
+        "  desired asymptote — fact⋈fact shuffles on the join key, dims",
+        "  broadcast — and it happened at runtime from actual sizes, no hints.",
+        "- **tpch_q21**: the two lineitem self-joins flip to SortMergeJoin; the",
+        "  supplier/nation dim joins stay broadcast. Same story.",
+        "- **q5, q9, q18, dd2, dd3, dd10, pqs18**: identical shapes at both",
+        "  sizes (dims still under the broadcast threshold; the dedup pipeline's",
+        "  joins are candidate-restricted and stay small relative to the corpus).",
+        "",
+        "No plan degraded to BroadcastNestedLoopJoin/CartesianProduct at the",
+        "larger size, and no broadcast exceeded the driver threshold.",
+        "",
     ]
     for name, note in COMMENT.items():
         df = qs[name](spark, SF)
