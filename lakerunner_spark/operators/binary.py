@@ -172,14 +172,19 @@ def vector_match_grouped(
 def vector_scalar(
     df: DataFrame,
     op: str,
-    scalar: float,
+    scalar: float | Column,
     scalar_on_left: bool = False,
     value_col: str = "value",
     bool_mode: bool = False,
 ) -> DataFrame:
-    """vector <op> scalar (J5): broadcast the scalar to every series."""
-    lv = F.lit(scalar) if scalar_on_left else F.col(value_col)
-    rv = F.col(value_col) if scalar_on_left else F.lit(scalar)
+    """vector <op> scalar (J5): broadcast the scalar to every series.
+
+    ``scalar`` may be a Column over the df's own columns — the PromQL
+    compiler passes ``time()`` expressions as bucket_ts-derived columns
+    so scalar semantics stay per-bucket without a join."""
+    s = scalar if isinstance(scalar, Column) else F.lit(scalar)
+    lv = s if scalar_on_left else F.col(value_col)
+    rv = F.col(value_col) if scalar_on_left else s
     value, keep = _apply_op(op, lv, rv, bool_mode)
     if scalar_on_left and op in _CMP and not bool_mode:
         # filter comparisons keep the VECTOR element's value; _apply_op

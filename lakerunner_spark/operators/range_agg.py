@@ -53,6 +53,7 @@ RANGE_FUNCS = [
     "first_over_time",
     "holt_winters",  # (alias double_exponential_smoothing)
     "mad_over_time",  # raw-sample exact path (exact_mad_over_time)
+    "idelta",
 ]
 
 # extensions computed from per-step values (need the _avg/_flag helpers)
@@ -130,19 +131,24 @@ def range_agg(
         # SynthLogUnwrap, "rate"`) — windowed sum / range seconds, no
         # counter-reset special-casing. Reference-exact.
         value = wsum / F.lit(range_sec)
-    elif func == "irate":
+    elif func in ("irate", "idelta"):
         # Extension beyond the reference (whose irate degenerates to
         # rate — sql_builder.go:51 "same SQL as rate; API can do
-        # last-two-samples nuance later"): instant rate from the two
-        # most recent buckets. Both must lie within the range window,
-        # whose frame holds buckets back to range-step — a previous
-        # bucket range_ms back would already be outside it.
+        # last-two-samples nuance later"): instant rate / difference
+        # from the two most recent buckets. Both must lie within the
+        # range window, whose frame holds buckets back to range-step —
+        # a previous bucket range_ms back would already be outside it.
         prev_ts = F.lag("bucket_ts", 1).over(wfull)
         dt_ms = F.col("bucket_ts") - prev_ts
-        value = F.when(
-            prev_ts.isNotNull() & (dt_ms <= F.lit(range_ms - step_ms)),
-            F.col("sum") / (dt_ms / 1000.0),
-        )
+        in_window = prev_ts.isNotNull() & (dt_ms <= F.lit(range_ms - step_ms))
+        if func == "irate":
+            value = F.when(in_window, F.col("sum") / (dt_ms / 1000.0))
+        else:
+            # idelta: difference of the two latest per-step values
+            # (bucket-average convention, like last_over_time)
+            avg = F.col("sum") / F.col("count")
+            prev_avg = F.lag(F.col("sum") / F.col("count"), 1).over(wfull)
+            value = F.when(in_window, avg - prev_avg)
     else:
         raise ValueError(f"unsupported range function: {func}")
 
@@ -152,9 +158,9 @@ def range_agg(
     # evalRangeAwareScalar returns NaN while covered < range for
     # sum/count/avg/min/max/last_over_time, rate, and increase alike
     # (leaf_node.go:357,394) — so tier/path choice can't change results.
-    # irate stays ungated (per-pair guard above; the reference has no
-    # true irate path to mirror).
-    if coverage_gate and func != "irate":
+    # irate/idelta stay ungated (per-pair guard above; the reference
+    # has no true instant-pair path to mirror).
+    if coverage_gate and func not in ("irate", "idelta"):
         first_bucket = F.min("bucket_ts").over(
             Window.partitionBy(*series_labels)
             .orderBy("bucket_ts")

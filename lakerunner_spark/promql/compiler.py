@@ -128,6 +128,43 @@ class _Vec:
     labels: list[str]
 
 
+class _TimeScalar:
+    """``time()`` (and scalar expressions containing it): a PromQL
+    SCALAR whose value is the evaluation timestamp in seconds — it
+    varies per bucket but carries no labels, so it must NOT become a
+    vector (``time() - m`` keeps m's labels, unlike vector matching).
+    ``build`` maps the bucket_ts Column (ms) to the expression's value
+    Column; scalar arithmetic composes builds, and vector⋈time ops
+    inline the built column through the Column-aware vector_scalar."""
+
+    def __init__(self, build=None):
+        self.build = build or (
+            lambda ts: ts.cast("double") / F.lit(1000.0)
+        )
+
+
+# Prometheus date/time component functions (all UTC; the session
+# timezone is pinned to UTC in lakerunner_spark.session). Input is a
+# unix-seconds value, truncated to whole seconds like Go's
+# time.Unix(int64(v), 0); Spark dayofweek is 1=Sunday..7, Prometheus
+# wants 0=Sunday..6.
+_DATE_COLS = {
+    "minute": F.minute,
+    "hour": F.hour,
+    "day_of_week": lambda t: F.dayofweek(t) - 1,
+    "day_of_month": F.dayofmonth,
+    "day_of_year": F.dayofyear,
+    "days_in_month": lambda t: F.dayofmonth(F.last_day(t)),
+    "month": F.month,
+    "year": F.year,
+}
+
+
+def _date_component(fn: str, seconds: Column) -> Column:
+    ts = F.timestamp_seconds(seconds.cast("long"))
+    return _DATE_COLS[fn](ts).cast("double")
+
+
 def _go_log(logfn):
     """Go math.Log semantics: log(0) = -Inf, log(<0) = NaN. Spark's
     log/log2/log10 return NULL for non-positive input, which would read
@@ -526,6 +563,42 @@ class _Compiler:
             import math
 
             return math.pi
+        if fn == "time":
+            if node.args:
+                raise ValueError("promql: time() takes no arguments")
+            return _TimeScalar()
+        if fn in _DATE_COLS:
+            # date component of a unix-seconds vector; zero-arg form
+            # (and the time() argument) applies to the evaluation time
+            if len(node.args) > 1:
+                raise ValueError(f"promql: {fn}(v) takes at most one argument")
+            arg = self.compile(node.args[0]) if node.args else _TimeScalar()
+            if isinstance(arg, _TimeScalar):
+                inner = arg.build
+                return _TimeScalar(
+                    lambda ts, _i=inner: _date_component(fn, _i(ts))
+                )
+            if isinstance(arg, float):
+                import calendar
+                import datetime as _dt
+
+                d = _dt.datetime.fromtimestamp(int(arg), _dt.timezone.utc)
+                return float(
+                    {
+                        "minute": d.minute,
+                        "hour": d.hour,
+                        "day_of_week": (d.weekday() + 1) % 7,
+                        "day_of_month": d.day,
+                        "day_of_year": d.timetuple().tm_yday,
+                        "days_in_month": calendar.monthrange(d.year, d.month)[1],
+                        "month": d.month,
+                        "year": d.year,
+                    }[fn]
+                )
+            out = arg.df.withColumn(
+                "value", _date_component(fn, F.col("value"))
+            )
+            return _Vec(out, arg.labels)
         if fn in ("absent_over_time", "present_over_time"):
             return self._presence_over_time(node)
         if fn in ast.RANGE_FUNCS:
@@ -650,6 +723,16 @@ class _Compiler:
         if fn in _UNARY_COLS:
             (arg,) = node.args
             v = self.compile(arg)
+            if isinstance(v, _TimeScalar):
+                inner = v.build
+
+                def build(ts, _i=inner, _fn=fn):
+                    col = _UNARY_COLS[_fn](_i(ts))
+                    if _fn in ("ceil", "floor"):
+                        col = col.cast("double")
+                    return col
+
+                return _TimeScalar(build)
             if isinstance(v, float):
                 raise ValueError(f"promql: {fn} over scalars not supported")
             col = _UNARY_COLS[fn](F.col("value"))
@@ -985,6 +1068,9 @@ class _Compiler:
         rhs = self.compile(node.rhs)
         op = node.op
 
+        if isinstance(lhs, _TimeScalar) or isinstance(rhs, _TimeScalar):
+            return self._binary_with_time(node, lhs, rhs)
+
         if isinstance(lhs, float) and isinstance(rhs, float):
             if op in _fold_scalar.CMP_OPS and not node.bool_mode:
                 raise ValueError(
@@ -1039,6 +1125,52 @@ class _Compiler:
             return _Vec(out, labels)
         out = vector_match(lhs.df, rhs.df, op, match, bool_mode=node.bool_mode)
         return _Vec(out, match)
+
+    def _binary_with_time(self, node: ast.Binary, lhs, rhs):
+        """Binary op where at least one side is a time()-derived scalar.
+
+        scalar⋈scalar stays a composed _TimeScalar (lazy column build);
+        vector⋈scalar inlines the built bucket_ts column through the
+        Column-aware vector_scalar, so ``time() - m`` keeps m's labels
+        and needs no join."""
+        from lakerunner_spark.operators.binary import _apply_op
+
+        op = node.op
+        if op in ("and", "or", "unless"):
+            raise ValueError(f"promql: set operator {op} needs vector operands")
+
+        def as_build(side):
+            if isinstance(side, _TimeScalar):
+                return side.build
+            return lambda ts, _v=float(side): F.lit(_v)
+
+        l_vec = isinstance(lhs, _Vec)
+        r_vec = isinstance(rhs, _Vec)
+        if not l_vec and not r_vec:
+            if op in _fold_scalar.CMP_OPS and not node.bool_mode:
+                raise ValueError(
+                    "promql: comparisons between scalars must use BOOL modifier"
+                )
+            lb, rb = as_build(lhs), as_build(rhs)
+
+            def build(ts, _lb=lb, _rb=rb, _op=op, _bm=node.bool_mode):
+                value, _keep = _apply_op(_op, _lb(ts), _rb(ts), _bm)
+                return value
+
+            return _TimeScalar(build)
+        vec = lhs if l_vec else rhs
+        t = rhs if l_vec else lhs
+        scalar_col = as_build(t)(F.col("bucket_ts"))
+        return _Vec(
+            vector_scalar(
+                vec.df,
+                op,
+                scalar_col,
+                scalar_on_left=not l_vec,
+                bool_mode=node.bool_mode,
+            ),
+            vec.labels,
+        )
 
     @staticmethod
     def _match_labels(node: ast.Binary, lhs: _Vec, rhs: _Vec) -> list[str]:
@@ -1114,4 +1246,20 @@ def compile_promql(
     ).compile(node)
     if isinstance(vec, float):
         raise ValueError("promql: query evaluates to a constant scalar")
+    if isinstance(vec, _TimeScalar):
+        # a bare time()/date expression: materialize over the explicit
+        # query grid (there is no vector to supply the time axis)
+        if start_ms is None or end_ms is None:
+            raise ValueError(
+                "promql: a bare time()/date expression needs an explicit "
+                "query window (start/end) or a vector operand"
+            )
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        grid = spark.range(start_ms, end_ms, step_ms).select(
+            F.col("id").alias("bucket_ts"),
+            vec.build(F.col("id")).alias("value"),
+        )
+        return grid
     return vec.df

@@ -104,6 +104,7 @@ RANGE_FUNCS = {
     "delta", "deriv", "predict_linear", "resets", "changes",
     "stddev_over_time", "stdvar_over_time", "first_over_time",
     "mad_over_time", "holt_winters", "double_exponential_smoothing",
+    "idelta",
 }
 UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn",
                # extensions beyond the reference: Prometheus trig /
@@ -383,7 +384,10 @@ class _Parser:
                 "vector", "sort", "sort_desc", "sort_by_label",
                 "sort_by_label_desc", "label_replace", "label_join",
                 "round", "timestamp", "absent", "absent_over_time",
-                "present_over_time", "pi"
+                "present_over_time", "pi", "time",
+                # date/time component functions (UTC, like Prometheus)
+                "minute", "hour", "day_of_week", "day_of_month",
+                "day_of_year", "days_in_month", "month", "year"
             ):
                 self.expect("(")
                 args = []

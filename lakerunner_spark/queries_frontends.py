@@ -1512,3 +1512,61 @@ def pqs36_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("value").isNotNull()).withColumn(
         "value", _pr("value", 6)
     )
+
+
+@register(
+    "pqs37_time_arith",
+    f"""
+    SELECT bucket_ts, event_type,
+           pround(bucket_ts / 1000.0 - s, 6) AS value
+    FROM (
+      SELECT bucket_ts, event_type, sum(v) AS s
+      FROM (
+        SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+               event_type, user_id, avg(value) AS v
+        FROM {_E} e GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    """,
+)
+def pqs37_time_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time() in vector arithmetic (extension: Prometheus scalar-time
+    semantics): ``time() - v`` keeps v's labels — time() is a SCALAR
+    whose value is the per-bucket evaluation timestamp, inlined as a
+    bucket_ts-derived column (no join, no grid materialization)."""
+    df = _pq(
+        spark, sf_dir,
+        "time() - sum by (event_type) (events)",
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs38_date_components",
+    """
+    SELECT bucket_ts,
+           CAST((bucket_ts // 3600000) % 24
+                + 100 * (((bucket_ts // 86400000) + 4) % 7)
+                AS DOUBLE) AS value
+    FROM (SELECT unnest(range(1706572800000, 1706745600000, 3600000))
+          AS bucket_ts)
+    """,
+)
+def pqs38_date_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time component functions over the evaluation grid
+    (extensions: Prometheus hour()/day_of_week() etc., all UTC):
+    ``hour(time()) + 100 * day_of_week(time())`` composes time-scalar
+    builds lazily and materializes once over the explicit query window.
+    The oracle states the same components as pure epoch arithmetic
+    (epoch day 0 was a Thursday, hence the +4 mod 7)."""
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    df = compile_promql(
+        "hour(time()) + 100 * day_of_week(time())",
+        default_metric_catalog(spark, sf_dir),
+        3_600_000,
+        start_ms=1706572800000,
+        end_ms=1706745600000,
+    )
+    return df.select("bucket_ts", F.col("value").cast("double").alias("value"))

@@ -284,6 +284,59 @@ CASES = [
         "deltas (reference sql_builder.go rate semantics: stored values "
         "are already deltas) — ADR classes 2 and 3",
     ),
+    # -- time() and date components (upstream functions.test) -----------
+    dict(
+        name="time_minus_vector",
+        expr="time() - m",
+        m=[(3_600_000, "a", 120.0)],
+        at=3_600_000,
+        expect={("a",): 3480.0},
+    ),
+    dict(
+        name="vector_cmp_time",
+        expr="m > time()",
+        m=[(60_000, "a", 10.0), (60_000, "b", 1e9)],
+        at=60_000,
+        expect={("b",): 1e9},
+    ),
+    dict(
+        name="hour_of_vector",
+        # 1706572800 = 2024-01-30T00:00:00Z; +7200 -> 02:00
+        expr="hour(m)",
+        m=[(0, "a", 1706572800.0 + 7200.0)],
+        expect={("a",): 2.0},
+    ),
+    dict(
+        name="day_of_week_tuesday",
+        expr="day_of_week(m)",
+        m=[(0, "a", 1706572800.0)],  # 2024-01-30 is a Tuesday
+        expect={("a",): 2.0},
+    ),
+    dict(
+        name="days_in_month_leap_feb",
+        expr="days_in_month(m)",
+        m=[(0, "a", 1707000000.0)],  # 2024-02-03; Feb 2024 has 29 days
+        expect={("a",): 29.0},
+    ),
+    dict(
+        name="month_year_minute",
+        expr="month(m) + 100 * year(m) + 10000 * minute(m)",
+        m=[(0, "a", 1706572980.0)],  # 2024-01-30T00:03:00Z
+        expect={("a",): 1.0 + 100 * 2024.0 + 10000 * 3.0},
+    ),
+    dict(
+        name="day_of_year",
+        expr="day_of_year(m)",
+        m=[(0, "a", 1706572800.0)],  # Jan 30 -> 30
+        expect={("a",): 30.0},
+    ),
+    dict(
+        name="idelta_pairs",
+        expr="idelta(m[3m])",
+        m=_ts_series([1, 4, 9]),
+        at=2 * STEP,
+        expect={("a",): 5.0},
+    ),
     # -- histogram_quantile (upstream histograms.test) ------------------
     dict(
         name="histogram_quantile_interp",
