@@ -106,6 +106,8 @@ _PRIORITY = [
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py
     "txt5_repetition_filter",
+    "lqs16_duration_bytes_filter",
+    "lqs17_ip_filter",
     "x1_ddsketch_signed_median",
     "j3_vector_and",
     "p3_time_range",

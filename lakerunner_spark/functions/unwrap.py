@@ -42,7 +42,9 @@ BYTES_UNITS: list[tuple[str, float]] = [
 
 _NUM_RE = r"([0-9]*\.?[0-9]+)"
 _DUR_UNIT_RE = r"(ns|us|µs|ms|s|m|h)"
-_BYTES_UNIT_RE = r"(KiB|MiB|GiB|TiB|PiB|EiB|KB|MB|GB|TB|PB|EB|B)"
+# case-insensitive like the reference (sql_builder.go:983 upper()s the
+# unit before matching — "2kb" and "2KB" both parse)
+_BYTES_UNIT_RE = r"((?i:KiB|MiB|GiB|TiB|PiB|EiB|KB|MB|GB|TB|PB|EB|B))"
 
 
 def duration_to_seconds(col: Column | str) -> Column:
@@ -61,14 +63,16 @@ def duration_to_seconds(col: Column | str) -> Column:
 
 
 def bytes_to_bytes(col: Column | str) -> Column:
-    """Parse '5KiB' / '3MB' / '12B' ... -> bytes (double), else NULL."""
+    """Parse '5KiB' / '3MB' / '2kb' / '12B' ... -> bytes (double), else
+    NULL. Unit matching is case-insensitive (the reference upper()s the
+    unit before matching: KIB == KiB == kib, kb == KB)."""
     c = F.col(col) if isinstance(col, str) else col
     num = F.regexp_extract(c, _NUM_RE + _BYTES_UNIT_RE, 1)
-    unit = F.regexp_extract(c, _NUM_RE + _BYTES_UNIT_RE, 2)
+    unit = F.upper(F.regexp_extract(c, _NUM_RE + _BYTES_UNIT_RE, 2))
     value = F.when(num == "", F.lit(None)).otherwise(num.cast("double"))
     expr = None
     for u, m in BYTES_UNITS:
-        cond = unit == F.lit(u)
+        cond = unit == F.lit(u.upper())
         expr = F.when(cond, F.lit(m)) if expr is None else expr.when(cond, F.lit(m))
     mult = expr.otherwise(F.lit(None))
     return value * mult
@@ -89,6 +93,6 @@ def bytes_to_bytes_sql(col_sql: str) -> str:
     """ANSI SQL equivalent of bytes_to_bytes (for the DuckDB oracle)."""
     pat = _NUM_RE + _BYTES_UNIT_RE
     num = f"try_cast(regexp_extract({col_sql}, '{pat}', 1) AS DOUBLE)"
-    unit = f"regexp_extract({col_sql}, '{pat}', 2)"
-    whens = " ".join(f"WHEN '{u}' THEN {m!r}" for u, m in BYTES_UNITS)
+    unit = f"upper(regexp_extract({col_sql}, '{pat}', 2))"
+    whens = " ".join(f"WHEN '{u.upper()}' THEN {m!r}" for u, m in BYTES_UNITS)
     return f"({num} * (CASE {unit} {whens} ELSE NULL END))"

@@ -121,7 +121,15 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                 extracted.append(stage.dst)
             continue
         if isinstance(stage, LineFilter):
-            df = st.line_filter(df, stage.op, stage.needle, line_col=src.line_col)
+            if stage.is_ip:
+                df = st.ip_line_filter(
+                    df, stage.needle, negate=(stage.op == "!="),
+                    line_col=src.line_col,
+                )
+            else:
+                df = st.line_filter(
+                    df, stage.op, stage.needle, line_col=src.line_col
+                )
         elif isinstance(stage, JsonStage):
             if stage.mappings:
                 df = st.json_parser(df, stage.mappings, line_col=src.line_col)
@@ -140,7 +148,15 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
             df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
             extracted += [c for c in stage.groups if c not in extracted]
         elif isinstance(stage, LabelFilter):
-            if isinstance(stage.value, float):
+            if stage.conv == "ip":
+                df = st.ip_label_filter(df, stage.label, stage.op, stage.value)
+            elif stage.conv in ("duration", "bytes"):
+                df = st.converted_label_filter(
+                    df, stage.label,
+                    "==" if stage.op == "=" else stage.op,
+                    stage.value, stage.conv,
+                )
+            elif isinstance(stage.value, float):
                 df = st.numeric_label_filter(
                     df, stage.label, "==" if stage.op == "=" else stage.op, stage.value
                 )

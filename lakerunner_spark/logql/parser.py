@@ -40,8 +40,12 @@ class LabelMatcher:
 
 @dataclass
 class LineFilter:
-    op: str  # |= != |~ !~
+    op: str  # |= != |~ !~ |> !>
     needle: str
+    # True for `|= ip("...")` / `!= ip("...")`: needle is the ip()
+    # pattern and the line matches when ANY IPv4 it contains is inside
+    # the cidr/range/single-address pattern
+    is_ip: bool = False
 
 
 @dataclass
@@ -65,6 +69,11 @@ class LabelFilter:
     label: str
     op: str  # = != =~ !~ > >= < <=
     value: str | float
+    # "" plain; "duration"/"bytes": value is seconds/bytes and the LABEL
+    # value is unit-parsed before comparing (Loki duration/bytes label
+    # filters); "ip": value is an ip()-matcher pattern (cidr/range/
+    # single) tested against the label value
+    conv: str = ""
 
 
 @dataclass
@@ -144,7 +153,8 @@ class LogVectorAgg:
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
-  | (?P<DUR>\d+(?:ms|s|m|h|d|w)(?:\d+(?:ms|s|m|h|d|w))*)
+  | (?P<BYTES>\d+(?:\.\d+)?(?i:[kmgtpe]i?b|b))
+  | (?P<DUR>(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w))+)
   | (?P<NUM>\d+\.\d+|\d+|\.\d+)
   | (?P<ID>[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<STR>"(?:\\.|[^"\\])*"|`[^`]*`)
@@ -319,16 +329,54 @@ class _Parser:
             if t.text in ("|=", "|~", "|>", "!>"):
                 self.next()
                 needle = self.next()
+                if (
+                    needle.kind == "ID"
+                    and needle.text == "ip"
+                    and self.peek().text == "("
+                ):
+                    if t.text != "|=":
+                        raise ValueError(
+                            "logql: ip() line filter supports |= and != only"
+                        )
+                    self.next()
+                    pat = self.next()
+                    if pat.kind != "STR":
+                        raise ValueError("logql: ip() takes a quoted pattern")
+                    self.expect(")")
+                    leaf.stages.append(
+                        LineFilter("|=", _unquote(pat.text), is_ip=True)
+                    )
+                    continue
                 if needle.kind != "STR":
                     raise ValueError(
                         f"logql: line filter {t.text} needs a string, "
                         f"got {needle.text!r}"
                     )
                 leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
-            elif t.text in ("!=", "!~") and self.toks[self.i + 1].kind == "STR":
+            elif t.text in ("!=", "!~") and (
+                self.toks[self.i + 1].kind == "STR"
+                or (
+                    t.text == "!="
+                    and self.toks[self.i + 1].kind == "ID"
+                    and self.toks[self.i + 1].text == "ip"
+                    and self.toks[self.i + 2].text == "("
+                )
+            ):
                 self.next()
                 needle = self.next()
-                leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
+                if needle.kind == "ID" and needle.text == "ip":
+                    self.next()
+                    pat = self.next()
+                    if pat.kind != "STR":
+                        raise ValueError("logql: ip() takes a quoted pattern")
+                    self.expect(")")
+                    leaf.stages.append(
+                        LineFilter("!=", _unquote(pat.text), is_ip=True)
+                    )
+                else:
+                    leaf.stages.append(
+                        LineFilter(t.text, _unquote(needle.text))
+                    )
             elif t.text == "|":
                 self.next()
                 self._parse_pipe_stage(leaf)
@@ -479,10 +527,37 @@ class _Parser:
             if op not in ("=", "==", "!=", "=~", "!~", ">", ">=", "<", "<="):
                 raise ValueError(f"logql: bad label filter op {op!r}")
             v = self.next()
-            if v.kind == "STR":
+            if v.kind == "ID" and v.text == "ip" and self.peek().text == "(":
+                if op not in ("=", "!="):
+                    raise ValueError(
+                        "logql: ip() label matcher supports = and != only"
+                    )
+                self.next()
+                pat = self.next()
+                if pat.kind != "STR":
+                    raise ValueError("logql: ip() takes a quoted pattern")
+                self.expect(")")
+                leaf.stages.append(
+                    LabelFilter(t.text, op, _unquote(pat.text), conv="ip")
+                )
+            elif v.kind == "STR":
                 leaf.stages.append(LabelFilter(t.text, op, _unquote(v.text)))
             elif v.kind == "NUM":
                 leaf.stages.append(LabelFilter(t.text, op, float(v.text)))
+            elif v.kind == "DUR":
+                from lakerunner_spark.promql.parser import parse_duration_s
+
+                leaf.stages.append(
+                    LabelFilter(
+                        t.text, op, parse_duration_s(v.text), conv="duration"
+                    )
+                )
+            elif v.kind == "BYTES":
+                from lakerunner_spark.promql.parser import parse_bytes
+
+                leaf.stages.append(
+                    LabelFilter(t.text, op, parse_bytes(v.text), conv="bytes")
+                )
             else:
                 raise ValueError(f"logql: bad label filter value {v.text!r}")
             return

@@ -340,3 +340,107 @@ def label_replace(
     else:
         new_dst = F.when(matched, expanded)
     return df.withColumn(dst, new_dst)
+
+
+# -- Loki ip() matchers and unit-typed label filters (extensions; the
+# reference degrades duration/bytes literals to NULL casts and has no
+# ip() path — sql_builder.go:572-580 asNumericSQL) -----------------------
+
+# exact IPv4 (octets 0-255); used both to validate label values and to
+# extract candidate addresses from line bodies
+_IPV4 = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RE = rf"{_IPV4}\.{_IPV4}\.{_IPV4}\.{_IPV4}"
+
+
+def ip_pattern_bounds(pattern: str) -> tuple[int, int]:
+    """Loki ip() pattern -> inclusive numeric IPv4 bounds.
+
+    Accepts a single address ("10.0.0.1"), CIDR ("192.168.0.0/16"), or
+    an inclusive range ("192.168.4.5-192.168.4.20"). IPv6 fails closed
+    (this engine matches IPv4 only — documented)."""
+    import ipaddress
+
+    try:
+        if "-" in pattern:
+            lo_s, hi_s = (p.strip() for p in pattern.split("-", 1))
+            lo = int(ipaddress.IPv4Address(lo_s))
+            hi = int(ipaddress.IPv4Address(hi_s))
+            if hi < lo:
+                raise ValueError("range upper bound below lower bound")
+            return lo, hi
+        if "/" in pattern:
+            net = ipaddress.IPv4Network(pattern, strict=False)
+            return int(net.network_address), int(net.broadcast_address)
+        a = int(ipaddress.IPv4Address(pattern))
+        return a, a
+    except ipaddress.AddressValueError as e:
+        raise ValueError(f"logql: unsupported ip() pattern {pattern!r} "
+                         f"(IPv4 only): {e}") from None
+
+
+def _ipv4_num_sql(expr: str) -> str:
+    """SQL fragment: dotted-quad string expr -> numeric value (long)."""
+    # try_cast: the caller may apply this to non-IP values under a
+    # validity guard, and Spark's strict-ANSI CAST would error before
+    # the guard short-circuits
+    return (
+        f"aggregate(split({expr}, '\\\\.'), 0L, "
+        "(acc, o) -> acc * 256 + coalesce(try_cast(o AS LONG), 9999L))"
+    )
+
+
+def ip_line_filter(
+    df: DataFrame, pattern: str, negate: bool = False,
+    line_col: str = "log_message",
+) -> DataFrame:
+    """``|= ip("...")`` / ``!= ip("...")``: the line matches when ANY
+    IPv4 address it contains falls inside the pattern. Pure expression
+    plan: regexp_extract_all pulls candidate addresses, an `exists`
+    lambda does the numeric range test — no UDF."""
+    lo, hi = ip_pattern_bounds(pattern)
+    num = _ipv4_num_sql("x")
+    match = F.expr(
+        f"exists(regexp_extract_all({line_col}, '({IPV4_RE})', 0), "
+        f"x -> {num} BETWEEN {lo} AND {hi})"
+    )
+    return df.filter(~match if negate else match)
+
+
+def ip_label_filter(
+    df: DataFrame, label: str, op: str, pattern: str
+) -> DataFrame:
+    """``| addr = ip("...")`` / ``!=``: the label value must be exactly
+    one IPv4 address inside (=) / outside or non-IP (!=) the pattern."""
+    lo, hi = ip_pattern_bounds(pattern)
+    is_ip = F.col(label).rlike(f"^{IPV4_RE}$")
+    num = F.expr(_ipv4_num_sql(label))
+    match = is_ip & num.between(lo, hi)
+    if op == "=":
+        return df.filter(F.coalesce(match, F.lit(False)))
+    if op == "!=":
+        return df.filter(~F.coalesce(match, F.lit(False)))
+    raise ValueError(f"logql: ip() label matcher supports = and != only")
+
+
+def converted_label_filter(
+    df: DataFrame, label: str, op: str, value: float, conv: str
+) -> DataFrame:
+    """Duration/bytes label filters (``| latency > 250ms``,
+    ``| size >= 1kb``): the LABEL value is unit-parsed (the same
+    conversion tables unwrap uses) and compared in seconds/bytes.
+    Unparseable labels convert to NULL and never match — fail-safe."""
+    from lakerunner_spark.functions.unwrap import (
+        bytes_to_bytes,
+        duration_to_seconds,
+    )
+
+    c = (
+        duration_to_seconds(F.col(label))
+        if conv == "duration"
+        else bytes_to_bytes(F.col(label))
+    )
+    ops = {">": c > value, ">=": c >= value, "<": c < value, "<=": c <= value,
+           "==": c == value, "!=": c != value}
+    if op not in ops:
+        raise ValueError(f"unsupported {conv} filter op: {op}")
+    return df.filter(ops[op])

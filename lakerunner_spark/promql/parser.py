@@ -120,18 +120,59 @@ AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 _SET_OPS = {"and", "or", "unless"}
 
-_DUR_UNITS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+_DUR_UNITS = {"ns": 1e-6, "us": 1e-3, "µs": 1e-3,
+              "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
               "d": 86_400_000, "w": 604_800_000}
 
 
-def parse_duration_ms(text: str) -> int:
-    """'5m30s' -> 330000 (promql duration syntax)."""
-    total = 0
-    for num, unit in re.findall(r"(\d+)(ms|s|m|h|d|w)", text):
-        total += int(num) * _DUR_UNITS[unit]
-    if total == 0:
+def parse_duration_s(text: str) -> float:
+    """'250ms' / '1h30m' / '1.5s' -> seconds as float (Loki label-filter
+    duration literals compare in seconds)."""
+    total = 0.0
+    matched = False
+    for num, unit in re.findall(
+        r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)", text
+    ):
+        total += float(num) * _DUR_UNITS[unit]
+        matched = True
+    if not matched:
         raise ValueError(f"bad duration: {text!r}")
-    return total
+    return total / 1000.0
+
+
+def parse_bytes(text: str) -> float:
+    """'1kb' -> 1000, '3MiB' -> 3*1024^2, '512b' -> 512 (Loki/humanize
+    byte-size literals: decimal for kb/mb/..., binary for kib/mib/...)."""
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)([a-zA-Zµ]*)", text.strip())
+    if not m:
+        raise ValueError(f"bad byte size: {text!r}")
+    num, unit = float(m.group(1)), m.group(2).lower()
+    if unit in ("", "b"):
+        return num
+    if not unit.endswith("b"):
+        raise ValueError(f"bad byte size: {text!r}")
+    unit = unit[:-1]
+    base = 1024.0 if unit.endswith("i") else 1000.0
+    if unit.endswith("i"):
+        unit = unit[:-1]
+    try:
+        exp = "kmgtpe".index(unit) + 1
+    except ValueError:
+        raise ValueError(f"bad byte size: {text!r}") from None
+    return num * base**exp
+
+
+def parse_duration_ms(text: str) -> int:
+    """'5m30s' -> 330000 (promql duration syntax; fractional segments
+    like '1.5h' accepted — Go ParseDuration allows them)."""
+    total = 0.0
+    for num, unit in re.findall(
+        r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)", text
+    ):
+        total += float(num) * _DUR_UNITS.get(unit, 0)
+    if total <= 0:
+        raise ValueError(f"bad duration: {text!r}")
+    return int(total)
 
 
 # ---------------------------------------------------------------------------

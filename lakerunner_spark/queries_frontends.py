@@ -1570,3 +1570,71 @@ def pqs38_date_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_ms=1706745600000,
     )
     return df.select("bucket_ts", F.col("value").cast("double").alias("value"))
+
+
+@register(
+    "lqs16_duration_bytes_filter",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'error' AND value / 1000.0 > 0.05
+      AND value * 1000.0 >= 20000.0
+    GROUP BY event_type
+    """,
+)
+def lqs16_duration_bytes_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration/bytes label filters (extensions; Loki unit literals —
+    the reference's asNumericSQL degrades them to NULL casts,
+    sql_builder.go:572-579): `lat > 50ms` parses the label as a
+    duration in seconds, `sz >= 20kb` as bytes; the oracle states the
+    same comparisons in raw units."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(
+            F.lit("lat="), F.col("value").cast("string"), F.lit("ms"),
+            F.lit(" sz="), (F.col("value")).cast("string"), F.lit("kb"),
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    df = compile_logql_lines(
+        '{event_type="error"} | logfmt | lat > 50ms | sz >= 20kb', src
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lqs17_ip_filter",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'click' AND (user_id % 256) IN (4, 5)
+    GROUP BY event_type
+    """,
+)
+def lqs17_ip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip() line filter (extension; Loki ip matchers): candidate IPv4s
+    are pulled with regexp_extract_all and range-tested with an exists
+    lambda — pure expressions, no UDF. The synthetic address embeds
+    user_id so the oracle can state the range test as modular
+    arithmetic."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(
+            F.lit("conn from 10.0."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 250).cast("string"),
+            F.lit(" ok"),
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    df = compile_logql_lines(
+        '{event_type="click"} |= ip("10.0.4.0-10.0.5.255")', src
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

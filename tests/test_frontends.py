@@ -650,3 +650,39 @@ def test_pattern_line_filters(spark):
         compile_logql_lines('{app="w"} |> "<a><b>"', src).collect()
     with pytest.raises(ValueError, match="needs a string"):
         compile_logql_lines('{app="w"} |> 42', src).collect()
+
+
+def test_duration_bytes_ip_filters(spark):
+    """Loki unit-typed label filters and ip() matchers (extensions; the
+    reference degrades duration/bytes literals to NULL casts)."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+
+    rows = [
+        (0, "w", "conn from 192.168.4.10 latency=300ms size=2kb addr=192.168.4.10"),
+        (1, "w", "conn from 10.1.2.3 latency=100ms size=500b addr=10.1.2.3"),
+        (2, "w", "no ip latency=1.5s size=3MiB addr=not-an-ip"),
+    ]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, app STRING, log_message STRING"
+    )
+    src = LogSource(df, ["app"])
+
+    def run(q):
+        return sorted(r.chq_timestamp for r in compile_logql_lines(q, src).collect())
+
+    assert run('{app="w"} | logfmt | latency > 250ms') == [0, 2]
+    assert run('{app="w"} | logfmt | latency <= 1s') == [0, 1]
+    assert run('{app="w"} | logfmt | size > 1kb') == [0, 2]
+    assert run('{app="w"} | logfmt | size >= 500B') == [0, 1, 2]
+    assert run('{app="w"} |= ip("192.168.0.0/16")') == [0]
+    assert run('{app="w"} != ip("192.168.0.0/16")') == [1, 2]
+    assert run('{app="w"} | logfmt | addr = ip("192.168.4.5-192.168.4.20")') == [0]
+    # non-IP label value never matches =, always matches !=
+    assert run('{app="w"} | logfmt | addr != ip("0.0.0.0/0")') == [2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="IPv4 only"):
+        run('{app="w"} |= ip("2001:db8::/32")')
+    with pytest.raises(ValueError, match="= and !="):
+        run('{app="w"} | logfmt | addr =~ ip("10.0.0.0/8")')
