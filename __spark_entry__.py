@@ -108,6 +108,7 @@ _PRIORITY = [
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",
+    "dd11_substring_dedup",
     "x1_ddsketch_signed_median",
     "j3_vector_and",
     "p3_time_range",

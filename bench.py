@@ -63,6 +63,7 @@ HEADLINE = [
     "txt5_repetition_filter",
     "txt7_quality_pipeline",
     "dd10_dedup_pipeline",
+    "dd11_substring_dedup",
 ]
 
 # the 10 heaviest plans, re-run at sf1 (10× rows) as the measured scale
@@ -77,6 +78,7 @@ SF1_HEADLINE = [
     "dd3_jaccard_verify",
     "dd7_neardup_clusters",
     "dd10_dedup_pipeline",
+    "dd11_substring_dedup",
     "pqs18_quantile_sketch_route",
 ]
 

@@ -357,6 +357,37 @@ def fp1_structural_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_FPS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(tk) - 4),
+                 i -> array_to_string(tk[i:i+4], ' ')) AS grams
+      FROM toks WHERE len(tk) >= 5
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> list_reduce(
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT)),
+                 (hh, c) -> (hh * 31 + c) % 1000000007)) AS gh
+      FROM g
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) >= 4
+                  THEN list_transform(generate_series(1, len(gh) - 3),
+                                      j -> list_min(gh[j:j+3]))
+                  ELSE [list_min(gh)] END AS w
+      FROM h
+    ), fps AS (
+      SELECT DISTINCT doc_id, unnest(w) AS fingerprint FROM wins
+    )
+"""
+
+
 @register(
     "dd6_winnow_fingerprints",
     """
@@ -983,3 +1014,70 @@ def txt8_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
               "&amp; &lt;tail&gt;</body></html>"),
     )
     return d.select("doc_id", strip_html(html).alias("clean"))
+
+
+@register(
+    "dd11_substring_dedup",
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()},
+    freq AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint
+      HAVING count(*) <= 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a
+    JOIN freq USING (fingerprint)
+    JOIN fps b USING (fingerprint)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dd11_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication detection (winnowing collisions —
+    the scalable stand-in for suffix-array substring dedup, Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"):
+    any run of >= k+w-1 shared tokens between two documents guarantees
+    a shared winnowed fingerprint, so cross-doc fingerprint collisions
+    ARE substring-duplication candidates. Pairs sharing >= 2
+    fingerprints are reported with their collision counts.
+
+    100 TB design: the join shuffles on fingerprint (~1/w of shingle
+    volume); fingerprints appearing in > 50 documents are dropped
+    first — boilerplate phrases otherwise create quadratic hot-key
+    pair blowup, exactly like LSH hot buckets (same cap strategy as
+    dedup.lsh_candidates)."""
+    from pyspark.sql import Window
+
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    # One winnowing pass: the frequency cap is a count window over the
+    # SAME fingerprint partitioning the self-join needs, and the capped
+    # fingerprint table is materialized ONCE before the self-join (a
+    # groupBy+join formulation recomputed the tokenize->gram->hash->min
+    # pipeline four times; Spark's exchange-reuse also misses aliased
+    # self-join branches). In production this table IS persisted — it's
+    # the substring-dedup analogue of the trigram pruning index — so the
+    # checkpoint models the real shape, not a local-mode hack.
+    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    fps = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("_df") <= 50)
+        .drop("_df")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
