@@ -109,6 +109,7 @@ _PRIORITY = [
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",
     "dd11_substring_dedup",
+    "lqs18_error_label",
     "x1_ddsketch_signed_median",
     "j3_vector_and",
     "p3_time_range",

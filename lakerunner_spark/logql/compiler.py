@@ -88,6 +88,13 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
     """
     stream = list(src.labels)
     extracted: list[str] = []
+    # Loki __error__ semantics, materialized only when the pipeline
+    # references it: the json stage emits __error__ per line, and a
+    # filter on __error__ with no parser upstream sees the empty string
+    wants_error = any(
+        isinstance(s_, LabelFilter) and s_.label == "__error__"
+        for s_ in leaf.stages
+    )
     for m in leaf.matchers:
         df = st.label_matcher(df, m.label, m.op, m.value)
     for stage in leaf.stages:
@@ -131,6 +138,8 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                     df, stage.op, stage.needle, line_col=src.line_col
                 )
         elif isinstance(stage, JsonStage):
+            if wants_error and "__error__" not in df.columns:
+                df = st.json_error_label(df, line_col=src.line_col)
             if stage.mappings:
                 df = st.json_parser(df, stage.mappings, line_col=src.line_col)
                 extracted += [c for c in stage.mappings if c not in extracted]
@@ -148,6 +157,9 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
             df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
             extracted += [c for c in stage.groups if c not in extracted]
         elif isinstance(stage, LabelFilter):
+            if stage.label == "__error__" and "__error__" not in df.columns:
+                # no error-emitting parser ran: every line is clean
+                df = df.withColumn("__error__", F.lit(""))
             if stage.conv == "ip":
                 df = st.ip_label_filter(df, stage.label, stage.op, stage.value)
             elif stage.conv in ("duration", "bytes"):

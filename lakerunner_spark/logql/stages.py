@@ -444,3 +444,20 @@ def converted_label_filter(
     if op not in ops:
         raise ValueError(f"unsupported {conv} filter op: {op}")
     return df.filter(ops[op])
+
+
+def json_error_label(
+    df: DataFrame, line_col: str = "log_message", out_col: str = "__error__"
+) -> DataFrame:
+    """Loki ``__error__`` label for the JSON parser: lines that are not
+    valid JSON get ``__error__="JSONParserErr"`` (Loki's errJSON), valid
+    lines get the empty string — so ``| __error__ = ""`` drops broken
+    lines and ``| __error__ != ""`` selects them. Validity via
+    try_parse_json (variant parse, NULL on malformed) — JVM-side."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.try_parse_json(F.col(line_col).cast("string")).isNull(),
+            F.lit("JSONParserErr"),
+        ).otherwise(F.lit("")),
+    )

@@ -1638,3 +1638,41 @@ def lqs17_ip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{event_type="click"} |= ip("10.0.4.0-10.0.5.255")', src
     )
     return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lqs18_error_label",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_clean,
+           CAST((SELECT count(*) FROM {_E} e2
+                 WHERE e2.event_type = 'error'
+                   AND e2.user_id % 5 = 0) AS BIGINT) AS n_broken
+    FROM {_E} e
+    WHERE event_type = 'error' AND user_id % 5 != 0
+    GROUP BY event_type
+    """,
+)
+def lqs18_error_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki ``__error__`` label semantics (extension; the reference has
+    no parser-error channel): malformed JSON lines get
+    ``__error__="JSONParserErr"`` from the json stage, so
+    ``| __error__ = ""`` keeps clean lines and ``!= ""`` selects broken
+    ones. The synthetic corpus breaks every 5th user's line; the oracle
+    states the same split arithmetically."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.when(F.col("user_id") % 5 == 0, F.lit("broken{")).otherwise(
+            F.col("props")
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    clean = compile_logql_lines(
+        '{event_type="error"} | json k="$.k" | __error__ = ""', src
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_clean"))
+    broken = compile_logql_lines(
+        '{event_type="error"} | json k="$.k" | __error__ != ""', src
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_broken"))
+    return clean.join(F.broadcast(broken), "event_type")

@@ -686,3 +686,22 @@ def test_duration_bytes_ip_filters(spark):
         run('{app="w"} |= ip("2001:db8::/32")')
     with pytest.raises(ValueError, match="= and !="):
         run('{app="w"} | logfmt | addr =~ ip("10.0.0.0/8")')
+
+
+def test_json_error_label(spark):
+    """__error__ semantics: json stage marks malformed lines; filters on
+    __error__ without a parser see the empty string."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+
+    rows = [(0, "w", '{"k": 1}'), (1, "w", "not json"), (2, "w", '{"k": 3}')]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, app STRING, log_message STRING"
+    )
+    src = LogSource(df, ["app"])
+
+    def run(q):
+        return sorted(r.chq_timestamp for r in compile_logql_lines(q, src).collect())
+
+    assert run('{app="w"} | json k="$.k" | __error__ = ""') == [0, 2]
+    assert run('{app="w"} | json k="$.k" | __error__ != ""') == [1]
+    assert run('{app="w"} | __error__ = ""') == [0, 1, 2]
