@@ -48,18 +48,20 @@ _BYTES_UNIT_RE = r"((?i:KiB|MiB|GiB|TiB|PiB|EiB|KB|MB|GB|TB|PB|EB|B))"
 
 
 def duration_to_seconds(col: Column | str) -> Column:
-    """Parse '250ms' / '1.5s' / '2m' ... -> seconds (double), else NULL."""
+    """Parse '250ms' / '1.5s' / '2m' ... -> seconds (double). A value
+    with no recognized unit falls back to a plain numeric cast — the
+    reference's CASE ... ELSE try_cast(col AS DOUBLE)
+    (sql_builder.go:968-977), so bare numbers unwrap as seconds."""
     c = F.col(col) if isinstance(col, str) else col
     num = F.regexp_extract(c, _NUM_RE + _DUR_UNIT_RE, 1)
     unit = F.regexp_extract(c, _NUM_RE + _DUR_UNIT_RE, 2)
     value = F.when(num == "", F.lit(None)).otherwise(num.cast("double"))
-    mult = F.lit(None).cast("double")
     expr = None
     for u, m in DURATION_UNITS:
         cond = unit == F.lit(u)
         expr = F.when(cond, F.lit(m)) if expr is None else expr.when(cond, F.lit(m))
     mult = expr.otherwise(F.lit(None))
-    return value * mult
+    return F.coalesce(value * mult, c.try_cast("double"))
 
 
 def bytes_to_bytes(col: Column | str) -> Column:
@@ -75,7 +77,9 @@ def bytes_to_bytes(col: Column | str) -> Column:
         cond = unit == F.lit(u.upper())
         expr = F.when(cond, F.lit(m)) if expr is None else expr.when(cond, F.lit(m))
     mult = expr.otherwise(F.lit(None))
-    return value * mult
+    # unit-less values fall back to a plain numeric cast (reference
+    # CASE ... ELSE try_cast, sql_builder.go:985-999)
+    return F.coalesce(value * mult, c.try_cast("double"))
 
 
 def duration_to_seconds_sql(col_sql: str) -> str:
@@ -86,7 +90,8 @@ def duration_to_seconds_sql(col_sql: str) -> str:
     whens = " ".join(
         f"WHEN '{u}' THEN {m!r}" for u, m in DURATION_UNITS
     )
-    return f"({num} * (CASE {unit} {whens} ELSE NULL END))"
+    return (f"coalesce({num} * (CASE {unit} {whens} ELSE NULL END),"
+            f" try_cast({col_sql} AS DOUBLE))")
 
 
 def bytes_to_bytes_sql(col_sql: str) -> str:
@@ -95,4 +100,5 @@ def bytes_to_bytes_sql(col_sql: str) -> str:
     num = f"try_cast(regexp_extract({col_sql}, '{pat}', 1) AS DOUBLE)"
     unit = f"upper(regexp_extract({col_sql}, '{pat}', 2))"
     whens = " ".join(f"WHEN '{u.upper()}' THEN {m!r}" for u, m in BYTES_UNITS)
-    return f"({num} * (CASE {unit} {whens} ELSE NULL END))"
+    return (f"coalesce({num} * (CASE {unit} {whens} ELSE NULL END),"
+            f" try_cast({col_sql} AS DOUBLE))")

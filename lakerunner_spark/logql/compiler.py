@@ -251,22 +251,36 @@ def compile_logql(
     node = parse_logql(query) if isinstance(query, str) else query
     if isinstance(node, LogLeaf):
         raise ValueError("logql: aggregate mode needs a range aggregation")
-    if isinstance(node, LogRangeAgg):
-        df, labels = _compile_range(node, source, step_ms, start_ms, end_ms)
+    if isinstance(node, (LogRangeAgg, LogVectorAgg)):
+        df, _labels = _compile_node(node, source, step_ms, start_ms, end_ms)
         return df
-    if isinstance(node, LogVectorAgg):
-        inner_df, labels = _compile_range(node.inner, source, step_ms, start_ms, end_ms)
-        if node.op in ("topk", "bottomk"):
-            fn = topk if node.op == "topk" else bottomk
-            return fn(inner_df, int(node.param), tiebreak=sorted(labels))
-        if node.without is not None:
-            keys = [c for c in labels if c not in set(node.without)]
-        elif node.by is not None:
-            keys = list(node.by)
-        else:
-            keys = []
-        return vector_agg(inner_df.filter(F.col("value").isNotNull()), node.op, by=keys)
     raise TypeError(f"logql: unknown node {type(node).__name__}")
+
+
+def _compile_node(
+    node, source: LogSource, step_ms: int,
+    start_ms: int | None, end_ms: int | None,
+) -> tuple[DataFrame, list[str]]:
+    """Recursive compile: range agg leaf or (possibly nested) vector
+    agg — Loki allows topk(1, sum by (x) (count_over_time(...)))."""
+    if isinstance(node, LogRangeAgg):
+        return _compile_range(node, source, step_ms, start_ms, end_ms)
+    inner_df, labels = _compile_node(
+        node.inner, source, step_ms, start_ms, end_ms
+    )
+    if node.op in ("topk", "bottomk"):
+        fn = topk if node.op == "topk" else bottomk
+        return fn(inner_df, int(node.param), tiebreak=sorted(labels)), labels
+    if node.without is not None:
+        keys = [c for c in labels if c not in set(node.without)]
+    elif node.by is not None:
+        keys = list(node.by)
+    else:
+        keys = []
+    out = vector_agg(
+        inner_df.filter(F.col("value").isNotNull()), node.op, by=keys
+    )
+    return out, keys
 
 
 def _compile_range(

@@ -144,7 +144,7 @@ class LogRangeAgg:
 @dataclass
 class LogVectorAgg:
     op: str
-    inner: LogRangeAgg
+    inner: "LogRangeAgg | LogVectorAgg"
     by: list[str] | None = None
     without: list[str] | None = None
     param: float | None = None  # k for topk/bottomk
@@ -250,9 +250,15 @@ class _Parser:
             param = float(self.next().text)
             self.expect(",")
         inner_tok = self.peek()
-        if inner_tok.kind != "ID" or inner_tok.text not in LOG_RANGE_FUNCS:
-            raise ValueError("logql: vector agg must wrap a range aggregation")
-        inner = self._parse_range_agg()
+        if inner_tok.kind == "ID" and inner_tok.text in VECTOR_AGG_OPS:
+            # nested vector aggregation (Loki: topk(1, sum by (x) (...)))
+            inner = self._parse_vector_agg()
+        elif inner_tok.kind == "ID" and inner_tok.text in LOG_RANGE_FUNCS:
+            inner = self._parse_range_agg()
+        else:
+            raise ValueError(
+                "logql: vector agg must wrap a range or vector aggregation"
+            )
         self.expect(")")
         if by is None and without is None and self.peek().text in ("by", "without"):
             kw = self.next().text
