@@ -110,6 +110,7 @@ _PRIORITY = [
     "lqs17_ip_filter",
     "dd11_substring_dedup",
     "lqs18_error_label",
+    "pqs39_at_modifier",
     "x1_ddsketch_signed_median",
     "j3_vector_and",
     "p3_time_range",

@@ -241,6 +241,41 @@ class _Compiler:
             tuple((m.label, m.op, m.value) for m in sel.matchers),
             sel.range_ms,
             sel.offset_ms,
+            sel.at_ms,
+        )
+
+    def _resolve_at(self, sel: ast.Selector) -> int | None:
+        """`@` modifier -> pinned evaluation time in ms (None = unset).
+
+        start()/end() resolve against the explicit query window;
+        @ end() pins at the last grid bucket (the window is
+        right-open)."""
+        if sel.at_ms is None:
+            return None
+        if sel.at_ms in ("start", "end"):
+            if self.start is None or self.end is None:
+                raise ValueError(
+                    "promql: @ start()/end() need an explicit query window"
+                )
+            return self.start if sel.at_ms == "start" else self.end - 1
+        return sel.at_ms
+
+    def _grid_expand(self, df: DataFrame, labels: list[str], at_bucket: int) -> DataFrame:
+        """Broadcast the pinned bucket's vector to every output step —
+        an explode over the grid sequence (Generate; no join, so no
+        cartesian in the plan)."""
+        if self.start is None or self.end is None:
+            raise ValueError(
+                "promql: the @ modifier needs an explicit query window "
+                "(start/end) to define the output grid"
+            )
+        g0 = self.start - self.start % self.step
+        g1 = (self.end - 1) - (self.end - 1) % self.step
+        seq = F.explode(
+            F.expr(f"sequence({g0}L, {g1}L, {self.step}L)")
+        ).alias("bucket_ts")
+        return df.filter(F.col("bucket_ts") == at_bucket).select(
+            seq, *labels, "value"
         )
 
     # -- leaves ------------------------------------------------------------
@@ -260,11 +295,21 @@ class _Compiler:
         if sel.offset_ms:
             # value at t comes from t-offset -> shift data forward
             df = df.withColumn(src.ts_col, F.col(src.ts_col) + sel.offset_ms)
-        if self.start is not None:
-            lo = self.start - (sel.range_ms or 0)
-            df = df.filter(F.col(src.ts_col) >= lo)
-        if self.end is not None:
-            df = df.filter(F.col(src.ts_col) < self.end)
+        at = self._resolve_at(sel)
+        if at is not None:
+            # @ pins evaluation: fetch exactly the pinned bucket's
+            # trailing range, regardless of the query window
+            ab = at - at % self.step
+            df = df.filter(
+                (F.col(src.ts_col) >= ab - (sel.range_ms or 0))
+                & (F.col(src.ts_col) < ab + self.step)
+            )
+        else:
+            if self.start is not None:
+                lo = self.start - (sel.range_ms or 0)
+                df = df.filter(F.col(src.ts_col) >= lo)
+            if self.end is not None:
+                df = df.filter(F.col(src.ts_col) < self.end)
         for m in sel.matchers:
             df = stages.label_matcher(df, m.label, m.op, m.value)
         return df, src
@@ -278,6 +323,9 @@ class _Compiler:
         out = s.select(
             "bucket_ts", *src.labels, (F.col("sum") / F.col("count")).alias("value")
         )
+        at = self._resolve_at(sel)
+        if at is not None:
+            out = self._grid_expand(out, src.labels, at - at % self.step)
         vec = _Vec(out, src.labels)
         self._instant_memo[key] = vec
         return vec
@@ -293,6 +341,11 @@ class _Compiler:
             raise ValueError(f"promql: {fn} requires a range selector")
         df, src = self._leaf_rows(sel)
         if fn == "quantile_over_time":
+            if sel.at_ms is not None:
+                raise ValueError(
+                    "promql: the @ modifier is not supported with "
+                    "quantile_over_time"
+                )
             if src.pre_aggregated:
                 raise ValueError(
                     "promql: quantile_over_time needs raw samples, not a rollup tier"
@@ -310,6 +363,13 @@ class _Compiler:
             r = range_agg_sparse(s, fn, sel.range_ms, self.step, src.labels)
         else:
             r = range_agg(s, fn, sel.range_ms, self.step, src.labels, param=q)
+        at = self._resolve_at(sel)
+        if at is not None:
+            r = self._grid_expand(
+                r.select("bucket_ts", *src.labels, "value"),
+                src.labels,
+                at - at % self.step,
+            )
         return _Vec(r, src.labels)
 
     def _presence_over_time(self, node: ast.Call) -> _Vec:
@@ -979,6 +1039,12 @@ class _Compiler:
         is the worker's series once GroupBy is pushed).
         """
         if not (self.push_grouping and node.op == "sum" and node.by is not None):
+            return None
+        # the pushed-down path has no pin-and-expand step; fall back
+        if any(
+            isinstance(a, ast.Selector) and a.at_ms is not None
+            for a in getattr(node.expr, "args", [])
+        ):
             return None
         expr = node.expr
         if not (

@@ -51,6 +51,10 @@ class Selector:
     matchers: list[Matcher] = field(default_factory=list)
     range_ms: int | None = None
     offset_ms: int = 0
+    # `@ <unix-seconds>` modifier: pin evaluation at a fixed time; the
+    # strings "start"/"end" are the @ start()/@ end() forms, resolved
+    # against the query window at compile time
+    at_ms: "int | str | None" = None
 
 
 @dataclass
@@ -186,7 +190,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUM>(?:\d+\.\d+|\d+|\.\d+)(?:[eE][+-]?\d+)?)
   | (?P<ID>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<STR>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
+  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>@])
     """,
     re.VERBOSE,
 )
@@ -398,6 +402,22 @@ class _Parser:
                 if not isinstance(node, Selector):
                     raise ValueError("promql: offset applies only to selectors")
                 node.offset_ms = parse_duration_ms(dur.text)
+            elif t.text == "@":
+                self.next()
+                if not isinstance(node, Selector):
+                    raise ValueError("promql: @ applies only to selectors")
+                v = self.next()
+                if v.kind == "NUM":
+                    node.at_ms = int(float(v.text) * 1000)
+                elif v.kind == "ID" and v.text in ("start", "end") \
+                        and self.peek().text == "(":
+                    self.next()
+                    self.expect(")")
+                    node.at_ms = v.text
+                else:
+                    raise ValueError(
+                        "promql: @ takes a unix timestamp or start()/end()"
+                    )
             else:
                 return node
 

@@ -1676,3 +1676,51 @@ def lqs18_error_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{event_type="error"} | json k="$.k" | __error__ != ""', src
     ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_broken"))
     return clean.join(F.broadcast(broken), "event_type")
+
+
+@register(
+    "pqs39_at_modifier",
+    f"""
+    WITH grid AS (
+      SELECT unnest(range(1706572800000, 1706745600000, 3600000)) AS bucket_ts
+    ),
+    pinned AS (
+      SELECT event_type, sum(v) AS pin
+      FROM (
+        SELECT chq_timestamp - chq_timestamp % 3600000 AS b, event_type,
+               user_id, avg(value) AS v
+        FROM {_E} e GROUP BY 1, 2, 3
+      ) WHERE b = 1706572800000
+      GROUP BY event_type
+    ),
+    now_v AS (
+      SELECT b AS bucket_ts, event_type, sum(v) AS cur
+      FROM (
+        SELECT chq_timestamp - chq_timestamp % 3600000 AS b, event_type,
+               user_id, avg(value) AS v
+        FROM {_E} e GROUP BY 1, 2, 3
+      )
+      WHERE b >= 1706572800000 AND b < 1706745600000
+      GROUP BY 1, 2
+    )
+    SELECT n.bucket_ts, n.event_type, pround(n.cur - p.pin, 6) AS value
+    FROM now_v n JOIN pinned p USING (event_type)
+    """,
+)
+def pqs39_at_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@ modifier (extension; Prometheus at-modifier semantics): the
+    pinned selector evaluates once at the fixed time and broadcasts to
+    every grid step via an explode over the grid sequence — no join, so
+    the plan stays cartesian-free. Query: deviation of each series'
+    current value from its value at the window start."""
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    df = compile_promql(
+        "sum by (event_type) (events)"
+        " - sum by (event_type) (events @ start())",
+        default_metric_catalog(spark, sf_dir),
+        3_600_000,
+        start_ms=1706572800000,
+        end_ms=1706745600000,
+    )
+    return df.withColumn("value", _pr("value", 6))

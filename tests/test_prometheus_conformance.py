@@ -397,3 +397,34 @@ def test_conformance(case, spark):
     )
     for k, v in expect.items():
         assert _same(got[k], v), f"{case['name']}[{k}]: {got[k]} != {v}"
+
+
+def test_at_modifier(spark):
+    """@ pins evaluation time (upstream at-modifier.test): the pinned
+    vector broadcasts to every grid step, composes with offset, and
+    start()/end() resolve against the query window; bare @ without a
+    window fails closed."""
+    rows = [(0, "a", 1.0), (60_000, "a", 5.0), (120_000, "a", 9.0)]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+
+    def run(q):
+        return sorted(
+            (r.bucket_ts, r.value)
+            for r in compile_promql(q, cat, STEP, 0, 180_000).collect()
+        )
+
+    assert run("m @ 60") == [(0, 5.0), (60_000, 5.0), (120_000, 5.0)]
+    assert run("m - m @ 0") == [(0, 0.0), (60_000, 4.0), (120_000, 8.0)]
+    assert run("m @ start()") == [(0, 1.0), (60_000, 1.0), (120_000, 1.0)]
+    assert run("sum(last_over_time(m[1m] @ end()))") == [
+        (0, 9.0), (60_000, 9.0), (120_000, 9.0),
+    ]
+    # offset composes: value at (pinned 120s) - 60s = 5.0
+    assert run("m @ 120 offset 1m") == [
+        (0, 5.0), (60_000, 5.0), (120_000, 5.0),
+    ]
+    with pytest.raises(ValueError, match="explicit query window"):
+        compile_promql("m @ 60", cat, STEP).collect()
