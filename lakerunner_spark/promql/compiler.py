@@ -919,9 +919,31 @@ class _Compiler:
         if fn == "vector":
             (arg,) = node.args
             if isinstance(arg, ast.Num):
-                raise ValueError("promql: vector(literal) needs a time axis; "
-                                 "use it against a real selector")
-            return self.compile(arg)
+                # vector(1): a label-free constant vector over the query
+                # grid (Prometheus alert-rule staple). Needs the explicit
+                # window — a literal has no time axis of its own.
+                if self.start is None or self.end is None:
+                    raise ValueError(
+                        "promql: vector(literal) needs an explicit query "
+                        "window (start/end) or a real selector"
+                    )
+                from pyspark.sql import SparkSession
+
+                g0 = self.start - self.start % self.step
+                g1 = (self.end - 1) - (self.end - 1) % self.step
+                spark = SparkSession.getActiveSession()
+                grid = spark.range(g0, g1 + 1, self.step).select(
+                    F.col("id").alias("bucket_ts"),
+                    F.lit(float(arg.value)).alias("value"),
+                )
+                return _Vec(grid, [])
+            inner = self.compile(arg)
+            if isinstance(inner, float):
+                raise ValueError(
+                    "promql: vector() over a computed scalar is not "
+                    "supported; pass a literal or a vector"
+                )
+            return inner
         if fn in ("sort", "sort_desc"):
             # Presentation-order operator: orders each evaluation bucket's
             # elements by value. Sorting is a property of the returned rows

@@ -428,3 +428,30 @@ def test_at_modifier(spark):
     ]
     with pytest.raises(ValueError, match="explicit query window"):
         compile_promql("m @ 60", cat, STEP).collect()
+
+
+def test_vector_literal_over_grid(spark):
+    """vector(1) materializes a label-free constant vector over the
+    explicit query grid; `m or vector(0)` fills absent buckets."""
+    rows = [(60_000, "a", 5.0)]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+    got = sorted(
+        (r.bucket_ts, r.value)
+        for r in compile_promql(
+            "vector(1)", cat, STEP, 0, 180_000
+        ).collect()
+    )
+    assert got == [(0, 1.0), (60_000, 1.0), (120_000, 1.0)]
+    # the alerting staple: sum(m) or vector(0)
+    got = sorted(
+        (r.bucket_ts, r.value)
+        for r in compile_promql(
+            "sum(m) or vector(0)", cat, STEP, 0, 180_000
+        ).collect()
+    )
+    assert got == [(0, 0.0), (60_000, 5.0), (120_000, 0.0)]
+    with pytest.raises(ValueError, match="explicit query window"):
+        compile_promql("vector(1)", cat, STEP).collect()
