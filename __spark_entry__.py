@@ -111,6 +111,8 @@ _PRIORITY = [
     "dd11_substring_dedup",
     "lqs18_error_label",
     "pqs39_at_modifier",
+    "pqs40_limitk",
+    "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",
     "j3_vector_and",
     "p3_time_range",

@@ -1112,6 +1112,47 @@ class _Compiler:
                 F.percentile("value", node.param).alias("value")
             )
             return _Vec(out, keys)
+        if node.op in ("limitk", "limit_ratio"):
+            # Extensions: Prometheus 3.x experimental sampling
+            # aggregators. Upstream picks series pseudo-randomly; here
+            # the picks are DETERMINISTIC so the oracle can restate
+            # them — limitk keeps the k first series in label-tuple
+            # order per (bucket, group); limit_ratio keeps series whose
+            # fnv64a(label identity) bucket lands under the ratio
+            # (negative ratio = the complement, as upstream).
+            from pyspark.sql import Window
+
+            from lakerunner_spark.functions.hashing import fnv64a
+
+            keys = self._agg_keys(node, v)
+            if node.op == "limitk":
+                k = int(node.param)
+                if k <= 0:
+                    raise ValueError("promql: limitk k must be positive")
+                w = Window.partitionBy("bucket_ts", *keys).orderBy(
+                    *[F.col(c).asc() for c in sorted(v.labels)]
+                )
+                out = (
+                    v.df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= k)
+                    .drop("_rn")
+                )
+                return _Vec(out, v.labels)
+            r = float(node.param)
+            if not -1.0 <= r <= 1.0:
+                raise ValueError(
+                    "promql: limit_ratio must be in [-1, 1]"
+                )
+            ident = F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    for c in sorted(v.labels)
+                ],
+            )
+            b = F.pmod(fnv64a(ident), F.lit(1000)).cast("double") / 1000.0
+            keep = (b < r) if r >= 0 else (b >= 1.0 + r)
+            return _Vec(v.df.filter(keep), v.labels)
         if node.op == "count_values":
             # extension: histogram of sample values — each distinct
             # value becomes a label. Integral doubles format without the

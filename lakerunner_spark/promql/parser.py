@@ -119,8 +119,10 @@ UNARY_FUNCS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sg
                "deg", "rad"}
 AGG_OPS = {"sum", "avg", "min", "max", "count", "topk", "bottomk", "quantile",
            # extensions beyond the reference (its parser maps only the
-           # list above): Prometheus stddev/stdvar/group/count_values
-           "stddev", "stdvar", "group", "count_values"}
+           # list above): Prometheus stddev/stdvar/group/count_values,
+           # plus the 3.x experimental limitk/limit_ratio
+           "stddev", "stdvar", "group", "count_values",
+           "limitk", "limit_ratio"}
 _CMP_OPS = {">", ">=", "<", "<=", "==", "!="}
 _SET_OPS = {"and", "or", "unless"}
 
@@ -480,6 +482,16 @@ class _Parser:
         if self.peek().text == ",":
             self.next()
             second = self.parse_expr()
+            # fold a unary-negated literal (parsed as 0 - x) so negative
+            # parameters work, e.g. limit_ratio(-0.5, v)
+            if (
+                isinstance(first, Binary)
+                and first.op == "-"
+                and isinstance(first.lhs, Num)
+                and first.lhs.value == 0.0
+                and isinstance(first.rhs, Num)
+            ):
+                first = Num(-first.rhs.value)
             if op == "count_values":
                 if not isinstance(first, Str):
                     raise ValueError(
@@ -500,7 +512,8 @@ class _Parser:
                 by = labels
             else:
                 without = labels
-        if op in ("topk", "bottomk", "quantile") and param is None:
+        if op in ("topk", "bottomk", "quantile", "limitk",
+                  "limit_ratio") and param is None:
             raise ValueError(f"promql: {op} requires a parameter")
         if op == "count_values" and param_str is None:
             raise ValueError('promql: count_values("label", vector)')

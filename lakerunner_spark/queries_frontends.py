@@ -1724,3 +1724,66 @@ def pqs39_at_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_ms=1706745600000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs40_limitk",
+    f"""
+    WITH base AS (
+      SELECT bucket_ts, event_type, pround(s, 6) AS value FROM (
+        SELECT bucket_ts, event_type, sum(v) AS s FROM (
+          SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+                 event_type, user_id, avg(value) AS v
+          FROM {_E} e GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+      )
+    )
+    SELECT bucket_ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket_ts ORDER BY event_type ASC) AS rn
+      FROM base
+    ) WHERE rn <= 3
+    """,
+)
+def pqs40_limitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limitk (extension; Prometheus 3.x experimental): keeps k series
+    per bucket. Upstream samples pseudo-randomly; here the pick is
+    DETERMINISTIC — first k in label-tuple order — so the oracle can
+    restate it as a ranking window."""
+    df = _pq(
+        spark, sf_dir,
+        "limitk(3, sum by (event_type) (events))",
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))
+
+
+def _pqs41_oracle() -> str:
+    from lakerunner_spark.functions.hashing import fnv64a_sql
+
+    h = fnv64a_sql("event_type")
+    return f"""
+    SELECT bucket_ts, event_type, pround(s, 6) AS value FROM (
+      SELECT bucket_ts, event_type, sum(v) AS s FROM (
+        SELECT chq_timestamp - chq_timestamp % 3600000 AS bucket_ts,
+               event_type, user_id, avg(value) AS v
+        FROM {_E} e GROUP BY 1, 2, 3
+      ) GROUP BY 1, 2
+    )
+    WHERE ((({h}) % 1000 + 1000) % 1000) / 1000.0 < 0.5
+    """
+
+
+@register("pqs41_limit_ratio", _pqs41_oracle())
+def pqs41_limit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit_ratio (extension; Prometheus 3.x experimental):
+    deterministic hash-based series sampling — a series is kept when
+    its fnv64a(label identity) bucket lands under the ratio, so r and
+    -r partition the series set exactly (upstream's complement
+    property). The oracle reuses the bit-identical fnv64a SQL twin."""
+    df = _pq(
+        spark, sf_dir,
+        "limit_ratio(0.5, sum by (event_type) (events))",
+        3_600_000,
+    )
+    return df.withColumn("value", _pr("value", 6))

@@ -455,3 +455,25 @@ def test_vector_literal_over_grid(spark):
     assert got == [(0, 0.0), (60_000, 5.0), (120_000, 0.0)]
     with pytest.raises(ValueError, match="explicit query window"):
         compile_promql("vector(1)", cat, STEP).collect()
+
+
+def test_limitk_limit_ratio(spark):
+    """limitk keeps exactly k series; limit_ratio(r) and
+    limit_ratio(-r) partition the series set (upstream complement
+    property); out-of-range ratios fail closed."""
+    rows = [(0, l, float(i)) for i, l in enumerate("abcdefgh")]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+    kept = sorted(
+        r.l for r in compile_promql("limitk(3, m)", cat, STEP).collect()
+    )
+    assert kept == ["a", "b", "c"]
+    lo = {r.l for r in compile_promql("limit_ratio(0.5, m)", cat, STEP).collect()}
+    hi = {r.l for r in compile_promql("limit_ratio(-0.5, m)", cat, STEP).collect()}
+    assert lo | hi == set("abcdefgh") and not (lo & hi)
+    with pytest.raises(ValueError, match="limit_ratio"):
+        compile_promql("limit_ratio(1.5, m)", cat, STEP)
+    with pytest.raises(ValueError, match="positive"):
+        compile_promql("limitk(0, m)", cat, STEP)
