@@ -147,12 +147,24 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
                     pts, mtype = pw.fields_dict(pw.merged(mm, 7)).get(1, []), "count"
                 elif 9 in mm:  # histogram
                     pts, mtype = pw.fields_dict(pw.merged(mm, 9)).get(1, []), "histogram"
+                elif 10 in mm:  # exponential histogram
+                    pts, mtype = (
+                        pw.fields_dict(pw.merged(mm, 10)).get(1, []),
+                        "exponential_histogram",
+                    )
                 else:
                     continue
                 for p in pts:
                     pm = pw.fields_dict(p)
                     attrs = pw.keyvalues(
-                        pm.get(9 if mtype == "histogram" else 7, [])
+                        pm.get(
+                            9
+                            if mtype == "histogram"
+                            else 1
+                            if mtype == "exponential_histogram"
+                            else 7,
+                            [],
+                        )
                     )
                     base = {
                         "chq_timestamp": pw.as_u64(pw.first(pm, 3, 0)) // 1_000_000,
@@ -169,6 +181,47 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
                             rows.append(
                                 {**base, "value": float(cnt), "bucket_le": le}
                             )
+                    elif mtype == "exponential_histogram":
+                        # ExponentialHistogramDataPoint{attributes=1,
+                        # time=3, count=4, sum=5, scale=6 sint32,
+                        # zero_count=7, positive=8, negative=9};
+                        # Buckets{offset=1 sint32, bucket_counts=2}.
+                        # base = 2^(2^-scale); bucket i of the positive
+                        # range covers (base^(o+i), base^(o+i+1)] — the
+                        # upper edge becomes the row's le bound, so the
+                        # exploded shape composes with cumulate_buckets
+                        # and histogram_quantile exactly like explicit
+                        # buckets. Negative buckets mirror with
+                        # le = -base^(o+i); the zero bucket emits le=0.
+                        scale = pw.as_sint(pw.first(pm, 6, 0))
+                        b = 2.0 ** (2.0 ** -scale)
+                        zc = pw.as_u64(pw.first(pm, 7, 0))
+                        if zc:
+                            rows.append(
+                                {**base, "value": float(zc), "bucket_le": 0.0}
+                            )
+                        for fld, sign in ((8, 1.0), (9, -1.0)):
+                            bk = pw.merged(pm, fld)
+                            if bk is None:
+                                continue
+                            bm = pw.fields_dict(bk)
+                            off = pw.as_sint(pw.first(bm, 1, 0))
+                            cnts = pw.packed_varints(bm.get(2, []))
+                            for i, cnt in enumerate(cnts):
+                                if not cnt:
+                                    continue
+                                le = (
+                                    b ** (off + i + 1)
+                                    if sign > 0
+                                    else -(b ** (off + i))
+                                )
+                                rows.append(
+                                    {
+                                        **base,
+                                        "value": float(cnt),
+                                        "bucket_le": le,
+                                    }
+                                )
                     else:
                         if 4 in pm:
                             v = pw.as_double(pm[4][-1])

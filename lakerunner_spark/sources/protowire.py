@@ -109,6 +109,12 @@ def as_double(val) -> float:
     return struct.unpack("<d", val)[0]
 
 
+def as_sint(val) -> int:
+    """zigzag varint (proto sint32/sint64) -> signed int."""
+    u = as_u64(val)
+    return (u >> 1) ^ -(u & 1)
+
+
 def as_str(val: bytes) -> str:
     return val.decode("utf-8", errors="replace")
 
@@ -136,6 +142,22 @@ def _packed_fixed8(vals: list, fmt_char: str, caster) -> list:
             out.extend(struct.unpack(f"<{len(v) // 8}{fmt_char}", v))
         else:
             out.append(caster(v))
+    return out
+
+
+def packed_varints(vals: list) -> list[int]:
+    """repeated varint field (packed or unpacked occurrences) -> ints
+    (e.g. ExponentialHistogram Buckets.bucket_counts, repeated uint64
+    with varint encoding — unlike HistogramDataPoint's fixed64)."""
+    out: list[int] = []
+    for v in vals:
+        if isinstance(v, int):
+            out.append(v)
+        else:
+            i = 0
+            while i < len(v):
+                x, i = _read_varint(v, i)
+                out.append(x)
     return out
 
 

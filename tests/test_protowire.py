@@ -272,3 +272,62 @@ def test_scalar_last_one_wins():
 
     m = pw.fields_dict(f_str(1, "first") + f_str(1, "second"))
     assert pw.as_str(pw.first(m, 1)) == "second"
+
+
+def test_exponential_histogram_decode():
+    """OTLP exponential histogram -> le-bounded bucket rows: base =
+    2^(2^-scale); positive bucket i upper edge base^(offset+i+1),
+    negative buckets mirror, zero bucket at le=0. Hand-encoded payload,
+    scale=0 (base 2), positive offset 1 -> buckets (2,4], (4,8]."""
+    from lakerunner_spark.sources.otel import decode_otlp_metrics_payload
+
+    # sint32 zigzag: 0 -> 0, 1 -> 2, -1 -> 1
+    pos_buckets = f_varint(1, 2) + f_len(2, vint(3) + vint(5))  # offset=1
+    neg_buckets = f_varint(1, 0) + f_len(2, vint(2))            # offset=0
+    dp = (
+        f_len(1, keyvalue("env", anyval_str("prod")))
+        + f_fixed64(3, 7_000_000)     # time_unix_nano -> 7 ms
+        + f_varint(4, 11)             # count
+        + f_varint(6, 0)              # scale = 0 (zigzag 0)
+        + f_varint(7, 1)              # zero_count
+        + f_len(8, pos_buckets)
+        + f_len(9, neg_buckets)
+    )
+    metric = f_str(1, "lat") + f_len(10, f_len(1, dp))
+    payload = f_len(1, f_len(2, f_len(2, metric)))
+    rows = decode_otlp_metrics_payload(payload)
+    assert all(r["chq_metric_type"] == "exponential_histogram" for r in rows)
+    got = sorted((r["bucket_le"], r["value"]) for r in rows)
+    # neg bucket 0 covers (-2, -1] -> le = -(2^0) = -1
+    assert got == [(-1.0, 2.0), (0.0, 1.0), (4.0, 3.0), (8.0, 5.0)]
+    assert rows[0]["chq_timestamp"] == 7
+    assert rows[0]["attr_keys"] == ["env"]
+
+
+def test_exponential_histogram_to_quantile(spark):
+    """The exploded exponential buckets feed cumulate_buckets +
+    histogram_quantile exactly like explicit buckets: counts 3 in
+    (2,4], 5 in (4,8] -> q50 of 8 positive samples interpolates inside
+    (4,8]."""
+    from lakerunner_spark.operators.histogram import (
+        cumulate_buckets,
+        histogram_quantile_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    # exponential histograms carry no +Inf bucket; the classic-bucket
+    # bridge appends an empty one (cumulative top = total) before the
+    # Prometheus quantile, whose guard requires it
+    rows = [
+        (0, "lat", 4.0, 3.0),
+        (0, "lat", 8.0, 5.0),
+        (0, "lat", float("inf"), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_ts LONG, metric_name STRING, le DOUBLE, value DOUBLE"
+    )
+    cum = cumulate_buckets(df)
+    out = histogram_quantile_buckets(cum, 0.5).collect()
+    # rank 4 of 8: first bucket holds 3, interpolate (4-3)/5 into (4,8]
+    assert len(out) == 1
+    assert abs(out[0].value - (4.0 + (4 - 3) / 5 * 4.0)) < 1e-9
