@@ -152,19 +152,21 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
                         pw.fields_dict(pw.merged(mm, 10)).get(1, []),
                         "exponential_histogram",
                     )
+                elif 11 in mm:  # summary
+                    pts, mtype = (
+                        pw.fields_dict(pw.merged(mm, 11)).get(1, []),
+                        "summary",
+                    )
                 else:
                     continue
                 for p in pts:
                     pm = pw.fields_dict(p)
+                    # attributes field number by datapoint type:
+                    # HistogramDataPoint=9, ExponentialHistogram=1,
+                    # NumberDataPoint/SummaryDataPoint=7
+                    attr_field = {"histogram": 9, "exponential_histogram": 1}
                     attrs = pw.keyvalues(
-                        pm.get(
-                            9
-                            if mtype == "histogram"
-                            else 1
-                            if mtype == "exponential_histogram"
-                            else 7,
-                            [],
-                        )
+                        pm.get(attr_field.get(mtype, 7), [])
                     )
                     base = {
                         "chq_timestamp": pw.as_u64(pw.first(pm, 3, 0)) // 1_000_000,
@@ -222,6 +224,28 @@ def decode_otlp_metrics_payload(payload: bytes) -> list[dict]:
                                         "bucket_le": le,
                                     }
                                 )
+                    elif mtype == "summary":
+                        # SummaryDataPoint{attributes=7, time=3,
+                        # count=4, sum=5, quantile_values=6};
+                        # ValueAtQuantile{quantile=1, value=2}. Each
+                        # stored quantile becomes one row with the
+                        # quantile carried in bucket_le (a [0,1] rank,
+                        # not a bound — chq_metric_type disambiguates,
+                        # mirroring the reference's type tag,
+                        # lrdb/metric_seg.go:41).
+                        for qv in pm.get(6, []):
+                            qm = pw.fields_dict(qv)
+                            rows.append(
+                                {
+                                    **base,
+                                    "value": pw.as_double(
+                                        pw.first(qm, 2, b"\x00" * 8)
+                                    ),
+                                    "bucket_le": pw.as_double(
+                                        pw.first(qm, 1, b"\x00" * 8)
+                                    ),
+                                }
+                            )
                     else:
                         if 4 in pm:
                             v = pw.as_double(pm[4][-1])

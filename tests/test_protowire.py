@@ -331,3 +331,28 @@ def test_exponential_histogram_to_quantile(spark):
     # rank 4 of 8: first bucket holds 3, interpolate (4-3)/5 into (4,8]
     assert len(out) == 1
     assert abs(out[0].value - (4.0 + (4 - 3) / 5 * 4.0)) < 1e-9
+
+
+def test_summary_decode():
+    """OTLP Summary (Metric field 11): each stored quantile becomes one
+    row — value at the quantile, the rank carried in bucket_le with
+    chq_metric_type='summary' disambiguating it from an le bound."""
+    from lakerunner_spark.sources.otel import decode_otlp_metrics_payload
+
+    qv50 = f_double(1, 0.5) + f_double(2, 42.0)
+    qv99 = f_double(1, 0.99) + f_double(2, 99.5)
+    dp = (
+        f_len(7, keyvalue("env", anyval_str("prod")))
+        + f_fixed64(3, 5_000_000)
+        + f_varint(4, 100)
+        + f_len(6, qv50)
+        + f_len(6, qv99)
+    )
+    metric = f_str(1, "rt") + f_len(11, f_len(1, dp))
+    payload = f_len(1, f_len(2, f_len(2, metric)))
+    rows = decode_otlp_metrics_payload(payload)
+    assert [r["chq_metric_type"] for r in rows] == ["summary", "summary"]
+    assert sorted((r["bucket_le"], r["value"]) for r in rows) == [
+        (0.5, 42.0), (0.99, 99.5),
+    ]
+    assert rows[0]["chq_timestamp"] == 5 and rows[0]["attr_keys"] == ["env"]
