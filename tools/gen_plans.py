@@ -89,6 +89,17 @@ COMMENT = {
         "not with Python serialization. One HashAggregate pair groups by "
         "the computed chq_tid."
     ),
+    "dd11_substring_dedup": (
+        "Substring-duplication candidates via winnowing collisions: ONE "
+        "winnowing pass (tokenize->gram->rolling-hash->window-min, all "
+        "array expressions), a count window on the fingerprint "
+        "partitioning applies the document-frequency cap (<= 50 docs — "
+        "boilerplate phrases are the quadratic hot-key risk), and the "
+        "capped fingerprint table materializes once before the pair "
+        "self-join (exchange reuse misses aliased self-join branches; in "
+        "production this table is persisted like the trigram index). The "
+        "join shuffles on fingerprint at ~1/w of shingle volume."
+    ),
     "tpch_q21_waiting_supplier": (
         "Decorrelated EXISTS/NOT EXISTS: lineitem is scanned once per "
         "role, each pruned to 2 columns at the scan (ReadSchema), with "
