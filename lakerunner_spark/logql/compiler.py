@@ -346,7 +346,11 @@ def _compile_range(
                 # per bucket — dense log streams route to the sketch too
                 use_sketch = (
                     estimate_range_samples(
-                        df, labels, leaf.range_ms, source.ts_col, "_v"
+                        df, labels, leaf.range_ms, source.ts_col, "_v",
+                        probe_before_ms=(
+                            None if start_ms is None
+                            else start_ms + leaf.range_ms
+                        ),
                     )
                     > QUANTILE_EXACT_MAX_SAMPLES
                 )

@@ -42,6 +42,7 @@ def estimate_range_samples(
     range_ms: int,
     ts_col: str,
     value_col: str,
+    probe_before_ms: int | None = None,
 ) -> float:
     """Estimated non-null samples per series within one range window.
 
@@ -53,12 +54,20 @@ def estimate_range_samples(
     than the range every sample is in one window.
 
     Returns 0.0 for an empty input (either route handles empty).
+
+    ``probe_before_ms``: when the caller knows the query window, pass
+    ``start + range`` to clip the estimate scan to roughly one range
+    window of data (row-group stats prune the rest) — density is
+    near-stationary, so the first window estimates the rest at a
+    fraction of the full-span scan.
     """
     sid = (
         F.approx_count_distinct(F.struct(*[F.col(l) for l in labels]))
         if labels
         else F.lit(1).cast("long")
     )
+    if probe_before_ms is not None:
+        df = df.filter(F.col(ts_col) < probe_before_ms)
     row = (
         df.filter(F.col(value_col).isNotNull())
         .agg(

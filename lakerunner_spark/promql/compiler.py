@@ -561,9 +561,11 @@ class _Compiler:
                 estimate_range_samples,
             )
 
+            probe = None if self.start is None else self.start + range_ms
             use_sketch = (
                 estimate_range_samples(
-                    df, src.labels, range_ms, src.ts_col, src.value_col
+                    df, src.labels, range_ms, src.ts_col, src.value_col,
+                    probe_before_ms=probe,
                 )
                 > QUANTILE_EXACT_MAX_SAMPLES
             )
@@ -741,7 +743,11 @@ class _Compiler:
                 )
 
                 est = estimate_range_samples(
-                    df, src.labels, sel.range_ms, src.ts_col, src.value_col
+                    df, src.labels, sel.range_ms, src.ts_col, src.value_col,
+                    probe_before_ms=(
+                        None if self.start is None
+                        else self.start + sel.range_ms
+                    ),
                 )
                 if est > QUANTILE_EXACT_MAX_SAMPLES:
                     # MAD's inner re-centering is not servable from a
