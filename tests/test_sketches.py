@@ -87,3 +87,27 @@ def test_hll_sketch_merge_identity(events):
     m = {r.event_type: r.cardinality for r in merged.collect()}
     d = {r.event_type: r.cardinality for r in direct.collect()}
     assert m == d  # identical sketch state -> identical estimate
+
+
+def test_topk_two_phase_identical(spark):
+    """The opt-in two-phase rank (local top-k per partition, then
+    global) returns exactly the single-window result — the total order
+    from the tiebreak makes the global top-k a subset of the union of
+    local top-ks regardless of partitioning."""
+    import random
+
+    from lakerunner_spark.operators.vector_agg import bottomk, topk
+
+    rng = random.Random(11)
+    rows = [
+        (b * 1000, f"s{i}", rng.random() * 100)
+        for b in range(5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_ts LONG, series STRING, value DOUBLE"
+    ).repartition(16)
+    for fn in (topk, bottomk):
+        one = {(r.bucket_ts, r.series) for r in fn(df, 7).collect()}
+        two = {(r.bucket_ts, r.series) for r in fn(df, 7, two_phase=True).collect()}
+        assert one == two and len(one) == 35
