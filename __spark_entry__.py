@@ -112,6 +112,7 @@ _PRIORITY = [
     "lqs18_error_label",
     "pqs39_at_modifier",
     "pqs40_limitk",
+    "lqs19_unpack",
     "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",
     "j3_vector_and",

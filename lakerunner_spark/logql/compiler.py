@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from lakerunner_spark.logql import stages as st
 from lakerunner_spark.logql.parser import (
     DecolorizeStage,
+    UnpackStage,
     DropStage,
     JsonStage,
     LabelReplaceStage,
@@ -121,6 +122,10 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
             continue
         if isinstance(stage, DecolorizeStage):
             df = st.decolorize(df, line_col=src.line_col)
+            continue
+        if isinstance(stage, UnpackStage):
+            df, keys = st.unpack(df, line_col=src.line_col)
+            extracted += [c_ for c_ in keys if c_ not in extracted]
             continue
         if isinstance(stage, LabelReplaceStage):
             df = st.label_replace(df, stage.dst, stage.repl, stage.src, stage.regex)

@@ -104,6 +104,14 @@ class LineFormatStage:
 
 
 @dataclass
+class UnpackStage:
+    """``| unpack``: promtail pack format (extension; neither the
+    reference nor its parser handle it) — the line is a JSON object
+    whose ``_entry`` key holds the original log line; every other key
+    becomes a label and the line body is replaced by ``_entry``."""
+
+
+@dataclass
 class DecolorizeStage:
     """``| decolorize``: strip ANSI SGR color sequences from the line
     (accepted by the reference pipeline parser, logql/parser.go:677)."""
@@ -514,6 +522,9 @@ class _Parser:
             if v.kind != "STR":
                 raise ValueError("logql: | line_format takes a template string")
             leaf.stages.append(LineFormatStage(_unquote(v.text)))
+            return
+        if t.text == "unpack":
+            leaf.stages.append(UnpackStage())
             return
         if t.text == "unwrap":
             nxt = self.next()

@@ -461,3 +461,22 @@ def json_error_label(
             F.lit("JSONParserErr"),
         ).otherwise(F.lit("")),
     )
+
+
+def unpack(
+    df: DataFrame, line_col: str = "log_message", sample_rows: int = 1000
+) -> "tuple[DataFrame, list[str]]":
+    """Loki ``| unpack`` (promtail pack format): the line is a JSON
+    object; ``_entry`` holds the original line and replaces the body,
+    every other key becomes a label. Key discovery is a bounded sample
+    scan (same pattern as ``| json`` auto mode); extraction compiles to
+    static get_json_object columns. Lines that are not valid pack
+    objects keep their body and yield NULL labels (Loki leaves
+    non-packed lines untouched)."""
+    keys = [k for k in discover_json_keys(df, line_col, sample_rows) if k != "_entry"]
+    out = df
+    for k in keys:
+        out = out.withColumn(k, F.get_json_object(F.col(line_col), f"$.{k}"))
+    entry = F.get_json_object(F.col(line_col), "$._entry")
+    out = out.withColumn(line_col, F.coalesce(entry, F.col(line_col)))
+    return out, keys

@@ -1787,3 +1787,46 @@ def pqs41_limit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         3_600_000,
     )
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "lqs19_unpack",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'error'
+      AND contains(json_extract_string(
+            '{{"_entry": "msg k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+              || '", "pod": "p' || CAST(user_id % 3 AS VARCHAR) || '"}}',
+            '$._entry'), 'k=1')
+      AND json_extract_string(
+            '{{"_entry": "msg k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+              || '", "pod": "p' || CAST(user_id % 3 AS VARCHAR) || '"}}',
+            '$.pod') = 'p1'
+    GROUP BY event_type
+    """,
+)
+def lqs19_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``| unpack`` (extension; Loki promtail pack format): the JSON
+    ``_entry`` key replaces the line body, other keys become labels —
+    so a line filter after unpack matches the ORIGINAL message and the
+    promoted pod label filters like any label. The oracle applies the
+    same json_extract arithmetic to the synthesized packed lines."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(
+            F.lit('{"_entry": "msg k='),
+            F.get_json_object("props", "$.k"),
+            F.lit('", "pod": "p'),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit('"}'),
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    df = compile_logql_lines(
+        '{event_type="error"} | unpack |= "k=1" | pod = "p1"', src
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -85,11 +85,12 @@ LINE_CASES = [
         keep=[4],
     ),
     dict(
-        # Loki's promtail `| unpack` stage is unsupported: fail closed
-        name="unpack_fails_closed",
-        q='{app="api"} | unpack',
-        keep=None,
-        error=True,
+        # promtail pack format: _entry replaces the body, other keys
+        # become labels; non-packed lines pass through untouched
+        name="unpack_filters_on_entry",
+        q='{app="web"} | unpack |= "level"',
+        keep=[3, 4],  # ts3 logfmt line contains "level"; ts4 json has
+        # no _entry so its body (containing "level") passes unchanged
     ),
     dict(
         name="line_format_rewrites_body",
