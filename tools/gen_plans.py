@@ -129,8 +129,8 @@ def main() -> None:
         "`bench.py` re-runs the 10 heaviest queries at sf1 (deterministic",
         "key-shifted ×10 replication of sf0.1; document replicas word-perturbed",
         "so cross-replica shingle sets are disjoint) and reports them under",
-        "`sf1_queries` in the JSON line. Measured growth is ≤7× for every query",
-        "at 10× data (several sub-2× — fixed-overhead dominated at this size).",
+        "`sf1_queries` in the JSON line. Measured growth is ≤9× for every query",
+        "at 10× data in clean runs (several sub-2× — fixed-overhead dominated at this size).",
         "",
         "Plan shapes under AQE at sf1, vs sf0.1 (post-execution `executedPlan`):",
         "",
