@@ -257,6 +257,22 @@ class QueryAPI:
         )
         return {"spans": [r.asDict() for r in rows]}
 
+    def spans_trace(self, params: dict) -> dict:
+        """Trace-id exemplar lookup: every span of one trace,
+        time-ordered (the sp3 shape — broadcast-pruned on
+        span_trace_id; at scale this rides the segment index)."""
+        from lakerunner_spark.queries_spans import _traced_spans
+
+        df = _traced_spans(self.spark, self.sf_dir)
+        rows = (
+            df.filter(F.col("span_trace_id") == params["trace_id"])
+            .orderBy(F.col("chq_timestamp").asc(), F.col("span_id").asc())
+            .limit(int(params.get("limit", 1000)))
+            .collect()
+        )
+        return {"trace_id": params["trace_id"],
+                "spans": [r.asDict() for r in rows]}
+
     # -- validation -------------------------------------------------------
 
     def promql_validate(self, params: dict) -> dict:
@@ -288,6 +304,7 @@ class QueryAPI:
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",
         "/api/v1/logs/series": "logs_series",
+        "/api/v1/spans/trace": "spans_trace",
         "/api/v1/spans/tags": "spans_tags",
         "/api/v1/spans/tagvalues": "spans_tagvalues",
         "/api/v1/spans/query": "spans_query",

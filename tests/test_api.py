@@ -31,6 +31,7 @@ def test_all_routes_answer(api):
         "/api/v1/logs/query": {"query": '{event_type="error"}', "limit": 5},
         "/api/v1/spans/tagvalues": {"tag": "span_name"},
         "/api/v1/spans/query": {"limit": 5},
+        "/api/v1/spans/trace": {"trace_id": "_none_"},
         "/api/v1/promql/validate": {"query": "rate(events[5m])"},
         "/api/v1/logql/validate": {"query": '{a="b"} |= "x"'},
     }
@@ -220,3 +221,24 @@ def test_http_adapter_serves_prometheus_client_shapes(api):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_spans_trace_lookup(api):
+    """The trace endpoint returns every span of the requested trace,
+    time-ordered, and an unknown id yields an empty span list."""
+    # pick a real trace id from the synthetic view
+    from lakerunner_spark.queries_spans import _traced_spans
+
+    tid = (
+        _traced_spans(api.spark, api.sf_dir)
+        .limit(1)
+        .collect()[0]
+        .span_trace_id
+    )
+    out = api.handle("/api/v1/spans/trace", {"trace_id": tid})
+    assert out["trace_id"] == tid and out["spans"]
+    ts = [s["chq_timestamp"] for s in out["spans"]]
+    assert ts == sorted(ts)
+    assert all(s["span_trace_id"] == tid for s in out["spans"])
+    empty = api.handle("/api/v1/spans/trace", {"trace_id": "_none_"})
+    assert empty["spans"] == []
