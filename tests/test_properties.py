@@ -284,3 +284,87 @@ def test_parsers_fail_closed_on_garbage(s):
             parse(s)
         except ValueError:
             pass
+
+
+@given(
+    st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+    st.sampled_from(["b", "B", "kb", "KB", "kib", "KiB", "mb", "MB",
+                     "MiB", "gb", "GiB", "tb", "pb", "eb"]),
+)
+def test_parse_bytes_unit_algebra(num, unit):
+    """parse_bytes: decimal units scale by 1000^k, binary by 1024^k,
+    case-insensitively; the numeric part scales linearly."""
+    from lakerunner_spark.promql.parser import parse_bytes
+
+    got = parse_bytes(f"{num}{unit}")
+    u = unit.lower()
+    if u == "b":
+        expect = num
+    else:
+        base = 1024.0 if u.endswith("ib") else 1000.0
+        expect = num * base ** ("kmgtpe".index(u[0]) + 1)
+    assert abs(got - expect) <= 1e-9 * max(1.0, abs(expect))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=999),
+            st.sampled_from(["ms", "s", "m", "h", "d", "w"]),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_parse_duration_s_composite(parts):
+    """Composite duration literals sum their segments in seconds."""
+    from lakerunner_spark.promql.parser import parse_duration_s
+
+    text = "".join(f"{n}{u}" for n, u in parts)
+    mult = {"ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0,
+            "d": 86400.0, "w": 604800.0}
+    expect = sum(n * mult[u] for n, u in parts)
+    assert abs(parse_duration_s(text) - expect) <= 1e-9 * max(1.0, expect)
+
+
+@given(st.text(alphabet="ab<>_ x", min_size=1, max_size=30))
+@settings(max_examples=200)
+def test_pattern_filter_never_crashes_or_lies(template):
+    """pattern_to_regex(as_filter=True) either raises ValueError
+    (fail-closed) or returns an anchored regex with no capture groups
+    (filters keep no columns) that Python's re engine accepts."""
+    import re as _re
+
+    from lakerunner_spark.logql.stages import pattern_to_regex
+
+    try:
+        pat, groups = pattern_to_regex(template, as_filter=True)
+    except ValueError:
+        return
+    assert groups == {}
+    compiled = _re.compile(pat)
+    assert compiled.groups == 0
+    assert pat.startswith("^")
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1))
+def test_ip_pattern_single_address_bounds(n):
+    """A single-address ip() pattern has lo == hi == its numeric value."""
+    from lakerunner_spark.logql.stages import ip_pattern_bounds
+
+    addr = ".".join(str((n >> s) & 0xFF) for s in (24, 16, 8, 0))
+    lo, hi = ip_pattern_bounds(addr)
+    assert lo == hi == n
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1),
+       st.integers(min_value=0, max_value=32))
+def test_ip_pattern_cidr_contains_network(n, bits):
+    """CIDR bounds bracket the (masked) network address and span
+    exactly 2^(32-bits) addresses."""
+    from lakerunner_spark.logql.stages import ip_pattern_bounds
+
+    addr = ".".join(str((n >> s) & 0xFF) for s in (24, 16, 8, 0))
+    lo, hi = ip_pattern_bounds(f"{addr}/{bits}")
+    assert hi - lo + 1 == 2 ** (32 - bits)
+    assert lo <= n <= hi
