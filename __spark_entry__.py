@@ -113,6 +113,7 @@ _PRIORITY = [
     "pqs39_at_modifier",
     "pqs40_limitk",
     "lqs19_unpack",
+    "sim5_kmeans",
     "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",
     "j3_vector_and",

@@ -328,3 +328,92 @@ def dequantize_embeddings(
             f"transform({qvec_col}, q -> CAST(q AS DOUBLE) * {scale_col})"
         ).alias(out_col),
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully declarative:
+    the fixed iteration count unrolls into one DataFrame plan (no
+    driver-side centroid sync — each iteration's centroids are a tiny
+    derived table the next assignment broadcast-joins).
+
+    Deterministic and oracle-exact by construction:
+    - seeding: the ``n_clusters`` lowest-id vectors, cluster index =
+      their id rank (production seeds from a sample; the iteration
+      plumbing is identical);
+    - per-dim long form (posexplode) — element-wise centroid means are
+      a plain groupBy(cluster, pos) avg, ROUNDED to 9 dp each
+      iteration so both engines' next-iteration inputs are
+      bit-identical despite partial-sum order;
+    - assignment: squared-euclidean argmin over the 9-dp-rounded
+      distance with cluster-asc tiebreak (the IVF 12-dp argmax
+      pattern; 1e-9 grid is far above the ~1e-12 summation jitter).
+
+    Returns (id_col, cluster, dist) — dist is the final rounded
+    squared distance to the assigned centroid.
+
+    Scale: the corpus-long table is rows x dims; every join against
+    centroids is a broadcast (k x dims rows); each iteration is one
+    shuffle on (id, cluster) for distances + one on (cluster, pos) for
+    means. Empty clusters drop out of the centroid table (both engines
+    drop them identically)."""
+    from lakerunner_spark.functions.rounding import portable_round
+
+    long = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    seeds = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("_sid"))
+    )
+    from pyspark.sql import Window
+
+    seed_rank = seeds.withColumn(
+        "cluster",
+        F.row_number().over(Window.orderBy(F.col("_sid").asc())) - 1,
+    )
+    cents = (
+        long.join(
+            F.broadcast(seed_rank), long["_id"] == seed_rank["_sid"]
+        )
+        .select("cluster", "pos", portable_round(F.col("val"), 9).alias("cval"))
+    )
+    assigned = None
+    for _ in range(iters):
+        dist = (
+            long.join(F.broadcast(cents), "pos")
+            .groupBy("_id", "cluster")
+            .agg(
+                portable_round(
+                    F.sum(
+                        (F.col("val") - F.col("cval"))
+                        * (F.col("val") - F.col("cval"))
+                    ),
+                    9,
+                ).alias("dist")
+            )
+        )
+        assigned = (
+            dist.groupBy("_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("_best"))
+            .select(
+                "_id",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best.dist").alias("dist"),
+            )
+        )
+        cents = (
+            long.join(assigned.select("_id", "cluster"), "_id")
+            .groupBy("cluster", "pos")
+            .agg(portable_round(F.avg("val"), 9).alias("cval"))
+        )
+    return assigned.select(
+        F.col("_id").alias(id_col), "cluster", "dist"
+    )

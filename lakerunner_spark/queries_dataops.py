@@ -1081,3 +1081,75 @@ def dd11_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+def _sim5_oracle(n_clusters: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as CTE stages — the same 9-dp-rounded
+    trajectory kmeans_assign takes, so cluster assignments match
+    exactly."""
+    head = f"""
+    WITH long AS (
+      SELECT vec_id AS _id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS _sid,
+             row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id ASC
+            LIMIT {n_clusters})
+    ),
+    c0 AS (
+      SELECT cluster, pos, pround(val, 9) AS cval
+      FROM long JOIN seeds ON long._id = seeds._sid
+    )"""
+    stages = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        stages.append(f"""
+    d{i} AS (
+      SELECT _id, cluster,
+             pround(sum((val - cval) * (val - cval)), 9) AS dist
+      FROM long JOIN {prev} USING (pos)
+      GROUP BY _id, cluster
+    ),
+    a{i} AS (
+      SELECT _id, cluster, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY _id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT cluster, pos, pround(avg(val), 9) AS cval
+      FROM long JOIN (SELECT _id, cluster FROM a{i}) USING (_id)
+      GROUP BY cluster, pos
+    )""")
+        prev = f"c{i}"
+    tail = f"""
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           pround(avg(dist), 6) AS avg_dist
+    FROM a{iters} GROUP BY cluster
+    """
+    return head + "," + ",".join(stages) + tail
+
+
+@register("sim5_kmeans", _sim5_oracle())
+def sim5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering over the embedding corpus
+    (extension: the training operator IVF's docstring defers to —
+    'production would k-means a sample'). Lloyd's iterations unroll
+    into ONE declarative plan: per-dim long form, broadcast centroid
+    joins, per-iteration 9-dp centroid rounding so the Spark and
+    DuckDB trajectories are bit-identical (same pattern as the IVF
+    argmax rounding). Output: cluster sizes + mean squared distance."""
+    from lakerunner_spark.dataops.similarity import kmeans_assign
+    from lakerunner_spark.functions.rounding import portable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_assign(emb, n_clusters=8, iters=3)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        portable_round(F.avg("dist"), 6).alias("avg_dist"),
+    )
