@@ -133,6 +133,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: centroid cells + multi-probe.
 
@@ -146,16 +147,27 @@ def ivf_topk(
     At scale the cell assignment is one broadcast pass over the corpus
     (centroids are tiny), the probe join shuffles on cell id — bounded
     cardinality, uniform by construction.
+
+    ``centroids``: optional trained cell centers as (cell, centroid
+    array<double>) — e.g. :func:`kmeans_centroids` output; when None,
+    the deterministic lowest-id seeding applies.
     """
-    cents = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).alias("_cent"),
-            _norm(vec_col).alias("_centn"),
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cell"),
+            F.col("centroid").alias("_cent"),
+            _norm("centroid").alias("_centn"),
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.col(vec_col).alias("_cent"),
+                _norm(vec_col).alias("_centn"),
+            )
+        )
 
     def assign(df: DataFrame, idc: str, out: str, top: int) -> DataFrame:
 
@@ -416,4 +428,40 @@ def kmeans_assign(
         )
     return assigned.select(
         F.col("_id").alias(id_col), "cluster", "dist"
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final k-means centroids as (cell, centroid array<double>) —
+    the shape :func:`ivf_topk` takes as trained cell centers. Runs the
+    same unrolled trajectory as :func:`kmeans_assign`, then means the
+    assigned members and re-assembles per-dim rows into arrays
+    (sort_array over (pos, val) structs)."""
+    assigned = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
+    long = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    per_dim = (
+        long.join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    return (
+        per_dim.groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cval"))
+            ).alias("_pv")
+        )
+        .select(
+            F.col("cluster").alias("cell"),
+            F.expr("transform(_pv, e -> e.cval)").alias("centroid"),
+        )
     )

@@ -392,3 +392,25 @@ def test_bmp_top_down_and_32bit():
     # first pixel: disk BGRA (10,20,30,40) -> RGBA (30,20,10,40)
     assert tuple(samples[:4]) == (30, 20, 10, 40)
     assert tuple(samples[-4:]) == (150, 140, 130, 160)
+
+
+def test_ivf_with_kmeans_centroids(emb):
+    """IVF over TRAINED centroids (kmeans_centroids -> ivf_topk
+    composition): recall at the same probe budget should be at least as
+    good as the naive lowest-id seeding (trained cells partition the
+    space instead of clumping around the first ids), and never below
+    the naive floor."""
+    from lakerunner_spark.dataops.similarity import kmeans_centroids
+
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk(q, c, k=5).collect()
+    cents = kmeans_centroids(c, n_clusters=16, iters=3)
+    assert cents.count() <= 16  # empty clusters may drop out
+    trained = ivf_topk(
+        q, c, k=5, n_cells=16, n_probe=8, centroids=cents
+    ).collect()
+    naive = ivf_topk(q, c, k=5, n_cells=16, n_probe=8).collect()
+    r_trained, r_naive = _recall(trained, exact), _recall(naive, exact)
+    assert r_trained >= 0.6
+    assert r_trained >= r_naive - 0.05  # never meaningfully worse
