@@ -56,6 +56,13 @@ def _apply_op(op: str, left: Column, right: Column, bool_mode: bool) -> tuple[Co
         return value, None
     if op in _CMP:
         cond = _CMP[op](left, right)
+        # IEEE NaN semantics: NaN compares unequal to everything
+        # (including itself), so == < <= > >= are false and != is true
+        # when either side is NaN. Spark diverges here (NaN = NaN is
+        # true and NaN sorts above all doubles) — without this guard
+        # `m == bool m` would emit 1.0 for NaN samples.
+        nan = F.isnan(left) | F.isnan(right)
+        cond = F.when(nan, F.lit(op == "!=")).otherwise(cond)
         if bool_mode:
             return F.when(cond, 1.0).otherwise(0.0), None
         return left, cond

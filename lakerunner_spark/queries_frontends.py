@@ -1830,3 +1830,36 @@ def lqs19_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{event_type="error"} | unpack |= "k=1" | pod = "p1"', src
     )
     return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lqs20_nested_topk",
+    f"""
+    WITH counted AS (
+      SELECT bucket_ts, event_type, CAST(count(*) AS DOUBLE) AS value
+      FROM (
+        SELECT chq_timestamp - chq_timestamp % 600000 AS bucket_ts,
+               event_type
+        FROM {_E} e
+      ) GROUP BY 1, 2
+    )
+    SELECT bucket_ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket_ts ORDER BY value DESC, event_type ASC) AS rn
+      FROM counted
+    ) WHERE rn <= 2
+    """,
+)
+def lqs20_nested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested LogQL vector aggregation (extension; Loki allows
+    arbitrary nesting, the reference's parser requires vector-agg-over-
+    range-agg): topk(2, sum by (event_type) (count_over_time(...))) —
+    the sum collapses streams to event_type series, then the ranking
+    window keeps the 2 busiest per bucket."""
+    df = _lq(
+        spark, sf_dir,
+        'topk(2, sum by (event_type) '
+        '(count_over_time({event_type=~".+"} [10m])))',
+        600_000,
+    )
+    return df

@@ -284,6 +284,92 @@ CASES = [
         "deltas (reference sql_builder.go rate semantics: stored values "
         "are already deltas) — ADR classes 2 and 3",
     ),
+    # -- more upstream-derived cases ------------------------------------
+    dict(
+        name="label_replace_capture",
+        # upstream: label_replace(up, "foo", "$1", "instance", "(.*):.*")
+        expr='label_replace(m, "foo", "$1", "l", "(.*)-(.*)")',
+        m=[(0, "host-9090", 4.0)],
+        expect_label="foo",
+        expect={("host", "host-9090"): 4.0},
+    ),
+    dict(
+        name="label_replace_no_match_keeps_series",
+        expr='label_replace(m, "foo", "$1", "l", "nomatch(.*)")',
+        m=[(0, "a", 1.0)],
+        expect_label="foo",
+        expect={(None, "a"): 1.0},
+    ),
+    dict(
+        name="clamp_min_max",
+        expr="clamp_min(m, 1.5) + clamp_max(m, 1.5)",
+        m=M3,
+        expect={("a",): 1.5 + 1.0, ("b",): 2.0 + 1.5, ("c",): 3.0 + 1.5},
+    ),
+    dict(
+        name="avg_by",
+        expr="avg by (l) (m or n)",
+        m=M3,
+        n=N2,
+        expect={("a",): 1.0, ("b",): 2.0, ("c",): 3.0},
+    ),
+    dict(
+        name="unless_empty_right",
+        expr='m unless (m > 100)',
+        m=M3,
+        expect={("a",): 1.0, ("b",): 2.0, ("c",): 3.0},
+    ),
+    dict(
+        name="arith_precedence",
+        # * binds tighter than +: 1 + v*2
+        expr="1 + m * 2",
+        m=[(0, "a", 3.0)],
+        expect={("a",): 7.0},
+    ),
+    dict(
+        name="unary_minus",
+        expr="0 - m",
+        m=M_NEG,
+        expect={("a",): 1.5, ("b",): 0.0, ("c",): -2.5},
+    ),
+    dict(
+        name="division_by_zero_drops",
+        # PromQL vector/vector division by zero drops the sample
+        expr="m / n",
+        m=[(0, "a", 1.0), (0, "b", 2.0)],
+        n=[(0, "a", 0.0), (0, "b", 4.0)],
+        expect={("b",): 0.5},
+    ),
+    dict(
+        name="scalar_division_by_zero_drops",
+        expr="m / 0",
+        m=[(0, "a", 1.0)],
+        expect={},
+        diverges="upstream is IEEE (+Inf by sign, NaN for 0/0); the "
+        "reference's applyArith drops /0 samples (binary_node.go) and "
+        "this engine mirrors it for both vector and scalar divisors — "
+        "ADR class 6",
+    ),
+    dict(
+        name="timestamp_fn",
+        expr="timestamp(m)",
+        m=[(120_000, "a", 5.0)],
+        at=120_000,
+        expect={("a",): 120.0},
+    ),
+    dict(
+        name="agg_without",
+        expr="sum without (l) (m)",
+        m=M3,
+        expect={(): 6.0},
+    ),
+    dict(
+        name="bool_eq_nan",
+        # NaN == bool NaN is 0 (IEEE: NaN compares unequal)
+        expr="m == bool m",
+        m=[(0, "a", NAN)],
+        expect={("a",): 0.0},
+    ),
     # -- time() and date components (upstream functions.test) -----------
     dict(
         name="time_minus_vector",
@@ -374,6 +460,10 @@ def _collect(df, at):
     return {
         tuple(getattr(r, c) for c in label_cols): r.value for r in rows
     }
+
+
+def _nan_key_ok(got, expect):
+    return set(got) == set(expect)
 
 
 def _same(a: float, b: float) -> bool:
