@@ -114,6 +114,7 @@ _PRIORITY = [
     "pqs40_limitk",
     "lqs19_unpack",
     "sim5_kmeans",
+    "ds5_token_budget_cap",
     "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",
     "j3_vector_and",

@@ -175,3 +175,65 @@ def sequence_pack(
         return pdf
 
     return prepared.groupBy("bucket").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-group token-budget capping: within each group
+    (domain/source), keep documents in id-hash order until the running
+    token sum would exceed ``budget`` — the standard pretraining-mixture
+    downsampling step ("cap each source at N tokens").
+
+    Hash order (not id order) makes the kept set an unbiased sample of
+    the group; determinism + the cumulative-window formulation mean the
+    same corpus always caps to the same set, and GROWING the corpus only
+    swaps docs whose hash falls below the cut. One window pass per
+    group — no collect, no iteration; at 100 TB the shuffle key is the
+    group column (bounded domain cardinality; a skewed mega-domain is
+    one partition of (id, n_tokens) pairs, not of document bodies —
+    project before capping).
+
+    Keep rule: a doc stays if the cumulative tokens of all
+    hash-earlier docs (exclusive) is < budget — so the cap overshoots
+    by at most one document rather than stranding budget (matches the
+    greedy accumulate-then-stop reading of "cap at N")."""
+    from pyspark.sql import Window
+
+    h = id_hash(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("_prior", prior).filter(
+        F.col("_prior") < budget
+    ).drop("_prior")
+
+
+def token_budget_cap_sql(
+    base_sql: str,
+    group_col: str,
+    tokens_expr: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> str:
+    """DuckDB oracle twin of :func:`token_budget_cap` (same hash, same
+    exclusive cumulative window, same keep rule)."""
+    h = id_hash_sql(id_col, salt)
+    return f"""
+    SELECT * EXCLUDE (_prior) FROM (
+      SELECT *, coalesce(sum({tokens_expr}) OVER (
+        PARTITION BY {group_col}
+        ORDER BY {h} ASC, {id_col} ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _prior
+      FROM ({base_sql})
+    ) WHERE _prior < {budget}
+    """

@@ -1153,3 +1153,41 @@ def sim5_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         portable_round(F.avg("dist"), 6).alias("avg_dist"),
     )
+
+
+def _ds5_oracle() -> str:
+    from lakerunner_spark.dataops.sampling import token_budget_cap_sql
+
+    base = """
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                  t -> t != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    """
+    capped = token_budget_cap_sql(base, "source", "n_tokens", 20000)
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+    FROM ({capped}) GROUP BY source
+    """
+
+
+@register("ds5_token_budget_cap", _ds5_oracle())
+def ds5_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget capping (the pretraining-mixture
+    downsampling step: cap every source at 20k tokens): docs kept in
+    deterministic id-hash order until the exclusive running token sum
+    reaches the budget — one window pass per source, no collect. The
+    oracle replays the identical hash + window arithmetic."""
+    from lakerunner_spark.dataops.sampling import token_budget_cap
+    from lakerunner_spark.dataops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    capped = token_budget_cap(d, "source", "n_tokens", 20000)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
