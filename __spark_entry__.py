@@ -58,10 +58,10 @@ _PRIORITY = [
     "a2_rollup_chain",
     "a3_step_agg",
     "a9_rate",
-    "a9x_deriv",
+    "dd11_substring_dedup",
     "a8_topk",
     "a13_aggfile_route",
-    "a6_cardinality",
+    "sim5_kmeans",
     "a5_sketch_quantiles",
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
@@ -71,18 +71,18 @@ _PRIORITY = [
     "p8_logfmt_roundtrip",
     "p9_regexp_parser",
     "pqs1_sum_rate",
-    "pqs4_quantile_over_time",
+    "lqs19_unpack",
     "pqs18_quantile_sketch_route",
     "pqs20_predict_linear",
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
-    "lqs9_decolorize",
+    "pqs39_at_modifier",
     "lqs10_label_replace",
     "lqs12_pattern",
-    "lqs15_pattern_line_filter",
+    "otlp1_exp_histogram_quantile",
     "sp3_trace_lookup",
-    "sp4_span_duration_rate",
+    "sp5_trace_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -104,16 +104,21 @@ _PRIORITY = [
     "mm1_byte_histogram",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
-    # tests/test_oracle_parity.py
+    # tests/test_oracle_parity.py. Rotated down in r5 (certified by the
+    # r4 driver gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4.
+    "a9x_deriv",
+    "a6_cardinality",
+    "lqs9_decolorize",
+    "lqs15_pattern_line_filter",
+    "pqs4_quantile_over_time",
+    "sp4_span_duration_rate",
+    "lqs21_ipv6_filter",
+    "lqs22_logfmt_error",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",
-    "dd11_substring_dedup",
     "lqs18_error_label",
-    "pqs39_at_modifier",
     "pqs40_limitk",
-    "lqs19_unpack",
-    "sim5_kmeans",
     "ds5_token_budget_cap",
     "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",

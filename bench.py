@@ -2,12 +2,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement hygiene: the parent process NEVER touches Spark. Each bench
+section (sf0.1 headline, sf1 scale step) runs in its own fresh child
+process (fresh JVM, fresh codegen cache, no leftover GC pressure from
+whatever ran before — pytest in the same session was measured to inflate
+individual queries up to 2.6x). Inside the child every query gets one
+untimed warmup execution before the timed best-of-N loop, so two
+back-to-back invocations agree within ~10% per query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -66,8 +75,10 @@ HEADLINE = [
     "dd11_substring_dedup",
 ]
 
-# the 10 heaviest plans, re-run at sf1 (10× rows) as the measured scale
-# step — wall time should grow ~linearly if the plan audit is honest
+# the heaviest plans, re-run at sf1 (10× rows) as the measured scale
+# step — wall time should grow ~linearly if the plan audit is honest.
+# r5 adds the telemetry plane (a9 rate windows, LogQL log-rate, agg-file
+# routing, sketch-route quantile) so the scale story covers all planes.
 SF1_HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -80,73 +91,94 @@ SF1_HEADLINE = [
     "dd10_dedup_pipeline",
     "dd11_substring_dedup",
     "pqs18_quantile_sketch_route",
+    "a9_rate",
+    "lqs1_log_rate",
+    "a13_aggfile_route",
+    "a8_topk",
 ]
 
 
-def main() -> None:
+def _run_section(section: str) -> dict:
+    """Child-process entry: run one bench section against a fresh JVM."""
     from lakerunner_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="lakerunner_bench")
+    spark = get_spark(app_name=f"lakerunner_bench_{section}")
     queries = entry_mod.queries()
+
+    if section == "main":
+        sf_dir, names = SF_DIR, HEADLINE
+    else:
+        from tools.make_sf1 import make_sf1
+
+        sf_dir = make_sf1(
+            SF_DIR, os.path.join(os.path.dirname(__file__), ".localdata/sf1")
+        )
+        names = SF1_HEADLINE
 
     # JVM/codegen warmup outside the measured window (steady-state is
     # what a long-running cluster serves)
     from lakerunner_spark.testdata import load_table
 
-    load_table(spark, SF_DIR, "lineitem").limit(1000).count()
-    load_table(spark, SF_DIR, "events").limit(1000).count()
+    load_table(spark, sf_dir, "lineitem").limit(1000).count()
+    load_table(spark, sf_dir, "events").limit(1000).count()
 
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
-        best, n = float("inf"), 0
+        # untimed warmup: pays one-off codegen/compile/broadcast costs so
+        # the timed loop measures steady-state (repeatable within ~10%)
+        n = fn(spark, sf_dir).count()
+        best = float("inf")
         for _ in range(iterations):
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
+            df = fn(spark, sf_dir)
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {section} {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    return {"queries": timings, "total": round(total, 3)}
 
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--section":
+        # child mode: emit the section result as the last stdout line
+        print(json.dumps(_run_section(sys.argv[2])))
+        return
+
+    # parent mode: one fresh subprocess per section, so no prior JVM /
+    # pytest state pollutes the measurement
+    def spawn(section: str) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", section],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            env=os.environ,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(f"bench section {section} failed rc={proc.returncode}")
+        return json.loads(proc.stdout.decode().strip().splitlines()[-1])
+
+    main_res = spawn("main")
     out = {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": main_res["total"],
         "unit": "sec",
-        "queries": timings,
+        "queries": main_res["queries"],
     }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # sf1 scale step: the 10 heaviest queries at 10× the default bench
-    # size (deterministic key-shifted replication of sf0.1 — see
-    # tools/make_sf1.py). Measures that the plan shapes that argue
-    # "scale-safe" actually grow ~linearly in wall time.
+    # sf1 scale step: heaviest queries at 10× the default bench size
+    # (deterministic key-shifted replication of sf0.1 — tools/make_sf1.py)
     if out["sf"] == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        from tools.make_sf1 import make_sf1
-
-        sf1_dir = make_sf1(
-            SF_DIR, os.path.join(os.path.dirname(__file__), ".localdata/sf1")
-        )
-        sf1_timings: dict[str, float] = {}
-        sf1_total = 0.0
-        for name in SF1_HEADLINE:
-            fn = queries[name]
-            best, n = float("inf"), 0
-            for _ in range(iterations):
-                t0 = time.perf_counter()
-                df = fn(spark, sf1_dir)
-                n = df.count()
-                best = min(best, time.perf_counter() - t0)
-            sf1_timings[name] = round(best, 3)
-            sf1_total += best
-            print(f"# sf1 {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
-        out["sf1_queries"] = sf1_timings
-        out["sf1_total_sec"] = round(sf1_total, 3)
+        sf1_res = spawn("sf1")
+        out["sf1_queries"] = sf1_res["queries"]
+        out["sf1_total_sec"] = sf1_res["total"]
 
     print(json.dumps(out))
 

@@ -489,3 +489,67 @@ def chunk_dup_ratio(
         F.sum("_dup").alias("n_dup_chunks"),
         (F.sum("_dup") / F.count(F.lit(1))).alias("dup_chunk_ratio"),
     )
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_doc_freq: int = 50,
+    min_shared: int = 2,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact-substring duplication candidates via winnowing collisions
+    (Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" — the scalable stand-in for suffix-array substring dedup):
+    any shared run of >= k+w-1 tokens guarantees a shared winnowed
+    fingerprint, so cross-doc fingerprint collisions ARE substring
+    candidates. Returns (doc_a, doc_b, shared_fps) for pairs sharing
+    >= ``min_shared`` fingerprints, doc_a < doc_b.
+
+    100 TB design: the self-join shuffles on fingerprint (~1/w of
+    shingle volume); fingerprints in > ``max_doc_freq`` documents are
+    dropped first — boilerplate phrases otherwise create quadratic
+    hot-key pair blowup (same cap strategy as lsh_candidates). The
+    capped fingerprint table is materialized ONCE before the self-join
+    (Spark's exchange reuse misses aliased self-join branches, so an
+    unmaterialized formulation recomputes the tokenize->gram->hash->min
+    pipeline per branch). ``checkpoint_dir``: when set, that
+    materialization is a reliable ``checkpoint()`` into the given
+    cluster-FS path, surviving executor loss mid-job — the right mode
+    on a real cluster; when None (default), executor-local
+    ``localCheckpoint`` (cheaper; correct on local mode or where a
+    failed job can simply re-run). Same contract as
+    ``connected_components(checkpoint_dir=)`` (graph.py).
+    """
+    from pyspark.sql import Window
+
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w)
+    fps = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
+    )
+    if checkpoint_dir is not None:
+        fps.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        fps = fps.checkpoint(eager=True)
+    else:
+        fps = fps.localCheckpoint(eager=True)
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), "fingerprint")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

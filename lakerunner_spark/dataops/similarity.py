@@ -342,38 +342,23 @@ def dequantize_embeddings(
     )
 
 
-def kmeans_assign(
+def _kmeans_trajectory(
     corpus: DataFrame,
-    n_clusters: int = 8,
-    iters: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means over an embedding column, fully declarative:
-    the fixed iteration count unrolls into one DataFrame plan (no
-    driver-side centroid sync — each iteration's centroids are a tiny
-    derived table the next assignment broadcast-joins).
-
-    Deterministic and oracle-exact by construction:
-    - seeding: the ``n_clusters`` lowest-id vectors, cluster index =
-      their id rank (production seeds from a sample; the iteration
-      plumbing is identical);
-    - per-dim long form (posexplode) — element-wise centroid means are
-      a plain groupBy(cluster, pos) avg, ROUNDED to 9 dp each
-      iteration so both engines' next-iteration inputs are
-      bit-identical despite partial-sum order;
-    - assignment: squared-euclidean argmin over the 9-dp-rounded
-      distance with cluster-asc tiebreak (the IVF 12-dp argmax
-      pattern; 1e-9 grid is far above the ~1e-12 summation jitter).
-
-    Returns (id_col, cluster, dist) — dist is the final rounded
-    squared distance to the assigned centroid.
-
-    Scale: the corpus-long table is rows x dims; every join against
-    centroids is a broadcast (k x dims rows); each iteration is one
-    shuffle on (id, cluster) for distances + one on (cluster, pos) for
-    means. Empty clusters drop out of the centroid table (both engines
-    drop them identically)."""
+    n_clusters: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared unrolled-Lloyd plan builder: returns (assigned, cents)
+    where ``assigned`` is the final (_id, cluster, dist) assignment and
+    ``cents`` the 9-dp-rounded per-dim means over that FINAL assignment
+    (cluster, pos, cval) — the single source of truth both
+    :func:`kmeans_assign` and :func:`kmeans_centroids` derive from, so
+    the trained-centroid table is guaranteed to be the one the
+    assignments were computed against (and the trajectory is built
+    once, not twice)."""
+    if iters < 1:
+        raise ValueError(f"kmeans: iters must be >= 1, got {iters}")
     from lakerunner_spark.functions.rounding import portable_round
 
     long = corpus.select(
@@ -426,6 +411,42 @@ def kmeans_assign(
             .groupBy("cluster", "pos")
             .agg(portable_round(F.avg("val"), 9).alias("cval"))
         )
+    return assigned, cents
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, fully declarative:
+    the fixed iteration count unrolls into one DataFrame plan (no
+    driver-side centroid sync — each iteration's centroids are a tiny
+    derived table the next assignment broadcast-joins).
+
+    Deterministic and oracle-exact by construction:
+    - seeding: the ``n_clusters`` lowest-id vectors, cluster index =
+      their id rank (production seeds from a sample; the iteration
+      plumbing is identical);
+    - per-dim long form (posexplode) — element-wise centroid means are
+      a plain groupBy(cluster, pos) avg, ROUNDED to 9 dp each
+      iteration so both engines' next-iteration inputs are
+      bit-identical despite partial-sum order;
+    - assignment: squared-euclidean argmin over the 9-dp-rounded
+      distance with cluster-asc tiebreak (the IVF 12-dp argmax
+      pattern; 1e-9 grid is far above the ~1e-12 summation jitter).
+
+    Returns (id_col, cluster, dist) — dist is the final rounded
+    squared distance to the assigned centroid.
+
+    Scale: the corpus-long table is rows x dims; every join against
+    centroids is a broadcast (k x dims rows); each iteration is one
+    shuffle on (id, cluster) for distances + one on (cluster, pos) for
+    means. Empty clusters drop out of the centroid table (both engines
+    drop them identically)."""
+    assigned, _ = _kmeans_trajectory(corpus, n_clusters, iters, id_col, vec_col)
     return assigned.select(
         F.col("_id").alias(id_col), "cluster", "dist"
     )
@@ -439,20 +460,13 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Final k-means centroids as (cell, centroid array<double>) —
-    the shape :func:`ivf_topk` takes as trained cell centers. Runs the
-    same unrolled trajectory as :func:`kmeans_assign`, then means the
-    assigned members and re-assembles per-dim rows into arrays
-    (sort_array over (pos, val) structs)."""
-    assigned = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
-    long = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "val"),
-    )
-    per_dim = (
-        long.join(assigned.select(F.col(id_col).alias("_id"), "cluster"), "_id")
-        .groupBy("cluster", "pos")
-        .agg(F.avg("val").alias("cval"))
-    )
+    the shape :func:`ivf_topk` takes as trained cell centers. Reuses
+    the SAME unrolled trajectory plan as :func:`kmeans_assign` (the
+    post-final-assignment per-dim means `_kmeans_trajectory` already
+    derives, rather than rebuilding the trajectory a second time) and
+    re-assembles per-dim rows into arrays (sort_array over (pos, val)
+    structs)."""
+    _, per_dim = _kmeans_trajectory(corpus, n_clusters, iters, id_col, vec_col)
     return (
         per_dim.groupBy("cluster")
         .agg(

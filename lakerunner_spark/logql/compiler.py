@@ -152,6 +152,8 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                 df, keys = st.json_parser_auto(df, line_col=src.line_col)
                 extracted += [c for c in keys if c not in extracted]
         elif isinstance(stage, LogfmtStage):
+            if wants_error and "__error__" not in df.columns:
+                df = st.logfmt_error_label(df, line_col=src.line_col)
             if stage.keys:
                 df = st.logfmt_parser(df, stage.keys, line_col=src.line_col)
                 extracted += [c for c in stage.keys if c not in extracted]
@@ -162,9 +164,16 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
             df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
             extracted += [c for c in stage.groups if c not in extracted]
         elif isinstance(stage, LabelFilter):
-            if stage.label == "__error__" and "__error__" not in df.columns:
-                # no error-emitting parser ran: every line is clean
-                df = df.withColumn("__error__", F.lit(""))
+            if stage.label not in df.columns:
+                # __error__: no error-emitting parser ran (json and
+                # logfmt emit their own; Loki's regexp/pattern parsers
+                # never set __error__) -> every line is clean. Any
+                # other absent label filters as the empty value (Loki
+                # semantics: `=` never matches, `!=` matches; numeric/
+                # unit/ip conversions of "" yield no-match) — an auto-
+                # discovery parser that sampled zero rows must not turn
+                # into an unresolved-column error
+                df = df.withColumn(stage.label, F.lit(""))
             if stage.conv == "ip":
                 df = st.ip_label_filter(df, stage.label, stage.op, stage.value)
             elif stage.conv in ("duration", "bytes"):

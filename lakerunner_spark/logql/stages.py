@@ -350,32 +350,71 @@ def label_replace(
 # extract candidate addresses from line bodies
 _IPV4 = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 IPV4_RE = rf"{_IPV4}\.{_IPV4}\.{_IPV4}\.{_IPV4}"
+# candidate IPv6 token: >=2 colons of hex groups, optional dotted-quad
+# tail (::ffff:1.2.3.4). Over-extracts by design — _ipv6_valid_sql
+# filters garbage; an extraction regex that is also a full validator is
+# the classic unmaintainable IPv6 monster, so validate structurally
+# instead.
+IPV6_CAND_RE = (
+    r"(?<![0-9a-zA-Z:.])"
+    r"((?:[0-9a-fA-F]{0,4}:){2,}(?:(?:\d{1,3}\.){3}\d{1,3}|[0-9a-fA-F]{0,4}))"
+    r"(?![0-9a-zA-Z:.])"
+)
 
 
-def ip_pattern_bounds(pattern: str) -> tuple[int, int]:
-    """Loki ip() pattern -> inclusive numeric IPv4 bounds.
+def ip_pattern_bounds(pattern: str) -> tuple[str, str, str]:
+    """Loki ip() pattern -> (family, lo, hi) inclusive bounds.
 
-    Accepts a single address ("10.0.0.1"), CIDR ("192.168.0.0/16"), or
-    an inclusive range ("192.168.4.5-192.168.4.20"). IPv6 fails closed
-    (this engine matches IPv4 only — documented)."""
+    Accepts a single address ("10.0.0.1", "2001:db8::1"), CIDR
+    ("192.168.0.0/16", "2001:db8::/32"), or an inclusive range
+    ("192.168.4.5-192.168.4.20"). IPv4 bounds are decimal-integer
+    strings; IPv6 bounds are the 32-hex-digit fully-expanded form
+    (lexicographic order on that form == numeric order, which is how
+    the Spark-side comparison avoids 128-bit arithmetic). Values match
+    only patterns of the same address family (Loki netaddr semantics:
+    a v4 pattern never matches a v6 literal and vice versa)."""
     import ipaddress
+
+    def one(addr: str):
+        a = ipaddress.ip_address(addr.strip())
+        return a.version, int(a)
+
+    def fmt(version: int, v: int) -> str:
+        return str(v) if version == 4 else format(v, "032x")
 
     try:
         if "-" in pattern:
+            # '-' never appears inside a v4 or v6 literal, so the split
+            # is unambiguous for both families
             lo_s, hi_s = (p.strip() for p in pattern.split("-", 1))
-            lo = int(ipaddress.IPv4Address(lo_s))
-            hi = int(ipaddress.IPv4Address(hi_s))
+            (ver, lo), (ver2, hi) = one(lo_s), one(hi_s)
+            if ver != ver2:
+                raise ValueError("range endpoints mix address families")
             if hi < lo:
                 raise ValueError("range upper bound below lower bound")
-            return lo, hi
+            return (f"v{ver}", fmt(ver, lo), fmt(ver, hi))
         if "/" in pattern:
-            net = ipaddress.IPv4Network(pattern, strict=False)
-            return int(net.network_address), int(net.broadcast_address)
-        a = int(ipaddress.IPv4Address(pattern))
-        return a, a
-    except ipaddress.AddressValueError as e:
-        raise ValueError(f"logql: unsupported ip() pattern {pattern!r} "
-                         f"(IPv4 only): {e}") from None
+            net = ipaddress.ip_network(pattern.strip(), strict=False)
+            ver = net.version
+            return (
+                f"v{ver}",
+                fmt(ver, int(net.network_address)),
+                fmt(ver, int(net.broadcast_address)),
+            )
+        ver, a = one(pattern)
+        return (f"v{ver}", fmt(ver, a), fmt(ver, a))
+    except ValueError as e:
+        # ipaddress raises plain ValueError for unparseable text and
+        # AddressValueError/NetmaskValueError subclasses for the rest
+        raise ValueError(
+            f"logql: unsupported ip() pattern {pattern!r}: {e}"
+        ) from None
+
+
+def _sql_re(regex: str) -> str:
+    """Escape a Java-regex string for embedding in a SQL string literal
+    (Spark's literal parser consumes one level of backslashes)."""
+    return regex.replace("\\", "\\\\")
 
 
 def _ipv4_num_sql(expr: str) -> str:
@@ -389,20 +428,94 @@ def _ipv4_num_sql(expr: str) -> str:
     )
 
 
+def _ipv6_expanded_sql(expr: str) -> str:
+    """SQL fragment: textual IPv6 form -> canonical pre-expansion form
+    (lowercased, IPv4-mapped tail rewritten to two hex groups). Shared
+    scaffolding for the hex-expansion and validity fragments."""
+    x = f"lower({expr})"
+    quad = f"regexp_extract({x}, '(?<=:)({_sql_re(IPV4_RE)})$', 0)"
+    quadnum = _ipv4_num_sql(quad)
+    return (
+        f"CASE WHEN {quad} != '' THEN concat("
+        f"substring({x}, 1, length({x}) - length({quad})), "
+        f"lower(lpad(hex(({quadnum}) div 65536), 4, '0')), ':', "
+        f"lower(lpad(hex(({quadnum}) % 65536), 4, '0'))) "
+        f"ELSE {x} END"
+    )
+
+
+def _ipv6_pieces(expr: str) -> tuple[str, str, str, str]:
+    x2 = _ipv6_expanded_sql(expr)
+    halves = f"split({x2}, '::')"
+    groups = f"split({x2}, ':')"
+    left = f"filter(split(get({halves}, 0), ':'), g -> g != '')"
+    right = f"filter(split(get({halves}, 1), ':'), g -> g != '')"
+    return halves, groups, left, right
+
+
+def _ipv6_valid_sql(expr: str) -> str:
+    """SQL fragment: true iff expr is a well-formed IPv6 textual
+    address (at most one '::', '::' covers >= 1 group, exactly 8
+    groups once expanded, every group 1-4 hex digits). Zone-scoped
+    forms ('fe80::1%eth0') fail closed — link-local scopes have no
+    meaning in a stored log line."""
+    halves, groups, left, right = _ipv6_pieces(expr)
+    hexg = "g -> g rlike '^[0-9a-f]{1,4}$'"
+    return (
+        f"(CASE WHEN size({halves}) > 2 THEN false "
+        f"WHEN size({halves}) = 2 THEN "
+        f"size({left}) + size({right}) <= 7 "
+        f"AND forall(concat({left}, {right}), {hexg}) "
+        f"ELSE size({groups}) = 8 AND forall({groups}, {hexg}) END)"
+    )
+
+
+def _ipv6_hex_sql(expr: str) -> str:
+    """SQL fragment: IPv6 textual form -> 32-hex-digit fully-expanded
+    string (defined only when _ipv6_valid_sql holds; lexicographic
+    order on the output == 128-bit numeric order, so range tests are
+    plain string BETWEEN — no 128-bit arithmetic)."""
+    halves, groups, left, right = _ipv6_pieces(expr)
+    full = (
+        f"CASE WHEN size({halves}) = 2 THEN concat({left}, "
+        f"array_repeat('0', 8 - size({left}) - size({right})), {right}) "
+        f"ELSE {groups} END"
+    )
+    return f"concat_ws('', transform({full}, g -> lpad(g, 4, '0')))"
+
+
 def ip_line_filter(
     df: DataFrame, pattern: str, negate: bool = False,
     line_col: str = "log_message",
 ) -> DataFrame:
     """``|= ip("...")`` / ``!= ip("...")``: the line matches when ANY
-    IPv4 address it contains falls inside the pattern. Pure expression
-    plan: regexp_extract_all pulls candidate addresses, an `exists`
-    lambda does the numeric range test — no UDF."""
-    lo, hi = ip_pattern_bounds(pattern)
-    num = _ipv4_num_sql("x")
-    match = F.expr(
-        f"exists(regexp_extract_all({line_col}, '({IPV4_RE})', 0), "
-        f"x -> {num} BETWEEN {lo} AND {hi})"
-    )
+    address it contains falls inside the pattern (same family). Pure
+    expression plan: regexp_extract_all pulls candidate tokens —
+    boundary lookarounds reject addresses embedded in longer
+    dotted-digit / hex runs ('1.2.3.4567', 'v1.2.3.45-build7') — and
+    an `exists` lambda does the range test. No UDF."""
+    fam, lo, hi = ip_pattern_bounds(pattern)
+    if fam == "v4":
+        # boundary lookarounds: an address embedded in a longer
+        # dotted-digit or alphanumeric run ('1.2.3.4567',
+        # 'v1.2.3.45-build7') is a version/id string, not an IP; a ':'
+        # prefix means it's the dotted tail of a v4-mapped IPv6 literal
+        # (the v6 family path owns those). ':' AFTER stays allowed —
+        # '1.2.3.4:8080' is an IP with a port.
+        cand = rf"(?<![0-9A-Za-z.:])(?:{IPV4_RE})(?![0-9A-Za-z.])"
+        num = _ipv4_num_sql("x")
+        match = F.expr(
+            f"exists(regexp_extract_all({line_col}, '({_sql_re(cand)})', 0), "
+            f"x -> {num} BETWEEN {lo}L AND {hi}L)"
+        )
+    else:
+        valid = _ipv6_valid_sql("x")
+        hexv = _ipv6_hex_sql("x")
+        match = F.expr(
+            f"exists(regexp_extract_all({line_col}, "
+            f"'{_sql_re(IPV6_CAND_RE)}', 1), "
+            f"x -> {valid} AND {hexv} BETWEEN '{lo}' AND '{hi}')"
+        )
     return df.filter(~match if negate else match)
 
 
@@ -410,11 +523,19 @@ def ip_label_filter(
     df: DataFrame, label: str, op: str, pattern: str
 ) -> DataFrame:
     """``| addr = ip("...")`` / ``!=``: the label value must be exactly
-    one IPv4 address inside (=) / outside or non-IP (!=) the pattern."""
-    lo, hi = ip_pattern_bounds(pattern)
-    is_ip = F.col(label).rlike(f"^{IPV4_RE}$")
-    num = F.expr(_ipv4_num_sql(label))
-    match = is_ip & num.between(lo, hi)
+    one address of the pattern's family inside (=) / outside or non-IP
+    (!=) the pattern."""
+    fam, lo, hi = ip_pattern_bounds(pattern)
+    if fam == "v4":
+        is_ip = F.col(label).rlike(f"^{IPV4_RE}$")
+        num = F.expr(_ipv4_num_sql(label))
+        match = is_ip & num.between(int(lo), int(hi))
+    else:
+        match = (
+            F.col(label).contains(":")
+            & F.expr(_ipv6_valid_sql(label))
+            & F.expr(_ipv6_hex_sql(label)).between(lo, hi)
+        )
     if op == "=":
         return df.filter(F.coalesce(match, F.lit(False)))
     if op == "!=":
@@ -460,6 +581,24 @@ def json_error_label(
             F.try_parse_json(F.col(line_col).cast("string")).isNull(),
             F.lit("JSONParserErr"),
         ).otherwise(F.lit("")),
+    )
+
+
+def logfmt_error_label(
+    df: DataFrame, line_col: str = "log_message", out_col: str = "__error__"
+) -> DataFrame:
+    """Loki ``__error__`` label for the logfmt parser: lines whose
+    logfmt syntax is malformed get ``__error__="LogfmtParserErr"``
+    (go-logfmt's decode error), clean lines the empty string. The
+    go-logfmt decoder's error cases are unterminated quoted values and
+    stray quotes inside bare values; both leave an odd number of
+    double-quote characters on the line, which is the structural test
+    used here (pure length arithmetic, JVM-side)."""
+    line = F.coalesce(F.col(line_col).cast("string"), F.lit(""))
+    quotes = F.length(line) - F.length(F.regexp_replace(line, '"', ""))
+    return df.withColumn(
+        out_col,
+        F.when(quotes % 2 == 1, F.lit("LogfmtParserErr")).otherwise(F.lit("")),
     )
 
 

@@ -131,3 +131,29 @@ def histogram_quantile_buckets(
         .select(bucket_col, *keys, F.col("_q").alias("value"))
     )
     return out
+
+
+def with_inf_bucket(
+    df: DataFrame,
+    le_col: str = "le",
+    value_col: str = "value",
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Append an empty ``+Inf`` bucket per series group.
+
+    OTLP exponential histograms carry no +Inf bucket (the decode
+    explodes only observed finite bounds, sources/otel.py), but
+    :func:`histogram_quantile_buckets` requires the +Inf top — without
+    it "total" is a guess — so this bridge completes the classic-bucket
+    shape: one distinct-keys pass, union of a single zero-count row per
+    (bucket, labels) group. Adding zero to the cumulative top keeps
+    total == observed count exactly."""
+    keys = [c for c in df.columns if c not in (bucket_col, le_col, value_col)]
+    inf_rows = (
+        df.select(bucket_col, *keys)
+        .distinct()
+        .withColumn(le_col, F.lit(float("inf")))
+        .withColumn(value_col, F.lit(0.0))
+        .select(df.columns)
+    )
+    return df.unionByName(inf_rows)

@@ -76,6 +76,28 @@ def vector_agg(
     )
 
 
+# Per-bucket series count above which the rank auto-routes to the
+# two-phase plan: below it the single window per bucket wins (measured
+# ~3x faster at bench scale); above it the single-task-per-bucket
+# window becomes the straggler and the extra shuffle pays for itself.
+TWO_PHASE_THRESHOLD = 1_000_000
+
+
+def _probe_bucket_series(df: DataFrame, bucket_col: str) -> int:
+    """One-bucket cardinality probe for the topk phase router: count
+    the rows of the FIRST observed bucket (PromQL grids carry a near-
+    identical series set at every step, so one bucket is
+    representative). The bucket filter is on the child aggregation's
+    group key, so Catalyst pushes it beneath the aggregate down to the
+    scan — the probe costs one filtered scan plus a tiny shuffle, not
+    a full evaluation (the same bounded plan-time discovery pattern as
+    the quantile density gate, operators/density.py)."""
+    row = df.select(bucket_col).limit(1).collect()
+    if not row or row[0][0] is None:
+        return 0
+    return df.filter(F.col(bucket_col) == row[0][0]).count()
+
+
 def _ranked(
     df: DataFrame,
     k: int,
@@ -83,12 +105,13 @@ def _ranked(
     value_col: str,
     bucket_col: str,
     tiebreak: list[str],
-    two_phase: bool = False,
+    two_phase: bool | None = None,
+    two_phase_threshold: int = TWO_PHASE_THRESHOLD,
 ) -> DataFrame:
     """Per-bucket rank-and-keep-k.
 
-    ``two_phase=False`` (default): one ranking window per bucket — the
-    right plan up to ~10^5 series per bucket (the post-aggregation
+    ``two_phase=False``: one ranking window per bucket — the right
+    plan up to ~10^5 series per bucket (the post-aggregation
     cardinality of telemetry queries), with zero extra shuffles.
 
     ``two_phase=True``: phase 1 keeps each input partition's local
@@ -96,10 +119,14 @@ def _ranked(
     the global top-k is a subset of the union of local top-ks), and the
     final per-bucket window ranks at most k x partitions rows instead
     of every series. Costs one extra shuffle — measured ~3x slower at
-    bench scale, which is why it's opt-in — but removes the
-    single-task-per-bucket straggler at multi-million-series
-    cardinality. Callers with huge label spaces (e.g. per-user series)
-    should pass two_phase=True; both modes return identical rows.
+    bench scale — but removes the single-task-per-bucket straggler at
+    multi-million-series cardinality. Both modes return identical rows
+    (equivalence property-tested).
+
+    ``two_phase=None`` (default): AUTO — a one-bucket cardinality
+    probe picks the phase (>= ``two_phase_threshold`` series per
+    bucket routes two-phase). The explicit flag remains the override
+    for callers who know their cardinality up front.
     """
     # absent samples (coverage-gate NULLs) and NaN never occupy a rank
     # slot: the reference collects "scalar, finite entries only"
@@ -109,6 +136,10 @@ def _ranked(
     order = [F.col(value_col).asc() if ascending else F.col(value_col).desc()]
     # deterministic tiebreak so results are stable across engines/runs
     order += [F.col(c).asc() for c in tiebreak]
+    if two_phase is None:
+        two_phase = (
+            _probe_bucket_series(df, bucket_col) >= two_phase_threshold
+        )
     if two_phase:
         w1 = Window.partitionBy(
             bucket_col, F.spark_partition_id().alias("_salt")
@@ -132,7 +163,8 @@ def topk(
     value_col: str = "value",
     bucket_col: str = "bucket_ts",
     tiebreak: list[str] | None = None,
-    two_phase: bool = False,
+    two_phase: bool | None = None,
+    two_phase_threshold: int = TWO_PHASE_THRESHOLD,
 ) -> DataFrame:
     """Per-bucket top-k series by value (top_k_node.go:25-100).
 
@@ -147,7 +179,8 @@ def topk(
         c for c in df.columns if c not in (bucket_col, value_col)
     ]
     return _ranked(
-        df, k, False, value_col, bucket_col, tiebreak, two_phase=two_phase
+        df, k, False, value_col, bucket_col, tiebreak,
+        two_phase=two_phase, two_phase_threshold=two_phase_threshold,
     )
 
 
@@ -157,11 +190,13 @@ def bottomk(
     value_col: str = "value",
     bucket_col: str = "bucket_ts",
     tiebreak: list[str] | None = None,
-    two_phase: bool = False,
+    two_phase: bool | None = None,
+    two_phase_threshold: int = TWO_PHASE_THRESHOLD,
 ) -> DataFrame:
     tiebreak = tiebreak or [
         c for c in df.columns if c not in (bucket_col, value_col)
     ]
     return _ranked(
-        df, k, True, value_col, bucket_col, tiebreak, two_phase=two_phase
+        df, k, True, value_col, bucket_col, tiebreak,
+        two_phase=two_phase, two_phase_threshold=two_phase_threshold,
     )

@@ -176,8 +176,11 @@ def parse_duration_ms(text: str) -> int:
         r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d|w)", text
     ):
         total += float(num) * _DUR_UNITS.get(unit, 0)
-    if total <= 0:
-        raise ValueError(f"bad duration: {text!r}")
+    if int(total) <= 0:
+        # sub-millisecond durations ('500us', '1ns') truncate to 0 ms —
+        # a zero-length range/offset would silently compile to a no-op
+        # (or a rate() division by zero), so reject them like zero
+        raise ValueError(f"bad duration: {text!r} (below 1ms resolution)")
     return int(total)
 
 

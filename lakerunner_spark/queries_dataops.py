@@ -1047,39 +1047,17 @@ def dd11_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume); fingerprints appearing in > 50 documents are dropped
     first — boilerplate phrases otherwise create quadratic hot-key
     pair blowup, exactly like LSH hot buckets (same cap strategy as
-    dedup.lsh_candidates)."""
-    from pyspark.sql import Window
-
-    from lakerunner_spark.dataops.text import winnow_fingerprints
+    dedup.lsh_candidates). In production the capped fingerprint table
+    IS persisted — it's the substring-dedup analogue of the trigram
+    pruning index — and on a real cluster
+    ``substring_dedup_pairs(checkpoint_dir=...)`` makes that
+    materialization a reliable checkpoint surviving executor loss
+    (same contract as dd7's connected_components)."""
+    from lakerunner_spark.dataops.dedup import substring_dedup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # One winnowing pass: the frequency cap is a count window over the
-    # SAME fingerprint partitioning the self-join needs, and the capped
-    # fingerprint table is materialized ONCE before the self-join (a
-    # groupBy+join formulation recomputed the tokenize->gram->hash->min
-    # pipeline four times; Spark's exchange-reuse also misses aliased
-    # self-join branches). In production this table IS persisted — it's
-    # the substring-dedup analogue of the trigram pruning index — so the
-    # checkpoint models the real shape, not a local-mode hack.
-    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
-    fps = (
-        fps.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
-        )
-        .filter(F.col("_df") <= 50)
-        .drop("_df")
-        .localCheckpoint(eager=True)
-    )
-    return (
-        fps.alias("a")
-        .join(fps.alias("b"), "fingerprint")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
+    return substring_dedup_pairs(
+        d, "text", "doc_id", k=5, w=4, max_doc_freq=50, min_shared=2
     )
 
 

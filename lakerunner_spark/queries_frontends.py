@@ -1863,3 +1863,81 @@ def lqs20_nested_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         600_000,
     )
     return df
+
+
+@register(
+    "lqs21_ipv6_filter",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'click' AND (user_id % 256) BETWEEN 64 AND 79
+    GROUP BY event_type
+    """,
+)
+def lqs21_ipv6_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 ip() matchers (extension; Loki supports v6 CIDRs/ranges):
+    the line filter and the label matcher both range-test 128-bit
+    addresses by expanding the textual form ('::'-compressed, mixed
+    case, IPv4-mapped tails) to its 32-hex-digit canonical string —
+    lexicographic order there IS numeric order, so the comparison is a
+    plain string BETWEEN, pure expressions end to end. The synthetic
+    address embeds user_id so the oracle states both range tests as
+    modular arithmetic (line filter keeps [0x10,0x4f]; the /122 CIDR
+    label matcher keeps the [0x40,0x7f] block; intersection [64,79])."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(
+            F.lit("conn addr=2001:DB8::"),
+            F.upper(F.hex(F.col("user_id") % 256)),
+            F.lit(" ok"),
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    df = compile_logql_lines(
+        '{event_type="click"} |= ip("2001:db8::10-2001:db8::4f")'
+        ' | logfmt | addr = ip("2001:db8::40/122")',
+        src,
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "lqs22_logfmt_error",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_clean,
+           CAST((SELECT count(*) FROM {_E} e2
+                 WHERE e2.event_type = 'error'
+                   AND e2.user_id % 7 = 0) AS BIGINT) AS n_broken
+    FROM {_E} e
+    WHERE event_type = 'error' AND user_id % 7 != 0
+    GROUP BY event_type
+    """,
+)
+def lqs22_logfmt_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``__error__`` for the logfmt parser (Loki LogfmtParserErr):
+    lines with unterminated quoted values surface as parse errors
+    instead of silently passing a fabricated clean label (the json
+    stage already had this; logfmt now emits it too — Loki's regexp
+    parser never sets __error__, so the clean-line fallback remains
+    correct there). Every 7th user's line drops its closing quote; the
+    oracle states the clean/broken split arithmetically."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.when(
+            F.col("user_id") % 7 == 0, F.lit('k="broken v=1')
+        ).otherwise(F.lit('k="ok" v=1')),
+    )
+    src = LogSource(ev, ["event_type"])
+    clean = compile_logql_lines(
+        '{event_type="error"} | logfmt | __error__ = ""', src
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_clean"))
+    broken = compile_logql_lines(
+        '{event_type="error"} | logfmt | __error__ != ""', src
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_broken"))
+    return clean.join(F.broadcast(broken), "event_type")

@@ -90,3 +90,106 @@ def x1_ddsketch_signed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ddsketch_agg(e, ["event_type"], "v")
     out = ddsketch_quantile(sk, ["event_type"], 0.5)
     return out.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "otlp1_exp_histogram_quantile",
+    """
+    WITH series AS (SELECT unnest(range(4)) AS s),
+    ts AS (SELECT unnest(range(2)) AS t),
+    idx AS (SELECT unnest(range(10)) AS i),
+    b0 AS (
+      SELECT (t + 1) * 3600000 AS bucket_ts, 'svc' || s AS svc,
+             0.0 AS le, CAST(s % 3 AS DOUBLE) AS cnt
+      FROM series CROSS JOIN ts WHERE s % 3 > 0
+    ),
+    bp AS (
+      SELECT (t + 1) * 3600000 AS bucket_ts, 'svc' || s AS svc,
+             power(power(2.0, power(2.0, -1)), 2 + i + 1) AS le,
+             CAST((s * 7 + i * 3 + t) % 5 AS DOUBLE) AS cnt
+      FROM series CROSS JOIN ts CROSS JOIN idx
+      WHERE (s * 7 + i * 3 + t) % 5 > 0
+    ),
+    binf AS (
+      SELECT (t + 1) * 3600000 AS bucket_ts, 'svc' || s AS svc,
+             CAST('inf' AS DOUBLE) AS le, 0.0 AS cnt
+      FROM series CROSS JOIN ts
+    ),
+    b AS (SELECT * FROM b0 UNION ALL SELECT * FROM bp
+          UNION ALL SELECT * FROM binf),
+    cum AS (
+      SELECT bucket_ts, svc, le,
+             sum(cnt) OVER (PARTITION BY bucket_ts, svc
+                            ORDER BY le) AS cum
+      FROM b
+    ),
+    w AS (
+      SELECT bucket_ts, svc, le, cum,
+             max(cum) OVER (PARTITION BY bucket_ts, svc) AS total,
+             lag(le) OVER (PARTITION BY bucket_ts, svc ORDER BY le) AS ple,
+             lag(cum) OVER (PARTITION BY bucket_ts, svc ORDER BY le) AS pcum
+      FROM cum
+    )
+    SELECT bucket_ts, svc, pround(
+        CASE WHEN le = CAST('inf' AS DOUBLE) THEN ple
+             WHEN ple IS NULL THEN
+               CASE WHEN le <= 0 THEN le ELSE le * (0.5 * total) / cum END
+             ELSE ple + (le - ple) * (0.5 * total - pcum) / (cum - pcum)
+        END, 6) AS value
+    FROM w
+    WHERE total > 0 AND cum >= 0.5 * total
+      AND (pcum IS NULL OR pcum < 0.5 * total)
+      AND NOT (le = CAST('inf' AS DOUBLE) AND ple IS NULL)
+    """,
+)
+def otlp1_exp_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S6 end-to-end: OTLP exponential-histogram payload bytes ->
+    protowire decode (zigzag scale/offset, packed bucket varints ->
+    le-bounded rows, sources/otel.py) -> +Inf bridge -> cumulative
+    buckets -> Prometheus histogram_quantile interpolation, as ONE
+    registered plan. The fixture payload is deterministic arithmetic
+    (sources/otlp_encode.py): the oracle regenerates the identical
+    bucket table from the same formulas — skipping zero-count buckets
+    exactly as the decoder does — and replicates the interpolation
+    term for term (pqs26's CTE), so the hash certifies the whole
+    decode + bucket-math + quantile composition, not just row counts.
+
+    Reference: metric_ingest_duckdb.go:238 (otel_metrics_read explodes
+    histogram datapoints); promql/quantile_node.go serves quantiles
+    from raw samples — exponential-histogram le-bucket evaluation is
+    this engine's extension (SURVEY §2 S6/F13)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.histogram import (
+        cumulate_buckets,
+        histogram_quantile_buckets,
+        with_inf_bucket,
+    )
+    from lakerunner_spark.sources.otel import read_otlp_metrics
+    from lakerunner_spark.sources.otlp_encode import (
+        exp_histogram_payload,
+        write_fixture,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = write_fixture(
+        os.path.join(root, ".localdata", "otlp_fixtures", "exp_hist.binpb"),
+        exp_histogram_payload(),
+    )
+    m = read_otlp_metrics(spark, path)
+    b = (
+        m.filter(F.col("chq_metric_type") == "exponential_histogram")
+        .select(
+            F.col("chq_timestamp").alias("bucket_ts"),
+            F.element_at("attr_values", 1).alias("svc"),
+            F.col("bucket_le").alias("le"),
+            F.col("value"),
+        )
+    )
+    cum = cumulate_buckets(with_inf_bucket(b))
+    out = histogram_quantile_buckets(cum, 0.5)
+    return out.withColumn("value", _pr("value", 6))

@@ -244,3 +244,117 @@ def sp4_span_duration_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_name",
         _pr(F.col("value") / 1e6, 6).alias("rate_ms"),
     )
+
+
+@register(
+    "sp5_trace_rollup",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT span_trace_id, span_id, span_name, span_duration,
+             row_number() OVER (PARTITION BY span_trace_id
+                                ORDER BY chq_timestamp, span_id) AS rank
+      FROM ({_TRACED_SPANS_SQL})
+    ),
+    walk AS (
+      SELECT span_trace_id, rank, span_name, 0 AS depth,
+             span_duration AS path_ns
+      FROM s WHERE rank = 1
+      UNION ALL
+      SELECT s.span_trace_id, s.rank, s.span_name, w.depth + 1,
+             w.path_ns + s.span_duration
+      FROM s JOIN walk w
+        ON s.span_trace_id = w.span_trace_id AND s.rank // 2 = w.rank
+      WHERE s.rank > 1
+    ),
+    root AS (
+      SELECT span_trace_id, span_name AS root_name, path_ns AS root_ns
+      FROM walk WHERE depth = 0
+    )
+    SELECT w.span_trace_id, r.root_name,
+           CAST(r.root_ns AS BIGINT) AS root_ns,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(w.depth) AS BIGINT) AS max_depth,
+           CAST(max(w.path_ns) AS BIGINT) AS critical_path_ns
+    FROM walk w JOIN root r USING (span_trace_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sp5_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trace-tree assembly: parent->child rollup over the span
+    hierarchy (root-span latency, per-trace span count, tree depth,
+    critical-path duration). The reference's span schema carries
+    span_parent_span_id (spans_worker_sql.go:95-112) but its workers
+    never traverse it; this is the natural spans extension.
+
+    The synthetic hierarchy is deterministic: spans ranked by
+    (chq_timestamp, span_id) within a trace; rank 1 is the root, rank
+    r's parent is rank r DIV 2 — a binary-heap tree, so tree depth is
+    O(log n_spans) and the traversal terminates in
+    ceil(log2(max_rank)) BFS rounds. The Spark plan does a GENUINE
+    level-by-level traversal (the recursive CTE's fixpoint, unrolled):
+    each round joins exactly one heap level [2^i, 2^(i+1)) of children
+    against the previous frontier on (trace, parent_rank),
+    accumulating depth and root-to-node path sums; the per-level
+    static pruning means every span participates in exactly one join.
+    The round count comes from a one-row max-rank probe (plan-time
+    bounded discovery, same pattern as the quantile density probe).
+
+    100 TB design: each level join shuffles on span_trace_id — the
+    same key the span table is already laid out by — and level k's
+    frontier is at most half of level k+1, so the deepest rounds
+    dominate and total work is O(n log depth) with no driver state
+    beyond the single probe row. The oracle walks the identical tree
+    with a recursive CTE."""
+    import math
+
+    from pyspark.sql import Window
+
+    s = _traced_spans(spark, sf_dir)
+    w = Window.partitionBy("span_trace_id").orderBy("chq_timestamp", "span_id")
+    ranked = s.select(
+        "span_trace_id", "span_id", "span_name", "span_duration",
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("parent_rank", F.expr("rank DIV 2"))
+
+    max_rank = ranked.agg(F.max("rank")).first()[0] or 1
+    rounds = max(1, math.ceil(math.log2(max_rank + 1)))
+
+    walk = ranked.filter(F.col("rank") == 1).select(
+        "span_trace_id", "rank", "span_name",
+        F.lit(0).alias("depth"),
+        F.col("span_duration").alias("path_ns"),
+    )
+    frontier, all_walk = walk, walk
+    for i in range(rounds):
+        level = ranked.filter(
+            (F.col("rank") >= 2 ** (i + 1)) & (F.col("rank") < 2 ** (i + 2))
+        )
+        nxt = level.join(
+            frontier.select(
+                "span_trace_id",
+                F.col("rank").alias("parent_rank"),
+                "depth",
+                "path_ns",
+            ),
+            ["span_trace_id", "parent_rank"],
+        ).select(
+            "span_trace_id", "rank", "span_name",
+            (F.col("depth") + 1).alias("depth"),
+            (F.col("path_ns") + F.col("span_duration")).alias("path_ns"),
+        )
+        all_walk, frontier = all_walk.unionByName(nxt), nxt
+
+    root = all_walk.filter(F.col("depth") == 0).select(
+        "span_trace_id",
+        F.col("span_name").alias("root_name"),
+        F.col("path_ns").alias("root_ns"),
+    )
+    agg = all_walk.groupBy("span_trace_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.max("path_ns").alias("critical_path_ns"),
+    )
+    return agg.join(root, "span_trace_id").select(
+        "span_trace_id", "root_name", "root_ns",
+        "n_spans", "max_depth", "critical_path_ns",
+    )

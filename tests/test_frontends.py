@@ -682,8 +682,11 @@ def test_duration_bytes_ip_filters(spark):
 
     import pytest
 
-    with pytest.raises(ValueError, match="IPv4 only"):
-        run('{app="w"} |= ip("2001:db8::/32")')
+    # IPv6 patterns are supported since r5 (family-matched: a v6
+    # pattern never matches these v4-only lines)
+    assert run('{app="w"} |= ip("2001:db8::/32")') == []
+    with pytest.raises(ValueError, match="unsupported ip"):
+        run('{app="w"} |= ip("not-an-ip")')
     with pytest.raises(ValueError, match="= and !="):
         run('{app="w"} | logfmt | addr =~ ip("10.0.0.0/8")')
 

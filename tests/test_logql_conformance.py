@@ -6,8 +6,8 @@ survive the pipeline; metric-mode cases assert aggregated values.
 Divergences from upstream Loki are deliberate and reference-faithful:
 range windows evaluate over step buckets (no per-entry timestamps
 inside the window), `count_over_time`/`rate` rewrite onto synthetic
-per-row values (rewrite_result.go), and only the json parser emits
-``__error__`` (logfmt/regexp are lenient extractors).
+per-row values (rewrite_result.go), and the json/logfmt parsers emit
+``__error__`` while regexp stays a lenient extractor (as in Loki).
 """
 
 from __future__ import annotations
@@ -200,3 +200,87 @@ def test_metric_conformance(case, spark):
         assert math.isclose(got[k], v, rel_tol=1e-9), (
             f"{case['name']}[{k}]: {got[k]} != {v}"
         )
+
+
+# ---- ip()/__error__ sweep (separate fixture so the main LINES set and
+# its {app=~".+"} expectations stay untouched) -------------------------
+
+IP_LINES = [
+    # ts, app, line
+    (0, "net", "conn from 10.1.2.3 ok"),
+    (1, "net", "conn from 10.1.2.250 ok"),
+    (2, "net", "release v10.1.2.3-build7 deployed"),   # version, not an IP
+    (3, "net", "range 10.1.2.3456 scanned"),           # digit-run, not an IP
+    (4, "net", "peer 2001:db8::a1 connected"),
+    (5, "net", "peer 2001:DB8:0:0::00a2 connected"),   # mixed case, long form
+    (6, "net", "peer ::ffff:10.1.2.3 connected"),      # v4-mapped is v6 family
+    (7, "net", 'addr="fe80::1" scope local'),
+    (8, "net", 'k="unterminated msg v=1'),
+]
+
+IP_LINE_CASES = [
+    dict(
+        name="ipv4_single",
+        q='{app="net"} |= ip("10.1.2.3")',
+        keep=[0],  # 2/3 are boundary-rejected, 6 is v6 family
+    ),
+    dict(
+        name="ipv4_cidr",
+        q='{app="net"} |= ip("10.1.2.0/24")',
+        keep=[0, 1],
+    ),
+    dict(
+        name="ipv4_negated",
+        q='{app="net"} != ip("10.0.0.0/8")',
+        keep=[2, 3, 4, 5, 6, 7, 8],
+    ),
+    dict(
+        name="ipv6_single_compressed_matches_long_form",
+        q='{app="net"} |= ip("2001:db8::a2")',
+        keep=[5],
+    ),
+    dict(
+        name="ipv6_cidr",
+        q='{app="net"} |= ip("2001:db8::/32")',
+        keep=[4, 5],
+    ),
+    dict(
+        name="ipv6_range",
+        q='{app="net"} |= ip("2001:db8::a1-2001:db8::a2")',
+        keep=[4, 5],
+    ),
+    dict(
+        name="ipv4_mapped_is_v6_family",
+        q='{app="net"} |= ip("::ffff:10.1.2.0/120")',
+        keep=[6],
+    ),
+    dict(
+        name="ipv6_label_matcher",
+        q='{app="net"} | logfmt | addr = ip("fe80::/10")',
+        keep=[7],
+    ),
+    dict(
+        name="logfmt_error_selects_malformed",
+        q='{app="net"} | logfmt | __error__ != ""',
+        keep=[8],
+    ),
+    dict(
+        name="logfmt_error_empty_keeps_clean",
+        q='{app="net"} | logfmt | __error__ = ""',
+        keep=[0, 1, 2, 3, 4, 5, 6, 7],
+    ),
+]
+
+
+@pytest.mark.parametrize("case", IP_LINE_CASES, ids=lambda c: c["name"])
+def test_ip_line_conformance(case, spark):
+    rows = [(ts * STEP, app, line) for ts, app, line in IP_LINES]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, app STRING, log_message STRING"
+    )
+    src = LogSource(df, ["app"])
+    got = sorted(
+        r.chq_timestamp // STEP
+        for r in compile_logql_lines(case["q"], src).collect()
+    )
+    assert got == case["keep"], f"{case['name']}: {got} != {case['keep']}"

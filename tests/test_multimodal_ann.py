@@ -414,3 +414,22 @@ def test_ivf_with_kmeans_centroids(emb):
     r_trained, r_naive = _recall(trained, exact), _recall(naive, exact)
     assert r_trained >= 0.6
     assert r_trained >= r_naive - 0.05  # never meaningfully worse
+
+
+def test_kmeans_rejects_zero_iters(spark):
+    """iters=0 has no assignment to return — explicit ValueError, not
+    an AttributeError crash deep in the plan builder."""
+    import pytest as _pytest
+
+    from lakerunner_spark.dataops.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_assign(df, n_clusters=2, iters=0)
+    with _pytest.raises(ValueError, match="iters"):
+        kmeans_centroids(df, n_clusters=2, iters=0)

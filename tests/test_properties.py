@@ -353,8 +353,9 @@ def test_ip_pattern_single_address_bounds(n):
     from lakerunner_spark.logql.stages import ip_pattern_bounds
 
     addr = ".".join(str((n >> s) & 0xFF) for s in (24, 16, 8, 0))
-    lo, hi = ip_pattern_bounds(addr)
-    assert lo == hi == n
+    fam, lo, hi = ip_pattern_bounds(addr)
+    assert fam == "v4"
+    assert int(lo) == int(hi) == n
 
 
 @given(st.integers(min_value=0, max_value=2**32 - 1),
@@ -365,6 +366,36 @@ def test_ip_pattern_cidr_contains_network(n, bits):
     from lakerunner_spark.logql.stages import ip_pattern_bounds
 
     addr = ".".join(str((n >> s) & 0xFF) for s in (24, 16, 8, 0))
-    lo, hi = ip_pattern_bounds(f"{addr}/{bits}")
-    assert hi - lo + 1 == 2 ** (32 - bits)
-    assert lo <= n <= hi
+    fam, lo, hi = ip_pattern_bounds(f"{addr}/{bits}")
+    assert fam == "v4"
+    assert int(hi) - int(lo) + 1 == 2 ** (32 - bits)
+    assert int(lo) <= n <= int(hi)
+
+
+@given(st.integers(min_value=0, max_value=2**128 - 1))
+def test_ip_pattern_ipv6_single_address_bounds(n):
+    """A single-address IPv6 pattern round-trips through the 32-hex
+    bound encoding (lexicographic == numeric order by construction)."""
+    import ipaddress
+
+    from lakerunner_spark.logql.stages import ip_pattern_bounds
+
+    addr = str(ipaddress.IPv6Address(n))
+    fam, lo, hi = ip_pattern_bounds(addr)
+    assert fam == "v6"
+    assert lo == hi == format(n, "032x")
+
+
+@given(st.integers(min_value=0, max_value=2**128 - 1),
+       st.integers(min_value=0, max_value=128))
+def test_ip_pattern_ipv6_cidr_contains_network(n, bits):
+    """IPv6 CIDR bounds bracket the address and span 2^(128-bits)."""
+    import ipaddress
+
+    from lakerunner_spark.logql.stages import ip_pattern_bounds
+
+    addr = str(ipaddress.IPv6Address(n))
+    fam, lo, hi = ip_pattern_bounds(f"{addr}/{bits}")
+    assert fam == "v6"
+    assert int(hi, 16) - int(lo, 16) + 1 == 2 ** (128 - bits)
+    assert int(lo, 16) <= n <= int(hi, 16)

@@ -108,6 +108,47 @@ def test_topk_two_phase_identical(spark):
         rows, "bucket_ts LONG, series STRING, value DOUBLE"
     ).repartition(16)
     for fn in (topk, bottomk):
-        one = {(r.bucket_ts, r.series) for r in fn(df, 7).collect()}
+        one = {(r.bucket_ts, r.series) for r in fn(df, 7, two_phase=False).collect()}
         two = {(r.bucket_ts, r.series) for r in fn(df, 7, two_phase=True).collect()}
         assert one == two and len(one) == 35
+
+
+def test_topk_auto_routes_by_cardinality(spark):
+    """The phase router (two_phase=None default): per-bucket series
+    count >= threshold flips the plan to two-phase automatically —
+    visible as the spark_partition_id local-rank stage — while
+    low-cardinality inputs keep the single-window plan byte-identical
+    to two_phase=False. Results are identical either way."""
+    import random
+
+    from lakerunner_spark.operators.vector_agg import topk
+
+    rng = random.Random(7)
+    rows = [
+        (b * 1000, f"s{i}", rng.random() * 100)
+        for b in range(3)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_ts LONG, series STRING, value DOUBLE"
+    ).repartition(8)
+
+    def plan(d):
+        import re
+
+        # strip expression/plan ids — allocation order differs per call
+        s = d._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"plan_id=\d+", "plan_id=", re.sub(r"#\d+", "#", s))
+
+    # high cardinality relative to the threshold -> auto flips to
+    # two-phase (threshold lowered so the fixture stays test-sized;
+    # the ratio is what the router sees)
+    auto_hi = topk(df, 5, two_phase_threshold=100)
+    assert "SPARK_PARTITION_ID" in plan(auto_hi).upper()
+    # below threshold -> single phase, same plan as the explicit flag
+    auto_lo = topk(df, 5)  # default threshold: 500 << 1M
+    assert "SPARK_PARTITION_ID" not in plan(auto_lo).upper()
+    assert plan(auto_lo) == plan(topk(df, 5, two_phase=False))
+    # identical rows from all three
+    expected = {(r.bucket_ts, r.series) for r in auto_lo.collect()}
+    assert {(r.bucket_ts, r.series) for r in auto_hi.collect()} == expected

@@ -55,3 +55,29 @@ def test_storage_is_sublinear_vs_shingles(spark):
     n_grams = 100 - K + 1
     # winnowing keeps roughly 2/(w+1) of gram hashes; assert well under
     assert len(fps[1]) < n_grams / 2
+
+
+def test_substring_dedup_reliable_checkpoint(spark, tmp_path):
+    """substring_dedup_pairs(checkpoint_dir=...) — the cluster-reliable
+    materialization mode (same contract as connected_components) —
+    returns exactly the rows the default localCheckpoint path does."""
+    from lakerunner_spark.dataops.dedup import substring_dedup_pairs
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, text),
+        (2, text + " extra trailing words here"),
+        (3, "completely different content " + " ".join(f"z{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base = {
+        tuple(r) for r in substring_dedup_pairs(docs, k=5, w=4).collect()
+    }
+    ckpt = {
+        tuple(r)
+        for r in substring_dedup_pairs(
+            docs, k=5, w=4, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert base == ckpt
+    assert any(a == 1 and b == 2 for a, b, _ in base)
