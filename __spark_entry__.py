@@ -114,6 +114,9 @@ _PRIORITY = [
     "sp4_span_duration_rate",
     "lqs21_ipv6_filter",
     "lqs22_logfmt_error",
+    "lqs23_or_line_filter",
+    "lqs24_label_filter_or",
+    "sp6_span_edges",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

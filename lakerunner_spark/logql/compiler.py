@@ -34,6 +34,7 @@ from lakerunner_spark.logql.parser import (
     LabelReplaceStage,
     KeepStage,
     LabelFilter,
+    LabelFilterOr,
     LabelFormatStage,
     LabelMatcher,
     LineFilter,
@@ -93,7 +94,9 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
     # references it: the json stage emits __error__ per line, and a
     # filter on __error__ with no parser upstream sees the empty string
     wants_error = any(
-        isinstance(s_, LabelFilter) and s_.label == "__error__"
+        (isinstance(s_, LabelFilter) and s_.label == "__error__")
+        or (isinstance(s_, LabelFilterOr)
+            and any(term.label == "__error__" for term in s_.terms))
         for s_ in leaf.stages
     )
     for m in leaf.matchers:
@@ -133,7 +136,12 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
                 extracted.append(stage.dst)
             continue
         if isinstance(stage, LineFilter):
-            if stage.is_ip:
+            if stage.ors:
+                head = ("ip" if stage.is_ip else "str", stage.needle)
+                df = st.line_filter_or(
+                    df, stage.op, head, stage.ors, line_col=src.line_col
+                )
+            elif stage.is_ip:
                 df = st.ip_line_filter(
                     df, stage.needle, negate=(stage.op == "!="),
                     line_col=src.line_col,
@@ -163,6 +171,17 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
         elif isinstance(stage, RegexpStage):
             df = st.regexp_parser(df, stage.pattern, stage.groups, line_col=src.line_col)
             extracted += [c for c in stage.groups if c not in extracted]
+        elif isinstance(stage, LabelFilterOr):
+            for term in stage.terms:
+                if term.label not in df.columns:
+                    # same absent-label rule as the single-predicate
+                    # branch below: compare against the empty value
+                    df = df.withColumn(term.label, F.lit(""))
+            df = st.label_filter_or(
+                df,
+                [(term.label, term.op, term.value, term.conv)
+                 for term in stage.terms],
+            )
         elif isinstance(stage, LabelFilter):
             if stage.label not in df.columns:
                 # __error__: no error-emitting parser ran (json and

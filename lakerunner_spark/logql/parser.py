@@ -43,9 +43,14 @@ class LineFilter:
     op: str  # |= != |~ !~ |> !>
     needle: str
     # True for `|= ip("...")` / `!= ip("...")`: needle is the ip()
-    # pattern and the line matches when ANY IPv4 it contains is inside
-    # the cidr/range/single-address pattern
+    # pattern and the line matches when ANY address it contains is
+    # inside the cidr/range/single-address pattern
     is_ip: bool = False
+    # Loki `or` chains (`|= "a" or "b" or ip("...")`): extra terms
+    # OR-composed with the head needle under the head's op class;
+    # negated ops negate the whole disjunction (Loki semantics).
+    # Each entry is ("ip"|"str", value).
+    ors: list = field(default_factory=list)
 
 
 @dataclass
@@ -74,6 +79,15 @@ class LabelFilter:
     # filters); "ip": value is an ip()-matcher pattern (cidr/range/
     # single) tested against the label value
     conv: str = ""
+
+
+@dataclass
+class LabelFilterOr:
+    """Loki label-filter disjunction: ``| dur >= 20ms or size == 20kb``
+    — the row passes when ANY predicate holds (each predicate carries
+    its own op, including negations)."""
+
+    terms: list  # list[LabelFilter]
 
 
 @dataclass
@@ -320,6 +334,32 @@ class _Parser:
         self.expect(")")
         return labels
 
+    def _parse_or_terms(self, lf: LineFilter) -> None:
+        """Loki `or` chains after a line filter: `|= "a" or "b" or
+        ip("...")` — extra terms join the head filter's disjunction
+        (negated ops negate the whole disjunction)."""
+        while self.peek().kind == "ID" and self.peek().text == "or":
+            self.next()
+            t = self.next()
+            if t.kind == "ID" and t.text == "ip" and self.peek().text == "(":
+                if lf.op not in ("|=", "!="):
+                    raise ValueError(
+                        "logql: ip() line filter supports |= and != only"
+                    )
+                self.next()
+                pat = self.next()
+                if pat.kind != "STR":
+                    raise ValueError("logql: ip() takes a quoted pattern")
+                self.expect(")")
+                lf.ors.append(("ip", _unquote(pat.text)))
+            elif t.kind == "STR":
+                lf.ors.append(("str", _unquote(t.text)))
+            else:
+                raise ValueError(
+                    "logql: line filter `or` needs a string or ip(), "
+                    f"got {t.text!r}"
+                )
+
     def _parse_leaf(self) -> LogLeaf:
         leaf = LogLeaf()
         self.expect("{")
@@ -357,16 +397,18 @@ class _Parser:
                     if pat.kind != "STR":
                         raise ValueError("logql: ip() takes a quoted pattern")
                     self.expect(")")
-                    leaf.stages.append(
-                        LineFilter("|=", _unquote(pat.text), is_ip=True)
-                    )
+                    lf = LineFilter("|=", _unquote(pat.text), is_ip=True)
+                    leaf.stages.append(lf)
+                    self._parse_or_terms(lf)
                     continue
                 if needle.kind != "STR":
                     raise ValueError(
                         f"logql: line filter {t.text} needs a string, "
                         f"got {needle.text!r}"
                     )
-                leaf.stages.append(LineFilter(t.text, _unquote(needle.text)))
+                lf = LineFilter(t.text, _unquote(needle.text))
+                leaf.stages.append(lf)
+                self._parse_or_terms(lf)
             elif t.text in ("!=", "!~") and (
                 self.toks[self.i + 1].kind == "STR"
                 or (
@@ -384,13 +426,13 @@ class _Parser:
                     if pat.kind != "STR":
                         raise ValueError("logql: ip() takes a quoted pattern")
                     self.expect(")")
-                    leaf.stages.append(
-                        LineFilter("!=", _unquote(pat.text), is_ip=True)
-                    )
+                    lf = LineFilter("!=", _unquote(pat.text), is_ip=True)
+                    leaf.stages.append(lf)
+                    self._parse_or_terms(lf)
                 else:
-                    leaf.stages.append(
-                        LineFilter(t.text, _unquote(needle.text))
-                    )
+                    lf = LineFilter(t.text, _unquote(needle.text))
+                    leaf.stages.append(lf)
+                    self._parse_or_terms(lf)
             elif t.text == "|":
                 self.next()
                 self._parse_pipe_stage(leaf)
@@ -538,47 +580,84 @@ class _Parser:
             else:
                 leaf.unwrap = Unwrap(nxt.text, "")
             return
-        # label filter: | k <op> value
+        # label filter stage: one predicate, an `or` disjunction, or an
+        # `and`/`,` conjunction (Loki label filter expressions; mixing
+        # and/or in one stage is rejected — write conjunctions as
+        # separate `|` stages)
         if t.kind == "ID":
-            op = self.next().text
-            if op not in ("=", "==", "!=", "=~", "!~", ">", ">=", "<", "<="):
-                raise ValueError(f"logql: bad label filter op {op!r}")
-            v = self.next()
-            if v.kind == "ID" and v.text == "ip" and self.peek().text == "(":
-                if op not in ("=", "!="):
+            first = self._label_predicate(t.text)
+            is_or = self.peek().kind == "ID" and self.peek().text == "or"
+            if is_or:
+                terms = [first]
+                while self.peek().kind == "ID" and self.peek().text == "or":
+                    self.next()
+                    nt = self.next()
+                    if nt.kind != "ID":
+                        raise ValueError(
+                            "logql: label filter `or` needs a predicate"
+                        )
+                    terms.append(self._label_predicate(nt.text))
+                if self._peek_is_and():
                     raise ValueError(
-                        "logql: ip() label matcher supports = and != only"
+                        "logql: mixed and/or in one label filter stage — "
+                        "write the conjunction as separate `|` stages"
                     )
+                leaf.stages.append(LabelFilterOr(terms))
+                return
+            leaf.stages.append(first)
+            while self._peek_is_and():
                 self.next()
-                pat = self.next()
-                if pat.kind != "STR":
-                    raise ValueError("logql: ip() takes a quoted pattern")
-                self.expect(")")
-                leaf.stages.append(
-                    LabelFilter(t.text, op, _unquote(pat.text), conv="ip")
-                )
-            elif v.kind == "STR":
-                leaf.stages.append(LabelFilter(t.text, op, _unquote(v.text)))
-            elif v.kind == "NUM":
-                leaf.stages.append(LabelFilter(t.text, op, float(v.text)))
-            elif v.kind == "DUR":
-                from lakerunner_spark.promql.parser import parse_duration_s
-
-                leaf.stages.append(
-                    LabelFilter(
-                        t.text, op, parse_duration_s(v.text), conv="duration"
+                nt = self.next()
+                if nt.kind != "ID":
+                    raise ValueError(
+                        "logql: label filter `and` needs a predicate"
                     )
-                )
-            elif v.kind == "BYTES":
-                from lakerunner_spark.promql.parser import parse_bytes
-
-                leaf.stages.append(
-                    LabelFilter(t.text, op, parse_bytes(v.text), conv="bytes")
-                )
-            else:
-                raise ValueError(f"logql: bad label filter value {v.text!r}")
+                # conjunction == sequential filters
+                leaf.stages.append(self._label_predicate(nt.text))
+                if self.peek().kind == "ID" and self.peek().text == "or":
+                    raise ValueError(
+                        "logql: mixed and/or in one label filter stage — "
+                        "write the conjunction as separate `|` stages"
+                    )
             return
         raise ValueError(f"logql: unsupported stage {t.text!r}")
+
+    def _peek_is_and(self) -> bool:
+        return self.peek().text == "," or (
+            self.peek().kind == "ID" and self.peek().text == "and"
+        )
+
+    def _label_predicate(self, name: str) -> LabelFilter:
+        """One ``k <op> value`` label-filter predicate (value may be a
+        string, number, duration/bytes literal, or ip() pattern)."""
+        op = self.next().text
+        if op not in ("=", "==", "!=", "=~", "!~", ">", ">=", "<", "<="):
+            raise ValueError(f"logql: bad label filter op {op!r}")
+        v = self.next()
+        if v.kind == "ID" and v.text == "ip" and self.peek().text == "(":
+            if op not in ("=", "!="):
+                raise ValueError(
+                    "logql: ip() label matcher supports = and != only"
+                )
+            self.next()
+            pat = self.next()
+            if pat.kind != "STR":
+                raise ValueError("logql: ip() takes a quoted pattern")
+            self.expect(")")
+            return LabelFilter(name, op, _unquote(pat.text), conv="ip")
+        if v.kind == "STR":
+            return LabelFilter(name, op, _unquote(v.text))
+        if v.kind == "NUM":
+            return LabelFilter(name, op, float(v.text))
+        if v.kind == "DUR":
+            from lakerunner_spark.promql.parser import parse_duration_s
+
+            return LabelFilter(name, op, parse_duration_s(v.text), conv="duration")
+        if v.kind == "BYTES":
+            from lakerunner_spark.promql.parser import parse_bytes
+
+            return LabelFilter(name, op, parse_bytes(v.text), conv="bytes")
+        raise ValueError(f"logql: bad label filter value {v.text!r}")
 
 
 def parse_logql(query: str):

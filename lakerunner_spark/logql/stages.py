@@ -58,28 +58,21 @@ def label_matcher(df: DataFrame, label: str, op: str, value: str) -> DataFrame:
 
 def numeric_label_filter(df: DataFrame, label: str, op: str, value: float) -> DataFrame:
     """P5: ``try_cast(label AS DOUBLE) <op> n`` (sql_builder.go:572-580)."""
-    c = F.col(label).try_cast("double")
-    ops = {">": c > value, ">=": c >= value, "<": c < value, "<=": c <= value,
-           "==": c == value, "!=": c != value}
-    if op not in ops:
-        raise ValueError(f"unsupported numeric filter op: {op}")
-    return df.filter(ops[op])
+    return df.filter(label_filter_expr(label, op, float(value)))
 
 
-def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_message") -> DataFrame:
-    """P6: line filters ``|= != |~ !~`` on the message body. Regex
-    needles are RE2 — group names stripped for Java execution."""
+def line_match_expr(op: str, needle: str, line_col: str = "log_message"):
+    """POSITIVE match Column for one line-filter term — the op's
+    pattern class with negation stripped (the caller applies negation
+    once, after any `or` disjunction is composed — Loki negates the
+    whole chain)."""
     from lakerunner_spark.functions.regexops import java_pattern
 
     c = F.col(line_col)
-    if op == "|=":
-        return df.filter(c.contains(needle))
-    if op == "!=":
-        return df.filter(~c.contains(needle))
-    if op == "|~":
-        return df.filter(c.rlike(java_pattern(needle)))
-    if op == "!~":
-        return df.filter(~c.rlike(java_pattern(needle)))
+    if op in ("|=", "!="):
+        return c.contains(needle)
+    if op in ("|~", "!~"):
+        return c.rlike(java_pattern(needle))
     if op in ("|>", "!>"):
         # pattern line filters (Loki 3.x): the reference maps
         # LineMatchPattern/LineMatchNotPattern onto regex line filters
@@ -87,8 +80,37 @@ def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_messag
         # same translation as the ``| pattern`` parser stage, with all
         # captures demoted to wildcards
         pattern, _ = pattern_to_regex(needle, as_filter=True)
-        return df.filter(c.rlike(pattern) if op == "|>" else ~c.rlike(pattern))
+        return c.rlike(pattern)
     raise ValueError(f"unsupported line filter op: {op}")
+
+
+def line_filter(df: DataFrame, op: str, needle: str, line_col: str = "log_message") -> DataFrame:
+    """P6: line filters ``|= != |~ !~ |> !>`` on the message body.
+    Regex needles are RE2 — group names stripped for Java execution."""
+    m = line_match_expr(op, needle, line_col)
+    return df.filter(~m if op in ("!=", "!~", "!>") else m)
+
+
+def line_filter_or(
+    df: DataFrame,
+    op: str,
+    head,  # ("ip"|"str", value) — the chain's first term
+    ors: "list[tuple[str, str]]",
+    line_col: str = "log_message",
+) -> DataFrame:
+    """Loki `or` chains: ``|= "a" or "b" or ip("...")`` keeps lines
+    matching ANY term; negated ops (``!= "a" or "b"``) negate the
+    WHOLE disjunction — lines matching none of the terms (Loki 3.x
+    semantics). Terms may mix strings and ip() patterns."""
+    m = None
+    for kind, value in [head] + list(ors):
+        term = (
+            ip_line_match_expr(value, line_col)
+            if kind == "ip"
+            else line_match_expr(op, value, line_col)
+        )
+        m = term if m is None else (m | term)
+    return df.filter(~m if op in ("!=", "!~", "!>") else m)
 
 
 def json_parser(df: DataFrame, keys: dict[str, str], line_col: str = "log_message") -> DataFrame:
@@ -484,14 +506,11 @@ def _ipv6_hex_sql(expr: str) -> str:
     return f"concat_ws('', transform({full}, g -> lpad(g, 4, '0')))"
 
 
-def ip_line_filter(
-    df: DataFrame, pattern: str, negate: bool = False,
-    line_col: str = "log_message",
-) -> DataFrame:
-    """``|= ip("...")`` / ``!= ip("...")``: the line matches when ANY
-    address it contains falls inside the pattern (same family). Pure
-    expression plan: regexp_extract_all pulls candidate tokens —
-    boundary lookarounds reject addresses embedded in longer
+def ip_line_match_expr(pattern: str, line_col: str = "log_message"):
+    """POSITIVE match Column for ``ip("...")`` on the line body: true
+    when ANY address the line contains falls inside the pattern (same
+    family). Pure expression plan: regexp_extract_all pulls candidate
+    tokens — boundary lookarounds reject addresses embedded in longer
     dotted-digit / hex runs ('1.2.3.4567', 'v1.2.3.45-build7') — and
     an `exists` lambda does the range test. No UDF."""
     fam, lo, hi = ip_pattern_bounds(pattern)
@@ -516,6 +535,16 @@ def ip_line_filter(
             f"'{_sql_re(IPV6_CAND_RE)}', 1), "
             f"x -> {valid} AND {hexv} BETWEEN '{lo}' AND '{hi}')"
         )
+    return match
+
+
+def ip_line_filter(
+    df: DataFrame, pattern: str, negate: bool = False,
+    line_col: str = "log_message",
+) -> DataFrame:
+    """``|= ip("...")`` / ``!= ip("...")`` — see
+    :func:`ip_line_match_expr` for the plan shape."""
+    match = ip_line_match_expr(pattern, line_col)
     return df.filter(~match if negate else match)
 
 
@@ -525,22 +554,67 @@ def ip_label_filter(
     """``| addr = ip("...")`` / ``!=``: the label value must be exactly
     one address of the pattern's family inside (=) / outside or non-IP
     (!=) the pattern."""
-    fam, lo, hi = ip_pattern_bounds(pattern)
-    if fam == "v4":
-        is_ip = F.col(label).rlike(f"^{IPV4_RE}$")
-        num = F.expr(_ipv4_num_sql(label))
-        match = is_ip & num.between(int(lo), int(hi))
-    else:
-        match = (
-            F.col(label).contains(":")
-            & F.expr(_ipv6_valid_sql(label))
-            & F.expr(_ipv6_hex_sql(label)).between(lo, hi)
+    return df.filter(label_filter_expr(label, op, pattern, "ip"))
+
+
+def label_filter_expr(label: str, op: str, value, conv: str = ""):
+    """Full predicate Column for one label-filter term — negation
+    included, NULL-safe (absent / unparseable label values never
+    satisfy a positive comparison; string ops see absent as the empty
+    string, matching Prometheus/Loki). This is the unit the `or`
+    disjunction stage composes; the single-predicate df.filter
+    functions delegate here so both paths share one semantics."""
+    if conv == "ip":
+        fam, lo, hi = ip_pattern_bounds(value)
+        if fam == "v4":
+            is_ip = F.col(label).rlike(f"^{IPV4_RE}$")
+            num = F.expr(_ipv4_num_sql(label))
+            match = is_ip & num.between(int(lo), int(hi))
+        else:
+            match = (
+                F.col(label).contains(":")
+                & F.expr(_ipv6_valid_sql(label))
+                & F.expr(_ipv6_hex_sql(label)).between(lo, hi)
+            )
+        m = F.coalesce(match, F.lit(False))
+        if op == "=":
+            return m
+        if op == "!=":
+            return ~m
+        raise ValueError("logql: ip() label matcher supports = and != only")
+    if conv in ("duration", "bytes"):
+        from lakerunner_spark.functions.unwrap import (
+            bytes_to_bytes,
+            duration_to_seconds,
         )
-    if op == "=":
-        return df.filter(F.coalesce(match, F.lit(False)))
-    if op == "!=":
-        return df.filter(~F.coalesce(match, F.lit(False)))
-    raise ValueError(f"logql: ip() label matcher supports = and != only")
+
+        c = (
+            duration_to_seconds(F.col(label))
+            if conv == "duration"
+            else bytes_to_bytes(F.col(label))
+        )
+    elif isinstance(value, float):
+        c = F.col(label).try_cast("double")
+    else:
+        # string matcher semantics (anchored regexes, absent == "")
+        from lakerunner_spark.functions.regexops import java_pattern
+
+        s = F.coalesce(F.col(label).cast("string"), F.lit(""))
+        if op == "=":
+            return s == value
+        if op == "!=":
+            return s != value
+        if op == "=~":
+            return s.rlike(java_pattern(f"\\A(?:{value})\\z"))
+        if op == "!~":
+            return ~s.rlike(java_pattern(f"\\A(?:{value})\\z"))
+        raise ValueError(f"unsupported string label filter op: {op}")
+    op = "==" if op == "=" else op
+    ops = {">": c > value, ">=": c >= value, "<": c < value, "<=": c <= value,
+           "==": c == value, "!=": c != value}
+    if op not in ops:
+        raise ValueError(f"unsupported {conv or 'numeric'} filter op: {op}")
+    return F.coalesce(ops[op], F.lit(False))
 
 
 def converted_label_filter(
@@ -550,21 +624,20 @@ def converted_label_filter(
     ``| size >= 1kb``): the LABEL value is unit-parsed (the same
     conversion tables unwrap uses) and compared in seconds/bytes.
     Unparseable labels convert to NULL and never match — fail-safe."""
-    from lakerunner_spark.functions.unwrap import (
-        bytes_to_bytes,
-        duration_to_seconds,
-    )
+    return df.filter(label_filter_expr(label, op, value, conv))
 
-    c = (
-        duration_to_seconds(F.col(label))
-        if conv == "duration"
-        else bytes_to_bytes(F.col(label))
-    )
-    ops = {">": c > value, ">=": c >= value, "<": c < value, "<=": c <= value,
-           "==": c == value, "!=": c != value}
-    if op not in ops:
-        raise ValueError(f"unsupported {conv} filter op: {op}")
-    return df.filter(ops[op])
+
+def label_filter_or(
+    df: DataFrame, terms: "list[tuple[str, str, object, str]]"
+) -> DataFrame:
+    """Loki label-filter disjunction (``| dur >= 20ms or size ==
+    20kb``): the row passes when ANY (label, op, value, conv)
+    predicate holds — each predicate carries its own negation."""
+    m = None
+    for label, op, value, conv in terms:
+        e = label_filter_expr(label, op, value, conv)
+        m = e if m is None else (m | e)
+    return df.filter(m)
 
 
 def json_error_label(

@@ -1941,3 +1941,77 @@ def lqs22_logfmt_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{event_type="error"} | logfmt | __error__ != ""', src
     ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_broken"))
     return clean.join(F.broadcast(broken), "event_type")
+
+
+@register(
+    "lqs23_or_line_filter",
+    f"""
+    SELECT CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN event_type NOT IN ('click', 'purchase')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rest
+    FROM {_E} e
+    """,
+)
+def lqs23_or_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki 3.x `or` chains in line filters (extension; the reference
+    compiles single-needle filters only): ``|= "a" or "b"`` keeps
+    lines matching ANY term, and a negated head op negates the WHOLE
+    disjunction (``!= "a" or "b"`` keeps lines matching neither) —
+    terms may mix strings and ip() patterns. The oracle states both
+    sides of the partition as IN / NOT IN arithmetic."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(F.lit("evt="), F.col("event_type"),
+                 F.lit(" uid="), F.col("user_id").cast("string")),
+    )
+    src = LogSource(ev, ["event_type"])
+    match = compile_logql_lines(
+        '{event_type=~".+"} |= "evt=click " or "evt=purchase "', src
+    ).agg(F.count(F.lit(1)).alias("n_match"))
+    rest = compile_logql_lines(
+        '{event_type=~".+"} != "evt=click " or "evt=purchase "', src
+    ).agg(F.count(F.lit(1)).alias("n_rest"))
+    return match.crossJoin(F.broadcast(rest))
+
+
+@register(
+    "lqs24_label_filter_or",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM {_E} e
+    WHERE event_type = 'view'
+      AND (value / 1000.0 >= 0.2 OR value * 1000.0 < 20000.0
+           OR user_id = 0)
+    GROUP BY event_type
+    """,
+)
+def lqs24_label_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loki label-filter expressions (extension past the reference's
+    single-predicate filters): ``| p or q or r`` passes rows where ANY
+    predicate holds, mixing conversion classes (duration literal,
+    bytes literal, numeric) in one disjunction; ``and``/``,`` chains
+    compile to sequential filters. The synthetic logfmt line carries
+    value-derived duration/size labels and user_id, so the oracle
+    states the disjunction as raw arithmetic."""
+    from lakerunner_spark.logql.compiler import LogSource, compile_logql_lines
+    from lakerunner_spark.testdata import events_stream
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "log_message",
+        F.concat(
+            F.lit("lat="), F.col("value").cast("string"), F.lit("ms"),
+            F.lit(" sz="), F.col("value").cast("string"), F.lit("kb"),
+            F.lit(" uid="), F.col("user_id").cast("string"),
+        ),
+    )
+    src = LogSource(ev, ["event_type"])
+    df = compile_logql_lines(
+        '{event_type="view"} | logfmt'
+        ' | lat >= 200ms or sz < 20kb or uid == 0',
+        src,
+    )
+    return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

@@ -358,3 +358,62 @@ def sp5_trace_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_trace_id", "root_name", "root_ns",
         "n_spans", "max_depth", "critical_path_ns",
     )
+
+
+@register(
+    "sp6_span_edges",
+    f"""
+    WITH s AS (
+      SELECT span_trace_id, span_name, span_duration,
+             row_number() OVER (PARTITION BY span_trace_id
+                                ORDER BY chq_timestamp, span_id) AS rank
+      FROM ({_TRACED_SPANS_SQL})
+    )
+    SELECT p.span_name AS parent_name, c.span_name AS child_name,
+           CAST(count(*) AS BIGINT) AS n_calls,
+           CAST(sum(c.span_duration) AS BIGINT) AS child_ns,
+           pround(avg(c.span_duration), 4) AS avg_child_ns
+    FROM s c JOIN s p
+      ON c.span_trace_id = p.span_trace_id AND c.rank // 2 = p.rank
+    WHERE c.rank > 1
+    GROUP BY 1, 2
+    """,
+)
+def sp6_span_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-graph edges: one parent->child self-join over the span
+    hierarchy (the aggregation a tracing UI's dependency graph is built
+    from — call counts and child-latency stats per (parent, child)
+    operation pair). Complements sp5's full-tree rollup with the
+    single-hop shape: no recursion, one self-join on the trace key the
+    span table is already partitioned by, then a count/sum/avg
+    aggregate over the (tiny) name-pair space. At 100 TB the join is
+    an SMJ sharing the table's trace-id layout; the aggregate's
+    partial pair collapses per-executor before the one small shuffle."""
+    from pyspark.sql import Window
+
+    s = _traced_spans(spark, sf_dir)
+    w = Window.partitionBy("span_trace_id").orderBy("chq_timestamp", "span_id")
+    ranked = s.select(
+        "span_trace_id", "span_name", "span_duration",
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("parent_rank", F.expr("rank DIV 2"))
+    child = ranked.filter(F.col("rank") > 1).select(
+        "span_trace_id",
+        F.col("span_name").alias("child_name"),
+        F.col("span_duration").alias("child_dur"),
+        "parent_rank",
+    )
+    parent = ranked.select(
+        "span_trace_id",
+        F.col("span_name").alias("parent_name"),
+        F.col("rank").alias("parent_rank"),
+    )
+    return (
+        child.join(parent, ["span_trace_id", "parent_rank"])
+        .groupBy("parent_name", "child_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("child_dur").alias("child_ns"),
+            _pr(F.avg("child_dur"), 4).alias("avg_child_ns"),
+        )
+    )

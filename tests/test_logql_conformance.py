@@ -97,6 +97,49 @@ LINE_CASES = [
         q='{app="api"} | logfmt | line_format "{{.level}}" |= "error"',
         keep=[1],
     ),
+    dict(
+        # Loki 3.x `or` chains: any term matches
+        name="or_chain_contains",
+        q='{app="api"} |= "POST" or "500"',
+        keep=[1, 2],
+    ),
+    dict(
+        # negation applies to the WHOLE disjunction: neither term
+        name="or_chain_negated",
+        q='{app="api"} != "GET" or "POST"',
+        keep=[],
+    ),
+    dict(
+        name="or_chain_regex",
+        q='{app="api"} |~ "20[01]" or "50." or "XYZ"',
+        keep=[0, 1, 2],
+    ),
+    # label-filter combinators (Loki label filter expressions)
+    dict(
+        name="label_or",
+        q='{app=~".+"} | logfmt | level = "error" or level = "warn"',
+        keep=[1, 3],
+    ),
+    dict(
+        name="label_or_mixed_conversions",
+        q='{app=~".+"} | logfmt | dur >= 1s or bytes > 1500',
+        keep=[1, 2],
+    ),
+    dict(
+        name="label_and",
+        q='{app="api"} | logfmt | level = "info" and dur <= 100ms',
+        keep=[2],
+    ),
+    dict(
+        name="label_comma_is_and",
+        q='{app="api"} | logfmt | level = "info", bytes > 1500',
+        keep=[2],
+    ),
+    dict(
+        name="label_mixed_and_or_rejected",
+        q='{app="api"} | logfmt | level = "info" or level = "warn" and dur <= 100ms',
+        error=True,
+    ),
 ]
 
 
@@ -268,6 +311,19 @@ IP_LINE_CASES = [
         name="logfmt_error_empty_keeps_clean",
         q='{app="net"} | logfmt | __error__ = ""',
         keep=[0, 1, 2, 3, 4, 5, 6, 7],
+    ),
+    dict(
+        # `or` chain mixing a string term with an ip() term
+        name="or_chain_string_and_ip",
+        q='{app="net"} |= ip("10.1.2.250") or "release"',
+        keep=[1, 2],
+    ),
+    dict(
+        # ts6's ::ffff:10.1.2.3 is v6-FAMILY (v4-mapped), so neither
+        # the v4 nor the (non-mapped-range) v6 pattern matches it
+        name="or_chain_two_ips_negated",
+        q='{app="net"} != ip("10.0.0.0/8") or ip("2001:db8::/32")',
+        keep=[2, 3, 6, 7, 8],
     ),
 ]
 

@@ -46,6 +46,7 @@ NLJ_ALLOWED = {
     "pqs26_histogram_quantile_buckets",  # broadcast 4-row le-bounds literal
     "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
+    "lqs23_or_line_filter",          # 1-row x 1-row count crossJoin
 }
 
 

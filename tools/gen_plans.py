@@ -100,6 +100,26 @@ COMMENT = {
         "production this table is persisted like the trigram index). The "
         "join shuffles on fingerprint at ~1/w of shingle volume."
     ),
+    "a8_topk": (
+        "Per-bucket top-k: Spark plans the rank window as a "
+        "WindowGroupLimit Partial/Final pair — a map-side top-k "
+        "pre-filter before the exchange, so the per-bucket window task "
+        "receives at most k rows per upstream partition, not every "
+        "series. On top of that the engine's phase router "
+        "(operators/vector_agg.py) probes one bucket's series count at "
+        "plan time and switches to an explicit two-phase local-rank plan "
+        "above 1M series/bucket, where even the WindowGroupLimit-fed "
+        "single task would straggle."
+    ),
+    "sp5_trace_rollup": (
+        "Trace-tree rollup: the BFS unrolls one join per heap level, "
+        "each statically pruned to ranks [2^i, 2^(i+1)) — every span "
+        "row participates in exactly one join — and every join/window "
+        "keys on span_trace_id, the column the span table is already "
+        "laid out by, so at 100 TB all rounds reuse one partitioning. "
+        "Round count comes from a one-row max-rank probe, not a "
+        "driver-side loop over data."
+    ),
     "tpch_q21_waiting_supplier": (
         "Decorrelated EXISTS/NOT EXISTS: lineitem is scanned once per "
         "role, each pruned to 2 columns at the scan (ReadSchema), with "
@@ -126,11 +146,24 @@ def main() -> None:
         "",
         "## Scale step: sf1 (10× rows, tools/make_sf1.py)",
         "",
-        "`bench.py` re-runs the 10 heaviest queries at sf1 (deterministic",
+        "`bench.py` re-runs the heaviest queries at sf1 (deterministic",
         "key-shifted ×10 replication of sf0.1; document replicas word-perturbed",
         "so cross-replica shingle sets are disjoint) and reports them under",
-        "`sf1_queries` in the JSON line. Measured growth is ≤9× for every query",
-        "at 10× data in clean runs (several sub-2× — fixed-overhead dominated at this size).",
+        "`sf1_queries` in the JSON line — since r5 each bench section runs in",
+        "a FRESH subprocess with an untimed per-query warmup, so recorded",
+        "growth is measurement, not leftover-JVM noise. Measured growth is",
+        "≤9× for every query at 10× data (several sub-2× — fixed-overhead",
+        "dominated at this size).",
+        "",
+        "r5 extends the sf1 section to the telemetry plane: a9_rate 1.2×,",
+        "lqs1_log_rate ~1.3×, a13_aggfile_route 1.1×, a8_topk 1.2× at 10×",
+        "rows — the PromQL/LogQL leaf shape (one HashAggregate pair to",
+        "series resolution, then windows over aggregated rows) absorbs a",
+        "10× denser fleet almost entirely in the map-side partial, and the",
+        "agg-file route's cost tracks the 10s side table, not raw events.",
+        "Plan shapes for all four are IDENTICAL at both sizes (verified",
+        "post-execution executedPlan — no broadcast flips, no new",
+        "exchanges).",
         "",
         "Plan shapes under AQE at sf1, vs sf0.1 (post-execution `executedPlan`):",
         "",
