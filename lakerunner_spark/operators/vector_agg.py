@@ -34,11 +34,26 @@ def _var_pop(c):
     )
 
 
+def _nan_skipping(agg):
+    """Prometheus min/max semantics: NaN entries are ignored unless the
+    group is ALL-NaN (the upstream loop replaces a NaN accumulator with
+    any value: `if h.value < v || math.IsNaN(h.value)`). Spark's native
+    max treats NaN as greater than every number, so an unguarded
+    F.max would return NaN whenever one sample is NaN. sum/avg keep
+    NaN-propagation — upstream propagates there too."""
+    def f(c):
+        nn = F.when(~F.isnan(c), c)
+        return F.when(
+            F.count(c) > 0, F.coalesce(agg(nn), F.lit(float("nan")))
+        )
+    return f
+
+
 _AGG_FUNCS = {
     "sum": F.sum,
     "avg": F.avg,
-    "min": F.min,
-    "max": F.max,
+    "min": _nan_skipping(F.min),
+    "max": _nan_skipping(F.max),
     "count": lambda c: F.count(c).cast("double"),
     "stddev": lambda c: F.sqrt(_var_pop(c)),
     "stdvar": _var_pop,

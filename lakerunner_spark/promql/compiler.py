@@ -845,7 +845,14 @@ class _Compiler:
             v = self.compile(arg)
             if isinstance(v, float):
                 raise ValueError("promql: round over scalars not supported")
-            col = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+            # Spark's floor() over doubles returns LONG, so NaN would
+            # silently become 0 and ±Inf would clamp to Long.MIN/MAX —
+            # Prometheus propagates non-finite values through round
+            finite = F.floor(F.col("value") / F.lit(to) + F.lit(0.5)) * F.lit(to)
+            col = F.when(
+                F.isnan("value") | (F.abs("value") == F.lit(float("inf"))),
+                F.col("value"),
+            ).otherwise(finite)
             return _Vec(v.df.withColumn("value", col.cast("double")), v.labels)
         if fn == "timestamp":
             # timestamp(v): each element's evaluation timestamp in
@@ -919,9 +926,16 @@ class _Compiler:
         if fn == "scalar":
             (arg,) = node.args
             v = self.compile(arg)
-            if v.labels:
-                raise ValueError("promql: scalar() needs a label-free vector")
-            return v  # label-free vector acts as a per-bucket scalar
+            if not v.labels:
+                return v  # label-free vector acts as a per-bucket scalar
+            # upstream funcScalar: exactly one element at the step ->
+            # its value, otherwise NaN (never an error)
+            out = v.df.groupBy("bucket_ts").agg(
+                F.when(F.count("value") == 1, F.max("value"))
+                .otherwise(F.lit(float("nan")))
+                .alias("value")
+            )
+            return _Vec(out, [])
         if fn == "vector":
             (arg,) = node.args
             if isinstance(arg, ast.Num):

@@ -401,12 +401,21 @@ class _Parser:
                 node.range_ms = parse_duration_ms(dur.text)
             elif t.text == "offset":
                 self.next()
+                # negative offsets look into the future relative to the
+                # evaluation time (Prometheus 2.x feature flag, default
+                # since 3.0)
+                neg = False
+                if self.peek().text == "-":
+                    self.next()
+                    neg = True
                 dur = self.next()
                 if dur.kind != "DUR":
                     raise ValueError(f"promql: expected duration, got {dur.text!r}")
                 if not isinstance(node, Selector):
                     raise ValueError("promql: offset applies only to selectors")
                 node.offset_ms = parse_duration_ms(dur.text)
+                if neg:
+                    node.offset_ms = -node.offset_ms
             elif t.text == "@":
                 self.next()
                 if not isinstance(node, Selector):

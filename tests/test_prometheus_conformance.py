@@ -433,6 +433,69 @@ CASES = [
         h=[(0, "x", "0.1", 1.0), (0, "x", "0.2", 2.0), (0, "x", "+Inf", 3.0)],
         expect={("x",): 0.15},
     ),
+    # -- NaN handling in min/max (upstream aggregation loop replaces a
+    # NaN accumulator: `if h.value < v || math.IsNaN(h.value)`) --------
+    dict(
+        name="max_ignores_nan",
+        expr="max(m)",
+        m=[(0, "a", NAN), (0, "b", 2.0), (0, "c", 5.0)],
+        expect={(): 5.0},
+    ),
+    dict(
+        name="min_ignores_nan",
+        expr="min(m)",
+        m=[(0, "a", NAN), (0, "b", 2.0), (0, "c", 5.0)],
+        expect={(): 2.0},
+    ),
+    dict(
+        name="max_all_nan_is_nan",
+        expr="max(m)",
+        m=[(0, "a", NAN), (0, "b", NAN)],
+        expect={(): NAN},
+    ),
+    dict(
+        name="sum_propagates_nan",
+        expr="sum(m)",
+        m=[(0, "a", NAN), (0, "b", 2.0)],
+        expect={(): NAN},
+    ),
+    # -- round: non-finite values pass through (Spark floor() returns
+    # LONG, which would turn NaN into 0 without the guard) --------------
+    dict(
+        name="round_nan_propagates",
+        expr="round(m, 0.5)",
+        m=[(0, "a", NAN), (0, "b", 2.2), (0, "c", INF)],
+        expect={("a",): NAN, ("b",): 2.0, ("c",): INF},
+    ),
+    # -- clamp with min > max drops every element (funcClamp returns
+    # enh.Out unchanged) -------------------------------------------------
+    dict(
+        name="clamp_min_over_max_empty",
+        expr="clamp(m, 3, 1)",
+        m=M3,
+        expect={},
+    ),
+    # -- negative offset looks forward (default since Prometheus 3.0) ---
+    dict(
+        name="negative_offset",
+        expr="m offset -1m",
+        m=_ts_series([1, 2, 3]),
+        at=0,
+        expect={("a",): 2.0},
+    ),
+    # -- scalar(): exactly one element -> value, else NaN (funcScalar) --
+    dict(
+        name="scalar_single_series",
+        expr="scalar(m) + 1",
+        m=[(0, "a", 4.0)],
+        expect={(): 5.0},
+    ),
+    dict(
+        name="scalar_multi_series_nan",
+        expr="scalar(m) + 1",
+        m=M3,
+        expect={(): NAN},
+    ),
 ]
 
 

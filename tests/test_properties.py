@@ -399,3 +399,54 @@ def test_ip_pattern_ipv6_cidr_contains_network(n, bits):
     assert fam == "v6"
     assert int(hi, 16) - int(lo, 16) + 1 == 2 ** (128 - bits)
     assert int(lo, 16) <= n <= int(hi, 16)
+
+
+_QUERY_TOKENS = [
+    "{", "}", "[", "]", "(", ")", "|=", "!=", "|~", "!~", "|>", "!>", "|",
+    "ip", "or", "and", ",", "=", "=~", '"a"', '"10.0.0.0/8"', "5m", "1h",
+    ":", "json", "logfmt", "unwrap", "label_format", "line_format", "keep",
+    "drop", "pattern", "regexp", "unpack", "decolorize", "label_replace",
+    "__error__", "rate", "sum", "topk", "by", "without", "offset", "@",
+    "start()", "end()", "app", "dur", ">=", "2", "0.5", "count_over_time",
+    "vector", "time()", "bool", "on", "ignoring", "group_left", "250ms",
+    "2kb", "m", "-", "+", "*", "/", "^", "%",
+]
+
+
+@given(st.lists(st.sampled_from(_QUERY_TOKENS), min_size=1, max_size=25))
+@settings(max_examples=300)
+def test_logql_parser_fails_closed(tokens):
+    """Arbitrary token soup either parses or raises ValueError — never
+    IndexError/KeyError/AttributeError (a front-end that crashes with
+    an internal error on malformed queries is an API-surface bug)."""
+    from lakerunner_spark.logql.parser import parse_logql
+
+    try:
+        parse_logql(" ".join(tokens))
+    except ValueError:
+        pass
+
+
+@given(st.lists(st.sampled_from(_QUERY_TOKENS), min_size=1, max_size=25))
+@settings(max_examples=300)
+def test_promql_parser_fails_closed(tokens):
+    from lakerunner_spark.promql.parser import parse_promql
+
+    try:
+        parse_promql(" ".join(tokens))
+    except ValueError:
+        pass
+
+
+@given(st.text(alphabet='{}[]()|=~!<>"\' abcdefm5s,._:@-+*/0123456789',
+               min_size=1, max_size=40))
+@settings(max_examples=300)
+def test_parsers_fail_closed_on_raw_text(s):
+    from lakerunner_spark.logql.parser import parse_logql
+    from lakerunner_spark.promql.parser import parse_promql
+
+    for parse in (parse_logql, parse_promql):
+        try:
+            parse(s)
+        except ValueError:
+            pass
