@@ -117,6 +117,7 @@ _PRIORITY = [
     "lqs23_or_line_filter",
     "lqs24_label_filter_or",
     "sp6_span_edges",
+    "txt9_unigram_logprob",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

@@ -298,3 +298,63 @@ def strip_html_sql(expr: str) -> str:
         r = rep.replace("'", "''").replace("\\", "\\\\")
         c = f"regexp_replace({c}, '{p}', '{r}', 'g')"
     return f"trim({c})"
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int = 7,
+    vocab_k: int = 500,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/KenLM-style
+    signal: documents whose token distribution diverges from the
+    corpus read as noise): per document, the mean negative log2
+    probability of its tokens under an add-one-smoothed unigram model.
+
+    The model trains on a DETERMINISTIC hash-slice of the corpus
+    (``doc_id % sample_mod == 0`` — at 100 TB you never aggregate the
+    full corpus to build a vocabulary) and keeps the top ``vocab_k``
+    tokens by (count desc, token asc); everything else scores as one
+    shared OOV class: p(tok) = (cnt + 1) / (total + K + 1), p(oov) =
+    1 / (total + K + 1).
+
+    Plan: the vocabulary is two small aggregations over the sample
+    slice; scoring explodes tokens map-side (Generate, no shuffle),
+    broadcast-joins the <=K-row vocabulary, and aggregates per doc —
+    ONE shuffle on the doc key for the whole corpus pass. Returns
+    (id_col, n_tokens, avg_neg_log2) with the score pround-ed to 6 dp
+    (summation-order jitter is ~1e-12 on a ~10-magnitude mean).
+    """
+    from lakerunner_spark.functions.rounding import portable_round
+
+    toks = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
+    )
+    tokens = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    sample = tokens.filter(F.col(id_col) % sample_mod == 0)
+    counts = sample.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_k)
+    )
+    # total tokens in the sample slice + smoothing mass (K + 1 classes)
+    totals = sample.agg(F.count(F.lit(1)).alias("_total"))
+    scored = (
+        tokens.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("_total") + F.lit(float(vocab_k + 1)))
+                )
+            ).alias("_nl2"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        portable_round(F.avg("_nl2"), 6).alias("avg_neg_log2"),
+    )

@@ -1169,3 +1169,42 @@ def ds5_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
+
+
+@register(
+    "txt9_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    sample AS (SELECT * FROM toks WHERE doc_id % 7 = 0),
+    counts AS (SELECT tok, count(*) AS cnt FROM sample GROUP BY tok),
+    vocab AS (
+      SELECT tok, cnt FROM counts
+      ORDER BY cnt DESC, tok ASC LIMIT 500
+    ),
+    totals AS (SELECT count(*) AS _total FROM sample)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           pround(avg(-log2((coalesce(v.cnt, 0) + 1.0)
+                            / (_total + 501.0))), 6) AS avg_neg_log2
+    FROM toks t
+    LEFT JOIN vocab v USING (tok)
+    CROSS JOIN totals
+    GROUP BY t.doc_id
+    """,
+)
+def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style): mean -log2 p(token)
+    per document under an add-one-smoothed top-500 vocabulary trained
+    on a deterministic 1-in-7 doc slice (dataops/text.py
+    unigram_logprob — vocabulary broadcast, one doc-keyed shuffle for
+    the corpus pass). Extension beyond the reference (no LM scoring
+    there); the oracle replicates the sample, vocabulary tiebreak, and
+    smoothing formula term for term."""
+    from lakerunner_spark.dataops.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "text", "doc_id", sample_mod=7, vocab_k=500)
