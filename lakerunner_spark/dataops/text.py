@@ -149,9 +149,18 @@ def winnow_fingerprints(
     Guarantees any shared run of >= k+w-1 tokens yields a shared
     fingerprint, at ~1/w storage of full shingling.
 
-    All array expressions (no UDF): tokens -> gram slices -> fold hash
-    -> windowed min -> distinct. Docs with fewer than k tokens emit no
-    fingerprints; with fewer than w grams they emit the single min.
+    All array expressions (no UDF): tokens -> per-token hash -> gram
+    fold -> windowed min -> distinct. Docs with fewer than k tokens
+    emit no fingerprints; with fewer than w grams they emit the single
+    min.
+
+    Each token is char-folded ONCE, and a gram hash is the 31-fold of
+    its k token hashes — not a char fold of the materialized gram
+    string. Per gram position that is k integer ops instead of
+    ~k*token_len char ops plus a string allocation; the hash quality
+    (polynomial mod a large prime) and the winnowing guarantee are
+    unchanged, only the fingerprint VALUES differ (the dd6/dd11
+    oracles fold identically).
     """
     toks = F.expr(
         f"filter(split(trim(regexp_replace(lower({text_col}),"
@@ -162,13 +171,21 @@ def winnow_fingerprints(
     d = df.select(F.col(id_col), toks.alias("_toks")).filter(
         F.size("_toks") >= k
     )
-    grams = F.expr(
-        f"transform(sequence(1, size(_toks) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(_toks, i, {k})))"
+    # Quadratic mix after the char fold: the fold alone is affine in
+    # the trailing chars, so near-sequential tokens ("tok1","tok2",…)
+    # yield arithmetic-progression hashes whose gram folds defeat the
+    # winnowing window (observed retention 0.93 vs the expected
+    # 2/(w+1)≈0.4 on a sequential-token fixture). (f*f + f) mod p
+    # breaks the AP structure; f < p ≈ 1e9 keeps f*f inside int64.
+    th = F.expr(
+        f"transform(transform(_toks, t -> {_rolling_hash_sql('t')}),"
+        f" f -> (f * f + f) % {ROLLING_MOD})"
     )
-    d = d.select(id_col, grams.alias("_grams"))
+    d = d.select(id_col, th.alias("_th"))
     gh = F.expr(
-        f"transform(_grams, g -> {_rolling_hash_sql('g')})"
+        f"transform(sequence(1, size(_th) - {k - 1}),"
+        f" i -> aggregate(slice(_th, i, {k}), 0L,"
+        f"               (h, c) -> (h * 31 + c) % {ROLLING_MOD}))"
     )
     d = d.select(id_col, gh.alias("_gh"))
     wins = F.expr(

@@ -363,18 +363,21 @@ _WINNOW_FPS_CTE = """
              list_filter(string_split(trim(regexp_replace(lower(text),
                  '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS tk
       FROM documents
-    ), g AS (
+    ), th AS (
       SELECT doc_id,
-             list_transform(generate_series(1, len(tk) - 4),
-                 i -> array_to_string(tk[i:i+4], ' ')) AS grams
+             list_transform(
+                 list_transform(tk, t -> list_reduce(
+                     list_transform(string_split(t, ''),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                     (hh, c) -> (hh * 31 + c) % 1000000007)),
+                 f -> (f * f + f) % 1000000007) AS tkh
       FROM toks WHERE len(tk) >= 5
     ), h AS (
       SELECT doc_id,
-             list_transform(grams, s -> list_reduce(
-                 list_transform(string_split(s, ''),
-                                c -> CAST(ascii(c) AS BIGINT)),
-                 (hh, c) -> (hh * 31 + c) % 1000000007)) AS gh
-      FROM g
+             list_transform(generate_series(1, len(tkh) - 4),
+                 i -> list_reduce(tkh[i:i+4],
+                     (hh, c) -> (hh * 31 + c) % 1000000007)) AS gh
+      FROM th
     ), wins AS (
       SELECT doc_id,
              CASE WHEN len(gh) >= 4
@@ -390,33 +393,9 @@ _WINNOW_FPS_CTE = """
 
 @register(
     "dd6_winnow_fingerprints",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split(trim(regexp_replace(lower(text),
-                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS tk
-      FROM documents
-    ), g AS (
-      SELECT doc_id,
-             list_transform(generate_series(1, len(tk) - 4),
-                 i -> array_to_string(tk[i:i+4], ' ')) AS grams
-      FROM toks WHERE len(tk) >= 5
-    ), h AS (
-      SELECT doc_id,
-             list_transform(grams, s -> list_reduce(
-                 list_transform(string_split(s, ''),
-                                c -> CAST(ascii(c) AS BIGINT)),
-                 (hh, c) -> (hh * 31 + c) % 1000000007)) AS gh
-      FROM g
-    ), wins AS (
-      SELECT doc_id,
-             CASE WHEN len(gh) >= 4
-                  THEN list_transform(generate_series(1, len(gh) - 3),
-                                      j -> list_min(gh[j:j+3]))
-                  ELSE [list_min(gh)] END AS w
-      FROM h
-    )
-    SELECT DISTINCT doc_id, unnest(w) AS fingerprint FROM wins
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()}
+    SELECT doc_id, fingerprint FROM fps
     """,
 )
 def dd6_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
