@@ -92,7 +92,7 @@ _PRIORITY = [
     "dd1_dedup_exact",
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
-    "dd5_embedding_neardup",
+    "dd12_semantic_dedup",
     "dd7_neardup_clusters",
     "dd8_decontaminate",
     "ds1_hash_split",
@@ -118,6 +118,9 @@ _PRIORITY = [
     "lqs24_label_filter_or",
     "sp6_span_edges",
     "txt9_unigram_logprob",
+    "dd5_embedding_neardup",
+    "ds6_chunk_documents",
+    "sim6_random_projection",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

@@ -553,3 +553,84 @@ def substring_dedup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means the embedding corpus, then compare pairs
+    only WITHIN a cluster — the clustering localizes the otherwise
+    quadratic all-pairs cosine scan to ~(n/k)^2 per cluster. A vector
+    is a semantic duplicate when some lower-id vector in its cluster
+    has cosine similarity >= ``threshold`` (4-dp-rounded before the
+    compare, the dd5 portability convention).
+
+    Returns one row per duplicate: (cluster, keep_id, drop_id, cosine)
+    where keep_id is the LOWEST-id neighbor over the threshold
+    (ties on cosine broken toward the lower keep_id implicitly by the
+    min struct) — the canonical "keep first occurrence" delete list.
+
+    100 TB design: clustering is the unrolled-Lloyd plan
+    (broadcast centroids, see kmeans_assign); the pairwise stage
+    shuffles once on the cluster key and never materializes
+    cross-cluster pairs. k grows with corpus size to hold n/k — and
+    thus per-task pair count — constant; the embedding arrays stay
+    packed (zip_with dot product, no posexplode) so the shuffle
+    payload is rows x dims doubles, with the quadratic work all
+    in-task."""
+    from lakerunner_spark.dataops.similarity import kmeans_assign
+
+    assign = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(vec_col, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ).alias("_nrm"),
+    ).join(
+        assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a._vec"),
+            F.col("b._vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a._vid") < F.col("b._vid"))
+        .select(
+            "cluster",
+            F.col("a._vid").alias("_keep"),
+            F.col("b._vid").alias("_drop"),
+            portable_round(
+                dot / (F.col("a._nrm") * F.col("b._nrm")), 4
+            ).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    return (
+        pairs.groupBy("cluster", "_drop")
+        .agg(F.min(F.struct("_keep", "_cos")).alias("_b"))
+        .select(
+            "cluster",
+            F.col("_b._keep").alias("keep_id"),
+            F.col("_drop").alias("drop_id"),
+            F.col("_b._cos").alias("cosine"),
+        )
+    )

@@ -237,3 +237,55 @@ def token_budget_cap_sql(
       FROM ({base_sql})
     ) WHERE _prior < {budget}
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    sequence-prep step between cleaning and packing in a pretraining
+    pipeline (a chunk is one training-sequence candidate; the overlap
+    preserves cross-boundary context).
+
+    Chunk starts are 0, stride, 2*stride, ... with stride =
+    chunk_tokens - overlap; the chunk count is
+    ceil(max(n - overlap, 1) / stride), so the final (possibly short)
+    window always covers the document tail and a doc shorter than one
+    chunk yields exactly one chunk. Empty docs yield none. Returns
+    (id_col, chunk_idx, n_tokens, chunk_text).
+
+    Scale: pure array expressions inside one narrow projection — the
+    token array is built once per doc, windows are slices of it, and
+    the explode is map-side (Generate, no shuffle anywhere). Chunk
+    rows inherit the scan's partitioning for whatever shuffles the
+    caller adds downstream.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap}) must be < "
+            f"chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.expr(
+        f"filter(split(trim({text_col}), ' +'), t -> t != '')"
+    )
+    d = df.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, CAST(ceil(greatest(size(_toks) - {overlap},"
+        f" 1) / {stride}.0) AS INT) - 1),"
+        f" i -> slice(_toks, i * {stride} + 1, {chunk_tokens}))"
+    )
+    return d.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "_ck")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_ck").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "_ck").alias("chunk_text"),
+    )

@@ -1040,10 +1040,12 @@ def dd11_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sim5_oracle(n_clusters: int = 8, iters: int = 3) -> str:
+def _kmeans_cte(n_clusters: int = 8, iters: int = 3) -> str:
     """Unrolled Lloyd iterations as CTE stages — the same 9-dp-rounded
     trajectory kmeans_assign takes, so cluster assignments match
-    exactly."""
+    exactly. Yields ``long`` (_id, pos, val) and the final assignment
+    ``a{iters}`` (_id, cluster, dist); shared by the sim5 and dd12
+    oracles."""
     head = f"""
     WITH long AS (
       SELECT vec_id AS _id,
@@ -1084,12 +1086,16 @@ def _sim5_oracle(n_clusters: int = 8, iters: int = 3) -> str:
       GROUP BY cluster, pos
     )""")
         prev = f"c{i}"
-    tail = f"""
+    return head + "," + ",".join(stages)
+
+
+def _sim5_oracle(n_clusters: int = 8, iters: int = 3) -> str:
+    return f"""
+    {_kmeans_cte(n_clusters, iters)}
     SELECT cluster, CAST(count(*) AS BIGINT) AS n,
            pround(avg(dist), 6) AS avg_dist
     FROM a{iters} GROUP BY cluster
     """
-    return head + "," + ",".join(stages) + tail
 
 
 @register("sim5_kmeans", _sim5_oracle())
@@ -1187,3 +1193,239 @@ def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob(d, "text", "doc_id", sample_mod=7, vocab_k=500)
+
+
+def _dd12_oracle(n_clusters: int = 8, iters: int = 3,
+                 threshold: float = 0.3) -> str:
+    """SemDeDup oracle: the shared unrolled-Lloyd CTE for the cluster
+    assignment, then within-cluster pairwise cosine in long form and
+    the lowest-keep-id pick per duplicate."""
+    return f"""
+    {_kmeans_cte(n_clusters, iters)},
+    v AS (
+      SELECT a.cluster, l._id, l.pos, CAST(l.val AS DOUBLE) AS val
+      FROM long l JOIN a{iters} a USING (_id)
+    ),
+    nrm AS (SELECT _id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY _id),
+    p AS (
+      SELECT x.cluster, x._id AS ida, y._id AS idb,
+             sum(x.val * y.val) AS dot
+      FROM v x JOIN v y
+        ON x.cluster = y.cluster AND x.pos = y.pos AND x._id < y._id
+      GROUP BY 1, 2, 3
+    ),
+    cpair AS (
+      SELECT cluster, ida, idb,
+             pround(dot / (na.nrm * nb.nrm), 4) AS cos
+      FROM p JOIN nrm na ON na._id = ida JOIN nrm nb ON nb._id = idb
+      WHERE pround(dot / (na.nrm * nb.nrm), 4) >= {threshold}
+    )
+    SELECT cluster, keep_id, drop_id, cosine FROM (
+      SELECT cluster, ida AS keep_id, idb AS drop_id, cos AS cosine,
+             row_number() OVER (PARTITION BY cluster, idb
+                                ORDER BY ida ASC) AS rn
+      FROM cpair
+    ) WHERE rn = 1
+    """
+
+
+@register("dd12_semantic_dedup", _dd12_oracle())
+def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    the embedding corpus (the sim5 unrolled-Lloyd plan), then compare
+    pairs only WITHIN a cluster — clustering localizes the quadratic
+    cosine scan to ~(n/k)^2 per cluster, the trick that makes
+    embedding-level dedup feasible at web scale. Emits the canonical
+    keep-first delete list: each duplicate with its lowest-id
+    over-threshold neighbor. The oracle replays the identical Lloyd
+    trajectory (shared CTE with sim5) and pair arithmetic."""
+    from lakerunner_spark.dataops.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=8, iters=3, threshold=0.3
+    )
+
+
+@register(
+    "ds6_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS chunk_idx, tk[i*24+1 : i*24+32] AS ck
+      FROM (SELECT * FROM toks WHERE len(tk) >= 1)
+      CROSS JOIN unnest(range(0, CAST(ceil(greatest(len(tk) - 8, 1) / 24.0)
+                                      AS BIGINT))) AS t(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ck) AS BIGINT) AS n_tokens,
+           array_to_string(ck, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def ds6_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the sequence-prep step between cleaning and packing:
+    each chunk is a training-sequence candidate and the stride keeps
+    cross-boundary context. Map-side only (token array built once,
+    windows are slices, Generate explode — no shuffle); the oracle
+    replays the identical start arithmetic and slicing."""
+    from lakerunner_spark.dataops.sampling import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=32, overlap=8)
+    return out.withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+
+
+def _sim6_oracle(in_dim: int = 64, out_dim: int = 24, seed: int = 0,
+                 shortlist: int = 64, k: int = 5) -> str:
+    """Random-projection shortlist -> exact re-rank. The ±1 matrix is
+    regenerated from the same md5 rule both engines share; every dot
+    product is an index-ordered list_reduce so the doubles are
+    bit-identical to Spark's zip_with/aggregate folds."""
+    from lakerunner_spark.dataops.similarity import rp_sign_matrix
+
+    mtx = rp_sign_matrix(in_dim, out_dim, seed)
+    mtx_sql = (
+        "[" + ", ".join(
+            "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in mtx
+        ) + "]"
+    )
+    return f"""
+    WITH m AS (SELECT {mtx_sql} AS mtx),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    qp AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, {out_dim + 1}),
+                 j -> list_reduce(list_transform(range(1, {in_dim + 1}),
+                          i -> CAST(embedding[i] AS DOUBLE) * mtx[j][i]),
+                      (a, b) -> a + b)) AS rp
+      FROM q, m
+    ),
+    cp AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, {out_dim + 1}),
+                 j -> list_reduce(list_transform(range(1, {in_dim + 1}),
+                          i -> CAST(embedding[i] AS DOUBLE) * mtx[j][i]),
+                      (a, b) -> a + b)) AS rp
+      FROM c, m
+    ),
+    short AS (
+      SELECT qid, cid, qe, ce FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               q.embedding AS qe, c.embedding AS ce,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY pround(
+                   list_reduce(list_transform(range(1, {out_dim + 1}),
+                       i -> q.rp[i] * c.rp[i]), (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(range(1, {out_dim + 1}),
+                        i -> q.rp[i] * q.rp[i]), (a, b) -> a + b))
+                    * sqrt(list_reduce(list_transform(range(1, {out_dim + 1}),
+                        i -> c.rp[i] * c.rp[i]), (a, b) -> a + b))), 4
+                 ) DESC, c.vec_id ASC) AS rn
+        FROM qp q CROSS JOIN cp c
+      ) WHERE rn <= {shortlist}
+    )
+    SELECT qid, cid, cosine FROM (
+      SELECT qid, cid,
+             pround(
+               list_reduce(list_transform(range(1, {in_dim + 1}),
+                   i -> CAST(qe[i] AS DOUBLE) * ce[i]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(range(1, {in_dim + 1}),
+                    i -> CAST(qe[i] AS DOUBLE) * qe[i]), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, {in_dim + 1}),
+                    i -> CAST(ce[i] AS DOUBLE) * ce[i]), (a, b) -> a + b))),
+               4) AS cosine,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY pround(
+               list_reduce(list_transform(range(1, {in_dim + 1}),
+                   i -> CAST(qe[i] AS DOUBLE) * ce[i]), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(range(1, {in_dim + 1}),
+                    i -> CAST(qe[i] AS DOUBLE) * qe[i]), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, {in_dim + 1}),
+                    i -> CAST(ce[i] AS DOUBLE) * ce[i]), (a, b) -> a + b))),
+               4) DESC, cid ASC) AS rn
+      FROM short
+    ) WHERE rn <= {k}
+    """
+
+
+@register("sim6_random_projection", _sim6_oracle())
+def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via signed random projection (Achlioptas/JL): embeddings
+    are projected 64 -> 24 dims with a deterministic ±1 matrix, the
+    shortlist is ranked by 24-dim cosine (~2.7x less arithmetic and
+    storage — at 100 TB the projected table is what stays
+    memory-resident), and the top-64 survivors are re-ranked by exact
+    64-dim cosine for the final top-5 (recall@5 0.8 on the corpus,
+    test-asserted; the shortlist width is the recall/speed dial). Projection and every dot
+    product are index-ordered folds, bit-identical across engines."""
+    from pyspark.sql import Window
+
+    from lakerunner_spark.dataops.similarity import random_projection
+    from lakerunner_spark.functions.rounding import portable_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, 64, 24, seed=0)
+    q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding", proj)
+    c = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding", proj)
+
+    def _cos(av, bv):
+        dot = F.aggregate(
+            F.zip_with(av, bv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, b: a + b,
+        )
+        na = F.sqrt(F.aggregate(
+            F.zip_with(av, av, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, b: a + b,
+        ))
+        nb = F.sqrt(F.aggregate(
+            F.zip_with(bv, bv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, b: a + b,
+        ))
+        return portable_round(dot / (na * nb), 4)
+
+    pairs = F.broadcast(
+        q.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("rp").alias("qrp"),
+        )
+    ).crossJoin(
+        c.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("rp").alias("crp"),
+        )
+    )
+    short = (
+        pairs.withColumn("rp_cos", _cos(F.col("qrp"), F.col("crp")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("rp_cos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 64)
+    )
+    return (
+        short.withColumn("cosine", _cos(F.col("qe"), F.col("ce")))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn2") <= 5)
+        .select("qid", "cid", "cosine")
+    )

@@ -1,0 +1,157 @@
+"""Round-5 data-prep operators: chunking, semantic dedup, random
+projection, unigram LM scoring."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ------------------------- chunk_documents ---------------------------------
+
+
+def _chunks(spark, rows, chunk_tokens=8, overlap=2):
+    from lakerunner_spark.dataops.sampling import chunk_documents
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    res: dict[int, list] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        res.setdefault(r["doc_id"], []).append(r)
+    return res
+
+
+def test_chunks_cover_document_with_overlap(spark):
+    toks = [f"t{i}" for i in range(20)]
+    res = _chunks(spark, [(1, " ".join(toks))], chunk_tokens=8, overlap=2)
+    ch = res[1]
+    # stride 6: starts 0, 6, 12 -> ceil(max(20-2,1)/6) = 3 chunks
+    assert [c["chunk_idx"] for c in ch] == [0, 1, 2]
+    # reconstruction: chunk i contributes its tokens after dropping the
+    # first `overlap` tokens for i > 0
+    rebuilt = ch[0]["chunk_text"].split()
+    for c in ch[1:]:
+        rebuilt += c["chunk_text"].split()[2:]
+    assert rebuilt == toks
+    # every chunk except the last is exactly chunk_tokens long
+    assert [c["n_tokens"] for c in ch] == [8, 8, 8]
+
+
+def test_short_doc_single_chunk_and_empty_doc_none(spark):
+    res = _chunks(spark, [(1, "only three tokens"), (2, "   ")])
+    assert len(res[1]) == 1 and res[1][0]["n_tokens"] == 3
+    assert 2 not in res
+
+
+def test_chunk_overlap_must_be_smaller(spark):
+    from lakerunner_spark.dataops.sampling import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+# ------------------------- semantic_dedup ----------------------------------
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    from lakerunner_spark.dataops.dedup import semantic_dedup
+
+    # two orthogonal families plus a near-copy of vector 0: the copy
+    # must land in vector 0's cluster and appear on the delete list
+    # with keep_id == 0
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base_a),
+        (1, base_b),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.95, 0.05, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),     # isolated
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, n_clusters=2, iters=2, threshold=0.9)
+    got = {(r["keep_id"], r["drop_id"]) for r in out.collect()}
+    assert (0, 2) in got
+    drop_ids = {d for _, d in got}
+    assert 4 not in drop_ids and 0 not in drop_ids
+
+
+def test_semantic_dedup_never_pairs_across_clusters(spark):
+    from lakerunner_spark.dataops.dedup import semantic_dedup
+    from lakerunner_spark.dataops.similarity import kmeans_assign
+
+    rows = [(i, [float(i % 3 == j) + 0.01 * i for j in range(3)])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=3, iters=2, threshold=0.0)
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(df, n_clusters=3, iters=2).collect()
+    }
+    for r in out.collect():
+        assert assign[r["keep_id"]] == assign[r["drop_id"]] == r["cluster"]
+
+
+# ----------------------- random projection ---------------------------------
+
+
+def test_rp_sign_matrix_deterministic_and_balanced():
+    from lakerunner_spark.dataops.similarity import rp_sign_matrix
+
+    m1 = rp_sign_matrix(64, 16, seed=0)
+    m2 = rp_sign_matrix(64, 16, seed=0)
+    assert m1 == m2
+    assert rp_sign_matrix(64, 16, seed=1) != m1
+    flat = [s for row in m1 for s in row]
+    assert set(flat) == {-1, 1}
+    # md5 nibbles are uniform: the sign balance should be near half
+    assert 0.35 < sum(s == 1 for s in flat) / len(flat) < 0.65
+
+
+def test_rp_shortlist_recall_vs_exact(spark):
+    """Recall@5 of the 24-dim shortlist -> exact re-rank against exact
+    full-dim top-5 on real corpus data (near-random embeddings with
+    tightly-clustered cosines — a worst case for JL distortion)."""
+    from lakerunner_spark.dataops.similarity import cosine_topk
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    exact = cosine_topk(q, c, 5)
+    truth: dict[int, set[int]] = {}
+    for r in exact.collect():
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    approx = entry.queries()["sim6_random_projection"](spark, sf)
+    got: dict[int, set[int]] = {}
+    for r in approx.collect():
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(truth[q_] & got.get(q_, set())) for q_ in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.7, f"recall@5 {hits}/{total}"
+
+
+# ----------------------- unigram logprob -----------------------------------
+
+
+def test_unigram_logprob_flags_oov_noise(spark):
+    from lakerunner_spark.dataops.text import unigram_logprob
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common) for i in range(0, 70, 7)]  # all in the sample slice
+    rows += [(1, common), (2, "zxqj vvkw qqpz xxyz gibberish noise tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["avg_neg_log2"]
+        for r in unigram_logprob(df, "text", "doc_id",
+                                 sample_mod=7, vocab_k=50).collect()
+    }
+    # the in-distribution doc scores lower (more probable) than noise
+    assert out[1] < out[2]

@@ -47,6 +47,8 @@ NLJ_ALLOWED = {
     "tpch_q22_idle_rich_customers",  # broadcast 1-row scalar threshold
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
     "lqs23_or_line_filter",          # 1-row x 1-row count crossJoin
+    "txt9_unigram_logprob",          # broadcast 1-row sample-total scalar
+    "sim6_random_projection",        # broadcast queries x corpus scan
 }
 
 
