@@ -121,6 +121,7 @@ _PRIORITY = [
     "dd5_embedding_neardup",
     "ds6_chunk_documents",
     "sim6_random_projection",
+    "mm5_avi_frame_stats",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

@@ -8,8 +8,16 @@ section (sf0.1 headline, sf1 scale step) runs in its own fresh child
 process (fresh JVM, fresh codegen cache, no leftover GC pressure from
 whatever ran before — pytest in the same session was measured to inflate
 individual queries up to 2.6x). Inside the child every query gets one
-untimed warmup execution before the timed best-of-N loop, so two
-back-to-back invocations agree within ~10% per query.
+untimed warmup execution before the timed best-of-N loop, plus a spread
+second pass min-merged over the main section.
+
+Residual noise floor (measured over repeated back-to-back runs): whole
+runs drift ±10-15% TOGETHER — uniform multiplicative VM frequency/steal
+drift, not per-query noise; section totals agree within ~5-10% and
+per-query ratios within a run are stable. The per-section "calib_sec"
+(a fixed CPU-bound JVM workload timed in the same child) is the
+normalization anchor: compare query_sec/calib_sec across rounds before
+calling a cross-round delta a regression.
 """
 
 from __future__ import annotations
@@ -73,6 +81,10 @@ HEADLINE = [
     "txt7_quality_pipeline",
     "dd10_dedup_pipeline",
     "dd11_substring_dedup",
+    "dd12_semantic_dedup",
+    "sim6_random_projection",
+    "txt9_unigram_logprob",
+    "ds6_chunk_documents",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale
@@ -124,35 +136,67 @@ def _run_section(section: str) -> dict:
     load_table(spark, sf_dir, "lineitem").limit(1000).count()
     load_table(spark, sf_dir, "events").limit(1000).count()
 
+    # Calibration anchor: a fixed CPU-bound JVM workload timed in this
+    # same child. Back-to-back whole runs drift ±10-15% together (VM
+    # frequency/steal — uniform multiplicative, not per-query noise);
+    # comparing query_sec/calib_sec across rounds cancels that drift,
+    # so use the RATIO before calling a cross-round delta a regression.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(400_000_000).selectExpr(
+            "sum(id * 7 + (id % 13))"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+
     min_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     max_iters = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITERS", "7"))
+    # Two full passes over the query list, min-merged: run-level drift
+    # (GC pressure building through the section, VM steal/frequency
+    # wander) is correlated across CONSECUTIVE samples of one query but
+    # not across samples a whole pass apart — a second spread pass
+    # tightens the recorded min far more per second spent than more
+    # back-to-back iterations of the same query would. Within a pass,
+    # adaptive best-of-N: fast queries iterate until the measured
+    # budget covers runtime several times (slow queries stop at
+    # min_iters — their relative jitter is small).
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        fn = queries[name]
-        # untimed warmup: pays one-off codegen/compile/broadcast costs so
-        # the timed loop measures steady-state
-        n = fn(spark, sf_dir).count()
-        # adaptive best-of-N: fast queries get more iterations — for a
-        # 200 ms query, scheduler/GC jitter of ±50 ms is 25% of one
-        # sample, so best-of-2 is not repeatable; iterate until the
-        # measured budget covers the runtime several times over (slow
-        # queries stop at min_iters — their relative jitter is small)
-        best, iters = float("inf"), 0
-        measured = 0.0
-        while iters < min_iters or (measured < 2.0 and iters < max_iters):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = min(best, dt)
-            measured += dt
-            iters += 1
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {section} {name}: {best:.3f}s ({n} rows, {iters} iters)",
-              file=sys.stderr)
-    return {"queries": timings, "total": round(total, 3)}
+    rows: dict[str, int] = {}
+    # sf1's queries are heavy (multi-second, small relative jitter, and
+    # expensive to repeat) — one pass; the sub-second-dominated main
+    # list gets the spread second pass.
+    budgets = (1.5, 0.75) if section == "main" else (1.5,)
+    for pass_no, budget in enumerate(budgets):
+        for name in names:
+            fn = queries[name]
+            if pass_no == 0:
+                # untimed warmup: pays one-off codegen/compile/broadcast
+                # costs so the timed loop measures steady-state
+                rows[name] = fn(spark, sf_dir).count()
+            elif timings[name] >= 1.5:
+                continue  # ≥3 samples already; repeat cost outweighs gain
+            best, iters = timings.get(name, float("inf")), 0
+            measured = 0.0
+            while iters < min_iters or (measured < budget and iters < max_iters):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = min(best, dt)
+                measured += dt
+                iters += 1
+            timings[name] = best
+            print(
+                f"# {section} p{pass_no} {name}: {best:.3f}s"
+                f" ({rows[name]} rows, {iters} iters)",
+                file=sys.stderr,
+            )
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    return {
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+        "calib_sec": round(calib, 3),
+    }
 
 
 def main() -> None:
@@ -180,6 +224,7 @@ def main() -> None:
         "value": main_res["total"],
         "unit": "sec",
         "queries": main_res["queries"],
+        "calib_sec": main_res["calib_sec"],
     }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -190,6 +235,7 @@ def main() -> None:
         sf1_res = spawn("sf1")
         out["sf1_queries"] = sf1_res["queries"]
         out["sf1_total_sec"] = sf1_res["total"]
+        out["sf1_calib_sec"] = sf1_res["calib_sec"]
 
     print(json.dumps(out))
 

@@ -562,6 +562,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -601,6 +602,16 @@ def semantic_dedup(
     ).join(
         assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
     )
+    # Materialize the clustered table ONCE before the self-join: Spark's
+    # exchange reuse misses aliased branches, so an unmaterialized
+    # formulation re-runs the whole unrolled Lloyd trajectory per side
+    # (the dd11 lesson). checkpoint_dir upgrades to a reliable
+    # cluster-FS checkpoint, same contract as connected_components.
+    if checkpoint_dir is not None:
+        vecs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        vecs = vecs.checkpoint(eager=True)
+    else:
+        vecs = vecs.localCheckpoint(eager=True)
     a, b = vecs.alias("a"), vecs.alias("b")
     dot = F.aggregate(
         F.zip_with(

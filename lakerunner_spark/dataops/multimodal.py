@@ -566,3 +566,198 @@ def resize_images(
         .select("media_id", "media_type", "payload")
         .mapInPandas(run, schema=RESIZED_SCHEMA)
     )
+
+
+# ------------------------------ AVI (video) --------------------------------
+
+
+def encode_avi(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal stdlib AVI encoder: RIFF 'AVI ' with one uncompressed
+    'vids'/DIB stream; every frame an uncompressed 24-bit '00db' chunk
+    written bottom-up BGR with 4-byte row padding (the DIB contract,
+    same as :func:`encode_bmp`). Each frame in ``frames`` is row-major
+    top-down RGB. struct only — runs in any executor."""
+    import struct
+
+    for f in frames:
+        if len(f) != 3 * width * height:
+            raise ValueError("encode_avi: frame length must be 3*w*h")
+    stride = (3 * width + 3) & ~3
+    frame_size = stride * height
+
+    def dib(rgb: bytes) -> bytes:
+        body = bytearray()
+        for y in range(height - 1, -1, -1):
+            row = rgb[3 * width * y : 3 * width * (y + 1)]
+            for x in range(width):
+                r, g, b = row[3 * x : 3 * x + 3]
+                body += bytes((b, g, r))
+            body += b"\x00" * (stride - 3 * width)
+        return bytes(body)
+
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<14I", usec, frame_size * fps, 0, 0x10, len(frames), 0, 1,
+        frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIii4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_size, -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size,
+        0, 0, 0, 0,
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_info(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the RIFF/hdrl headers only: (width, height, n_frames,
+    usec_per_frame). No frame bytes are touched — at 100 TB this is
+    the metadata pass that plans frame sampling without reading
+    payload-sized data."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi_info: not a RIFF AVI payload")
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"LIST" and payload[pos + 8 : pos + 12] == b"hdrl":
+            hpos = pos + 12
+            hend = pos + 8 + size
+            while hpos + 8 <= hend:
+                htag = payload[hpos : hpos + 4]
+                (hsize,) = struct.unpack_from("<I", payload, hpos + 4)
+                if htag == b"avih":
+                    f = struct.unpack_from("<14I", payload, hpos + 8)
+                    return f[8], f[9], f[4], f[0]
+                hpos += 8 + hsize + (hsize % 2)
+            break
+        pos += 8 + size + (size % 2)
+    raise ValueError("avi_info: no avih header found")
+
+
+def decode_avi_frame(payload: bytes, frame_idx: int) -> bytes:
+    """Extract ONE frame as top-down RGB bytes: walks the movi chunk
+    list counting '00db' entries and slices only the requested frame —
+    skipped frames cost 8 header bytes each, never a copy. Raises on
+    out-of-range or compressed ('00dc') frames."""
+    import struct
+
+    width, height, n_frames, _ = avi_info(payload)
+    if not 0 <= frame_idx < n_frames:
+        raise ValueError(f"decode_avi_frame: frame {frame_idx} of {n_frames}")
+    stride = (3 * width + 3) & ~3
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if tag == b"LIST" and payload[pos + 8 : pos + 12] == b"movi":
+            mpos = pos + 12
+            mend = pos + 8 + size
+            seen = 0
+            while mpos + 8 <= mend:
+                mtag = payload[mpos : mpos + 4]
+                (msize,) = struct.unpack_from("<I", payload, mpos + 4)
+                if mtag == b"00dc":
+                    raise NotImplementedError(
+                        "decode_avi_frame: compressed frames need a codec"
+                    )
+                if mtag == b"00db":
+                    if seen == frame_idx:
+                        body = payload[mpos + 8 : mpos + 8 + msize]
+                        out = bytearray(3 * width * height)
+                        for y in range(height):
+                            src = (height - 1 - y) * stride
+                            dst = 3 * width * y
+                            for x in range(width):
+                                b_, g, r = body[src + 3 * x : src + 3 * x + 3]
+                                out[dst + 3 * x : dst + 3 * x + 3] = bytes(
+                                    (r, g, b_)
+                                )
+                        return bytes(out)
+                    seen += 1
+                mpos += 8 + msize + (msize % 2)
+            break
+        pos += 8 + size + (size % 2)
+    raise ValueError("decode_avi_frame: movi list exhausted")
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_gray", T.DoubleType(), True),
+    ]
+)
+
+
+def video_frame_stats(
+    media: DataFrame,
+    stride: int = 2,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame-sampled video statistics: for every video payload, decode
+    frames 0, stride, 2*stride, ... (at most ``max_frames``) and emit
+    per-frame channel means + grayscale mean.
+
+    The metadata pass (avi_info) plans the sample; only sampled frames
+    are decoded (decode_avi_frame slices by offset walk). One
+    Arrow-batched mapInPandas — payload bytes never shuffle, output is
+    rows-per-sampled-frame, proportional to the sample, not the
+    video."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                w, h, n, _ = avi_info(payload)
+                idxs = list(range(0, n, stride))[:max_frames]
+                for i in idxs:
+                    rgb = decode_avi_frame(payload, i)
+                    npx = w * h
+                    sr = sum(rgb[0::3]) / npx
+                    sg = sum(rgb[1::3]) / npx
+                    sb = sum(rgb[2::3]) / npx
+                    gray = sum(
+                        (rgb[3 * p] + rgb[3 * p + 1] + rgb[3 * p + 2]) / 3.0
+                        for p in range(npx)
+                    ) / npx
+                    out.append(
+                        (int(row["media_id"]), i, sr, sg, sb, gray)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "mean_r", "mean_g",
+                    "mean_b", "mean_gray",
+                ],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+    )

@@ -467,3 +467,76 @@ def mm4_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     )
+
+
+_MM5_PX = """
+      SELECT m, f, y, x, c,
+             CAST((m*37 + f*23 + y*17 + x*5 + c*11) % 256 AS DOUBLE) AS v
+      FROM range(0, 6) t0(m) CROSS JOIN unnest([0, 2, 4]) t1(f)
+           CROSS JOIN range(0, 8) t2(y) CROSS JOIN range(0, 8) t3(x)
+           CROSS JOIN range(0, 3) t4(c)
+"""
+
+
+@register(
+    "mm5_avi_frame_stats",
+    f"""
+    WITH px AS ({_MM5_PX}),
+    chan AS (
+      SELECT m, f, avg(CASE WHEN c = 0 THEN v END) AS mean_r,
+             avg(CASE WHEN c = 1 THEN v END) AS mean_g,
+             avg(CASE WHEN c = 2 THEN v END) AS mean_b
+      FROM px GROUP BY m, f
+    ),
+    gray AS (
+      SELECT m, f, avg(g) AS mean_gray
+      FROM (SELECT m, f, y, x, avg(v) AS g FROM px GROUP BY 1, 2, 3, 4)
+      GROUP BY m, f
+    )
+    SELECT m AS media_id, CAST(f AS INT) AS frame_idx,
+           pround(mean_r, 6) AS mean_r, pround(mean_g, 6) AS mean_g,
+           pround(mean_b, 6) AS mean_b, pround(mean_gray, 6) AS mean_gray
+    FROM chan JOIN gray USING (m, f)
+    """,
+)
+def mm5_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video-container decode, no injection: deterministic 6-frame
+    8x8 videos are packed into honest RIFF/AVI files (uncompressed DIB
+    '00db' frames, bottom-up padded BGR) by the stdlib encoder and
+    frame-SAMPLED back out (stride 2, frames 0/2/4) — the metadata pass
+    (avi_info) plans the sample and only sampled frames are sliced and
+    decoded (decode_avi_frame), the shape that matters when the video
+    column is TBs: rows out are proportional to the sample, payload
+    bytes never shuffle. The oracle computes the same per-frame channel
+    and grayscale means in closed form from the generator formula — a
+    codec defect (row order, BGR swap, stride padding, chunk walk)
+    breaks the hash."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        video_frame_stats,
+    )
+
+    rows = []
+    for m in range(6):
+        frames = [
+            bytes(
+                (m * 37 + f * 23 + y * 17 + x * 5 + c * 11) % 256
+                for y in range(8)
+                for x in range(8)
+                for c in range(3)
+            )
+            for f in range(6)
+        ]
+        rows.append(
+            (m, "video", 8, 8, 600, bytearray(encode_avi(8, 8, frames, fps=10)))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    stats = video_frame_stats(media, stride=2, max_frames=3)
+    return stats.select(
+        "media_id", "frame_idx",
+        _pr(F.col("mean_r"), 6).alias("mean_r"),
+        _pr(F.col("mean_g"), 6).alias("mean_g"),
+        _pr(F.col("mean_b"), 6).alias("mean_b"),
+        _pr(F.col("mean_gray"), 6).alias("mean_gray"),
+    )

@@ -433,3 +433,58 @@ def test_kmeans_rejects_zero_iters(spark):
         kmeans_assign(df, n_clusters=2, iters=0)
     with _pytest.raises(ValueError, match="iters"):
         kmeans_centroids(df, n_clusters=2, iters=0)
+
+
+# ------------------------------ AVI codec ----------------------------------
+
+
+def _avi_frames(n=4, w=6, h=5, key=0):
+    return [
+        bytes(
+            (key * 37 + f * 23 + y * 17 + x * 5 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        for f in range(n)
+    ]
+
+
+def test_avi_roundtrip_every_frame():
+    from lakerunner_spark.dataops.multimodal import (
+        avi_info,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    frames = _avi_frames(5, 6, 5)
+    p = encode_avi(6, 5, frames, fps=4)
+    assert avi_info(p) == (6, 5, 5, 250000)
+    for i, f in enumerate(frames):
+        assert decode_avi_frame(p, i) == f
+
+
+def test_avi_odd_width_padding():
+    # width 3 -> 9-byte rows padded to 12: the stride math must not
+    # bleed pad bytes into pixels
+    from lakerunner_spark.dataops.multimodal import decode_avi_frame, encode_avi
+
+    frames = _avi_frames(2, 3, 4, key=5)
+    p = encode_avi(3, 4, frames)
+    assert decode_avi_frame(p, 1) == frames[1]
+
+
+def test_avi_out_of_range_and_garbage():
+    import pytest
+
+    from lakerunner_spark.dataops.multimodal import (
+        avi_info,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    p = encode_avi(4, 4, _avi_frames(2, 4, 4))
+    with pytest.raises(ValueError):
+        decode_avi_frame(p, 2)
+    with pytest.raises(ValueError):
+        avi_info(b"RIFX" + p[4:])

@@ -24,6 +24,7 @@ PYTHON_ALLOWED = {
     "mm2_png_features",    # mapInPandas image decode (codec work is Python by design)
     "mm3_wav_features",    # mapInPandas audio decode (stdlib WAV codec)
     "mm4_bmp_features",    # mapInPandas image decode (stdlib BMP codec)
+    "mm5_avi_frame_stats", # mapInPandas video frame-sample decode (stdlib AVI)
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)

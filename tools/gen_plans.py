@@ -91,14 +91,27 @@ COMMENT = {
     ),
     "dd11_substring_dedup": (
         "Substring-duplication candidates via winnowing collisions: ONE "
-        "winnowing pass (tokenize->gram->rolling-hash->window-min, all "
-        "array expressions), a count window on the fingerprint "
+        "winnowing pass (tokenize->token-hash->gram-fold->window-min, all "
+        "array expressions — each token char-folded once and gram hashes "
+        "folded from k token hashes, no gram strings materialized: 2x "
+        "the r4 throughput), a count window on the fingerprint "
         "partitioning applies the document-frequency cap (<= 50 docs — "
         "boilerplate phrases are the quadratic hot-key risk), and the "
         "capped fingerprint table materializes once before the pair "
         "self-join (exchange reuse misses aliased self-join branches; in "
         "production this table is persisted like the trigram index). The "
         "join shuffles on fingerprint at ~1/w of shingle volume."
+    ),
+    "dd12_semantic_dedup": (
+        "SemDeDup: the unrolled-Lloyd assignment (broadcast centroid "
+        "joins, two keyed shuffles per iteration) materializes once "
+        "(localCheckpoint — aliased self-join branches don't reuse "
+        "exchanges), then the pairwise cosine scan joins the clustered "
+        "table to itself on the CLUSTER key only: the quadratic work is "
+        "confined within a cluster's task, embeddings stay packed "
+        "arrays (zip_with dot, no posexplode), and cross-cluster pairs "
+        "never exist. At 100 TB, k grows with n to hold n/k — and so "
+        "per-task pair count — constant."
     ),
     "a8_topk": (
         "Per-bucket top-k: Spark plans the rank window as a "
