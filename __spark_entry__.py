@@ -122,6 +122,8 @@ _PRIORITY = [
     "ds6_chunk_documents",
     "sim6_random_projection",
     "mm5_avi_frame_stats",
+    "txt10_bm25",
+    "ds8_leakage_free_split",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

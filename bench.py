@@ -144,8 +144,9 @@ def _run_section(section: str) -> dict:
     calib = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(400_000_000).selectExpr(
-            "sum(id * 7 + (id % 13))"
+        # modulo keeps the 2B-row sum far inside int64 (ANSI overflow)
+        spark.range(2_000_000_000).selectExpr(
+            "sum((id % 100003) * 3 + (id % 13))"
         ).collect()
         calib = min(calib, time.perf_counter() - t0)
 

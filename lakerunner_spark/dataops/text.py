@@ -375,3 +375,93 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         portable_round(F.avg("_nl2"), 6).alias("avg_neg_log2"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) smoothing) for a fixed
+    query-term list. Returns the top ``topk`` (id_col, n_matched,
+    score) by 6-dp-rounded score, id tiebreak.
+
+    Shuffle-free scoring: per-document term frequencies are array
+    expressions over the token array (no explode, no groupBy), the
+    corpus stats (N, avgdl, per-term df) reduce to ONE broadcast row
+    holding an idf map, and the final ranking is a global top-k
+    (TakeOrderedAndProject — per-partition heads, driver merge). The
+    corpus is scanned twice (stats pass + scoring pass); at 100 TB the
+    stats pass runs on the same scan the quality pipeline already
+    makes, or df comes from the persisted vocabulary table.
+    """
+    if not query_terms:
+        raise ValueError("bm25_rank: query_terms must be non-empty")
+    toks = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    d = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.size("_toks").alias("_dl"),
+        F.transform(
+            terms,
+            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+        ).alias("_tf"),
+    )
+    # one broadcast row: N, avgdl, and the per-term idf map (df counts
+    # whole documents containing the term)
+    stats = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col("_tf")[i] > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).select(
+        "_n",
+        "_avgdl",
+        F.map_from_arrays(
+            terms,
+            F.array(*[
+                F.log(
+                    1.0
+                    + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+                    / (F.col(f"_df{i}") + F.lit(0.5))
+                )
+                for i in range(len(query_terms))
+            ]),
+        ).alias("_idf"),
+    )
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.aggregate(
+            F.transform(F.col("_tf"), lambda tf: (tf > 0).cast("int")),
+            F.lit(0),
+            lambda a, v: a + v,
+        ).alias("n_matched"),
+        F.expr(
+            f"aggregate(zip_with(array({', '.join(repr(t) for t in query_terms)}),"
+            f" _tf, (t, tf) -> _idf[t] * tf * {k1 + 1.0}"
+            f" / (tf + {k1} * (1.0 - {b} + {b} * _dl / _avgdl))),"
+            f" 0.0D, (a, v) -> a + v)"
+        ).alias("_score"),
+    )
+    from lakerunner_spark.functions.rounding import portable_round
+
+    return (
+        scored.filter(F.col("n_matched") > 0)
+        .select(
+            id_col,
+            "n_matched",
+            portable_round(F.col("_score"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )

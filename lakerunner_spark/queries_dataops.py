@@ -1429,3 +1429,139 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn2") <= 5)
         .select("qid", "cid", "cosine")
     )
+
+
+@register(
+    "txt10_bm25",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    d AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+    terms(term) AS (VALUES ('hash'), ('join'), ('spark'), ('window')),
+    tf AS (
+      SELECT d.doc_id, d.dl, t.term,
+             len(list_filter(d.tk, x -> x = t.term)) AS tf
+      FROM d CROSS JOIN terms t
+    ),
+    dfreq AS (
+      SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM tf GROUP BY term
+    ),
+    score AS (
+      SELECT tf.doc_id,
+             CAST(sum(CASE WHEN tf.tf > 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_matched,
+             sum(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+               AS score
+      FROM tf JOIN dfreq f USING (term) CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_matched, pround(score, 6) AS score
+    FROM score WHERE n_matched > 0
+    ORDER BY pround(score, 6) DESC, doc_id ASC LIMIT 20
+    """,
+)
+def txt10_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus (Robertson/Spärck Jones,
+    Lucene idf smoothing) for a fixed 4-term query. Shuffle-free
+    scoring: per-doc term frequencies are array expressions (no
+    explode), corpus stats reduce to ONE broadcast row holding an idf
+    map, ranking is a global top-20 (TakeOrderedAndProject). The
+    oracle replays tokenizer, df counting, and the scoring formula
+    term for term."""
+    from lakerunner_spark.dataops.text import bm25_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_rank(
+        d, ["hash", "join", "spark", "window"], "text", "doc_id", topk=20
+    )
+
+
+_DS8_WEIGHTS = [("train", 0.8), ("valid", 0.1), ("test", 0.1)]
+
+
+def _ds8_oracle() -> str:
+    from lakerunner_spark.dataops.sampling import hash_split_sql
+
+    split = hash_split_sql("rep", _DS8_WEIGHTS)
+    return f"""
+    WITH RECURSIVE cand AS ({_CANDIDATES_SQL}),
+    sets AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sets GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE pround(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6)
+            >= {_DD10_TAU}
+    ),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM verified
+              UNION SELECT doc_b, doc_a FROM verified),
+    walk(u, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e2.u, w.label FROM edges e2 JOIN walk w ON w.u = e2.v
+    ),
+    comp AS (SELECT u AS node, min(label) AS component FROM walk GROUP BY u),
+    rep AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT {split} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+    FROM rep GROUP BY 1
+    """
+
+
+@register("ds8_leakage_free_split", _ds8_oracle())
+def ds8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: near-duplicate documents
+    must land in the SAME split, or the held-out sets are contaminated
+    by training look-alikes (the dedup-then-split ordering bug the
+    pipeline exists to prevent). Every doc is assigned its near-dup
+    cluster representative (component min; singletons represent
+    themselves) and the split hash is taken on the REPRESENTATIVE —
+    cluster cohesion is by construction, not by post-hoc repair.
+
+    Scale: the pair/cluster machinery is the proven dd2/dd3/dd7
+    bucketed design; the rep table is |clustered docs| rows (far
+    smaller than the corpus), broadcast into one scan pass; split
+    assignment adds zero shuffles on top of it."""
+    from lakerunner_spark.dataops.graph import neardup_clusters
+    from lakerunner_spark.dataops.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
+    cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+    verified = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3).filter(
+        F.col("jaccard") >= _DD10_TAU
+    )
+    clusters = neardup_clusters(verified, "doc_a", "doc_b")
+    rep = clusters.select(F.col("node").alias("doc_id"), "component")
+    dd = d.join(F.broadcast(rep), "doc_id", "left").withColumn(
+        "rep", F.coalesce("component", "doc_id")
+    )
+    return (
+        dd.withColumn("split", hash_split(F.col("rep"), _DS8_WEIGHTS))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+    )

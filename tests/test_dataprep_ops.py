@@ -155,3 +155,49 @@ def test_unigram_logprob_flags_oov_noise(spark):
     }
     # the in-distribution doc scores lower (more probable) than noise
     assert out[1] < out[2]
+
+
+# ----------------------- leakage-free split --------------------------------
+
+
+def test_leakage_free_split_keeps_neardups_together(spark):
+    """Near-duplicate docs must be assigned the same split (hash taken
+    on the cluster representative, not the doc id)."""
+    from lakerunner_spark.dataops.dedup import (
+        jaccard_verify_narrow,
+        lsh_candidates,
+        minhash_signatures_narrow,
+    )
+    from lakerunner_spark.dataops.graph import neardup_clusters
+    from lakerunner_spark.dataops.sampling import hash_split
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = []
+    for g in range(12):
+        # pairs (3g, 3g+1) are near-identical; 3g+2 is unrelated
+        t = base.replace("tok0", f"grp{g}")
+        rows.append((g * 3, t))
+        rows.append((g * 3 + 1, t + " tail"))
+        rows.append((g * 3 + 2, " ".join(f"z{g}_{i}" for i in range(30))))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
+    cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+    verified = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3).filter(
+        F.col("jaccard") >= 0.6
+    )
+    clusters = neardup_clusters(verified, "doc_a", "doc_b")
+    rep = clusters.select(F.col("node").alias("doc_id"), "component")
+    dd = d.join(rep, "doc_id", "left").withColumn(
+        "rep", F.coalesce("component", "doc_id")
+    )
+    out = dd.withColumn(
+        "split", hash_split(F.col("rep"), [("train", 0.5), ("test", 0.5)])
+    ).select("doc_id", "split").collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    paired = 0
+    for g in range(12):
+        assert split_of[g * 3] == split_of[g * 3 + 1], f"group {g} leaked"
+        paired += 1
+    assert paired == 12
+    # sanity: the split is not degenerate (both sides populated)
+    assert len(set(split_of.values())) == 2

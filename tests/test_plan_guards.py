@@ -50,6 +50,7 @@ NLJ_ALLOWED = {
     "lqs23_or_line_filter",          # 1-row x 1-row count crossJoin
     "txt9_unigram_logprob",          # broadcast 1-row sample-total scalar
     "sim6_random_projection",        # broadcast queries x corpus scan
+    "txt10_bm25",                    # broadcast 1-row idf-map/stats scalar
 }
 
 
