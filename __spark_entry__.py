@@ -124,6 +124,7 @@ _PRIORITY = [
     "mm5_avi_frame_stats",
     "txt10_bm25",
     "ds8_leakage_free_split",
+    "dd13_substring_decontaminate",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

@@ -194,9 +194,11 @@ def winnow_fingerprints(
         f"           j -> array_min(slice(_gh, j, {w})))"
         f" ELSE array(array_min(_gh)) END"
     )
-    return (
-        d.select(id_col, F.explode(F.array_distinct(wins)).alias("fingerprint"))
-        .distinct()
+    # no row-level distinct: array_distinct already dedupes within the
+    # doc and a fingerprint row is (doc, fp) — a DataFrame .distinct()
+    # here would be a semantically-redundant full shuffle
+    return d.select(
+        id_col, F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
 
 

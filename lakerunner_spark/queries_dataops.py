@@ -1565,3 +1565,50 @@ def ds8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("rep").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "dd13_substring_decontaminate",
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()},
+    bench AS (
+      SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM fps WHERE doc_id % 97 != 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM corpus c JOIN bench b USING (fingerprint)
+    GROUP BY c.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def dd13_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level benchmark decontamination (Lee et al.: exact
+    substring overlap, not whole-doc similarity, is what leaks
+    benchmarks into training sets): corpus documents sharing >= 2
+    winnowed fingerprints with any benchmark document are flagged —
+    any shared run of >= k+w-1 tokens guarantees a shared fingerprint,
+    so this catches quoted passages dd8's whole-doc n-gram set
+    misses. The benchmark suite is a deterministic hash slice
+    (doc_id % 97 = 0) standing in for the held-out eval set.
+
+    100 TB design: the benchmark fingerprint set is tiny and
+    BROADCAST; the corpus-side fingerprint pass is the same winnowing
+    scan dd11 makes (in production the persisted fingerprint table is
+    reused) and never shuffles — flagging is a map-side broadcast join
+    + one groupBy on the already-partitioned doc key."""
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    bench = (
+        fps.filter(F.col("doc_id") % 97 == 0)
+        .select("fingerprint")
+        .distinct()
+    )
+    corpus = fps.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "fingerprint")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= 2)
+    )

@@ -1,0 +1,79 @@
+"""Streaming data-prep parity: the map-side text operators (chunking,
+quality gating, winnow fingerprinting) run unchanged inside Structured
+Streaming — a readStream over the corpus produces the exact rows the
+batch plan does. This is the ingest-side shape of a 100 TB pipeline:
+documents arrive continuously and the prep operators must not need a
+batch re-run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _stream_vs_batch(spark, tmp_path, build):
+    """Write the sf docs as a file source, run `build` on both a batch
+    read and a readStream (memory sink, availableNow), compare row
+    sets."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    indir = str(tmp_path / "in")
+    docs.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    batch_rows = {tuple(r) for r in build(spark.read.parquet(indir)).collect()}
+
+    stream = spark.readStream.schema(schema).parquet(indir)
+    name = "dataprep_parity"
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    return batch_rows, stream_rows
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    from lakerunner_spark.dataops.sampling import chunk_documents
+
+    def build(df):
+        return chunk_documents(df, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+    batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
+    assert batch_rows == stream_rows and batch_rows
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    from lakerunner_spark.dataops.text import quality_components
+
+    def build(df):
+        qc = quality_components(F.col("text"))
+        return df.select(
+            "doc_id",
+            F.round(qc["stopword_ratio"], 6).alias("stop_ratio"),
+            F.round(qc["uniq_token_ratio"], 6).alias("uniq_ratio"),
+        ).filter(F.col("uniq_ratio") >= 0.3)
+
+    batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
+    assert batch_rows == stream_rows and batch_rows
+
+
+def test_streaming_winnow_fingerprints_matches_batch(spark, tmp_path):
+    """The dedup-index build also streams: per-doc fingerprints are
+    map-side (the distinct is per-document inside the array), so the
+    winnowing pass emits identical rows incrementally."""
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    def build(df):
+        return winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+
+    batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
+    assert batch_rows == stream_rows and batch_rows
