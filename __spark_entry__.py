@@ -125,6 +125,7 @@ _PRIORITY = [
     "txt10_bm25",
     "ds8_leakage_free_split",
     "dd13_substring_decontaminate",
+    "ds9_quality_percentile_filter",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

@@ -85,6 +85,8 @@ HEADLINE = [
     "sim6_random_projection",
     "txt9_unigram_logprob",
     "ds6_chunk_documents",
+    "txt10_bm25",
+    "ds8_leakage_free_split",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale
@@ -102,6 +104,7 @@ SF1_HEADLINE = [
     "dd7_neardup_clusters",
     "dd10_dedup_pipeline",
     "dd11_substring_dedup",
+    "dd13_substring_decontaminate",
     "pqs18_quantile_sketch_route",
     "a9_rate",
     "lqs1_log_rate",

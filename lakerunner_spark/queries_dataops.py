@@ -1612,3 +1612,61 @@ def dd13_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= 2)
     )
+
+
+@register(
+    "ds9_quality_percentile_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             pround(
+               least(1.0, len(list_filter(string_split(trim(text), ' '),
+                                          t -> t != '')) / 50.0) * 0.5
+               + least(1.0, length(text) / 300.0) * 0.5, 9) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source ORDER BY score)
+               AS pct
+      FROM scored
+    )
+    SELECT doc_id, source, score, pround(pct, 6) AS pct
+    FROM ranked WHERE pct >= 0.7
+    """,
+)
+def ds9_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality filtering (the DataComp/DCLM shape:
+    keep the top p% of each source by quality score, so thresholds
+    adapt per source instead of one global cutoff): docs at or above
+    the 70th percent_rank of their source survive. Ties share a rank
+    in both engines (percent_rank is rank-based), so no id tiebreak
+    is needed for parity.
+
+    Scale note: the per-source window is one task per source — exact
+    and fine while every source fits a task. At 100 TB the same
+    filter runs windowless: per-source score thresholds from the
+    engine's DDSketch quantile path (x1), broadcast back as a
+    threshold map — the documented trade of rank exactness for a
+    shuffle-free scan."""
+    from lakerunner_spark.dataops.text import quality_score
+    from lakerunner_spark.functions.rounding import portable_round
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.size(F.expr("filter(split(trim(text), ' '), x -> x != '')"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        portable_round(quality_score(n_tok, F.length(t)), 9).alias("score"),
+    )
+    ranked = scored.withColumn(
+        "pct",
+        F.percent_rank().over(
+            Window.partitionBy("source").orderBy(F.col("score").asc())
+        ),
+    )
+    return ranked.filter(F.col("pct") >= 0.7).select(
+        "doc_id", "source", "score", portable_round(F.col("pct"), 6).alias("pct")
+    )

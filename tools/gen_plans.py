@@ -113,6 +113,30 @@ COMMENT = {
         "never exist. At 100 TB, k grows with n to hold n/k — and so "
         "per-task pair count — constant."
     ),
+    "dd13_substring_decontaminate": (
+        "Substring-level benchmark decontamination: both sides reuse the "
+        "winnowing scan (token-hash folds, no gram strings, no row-level "
+        "distinct); the benchmark fingerprint set is tiny and BROADCAST, "
+        "so the corpus side is flagged map-side and the only shuffle is "
+        "the final per-doc count on the doc key. At 100 TB the persisted "
+        "dd11 fingerprint table replaces the corpus-side scan entirely."
+    ),
+    "txt10_bm25": (
+        "BM25 with zero corpus shuffles: term frequencies are array "
+        "expressions over the token array (no explode), the stats pass "
+        "reduces to ONE broadcast row carrying N/avgdl/idf-map, scoring "
+        "is map-side against that row, and the top-20 is "
+        "TakeOrderedAndProject. Two scans total; the plan shows exactly "
+        "one 1-row exchange."
+    ),
+    "ds8_leakage_free_split": (
+        "Leakage-free split: the near-dup machinery (LSH candidates -> "
+        "Jaccard verify -> components) produces a rep table far smaller "
+        "than the corpus, broadcast into one scan pass; the split hash "
+        "is computed on the cluster REPRESENTATIVE so cluster cohesion "
+        "is by construction. Split assignment adds zero shuffles on top "
+        "of the cluster build."
+    ),
     "a8_topk": (
         "Per-bucket top-k: Spark plans the rank window as a "
         "WindowGroupLimit Partial/Final pair — a map-side top-k "
