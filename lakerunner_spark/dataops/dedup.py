@@ -622,9 +622,16 @@ def semantic_dedup(
         F.lit(0.0),
         lambda s, v: s + v,
     )
+    # zero-norm guard: cosine of a zero vector is 0/0 = NaN, and the
+    # engines DISAGREE on NaN >= threshold (Spark false, DuckDB sorts
+    # NaN high → true) — exclude degenerate vectors before pairing
     pairs = (
         a.join(b, "cluster")
-        .filter(F.col("a._vid") < F.col("b._vid"))
+        .filter(
+            (F.col("a._vid") < F.col("b._vid"))
+            & (F.col("a._nrm") > 0)
+            & (F.col("b._nrm") > 0)
+        )
         .select(
             "cluster",
             F.col("a._vid").alias("_keep"),

@@ -1206,7 +1206,8 @@ def _dd12_oracle(n_clusters: int = 8, iters: int = 3,
       SELECT a.cluster, l._id, l.pos, CAST(l.val AS DOUBLE) AS val
       FROM long l JOIN a{iters} a USING (_id)
     ),
-    nrm AS (SELECT _id, sqrt(sum(val * val)) AS nrm FROM v GROUP BY _id),
+    nrm AS (SELECT _id, sqrt(sum(val * val)) AS nrm FROM v
+            GROUP BY _id HAVING sqrt(sum(val * val)) > 0),
     p AS (
       SELECT x.cluster, x._id AS ida, y._id AS idb,
              sum(x.val * y.val) AS dot

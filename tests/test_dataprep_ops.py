@@ -201,3 +201,52 @@ def test_leakage_free_split_keeps_neardups_together(spark):
     assert paired == 12
     # sanity: the split is not degenerate (both sides populated)
     assert len(set(split_of.values())) == 2
+
+
+def test_semantic_dedup_ignores_zero_vectors(spark):
+    """A zero-norm vector must not pair with anything: its cosine is
+    0/0 = NaN and the engines disagree on NaN >= threshold, so the
+    guard drops it before pairing."""
+    from lakerunner_spark.dataops.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [0.0, 0.0]),     # degenerate
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=2, iters=1, threshold=0.5)
+    ids = {r["keep_id"] for r in out.collect()} | {
+        r["drop_id"] for r in out.collect()
+    }
+    assert 2 not in ids
+
+
+def test_chunk_documents_property(spark):
+    """Property sweep across doc lengths and chunk geometries: full
+    coverage, overlap-consistent reconstruction, bounded sizes."""
+    from lakerunner_spark.dataops.sampling import chunk_documents
+
+    cases = [
+        (1, 8, 2), (7, 8, 2), (8, 8, 2), (9, 8, 2), (16, 8, 4),
+        (17, 8, 4), (50, 16, 0), (33, 5, 1), (100, 32, 8), (3, 4, 1),
+    ]
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)))
+        for i, (n, _, _) in enumerate(cases)
+    ]
+    for i, (n, ck, ov) in enumerate(cases):
+        df = spark.createDataFrame([rows[i]], "doc_id long, text string")
+        out = sorted(
+            chunk_documents(df, "text", "doc_id", ck, ov).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        toks = rows[i][1].split()
+        stride = ck - ov
+        rebuilt = list(out[0]["chunk_text"].split())
+        for c in out[1:]:
+            rebuilt += c["chunk_text"].split()[ov:]
+        assert rebuilt == toks, (n, ck, ov)
+        assert all(c["n_tokens"] <= ck for c in out)
+        assert [c["chunk_idx"] for c in out] == list(range(len(out)))
