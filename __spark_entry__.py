@@ -126,6 +126,7 @@ _PRIORITY = [
     "ds8_leakage_free_split",
     "dd13_substring_decontaminate",
     "ds9_quality_percentile_filter",
+    "sp7_operation_latency_sketch",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",

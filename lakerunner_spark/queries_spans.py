@@ -417,3 +417,36 @@ def sp6_span_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pr(F.avg("child_dur"), 4).alias("avg_child_ns"),
         )
     )
+
+
+def _sp7_oracle() -> str:
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantile_sql
+
+    return f"""
+    SELECT span_name, pround(p95_ns, 6) AS p95_ns FROM (
+      {ddsketch_quantile_sql(_SPANS_SQL, ["span_name"], "span_duration",
+                             0.95, out_col="p95_ns")}
+    )
+    """
+
+
+@register("sp7_operation_latency_sketch", _sp7_oracle())
+def sp7_operation_latency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics-from-traces (the Tempo span-metrics shape): per-operation
+    p95 latency through the DDSketch algebra — the path that merges
+    across workers/time-tiers mergeably, unlike sp1's exact
+    percentile which needs the raw durations in one place. At 100 TB
+    the per-(operation, bucket) sketch rows are the ONLY thing that
+    shuffles; raw span durations reduce map-side into bucket counts
+    (one HashAggregate pair), and rollup tiers merge by summing bucket
+    counts. Reference: span stats shapes in spans_worker_sql.go, the
+    same sketch contract as chq_sketch rollups."""
+    from lakerunner_spark.operators.ddsketch import (
+        ddsketch_agg,
+        ddsketch_quantile,
+    )
+
+    s = _spans(spark, sf_dir)
+    sk = ddsketch_agg(s, ["span_name"], "span_duration")
+    out = ddsketch_quantile(sk, ["span_name"], 0.95, out_col="p95_ns")
+    return out.withColumn("p95_ns", _pr("p95_ns", 6))
