@@ -89,17 +89,17 @@ _PRIORITY = [
     "tpch_q9_product_profit",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
-    "dd1_dedup_exact",
+    "ds8_leakage_free_split",
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
     "dd12_semantic_dedup",
     "dd7_neardup_clusters",
     "dd8_decontaminate",
-    "ds1_hash_split",
+    "dd13_substring_decontaminate",
     "ds3_sequence_pack",
     "ds4_domain_mixture",
     "sim1_cosine_topk",
-    "txt1_text_stats",
+    "txt10_bm25",
     "fp1_structural_fingerprint",
     "mm1_byte_histogram",
     # below the driver's 50-sample line: every entry above touches a
@@ -122,11 +122,11 @@ _PRIORITY = [
     "ds6_chunk_documents",
     "sim6_random_projection",
     "mm5_avi_frame_stats",
-    "txt10_bm25",
-    "ds8_leakage_free_split",
-    "dd13_substring_decontaminate",
     "ds9_quality_percentile_filter",
     "sp7_operation_latency_sketch",
+    "dd1_dedup_exact",
+    "ds1_hash_split",
+    "txt1_text_stats",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
     "lqs17_ip_filter",
