@@ -137,6 +137,15 @@ COMMENT = {
         "is by construction. Split assignment adds zero shuffles on top "
         "of the cluster build."
     ),
+    "sp7_operation_latency_sketch": (
+        "Metrics-from-traces through the DDSketch algebra: raw span "
+        "durations reduce MAP-SIDE into (operation, bucket) counts (one "
+        "HashAggregate pair), so only sketch rows — not spans — ever "
+        "shuffle, and rollup tiers merge by summing counts. The "
+        "quantile walk is a window over the few bucket rows per "
+        "operation. sp1's exact percentile needs raw durations "
+        "co-located; this is the shape that survives 100 TB of spans."
+    ),
     "a8_topk": (
         "Per-bucket top-k: Spark plans the rank window as a "
         "WindowGroupLimit Partial/Final pair — a map-side top-k "
