@@ -220,9 +220,16 @@ def neardup_clusters(
 
     The canonical keeper of each cluster is `component` (the min id);
     the delete list is every node where node != component.
+
+    The size-attach join is deliberately UNhinted: `sizes` is one row
+    per cluster, which at web scale is itself huge (hundreds of
+    millions of clusters over a crawl), so a compile-time broadcast
+    hint would bypass Spark's size checks. Both sides are keyed on
+    `component` and AQE's runtime size check still broadcasts when the
+    cluster count actually is small.
     """
     comp = connected_components(pairs, src=id_a, dst=id_b)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(F.broadcast(sizes), "component").select(
+    return comp.join(sizes, "component").select(
         "node", "component", "cluster_size"
     )

@@ -504,7 +504,6 @@ def rp_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
 
 
 def random_projection(
-    df: DataFrame,
     in_dim: int,
     out_dim: int,
     seed: int = 0,
@@ -513,7 +512,10 @@ def random_projection(
 ) -> Column:
     """Project ``vec_col`` (length ``in_dim``) to ``out_dim`` dims with
     the deterministic ±1 matrix — returns the projected array<double>
-    column (caller attaches it with .withColumn).
+    column (caller attaches it with .withColumn / .select; the column
+    is built purely from ``vec_col``, so no DataFrame parameter —
+    length mismatches surface as NULL components from zip_with, and
+    callers own the in_dim contract).
 
     All folds are index-ordered (zip_with + aggregate), so Spark and a
     list_reduce-based oracle produce bit-identical doubles; no rounding

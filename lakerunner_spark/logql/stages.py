@@ -665,10 +665,18 @@ def logfmt_error_label(
     (go-logfmt's decode error), clean lines the empty string. The
     go-logfmt decoder's error cases are unterminated quoted values and
     stray quotes inside bare values; both leave an odd number of
-    double-quote characters on the line, which is the structural test
-    used here (pure length arithmetic, JVM-side)."""
+    *delimiter* double-quote characters on the line, which is the
+    structural test used here (pure length arithmetic, JVM-side).
+    Backslash-escaped characters are stripped first — logfmt quoted
+    values use Go string escapes, so the escaped quote in
+    ``a="x\\""`` is value content, not a delimiter, and counting it
+    would flip the parity and misclassify the line (escaped
+    backslashes are removed by the same pass before they can shield a
+    following real quote)."""
     line = F.coalesce(F.col(line_col).cast("string"), F.lit(""))
-    quotes = F.length(line) - F.length(F.regexp_replace(line, '"', ""))
+    # drop every 2-char escape sequence (\" \\ \n ...) before counting
+    bare = F.regexp_replace(line, r"\\.", "")
+    quotes = F.length(bare) - F.length(F.regexp_replace(bare, '"', ""))
     return df.withColumn(
         out_col,
         F.when(quotes % 2 == 1, F.lit("LogfmtParserErr")).otherwise(F.lit("")),

@@ -106,11 +106,23 @@ def _probe_bucket_series(df: DataFrame, bucket_col: str) -> int:
     group key, so Catalyst pushes it beneath the aggregate down to the
     scan — the probe costs one filtered scan plus a tiny shuffle, not
     a full evaluation (the same bounded plan-time discovery pattern as
-    the quantile density gate, operators/density.py)."""
-    row = df.select(bucket_col).limit(1).collect()
-    if not row or row[0][0] is None:
-        return 0
-    return df.filter(F.col(bucket_col) == row[0][0]).count()
+    the quantile density gate, operators/density.py).
+
+    The result is memoized per (child logical plan, bucket column):
+    repeated topk construction over the same child — bench iterations,
+    recompiled dashboards — pays the probe jobs exactly once per
+    session (plans/probe_cache.py; the route is a physical-strategy
+    hint, both routes are row-identical, so staleness is a performance
+    detail, never a correctness one)."""
+    from lakerunner_spark.plans.probe_cache import cached_probe
+
+    def compute() -> int:
+        row = df.select(bucket_col).limit(1).collect()
+        if not row or row[0][0] is None:
+            return 0
+        return df.filter(F.col(bucket_col) == row[0][0]).count()
+
+    return cached_probe(df, f"bucket_series:{bucket_col}", compute)
 
 
 def _ranked(
@@ -141,7 +153,11 @@ def _ranked(
     ``two_phase=None`` (default): AUTO — a one-bucket cardinality
     probe picks the phase (>= ``two_phase_threshold`` series per
     bucket routes two-phase). The explicit flag remains the override
-    for callers who know their cardinality up front.
+    for callers who know their cardinality up front. The probe is
+    memoized per child plan (plans/probe_cache.py), so repeated
+    construction over the same child costs jobs only once; streaming
+    children skip the probe entirely (no batch jobs can run on an
+    unstarted stream) and take the single-window route.
     """
     # absent samples (coverage-gate NULLs) and NaN never occupy a rank
     # slot: the reference collects "scalar, finite entries only"
@@ -152,9 +168,12 @@ def _ranked(
     # deterministic tiebreak so results are stable across engines/runs
     order += [F.col(c).asc() for c in tiebreak]
     if two_phase is None:
-        two_phase = (
-            _probe_bucket_series(df, bucket_col) >= two_phase_threshold
-        )
+        if df.isStreaming:
+            two_phase = False
+        else:
+            two_phase = (
+                _probe_bucket_series(df, bucket_col) >= two_phase_threshold
+            )
     if two_phase:
         w1 = Window.partitionBy(
             bucket_col, F.spark_partition_id().alias("_salt")

@@ -935,6 +935,24 @@ class _Compiler:
                 .otherwise(F.lit(float("nan")))
                 .alias("value")
             )
+            # Prometheus evaluates funcScalar at EVERY grid step — a
+            # step where the vector has no samples still yields NaN, so
+            # downstream arithmetic propagates NaN instead of dropping
+            # the step. Densify against the evaluation grid when the
+            # query window is known; without an explicit window there
+            # is no grid to densify against (coverage-gated deviation:
+            # only observed buckets are emitted, as before).
+            if self.start is not None and self.end is not None:
+                spark = v.df.sparkSession
+                g0 = self.start - self.start % self.step
+                g1 = (self.end - 1) - (self.end - 1) % self.step
+                grid = spark.range(g0, g1 + 1, self.step).select(
+                    F.col("id").alias("bucket_ts")
+                )
+                out = grid.join(out, "bucket_ts", "left").select(
+                    "bucket_ts",
+                    F.coalesce("value", F.lit(float("nan"))).alias("value"),
+                )
             return _Vec(out, [])
         if fn == "vector":
             (arg,) = node.args

@@ -1373,7 +1373,7 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.functions.rounding import portable_round
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_projection(emb, 64, 24, seed=0)
+    proj = random_projection(64, 24, seed=0)
     q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding", proj)
     c = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding", proj)
 
@@ -1541,9 +1541,15 @@ def ds8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster cohesion is by construction, not by post-hoc repair.
 
     Scale: the pair/cluster machinery is the proven dd2/dd3/dd7
-    bucketed design; the rep table is |clustered docs| rows (far
-    smaller than the corpus), broadcast into one scan pass; split
-    assignment adds zero shuffles on top of it."""
+    bucketed design. The rep table is one row per CLUSTERED document —
+    at web scale near-dup clusters cover 30-50% of the corpus, so rep
+    is corpus-proportional and must NOT be force-broadcast (the hint
+    would bypass Spark's size checks and OOM the driver). The
+    rep-attach join runs unhinted on the scan's own doc_id key: a
+    co-partitioned shuffle join is the 100 TB plan, and AQE's runtime
+    size check — not a compile-time hint — still converts it to a
+    broadcast when rep actually is small (plan-guarded in
+    tests/test_plan_guards.py::test_ds8_no_forced_broadcast)."""
     from lakerunner_spark.dataops.graph import neardup_clusters
     from lakerunner_spark.dataops.sampling import hash_split
 
@@ -1555,7 +1561,7 @@ def ds8_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clusters = neardup_clusters(verified, "doc_a", "doc_b")
     rep = clusters.select(F.col("node").alias("doc_id"), "component")
-    dd = d.join(F.broadcast(rep), "doc_id", "left").withColumn(
+    dd = d.join(rep, "doc_id", "left").withColumn(
         "rep", F.coalesce("component", "doc_id")
     )
     return (

@@ -177,7 +177,9 @@ def otlp1_exp_histogram_quantile(
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = write_fixture(
-        os.path.join(root, ".localdata", "otlp_fixtures", "exp_hist.binpb"),
+        # v2: counts/zero_counts encoded fixed64 per the proto schema
+        # (new name so stale cached v1 fixtures are never reused)
+        os.path.join(root, ".localdata", "otlp_fixtures", "exp_hist_v2.binpb"),
         exp_histogram_payload(),
     )
     m = read_otlp_metrics(spark, path)

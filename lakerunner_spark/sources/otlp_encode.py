@@ -80,9 +80,15 @@ def exp_histogram_payload() -> bytes:
             dp = (
                 f_len(1, keyvalue("svc", f"svc{s}"))
                 + f_fixed64(3, (t + 1) * 3_600_000 * 1_000_000)  # ns
-                + f_varint(4, sum((s * 7 + i * 3 + t) % 5 for i in range(10)))
-                + f_varint(6, zigzag(1))  # scale = 1
-                + f_varint(7, s % 3)      # zero_count
+                # count (4) and zero_count (7) are declared fixed64 in
+                # opentelemetry-proto v1 — encode them as such so the
+                # fixture is spec-valid wire format that official
+                # protobuf parsers accept (the in-repo decoder's as_u64
+                # tolerates either, but the fixture should not rely on
+                # that leniency)
+                + f_fixed64(4, sum((s * 7 + i * 3 + t) % 5 for i in range(10)))
+                + f_varint(6, zigzag(1))  # scale = 1 (sint32: varint)
+                + f_fixed64(7, s % 3)     # zero_count
                 + f_len(8, pos)
             )
             dps += f_len(1, dp)

@@ -259,6 +259,12 @@ IP_LINES = [
     (6, "net", "peer ::ffff:10.1.2.3 connected"),      # v4-mapped is v6 family
     (7, "net", 'addr="fe80::1" scope local'),
     (8, "net", 'k="unterminated msg v=1'),
+    # escaped quotes are VALUE CONTENT (Go string escapes): ts9 has an
+    # escaped quote inside a terminated value PLUS an unterminated
+    # value — even raw quote count, but go-logfmt errors; ts10 is the
+    # clean mirror (escaped quote, properly terminated)
+    (9, "net", 'a="x\\"" b="y'),
+    (10, "net", 'a="x\\"done" b=2'),
 ]
 
 IP_LINE_CASES = [
@@ -275,7 +281,7 @@ IP_LINE_CASES = [
     dict(
         name="ipv4_negated",
         q='{app="net"} != ip("10.0.0.0/8")',
-        keep=[2, 3, 4, 5, 6, 7, 8],
+        keep=[2, 3, 4, 5, 6, 7, 8, 9, 10],
     ),
     dict(
         name="ipv6_single_compressed_matches_long_form",
@@ -305,12 +311,12 @@ IP_LINE_CASES = [
     dict(
         name="logfmt_error_selects_malformed",
         q='{app="net"} | logfmt | __error__ != ""',
-        keep=[8],
+        keep=[8, 9],
     ),
     dict(
         name="logfmt_error_empty_keeps_clean",
         q='{app="net"} | logfmt | __error__ = ""',
-        keep=[0, 1, 2, 3, 4, 5, 6, 7],
+        keep=[0, 1, 2, 3, 4, 5, 6, 7, 10],
     ),
     dict(
         # `or` chain mixing a string term with an ip() term
@@ -323,7 +329,7 @@ IP_LINE_CASES = [
         # the v4 nor the (non-mapped-range) v6 pattern matches it
         name="or_chain_two_ips_negated",
         q='{app="net"} != ip("10.0.0.0/8") or ip("2001:db8::/32")',
-        keep=[2, 3, 6, 7, 8],
+        keep=[2, 3, 6, 7, 8, 9, 10],
     ),
 ]
 

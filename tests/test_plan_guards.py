@@ -87,3 +87,21 @@ def test_no_cartesian_product_outside_allowlist(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
             offenders.append(name + " (BNLJ)")
     assert not offenders, f"unbounded join shapes in: {offenders}"
+
+
+def test_ds8_no_forced_broadcast(spark, sf_dir):
+    """ds8's rep table is one row per CLUSTERED doc — corpus-
+    proportional at web scale (near-dup clusters cover 30-50% of a
+    crawl), so a compile-time broadcast hint on it would bypass
+    Spark's size checks and OOM the driver at 100 TB. The rep-attach
+    join must stay unhinted: AQE's runtime size check is the only
+    broadcast gate. This asserts no hint node anywhere in the analyzed
+    plan (the query adds none elsewhere either)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ds8_leakage_free_split"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, (
+        "ds8 carries a join-strategy hint; the rep join must be "
+        "unhinted so runtime size checks decide:\n" + analyzed
+    )

@@ -630,3 +630,27 @@ def test_limitk_limit_ratio(spark):
         compile_promql("limit_ratio(1.5, m)", cat, STEP)
     with pytest.raises(ValueError, match="positive"):
         compile_promql("limitk(0, m)", cat, STEP)
+
+
+def test_scalar_densifies_empty_steps_to_nan(spark):
+    """Prometheus funcScalar evaluates at EVERY grid step: a step with
+    zero samples yields NaN (never a dropped row), so arithmetic over
+    scalar() propagates NaN instead of silently losing the step. With
+    an explicit query window the engine densifies against the grid;
+    the windowless form (no grid to densify against) keeps emitting
+    observed buckets only — the documented coverage-gated deviation."""
+    rows = [(60_000, "a", 4.0)]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+    got = {
+        r.bucket_ts: r.value
+        for r in compile_promql("scalar(m) + 1", cat, STEP, 0, 180_000).collect()
+    }
+    assert set(got) == {0, 60_000, 120_000}
+    assert got[60_000] == 5.0
+    assert math.isnan(got[0]) and math.isnan(got[120_000])
+    # windowless: observed buckets only (unchanged behavior)
+    wl = compile_promql("scalar(m) + 1", cat, STEP).collect()
+    assert {(r.bucket_ts, r.value) for r in wl} == {(60_000, 5.0)}

@@ -152,3 +152,41 @@ def test_topk_auto_routes_by_cardinality(spark):
     # identical rows from all three
     expected = {(r.bucket_ts, r.series) for r in auto_lo.collect()}
     assert {(r.bucket_ts, r.series) for r in auto_hi.collect()} == expected
+
+
+def test_topk_probe_is_cached_per_plan(spark):
+    """The auto-router's cardinality probe is memoized per (child
+    plan, bucket column): building topk twice over the same child runs
+    the probe jobs once (plans/probe_cache.py). The probe is a routing
+    hint only, so cache staleness can never change result rows — also
+    asserted here by comparing both constructions' output."""
+    from lakerunner_spark.operators.vector_agg import topk
+    from lakerunner_spark.plans import probe_cache
+
+    rows = [(b * 1000, f"s{i}", float(i)) for b in range(2) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "bucket_ts LONG, series STRING, value DOUBLE"
+    )
+    probe_cache.clear_cache()
+    calls = {"n": 0}
+    orig = probe_cache.cached_probe
+
+    def counting(d, tag, compute):
+        def wrapped():
+            calls["n"] += 1
+            return compute()
+        return orig(d, tag, wrapped)
+
+    import lakerunner_spark.plans.probe_cache as pc
+    old = pc.cached_probe
+    pc.cached_probe = counting
+    try:
+        a = topk(df, 3).collect()
+        b = topk(df, 3).collect()
+    finally:
+        pc.cached_probe = old
+        probe_cache.clear_cache()
+    assert calls["n"] == 1, f"probe ran {calls['n']} times, expected 1"
+    assert {(r.bucket_ts, r.series) for r in a} == {
+        (r.bucket_ts, r.series) for r in b
+    }
