@@ -289,3 +289,107 @@ def chunk_documents(
         F.size("_ck").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "_ck").alias("chunk_text"),
     )
+
+
+# Max rows in a single group above which percentile_filter's auto
+# router abandons the exact per-group percent_rank window (one task per
+# group — the textbook straggler when one source IS most of the corpus)
+# for the shuffle-free DDSketch threshold route.
+PERCENTILE_WINDOW_THRESHOLD = 1_000_000
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    p: float,
+    mode: str | None = None,
+    window_threshold: int = PERCENTILE_WINDOW_THRESHOLD,
+    relative_accuracy: float = 0.01,
+    keep_pct: str | None = None,
+) -> DataFrame:
+    """Keep rows at or above the ``p`` quantile of ``score_col`` WITHIN
+    each ``by`` group (the DataComp/DCLM shape: per-source quality
+    cutoffs instead of one global threshold). Returns the input columns,
+    filtered.
+
+    Two physical routes, identical intent:
+
+    ``mode="window"`` — exact: ``percent_rank() OVER (PARTITION BY by
+    ORDER BY score)`` and keep ``pct >= p``. One task per group — fine
+    while every group fits a task, a straggler when one source is most
+    of a 100 TB corpus.
+
+    ``mode="sketch"`` — shuffle-free: per-group score thresholds from
+    the DDSketch bucket algebra (operators/ddsketch.py, the x1/pqs18
+    quantile path: groupBy-count build, cumulative-walk quantile), then
+    one scan keeping ``score >= threshold``. The threshold table is one
+    row per group — bounded by the source-label cardinality, not the
+    corpus — and joins back unhinted (AQE broadcasts it when small).
+    The kept set can differ from the window route near the cutoff by
+    the sketch's relative-error contract: the documented trade of rank
+    exactness for removing the per-group sort entirely.
+
+    ``mode=None`` (default) — AUTO, the engine's density-gate/topk-
+    router pattern: a memoized max-group-rowcount probe
+    (plans/probe_cache.py) routes groups <= ``window_threshold`` to the
+    exact window and anything larger (or any streaming input, where a
+    batch probe can't run and a global sort can't either) to the sketch
+    route.
+
+    ``keep_pct``: window-route-only — also emit the exact percent_rank
+    under this name (callers that report the rank must pin
+    ``mode="window"``; the sketch route has no rank to report and
+    raises).
+    """
+    if keep_pct and mode != "window":
+        raise ValueError(
+            "percentile_filter: keep_pct requires mode='window' — the "
+            "sketch route computes thresholds, not ranks"
+        )
+    if mode not in (None, "window", "sketch"):
+        raise ValueError(f"percentile_filter: unknown mode {mode!r}")
+    if mode is None:
+        if df.isStreaming:
+            mode = "sketch"
+        else:
+            from lakerunner_spark.plans.probe_cache import cached_probe
+
+            def compute() -> int:
+                row = (
+                    df.groupBy(by)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .agg(F.max("_n"))
+                    .first()
+                )
+                return int(row[0] or 0)
+
+            biggest = cached_probe(df, f"max_group_count:{by}", compute)
+            mode = "window" if biggest <= window_threshold else "sketch"
+    if mode == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(by).orderBy(F.col(score_col).asc())
+        out = df.withColumn("_pct", F.percent_rank().over(w)).filter(
+            F.col("_pct") >= p
+        )
+        if keep_pct:
+            return out.withColumnRenamed("_pct", keep_pct)
+        return out.drop("_pct")
+    from lakerunner_spark.operators.ddsketch import (
+        ddsketch_agg,
+        ddsketch_quantile,
+    )
+
+    th = ddsketch_quantile(
+        ddsketch_agg(df, [by], score_col, relative_accuracy),
+        [by],
+        p,
+        relative_accuracy=relative_accuracy,
+        out_col="_threshold",
+    )
+    return (
+        df.join(th, by)
+        .filter(F.col(score_col) >= F.col("_threshold"))
+        .drop("_threshold")
+    )

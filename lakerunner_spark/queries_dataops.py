@@ -1650,15 +1650,18 @@ def ds9_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     in both engines (percent_rank is rank-based), so no id tiebreak
     is needed for parity.
 
-    Scale note: the per-source window is one task per source — exact
-    and fine while every source fits a task. At 100 TB the same
-    filter runs windowless: per-source score thresholds from the
-    engine's DDSketch quantile path (x1), broadcast back as a
-    threshold map — the documented trade of rank exactness for a
-    shuffle-free scan."""
+    This is the EXACT route of dataops/sampling.py's routed
+    ``percentile_filter`` operator, pinned to ``mode="window"``
+    because the output reports the rank itself (``pct``), which only
+    the window route has. The shuffle-free 100 TB route — per-source
+    DDSketch thresholds broadcast back, no per-source sort of corpus
+    rows anywhere — is the SAME operator's ``mode="sketch"`` path,
+    registered as ds9s_quality_sketch_filter; ``mode=None`` auto-routes
+    between them on a memoized max-source-rowcount probe
+    (tests/test_dataprep_ops.py::test_percentile_filter_auto_routes)."""
+    from lakerunner_spark.dataops.sampling import percentile_filter
     from lakerunner_spark.dataops.text import quality_score
     from lakerunner_spark.functions.rounding import portable_round
-    from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1668,12 +1671,70 @@ def ds9_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         "source",
         portable_round(quality_score(n_tok, F.length(t)), 9).alias("score"),
     )
-    ranked = scored.withColumn(
-        "pct",
-        F.percent_rank().over(
-            Window.partitionBy("source").orderBy(F.col("score").asc())
-        ),
+    kept = percentile_filter(
+        scored, "score", "source", 0.7, mode="window", keep_pct="pct"
     )
-    return ranked.filter(F.col("pct") >= 0.7).select(
+    return kept.select(
         "doc_id", "source", "score", portable_round(F.col("pct"), 6).alias("pct")
     )
+
+
+_DS9_SCORED_SQL = """
+      SELECT doc_id, source,
+             pround(
+               least(1.0, len(list_filter(string_split(trim(text), ' '),
+                                          t -> t != '')) / 50.0) * 0.5
+               + least(1.0, length(text) / 300.0) * 0.5, 9) AS score
+      FROM documents
+"""
+
+
+def _ds9s_oracle() -> str:
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantile_sql
+
+    th = ddsketch_quantile_sql(
+        "SELECT * FROM scored",
+        ["source"],
+        "score",
+        0.7,
+        out_col="threshold",
+    )
+    return f"""
+    WITH scored AS ({_DS9_SCORED_SQL}),
+    th AS ({th})
+    SELECT s.doc_id, s.source, s.score
+    FROM scored s JOIN th USING (source)
+    WHERE s.score >= th.threshold
+    """
+
+
+@register("ds9s_quality_sketch_filter", _ds9s_oracle())
+def ds9s_quality_sketch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB route of per-source percentile quality filtering
+    (ds9's windowless twin): per-source score thresholds come from the
+    engine's DDSketch bucket algebra — groupBy-count sketch build,
+    cumulative-walk quantile (the x1/pqs18 machinery) — and are joined
+    back (one row per source; AQE broadcasts it) so the corpus pass is
+    a plain filter. NO per-source sort of corpus rows exists anywhere
+    in the plan: the only window runs over (source x occupied-bucket)
+    sketch rows, a few hundred per source regardless of corpus size —
+    that is what removes ds9's one-task-per-source straggler when one
+    source is most of the data. Kept membership differs from the exact
+    rank route near the cutoff by the sketch's relative-error contract
+    (the documented trade); the oracle replays the identical bucket
+    math, so the route itself is exact-verified. ``mode=None``
+    auto-routes between the two on a memoized max-source-rowcount
+    probe (the density-gate/topk-router pattern, third application)."""
+    from lakerunner_spark.dataops.sampling import percentile_filter
+    from lakerunner_spark.dataops.text import quality_score
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = F.size(F.expr("filter(split(trim(text), ' '), x -> x != '')"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        portable_round(quality_score(n_tok, F.length(t)), 9).alias("score"),
+    )
+    return percentile_filter(scored, "score", "source", 0.7, mode="sketch")

@@ -250,3 +250,74 @@ def test_chunk_documents_property(spark):
         assert rebuilt == toks, (n, ck, ov)
         assert all(c["n_tokens"] <= ck for c in out)
         assert [c["chunk_idx"] for c in out] == list(range(len(out)))
+
+
+# ------------------------- percentile_filter router ------------------------
+
+
+def _scored_docs(spark):
+    rows = [
+        (s * 1000 + i, f"src{s}", float((i * 37) % 100) / 100.0)
+        for s in range(3)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, score double")
+
+
+def test_percentile_filter_auto_routes(spark):
+    """mode=None routes on the memoized max-per-group rowcount probe:
+    small groups take the exact window, groups above the gate take the
+    DDSketch threshold route — visible as percent_rank disappearing
+    from the plan (the per-source sort of CORPUS rows is gone; the
+    sketch's own cumulative walk windows over (source x bucket) rows
+    only, a bounded few hundred per source). Each auto route returns
+    exactly its explicit-mode rows."""
+    from lakerunner_spark.dataops.sampling import percentile_filter
+    from lakerunner_spark.plans import probe_cache
+
+    df = _scored_docs(spark)
+    probe_cache.clear_cache()
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    auto_small = percentile_filter(df, "score", "source", 0.7)
+    assert "percent_rank" in plan(auto_small)
+    exact = {r.doc_id for r in percentile_filter(
+        df, "score", "source", 0.7, mode="window").collect()}
+    assert {r.doc_id for r in auto_small.collect()} == exact
+
+    auto_big = percentile_filter(
+        df, "score", "source", 0.7, window_threshold=10
+    )
+    assert "percent_rank" not in plan(auto_big)
+    sketch = {r.doc_id for r in percentile_filter(
+        df, "score", "source", 0.7, mode="sketch").collect()}
+    assert {r.doc_id for r in auto_big.collect()} == sketch
+    probe_cache.clear_cache()
+
+
+def test_percentile_filter_routes_agree_off_boundary(spark):
+    """The two routes may only disagree within the sketch's relative-
+    error band around the cutoff score. With 1% relative accuracy and
+    this fixture's score spacing (0.01), any disagreement is confined
+    to scores within ~2% of the threshold — checked by asserting
+    symmetric-difference rows all sit near the window route's cutoff."""
+    from lakerunner_spark.dataops.sampling import percentile_filter
+
+    df = _scored_docs(spark)
+    win = {(r.doc_id, r.score) for r in percentile_filter(
+        df, "score", "source", 0.7, mode="window").collect()}
+    sk = {(r.doc_id, r.score) for r in percentile_filter(
+        df, "score", "source", 0.7, mode="sketch").collect()}
+    cutoff = min(s for _, s in win)
+    for _, s in win.symmetric_difference(sk):
+        assert abs(s - cutoff) <= 0.05 * max(cutoff, 1e-9), (s, cutoff)
+
+
+def test_percentile_filter_keep_pct_requires_window():
+    from lakerunner_spark.dataops.sampling import percentile_filter
+
+    with pytest.raises(ValueError, match="keep_pct"):
+        percentile_filter(None, "score", "source", 0.7, mode="sketch",
+                          keep_pct="pct")
