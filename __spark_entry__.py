@@ -54,8 +54,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     "s1_scan_project_filter",
     "cook1_metrics_tid",
-    "a1_preagg_10s",
-    "a2_rollup_chain",
     "a3_step_agg",
     "a9_rate",
     "dd11_substring_dedup",
@@ -66,10 +64,6 @@ _PRIORITY = [
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
     "j1_vector_arith",
-    "o1_order_limit",
-    "p7_json_parser",
-    "p8_logfmt_roundtrip",
-    "p9_regexp_parser",
     "pqs1_sum_rate",
     "lqs19_unpack",
     "pqs18_quantile_sketch_route",
@@ -81,7 +75,6 @@ _PRIORITY = [
     "lqs10_label_replace",
     "lqs12_pattern",
     "otlp1_exp_histogram_quantile",
-    "sp3_trace_lookup",
     "sp5_trace_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -90,6 +83,13 @@ _PRIORITY = [
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "ds8_leakage_free_split",
+    "ds9_quality_percentile_filter",
+    "ds9s_quality_sketch_filter",
+    "dd11v_substring_verify",
+    "pqs42_native_histogram_fields",
+    "pqs43_native_histogram_quantile",
+    "pqs44_native_histogram_fraction",
+    "maint1_compaction_requery",
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
     "dd12_semantic_dedup",
@@ -104,8 +104,16 @@ _PRIORITY = [
     "mm1_byte_histogram",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
-    # tests/test_oracle_parity.py. Rotated down in r5 (certified by the
-    # r4 driver gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4.
+    # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
+    # r5 driver gate): a1, a2, o1, p7, p8, p9, sp3; in r5 (by the r4
+    # gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4.
+    "a1_preagg_10s",
+    "a2_rollup_chain",
+    "o1_order_limit",
+    "p7_json_parser",
+    "p8_logfmt_roundtrip",
+    "p9_regexp_parser",
+    "sp3_trace_lookup",
     "a9x_deriv",
     "a6_cardinality",
     "lqs9_decolorize",

@@ -87,6 +87,10 @@ HEADLINE = [
     "ds6_chunk_documents",
     "txt10_bm25",
     "ds8_leakage_free_split",
+    "ds9s_quality_sketch_filter",
+    "dd11v_substring_verify",
+    "pqs43_native_histogram_quantile",
+    "maint1_compaction_requery",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale
@@ -112,6 +116,20 @@ SF1_HEADLINE = [
     "a8_topk",
 ]
 
+# second measured decade (100× the default bench size, deterministic
+# replication like sf1): the heaviest data-prep pipelines only — the
+# point is catching plans whose shape survives 10× but flips at 100×
+# (and turning the "per-task volume held constant" docstring claims
+# into measurements). One cold iteration each; at multi-second
+# runtimes the one-off codegen cost is noise.
+SF10_HEADLINE = [
+    "dd2_minhash_lsh",
+    "dd3_jaccard_verify",
+    "dd11_substring_dedup",
+    "dd13_substring_decontaminate",
+    "pqs18_quantile_sketch_route",
+]
+
 
 def _run_section(section: str) -> dict:
     """Child-process entry: run one bench section against a fresh JVM."""
@@ -124,6 +142,15 @@ def _run_section(section: str) -> dict:
 
     if section == "main":
         sf_dir, names = SF_DIR, HEADLINE
+    elif section == "sf10":
+        from tools.make_sf1 import make_sf1
+
+        sf_dir = make_sf1(
+            SF_DIR,
+            os.path.join(os.path.dirname(__file__), ".localdata/sf10"),
+            replicas=100,
+        )
+        names = SF10_HEADLINE
     else:
         from tools.make_sf1 import make_sf1
 
@@ -170,10 +197,15 @@ def _run_section(section: str) -> dict:
     # expensive to repeat) — one pass; the sub-second-dominated main
     # list gets the spread second pass.
     budgets = (1.5, 0.75) if section == "main" else (1.5,)
+    if section == "sf10":
+        # one cold iteration per query: runtimes are tens of seconds,
+        # so warmup/repeat would double a multi-minute section to shave
+        # sub-1% codegen noise
+        budgets, min_iters, max_iters = (0.0,), 1, 1
     for pass_no, budget in enumerate(budgets):
         for name in names:
             fn = queries[name]
-            if pass_no == 0:
+            if pass_no == 0 and section != "sf10":
                 # untimed warmup: pays one-off codegen/compile/broadcast
                 # costs so the timed loop measures steady-state
                 rows[name] = fn(spark, sf_dir).count()
@@ -189,6 +221,8 @@ def _run_section(section: str) -> dict:
                 best = min(best, dt)
                 measured += dt
                 iters += 1
+            if name not in rows:  # sf10 runs without a warmup pass
+                rows[name] = n
             timings[name] = best
             print(
                 f"# {section} p{pass_no} {name}: {best:.3f}s"
@@ -240,6 +274,14 @@ def main() -> None:
         out["sf1_queries"] = sf1_res["queries"]
         out["sf1_total_sec"] = sf1_res["total"]
         out["sf1_calib_sec"] = sf1_res["calib_sec"]
+
+    # sf10 decade: heaviest data-prep pipelines at 100× (one cold
+    # iteration each; growth per decade is the recorded signal)
+    if out["sf"] == 0.1 and os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        sf10_res = spawn("sf10")
+        out["sf10_queries"] = sf10_res["queries"]
+        out["sf10_total_sec"] = sf10_res["total"]
+        out["sf10_calib_sec"] = sf10_res["calib_sec"]
 
     print(json.dumps(out))
 

@@ -652,3 +652,84 @@ def semantic_dedup(
             F.col("_b._cos").alias("cosine"),
         )
     )
+
+
+def substring_verify_runs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring verification for winnowing candidates (the Lee
+    et al. fidelity pass): for each candidate pair, compute the TRUE
+    longest shared token run by joining the two docs' k-token grams on
+    the literal gram STRING (not the hash — so hash collisions cannot
+    survive) and stitching matched grams into diagonal runs: matches
+    at positions (i, j), (i+1, j+1), ... share the diagonal i - j, and
+    a maximal consecutive stretch of ``r`` grams there is a shared run
+    of exactly k - 1 + r tokens. Stretch detection is the classic
+    gaps-and-islands window (i - row_number() per diagonal), the same
+    verify-after-candidates shape as dd3's Jaccard pass. Pairs whose
+    fingerprint collisions were pure hash accidents share no gram and
+    drop out — the output pair set is a subset of the input's, each
+    with its exact ``longest_run`` token length for thresholded delete
+    lists.
+
+    100 TB design: grams are materialized ONLY for documents that
+    appear in a candidate pair (left-semi prune) — candidates are a
+    vanishing fraction of the corpus after dd11's frequency cap — and
+    every window partitions by (pair, diagonal), whose size is bounded
+    by the shorter doc, never by the corpus.
+    """
+    from pyspark.sql import Window
+
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    toks = F.expr(
+        f"filter(split(trim(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
+    )
+    d = (
+        docs.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), toks.alias("_tk"))
+        .filter(F.size("_tk") >= k)
+    )
+    grams = d.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(_tk) - {k - 1}),"
+                f" i -> array_join(slice(_tk, i, {k}), ' '))"
+            )
+        ).alias("pos", "gram"),
+    )
+    m = (
+        pairs.join(
+            grams.alias("ga"), F.col("doc_a") == F.col(f"ga.{id_col}")
+        )
+        .join(
+            grams.alias("gb"),
+            (F.col("doc_b") == F.col(f"gb.{id_col}"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("ga.pos").alias("i"),
+            F.col("gb.pos").alias("j"),
+        )
+        .withColumn("diag", F.col("i") - F.col("j"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
+    runs = (
+        m.withColumn("island", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("_glen"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.lit(k - 1) + F.max("_glen")).cast("long").alias("longest_run")
+    )

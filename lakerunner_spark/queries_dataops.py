@@ -1738,3 +1738,67 @@ def ds9s_quality_sketch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_round(quality_score(n_tok, F.length(t)), 9).alias("score"),
     )
     return percentile_filter(scored, "score", "source", 0.7, mode="sketch")
+
+
+@register(
+    "dd11v_substring_verify",
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()},
+    freq AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint
+      HAVING count(*) <= 50
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a
+      JOIN freq USING (fingerprint)
+      JOIN fps b USING (fingerprint)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM toks CROSS JOIN unnest(generate_series(1, len(tk) - 4)) AS t(i)
+      WHERE len(tk) >= 5
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b, ga.pos AS i, gb.pos AS j
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, i - j AS diag, i,
+             i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+                                    ORDER BY i) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, count(*) AS glen
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b, CAST(4 + max(glen) AS BIGINT) AS longest_run
+    FROM runs GROUP BY 1, 2
+    """,
+)
+def dd11v_substring_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd11's exact-verification pass (Lee et al. fidelity): winnowing
+    flags candidate pairs; this stitches their literally-matching
+    k-token grams into diagonal runs and reports each pair's TRUE
+    longest shared token run — hash-collision candidates share no gram
+    and drop out, so delete lists built from ``longest_run``
+    thresholds carry zero winnowing false positives. The verified pair
+    set is a subset of dd11's by construction (the oracle recomputes
+    candidates AND run lengths independently, run arithmetic included).
+    Same candidates->verify shape as dd2->dd3."""
+    from lakerunner_spark.dataops.dedup import (
+        substring_dedup_pairs,
+        substring_verify_runs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = substring_dedup_pairs(
+        d, "text", "doc_id", k=5, w=4, max_doc_freq=50, min_shared=2
+    ).select("doc_a", "doc_b")
+    return substring_verify_runs(d, cand, "text", "doc_id", k=5)

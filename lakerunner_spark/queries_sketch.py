@@ -195,3 +195,197 @@ def otlp1_exp_histogram_quantile(
     cum = cumulate_buckets(with_inf_bucket(b))
     out = histogram_quantile_buckets(cum, 0.5)
     return out.withColumn("value", _pr("value", 6))
+
+
+# ---------------------- Prometheus native histograms ------------------------
+# (extension; the reference has no native-histogram evaluator — see
+# operators/native_histogram.py module docstring)
+
+from lakerunner_spark.operators.native_histogram import (  # noqa: E402
+    histogram_fraction_sql,
+    native_histogram_quantile_sql,
+)
+
+
+@register(
+    "pqs42_native_histogram_fields",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS h_count,
+           pround(sum(v), 6) AS h_sum,
+           pround(sum(v) / count(*), 6) AS h_avg
+    FROM ({_SIGNED_E}) GROUP BY event_type
+    """,
+)
+def pqs42_native_histogram_fields(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_count / histogram_sum / histogram_avg over native
+    histograms built from raw samples. h_count is deliberately derived
+    from the BUCKET rows (sum of per-bucket counts), while h_sum/h_avg
+    come from the carried-fields aggregation — the oracle's plain
+    count(*)/sum certifies that the bucket algebra loses no
+    observations, which is exactly the property that makes bucket-row
+    merges (rollup tiers) trustworthy."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        native_histogram_agg,
+        native_histogram_stats,
+    )
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", (F.col("value") - 50.0).alias("v")
+    )
+    buckets = native_histogram_agg(e, ["event_type"], "v")
+    h_count = buckets.groupBy("event_type").agg(
+        F.sum("count").alias("h_count")
+    )
+    stats = native_histogram_stats(e, ["event_type"], "v")
+    return h_count.join(stats.drop("h_count"), "event_type").select(
+        "event_type",
+        "h_count",
+        _pr("h_sum", 6).alias("h_sum"),
+        _pr("h_avg", 6).alias("h_avg"),
+    )
+
+
+@register(
+    "pqs43_native_histogram_quantile",
+    f"""
+    SELECT event_type, pround(value, 6) AS value FROM (
+      {native_histogram_quantile_sql(_SIGNED_E, ["event_type"], "v", 0.5)}
+    )
+    """,
+)
+def pqs43_native_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native histogram_quantile (median) over mixed-sign samples:
+    exponential buckets at schema 3 (gamma = 2^(1/8)), cumulative walk
+    across the mirrored negative store / zero bucket / positive store,
+    LINEAR interpolation inside the target bucket (upstream's
+    uniform-within-bucket assumption, unlike DDSketch's mid-bucket
+    point). The oracle replays the identical bucket math."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_quantile_native,
+        native_histogram_agg,
+    )
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", (F.col("value") - 50.0).alias("v")
+    )
+    sk = native_histogram_agg(e, ["event_type"], "v")
+    out = histogram_quantile_native(sk, ["event_type"], 0.5)
+    return out.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "pqs44_native_histogram_fraction",
+    f"""
+    SELECT event_type, pround(fraction, 6) AS fraction FROM (
+      {histogram_fraction_sql(_SIGNED_E, ["event_type"], "v", -5.0, 10.0)}
+    )
+    """,
+)
+def pqs44_native_histogram_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_fraction(-5, 10, h): estimated share of observations
+    inside [lo, hi] — each bucket contributes its count scaled by the
+    linear overlap of the interval with the bucket's bounds; the zero
+    bucket contributes fully when the interval spans 0. Fraction and
+    quantile answer from the SAME merged bucket rows, so a tier
+    rollup serves both."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_fraction,
+        native_histogram_agg,
+    )
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", (F.col("value") - 50.0).alias("v")
+    )
+    sk = native_histogram_agg(e, ["event_type"], "v")
+    out = histogram_fraction(sk, ["event_type"], -5.0, 10.0)
+    return out.withColumn("fraction", _pr("fraction", 6))
+
+
+# ------------------------- maintenance plane --------------------------------
+
+
+@register(
+    "maint1_compaction_requery",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           pround(sum(value), 6) AS total
+    FROM ({EVENTS_MS_SQL}) GROUP BY event_type
+    """,
+)
+def maint1_compaction_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance plane end-to-end, oracle-parity-gated: cook the
+    events stream into the metrics segment shape, write it DELIBERATELY
+    fragmented (16 tiny files — the post-ingest state compaction
+    exists to fix), run the crash-safe compaction protocol
+    (maintenance/compaction.py: plan -> staged write -> manifest
+    commit -> swap), then RE-QUERY the compacted partition and
+    aggregate. The oracle aggregates the raw events directly, so the
+    hash certifies that a full fragment->compact->swap cycle loses,
+    duplicates, and reorders nothing — the invariant the reference's
+    upload-then-republish flow guarantees via Postgres registration
+    (OVERVIEW.md:277).
+
+    This registration EXECUTES the compaction job at DataFrame-build
+    time (it is a filesystem job, not a lazy plan) into a gitignored
+    per-invocation scratch dir; stale scratch from prior invocations
+    is swept on entry."""
+    import shutil
+    import time as _time
+    import uuid
+
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.maintenance.compaction import (
+        compact_segments,
+        plan_compaction,
+    )
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cache = _os.path.join(root, ".localdata", "maint_bench")
+    _os.makedirs(cache, exist_ok=True)
+    now = _time.time()
+    for old in _os.listdir(cache):
+        p = _os.path.join(cache, old)
+        try:
+            if now - _os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+    e = (
+        events_stream(spark, sf_dir)
+        .withColumnRenamed("event_type", "metric_name")
+        .withColumn("chq_tid", F.col("user_id").cast("long"))
+    )
+    part = _os.path.join(cache, uuid.uuid4().hex, "dateint=20240101")
+    e.repartition(16).write.mode("overwrite").parquet(part)
+    for f in _os.listdir(part):
+        if not f.endswith(".parquet"):
+            _os.remove(_os.path.join(part, f))
+    task = plan_compaction(part)
+    if task is None:  # pragma: no cover - 16-way fragment always plans
+        raise RuntimeError("maint1: fragmented partition did not plan")
+    n_out = compact_segments(spark, task, "metrics")
+    if n_out < 1:  # pragma: no cover
+        raise RuntimeError("maint1: compaction produced no output")
+    back = spark.read.parquet(part)
+    return back.groupBy(
+        F.col("metric_name").alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _pr(F.sum("value"), 6).alias("total"),
+    )

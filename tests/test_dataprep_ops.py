@@ -321,3 +321,50 @@ def test_percentile_filter_keep_pct_requires_window():
     with pytest.raises(ValueError, match="keep_pct"):
         percentile_filter(None, "score", "source", 0.7, mode="sketch",
                           keep_pct="pct")
+
+
+# ------------------------- substring_verify_runs ---------------------------
+
+
+def test_substring_verify_exact_run_length(spark):
+    """A planted 12-token shared run between two otherwise-different
+    documents verifies at exactly 12 (k-1 + consecutive matched
+    grams); a pair sharing only scattered short overlaps below k never
+    appears; the verified set is a subset of the candidate input."""
+    from lakerunner_spark.dataops.dedup import substring_verify_runs
+
+    shared = " ".join(f"run{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta epsilon zeta"),
+            (2, f"one two three {shared} four five six seven"),
+            (3, "totally unrelated words without any overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.longest_run
+        for r in substring_verify_runs(docs, pairs, k=5).collect()
+    }
+    # (1,3) shares no 5-gram -> dropped; (1,2) verifies at exactly 12
+    assert out == {(1, 2): 12}
+
+
+def test_substring_verify_subset_of_dd11(spark, sf_dir):
+    """On the real corpus, dd11v's verified pairs are a subset of
+    dd11's candidates and every reported run is >= k (a shared gram IS
+    a run of at least k tokens)."""
+    import __spark_entry__ as entry
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in entry.queries()["dd11_substring_dedup"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    ver = entry.queries()["dd11v_substring_verify"](spark, sf_dir).collect()
+    assert {(r.doc_a, r.doc_b) for r in ver} <= cand
+    assert all(r.longest_run >= 5 for r in ver)

@@ -1,0 +1,141 @@
+"""Native-histogram function semantics (upstream-derived cases).
+
+Expectations re-derived by hand from Prometheus's documented native-
+histogram behavior (promql/testdata native_histograms.test and
+model/histogram quantile semantics): count/sum/avg accessors, quantile
+edge handling (q outside [0,1], NaN), fraction boundary cases, and the
+mergeable bucket-algebra contract (merge-then-evaluate equals
+direct-build-then-evaluate). Divergences are documented in
+operators/native_histogram.py: the zero bucket holds exact zeros only
+(no zero_threshold widening), and interpolation is linear within the
+bucket bounds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakerunner_spark.operators.native_histogram import (
+    DEFAULT_SCHEMA,
+    gamma_for_schema,
+    histogram_fraction,
+    histogram_quantile_native,
+    native_histogram_agg,
+    native_histogram_merge,
+    native_histogram_stats,
+)
+
+
+def _df(spark, vals, group="g"):
+    return spark.createDataFrame(
+        [(group, float(v)) for v in vals], "g string, value double"
+    )
+
+
+SAMPLES = [0.5, 1.0, 2.0, 4.0, 8.0, -1.0, -2.0, 0.0, 3.0, 6.0]
+
+
+def test_fields_count_sum_avg(spark):
+    """histogram_count/sum/avg: the carried fields; bucket-row count
+    sum must equal the carried count (no observation lost to the
+    bucket mapping — the property merges rely on)."""
+    df = _df(spark, SAMPLES)
+    stats = native_histogram_stats(df, ["g"]).collect()[0]
+    assert stats.h_count == len(SAMPLES)
+    assert stats.h_sum == pytest.approx(sum(SAMPLES))
+    assert stats.h_avg == pytest.approx(sum(SAMPLES) / len(SAMPLES))
+    buckets = native_histogram_agg(df, ["g"])
+    derived = buckets.agg(F.sum("count")).collect()[0][0]
+    assert derived == len(SAMPLES)
+
+
+def test_quantile_edges_follow_upstream(spark):
+    """q < 0 -> -Inf, q > 1 -> +Inf, NaN -> NaN (funcHistogramQuantile
+    edge behavior); q=0 -> lower bound of the first occupied bucket;
+    q=1 -> upper bound of the last."""
+    df = _df(spark, [1.0, 2.0, 4.0])
+    sk = native_histogram_agg(df, ["g"])
+    lo = histogram_quantile_native(sk, ["g"], -0.5).collect()[0].value
+    hi = histogram_quantile_native(sk, ["g"], 1.5).collect()[0].value
+    nn = histogram_quantile_native(sk, ["g"], float("nan")).collect()[0].value
+    assert lo == float("-inf") and hi == float("inf") and math.isnan(nn)
+    g = gamma_for_schema(DEFAULT_SCHEMA)
+    q0 = histogram_quantile_native(sk, ["g"], 0.0).collect()[0].value
+    q1 = histogram_quantile_native(sk, ["g"], 1.0).collect()[0].value
+    # q=0: lower bound of the bucket containing 1.0 = gamma^(i-1)
+    i = math.ceil(math.log(1.0) / math.log(g))
+    assert q0 == pytest.approx(g ** (i - 1))
+    # q=1: upper bound of the bucket containing 4.0
+    j = math.ceil(math.log(4.0) / math.log(g))
+    assert q1 == pytest.approx(g ** j)
+
+
+def test_quantile_within_relative_error_and_monotone(spark):
+    """Quantile estimates stay inside the target bucket (bounds within
+    one gamma factor of the true order statistic) and are monotone in
+    q — upstream's guarantee for exponential buckets."""
+    vals = [float(v) for v in range(1, 101)]
+    df = _df(spark, vals)
+    sk = native_histogram_agg(df, ["g"])
+    g = gamma_for_schema(DEFAULT_SCHEMA)
+    prev = None
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = histogram_quantile_native(sk, ["g"], q).collect()[0].value
+        true = vals[min(len(vals) - 1, int(math.ceil(q * len(vals))) - 1)]
+        assert true / g <= est <= true * g, (q, est, true)
+        if prev is not None:
+            assert est >= prev
+        prev = est
+
+
+def test_quantile_mixed_sign_and_zero_bucket(spark):
+    """The cumulative walk spans negative store -> zero bucket ->
+    positive store: a rank landing among negatives interpolates there,
+    a rank landing on the zero bucket returns 0.0."""
+    df = _df(spark, [-4.0, -2.0, 0.0, 0.0, 2.0, 4.0])
+    sk = native_histogram_agg(df, ["g"])
+    med = histogram_quantile_native(sk, ["g"], 0.5).collect()[0].value
+    assert med == 0.0  # rank 3 falls in the zero bucket (cum 2 -> 4)
+    q20 = histogram_quantile_native(sk, ["g"], 0.2).collect()[0].value
+    assert -4.0 * gamma_for_schema(DEFAULT_SCHEMA) <= q20 < 0
+
+
+def test_fraction_boundary_cases(spark):
+    """histogram_fraction: (-Inf, +Inf) -> 1; inverted bounds -> 0;
+    a range spanning 0 includes the zero bucket fully; disjoint range
+    -> 0; NaN propagates."""
+    df = _df(spark, SAMPLES)
+    sk = native_histogram_agg(df, ["g"])
+
+    def frac(lo, hi):
+        return histogram_fraction(sk, ["g"], lo, hi).collect()[0].fraction
+
+    assert frac(float("-inf"), float("inf")) == pytest.approx(1.0)
+    assert frac(5.0, 1.0) == 0.0
+    assert frac(1000.0, 2000.0) == 0.0
+    assert math.isnan(frac(float("nan"), 1.0))
+    # [-0.1, 0.1]: only the zero bucket (one exact 0 of 10 samples)
+    # plus a sliver of nothing — no bucket bounds fall inside
+    assert frac(-0.1, 0.1) == pytest.approx(0.1)
+    # monotone in widening: [0, 8] ⊂ [-8, 8]
+    assert frac(0.0, 8.0) <= frac(-8.0, 8.0) <= 1.0
+
+
+def test_merge_equals_direct_build(spark):
+    """The rollup-tier contract: build per (g, sub), merge to g, then
+    evaluate — identical bucket rows, hence identical quantile and
+    fraction, as a direct one-level build (counts add associatively)."""
+    rows = [("g", i % 7, float(v)) for i, v in enumerate(range(1, 51))]
+    df = spark.createDataFrame(rows, "g string, sub int, value double")
+    fine = native_histogram_agg(df, ["g", "sub"])
+    merged = native_histogram_merge(fine, ["g"])
+    direct = native_histogram_agg(df, ["g"])
+    a = {(r.bucket, r["count"]) for r in merged.collect()}
+    b = {(r.bucket, r["count"]) for r in direct.collect()}
+    assert a == b
+    qa = histogram_quantile_native(merged, ["g"], 0.9).collect()[0].value
+    qb = histogram_quantile_native(direct, ["g"], 0.9).collect()[0].value
+    assert qa == qb

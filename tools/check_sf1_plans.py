@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Compare post-execution plan shapes at sf0.1 vs sf1 for the bench's
-sf1 section — the evidence behind PLANS.md's "no plan degraded at the
-larger size" claim. Prints, per query, the join/exchange operator
+"""Compare post-execution plan shapes at sf0.1 vs sf1 (and, with
+--sf10, at sf10 for the bench's sf10 decade list) — the evidence behind
+PLANS.md's "no plan degraded at the larger size" claim. Prints, per query, the join/exchange operator
 multiset at both sizes and flags BNLJ/CartesianProduct appearances or
 broadcast->SMJ flips (flips are usually the DESIRED asymptote; they are
 reported, not failed)."""
@@ -33,26 +33,32 @@ def shape(df) -> dict:
 
 
 def main() -> None:
-    from bench import SF1_HEADLINE
+    from bench import SF1_HEADLINE, SF10_HEADLINE
 
     import __spark_entry__ as entry_mod
     from lakerunner_spark.session import get_spark
     from tools.make_sf1 import make_sf1
 
     spark = get_spark(app_name="check_sf1_plans")
-    sf1 = make_sf1(SF01, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".localdata/sf1"))
+    local = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".localdata")
+    if "--sf10" in sys.argv:
+        big = make_sf1(SF01, os.path.join(local, "sf10"), replicas=100)
+        names, tag = SF10_HEADLINE, "sf10"
+    else:
+        big = make_sf1(SF01, os.path.join(local, "sf1"))
+        names, tag = SF1_HEADLINE, "sf1"
     qs = entry_mod.queries()
     bad = 0
-    for name in SF1_HEADLINE:
+    for name in names:
         a = shape(qs[name](spark, SF01))
-        b = shape(qs[name](spark, sf1))
+        b = shape(qs[name](spark, big))
         note = ""
         if any(k in b for k in ("BroadcastNestedLoopJoin", "CartesianProduct")):
-            note, bad = "  <-- UNBOUNDED JOIN AT SF1", bad + 1
+            note, bad = f"  <-- UNBOUNDED JOIN AT {tag.upper()}", bad + 1
         elif a == b:
             note = "  (identical)"
-        print(f"{name}: sf0.1={a} sf1={b}{note}")
+        print(f"{name}: sf0.1={a} {tag}={b}{note}")
     print("unbounded-join regressions:", bad)
 
 

@@ -130,12 +130,49 @@ COMMENT = {
         "one 1-row exchange."
     ),
     "ds8_leakage_free_split": (
-        "Leakage-free split: the near-dup machinery (LSH candidates -> "
-        "Jaccard verify -> components) produces a rep table far smaller "
-        "than the corpus, broadcast into one scan pass; the split hash "
-        "is computed on the cluster REPRESENTATIVE so cluster cohesion "
-        "is by construction. Split assignment adds zero shuffles on top "
-        "of the cluster build."
+        "Leakage-free split: the split hash is computed on the cluster "
+        "REPRESENTATIVE so cluster cohesion is by construction. The "
+        "rep-attach join is deliberately UNhinted (r6): rep is one row "
+        "per clustered doc — corpus-proportional at web scale, where a "
+        "forced broadcast would OOM the driver — so the join keys on "
+        "the scan's own doc_id and AQE's runtime size check picks "
+        "broadcast only when rep actually is small (it is here). "
+        "Plan-guarded: tests/test_plan_guards.py asserts no hint node."
+    ),
+    "ds9s_quality_sketch_filter": (
+        "The windowless percentile-filter route: per-source score "
+        "thresholds from the DDSketch bucket algebra (one HashAggregate "
+        "pair to (source, bucket) rows, cumulative walk over a few "
+        "hundred sketch rows per source), joined back as a one-row-per-"
+        "source table. NO per-source sort of corpus rows anywhere — the "
+        "one-task-per-source straggler the exact percent_rank route "
+        "(ds9) hits when one source dominates is gone; mode=None "
+        "auto-routes between the two on a memoized max-source-count "
+        "probe."
+    ),
+    "dd11v_substring_verify": (
+        "Exact-substring verification: grams materialize ONLY for docs "
+        "in candidate pairs (left-semi prune — a vanishing corpus "
+        "fraction after dd11's frequency cap), matched on literal gram "
+        "strings (hash collisions cannot survive), and the gaps-and-"
+        "islands windows partition by (pair, diagonal) — bounded by the "
+        "shorter document, never the corpus."
+    ),
+    "pqs43_native_histogram_quantile": (
+        "Native histogram_quantile: the same shape as x1's DDSketch "
+        "walk — one HashAggregate pair builds (series, bucket) counts "
+        "map-side, the cumulative window runs over sketch rows only, "
+        "and the linear in-bucket interpolation is pure expressions. "
+        "Raw samples never shuffle; rollup tiers merge these rows by "
+        "summing counts."
+    ),
+    "maint1_compaction_requery": (
+        "Maintenance cycle (the benched part is the whole job: "
+        "fragment write -> plan -> staged compaction -> swap -> "
+        "re-query): the recorded plan is the re-query — a single "
+        "HashAggregate pair over the compacted partition scan, "
+        "certifying via the oracle hash that the crash-safe protocol "
+        "lost nothing."
     ),
     "sp7_operation_latency_sketch": (
         "Metrics-from-traces through the DDSketch algebra: raw span "
@@ -155,7 +192,9 @@ COMMENT = {
         "(operators/vector_agg.py) probes one bucket's series count at "
         "plan time and switches to an explicit two-phase local-rank plan "
         "above 1M series/bucket, where even the WindowGroupLimit-fed "
-        "single task would straggle."
+        "single task would straggle. Since r6 the probe is memoized per "
+        "(child plan fingerprint, bucket col) — repeated construction "
+        "pays its two jobs once per session (plans/probe_cache.py)."
     ),
     "sp5_trace_rollup": (
         "Trace-tree rollup: the BFS unrolls one join per heap level, "
@@ -225,6 +264,23 @@ def main() -> None:
         "",
         "No plan degraded to BroadcastNestedLoopJoin/CartesianProduct at the",
         "larger size, and no broadcast exceeded the driver threshold.",
+        "",
+        "## Second decade: sf10 (100× rows, make_sf1(replicas=100))",
+        "",
+        "r6 adds a second measured decade for the heaviest data-prep",
+        "pipelines (bench.py sf10 section, one cold iteration each).",
+        "Measured per-decade growth sf1→sf10: dd11 3.9×, dd13 4.6×,",
+        "dd2 ~3.8×, dd3 ~3.5× — all sub-linear per decade (the",
+        "\"per-task volume held constant\" docstring claims are now",
+        "measurements); pqs18 ~82× at 100× total (linear: 32 cores",
+        "saturate in the second decade — the sub-linear sf1 ratio was",
+        "parallel slack, not algorithmic savings).",
+        "",
+        "Plan shapes at sf10 (tools/check_sf1_plans.py --sf10):",
+        "dd2's band-bucket self-join and pqs18's series join flip",
+        "BHJ→SMJ under AQE (the desired fact⋈fact asymptote), dd3 keeps",
+        "its candidate-attach broadcasts, dd11/dd13 are shape-identical",
+        "across all three sizes. Zero BNLJ/CartesianProduct at sf10.",
         "",
     ]
     for name, note in COMMENT.items():
