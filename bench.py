@@ -205,10 +205,12 @@ def _run_section(section: str) -> dict:
     for pass_no, budget in enumerate(budgets):
         for name in names:
             fn = queries[name]
-            if pass_no == 0 and section != "sf10":
-                # untimed warmup: pays one-off codegen/compile/broadcast
-                # costs so the timed loop measures steady-state
-                rows[name] = fn(spark, sf_dir).count()
+            if pass_no == 0:
+                if section != "sf10":
+                    # untimed warmup: pays one-off codegen/compile/
+                    # broadcast costs so the timed loop measures
+                    # steady-state (sf10 runs cold — see above)
+                    rows[name] = fn(spark, sf_dir).count()
             elif timings[name] >= 1.5:
                 continue  # ≥3 samples already; repeat cost outweighs gain
             best, iters = timings.get(name, float("inf")), 0

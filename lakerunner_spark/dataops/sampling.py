@@ -333,9 +333,13 @@ def percentile_filter(
     ``mode=None`` (default) — AUTO, the engine's density-gate/topk-
     router pattern: a memoized max-group-rowcount probe
     (plans/probe_cache.py) routes groups <= ``window_threshold`` to the
-    exact window and anything larger (or any streaming input, where a
-    batch probe can't run and a global sort can't either) to the sketch
-    route.
+    exact window and anything larger to the sketch route. Streaming
+    inputs also route sketch (a batch probe can't run on an unstarted
+    stream); note that BOTH routes contain analytic windows Structured
+    Streaming can't run directly — end-to-end streaming filtering
+    belongs inside ``foreachBatch`` (where each microbatch is a batch
+    DataFrame and the probe/windows work normally), the same pattern
+    as streaming/dedup.py.
 
     ``keep_pct``: window-route-only — also emit the exact percent_rank
     under this name (callers that report the rank must pin

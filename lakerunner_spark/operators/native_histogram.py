@@ -349,3 +349,74 @@ def histogram_fraction_sql(
     SELECT {keys}, sum(cnt * ({overlap})) / sum(cnt) AS {out_col}
     FROM sk GROUP BY {keys}
     """
+
+
+def histogram_stddev_stdvar(
+    sketch: DataFrame,
+    stats: DataFrame,
+    group_cols: list[str],
+    schema: int = DEFAULT_SCHEMA,
+) -> DataFrame:
+    """histogram_stddev / histogram_stdvar (upstream funcHistogramStdDev/
+    StdVar): every observation in a bucket is assumed at the bucket's
+    ARITHMETIC midpoint (upper+lower)/2 — zero bucket at 0 — and the
+    variance is the count-weighted squared deviation from the TRUE mean
+    (the carried sum/count, not a bucket estimate):
+
+        variance = sum_b count_b * ((upper_b+lower_b)/2 - sum/count)^2
+                   / count
+
+    Returns (group..., h_stdvar, h_stddev). Joins the one-row-per-group
+    stats table back to the bucket rows — the join side is bounded by
+    group cardinality, never corpus rows."""
+    gamma = gamma_for_schema(schema)
+    lower, upper = _bounds(gamma)
+    mid = F.when(F.col("bucket") == _ZERO_BUCKET, F.lit(0.0)).otherwise(
+        (upper + lower) / 2
+    )
+    j = sketch.join(stats.select(*group_cols, "h_count", "h_sum"), group_cols)
+    delta = mid - F.col("h_sum") / F.col("h_count")
+    agg = j.groupBy(*group_cols).agg(
+        (F.sum(F.col("count") * delta * delta) / F.max("h_count")).alias(
+            "h_stdvar"
+        )
+    )
+    return agg.withColumn("h_stddev", F.sqrt(F.col("h_stdvar")))
+
+
+def histogram_stddev_sql(
+    base_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    schema: int = DEFAULT_SCHEMA,
+) -> str:
+    """DuckDB oracle: build + stddev/stdvar over ``base_sql`` rows."""
+    gamma = gamma_for_schema(schema)
+    keys = ", ".join(group_cols)
+    b = nh_bucket_index_sql(value_sql, gamma)
+    lower, upper = _bounds_sql(gamma)
+    mid = (
+        f"CASE WHEN bucket = {_ZERO_BUCKET} THEN 0.0"
+        f" ELSE (({upper}) + ({lower})) / 2 END"
+    )
+    return f"""
+    WITH rows_b AS (
+      SELECT {keys}, {b} AS bucket, {value_sql} AS v FROM ({base_sql})
+      WHERE {value_sql} IS NOT NULL
+    ),
+    sk AS (
+      SELECT {keys}, bucket, count(*) AS cnt FROM rows_b GROUP BY {keys}, bucket
+    ),
+    st AS (
+      SELECT {keys}, count(*) AS n, sum(v) AS s FROM rows_b GROUP BY {keys}
+    ),
+    dv AS (
+      SELECT sk.*, st.n, ({mid}) - st.s / st.n AS delta
+      FROM sk JOIN st USING ({keys})
+    ),
+    var AS (
+      SELECT {keys}, sum(cnt * delta * delta) / max(n) AS h_stdvar
+      FROM dv GROUP BY {keys}
+    )
+    SELECT {keys}, h_stdvar, sqrt(h_stdvar) AS h_stddev FROM var
+    """

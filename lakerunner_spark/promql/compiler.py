@@ -1084,6 +1084,79 @@ class _Compiler:
                 bucket_ts(src.ts_col, self.step).alias("bucket_ts"), *src.labels
             ).agg(F.percentile(src.value_col, qv.value).alias("value"))
             return _Vec(out, src.labels)
+        if fn in (
+            "histogram_count", "histogram_sum", "histogram_avg",
+            "histogram_stddev", "histogram_stdvar", "histogram_fraction",
+        ):
+            # Native-histogram accessor family (extension): upstream
+            # reads these fields off stored native-histogram samples;
+            # this engine stores raw samples (F13 convention), so the
+            # per-step "native histogram" is SYNTHESIZED from the step
+            # bucket's samples — count/sum/avg are the carried fields,
+            # stddev/stdvar/fraction run the bucket algebra
+            # (operators/native_histogram.py) per (step, series).
+            if fn == "histogram_fraction":
+                lo_n, hi_n, arg = node.args
+
+                def _fold_neg(n):
+                    # unary minus parses as (0 - x); fold to a literal
+                    if (
+                        isinstance(n, ast.Binary)
+                        and n.op == "-"
+                        and isinstance(n.lhs, ast.Num)
+                        and n.lhs.value == 0.0
+                        and isinstance(n.rhs, ast.Num)
+                    ):
+                        return ast.Num(-n.rhs.value)
+                    return n
+
+                lo_n, hi_n = _fold_neg(lo_n), _fold_neg(hi_n)
+                if not isinstance(lo_n, ast.Num) or not isinstance(hi_n, ast.Num):
+                    raise ValueError(
+                        "promql: histogram_fraction bounds must be numbers"
+                    )
+            else:
+                (arg,) = node.args
+            if not isinstance(arg, ast.Selector):
+                raise ValueError(f"promql: {fn} needs a selector")
+            df, src = self._leaf_rows(arg)
+            if src.pre_aggregated:
+                raise ValueError(
+                    f"promql: {fn} needs raw samples, not a rollup tier"
+                )
+            keys = ["bucket_ts", *src.labels]
+            rows = df.select(
+                bucket_ts(src.ts_col, self.step).alias("bucket_ts"),
+                *src.labels,
+                F.col(src.value_col).alias("value"),
+            )
+            if fn in ("histogram_count", "histogram_sum", "histogram_avg"):
+                agg = {
+                    "histogram_count": F.count("value").cast("double"),
+                    "histogram_sum": F.sum("value"),
+                    "histogram_avg": F.avg("value"),
+                }[fn]
+                out = rows.groupBy(*keys).agg(agg.alias("value"))
+                return _Vec(out, src.labels)
+            from lakerunner_spark.operators.native_histogram import (
+                histogram_fraction as nh_fraction,
+                histogram_stddev_stdvar,
+                native_histogram_agg,
+                native_histogram_stats,
+            )
+
+            sk = native_histogram_agg(rows, keys, "value")
+            if fn == "histogram_fraction":
+                out = nh_fraction(
+                    sk, keys, float(lo_n.value), float(hi_n.value),
+                    out_col="value",
+                )
+                return _Vec(out, src.labels)
+            st = native_histogram_stats(rows, keys, "value")
+            res = histogram_stddev_stdvar(sk, st, keys)
+            col = "h_stddev" if fn == "histogram_stddev" else "h_stdvar"
+            out = res.select(*keys, F.col(col).alias("value"))
+            return _Vec(out, src.labels)
         raise ValueError(f"promql: unsupported function {fn!r}")
 
     # range fns linear in the windowed sums — safe to pre-group

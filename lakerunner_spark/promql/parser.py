@@ -456,6 +456,11 @@ class _Parser:
                 return self._parse_agg(name)
             if name in RANGE_FUNCS or name in UNARY_FUNCS or name in (
                 "clamp_min", "clamp_max", "clamp", "scalar", "histogram_quantile",
+                # native-histogram accessor family (extension; the
+                # engine synthesizes the per-step histogram from raw
+                # samples — promql/compiler.py)
+                "histogram_count", "histogram_sum", "histogram_avg",
+                "histogram_stddev", "histogram_stdvar", "histogram_fraction",
                 "vector", "sort", "sort_desc", "sort_by_label",
                 "sort_by_label_desc", "label_replace", "label_join",
                 "round", "timestamp", "absent", "absent_over_time",

@@ -2015,3 +2015,67 @@ def lqs24_label_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
     )
     return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _pqs46_oracle() -> str:
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_stddev_sql,
+    )
+
+    base = (
+        f"SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,"
+        f" event_type, user_id, value FROM {_E} e"
+    )
+    inner = histogram_stddev_sql(
+        base, ["bucket_ts", "event_type", "user_id"], "value"
+    )
+    return f"""
+    SELECT bucket_ts, event_type, user_id, pround(h_stddev, 6) AS value
+    FROM ({inner})
+    """
+
+
+@register("pqs46_histogram_stddev_parser", _pqs46_oracle())
+def pqs46_histogram_stddev_parser(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``histogram_stddev(events)`` through the PromQL PARSER (native-
+    histogram accessor family as first-class query text, usable via the
+    HTTP API shim): the per-step native histogram is synthesized from
+    the step bucket's raw samples (the engine's F13 raw-distribution
+    convention), then upstream's bucket-midpoint stddev contract runs
+    per (step, series). Oracle replays bucket index, midpoint, and
+    variance arithmetic term for term."""
+    df = _pq(spark, sf_dir, "histogram_stddev(events)", 60_000)
+    return df.withColumn("value", _pr("value", 6))
+
+
+def _pqs47_oracle() -> str:
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_fraction_sql,
+    )
+
+    base = (
+        f"SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,"
+        f" event_type, user_id, value FROM {_E} e"
+    )
+    inner = histogram_fraction_sql(
+        base, ["bucket_ts", "event_type", "user_id"], "value", -5.0, 10.0,
+        out_col="value",
+    )
+    return f"""
+    SELECT bucket_ts, event_type, user_id, pround(value, 6) AS value
+    FROM ({inner})
+    """
+
+
+@register("pqs47_histogram_fraction_parser", _pqs47_oracle())
+def pqs47_histogram_fraction_parser(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``histogram_fraction(-5, 10, events)`` through the PromQL parser
+    (negative bound exercises the unary-minus literal fold): per-step
+    per-series share of observations inside [lo, hi] from the
+    exponential bucket overlap algebra."""
+    df = _pq(spark, sf_dir, "histogram_fraction(-5, 10, events)", 60_000)
+    return df.withColumn("value", _pr("value", 6))

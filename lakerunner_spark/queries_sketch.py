@@ -389,3 +389,46 @@ def maint1_compaction_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _pr(F.sum("value"), 6).alias("total"),
     )
+
+
+def _pqs45_oracle() -> str:
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_stddev_sql,
+    )
+
+    return f"""
+    SELECT event_type, pround(h_stdvar, 6) AS h_stdvar,
+           pround(h_stddev, 6) AS h_stddev
+    FROM ({histogram_stddev_sql(_SIGNED_E, ["event_type"], "v")})
+    """
+
+
+@register("pqs45_native_histogram_stddev", _pqs45_oracle())
+def pqs45_native_histogram_stddev(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """histogram_stddev / histogram_stdvar (upstream funcHistogramStdDev):
+    observations assumed at each bucket's arithmetic midpoint, deviation
+    measured from the TRUE mean (the carried sum/count — not a bucket
+    estimate), count-weighted. The stats join-back is one row per
+    group; bucket rows never re-scan raw samples. Oracle replays the
+    identical midpoint/variance arithmetic."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_stddev_stdvar,
+        native_histogram_agg,
+        native_histogram_stats,
+    )
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", (F.col("value") - 50.0).alias("v")
+    )
+    sk = native_histogram_agg(e, ["event_type"], "v")
+    st = native_histogram_stats(e, ["event_type"], "v")
+    out = histogram_stddev_stdvar(sk, st, ["event_type"])
+    return out.select(
+        "event_type",
+        _pr("h_stdvar", 6).alias("h_stdvar"),
+        _pr("h_stddev", 6).alias("h_stddev"),
+    )

@@ -139,3 +139,32 @@ def test_merge_equals_direct_build(spark):
     qa = histogram_quantile_native(merged, ["g"], 0.9).collect()[0].value
     qb = histogram_quantile_native(direct, ["g"], 0.9).collect()[0].value
     assert qa == qb
+
+
+def test_stddev_stdvar_bucket_midpoint_contract(spark):
+    """histogram_stddev/stdvar: observations assumed at the arithmetic
+    bucket midpoint, deviation from the true mean (carried sum/count),
+    count-weighted — recomputed here independently in Python from the
+    same bucket layout."""
+    vals = [0.5, 1.0, 2.0, 4.0, -1.0, 0.0]
+    df = _df(spark, vals)
+    sk = native_histogram_agg(df, ["g"])
+    st = native_histogram_stats(df, ["g"])
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_stddev_stdvar,
+    )
+
+    row = histogram_stddev_stdvar(sk, st, ["g"]).collect()[0]
+    g = gamma_for_schema(DEFAULT_SCHEMA)
+    mean = sum(vals) / len(vals)
+
+    def mid(v):
+        if v == 0:
+            return 0.0
+        i = math.ceil(math.log(abs(v)) / math.log(g))
+        lo, hi = g ** (i - 1), g ** i
+        return (lo + hi) / 2 if v > 0 else -(lo + hi) / 2
+
+    var = sum((mid(v) - mean) ** 2 for v in vals) / len(vals)
+    assert row.h_stdvar == pytest.approx(var, rel=1e-9)
+    assert row.h_stddev == pytest.approx(math.sqrt(var), rel=1e-9)

@@ -654,3 +654,42 @@ def test_scalar_densifies_empty_steps_to_nan(spark):
     # windowless: observed buckets only (unchanged behavior)
     wl = compile_promql("scalar(m) + 1", cat, STEP).collect()
     assert {(r.bucket_ts, r.value) for r in wl} == {(60_000, 5.0)}
+
+
+def test_histogram_accessor_family_parses_and_computes(spark):
+    """Native-histogram accessor functions as query text: count/sum/avg
+    are the carried fields of the per-step synthesized histogram;
+    stddev follows the bucket-midpoint contract; fraction bounds
+    accept negative literals (unary-minus fold). Values checked
+    against direct arithmetic on the fixture."""
+    rows = [
+        (0, "a", 1.0), (0, "a", 2.0), (0, "a", 4.0),
+        (60_000, "a", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+
+    def vals(q):
+        return {
+            r.bucket_ts: r.value for r in compile_promql(q, cat, STEP).collect()
+        }
+
+    assert vals("histogram_count(m)") == {0: 3.0, 60_000: 1.0}
+    assert vals("histogram_sum(m)") == {0: 7.0, 60_000: 8.0}
+    got = vals("histogram_avg(m)")
+    assert got[0] == pytest.approx(7.0 / 3.0) and got[60_000] == 8.0
+    # single-sample step: midpoint-vs-mean deviation is fixed, variance
+    # = (mid(8)-8)^2; multi-sample step positive
+    sv = vals("histogram_stdvar(m)")
+    assert sv[0] > 0
+    import math as _m
+    g = 2.0 ** (2.0 ** -3)
+    i = _m.ceil(_m.log(8.0) / _m.log(g))
+    mid = (g ** (i - 1) + g ** i) / 2
+    assert sv[60_000] == pytest.approx((mid - 8.0) ** 2, rel=1e-9)
+    fr = vals("histogram_fraction(-5, 100, m)")
+    assert fr[0] == pytest.approx(1.0) and fr[60_000] == pytest.approx(1.0)
+    fr0 = vals("histogram_fraction(-5, 0, m)")
+    assert fr0[0] == 0.0 and fr0[60_000] == 0.0

@@ -77,3 +77,46 @@ def test_streaming_winnow_fingerprints_matches_batch(spark, tmp_path):
 
     batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
     assert batch_rows == stream_rows and batch_rows
+
+
+def test_streaming_native_histogram_build_matches_batch(spark, tmp_path):
+    """The mergeable-sketch contract under Structured Streaming: a
+    native-histogram build (plain groupBy count over bucket indexes) is
+    a streaming-legal aggregation — a readStream over the events source
+    in complete mode produces exactly the batch bucket rows. This is
+    the ingest shape for continuously-arriving telemetry: the sketch
+    state IS the aggregation state, no batch re-run needed."""
+    from lakerunner_spark.operators.native_histogram import (
+        native_histogram_agg,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_type", "value")
+    )
+    indir = str(tmp_path / "ev_in")
+    ev.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    batch_rows = {
+        tuple(r)
+        for r in native_histogram_agg(
+            spark.read.parquet(indir), ["event_type"], "value"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(indir)
+    name = "nh_stream_parity"
+    q = (
+        native_histogram_agg(stream, ["event_type"], "value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert batch_rows == stream_rows and batch_rows
