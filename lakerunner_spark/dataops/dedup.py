@@ -585,7 +585,13 @@ def semantic_dedup(
     thus per-task pair count — constant; the embedding arrays stay
     packed (zip_with dot product, no posexplode) so the shuffle
     payload is rows x dims doubles, with the quadratic work all
-    in-task."""
+    in-task. MEASURED at sf1 (10x vectors, k grown 8->80 so n/k stays
+    250): ~5x wall per decade, identical dup sets across k-routes;
+    the per-dim long-form distance join stays the right plan at large
+    k because its map-side partial aggregation collapses the shuffle
+    to n*k rows (a packed-array alternative measured SLOWER — HOF
+    folds are interpreted, the long form is whole-stage-codegen'd —
+    see PLANS.md dd12)."""
     from lakerunner_spark.dataops.similarity import kmeans_assign
 
     assign = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)

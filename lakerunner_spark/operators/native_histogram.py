@@ -13,8 +13,13 @@ carried ``count``/``sum`` fields the PromQL accessor functions expose.
 
 Representation: one row per (group..., bucket) with an integer count —
 build is groupBy-count, merge is groupBy-sum (associative, tier-safe),
-and both engines reproduce bucket indexes bit-for-bit, so the DuckDB
-oracles are exact. ``count``/``sum``/``avg`` come from a plain
+and both engines reproduce bucket indexes bit-for-bit for generic
+doubles, so the DuckDB oracles are exact. (The one caveat, fuzz-proven
+in tests/test_native_histogram.py: a value lying within an ulp of an
+EXACT bucket boundary — x = gamma^i as a floating-point double — may
+index one bucket apart across engines because JVM and libm ln()
+disagree in the final ulp precisely there. Measure-zero inputs; the
+divergence is bounded to ±1 bucket and asserted as such.) ``count``/``sum``/``avg`` come from a plain
 companion aggregation over the same scan (upstream stores them as
 histogram fields; an engine that builds histograms from raw samples
 aggregates them alongside).

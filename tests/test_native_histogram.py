@@ -168,3 +168,70 @@ def test_stddev_stdvar_bucket_midpoint_contract(spark):
     var = sum((mid(v) - mean) ** 2 for v in vals) / len(vals)
     assert row.h_stdvar == pytest.approx(var, rel=1e-9)
     assert row.h_stddev == pytest.approx(math.sqrt(var), rel=1e-9)
+
+
+def test_bucket_index_cross_engine_fuzz(spark):
+    """The sketch family's oracle-parity story rests on ceil(ln(x)/lg)
+    agreeing between Spark (JVM Math.log) and DuckDB (libm log) — fuzz
+    the TRUE contract directly, at two schemas over ~18 decades, both
+    signs, and exact zeros:
+
+    - GENERIC doubles (the random sweep) index identically, bit for
+      bit — this is what every registered sketch/histogram oracle
+      relies on, now asserted on 400 fresh values instead of only the
+      corpus the queries happen to scan;
+    - values sitting within an ulp of an EXACT bucket boundary
+      (x = gamma^i computed in floating point) may legitimately land
+      one bucket apart, because the engines' ln() differ in the final
+      ulp exactly there (measure-zero inputs; this fuzz DID surface a
+      real divergence at gamma^-1, schema 3). For those, assert the
+      divergence is bounded to ±1 bucket — the documented contract."""
+    import duckdb
+
+    import random
+
+    from lakerunner_spark.operators.native_histogram import (
+        gamma_for_schema,
+        nh_bucket_index,
+        nh_bucket_index_sql,
+    )
+
+    rng = random.Random(42)
+    generic = [0.0]
+    for _ in range(400):
+        mag = 10.0 ** rng.uniform(-9, 9)
+        generic.append(mag * rng.choice([1.0, -1.0]))
+    boundary = []
+    for s in (0, 3):
+        g = gamma_for_schema(s)
+        for i in (-40, -1, 0, 1, 13, 200):
+            boundary.extend(
+                [g ** i, g ** i * (1 + 1e-15), g ** i * (1 - 1e-15)]
+            )
+    vals = generic + boundary
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    con = duckdb.connect()
+    for s in (0, 3):
+        gamma = gamma_for_schema(s)
+        got = [
+            r.b
+            for r in df.select(nh_bucket_index("v", gamma).alias("b"))
+            .collect()
+        ]
+        sql_b = nh_bucket_index_sql("v", gamma)
+        exp = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_b} FROM (SELECT unnest(?) AS v)", [vals]
+            ).fetchall()
+        ]
+        n_gen = len(generic)
+        assert got[:n_gen] == exp[:n_gen], (
+            f"schema {s}: generic doubles bucket differently — the "
+            "oracle-parity foundation is broken"
+        )
+        for i in range(n_gen, len(vals)):
+            assert abs(got[i] - exp[i]) <= 1, (
+                f"schema {s}: boundary value {vals[i]!r} diverged by "
+                f"more than one bucket ({got[i]} vs {exp[i]})"
+            )

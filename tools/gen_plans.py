@@ -111,7 +111,17 @@ COMMENT = {
         "confined within a cluster's task, embeddings stay packed "
         "arrays (zip_with dot, no posexplode), and cross-cluster pairs "
         "never exist. At 100 TB, k grows with n to hold n/k — and so "
-        "per-task pair count — constant."
+        "per-task pair count — constant. MEASURED (r6, sf1 = 10x "
+        "vectors, k grown 8->80 to hold n/k at 250): 34.7s vs 7.0s "
+        "cold at sf0.1 — ~5x per decade with the contract honored, "
+        "route-invariant dup sets. Also measured and REJECTED: a "
+        "packed-array distance route (n*k rows, in-row zip_with fold) "
+        "ran 50.2s vs the long form's 34.7s at the same k=80 — "
+        "higher-order-function folds are interpreted, while the long "
+        "form's per-dim join pipeline is whole-stage-codegen'd and its "
+        "map-side partial aggregation already collapses the shuffle to "
+        "n*k rows, so the n*d*k intermediate rows never leave the "
+        "codegen stage. The long form IS the scale plan."
     ),
     "dd13_substring_decontaminate": (
         "Substring-level benchmark decontamination: both sides reuse the "
