@@ -551,7 +551,7 @@ def ds3_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # oracle SQL for the hash-based splits, built from the same helpers so
 # the arithmetic can't drift from the Spark expressions
-from lakerunner_spark.dataops.sampling import hash_sample_sql, hash_split_sql
+from lakerunner_spark.dataops.sampling import hash_sample_sql, hash_split_sql, id_hash_sql
 from lakerunner_spark.queries import ORACLE
 
 ORACLE["ds1_hash_split"] = f"""
@@ -1802,3 +1802,143 @@ def dd11v_substring_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", k=5, w=4, max_doc_freq=50, min_shared=2
     ).select("doc_a", "doc_b")
     return substring_verify_runs(d, cand, "text", "doc_id", k=5)
+
+
+_DS10_BUDGET = 20000.0  # global token budget
+_DS10_ALPHA = 0.5       # mixture temperature (alpha<1 upsamples tails)
+
+
+@register(
+    "ds10_temperature_mixture",
+    f"""
+    WITH tok AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+    src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+            FROM tok GROUP BY source),
+    shares AS (
+      SELECT source, tot_tokens,
+             power(tot_tokens / (SELECT CAST(sum(tot_tokens) AS DOUBLE)
+                                 FROM src), {_DS10_ALPHA}) AS pw
+      FROM src
+    ),
+    rates AS (
+      SELECT source, tot_tokens,
+             least(CAST(1.0 AS DOUBLE),
+                   pround({_DS10_BUDGET} * pw
+                          / (SELECT sum(pw) FROM shares)
+                          / tot_tokens, 6)) AS rate
+      FROM shares
+    )
+    SELECT t.source, r.tot_tokens, r.rate,
+           CAST(sum(CASE WHEN {hash_sample_sql("t.doc_id", "r.rate", salt=13)}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {hash_sample_sql("t.doc_id", "r.rate", salt=13)}
+                    THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM tok t JOIN rates r USING (source)
+    GROUP BY t.source, r.tot_tokens, r.rate
+    """,
+)
+def ds10_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multinomial alpha-
+    sampling shape used for multilingual/multi-domain pretraining
+    mixes, alpha=0.5): target share per source is proportional to
+    (source share)^alpha — tails upsampled relative to raw frequency —
+    realized against a global token budget by per-source keep rates
+    and the deterministic hash sample. Rates are 6-dp-rounded before
+    sampling so the membership decision is engine-exact.
+
+    Scale: two aggregations over the (sources)-row table derive the
+    rate map; the corpus pass is the same broadcast-rate shuffle-free
+    scan as ds4 — one scan, no corpus shuffle."""
+    from lakerunner_spark.dataops.sampling import hash_sample
+    from lakerunner_spark.dataops.text import token_count
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    src = tok.groupBy("source").agg(F.sum("n_tokens").alias("tot_tokens"))
+    gtot = src.agg(
+        F.sum("tot_tokens").cast("double").alias("_gtot")
+    )
+    shares = src.crossJoin(F.broadcast(gtot)).select(
+        "source",
+        "tot_tokens",
+        F.pow(F.col("tot_tokens") / F.col("_gtot"), _DS10_ALPHA).alias("pw"),
+    )
+    zsum = shares.agg(F.sum("pw").alias("_z"))
+    rates = shares.crossJoin(F.broadcast(zsum)).select(
+        "source",
+        "tot_tokens",
+        F.least(
+            F.lit(1.0),
+            portable_round(
+                F.lit(_DS10_BUDGET) * F.col("pw") / F.col("_z")
+                / F.col("tot_tokens"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    j = tok.join(F.broadcast(rates), "source")
+    kept = hash_sample(F.col("doc_id"), F.col("rate"), salt=13)
+    return j.groupBy("source", "tot_tokens", "rate").agg(
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+@register(
+    "ds11_epoch_shuffle",
+    f"""
+    WITH h AS (
+      SELECT 1 AS epoch, doc_id,
+             {id_hash_sql("doc_id", salt=1)} AS shuffle_key
+      FROM documents
+      UNION ALL
+      SELECT 2 AS epoch, doc_id,
+             {id_hash_sql("doc_id", salt=2)} AS shuffle_key
+      FROM documents
+    ),
+    r AS (
+      SELECT epoch, doc_id, shuffle_key,
+             row_number() OVER (PARTITION BY epoch
+                                ORDER BY shuffle_key, doc_id) AS rn
+      FROM h
+    )
+    SELECT epoch, doc_id, shuffle_key FROM r WHERE rn <= 20
+    """,
+)
+def ds11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (the training-loader
+    contract: every epoch visits the whole corpus in a different but
+    REPRODUCIBLE order, with no RNG state and no coordination): the
+    order key is the multiplicative id hash salted by epoch number, so
+    any worker can compute any document's position independently. The
+    registered query certifies the first 20 positions of two epochs
+    (orders differ between epochs; both engines agree exactly).
+
+    Scale: producing a shuffled EPOCH at 100 TB is repartitionByRange +
+    sortWithinPartitions on shuffle_key — Spark's external range sort,
+    the one shuffle the contract requires; this head-sample plan is
+    TakeOrderedAndProject per epoch (map-side top-k + driver merge, no
+    global sort, no one-task-per-epoch window)."""
+    from lakerunner_spark.dataops.sampling import id_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    parts = []
+    for epoch in (1, 2):
+        parts.append(
+            d.select(
+                F.lit(epoch).alias("epoch"),
+                "doc_id",
+                id_hash(F.col("doc_id"), salt=epoch).alias("shuffle_key"),
+            )
+            .orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+    return parts[0].unionByName(parts[1])

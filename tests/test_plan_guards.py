@@ -51,6 +51,9 @@ NLJ_ALLOWED = {
     "txt9_unigram_logprob",          # broadcast 1-row sample-total scalar
     "sim6_random_projection",        # broadcast queries x corpus scan
     "txt10_bm25",                    # broadcast 1-row idf-map/stats scalar
+    "ds10_temperature_mixture",      # 1-row total/normalizer scalars x
+                                     # the sources-row rate table (both
+                                     # bounded by source-label count)
 }
 
 

@@ -496,6 +496,45 @@ CASES = [
         m=M3,
         expect={(): NAN},
     ),
+    # -- sum/avg PROPAGATE NaN (only min/max skip it: upstream's
+    # aggregation loop special-cases the comparison aggregators) ------
+    dict(
+        name="sum_propagates_nan",
+        expr="sum(m)",
+        m=M_NAN,
+        expect={(): NAN},
+    ),
+    dict(
+        name="avg_propagates_nan",
+        expr="avg(m)",
+        m=M_NAN,
+        expect={(): NAN},
+    ),
+    # -- explicit on()/ignoring() matching ----------------------------
+    dict(
+        name="binop_on_label",
+        expr="m + on(l) n",
+        m=[(0, "a", 1.0), (0, "b", 2.0)],
+        n=[(0, "a", 10.0), (0, "b", 20.0)],
+        expect={("a",): 11.0, ("b",): 22.0},
+    ),
+    dict(
+        name="binop_ignoring_label_collapses",
+        # ignoring(l) leaves an EMPTY match key: legal only while each
+        # side has one element per key — single-series fixtures here
+        expr="m + ignoring(l) n",
+        m=[(0, "a", 1.0)],
+        n=[(0, "b", 20.0)],
+        expect={(): 21.0},
+    ),
+    # -- label_join (concatenation of source labels) ------------------
+    dict(
+        name="label_join_concat",
+        expr='label_join(m, "joined", "-", "l", "l")',
+        m=[(0, "a", 1.0)],
+        # label cols sort alphabetically in the compare key: (joined, l)
+        expect={("a-a", "a"): 1.0},
+    ),
 ]
 
 
@@ -693,3 +732,19 @@ def test_histogram_accessor_family_parses_and_computes(spark):
     assert fr[0] == pytest.approx(1.0) and fr[60_000] == pytest.approx(1.0)
     fr0 = vals("histogram_fraction(-5, 0, m)")
     assert fr0[0] == 0.0 and fr0[60_000] == 0.0
+
+
+def test_absent_emits_only_on_empty_steps(spark):
+    """absent(m): 1 at every fully-covered grid step where m has no
+    samples, no rows where it does (upstream funcAbsent); needs the
+    explicit query window to know the grid."""
+    rows = [(60_000, "a", 5.0)]
+    df = spark.createDataFrame(
+        rows, "chq_timestamp LONG, l STRING, value DOUBLE"
+    )
+    cat = MetricCatalog({"m": LeafSource(df=df, labels=["l"])})
+    got = {
+        r.bucket_ts: r.value
+        for r in compile_promql("absent(m)", cat, STEP, 0, 180_000).collect()
+    }
+    assert got == {0: 1.0, 120_000: 1.0}
