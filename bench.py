@@ -114,6 +114,10 @@ SF1_HEADLINE = [
     "lqs1_log_rate",
     "a13_aggfile_route",
     "a8_topk",
+    # r6 additions: the exact-substring verify pass and the windowless
+    # percentile route, both new this round
+    "dd11v_substring_verify",
+    "ds9s_quality_sketch_filter",
 ]
 
 # second measured decade (100× the default bench size, deterministic

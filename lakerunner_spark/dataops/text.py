@@ -467,3 +467,24 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def paragraph_dedup(text: Column, sep: str = "\n\n") -> Column:
+    """Intra-document repeated-paragraph removal (the MassiveText/
+    Gopher cleaning step: crawl boilerplate repeats whole paragraphs
+    inside one document): split on the paragraph separator, keep each
+    paragraph's FIRST occurrence in order, rejoin. Pure array
+    expressions — array_distinct preserves first-occurrence order in
+    Spark; the DuckDB oracle states the same semantics with an
+    index-position filter (its list_distinct does NOT preserve order).
+    """
+    parts = F.split(text, sep)
+    return F.concat_ws(sep, F.array_distinct(parts))
+
+
+def paragraph_dedup_sql(text_sql: str, sep_sql: str = "chr(10) || chr(10)") -> str:
+    """DuckDB twin of :func:`paragraph_dedup` (first-occurrence order
+    via list_position index filter)."""
+    ps = f"string_split({text_sql}, {sep_sql})"
+    kept = f"list_filter({ps}, (x, i) -> list_position({ps}, x) = i)"
+    return f"array_to_string({kept}, {sep_sql})"

@@ -104,13 +104,21 @@ def _apply_pipeline(df: DataFrame, leaf: LogLeaf, src: LogSource) -> tuple[DataF
     for stage in leaf.stages:
         if isinstance(stage, KeepStage):
             keep = set(stage.labels)
+            removed = [c for c in stream + extracted if c not in keep]
             stream = [c for c in stream if c in keep]
             extracted = [c for c in extracted if c in keep]
+            # the label is GONE, not merely hidden from the series
+            # identity: a later filter on it must see the absent-label
+            # empty value (Loki's missing-label convention), not the
+            # pre-keep/drop column
+            df = df.drop(*removed)
             continue
         if isinstance(stage, DropStage):
             dropped = set(stage.labels)
+            removed = [c for c in stream + extracted if c in dropped]
             stream = [c for c in stream if c not in dropped]
             extracted = [c for c in extracted if c not in dropped]
+            df = df.drop(*removed)
             continue
         if isinstance(stage, LabelFormatStage):
             for out, value, is_template in stage.assignments:

@@ -1942,3 +1942,72 @@ def ds11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
         )
     return parts[0].unionByName(parts[1])
+
+
+def _txt11_oracle() -> str:
+    from lakerunner_spark.dataops.text import paragraph_dedup_sql
+
+    cleaned = paragraph_dedup_sql("ptext")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    fixture AS (
+      SELECT doc_id, lang,
+             array_to_string(tk[1:5], ' ') || chr(10) || chr(10)
+             || array_to_string(tk[6:10], ' ') || chr(10) || chr(10)
+             || array_to_string(tk[1:5], ' ') AS ptext
+      FROM toks WHERE len(tk) >= 10
+    ),
+    d AS (
+      SELECT doc_id, lang, ptext, {cleaned} AS cleaned
+      FROM fixture
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cleaned != ptext THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cleaned,
+           CAST(sum(len(string_split(ptext, chr(10) || chr(10)))
+                    - len(string_split(cleaned, chr(10) || chr(10))))
+                AS BIGINT) AS paragraphs_removed,
+           CAST(sum(length(cleaned)) AS BIGINT) AS cleaned_chars
+    FROM d GROUP BY lang
+    """
+
+
+@register("txt11_paragraph_dedup", _txt11_oracle())
+def txt11_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-paragraph removal (MassiveText/Gopher:
+    crawl boilerplate repeats whole paragraphs INSIDE one document,
+    which whole-doc and substring dedup both leave alone): paragraphs
+    keep their first occurrence in order, later repeats drop. The
+    fixture plants a repeated paragraph in every >=10-token document
+    (p1 \\n\\n p2 \\n\\n p1); both engines must agree on every cleaned
+    byte. Map-side array expressions only — zero shuffles before the
+    per-language rollup."""
+    from lakerunner_spark.dataops.text import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
+    docs = d.select("doc_id", "lang", tk.alias("_tk")).filter(
+        F.size("_tk") >= 10
+    )
+    p1 = F.concat_ws(" ", F.slice("_tk", 1, 5))
+    p2 = F.concat_ws(" ", F.slice("_tk", 6, 5))
+    sep = F.lit("\n\n")
+    ptext = F.concat(p1, sep, p2, sep, p1)
+    fx = docs.select("doc_id", "lang", ptext.alias("ptext"))
+    cleaned = paragraph_dedup(F.col("ptext"))
+    out = fx.select("lang", "ptext", cleaned.alias("cleaned"))
+    n_paras = lambda c: F.size(F.split(c, "\n\n"))
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("cleaned") != F.col("ptext"), 1).otherwise(0)
+        ).cast("long").alias("n_cleaned"),
+        F.sum(n_paras(F.col("ptext")) - n_paras(F.col("cleaned")))
+        .cast("long")
+        .alias("paragraphs_removed"),
+        F.sum(F.length("cleaned")).cast("long").alias("cleaned_chars"),
+    )

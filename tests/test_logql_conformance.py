@@ -65,6 +65,25 @@ LINE_CASES = [
         keep=[0, 1],
     ),
     dict(
+        # regexp parser: named group becomes a label, filterable
+        name="regexp_parser_label_filter",
+        q='{app="api"} | regexp "msg=\\"(?P<method>GET|POST) " | method = "POST"',
+        keep=[2],
+    ),
+    dict(
+        # label_format rename: the new name carries the old value
+        name="label_format_rename_filter",
+        q='{app="api"} | logfmt | label_format lvl=level | lvl = "error"',
+        keep=[1],
+    ),
+    dict(
+        # drop removes the label: a filter on it then compares the
+        # empty value (Loki's missing-label convention), keeping none
+        name="drop_then_filter_empty",
+        q='{app="api"} | logfmt | drop level | level = "error"',
+        keep=[],
+    ),
+    dict(
         name="json_extract_filter",
         q='{app="web"} | json code="$.code" | code = "503"',
         keep=[4],
