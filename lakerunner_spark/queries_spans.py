@@ -450,3 +450,51 @@ def sp7_operation_latency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = ddsketch_agg(s, ["span_name"], "span_duration")
     out = ddsketch_quantile(sk, ["span_name"], 0.95, out_col="p95_ns")
     return out.withColumn("p95_ns", _pr("p95_ns", 6))
+
+
+@register(
+    "sp8_error_trace_spans",
+    f"""
+    WITH logs AS (
+      SELECT CAST(event_id - event_id % 5 AS VARCHAR) AS trace_ref
+      FROM {_E} e WHERE event_type = 'error'
+    ),
+    implicated AS (
+      SELECT s.* FROM ({_SPANS_SQL}) s
+      WHERE s.span_trace_id IN (SELECT trace_ref FROM logs)
+    )
+    SELECT span_name, CAST(count(*) AS BIGINT) AS n_spans,
+           pround(quantile_cont(span_duration, 0.5), 4) AS p50_ns,
+           CAST(max(span_duration) AS BIGINT) AS max_ns
+    FROM implicated GROUP BY span_name
+    """,
+)
+def sp8_error_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal correlation (the exemplar workflow: an error LOG
+    carries a trace id; operators ask "what do the implicated TRACES
+    look like?"): error-stream log lines resolve to trace references,
+    the span table is semi-joined on them, and the implicated spans'
+    latency profile is aggregated per operation. The log->trace
+    reference here maps each error event to its 5-row trace group —
+    synthetic, but the join, semi-join pruning, and attribution shapes
+    are the production ones.
+
+    Scale: the reference list can be corpus-proportional (every trace
+    with an error), so the semi-join is deliberately UNhinted — AQE
+    broadcasts it only when it measures small (the ds8 lesson); spans
+    never shuffle more than once, on their own trace key."""
+    from lakerunner_spark.testdata import events_stream
+
+    e = events_stream(spark, sf_dir)
+    logs = e.filter(F.col("event_type") == "error").select(
+        (F.col("event_id") - F.col("event_id") % 5)
+        .cast("string")
+        .alias("span_trace_id")
+    )
+    s = _spans(spark, sf_dir)
+    implicated = s.join(logs.distinct(), "span_trace_id", "left_semi")
+    return implicated.groupBy("span_name").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        _pr(F.percentile("span_duration", 0.5), 4).alias("p50_ns"),
+        F.max("span_duration").alias("max_ns"),
+    )
