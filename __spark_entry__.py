@@ -65,15 +65,15 @@ _PRIORITY = [
     "x1_ddsketch_p95",
     "j1_vector_arith",
     "pqs1_sum_rate",
-    "lqs19_unpack",
+    "sp8_error_trace_spans",
     "pqs18_quantile_sketch_route",
     "pqs20_predict_linear",
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
-    "pqs39_at_modifier",
+    "txt11_paragraph_dedup",
     "lqs10_label_replace",
-    "lqs12_pattern",
+    "ds10_temperature_mixture",
     "otlp1_exp_histogram_quantile",
     "sp5_trace_rollup",
     "tpch_q1_pricing_summary",
@@ -94,19 +94,29 @@ _PRIORITY = [
     "dd3_jaccard_verify",
     "dd12_semantic_dedup",
     "dd7_neardup_clusters",
-    "dd8_decontaminate",
+    "ds11_epoch_shuffle",
     "dd13_substring_decontaminate",
     "ds3_sequence_pack",
     "ds4_domain_mixture",
-    "sim1_cosine_topk",
+    "dd14_global_paragraph_dedup",
     "txt10_bm25",
-    "fp1_structural_fingerprint",
-    "mm1_byte_histogram",
+    "ds12_dsir_selection",
+    "ds13_weighted_sample",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
     # r5 driver gate): a1, a2, o1, p7, p8, p9, sp3; in r5 (by the r4
-    # gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4.
+    # gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4. Late-r6
+    # rotation makes room for the newest surface (sp8, txt11, ds10/11,
+    # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
+    # down, all r5-gate-certified.
+    "lqs19_unpack",
+    "pqs39_at_modifier",
+    "lqs12_pattern",
+    "dd8_decontaminate",
+    "sim1_cosine_topk",
+    "fp1_structural_fingerprint",
+    "mm1_byte_histogram",
     "a1_preagg_10s",
     "a2_rollup_chain",
     "o1_order_limit",
@@ -130,7 +140,6 @@ _PRIORITY = [
     "ds6_chunk_documents",
     "sim6_random_projection",
     "mm5_avi_frame_stats",
-    "ds9_quality_percentile_filter",
     "sp7_operation_latency_sketch",
     "dd1_dedup_exact",
     "ds1_hash_split",

@@ -91,6 +91,10 @@ HEADLINE = [
     "dd11v_substring_verify",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
+    "sp8_error_trace_spans",
+    "dd14_global_paragraph_dedup",
+    "ds12_dsir_selection",
+    "ds13_weighted_sample",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale

@@ -2011,3 +2011,296 @@ def txt11_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("paragraphs_removed"),
         F.sum(F.length("cleaned")).cast("long").alias("cleaned_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6 late additions: cross-corpus paragraph dedup, DSIR selection,
+# deterministic weighted sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd14_global_paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, source, i AS idx,
+             array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS para
+      FROM toks, UNNEST(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS t(i)
+      WHERE len(tk) >= 1
+    ),
+    keyed AS (
+      SELECT doc_id, source, idx, para, md5(para) AS h,
+             doc_id * 100000 + idx AS pk
+      FROM paras
+    ),
+    marked AS (
+      SELECT *, min(pk) OVER (PARTITION BY h) AS mpk FROM keyed
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN pk <> mpk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(count(DISTINCT CASE WHEN pk <> mpk THEN doc_id END)
+                AS BIGINT) AS n_docs_affected,
+           CAST(sum(CASE WHEN pk = mpk THEN length(para) ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM marked GROUP BY source
+    """,
+)
+def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE paragraph dedup (the CCNet step, Wenzek et al. 2020:
+    boilerplate paragraphs — headers, cookie banners, license blurbs —
+    repeat across MILLIONS of documents; dedup at paragraph granularity
+    before document-level passes). Paragraphs here are fixed 8-token
+    chunks (the synthetic corpus has no newlines; its planted near-dup
+    documents share most chunks, so cross-doc duplicates are real).
+    First occurrence corpus-wide survives, ordered by (doc_id, idx)
+    packed into one integer key.
+
+    Spark-first shape: ONE shuffle, keyed by the paragraph's md5 — the
+    min-over-window on the hash partition replaces a groupBy+join pair
+    (no second exchange, no corpus-proportional build side to be
+    tempted into broadcasting). Duplicate groups are bounded by the
+    dedup fixture itself, so per-key window partitions stay tiny at any
+    corpus size; the narrow (doc_id, idx, hash) projection — never the
+    paragraph text — is what shuffles at 100 TB (text rides only to
+    compute length here; production would re-read surviving ids)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
+    docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
+        F.size("_tk") >= 1
+    )
+    paras = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(_tk)/8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(_tk, i*8+1, 8)))"
+            )
+        ).alias("idx", "para"),
+    )
+    keyed = paras.select(
+        "doc_id",
+        "source",
+        "para",
+        F.md5("para").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
+    )
+    marked = keyed.withColumn("mpk", F.min("pk").over(Window.partitionBy("h")))
+    dup = F.col("pk") != F.col("mpk")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(dup.cast("long")).alias("n_removed"),
+        F.countDistinct(F.when(dup, F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.sum(F.when(~dup, F.length("para")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_B = 64  # hashed-feature buckets
+
+
+def _ds12_oracle() -> str:
+    from lakerunner_spark.functions.hashing import portable_hash64_sql
+
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    bucket = f"{portable_hash64_sql('bigram', seed=12)} % {_DSIR_B}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    ),
+    bk AS (SELECT doc_id, source, {bucket} AS b FROM bg),
+    counts AS (
+      SELECT b, count(*) AS raw_cnt,
+             sum(CASE WHEN source IN ({tgt}) THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM bk GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total
+      FROM counts
+    ),
+    lr AS (
+      SELECT b,
+             CAST(round(pround(
+                 ln((tgt_cnt + 1) / (tgt_total + {_DSIR_B}.0))
+               - ln((raw_cnt + 1) / (raw_total + {_DSIR_B}.0)), 6)
+               * 1000000) AS BIGINT) AS scaled
+      FROM counts, tot
+    ),
+    docb AS (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY doc_id, b),
+    w AS (
+      SELECT doc_id, sum(cnt * scaled) AS wsc, sum(cnt) AS n_bigrams
+      FROM docb JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           pround(wsc / 1000000.0, 6) AS dsir_weight
+    FROM w ORDER BY wsc DESC, doc_id ASC LIMIT 25
+    """
+
+
+@register("ds12_dsir_selection", _ds12_oracle())
+def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): documents are scored
+    by the log importance ratio of a TARGET domain's hashed-bigram
+    distribution over the RAW corpus distribution, and the top-scoring
+    documents are selected. Features are bigrams hashed into B=64
+    buckets (md5-derived, engine-portable); both distributions are
+    add-one smoothed; the target domain here is three curated sources.
+
+    Exactness: the per-bucket log ratio is rounded once and scaled to
+    an INTEGER (ppm); per-document weights are then integer sums —
+    bit-exact in any engine and any summation order, so no float-order
+    divergence can flip the top-k.
+
+    Scale: two corpus scans (distribution pass + scoring pass — DSIR's
+    own two-pass shape). Bucket counts reduce to a 64-row table joined
+    back by broadcast HASH join (bounded by B, a constant, not by the
+    corpus — the ds8 lesson does not apply); per-document scoring
+    shuffles once on (doc_id, bucket) with map-side partial counts;
+    selection is a global top-k (TakeOrderedAndProject), never a full
+    sort."""
+    from lakerunner_spark.functions.hashing import portable_hash64
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
+    docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_tk)-2),"
+                " i -> concat(_tk[i], ' ', _tk[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    bk = bg.select(
+        "doc_id",
+        "source",
+        (portable_hash64(F.col("bigram"), seed=12) % _DSIR_B).alias("b"),
+    )
+    counts = bk.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.col("source").isin(*_DSIR_TARGET).cast("long")
+        ).alias("tgt_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("raw_cnt").alias("raw_total"),
+        F.sum("tgt_cnt").alias("tgt_total"),
+    )
+    smooth = float(_DSIR_B)
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            _pr(
+                F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_total") + smooth))
+                - F.log((F.col("raw_cnt") + 1) / (F.col("raw_total") + smooth)),
+                6,
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("scaled"),
+    )
+    docb = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        docb.join(lr, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("scaled")).alias("wsc"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        w.orderBy(F.col("wsc").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            _pr(F.col("wsc") / 1000000.0, 6).alias("dsir_weight"),
+        )
+    )
+
+
+def _ds13_oracle() -> str:
+    from lakerunner_spark.functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed=13)
+    return f"""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             ln(({h} % 1000000 + 1) / 1000001.0) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           pround(es_key * 1000000, 6) AS es_key_ppm
+    FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 20
+    """
+
+
+@register("ds13_weighted_sample", _ds13_oracle())
+def ds13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis &
+    Spirakis (2006) exponential-race keys: each document draws a
+    deterministic uniform u from an id hash and competes with key
+    u^(1/w) — equivalently ln(u)/w — where w is its size weight
+    (n_chars); the global top-k by key IS an exact weighted sample.
+    No RNG state, no sequential reservoir: any worker computes any
+    document's key independently, so the sample is reproducible and
+    restart-safe (the property training-data loaders need).
+
+    Exactness: u is a small exact rational (hash mod 1e6), both
+    engines evaluate the identical double through ln() (bit-exact off
+    measure-zero boundaries — see native_histogram.py's cross-engine
+    ln contract), and ties break on doc_id.
+
+    Scale: map-side key computation + global top-k =
+    TakeOrderedAndProject (per-partition heads, driver merge) — zero
+    shuffles, no window, no full sort at any corpus size. Per-stratum
+    sampling is the same expression under a partitionBy window or a
+    groupBy(min_by) when k is small."""
+    from lakerunner_spark.functions.hashing import portable_hash64
+    from lakerunner_spark.functions.rounding import portable_round as _pr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=13) % 1000000
+        + 1
+    ) / F.lit(1000001.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            _pr(F.col("es_key") * 1000000, 6).alias("es_key_ppm"),
+        )
+    )
