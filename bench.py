@@ -122,6 +122,10 @@ SF1_HEADLINE = [
     # percentile route, both new this round
     "dd11v_substring_verify",
     "ds9s_quality_sketch_filter",
+    # late-r6 additions: corpus-wide paragraph dedup (skew-shaped
+    # groupBy+join) and DSIR selection (two-scan distribution/scoring)
+    "dd14_global_paragraph_dedup",
+    "ds12_dsir_selection",
 ]
 
 # second measured decade (100× the default bench size, deterministic

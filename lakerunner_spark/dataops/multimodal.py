@@ -771,3 +771,81 @@ def video_frame_stats(
         .select("media_id", "payload")
         .mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
     )
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("start_ms", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak_abs", T.LongType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_frame_features(
+    media: DataFrame, frame: int = 64, hop: int = 32
+) -> DataFrame:
+    """Frame-level audio features (the standard audio-model
+    preprocessing shape: a short analysis window slides over the
+    waveform and each position emits one feature row) — per frame:
+    RMS energy, peak amplitude, zero-crossing rate, and the frame's
+    start offset. Mono 16-bit PCM via :func:`decode_wav`.
+
+    Vectorization contract (the mm5 lesson): the CODEC is Python by
+    design, but the per-sample math is numpy over the whole (n_frames,
+    frame) strided view — one fancy-index gather builds every window
+    at once, and the reductions are C loops. Sample values are 16-bit
+    integers, so the float64 energy sums are exact integers (< 2^53)
+    in ANY summation order — numpy's pairwise sum and an oracle's
+    sequential sum agree bit-for-bit.
+
+    Scale: payload bytes never shuffle (mapInPandas over the scan);
+    output rows are proportional to frames, i.e. to audio duration,
+    and partition-parallel like every other media decode."""
+    import numpy as np
+
+    if frame < 2 or hop < 1:
+        raise ValueError("audio_frame_features: frame >= 2, hop >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in (
+                    "media_id", "frame_idx", "start_ms",
+                    "rms", "peak_abs", "zcr",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, channels, samples = decode_wav(bytes(payload))
+                if channels != 1:
+                    raise NotImplementedError(
+                        "audio_frame_features: mono only"
+                    )
+                v = np.asarray(samples, dtype=np.float64)
+                if len(v) < frame:
+                    continue
+                nf = (len(v) - frame) // hop + 1
+                idx = np.arange(frame)[None, :] + hop * np.arange(nf)[:, None]
+                w = v[idx]  # (nf, frame) windows, one gather
+                rms = np.sqrt((w * w).sum(axis=1) / frame)
+                peak = np.abs(w).max(axis=1).astype(np.int64)
+                flips = ((w[:, 1:] < 0) != (w[:, :-1] < 0)).sum(axis=1)
+                zcr = flips / float(frame - 1)
+                start = 1000.0 * hop * np.arange(nf) / rate
+                cols["media_id"].extend([int(mid)] * nf)
+                cols["frame_idx"].extend(range(nf))
+                cols["start_ms"].extend(start.tolist())
+                cols["rms"].extend(rms.tolist())
+                cols["peak_abs"].extend(peak.tolist())
+                cols["zcr"].extend(zcr.tolist())
+            if cols["media_id"]:
+                yield pd.DataFrame(cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FRAME_SCHEMA
+    )

@@ -2062,16 +2062,17 @@ def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     First occurrence corpus-wide survives, ordered by (doc_id, idx)
     packed into one integer key.
 
-    Spark-first shape: ONE shuffle, keyed by the paragraph's md5 — the
-    min-over-window on the hash partition replaces a groupBy+join pair
-    (no second exchange, no corpus-proportional build side to be
-    tempted into broadcasting). Duplicate groups are bounded by the
-    dedup fixture itself, so per-key window partitions stay tiny at any
-    corpus size; the narrow (doc_id, idx, hash) projection — never the
-    paragraph text — is what shuffles at 100 TB (text rides only to
-    compute length here; production would re-read surviving ids)."""
-    from pyspark.sql import Window
-
+    Spark-first shape, chosen for SKEW: a min-over-window on the hash
+    partition would be one task per distinct paragraph — and the whole
+    point of this operator is that some paragraphs (cookie banners,
+    license blurbs) repeat across a large fraction of the corpus, so
+    the hot hash IS the workload. Instead: groupBy(h).min(pk) — whose
+    map-side partial aggregation collapses hot keys to one row per
+    mapper BEFORE the shuffle — then an unhinted join back on h, where
+    AQE's skew-join splits the probe side (the 1-row-per-key build
+    replicates). The projection that shuffles is the narrow (doc_id,
+    source, hash, pk, length) — paragraph text never leaves the scan;
+    production would re-read surviving ids."""
     d = load_table(spark, sf_dir, "documents")
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
     docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
@@ -2090,11 +2091,12 @@ def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = paras.select(
         "doc_id",
         "source",
-        "para",
+        F.length("para").alias("plen"),
         F.md5("para").alias("h"),
         (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
     )
-    marked = keyed.withColumn("mpk", F.min("pk").over(Window.partitionBy("h")))
+    firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
+    marked = keyed.join(firsts, "h")
     dup = F.col("pk") != F.col("mpk")
     return marked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_paras"),
@@ -2102,7 +2104,7 @@ def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(dup, F.col("doc_id")))
         .cast("long")
         .alias("n_docs_affected"),
-        F.sum(F.when(~dup, F.length("para")).otherwise(0))
+        F.sum(F.when(~dup, F.col("plen")).otherwise(0))
         .cast("long")
         .alias("kept_chars"),
     )

@@ -540,3 +540,81 @@ def mm5_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr(F.col("mean_b"), 6).alias("mean_b"),
         _pr(F.col("mean_gray"), 6).alias("mean_gray"),
     )
+
+
+_MM6_FRAME = 64
+_MM6_HOP = 32
+_MM6_NF = (_MM3_N - _MM6_FRAME) // _MM6_HOP + 1
+
+
+@register(
+    "mm6_audio_frames",
+    f"""
+    WITH s AS ({_MM3_SAMPLES}),
+    fr AS (SELECT f FROM range(0, {_MM6_NF}) t(f)),
+    joined AS (
+      SELECT s.m, fr.f, s.i - fr.f * {_MM6_HOP} AS j, s.v
+      FROM s JOIN fr
+        ON s.i >= fr.f * {_MM6_HOP}
+       AND s.i <  fr.f * {_MM6_HOP} + {_MM6_FRAME}
+    ),
+    zc AS (
+      SELECT m, f,
+             sum(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END) AS flips
+      FROM (SELECT m, f, v,
+                   lag(v) OVER (PARTITION BY m, f ORDER BY j) AS pv
+            FROM joined)
+      WHERE pv IS NOT NULL GROUP BY m, f
+    )
+    SELECT j.m AS media_id, j.f AS frame_idx,
+           pround(1000.0 * j.f * {_MM6_HOP} / {_MM3_RATE}, 6) AS start_ms,
+           pround(sqrt(sum(j.v * j.v) / {_MM6_FRAME}), 6) AS rms,
+           CAST(max(abs(j.v)) AS BIGINT) AS peak_abs,
+           pround(any_value(zc.flips) / {_MM6_FRAME - 1}.0, 6) AS zcr
+    FROM joined j JOIN zc USING (m, f)
+    GROUP BY j.m, j.f
+    """,
+)
+def mm6_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis frames (the preprocessing shape every
+    audio model consumes: a 64-sample window hops by 32 and each
+    position emits one feature row — per-frame RMS energy, peak
+    amplitude, zero-crossing rate). The WAVs are the mm3
+    fixture, encoded AND decoded by the engine's stdlib PCM16 codec;
+    the oracle recomputes every frame from the closed-form sample
+    generator, so a codec defect or an off-by-one in the framing
+    breaks the hash. Frame math is numpy over a strided (n_frames,
+    frame) view; 16-bit samples make the energy sums exact integers,
+    immune to summation order.
+
+    Scale: mapInPandas over the media scan — payloads never shuffle,
+    output rows proportional to audio duration, partition-parallel."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        audio_frame_features,
+        encode_wav,
+    )
+
+    rows = []
+    for m in range(10):
+        samples = [((m * 31 + i * 7) % 2001) - 1000 for i in range(_MM3_N)]
+        rows.append(
+            (
+                m,
+                "audio",
+                None,
+                None,
+                1000 * _MM3_N // _MM3_RATE,
+                bytearray(encode_wav(_MM3_RATE, samples)),
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = audio_frame_features(media, frame=_MM6_FRAME, hop=_MM6_HOP)
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        _pr(F.col("start_ms"), 6).alias("start_ms"),
+        _pr(F.col("rms"), 6).alias("rms"),
+        "peak_abs",
+        _pr(F.col("zcr"), 6).alias("zcr"),
+    )

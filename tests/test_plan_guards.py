@@ -25,6 +25,8 @@ PYTHON_ALLOWED = {
     "mm3_wav_features",    # mapInPandas audio decode (stdlib WAV codec)
     "mm4_bmp_features",    # mapInPandas image decode (stdlib BMP codec)
     "mm5_avi_frame_stats", # mapInPandas video frame-sample decode (stdlib AVI)
+    "mm6_audio_frames",    # mapInPandas windowed audio framing (stdlib WAV
+                           # codec; per-sample math numpy over strided views)
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)

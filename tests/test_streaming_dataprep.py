@@ -120,3 +120,33 @@ def test_streaming_native_histogram_build_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert batch_rows == stream_rows and batch_rows
+
+
+def test_streaming_sampling_keys_match_batch(spark, tmp_path):
+    """ds13's Efraimidis-Spirakis sample keys and dd14's paragraph
+    hash keys are stateless map-side expressions: a streaming ingest
+    computes the identical keys the batch pass would, which is the
+    restart-safe-reproducibility claim both operators make (any
+    worker, any time, same key)."""
+    from lakerunner_spark.functions.hashing import portable_hash64
+    from lakerunner_spark.functions.rounding import portable_round
+
+    def build(df):
+        u = (
+            portable_hash64(F.col("doc_id").cast("string"), seed=13)
+            % 1000000
+            + 1
+        ) / F.lit(1000001.0)
+        key = F.log(u) / F.length("text")
+        first_para = F.expr(
+            "concat_ws(' ', slice(filter(split(trim(text), ' '),"
+            " t -> t != ''), 1, 8))"
+        )
+        return df.filter(F.length("text") > 0).select(
+            "doc_id",
+            portable_round(key * 1000000, 6).alias("es_key_ppm"),
+            F.md5(first_para).alias("p0_hash"),
+        )
+
+    batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
+    assert batch_rows == stream_rows and batch_rows

@@ -224,6 +224,56 @@ COMMENT = {
         "sharing one orderkey partitioning. The final top-20 is "
         "TakeOrderedAndProject."
     ),
+    "sp8_error_trace_spans": (
+        "Cross-signal correlation (error logs -> implicated traces): "
+        "the trace-reference list from the log side semi-joins the span "
+        "table UNhinted — at web scale every trace can carry an error, "
+        "so the reference list is corpus-proportional and only AQE's "
+        "runtime size check may broadcast it (the ds8 lesson). "
+        "LeftSemi prunes spans before any aggregation; spans shuffle "
+        "at most once, on their own trace key."
+    ),
+    "dd14_global_paragraph_dedup": (
+        "Corpus-wide paragraph dedup (CCNet), shaped for SKEW: the hot "
+        "paragraph hash IS the workload (boilerplate repeats across a "
+        "large corpus fraction), so first-occurrence selection is "
+        "groupBy(hash).min — whose map-side partial agg collapses hot "
+        "keys to one row per mapper BEFORE the shuffle — then an "
+        "unhinted join back on the hash, where AQE's skew-join splits "
+        "the probe side against the 1-row-per-key build. A "
+        "min-over-window on the hash partition (the tempting one-"
+        "exchange form) would put every copy of the hottest paragraph "
+        "in one task with no partial aggregation. Only the narrow "
+        "(doc_id, source, hash, pk, length) projection shuffles — "
+        "paragraph text never leaves the scan."
+    ),
+    "ds12_dsir_selection": (
+        "DSIR importance selection: two corpus scans (the algorithm's "
+        "own distribution-pass/scoring-pass shape). Bucket counts "
+        "reduce to a B=64-row table — bounded by a constant, not the "
+        "corpus — that re-joins by broadcast HASH join; per-document "
+        "scoring shuffles once on (doc_id, bucket) with map-side "
+        "partial counts; the final selection is TakeOrderedAndProject. "
+        "Per-bucket log ratios are rounded once to integer ppm so "
+        "per-document weights are integer sums — bit-exact in any "
+        "engine and any summation order."
+    ),
+    "ds13_weighted_sample": (
+        "Weighted sampling without replacement via deterministic "
+        "Efraimidis-Spirakis keys: the whole operator is map-side key "
+        "computation + TakeOrderedAndProject (per-partition heads, "
+        "driver merge) — ZERO exchanges at any corpus size, and the "
+        "hash-derived uniform makes the sample reproducible and "
+        "restart-safe with no RNG state or coordination."
+    ),
+    "mm6_audio_frames": (
+        "Windowed audio framing: mapInPandas over the media scan — "
+        "payload bytes never shuffle, output rows are proportional to "
+        "audio duration, and the per-sample math is numpy over a "
+        "strided (n_frames, frame) view (the codec alone is Python by "
+        "design). 16-bit samples make the energy sums exact integers, "
+        "immune to summation order across engines."
+    ),
 }
 
 
