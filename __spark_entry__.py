@@ -72,7 +72,7 @@ _PRIORITY = [
     "lqs1_log_rate",
     "lqs3_unwrap_max",
     "txt11_paragraph_dedup",
-    "lqs10_label_replace",
+    "mm6_audio_frames",
     "ds10_temperature_mixture",
     "otlp1_exp_histogram_quantile",
     "sp5_trace_rollup",
@@ -97,7 +97,7 @@ _PRIORITY = [
     "ds11_epoch_shuffle",
     "dd13_substring_decontaminate",
     "ds3_sequence_pack",
-    "ds4_domain_mixture",
+    "mm7_image_patches",
     "dd14_global_paragraph_dedup",
     "txt10_bm25",
     "ds12_dsir_selection",
@@ -109,7 +109,9 @@ _PRIORITY = [
     # gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4. Late-r6
     # rotation makes room for the newest surface (sp8, txt11, ds10/11,
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
-    # down, all r5-gate-certified.
+    # down, all r5-gate-certified; lqs10 and ds4 likewise for mm6/mm7.
+    "lqs10_label_replace",
+    "ds4_domain_mixture",
     "lqs19_unpack",
     "pqs39_at_modifier",
     "lqs12_pattern",

@@ -618,3 +618,52 @@ def mm6_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_abs",
         _pr(F.col("zcr"), 6).alias("zcr"),
     )
+
+
+@register(
+    "mm7_image_patches",
+    f"""
+    WITH px AS ({_MM2_PX})
+    SELECT m AS media_id, y // 4 AS patch_row, x // 4 AS patch_col,
+           pround(sum(CASE WHEN c = 0 THEN v END) / 16.0, 6) AS mean_r,
+           pround(sum(CASE WHEN c = 1 THEN v END) / 16.0, 6) AS mean_g,
+           pround(sum(CASE WHEN c = 2 THEN v END) / 16.0, 6) AS mean_b,
+           pround(sum(v) / 48.0, 6) AS mean_gray
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch grid over the mm4 BMP fixture: each 8x8 image
+    splits into four 4x4 tiles and every tile emits per-channel and
+    gray means — the image-model counterpart of mm6's audio framing.
+    The payloads are encoded AND decoded by the engine's stdlib BMP
+    codec; the oracle recomputes every tile from the closed-form pixel
+    generator, so codec or tiling defects break the hash. 8-bit pixels
+    + power-of-two tile size make every mean an exact double in both
+    engines (integer sums / 16; gray divides by 48 once)."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_patch_features,
+    )
+
+    rows = []
+    for m in range(10):
+        rgb = bytes(
+            (m * 37 + y * 17 + x * 5 + c * 11) % 256
+            for y in range(8)
+            for x in range(8)
+            for c in range(3)
+        )
+        rows.append((m, "image", 8, 8, None, bytearray(encode_bmp(8, 8, rgb))))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = image_patch_features(media, patch=4)
+    return feats.select(
+        "media_id",
+        "patch_row",
+        "patch_col",
+        _pr(F.col("mean_r"), 6).alias("mean_r"),
+        _pr(F.col("mean_g"), 6).alias("mean_g"),
+        _pr(F.col("mean_b"), 6).alias("mean_b"),
+        _pr(F.col("mean_gray"), 6).alias("mean_gray"),
+    )

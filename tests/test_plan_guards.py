@@ -27,6 +27,8 @@ PYTHON_ALLOWED = {
     "mm5_avi_frame_stats", # mapInPandas video frame-sample decode (stdlib AVI)
     "mm6_audio_frames",    # mapInPandas windowed audio framing (stdlib WAV
                            # codec; per-sample math numpy over strided views)
+    "mm7_image_patches",   # mapInPandas ViT-style patch grid (stdlib BMP
+                           # codec; per-pixel math one numpy reshape+sum)
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)

@@ -274,6 +274,13 @@ COMMENT = {
         "design). 16-bit samples make the energy sums exact integers, "
         "immune to summation order across engines."
     ),
+    "mm7_image_patches": (
+        "ViT-style patch grid: mapInPandas over the media scan — one "
+        "numpy reshape to (grid_h, patch, grid_w, patch, 3) + axis "
+        "sums per image; output rows proportional to image area over "
+        "patch squared. 8-bit pixels and a power-of-two tile make "
+        "every mean an exact double in both engines."
+    ),
 }
 
 
