@@ -59,7 +59,7 @@ _PRIORITY = [
     "dd11_substring_dedup",
     "a8_topk",
     "a13_aggfile_route",
-    "sim5_kmeans",
+    "sim7_pq_topk",
     "a5_sketch_quantiles",
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
@@ -109,7 +109,9 @@ _PRIORITY = [
     # gate): a9x_deriv, a6_cardinality, lqs9, lqs15, pqs4, sp4. Late-r6
     # rotation makes room for the newest surface (sp8, txt11, ds10/11,
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
-    # down, all r5-gate-certified; lqs10 and ds4 likewise for mm6/mm7.
+    # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
+    # mm6/mm7/sim7.
+    "sim5_kmeans",
     "lqs10_label_replace",
     "ds4_domain_mixture",
     "lqs19_unpack",

@@ -536,3 +536,130 @@ def random_projection(
         for j in range(out_dim)
     ]
     return F.array(*comps).alias(out_col)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    shortlist: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): vectors split into
+    ``m`` subspaces; each corpus subvector is replaced by the id of its
+    nearest codeword, so a vector stores ``m`` small codes instead of
+    ``dim`` floats; queries score by ASYMMETRIC distance — a per-query
+    table of exact query→codeword subdistances, summed at the corpus
+    vector's codes. Codebooks here are the ``n_codes`` lowest-id corpus
+    vectors' subvectors (deterministic; production k-means a sample —
+    the encode/ADC plumbing is identical, same convention as ivf_topk's
+    seeding).
+
+    Engine determinism: subdistances fold left-to-right over the
+    subspace (both engines), are rounded to 12 dp BEFORE the argmin
+    (the ivf_topk lesson — a last-ulp difference must not flip a code
+    assignment), and the final ADC sum rounds to ``round_dp`` before
+    ranking with an id tiebreak.
+
+    ``shortlist > 0`` adds the standard second stage: ADC ranks a
+    shortlist per query, then the SHORTLIST ONLY is re-ranked by exact
+    L2 against the raw vectors (the sim6 pattern) — quantization error
+    then costs recall only when a true neighbor misses the whole
+    shortlist, not when ADC misorders the head.
+
+    At 100 TB: the codebook is m*n_codes rows — a constant — and
+    broadcasts; corpus ENCODING is one broadcast pass over the scan
+    (this is the point of PQ: the stored index is codes, ~dim/m/4 of
+    the raw size at 8-bit codes); the per-query distance table is
+    m*n_codes rows per query and broadcasts for interactive query
+    counts, so the scored join is a broadcast hash join on (subspace,
+    code) followed by one (query, candidate)-keyed partial-agg
+    shuffle and a per-query top-k window over k-bounded groups. The
+    re-rank touches shortlist*n_queries raw vectors — a point-lookup
+    join, unhinted (AQE broadcasts the query-proportional side)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError("pq_topk: dim must be divisible by m")
+
+    def subrows(df: DataFrame, idc: str, out: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+            F.col(vec_col),
+        ).select(
+            out,
+            "s",
+            F.expr(
+                f"transform(slice({vec_col}, s * {sub} + 1, {sub}),"
+                f" x -> CAST(x AS DOUBLE))"
+            ).alias("_sv"),
+        )
+
+    cents = corpus.orderBy(F.col(id_col).asc()).limit(n_codes)
+    ksub = subrows(cents, id_col, "code").withColumnRenamed("_sv", "_kv")
+
+    l2 = F.expr(
+        "aggregate(zip_with(_sv, _kv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+    csub = subrows(corpus, id_col, "cid")
+    cdist = csub.join(F.broadcast(ksub), "s").select(
+        "cid", "s", "code", portable_round(l2, 12).alias("_d")
+    )
+    codes = (
+        cdist.groupBy("cid", "s")
+        .agg(F.min(F.struct("_d", "code")).alias("_m"))
+        .select("cid", "s", F.col("_m.code").alias("code"))
+    )
+
+    qsub = subrows(queries, id_col, "qid")
+    qtab = qsub.join(F.broadcast(ksub), "s").select(
+        "qid", "s", "code", portable_round(l2, 12).alias("_d")
+    )
+
+    adc = (
+        codes.join(F.broadcast(qtab), ["s", "code"])
+        .groupBy("qid", "cid")
+        .agg(portable_round(F.sum("_d"), round_dp).alias("pq_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("pq_dist").asc(), F.col("cid").asc()
+    )
+    ranked = adc.withColumn("_rn", F.row_number().over(w))
+    if not shortlist:
+        return ranked.filter(F.col("_rn") <= k).select(
+            "qid", "cid", "pq_dist"
+        )
+
+    short = ranked.filter(F.col("_rn") <= shortlist).select("qid", "cid")
+    qv = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+    )
+    exact_l2 = F.expr(
+        "aggregate(zip_with(_qv, _cv, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    rer = (
+        short.join(cv, "cid")
+        .join(qv, "qid")
+        .select("qid", "cid", portable_round(exact_l2, round_dp).alias("l2_dist"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("l2_dist").asc(), F.col("cid").asc()
+    )
+    return (
+        rer.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "cid", "l2_dist")
+    )

@@ -667,3 +667,99 @@ def mm7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr(F.col("mean_b"), 6).alias("mean_b"),
         _pr(F.col("mean_gray"), 6).alias("mean_gray"),
     )
+
+
+@register(
+    "sim7_pq_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    cents AS (SELECT vec_id AS code, embedding FROM c
+              ORDER BY vec_id ASC LIMIT 32),
+    csub AS (
+      SELECT vec_id AS cid, s,
+             list_transform(range(1, 5),
+                            j -> CAST(embedding[s*4 + j] AS DOUBLE)) AS sv
+      FROM c CROSS JOIN range(0, 16) t(s)
+    ),
+    qsub AS (
+      SELECT vec_id AS qid, s,
+             list_transform(range(1, 5),
+                            j -> CAST(embedding[s*4 + j] AS DOUBLE)) AS sv
+      FROM q CROSS JOIN range(0, 16) t(s)
+    ),
+    ksub AS (
+      SELECT code, s,
+             list_transform(range(1, 5),
+                            j -> CAST(embedding[s*4 + j] AS DOUBLE)) AS kv
+      FROM cents CROSS JOIN range(0, 16) t(s)
+    ),
+    cdist AS (
+      SELECT cid, s, code,
+             pround(list_sum(list_transform(range(1, 5),
+                    j -> (sv[j] - kv[j]) * (sv[j] - kv[j]))), 12) AS d
+      FROM csub JOIN ksub USING (s)
+    ),
+    codes AS (
+      SELECT cid, s, code FROM (
+        SELECT cid, s, code, row_number() OVER (
+          PARTITION BY cid, s ORDER BY d ASC, code ASC) AS rn
+        FROM cdist
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT qid, s, code,
+             pround(list_sum(list_transform(range(1, 5),
+                    j -> (sv[j] - kv[j]) * (sv[j] - kv[j]))), 12) AS d
+      FROM qsub JOIN ksub USING (s)
+    ),
+    adc AS (
+      SELECT qid, cid, pround(sum(d), 6) AS pq_dist
+      FROM codes JOIN qtab USING (s, code)
+      GROUP BY qid, cid
+    ),
+    short AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (
+          PARTITION BY qid ORDER BY pq_dist ASC, cid ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 32
+    ),
+    rer AS (
+      SELECT s.qid, s.cid,
+             pround(list_sum(list_transform(range(1, 65),
+                    i -> (CAST(qe.embedding[i] AS DOUBLE)
+                          - CAST(ce.embedding[i] AS DOUBLE))
+                       * (CAST(qe.embedding[i] AS DOUBLE)
+                          - CAST(ce.embedding[i] AS DOUBLE)))), 6) AS l2_dist
+      FROM short s
+      JOIN q qe ON qe.vec_id = s.qid
+      JOIN c ce ON ce.vec_id = s.cid
+    )
+    SELECT qid, cid, l2_dist FROM (
+      SELECT qid, cid, l2_dist, row_number() OVER (
+        PARTITION BY qid ORDER BY l2_dist ASC, cid ASC) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+    """,
+)
+def sim7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011) over the sim2
+    fixture split: 64-dim vectors divide into 16 four-dim subspaces,
+    corpus subvectors are replaced by nearest-codeword ids (codebooks
+    = the 32 lowest-id corpus vectors' subvectors, the ivf_topk
+    seeding convention), queries rank by ASYMMETRIC distance — exact
+    query->codeword subdistance tables summed at the corpus codes —
+    and the ADC top-32 shortlist re-ranks by exact L2 (recall@5 >=
+    0.7 asserted in tests/test_multimodal_ann.py). Completes the ANN
+    family: brute cosine (sim1), IVF (sim2), LSH (sim3), int8 scalar
+    quantization (sim4), k-means-trained IVF (sim5), JL random
+    projection (sim6), PQ+re-rank (sim7). The oracle reproduces
+    codebook, encoding argmin, ADC, shortlist, and re-rank step for
+    step (12-dp rounding before every argmin, id tiebreaks)."""
+    from lakerunner_spark.dataops.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    c = emb.filter(F.col("vec_id") >= 3)
+    return pq_topk(q, c, k=5, m=16, n_codes=32, dim=64, shortlist=32)

@@ -274,6 +274,15 @@ COMMENT = {
         "design). 16-bit samples make the energy sums exact integers, "
         "immune to summation order across engines."
     ),
+    "sim7_pq_topk": (
+        "Product quantization: the m*n_codes codebook is a CONSTANT-"
+        "size broadcast; corpus encoding is one broadcast-hash-join "
+        "pass over the scan (PQ's point — the stored index is codes, "
+        "a fraction of the raw vectors); the per-query ADC table "
+        "broadcasts; the shortlist re-rank is a point-lookup join "
+        "over shortlist*n_queries raw vectors, unhinted. Per-query "
+        "top-k windows run over shortlist-bounded groups."
+    ),
     "mm7_image_patches": (
         "ViT-style patch grid: mapInPandas over the media scan — one "
         "numpy reshape to (grid_h, patch, grid_w, patch, 3) + axis "
