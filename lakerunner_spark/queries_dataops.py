@@ -2178,10 +2178,12 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two corpus scans (distribution pass + scoring pass — DSIR's
     own two-pass shape). Bucket counts reduce to a 64-row table joined
     back by broadcast HASH join (bounded by B, a constant, not by the
-    corpus — the ds8 lesson does not apply); per-document scoring
-    shuffles once on (doc_id, bucket) with map-side partial counts;
-    selection is a global top-k (TakeOrderedAndProject), never a full
-    sort."""
+    corpus — the ds8 lesson does not apply); the grand totals come
+    from a single-partition window over that SAME 64-row table (also
+    B-bounded — no nested-loop join anywhere in the plan); per-document
+    scoring shuffles once on (doc_id, bucket) with map-side partial
+    counts; selection is a global top-k (TakeOrderedAndProject), never
+    a full sort."""
     from lakerunner_spark.functions.hashing import portable_hash64
     from lakerunner_spark.functions.rounding import portable_round as _pr
 
@@ -2211,17 +2213,22 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").isin(*_DSIR_TARGET).cast("long")
         ).alias("tgt_cnt"),
     )
-    totals = counts.agg(
-        F.sum("raw_cnt").alias("raw_total"),
-        F.sum("tgt_cnt").alias("tgt_total"),
-    )
+    # totals via an unpartitioned window over the counts table — which
+    # holds AT MOST B=64 rows by construction, so the single-partition
+    # window is bounded by a constant, not the corpus (and the plan
+    # carries no nested-loop join for the scalar totals)
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    raw_total = F.sum("raw_cnt").over(wall)
+    tgt_total = F.sum("tgt_cnt").over(wall)
     smooth = float(_DSIR_B)
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    lr = counts.select(
         "b",
         F.round(
             _pr(
-                F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_total") + smooth))
-                - F.log((F.col("raw_cnt") + 1) / (F.col("raw_total") + smooth)),
+                F.log((F.col("tgt_cnt") + 1) / (tgt_total + smooth))
+                - F.log((F.col("raw_cnt") + 1) / (raw_total + smooth)),
                 6,
             )
             * 1000000

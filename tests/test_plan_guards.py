@@ -58,9 +58,6 @@ NLJ_ALLOWED = {
     "ds10_temperature_mixture",      # 1-row total/normalizer scalars x
                                      # the sources-row rate table (both
                                      # bounded by source-label count)
-    "ds12_dsir_selection",           # 1-row corpus totals x the B=64
-                                     # bucket table (bounded by the
-                                     # constant feature-bucket count)
 }
 
 

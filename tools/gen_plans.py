@@ -251,7 +251,9 @@ COMMENT = {
         "DSIR importance selection: two corpus scans (the algorithm's "
         "own distribution-pass/scoring-pass shape). Bucket counts "
         "reduce to a B=64-row table — bounded by a constant, not the "
-        "corpus — that re-joins by broadcast HASH join; per-document "
+        "corpus — whose grand totals come from a single-partition "
+        "window over those same 64 rows (no nested-loop join in the "
+        "plan) and which re-joins by broadcast HASH join; per-document "
         "scoring shuffles once on (doc_id, bucket) with map-side "
         "partial counts; the final selection is TakeOrderedAndProject. "
         "Per-bucket log ratios are rounded once to integer ppm so "
@@ -325,6 +327,14 @@ def main() -> None:
         "Plan shapes for all four are IDENTICAL at both sizes (verified",
         "post-execution executedPlan — no broadcast flips, no new",
         "exchanges).",
+        "",
+        "Late-r6 additions, measured at sf1 (fresh exclusive section run,",
+        "calib 0.51): dd14_global_paragraph_dedup 0.37→3.72s (10.1× — linear,",
+        "as a one-shuffle full-corpus op should be; plan shape identical at",
+        "both sizes per check_sf1_plans, the groupBy+join skew shape holds),",
+        "ds12_dsir_selection 1.28→8.04s (6.3× — sub-linear; the 64-row",
+        "bucket table and its window totals are size-invariant, only the",
+        "two corpus scans and the (doc,bucket) partial-agg shuffle grow).",
         "",
         "Plan shapes under AQE at sf1, vs sf0.1 (post-execution `executedPlan`):",
         "",
