@@ -67,7 +67,7 @@ _PRIORITY = [
     "pqs1_sum_rate",
     "sp8_error_trace_spans",
     "pqs18_quantile_sketch_route",
-    "pqs20_predict_linear",
+    "ds14_shard_manifest",
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
@@ -110,7 +110,8 @@ _PRIORITY = [
     # rotation makes room for the newest surface (sp8, txt11, ds10/11,
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
-    # mm6/mm7/sim7.
+    # mm6/mm7/sim7; pqs20 for ds14.
+    "pqs20_predict_linear",
     "sim5_kmeans",
     "lqs10_label_replace",
     "ds4_domain_mixture",

@@ -95,6 +95,7 @@ HEADLINE = [
     "dd14_global_paragraph_dedup",
     "ds12_dsir_selection",
     "ds13_weighted_sample",
+    "ds14_shard_manifest",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale

@@ -397,3 +397,65 @@ def percentile_filter(
         .filter(F.col(score_col) >= F.col("_threshold"))
         .drop("_threshold")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    out_col: str = "cum_excl",
+    buckets: int = 256,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum over the deterministic total
+    order (key_col, tiebreak_col) — WITHOUT a single-task global
+    window (`Window.orderBy(...)` with no partition moves the whole
+    corpus to one task; this is the two-pass pattern that doesn't).
+
+    ``key_col`` must be an :func:`id_hash`-style key in [0, 2^32).
+    Pass 1: rows land in ``buckets`` STATIC key ranges (bucket =
+    key div (2^32/buckets)) — a monotonic function of the key, so
+    every row in bucket b orders before every row in bucket b+1 —
+    and a per-bucket window computes local exclusive sums in
+    parallel. Pass 2: per-bucket totals (<= ``buckets`` rows, a
+    constant) get their own exclusive cumsum on one task, and the
+    offsets broadcast-join back: global = offset + local.
+
+    Integer values make every sum exact in any engine and any
+    order; an oracle can use a plain global-window cumsum — the
+    SEMANTICS are a total-order prefix sum, only the execution
+    differs. One data shuffle (by bucket); skew is bounded by the
+    hash's uniformity."""
+    span = MOD // buckets
+    from pyspark.sql import Window
+
+    order = [F.col(key_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    local_w = (
+        Window.partitionBy("_psb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.withColumn(
+        "_psb", F.expr(f"{key_col} div {span}")
+    ).withColumn(
+        "_lc", F.coalesce(F.sum(val_col).over(local_w), F.lit(0))
+    )
+    off_w = (
+        Window.orderBy(F.col("_psb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        local.groupBy("_psb")
+        .agg(F.sum(val_col).alias("_bt"))
+        .select(
+            "_psb",
+            F.coalesce(F.sum("_bt").over(off_w), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offs), "_psb")
+        .withColumn(out_col, (F.col("_off") + F.col("_lc")).cast("long"))
+        .drop("_psb", "_lc", "_off")
+    )

@@ -2313,3 +2313,69 @@ def ds13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pr(F.col("es_key") * 1000000, 6).alias("es_key_ppm"),
         )
     )
+
+
+_DS14_BUDGET = 5000  # tokens per training shard
+
+
+def _ds14_oracle() -> str:
+    from lakerunner_spark.dataops.sampling import id_hash_sql
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             {id_hash_sql("doc_id", salt=3)} AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, k,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY k ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS excl
+      FROM d
+    )
+    SELECT CAST(excl // {_DS14_BUDGET} AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1
+    """
+
+
+@register("ds14_shard_manifest", _ds14_oracle())
+def ds14_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: documents take a deterministic
+    id-hash order (the ds11 epoch-shuffle contract), accumulate a
+    running token total, and cut into fixed-budget shards — each doc
+    goes to the shard where its EXCLUSIVE running sum lands, which is
+    the greedy shard writer every training-data export runs. The
+    manifest certifies per-shard doc and token counts.
+
+    The interesting part is HOW the running sum is computed: a naive
+    `Window.orderBy(key)` with no partition is a single-task global
+    sort — the ds9 straggler, now over the whole corpus. The engine's
+    prefix_sum (dataops/sampling.py) instead buckets rows into 256
+    STATIC key ranges (a monotonic function of the key), cumsums each
+    bucket in parallel, cumsums the 256 bucket TOTALS on one task (a
+    constant-size step), and broadcast-joins the offsets back:
+    global = offset + local. One data shuffle; integer sums, so both
+    engines agree exactly even though the ORACLE uses the plain
+    global-window form — same semantics, different execution."""
+    from lakerunner_spark.dataops.sampling import id_hash, prefix_sum
+    from lakerunner_spark.dataops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        id_hash(F.col("doc_id"), salt=3).alias("k"),
+    )
+    ps = prefix_sum(
+        d, "k", "n_tokens", out_col="excl", buckets=256,
+        tiebreak_col="doc_id",
+    )
+    return ps.groupBy(
+        F.expr(f"CAST(excl div {_DS14_BUDGET} AS BIGINT)").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )

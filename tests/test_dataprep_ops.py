@@ -368,3 +368,60 @@ def test_substring_verify_subset_of_dd11(spark, sf_dir):
     ver = entry.queries()["dd11v_substring_verify"](spark, sf_dir).collect()
     assert {(r.doc_a, r.doc_b) for r in ver} <= cand
     assert all(r.longest_run >= 5 for r in ver)
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """The two-pass bucketed prefix sum is semantically a plain
+    global-window exclusive cumsum — verify equality row-for-row, and
+    that the DATA window in the plan is partitioned (the whole point:
+    no single-task window over the corpus; the only unpartitioned
+    window runs over the <=256 bucket totals)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.dataops.sampling import id_hash, prefix_sum
+
+    df = (
+        spark.range(0, 3000)
+        .select(
+            F.col("id").alias("doc_id"),
+            id_hash(F.col("id"), salt=9).alias("k"),
+            (F.col("id") % 37 + 1).alias("v"),
+        )
+        .repartition(8)
+    )
+    got = {
+        r.doc_id: r.cum
+        for r in prefix_sum(
+            df, "k", "v", out_col="cum", buckets=64, tiebreak_col="doc_id"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r.doc_id: r.cum
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("cum")
+        ).collect()
+    }
+    assert got == want and len(got) == 3000
+
+    plan = (
+        prefix_sum(df, "k", "v", buckets=64, tiebreak_col="doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    data_windows = [
+        ln for ln in plan.splitlines() if "Window [sum(v#" in ln
+    ]
+    assert data_windows, "expected the local-cumsum window in the plan"
+    # the local window must carry a partition spec (the bucket column)
+    # — i.e. it is NOT the move-everything-to-one-task unpartitioned
+    # form. Spark prints it as: Window [sum(v#..)..], [_psb#..], [k#..]
+    for ln in data_windows:
+        assert "], [_psb#" in ln, f"data window unpartitioned: {ln}"

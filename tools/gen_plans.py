@@ -285,6 +285,17 @@ COMMENT = {
         "over shortlist*n_queries raw vectors, unhinted. Per-query "
         "top-k windows run over shortlist-bounded groups."
     ),
+    "ds14_shard_manifest": (
+        "Training-shard assignment via the two-pass distributed "
+        "prefix sum: a naive global-window cumsum is a single-task "
+        "sort over the corpus; instead rows bucket into 256 STATIC "
+        "key ranges (monotonic in the order key), each bucket "
+        "cumsums in parallel under a PARTITIONED window, the 256 "
+        "bucket totals cumsum on one task (constant-size), and the "
+        "offsets broadcast-join back. One data shuffle; integer "
+        "sums are engine-exact, so the oracle can use the plain "
+        "global-window form — same semantics, scalable execution."
+    ),
     "mm7_image_patches": (
         "ViT-style patch grid: mapInPandas over the media scan — one "
         "numpy reshape to (grid_h, patch, grid_w, patch, 3) + axis "
