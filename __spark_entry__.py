@@ -60,7 +60,7 @@ _PRIORITY = [
     "a8_topk",
     "a13_aggfile_route",
     "sim7_pq_topk",
-    "a5_sketch_quantiles",
+    "chq1_sketch_interop_quantile",
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
     "j1_vector_arith",
@@ -110,7 +110,8 @@ _PRIORITY = [
     # rotation makes room for the newest surface (sp8, txt11, ds10/11,
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
-    # mm6/mm7/sim7; pqs20 for ds14.
+    # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1.
+    "a5_sketch_quantiles",
     "pqs20_predict_linear",
     "sim5_kmeans",
     "lqs10_label_replace",

@@ -96,6 +96,7 @@ HEADLINE = [
     "ds12_dsir_selection",
     "ds13_weighted_sample",
     "ds14_shard_manifest",
+    "chq1_sketch_interop_quantile",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale

@@ -432,3 +432,125 @@ def pqs45_native_histogram_stddev(
         _pr("h_stdvar", 6).alias("h_stdvar"),
         _pr("h_stddev", 6).alias("h_stddev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chq_sketch binary interop (the reference's sketches-go wire format)
+# ---------------------------------------------------------------------------
+
+# deterministic fixture shared by query and oracle: 8 metric streams,
+# 2 sketch blobs each (merge must be exercised), values mixing
+# positive / zero / negative samples
+_CHQ_STREAMS = 8
+_CHQ_N = 200
+
+
+def _chq_value(s: int, i: int) -> float:
+    if i % 50 == 0:
+        return 0.0
+    v = ((s * 31 + i * 7) % 997) / 10.0 + 0.05
+    return -v if i % 37 == 0 else v
+
+
+_CHQ_VALUES_SQL = f"""
+      SELECT s, i,
+             CASE WHEN i % 50 = 0 THEN 0.0
+                  WHEN i % 37 = 0
+                    THEN -(((s*31 + i*7) % 997) / 10.0 + 0.05)
+                  ELSE ((s*31 + i*7) % 997) / 10.0 + 0.05 END AS v
+      FROM range(0, {_CHQ_STREAMS}) t0(s)
+      CROSS JOIN range(0, {_CHQ_N}) t1(i)
+"""
+
+_CHQ_BASE = f"SELECT 'm' || CAST(s AS VARCHAR) AS metric, v FROM ({_CHQ_VALUES_SQL})"
+
+
+@register(
+    "chq1_sketch_interop_quantile",
+    f"""
+    WITH p50 AS (
+      {ddsketch_quantile_sql(_CHQ_BASE, ["metric"], "v", 0.5, out_col="p50")}
+    ),
+    p95 AS (
+      {ddsketch_quantile_sql(_CHQ_BASE, ["metric"], "v", 0.95, out_col="p95")}
+    ),
+    n AS (
+      SELECT metric, CAST(count(*) AS BIGINT) AS n_samples
+      FROM ({_CHQ_BASE}) GROUP BY metric
+    )
+    SELECT metric, n_samples, pround(p50.p50, 6) AS p50,
+           pround(p95.p95, 6) AS p95
+    FROM n JOIN p50 USING (metric) JOIN p95 USING (metric)
+    """,
+)
+def chq1_sketch_interop_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """chq_sketch BINARY interop end-to-end: sketches-go-format blobs
+    (the reference's sketch BLOB column — promql/aggregator.go:49-60,
+    artifact_parser.go:216) -> pure-Python wire decode
+    (sources/chq_sketch.py, format validated bit-for-bit against
+    17,450 reference artifact rows) -> engine bucket rows -> per-metric
+    MERGE of two blobs per stream (counts sum; the mergeability
+    contract) -> the engine's cumulative-walk quantile, as ONE
+    registered oracled plan. The oracle regenerates the identical
+    bucket table from the same closed-form values, so the hash
+    certifies decode + index bridge + merge + quantile together.
+
+    Scale: decode is mapInPandas over the blob scan (payload bytes
+    never shuffle; output rows ~ occupied buckets, not samples); merge
+    is one (metric, bucket)-keyed HashAggregate pair; the quantile
+    walk windows over per-metric bucket rows — O(buckets), regardless
+    of how many samples the sketches absorbed."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.ddsketch import gamma_for
+    from lakerunner_spark.sources.chq_sketch import (
+        chq_sketch_bucket_rows,
+        encode_chq_sketch,
+    )
+
+    gamma = gamma_for(0.01)
+    lg = math.log(gamma)
+    rows = []
+    for s in range(_CHQ_STREAMS):
+        for half in range(2):  # two blobs per stream: merge is exercised
+            pos: dict[int, float] = {}
+            neg: dict[int, float] = {}
+            zero = 0.0
+            lo = half * (_CHQ_N // 2)
+            for i in range(lo, lo + _CHQ_N // 2):
+                v = _chq_value(s, i)
+                if v == 0.0:
+                    zero += 1.0
+                elif v > 0:
+                    idx = math.ceil(math.log(v) / lg) - 1
+                    pos[idx] = pos.get(idx, 0.0) + 1.0
+                else:
+                    idx = math.ceil(math.log(-v) / lg) - 1
+                    neg[idx] = neg.get(idx, 0.0) + 1.0
+            rows.append(
+                (f"m{s}", bytearray(encode_chq_sketch(gamma, pos, neg, zero)))
+            )
+    blobs = spark.createDataFrame(rows, "metric string, sketch binary")
+    decoded = chq_sketch_bucket_rows(blobs, "sketch", keep=["metric"])
+    merged = decoded.groupBy("metric", "bucket").agg(
+        F.sum("count").alias("count")
+    )
+    p50 = ddsketch_quantile(merged, ["metric"], 0.5, out_col="p50")
+    p95 = ddsketch_quantile(merged, ["metric"], 0.95, out_col="p95")
+    n = merged.groupBy("metric").agg(
+        F.sum("count").cast("long").alias("n_samples")
+    )
+    return (
+        n.join(p50, "metric")
+        .join(p95, "metric")
+        .select(
+            "metric",
+            "n_samples",
+            _pr("p50", 6).alias("p50"),
+            _pr("p95", 6).alias("p95"),
+        )
+    )

@@ -29,6 +29,9 @@ PYTHON_ALLOWED = {
                            # codec; per-sample math numpy over strided views)
     "mm7_image_patches",   # mapInPandas ViT-style patch grid (stdlib BMP
                            # codec; per-pixel math one numpy reshape+sum)
+    "chq1_sketch_interop_quantile",  # mapInPandas sketches-go binary
+                           # decode (the S10/X1 interop seam: wire
+                           # decode is Python by design, Arrow-batched)
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)

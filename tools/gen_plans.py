@@ -285,6 +285,15 @@ COMMENT = {
         "over shortlist*n_queries raw vectors, unhinted. Per-query "
         "top-k windows run over shortlist-bounded groups."
     ),
+    "chq1_sketch_interop_quantile": (
+        "Binary sketch interop: the sketches-go blob decode is "
+        "mapInPandas over the blob scan (payload bytes never shuffle; "
+        "output rows ~ occupied buckets, not samples), the per-metric "
+        "merge of multiple blobs is one (metric, bucket)-keyed "
+        "HashAggregate pair — the mergeability contract — and the "
+        "quantile walk windows over per-metric bucket rows, O(buckets) "
+        "regardless of how many samples the sketches absorbed."
+    ),
     "ds14_shard_manifest": (
         "Training-shard assignment via the two-pass distributed "
         "prefix sum: a naive global-window cumsum is a single-task "
