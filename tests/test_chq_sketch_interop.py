@@ -184,3 +184,30 @@ def test_spark_bridge_matches_reference_rollups_sample(spark):
         assert abs(g.n - w.rc) < 1e-6 * max(1.0, w.rc)
         assert math.isclose(g.p50, w.rp50, rel_tol=1e-9, abs_tol=1e-12)
         assert math.isclose(g.p95, w.rp95, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_REF_METRICS), reason="reference artifacts not present"
+)
+def test_encode_is_semantically_idempotent_on_reference_blobs():
+    """Re-encoding a decoded reference blob (our encoder always picks
+    the sparse deltas+counts store form; the library picks store
+    encodings adaptively, so bytes may legally differ) must decode to
+    the identical sketch — gamma, offset, zero count, and every bin."""
+    import duckdb
+
+    con = duckdb.connect()
+    f = sorted(glob.glob(os.path.join(_REF_METRICS, "*.parquet")))[0]
+    rows = con.execute(
+        f"select sketch from read_parquet('{f}')"
+        f" where sketch is not null limit 300"
+    ).fetchall()
+    assert rows
+    for (blob,) in rows:
+        sk = decode_chq_sketch(bytes(blob))
+        blob2 = encode_chq_sketch(
+            sk["gamma"], sk["pos"], sk["neg"], sk["zero_count"],
+            sk["index_offset"],
+        )
+        sk2 = decode_chq_sketch(blob2)
+        assert sk2 == sk
