@@ -75,7 +75,7 @@ _PRIORITY = [
     "mm6_audio_frames",
     "ds10_temperature_mixture",
     "otlp1_exp_histogram_quantile",
-    "sp5_trace_rollup",
+    "dd15_dedup_funnel",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -99,7 +99,7 @@ _PRIORITY = [
     "ds3_sequence_pack",
     "mm7_image_patches",
     "dd14_global_paragraph_dedup",
-    "txt10_bm25",
+    "ds15_length_histogram",
     "ds12_dsir_selection",
     "ds13_weighted_sample",
     # below the driver's 50-sample line: every entry above touches a
@@ -110,7 +110,10 @@ _PRIORITY = [
     # rotation makes room for the newest surface (sp8, txt11, ds10/11,
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
-    # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1.
+    # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1; txt10, sp5 for
+    # ds15/dd15.
+    "txt10_bm25",
+    "sp5_trace_rollup",
     "a5_sketch_quantiles",
     "pqs20_predict_linear",
     "sim5_kmeans",

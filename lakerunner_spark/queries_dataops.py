@@ -2379,3 +2379,103 @@ def ds14_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "ds15_length_histogram",
+    """
+    WITH t AS (
+      SELECT length(string_split(text, ' ')) AS n_tokens FROM documents
+      WHERE length(string_split(text, ' ')) >= 1
+    )
+    SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def ds15_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets (the packing
+    diagnostic every training-data pipeline keeps: the bucket profile
+    decides chunk size, pack budget, and padding waste). The bucket is
+    floor(log2(n_tokens)) computed EXACTLY as the token count's bit
+    length minus one — both engines' bin() — because floating
+    log2/floor misbuckets exact powers of two when log(8)/log(2)
+    lands one ulp under 3. Map-side only; one tiny aggregate."""
+    from lakerunner_spark.dataops.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    bucket = (F.length(F.bin(F.col("n_tokens"))) - 1).cast("long")
+    return d.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "dd15_dedup_funnel",
+    f"""
+    WITH cand AS ({_CANDIDATES_SQL}),
+    sets AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sets GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+      JOIN sets a ON a.doc_id = c.doc_a
+      JOIN sets b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             pround(coalesce(s.shared, 0) * 1.0 /
+                   (sa.n_sh + sb.n_sh - coalesce(s.shared, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT 'docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+    UNION ALL
+    SELECT 'exact_dup_docs', CAST(count(*) - count(DISTINCT text) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lsh_candidate_pairs', CAST(count(*) AS BIGINT) FROM cand
+    UNION ALL
+    SELECT 'verified_pairs_08', CAST(count(*) AS BIGINT)
+    FROM ver WHERE jaccard >= 0.8
+    """,
+)
+def dd15_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline FUNNEL report (the observability layer of the
+    dedup plane itself: corpus size -> exact dups -> LSH candidates ->
+    verified near-dups; curation teams track these four numbers per
+    snapshot to catch recall/precision drift in the pipeline). Each
+    stage is the engine's own operator — exact-dup counting, narrow
+    MinHash+LSH, array-form Jaccard verify at tau=0.8 — reduced to one
+    count and unioned into a four-row report.
+
+    Scale: each stage aggregates to ONE row before the union, so the
+    union is four 1-row plans stacked — no stage's intermediate ever
+    crosses into another's; the heavy lifting has the same bucketed/
+    candidate-restricted shapes dd1/dd2/dd3 are benched with."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("docs").alias("stage"), "n"
+    )
+    dups = d.agg(
+        (F.count(F.lit(1)) - F.countDistinct("text")).cast("long").alias("n")
+    ).select(F.lit("exact_dup_docs").alias("stage"), "n")
+    sig = minhash_signatures_narrow(d, "text", "doc_id", n=3, num_hashes=8)
+    cand = lsh_candidates(sig, "doc_id", num_hashes=8, band_rows=2)
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("lsh_candidate_pairs").alias("stage"), "n"
+    )
+    ver = jaccard_verify_narrow(d, cand, "text", "doc_id", n=3)
+    n_ver = (
+        ver.filter(F.col("jaccard") >= 0.8)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("verified_pairs_08").alias("stage"), "n")
+    )
+    return docs.unionByName(dups).unionByName(n_cand).unionByName(n_ver)
