@@ -211,3 +211,53 @@ def test_encode_is_semantically_idempotent_on_reference_blobs():
         )
         sk2 = decode_chq_sketch(blob2)
         assert sk2 == sk
+
+
+def test_streaming_decode_matches_batch(spark, tmp_path):
+    """The interop decode is a stateless mapInPandas over blob rows,
+    so it runs unchanged under Structured Streaming: a readStream over
+    a parquet of sketch blobs yields the identical bucket rows the
+    batch plan does (the ingest-side shape: reference-written segments
+    arriving continuously)."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.ddsketch import gamma_for
+    from lakerunner_spark.sources.chq_sketch import (
+        chq_sketch_bucket_rows,
+        encode_chq_sketch,
+    )
+
+    gamma = gamma_for(0.01)
+    rows = [
+        (f"m{s}", bytearray(encode_chq_sketch(
+            gamma,
+            {s * 3 + j: float(j + 1) for j in range(4)},
+            {-(s + 1): 2.0},
+            float(s % 2),
+        )))
+        for s in range(6)
+    ]
+    indir = str(tmp_path / "blobs")
+    spark.createDataFrame(rows, "metric string, sketch binary").write.parquet(
+        indir
+    )
+    schema = spark.read.parquet(indir).schema
+
+    def build(df):
+        return chq_sketch_bucket_rows(df, "sketch", keep=["metric"])
+
+    batch = {tuple(r) for r in build(spark.read.parquet(indir)).collect()}
+    q = (
+        build(spark.readStream.schema(schema).parquet(indir))
+        .writeStream.format("memory")
+        .queryName("chq_stream_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM chq_stream_parity").collect()
+    }
+    assert batch == stream and batch
