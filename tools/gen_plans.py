@@ -285,6 +285,14 @@ COMMENT = {
         "over shortlist*n_queries raw vectors, unhinted. Per-query "
         "top-k windows run over shortlist-bounded groups."
     ),
+    "dd15_dedup_funnel": (
+        "Funnel report: every dedup stage (corpus count, exact dups, "
+        "LSH candidates, verified near-dups) reduces to ONE row before "
+        "the union, so the plan is four independent 1-row aggregates "
+        "stacked — the heavy stages keep the same bucketed/candidate-"
+        "restricted shapes dd1/dd2/dd3 are benched with, and no "
+        "stage's intermediate crosses into another's."
+    ),
     "chq1_sketch_interop_quantile": (
         "Binary sketch interop: the sketches-go blob decode is "
         "mapInPandas over the blob scan (payload bytes never shuffle; "
