@@ -249,12 +249,25 @@ def _step_value_range_agg(
         # underneath are float reductions whose order is not fixed
         # (hash-agg partials), so exact </!= on them is run-to-run and
         # engine-to-engine unstable exactly at ties — the rounded
-        # comparison is the defined (portable) semantics
+        # comparison is the defined (portable) semantics.
+        #
+        # NaN contract (explicit — portable_round's floor would
+        # otherwise silently collapse NaN samples to 0 and fabricate
+        # transitions against real zeros): a NaN sample is a real
+        # sample. changes: NaN<->number differs, NaN<->NaN does not
+        # (upstream 3.x behavior). resets: a decrease between two
+        # numbers, or recovering from a NaN gap (NaN -> number),
+        # counts; number -> NaN does not (upstream 3.x funcResets
+        # shape for float samples).
         from lakerunner_spark.functions.rounding import portable_round
 
-        yr = portable_round(y, 6)
+        yr = F.when(F.isnan(y), y).otherwise(portable_round(y, 6))
         prev = F.lag(yr).over(wfull)
-        cmp = (yr < prev) if func == "resets" else (yr != prev)
+        num = ~F.isnan(yr) & ~F.isnan(prev)
+        if func == "resets":
+            cmp = (F.isnan(prev) & ~F.isnan(yr)) | (num & (yr < prev))
+        else:
+            cmp = (F.isnan(yr) != F.isnan(prev)) | (num & (yr != prev))
         out = out.withColumn(
             "_flag", F.coalesce(cmp.cast("long"), F.lit(0))
         )

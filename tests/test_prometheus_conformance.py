@@ -272,6 +272,37 @@ CASES = [
         expect={("a",): 1.0},
     ),
     dict(
+        # NaN contract (explicit isnan logic in range_agg.py, the
+        # upstream 3.x behavior): NaN<->number differs, NaN<->NaN does
+        # not — window at 3m = {nan, nan, 1}: nan->nan no change,
+        # nan->1 one change
+        name="changes_nan_pair_not_counted",
+        expr="changes(m[3m])",
+        m=_ts_series([1, float("nan"), float("nan"), 1]),
+        at=3 * STEP,
+        expect={("a",): 1.0},
+    ),
+    dict(
+        # resets NaN contract (explicit in range_agg.py, the upstream
+        # 3.x funcResets shape): a decrease between numbers, or
+        # recovering from a NaN gap (NaN -> number), counts.
+        # window at 3m = {nan, 3, 4}
+        name="resets_nan_to_number_counts",
+        expr="resets(m[3m])",
+        m=_ts_series([5, float("nan"), 3, 4]),
+        at=3 * STEP,
+        expect={("a",): 1.0},
+    ),
+    dict(
+        # ...but number -> NaN is NOT a reset (cur NaN fails both
+        # arms); window at 2m = {2, 3, nan}
+        name="resets_number_to_nan_not_counted",
+        expr="resets(m[3m])",
+        m=_ts_series([2, 3, float("nan")]),
+        at=2 * STEP,
+        expect={("a",): 0.0},
+    ),
+    dict(
         name="increase_no_extrapolation",
         expr="increase(m[2m])",
         m=_ts_series([1, 2, 3]),
