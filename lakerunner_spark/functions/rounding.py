@@ -17,9 +17,18 @@ from pyspark.sql import functions as F
 
 
 def portable_round(col: Column | str, dp: int) -> Column:
+    """NaN/±Inf pass through untouched: Spark's floor() goes through a
+    LONG, so floor(NaN) is 0 and floor(±Inf) saturates at ±2^63-1 —
+    which would silently turn a NaN result into 0.0 (and ±Inf into
+    ±9.2e12) while DuckDB's floor keeps NaN/Inf, a cross-engine parity
+    trap (this exact collapse fabricated changes()/resets()
+    transitions before range_agg.py guarded it locally)."""
     scale = 10**dp
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * scale + F.lit(0.5)) / scale
+    rounded = F.floor(c * scale + F.lit(0.5)) / scale
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        rounded
+    )
 
 
 def compile_pround(sql: str) -> str:
