@@ -303,6 +303,32 @@ CASES = [
         expect={("a",): 0.0},
     ),
     dict(
+        # upstream's min/max_over_time accumulator loop skips NaN
+        # unless the whole window is NaN (the `IsNaN(acc)` replace
+        # pattern); this engine's bucket pre-aggregates propagate NaN
+        # (both Spark and DuckDB order NaN greatest, so the bucket max
+        # IS NaN once any sample is) — documented divergence, ADR
+        # class 1: evaluation over bucket aggregates, not raw samples
+        name="max_over_time_nan_propagates",
+        expr="max_over_time(m[3m])",
+        m=_ts_series([1, float("nan"), 3]),
+        at=2 * STEP,
+        expect={("a",): NAN},
+        diverges="upstream ignores NaN in min/max_over_time except "
+        "all-NaN windows (returns 3.0 here); the engine's step-bucket "
+        "min/max pre-aggregates propagate NaN — ADR class 1",
+    ),
+    dict(
+        # min_over_time on the same data CONFORMS: NaN orders greatest
+        # in both engines, so the bucket/window min ignores it exactly
+        # like upstream's accumulator does
+        name="min_over_time_nan_ignored",
+        expr="min_over_time(m[3m])",
+        m=_ts_series([3, float("nan"), 1]),
+        at=2 * STEP,
+        expect={("a",): 1.0},
+    ),
+    dict(
         name="increase_no_extrapolation",
         expr="increase(m[2m])",
         m=_ts_series([1, 2, 3]),
