@@ -53,7 +53,14 @@ def gamma_for(relative_accuracy: float) -> float:
 
 def bucket_index(value, gamma: float):
     """ceil(log_gamma(x)) for x > 0; mirrored negative store for x < 0;
-    reserved zero bucket."""
+    reserved zero bucket.
+
+    Finite-input contract: ±Inf/NaN values are out of contract —
+    Spark's ceil saturates an infinite log at ±2^63-1 while DuckDB
+    REJECTS the cast, so a non-finite measurement would diverge (or
+    error) across engines rather than mis-bucket silently. Telemetry
+    values are finite by construction; filter non-finite upstream if a
+    source can produce them."""
     c = F.col(value) if isinstance(value, str) else value
     log_gamma = math.log(gamma)
     return (
