@@ -142,6 +142,10 @@ SF10_HEADLINE = [
     "dd11_substring_dedup",
     "dd13_substring_decontaminate",
     "pqs18_quantile_sketch_route",
+    # late-r6: the skew-shaped paragraph dedup's second decade (the
+    # groupBy+join form must hold where a hash-partition window would
+    # straggle on hot boilerplate keys)
+    "dd14_global_paragraph_dedup",
 ]
 
 

@@ -396,6 +396,14 @@ def main() -> None:
         "its candidate-attach broadcasts, dd11/dd13 are shape-identical",
         "across all three sizes. Zero BNLJ/CartesianProduct at sf10.",
         "",
+        "Late-r6: dd14_global_paragraph_dedup's second decade measures",
+        "4.39s→14.55s (3.3×/decade, sub-linear) with an IDENTICAL plan",
+        "shape — the groupBy(hash).min 'firsts' side stays under the",
+        "broadcast threshold because DISTINCT paragraph hashes grow far",
+        "slower than paragraph rows (dedup is the point); when a real",
+        "crawl pushes it past the threshold, the unhinted join flips to",
+        "SMJ with AQE skew-split, which is the designed asymptote.",
+        "",
     ]
     for name, note in COMMENT.items():
         df = qs[name](spark, SF)
