@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakerunner_spark.functions.rounding import portable_round
+from lakerunner_spark.functions.rounding import (
+    portable_round,
+    portable_round_finite,
+)
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_ROWS = 2
@@ -226,7 +229,10 @@ def jaccard_verify_narrow(
     return j.select(
         "doc_a",
         "doc_b",
-        portable_round(inter / union, 6).alias("jaccard"),
+        # finite by construction (size >= n filter means union >= 1);
+        # the branchless variant keeps the array_intersect out of the
+        # NaN when-branch's 4x re-evaluation (the dd12 lesson)
+        portable_round_finite(inter / union, 6).alias("jaccard"),
     )
 
 
@@ -320,8 +326,17 @@ def neardup_verify(
         F.col(vec_col).alias("_vb"),
         _norm(vec_col).alias("_nb"),
     )
-    pairs = candidates.select(a_col, b_col).join(a, a_col).join(b, b_col)
-    cos = portable_round(
+    # zero-norm guard makes the cosine finite by construction (0/0 is
+    # NaN and the engines disagree on NaN >= threshold — the
+    # semantic_dedup convention), which licenses the branchless round:
+    # the dot fold must stay out of portable_round's NaN when-branch
+    pairs = (
+        candidates.select(a_col, b_col)
+        .join(a, a_col)
+        .join(b, b_col)
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+    )
+    cos = portable_round_finite(
         _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_dp
     )
     return (
@@ -642,7 +657,11 @@ def semantic_dedup(
             "cluster",
             F.col("a._vid").alias("_keep"),
             F.col("b._vid").alias("_drop"),
-            portable_round(
+            # finite by the _nrm > 0 guards above, so the branchless
+            # round applies — the interpreted zip_with/aggregate cosine
+            # fold inside portable_round's NaN when-branch re-evaluated
+            # 4x across this quadratic pair scan (dd12 2.74s -> 4.58s)
+            portable_round_finite(
                 dot / (F.col("a._nrm") * F.col("b._nrm")), 4
             ).alias("_cos"),
         )

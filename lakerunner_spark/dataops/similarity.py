@@ -19,7 +19,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lakerunner_spark.functions.rounding import portable_round
+from lakerunner_spark.functions.rounding import (
+    portable_round,
+    portable_round_finite,
+)
+
+# Rounding convention for this module: every per-row similarity /
+# distance here is a zip_with+aggregate fold — INTERPRETED, not
+# codegen'd — so it must round through portable_round_finite, never
+# through portable_round, whose NaN when-branch re-evaluates its
+# argument ~4x (measured 1.67x wall on dd12's quadratic pair scan).
+# Finiteness contract: L2 folds are sums of squares of finite floats
+# (always finite); cosine folds divide by norms, where a zero-norm
+# vector would give 0/0 = NaN — cosine against the zero vector is
+# undefined, and these rankers pin it to the Spark-side 0.0 collapse
+# (identical to the pre-NaN-transparency behavior every oracle run
+# certified). Aggregate-RESULT rounding (F.sum/F.avg inside .agg) may
+# keep portable_round: aggregate planning deduplicates the agg child,
+# so the branch references a computed-once value.
 
 
 def _dot(a: str, b: str) -> F.Column:
@@ -67,9 +84,10 @@ def cosine_topk(
     scored = pairs.select(
         "qid",
         "cid",
-        # portable_round, not F.round: Spark ROUND and DuckDB disagree
-        # on half-boundary doubles, which would flip k-th-place ties
-        portable_round(
+        # portable_round_finite, not F.round: Spark ROUND and DuckDB
+        # disagree on half-boundary doubles, which would flip
+        # k-th-place ties (finite per the module rounding convention)
+        portable_round_finite(
             _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), round_dp
         ).alias("cosine"),
     )
@@ -108,7 +126,7 @@ def lsh_bucket_signature(
             # order differs across engines/partitions, and a dot within
             # one ulp of zero must not flip a bucket bit (oracle parity)
             bit = (
-                F.when(portable_round(dot, 12) >= 0, F.lit(1))
+                F.when(portable_round_finite(dot, 12) >= 0, F.lit(1))
                 .otherwise(F.lit(0))
                 .cast("long")
             )
@@ -186,7 +204,7 @@ def ivf_topk(
             vec_col,
             "_n",
             "cell",
-            portable_round(
+            portable_round_finite(
                 _dot(vec_col, "_cent") / (F.col("_centn") * F.col("_n")),
                 12,
             ).alias("_sim"),
@@ -220,7 +238,7 @@ def ivf_topk(
     scored = pairs.select(
         "qid",
         "cid",
-        portable_round(
+        portable_round_finite(
             _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
             round_dp,
         ).alias("cosine"),
@@ -276,7 +294,7 @@ def lsh_bucket_topk(
     scored = pairs.select(
         "qid",
         "cid",
-        portable_round(
+        portable_round_finite(
             _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")),
             round_dp,
         ).alias("cosine"),
@@ -610,7 +628,7 @@ def pq_topk(
 
     csub = subrows(corpus, id_col, "cid")
     cdist = csub.join(F.broadcast(ksub), "s").select(
-        "cid", "s", "code", portable_round(l2, 12).alias("_d")
+        "cid", "s", "code", portable_round_finite(l2, 12).alias("_d")
     )
     codes = (
         cdist.groupBy("cid", "s")
@@ -620,7 +638,7 @@ def pq_topk(
 
     qsub = subrows(queries, id_col, "qid")
     qtab = qsub.join(F.broadcast(ksub), "s").select(
-        "qid", "s", "code", portable_round(l2, 12).alias("_d")
+        "qid", "s", "code", portable_round_finite(l2, 12).alias("_d")
     )
 
     adc = (
@@ -653,7 +671,7 @@ def pq_topk(
     rer = (
         short.join(cv, "cid")
         .join(qv, "qid")
-        .select("qid", "cid", portable_round(exact_l2, round_dp).alias("l2_dist"))
+        .select("qid", "cid", portable_round_finite(exact_l2, round_dp).alias("l2_dist"))
     )
     w2 = Window.partitionBy("qid").orderBy(
         F.col("l2_dist").asc(), F.col("cid").asc()

@@ -1370,7 +1370,7 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from lakerunner_spark.dataops.similarity import random_projection
-    from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.functions.rounding import portable_round_finite
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection(64, 24, seed=0)
@@ -1390,7 +1390,10 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(bv, bv, lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda a, b: a + b,
         ))
-        return portable_round(dot / (na * nb), 4)
+        # branchless: interpreted HOF cosine folds in portable_round's
+        # NaN when-branch re-evaluate ~4x (the dd12 lesson); finite by
+        # the similarity-module convention
+        return portable_round_finite(dot / (na * nb), 4)
 
     pairs = F.broadcast(
         q.select(
