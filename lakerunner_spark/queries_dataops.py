@@ -933,9 +933,13 @@ def dd10_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cluster min survives) -> per-source kept/deleted counts.
 
     Scale: every stage is the bucketed/broadcast design already proven
-    piecewise (dd2/dd3/dd7) — the corpus never self-joins all-pairs; the
-    delete list is far smaller than the corpus, so the final filter is a
-    broadcast left-anti join against the scan."""
+    piecewise (dd2/dd3/dd7) — the corpus never self-joins all-pairs. The
+    delete-list join is deliberately UNhinted: at web scale near-dup
+    deletion runs 30-50% of the corpus, so the delete list is
+    corpus-proportional — the exact table class ds8's rep join must not
+    force-broadcast. AQE's runtime size check broadcasts it when it
+    actually is small (plan-guarded in
+    tests/test_plan_guards.py::test_dd10_no_forced_broadcast)."""
     from lakerunner_spark.dataops.graph import neardup_clusters
 
     d = load_table(spark, sf_dir, "documents")
@@ -949,7 +953,7 @@ def dd10_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     flagged = d.join(
-        F.broadcast(deleted.withColumn("_del", F.lit(1))), "doc_id", "left"
+        deleted.withColumn("_del", F.lit(1)), "doc_id", "left"
     )
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -86,7 +86,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + global top-n (TakeOrderedAndProject).
 
-    customer is small relative to lineitem -> broadcast it; at 100 TB the
+    customer is small relative to lineitem and AQE's runtime size
+    check broadcasts it — UNhinted, because customer grows linearly
+    with scale factor and a compile-time hint would bypass the size
+    check at 100 TB (the ds8/dd10 hazard class; only constant-size
+    nation/region keep hints anywhere in this module). The
     orders⋈lineitem join shuffles on orderkey (its natural co-location
     key — bucketed layouts make it shuffle-free).
     """
@@ -102,7 +106,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+                cust, F.col("c_custkey") == F.col("o_custkey")
             ).select("o_orderkey", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -136,7 +140,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join: dimension tables broadcast, fact joins shuffle on keys."""
+    """6-way join: dimension tables broadcast (nation/region hinted —
+    constant-size; customer/supplier unhinted, AQE decides), fact
+    joins shuffle on keys."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= _ntz(_D_1996_01_01))
@@ -148,9 +154,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -224,7 +230,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -464,9 +470,9 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "supp_nation")),
+        .join(supp.select("s_suppkey", "supp_nation"),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust.select("c_custkey", "cust_nation")),
+        .join(cust.select("c_custkey", "cust_nation"),
               F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
@@ -529,12 +535,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -585,8 +591,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount_e4 = F.floor(amount * 10000.0 + F.lit(0.5)).cast("long")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -650,7 +656,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             _pr(
                 F.lit(100.0)
@@ -697,7 +703,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -730,8 +736,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -766,7 +772,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(disj)
         .agg(
             _pr(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -834,7 +840,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") != F.col("s3_key")),
             "left_anti",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -875,7 +881,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, F.col("l_orderkey") == F.col("big_okey"), "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
         .agg(_pr(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -945,8 +951,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     regional = cost.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
-    ).join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        part, F.col("l_partkey") == F.col("p_partkey")
+    ).join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     best = F.min("unit_cost").over(Window.partitionBy("p_partkey"))
     return (
         regional.withColumn("best_cost", best)
@@ -1012,7 +1018,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
     ).cast("long")
     val = (
-        li.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        li.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(cents).alias("value_c"))
     )
@@ -1082,7 +1088,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ntz(_D_1996_01_01))
             & (F.col("l_shipdate") < _ntz(_D_1997_01_01))
         )
-        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(blue, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
     )
@@ -1105,7 +1111,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name")

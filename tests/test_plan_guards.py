@@ -115,3 +115,19 @@ def test_ds8_no_forced_broadcast(spark, sf_dir):
         "ds8 carries a join-strategy hint; the rep join must be "
         "unhinted so runtime size checks decide:\n" + analyzed
     )
+
+
+def test_dd10_no_forced_broadcast(spark, sf_dir):
+    """dd10's delete list is one row per non-representative clustered
+    doc — at real web-dedup rates that is 30-50% of the corpus, the
+    same magnitude as ds8's rep table. A compile-time broadcast hint
+    would bypass AQE's size check exactly as ds8's did; the
+    delete-list attach join must stay unhinted."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["dd10_dedup_pipeline"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed, (
+        "dd10 carries a join-strategy hint; the delete-list join must "
+        "be unhinted so runtime size checks decide:\n" + analyzed
+    )
