@@ -86,7 +86,7 @@ _PRIORITY = [
     "ds9_quality_percentile_filter",
     "ds9s_quality_sketch_filter",
     "dd11v_substring_verify",
-    "pqs42_native_histogram_fields",
+    "pqs48_native_histogram_mixed_schema",
     "pqs43_native_histogram_quantile",
     "pqs44_native_histogram_fraction",
     "maint1_compaction_requery",
@@ -111,7 +111,9 @@ _PRIORITY = [
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
     # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1; txt10, sp5 for
-    # ds15/dd15.
+    # ds15/dd15. r7: pqs42 (r6-gate-certified) rotates down for pqs48
+    # (the cross-schema downscale merge, new surface).
+    "pqs42_native_histogram_fields",
     "txt10_bm25",
     "sp5_trace_rollup",
     "a5_sketch_quantiles",

@@ -333,7 +333,12 @@ def percentile_filter(
     ``mode=None`` (default) — AUTO, the engine's density-gate/topk-
     router pattern: a memoized max-group-rowcount probe
     (plans/probe_cache.py) routes groups <= ``window_threshold`` to the
-    exact window and anything larger to the sketch route. Streaming
+    exact window and anything larger to the sketch route. Because the
+    two routes differ near the cutoff (above), this probe is the one
+    cached-probe user where a stale entry changes kept ROWS, not just
+    the physical plan — callers that need a pinned row set across a
+    growing table should pass an explicit ``mode`` (probe_cache.py's
+    never-wrong claim is scoped to the row-identical routers). Streaming
     inputs also route sketch (a batch probe can't run on an unstarted
     stream); note that BOTH routes contain analytic windows Structured
     Streaming can't run directly — end-to-end streaming filtering

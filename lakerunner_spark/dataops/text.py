@@ -477,8 +477,15 @@ def paragraph_dedup(text: Column, sep: str = "\n\n") -> Column:
     expressions — array_distinct preserves first-occurrence order in
     Spark; the DuckDB oracle states the same semantics with an
     index-position filter (its list_distinct does NOT preserve order).
+
+    ``sep`` is treated as a LITERAL separator on both sides: F.split
+    takes a Java regex, so the separator is \\Q..\\E-quoted for the
+    split (any metacharacters, e.g. "||" or ". ", split correctly) and
+    passed verbatim to the literal concat_ws rejoin.
     """
-    parts = F.split(text, sep)
+    # java.util.regex.Pattern.quote: \Q..\E with embedded \E split out
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    parts = F.split(text, quoted)
     return F.concat_ws(sep, F.array_distinct(parts))
 
 

@@ -30,15 +30,33 @@ Function semantics follow prometheus/model/histogram + promql quantile:
   (count is ALSO derivable as the bucket-row sum — the build test
   asserts the two agree, which is what makes merge trustworthy).
 - histogram_quantile(q, h): rank = q * count; first bucket whose
-  cumulative count reaches the rank, LINEAR interpolation between the
-  bucket's bounds (upstream's uniform-within-bucket assumption). q < 0
-  -> -Inf, q > 1 -> +Inf, NaN -> NaN. The zero bucket here holds exact
-  zeros only (build-side; no zero_threshold widening), so a rank
-  landing in it yields 0.0.
+  cumulative count reaches the rank, EXPONENTIAL interpolation inside
+  the bucket — Prometheus 3.x (PR #14677) interpolates standard
+  exponential buckets in log space (value = gamma^(i-1+frac) for a
+  positive bucket, mirrored for negative), reserving linear
+  interpolation for custom-bucket histograms, which this module never
+  builds. q < 0 -> -Inf, q > 1 -> +Inf, NaN -> NaN. The zero bucket
+  here holds exact zeros only (build-side; no zero_threshold
+  widening), so a rank landing in it yields 0.0.
 - histogram_fraction(lo, hi, h): sum over buckets of count * (overlap
-  of [lo, hi] with the bucket's bounds, linear within the bucket),
-  divided by count — upstream's interpolation contract. lo > hi -> 0;
-  (-Inf, +Inf) -> 1.
+  of [lo, hi] with the bucket, measured in LOG space — the same
+  PR #14677 exponential-interpolation contract), divided by count.
+  lo > hi -> 0; (-Inf, +Inf) -> 1. The overlap is computed in bucket-
+  exponent coordinates (clamp(log_gamma(bound), i-1, i)) with the
+  bound logs evaluated in PYTHON and planted as literals, so neither
+  engine evaluates a per-row transcendental and the DuckDB twin is
+  bit-exact by construction.
+- histogram_stddev / histogram_stdvar: observations sit at the
+  bucket's GEOMETRIC midpoint sqrt(lower*upper) = gamma^(i-0.5)
+  (upstream for standard exponential buckets; the arithmetic midpoint
+  applies only to custom buckets), 0 for the zero bucket, mirrored
+  negative for the negative store.
+- Cross-schema merge: same-schema histograms merge by bucket-count
+  addition; mixed schemas first DOWNSCALE to the coarsest schema in
+  the group — bucket i at schema s maps to ceil(i / 2^k) at s-k
+  (upstream model/histogram reduceResolution), which commutes with
+  the build (ceil(ceil(x)/2) = ceil(x/2)) so a downscaled-then-merged
+  histogram equals one built directly at the coarse schema.
 
 Negative observations live in a mirrored negative store exactly as in
 DDSketch (index ordering keeps one cumulative walk correct over
@@ -67,6 +85,17 @@ def gamma_for_schema(schema: int) -> float:
     if not -4 <= schema <= 8:
         raise ValueError(f"native histogram schema out of range: {schema}")
     return 2.0 ** (2.0 ** -schema)
+
+
+def _logg(x: float, gamma: float) -> float:
+    """log_gamma(x) for a NON-NEGATIVE plan-time bound: 0 -> -inf,
+    +inf -> +inf. Evaluated in Python so the result lands in both
+    engines as the same literal."""
+    if x <= 0.0:
+        return float("-inf")
+    if math.isinf(x):
+        return float("inf")
+    return math.log(x) / math.log(gamma)
 
 
 def nh_bucket_index(value, gamma: float) -> Column:
@@ -115,9 +144,78 @@ def native_histogram_agg(
 
 
 def native_histogram_merge(df: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Merge histograms to a coarser grouping (counts add per bucket —
-    associative and order-free, the rollup-tier contract)."""
+    """Merge same-schema histograms to a coarser grouping (counts add
+    per bucket — associative and order-free, the rollup-tier
+    contract). Mixed schemas must go through
+    :func:`native_histogram_merge_mixed` first."""
     return df.groupBy(*group_cols, "bucket").agg(F.sum("count").alias("count"))
+
+
+def _downscaled_bucket(bucket: Column, k: Column) -> Column:
+    """Map a bucket index down ``k`` schema steps: ceil(i / 2^k) on the
+    positive store, mirrored on the negative store, zero bucket fixed
+    (upstream model/histogram reduceResolution). 2^k and the sums stay
+    exact in doubles for every legal index (|i| < 2^21 at schema 8),
+    so the floor form is integer-exact and has a character-identical
+    DuckDB twin."""
+    two_k = F.pow(F.lit(2.0), k.cast("double"))
+
+    def up(i: Column) -> Column:  # ceil(i / 2^k) for integer i
+        return F.floor((i + two_k - 1) / two_k).cast("long")
+
+    j = F.lit(_NEG_BASE) - bucket
+    return (
+        F.when(bucket == _ZERO_BUCKET, bucket)
+        .when(bucket > _ZERO_BUCKET, up(bucket))
+        .otherwise(F.lit(_NEG_BASE) - up(j))
+    )
+
+
+def nh_downscale(
+    df: DataFrame, group_cols: list[str], steps: int
+) -> DataFrame:
+    """Re-bucket histogram rows ``steps`` schemas coarser (gamma ->
+    gamma^(2^steps)) and re-sum counts: bucket i maps to ceil(i/2^k).
+    Commutes with the build — downscaling a schema-s histogram equals
+    building at schema s-steps directly — which is what makes
+    mixed-schema merge (below) well-defined."""
+    if steps < 0:
+        raise ValueError(f"nh_downscale: steps must be >= 0, got {steps}")
+    if steps == 0:
+        return df
+    mapped = df.withColumn(
+        "bucket", _downscaled_bucket(F.col("bucket"), F.lit(steps))
+    )
+    return mapped.groupBy(*group_cols, "bucket").agg(
+        F.sum("count").alias("count")
+    )
+
+
+def native_histogram_merge_mixed(
+    df: DataFrame,
+    group_cols: list[str],
+    schema_col: str = "schema",
+) -> DataFrame:
+    """Merge bucket rows whose per-row ``schema_col`` may differ within
+    a group: resolve each group to its COARSEST schema (upstream
+    merges mixed-schema series by reducing resolution to the lowest
+    schema present), downscale every row by its own schema gap, and
+    sum counts per target bucket. Returns (group..., schema, bucket,
+    count) at the resolved schema.
+
+    Scale: the per-group target table is one row per group — bounded
+    by group cardinality, joined back UNhinted (AQE broadcasts it when
+    small, the ds8/dd10 rule) — and the re-bucketing is a map-side
+    expression; the only corpus-sized shuffle is the final partial-agg
+    groupBy, same as the same-schema merge."""
+    tgt = df.groupBy(*group_cols).agg(F.min(schema_col).alias("_tgt"))
+    j = df.join(tgt, group_cols)
+    k = (F.col(schema_col) - F.col("_tgt")).cast("int")
+    return (
+        j.withColumn("bucket", _downscaled_bucket(F.col("bucket"), k))
+        .groupBy(*group_cols, F.col("_tgt").alias("schema"), "bucket")
+        .agg(F.sum("count").alias("count"))
+    )
 
 
 def native_histogram_stats(
@@ -139,26 +237,6 @@ def native_histogram_stats(
     )
 
 
-def _bounds(gamma: float):
-    """(lower, upper] bucket bounds as Columns of the `bucket` col."""
-    b = F.col("bucket")
-    pos_l = F.pow(F.lit(gamma), b - 1)
-    pos_u = F.pow(F.lit(gamma), b)
-    neg_j = F.lit(_NEG_BASE) - b
-    neg_l = -F.pow(F.lit(gamma), neg_j)
-    neg_u = -F.pow(F.lit(gamma), neg_j - 1)
-    lower = (
-        F.when(b > _ZERO_BUCKET, pos_l)
-        .when(b == _ZERO_BUCKET, F.lit(0.0))
-        .otherwise(neg_l)
-    )
-    upper = (
-        F.when(b > _ZERO_BUCKET, pos_u)
-        .when(b == _ZERO_BUCKET, F.lit(0.0))
-        .otherwise(neg_u)
-    )
-    return lower, upper
-
 
 def histogram_quantile_native(
     sketch: DataFrame,
@@ -169,12 +247,14 @@ def histogram_quantile_native(
 ) -> DataFrame:
     """Native-histogram quantile per group from bucket rows.
 
-    rank = q * count; the answer interpolates linearly inside the
-    first bucket whose cumulative count reaches the rank (upstream
-    histogramQuantile's uniform-within-bucket assumption — NOT the
-    DDSketch mid-bucket point, which optimizes relative error
-    instead). q outside [0, 1] follows upstream: -Inf / +Inf; NaN
-    propagates."""
+    rank = q * count; the answer interpolates EXPONENTIALLY inside the
+    first bucket whose cumulative count reaches the rank — Prometheus
+    3.x (PR #14677) interpolates standard exponential buckets in log
+    space: a positive bucket yields gamma^(i-1+frac) (frac=0 is the
+    lower bound, frac=1 the upper), a negative bucket mirrors to
+    -gamma^(j-frac). Linear interpolation survives upstream only for
+    custom-bucket histograms, which this module never builds. q
+    outside [0, 1] follows upstream: -Inf / +Inf; NaN propagates."""
     if math.isnan(q):
         return sketch.groupBy(*group_cols).agg(
             F.lit(float("nan")).alias(out_col)
@@ -210,11 +290,13 @@ def histogram_quantile_native(
         first = cum.filter(F.col("pcum") == 0)
     else:
         first = cum.filter((F.col("cum") >= rank) & (F.col("pcum") < rank))
-    lower, upper = _bounds(gamma)
     frac = (rank - F.col("pcum")) / F.col("count")
-    value = F.when(
-        F.col("bucket") == _ZERO_BUCKET, F.lit(0.0)
-    ).otherwise(lower + (upper - lower) * frac)
+    b = F.col("bucket")
+    value = (
+        F.when(b == _ZERO_BUCKET, F.lit(0.0))
+        .when(b > _ZERO_BUCKET, F.pow(F.lit(gamma), b - 1 + frac))
+        .otherwise(-F.pow(F.lit(gamma), (F.lit(_NEG_BASE) - b) - frac))
+    )
     return first.select(*group_cols, value.alias(out_col))
 
 
@@ -227,28 +309,51 @@ def histogram_fraction(
     out_col: str = "fraction",
 ) -> DataFrame:
     """Estimated fraction of observations in [lo, hi] per group
-    (upstream histogramFraction): each bucket contributes its count
-    scaled by the linear overlap of [lo, hi] with its bounds; the zero
-    bucket (exact zeros here) contributes fully iff lo <= 0 <= hi.
-    lo > hi yields 0 (upstream returns 0 for inverted bounds)."""
+    (upstream histogramFraction, Prometheus 3.x): each bucket
+    contributes its count scaled by the EXPONENTIAL (log-space)
+    overlap of [lo, hi] with its bounds — PR #14677's interpolation
+    contract for standard exponential buckets; the zero bucket (exact
+    zeros here) contributes fully iff lo <= 0 <= hi. lo > hi yields 0
+    (upstream returns 0 for inverted bounds).
+
+    The overlap is computed in bucket-exponent coordinates: a point x
+    inside positive bucket i sits at log_gamma(x) in [i-1, i], so the
+    covered fraction is clamp(log_gamma(hi)) - clamp(log_gamma(lo)).
+    The bound logs are Python-evaluated literals — no per-row
+    transcendental, so the DuckDB twin is arithmetic-identical."""
     if math.isnan(lo) or math.isnan(hi):
         return sketch.groupBy(*group_cols).agg(
             F.lit(float("nan")).alias(out_col)
         )
     gamma = gamma_for_schema(schema)
-    lower, upper = _bounds(gamma)
     if lo > hi:
         overlap = F.lit(0.0)
     else:
         zero_in = 1.0 if (lo <= 0.0 <= hi) else 0.0
-        span = upper - lower
-        clipped = F.greatest(
-            F.lit(0.0),
-            F.least(upper, F.lit(hi)) - F.greatest(lower, F.lit(lo)),
+        b = F.col("bucket")
+
+        def clamp(x: float, lo_i: Column, hi_i: Column) -> Column:
+            if x == float("inf"):
+                return hi_i
+            if x == float("-inf"):
+                return lo_i
+            return F.greatest(lo_i, F.least(hi_i, F.lit(x)))
+
+        bd = b.cast("double")
+        pos = clamp(_logg(hi, gamma), bd - 1, bd) - clamp(
+            _logg(max(lo, 0.0), gamma), bd - 1, bd
         )
-        overlap = F.when(
-            F.col("bucket") == _ZERO_BUCKET, F.lit(zero_in)
-        ).otherwise(clipped / span)
+        jd = (F.lit(_NEG_BASE) - b).cast("double")
+        neg = clamp(
+            _logg(-lo, gamma) if lo < 0 else float("-inf"), jd - 1, jd
+        ) - clamp(
+            _logg(-hi, gamma) if hi < 0 else float("-inf"), jd - 1, jd
+        )
+        overlap = (
+            F.when(b == _ZERO_BUCKET, F.lit(zero_in))
+            .when(b > _ZERO_BUCKET, pos)
+            .otherwise(neg)
+        )
     agg = sketch.groupBy(*group_cols).agg(
         F.sum(F.col("count") * overlap).alias("_in"),
         F.sum("count").alias("_n"),
@@ -261,39 +366,39 @@ def histogram_fraction(
 # ---------------------------- DuckDB twins ----------------------------------
 
 
-def _bounds_sql(gamma: float) -> tuple[str, str]:
-    g = repr(gamma)
-    lower = (
-        f"CASE WHEN bucket > {_ZERO_BUCKET} THEN power({g}, bucket - 1)"
-        f" WHEN bucket = {_ZERO_BUCKET} THEN 0.0"
-        f" ELSE -power({g}, {_NEG_BASE} - bucket) END"
+
+def downscaled_bucket_sql(bucket_sql: str, steps: int) -> str:
+    """DuckDB twin of :func:`_downscaled_bucket` for a CONSTANT step
+    count: same zero/negative-store handling, same floor form (2^k and
+    the sums are double-exact for every legal index)."""
+    two_k = f"power(2.0, {float(steps)!r})"
+    b = f"({bucket_sql})"
+
+    def up(i: str) -> str:
+        return f"CAST(floor(({i} + {two_k} - 1) / {two_k}) AS BIGINT)"
+
+    return (
+        f"CASE WHEN {b} = {_ZERO_BUCKET} THEN {b}"
+        f" WHEN {b} > {_ZERO_BUCKET} THEN {up(b)}"
+        f" ELSE {_NEG_BASE} - {up(f'{_NEG_BASE} - {b}')} END"
     )
-    upper = (
-        f"CASE WHEN bucket > {_ZERO_BUCKET} THEN power({g}, bucket)"
-        f" WHEN bucket = {_ZERO_BUCKET} THEN 0.0"
-        f" ELSE -power({g}, {_NEG_BASE} - bucket - 1) END"
-    )
-    return lower, upper
 
 
-def native_histogram_quantile_sql(
-    base_sql: str,
+def native_histogram_quantile_from_rows_sql(
+    rows_sql: str,
     group_cols: list[str],
-    value_sql: str,
     q: float,
     schema: int = DEFAULT_SCHEMA,
     out_col: str = "value",
 ) -> str:
-    """DuckDB oracle for build + native quantile over ``base_sql``."""
+    """Native quantile over a query producing one row per OBSERVATION
+    as (group..., bucket) — the seam that lets oracles feed
+    downscaled / mixed-schema bucket streams into the same cumulative
+    walk :func:`native_histogram_quantile_sql` uses."""
     gamma = gamma_for_schema(schema)
     keys = ", ".join(group_cols)
-    b = nh_bucket_index_sql(value_sql, gamma)
-    lower, upper = _bounds_sql(gamma)
     return f"""
-    WITH rows_b AS (
-      SELECT {keys}, {b} AS bucket FROM ({base_sql})
-      WHERE {value_sql} IS NOT NULL
-    ),
+    WITH rows_b AS ({rows_sql}),
     sk AS (
       SELECT {keys}, bucket, count(*) AS cnt FROM rows_b GROUP BY {keys}, bucket
     ),
@@ -312,11 +417,34 @@ def native_histogram_quantile_sql(
     )
     SELECT {keys},
            CASE WHEN bucket = {_ZERO_BUCKET} THEN 0.0
-                ELSE ({lower})
-                     + (({upper}) - ({lower})) * ((rank - pcum) / cnt)
+                WHEN bucket > {_ZERO_BUCKET}
+                  THEN power({gamma!r}, bucket - 1 + ((rank - pcum) / cnt))
+                ELSE -power({gamma!r},
+                            ({_NEG_BASE} - bucket) - ((rank - pcum) / cnt))
            END AS {out_col}
     FROM hit
     """
+
+
+def native_histogram_quantile_sql(
+    base_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    q: float,
+    schema: int = DEFAULT_SCHEMA,
+    out_col: str = "value",
+) -> str:
+    """DuckDB oracle for build + native quantile over ``base_sql``."""
+    gamma = gamma_for_schema(schema)
+    keys = ", ".join(group_cols)
+    b = nh_bucket_index_sql(value_sql, gamma)
+    rows = (
+        f"SELECT {keys}, {b} AS bucket FROM ({base_sql})"
+        f" WHERE {value_sql} IS NOT NULL"
+    )
+    return native_histogram_quantile_from_rows_sql(
+        rows, group_cols, q, schema, out_col
+    )
 
 
 def histogram_fraction_sql(
@@ -328,20 +456,42 @@ def histogram_fraction_sql(
     schema: int = DEFAULT_SCHEMA,
     out_col: str = "fraction",
 ) -> str:
-    """DuckDB oracle for build + fraction-in-[lo, hi] over ``base_sql``."""
+    """DuckDB oracle for build + fraction-in-[lo, hi] over ``base_sql``
+    (exponential overlap, arithmetic-identical to
+    :func:`histogram_fraction` — same clamp form, same Python-literal
+    bound logs)."""
     gamma = gamma_for_schema(schema)
     keys = ", ".join(group_cols)
     b = nh_bucket_index_sql(value_sql, gamma)
-    lower, upper = _bounds_sql(gamma)
     if lo > hi:
         overlap = "0.0"
     else:
         zero_in = "1.0" if (lo <= 0.0 <= hi) else "0.0"
+
+        def clamp(x: float, lo_i: str, hi_i: str) -> str:
+            # parenthesized: results are SUBTRACTION operands below
+            if x == float("inf"):
+                return f"({hi_i})"
+            if x == float("-inf"):
+                return f"({lo_i})"
+            return f"greatest({lo_i}, least({hi_i}, {x!r}))"
+
+        bd = "CAST(bucket AS DOUBLE)"
+        pos = (
+            f"({clamp(_logg(hi, gamma), f'{bd} - 1', bd)}"
+            f" - {clamp(_logg(max(lo, 0.0), gamma), f'{bd} - 1', bd)})"
+        )
+        jd = f"CAST({_NEG_BASE} - bucket AS DOUBLE)"
+        nhi = _logg(-lo, gamma) if lo < 0 else float("-inf")
+        nlo = _logg(-hi, gamma) if hi < 0 else float("-inf")
+        neg = (
+            f"({clamp(nhi, f'{jd} - 1', jd)}"
+            f" - {clamp(nlo, f'{jd} - 1', jd)})"
+        )
         overlap = (
             f"CASE WHEN bucket = {_ZERO_BUCKET} THEN {zero_in}"
-            f" ELSE greatest(0.0, least(({upper}), {hi!r})"
-            f"      - greatest(({lower}), {lo!r}))"
-            f"      / (({upper}) - ({lower})) END"
+            f" WHEN bucket > {_ZERO_BUCKET} THEN {pos}"
+            f" ELSE {neg} END"
         )
     return f"""
     WITH rows_b AS (
@@ -364,20 +514,25 @@ def histogram_stddev_stdvar(
 ) -> DataFrame:
     """histogram_stddev / histogram_stdvar (upstream funcHistogramStdDev/
     StdVar): every observation in a bucket is assumed at the bucket's
-    ARITHMETIC midpoint (upper+lower)/2 — zero bucket at 0 — and the
-    variance is the count-weighted squared deviation from the TRUE mean
-    (the carried sum/count, not a bucket estimate):
+    GEOMETRIC midpoint sqrt(lower*upper) = gamma^(i-0.5) — upstream's
+    rule for standard exponential buckets (the arithmetic midpoint
+    survives only for custom buckets); the zero bucket sits at 0 and
+    negative buckets mirror to -gamma^(j-0.5). The variance is the
+    count-weighted squared deviation from the TRUE mean (the carried
+    sum/count, not a bucket estimate):
 
-        variance = sum_b count_b * ((upper_b+lower_b)/2 - sum/count)^2
+        variance = sum_b count_b * (gamma^(i_b - 0.5) - sum/count)^2
                    / count
 
     Returns (group..., h_stdvar, h_stddev). Joins the one-row-per-group
     stats table back to the bucket rows — the join side is bounded by
     group cardinality, never corpus rows."""
     gamma = gamma_for_schema(schema)
-    lower, upper = _bounds(gamma)
-    mid = F.when(F.col("bucket") == _ZERO_BUCKET, F.lit(0.0)).otherwise(
-        (upper + lower) / 2
+    b = F.col("bucket")
+    mid = (
+        F.when(b == _ZERO_BUCKET, F.lit(0.0))
+        .when(b > _ZERO_BUCKET, F.pow(F.lit(gamma), b.cast("double") - 0.5))
+        .otherwise(-F.pow(F.lit(gamma), (F.lit(_NEG_BASE) - b).cast("double") - 0.5))
     )
     j = sketch.join(stats.select(*group_cols, "h_count", "h_sum"), group_cols)
     delta = mid - F.col("h_sum") / F.col("h_count")
@@ -395,14 +550,18 @@ def histogram_stddev_sql(
     value_sql: str,
     schema: int = DEFAULT_SCHEMA,
 ) -> str:
-    """DuckDB oracle: build + stddev/stdvar over ``base_sql`` rows."""
+    """DuckDB oracle: build + stddev/stdvar over ``base_sql`` rows
+    (geometric midpoint, arithmetic-identical to
+    :func:`histogram_stddev_stdvar`)."""
     gamma = gamma_for_schema(schema)
     keys = ", ".join(group_cols)
     b = nh_bucket_index_sql(value_sql, gamma)
-    lower, upper = _bounds_sql(gamma)
     mid = (
         f"CASE WHEN bucket = {_ZERO_BUCKET} THEN 0.0"
-        f" ELSE (({upper}) + ({lower})) / 2 END"
+        f" WHEN bucket > {_ZERO_BUCKET}"
+        f" THEN power({gamma!r}, CAST(bucket AS DOUBLE) - 0.5)"
+        f" ELSE -power({gamma!r},"
+        f" CAST({_NEG_BASE} - bucket AS DOUBLE) - 0.5) END"
     )
     return f"""
     WITH rows_b AS (

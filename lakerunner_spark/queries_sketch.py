@@ -263,9 +263,10 @@ def pqs43_native_histogram_quantile(
     """Native histogram_quantile (median) over mixed-sign samples:
     exponential buckets at schema 3 (gamma = 2^(1/8)), cumulative walk
     across the mirrored negative store / zero bucket / positive store,
-    LINEAR interpolation inside the target bucket (upstream's
-    uniform-within-bucket assumption, unlike DDSketch's mid-bucket
-    point). The oracle replays the identical bucket math."""
+    EXPONENTIAL interpolation inside the target bucket (Prometheus 3.x
+    PR #14677's log-space rule for standard exponential buckets,
+    unlike DDSketch's mid-bucket point). The oracle replays the
+    identical bucket math."""
     from pyspark.sql import functions as F
 
     from lakerunner_spark.operators.native_histogram import (
@@ -294,8 +295,9 @@ def pqs44_native_histogram_fraction(
 ) -> DataFrame:
     """histogram_fraction(-5, 10, h): estimated share of observations
     inside [lo, hi] — each bucket contributes its count scaled by the
-    linear overlap of the interval with the bucket's bounds; the zero
-    bucket contributes fully when the interval spans 0. Fraction and
+    LOG-SPACE overlap of the interval with the bucket's bounds (the
+    PR #14677 exponential-interpolation contract); the zero bucket
+    contributes fully when the interval spans 0. Fraction and
     quantile answer from the SAME merged bucket rows, so a tier
     rollup serves both."""
     from pyspark.sql import functions as F
@@ -408,8 +410,10 @@ def pqs45_native_histogram_stddev(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """histogram_stddev / histogram_stdvar (upstream funcHistogramStdDev):
-    observations assumed at each bucket's arithmetic midpoint, deviation
-    measured from the TRUE mean (the carried sum/count — not a bucket
+    observations assumed at each bucket's GEOMETRIC midpoint
+    gamma^(i-0.5) (the standard-exponential-bucket rule; arithmetic
+    midpoints are custom-bucket-only upstream), deviation measured
+    from the TRUE mean (the carried sum/count — not a bucket
     estimate), count-weighted. The stats join-back is one row per
     group; bucket rows never re-scan raw samples. Oracle replays the
     identical midpoint/variance arithmetic."""
@@ -432,6 +436,73 @@ def pqs45_native_histogram_stddev(
         _pr("h_stdvar", 6).alias("h_stdvar"),
         _pr("h_stddev", 6).alias("h_stddev"),
     )
+
+
+def _pqs48_oracle() -> str:
+    from lakerunner_spark.operators.native_histogram import (
+        downscaled_bucket_sql,
+        gamma_for_schema,
+        native_histogram_quantile_from_rows_sql,
+        nh_bucket_index_sql,
+    )
+
+    b4 = nh_bucket_index_sql("v", gamma_for_schema(4))
+    b3 = nh_bucket_index_sql("v", gamma_for_schema(3))
+    rows = f"""
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0
+                  THEN ({downscaled_bucket_sql(b4, 1)})
+                  ELSE ({b3}) END AS bucket
+      FROM ({_SIGNED_E}) WHERE v IS NOT NULL
+    """
+    inner = native_histogram_quantile_from_rows_sql(
+        rows, ["event_type"], 0.9, schema=3
+    )
+    return f"SELECT event_type, pround(value, 6) AS value FROM ({inner})"
+
+
+@register("pqs48_native_histogram_mixed_schema", _pqs48_oracle())
+def pqs48_native_histogram_mixed_schema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-schema native-histogram merge (upstream model/histogram
+    reduceResolution): even-user samples build at schema 4, odd-user
+    samples at schema 3, and the mixed merge resolves each series to
+    its COARSEST schema — every schema-4 bucket i re-buckets to
+    ceil(i/2) at schema 3, which commutes with the build, so the
+    merged histogram is exactly the one a schema-3 build of all
+    samples produces (tested in test_native_histogram.py). p90 then
+    evaluates at the resolved schema. The oracle replays the fine
+    bucket index, the downscale floor arithmetic, and the cumulative
+    walk term for term.
+
+    Scale: the downscale is a map-side expression over bucket rows
+    (state ~ occupied buckets, never samples); the per-group target
+    schema is a group-cardinality table joined back unhinted."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        histogram_quantile_native,
+        native_histogram_agg,
+        native_histogram_merge_mixed,
+    )
+
+    e = events_stream(spark, sf_dir).select(
+        "event_type", "user_id", (F.col("value") - 50.0).alias("v")
+    )
+    fine = native_histogram_agg(
+        e.filter(F.col("user_id") % 2 == 0), ["event_type"], "v", schema=4
+    ).withColumn("schema", F.lit(4))
+    coarse = native_histogram_agg(
+        e.filter(F.col("user_id") % 2 != 0), ["event_type"], "v", schema=3
+    ).withColumn("schema", F.lit(3))
+    merged = native_histogram_merge_mixed(
+        fine.unionByName(coarse), ["event_type"]
+    )
+    out = histogram_quantile_native(
+        merged.drop("schema"), ["event_type"], 0.9, schema=3
+    )
+    return out.withColumn("value", _pr("value", 6))
 
 
 # ---------------------------------------------------------------------------

@@ -309,13 +309,26 @@ def chq_sketch_bucket_rows(df, payload_col: str = "sketch", keep: list[str] | No
                 if payload is None:
                     continue
                 sk = decode_chq_sketch(bytes(payload))
+                # value(i) = gamma^(i - index_offset) * 2*gamma/(gamma+1),
+                # so an INTEGRAL offset folds straight into the engine's
+                # +1 bucket shift; a fractional offset (legal in the wire
+                # format via NewLogarithmicMappingWithGamma) has no
+                # integer bucket equivalent — fail loudly rather than
+                # silently mis-bucket every count (module contract).
+                off = sk["index_offset"]
+                if off != int(off):
+                    raise NotImplementedError(
+                        "chq_sketch: non-integral index_offset "
+                        f"{off!r} cannot map onto integer engine buckets"
+                    )
+                shift = 1 - int(off)
                 bins: list[tuple[int, float]] = [
-                    (i + 1, c) for i, c in sk["pos"].items()
+                    (i + shift, c) for i, c in sk["pos"].items()
                 ]
                 if sk["zero_count"]:
                     bins.append((_ZERO_BUCKET, sk["zero_count"]))
                 bins += [
-                    (_NEG_BASE - (i + 1), c) for i, c in sk["neg"].items()
+                    (_NEG_BASE - (i + shift), c) for i, c in sk["neg"].items()
                 ]
                 for b, c in bins:
                     for k in keep:

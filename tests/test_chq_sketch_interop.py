@@ -213,6 +213,39 @@ def test_encode_is_semantically_idempotent_on_reference_blobs():
         assert sk2 == sk
 
 
+def test_bucket_rows_folds_integral_index_offset(spark):
+    """value(i) = gamma^(i - offset) * 2g/(g+1): a blob encoded with an
+    INTEGRAL nonzero index_offset must land in the same engine buckets
+    as the equivalent offset-0 blob with every index pre-shifted by
+    -offset; a fractional offset has no integer-bucket equivalent and
+    must fail loudly (not silently mis-bucket every count)."""
+    gamma = 1.02
+    pos = {10: 3.0, 25: 1.0}
+    neg = {4: 2.0}
+    with_off = encode_chq_sketch(gamma, pos, neg, 1.0, index_offset=5.0)
+    no_off = encode_chq_sketch(
+        gamma,
+        {i - 5: c for i, c in pos.items()},
+        {i - 5: c for i, c in neg.items()},
+        1.0,
+    )
+    from lakerunner_spark.sources.chq_sketch import chq_sketch_bucket_rows
+
+    def rows(blob):
+        df = spark.createDataFrame([(1, bytearray(blob))], "rid int, sketch binary")
+        # r["count"], not r.count — Row.count is a builtin method
+        return sorted(
+            (r["bucket"], r["count"])
+            for r in chq_sketch_bucket_rows(df, "sketch", keep=["rid"]).collect()
+        )
+
+    assert rows(with_off) == rows(no_off)
+
+    frac = encode_chq_sketch(gamma, pos, neg, 0.0, index_offset=2.5)
+    with pytest.raises(Exception, match="non-integral index_offset"):
+        rows(frac)
+
+
 def test_streaming_decode_matches_batch(spark, tmp_path):
     """The interop decode is a stateless mapInPandas over blob rows,
     so it runs unchanged under Structured Streaming: a readStream over

@@ -425,3 +425,27 @@ def test_prefix_sum_matches_global_window(spark):
     # form. Spark prints it as: Window [sum(v#..)..], [_psb#..], [k#..]
     for ln in data_windows:
         assert "], [_psb#" in ln, f"data window unpartitioned: {ln}"
+
+
+def test_paragraph_dedup_regex_metachar_separator(spark):
+    """sep feeds F.split (a Java regex) but concat_ws (a literal): the
+    \\Q..\\E quoting must make a metachar separator like '||' or '. '
+    split literally — unquoted, '||' is the empty-alternation regex and
+    splits between every character."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.dataops.text import paragraph_dedup
+
+    rows = [("a||b||a||c", "||"), ("x. y. x. z", ". ")]
+    for text, sep in rows:
+        got = (
+            spark.range(1)
+            .select(paragraph_dedup(F.lit(text), sep).alias("t"))
+            .head()[0]
+        )
+        parts, seen, kept = text.split(sep), set(), []
+        for p in parts:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        assert got == sep.join(kept), (text, sep, got)

@@ -5,10 +5,11 @@ histogram behavior (promql/testdata native_histograms.test and
 model/histogram quantile semantics): count/sum/avg accessors, quantile
 edge handling (q outside [0,1], NaN), fraction boundary cases, and the
 mergeable bucket-algebra contract (merge-then-evaluate equals
-direct-build-then-evaluate). Divergences are documented in
-operators/native_histogram.py: the zero bucket holds exact zeros only
-(no zero_threshold widening), and interpolation is linear within the
-bucket bounds.
+direct-build-then-evaluate). Interpolation follows Prometheus 3.x
+(PR #14677): exponential within standard exponential buckets for
+quantile/fraction, geometric bucket midpoints for stddev/stdvar.
+The one documented divergence in operators/native_histogram.py: the
+zero bucket holds exact zeros only (no zero_threshold widening).
 """
 
 from __future__ import annotations
@@ -142,10 +143,12 @@ def test_merge_equals_direct_build(spark):
 
 
 def test_stddev_stdvar_bucket_midpoint_contract(spark):
-    """histogram_stddev/stdvar: observations assumed at the arithmetic
-    bucket midpoint, deviation from the true mean (carried sum/count),
-    count-weighted — recomputed here independently in Python from the
-    same bucket layout."""
+    """histogram_stddev/stdvar: observations assumed at the GEOMETRIC
+    bucket midpoint sqrt(lower*upper) = gamma^(i-0.5) (upstream
+    funcHistogramStdDev for standard exponential buckets, Prometheus
+    3.x; arithmetic midpoints are custom-bucket-only), deviation from
+    the true mean (carried sum/count), count-weighted — recomputed
+    here independently in Python from the same bucket layout."""
     vals = [0.5, 1.0, 2.0, 4.0, -1.0, 0.0]
     df = _df(spark, vals)
     sk = native_histogram_agg(df, ["g"])
@@ -162,12 +165,113 @@ def test_stddev_stdvar_bucket_midpoint_contract(spark):
         if v == 0:
             return 0.0
         i = math.ceil(math.log(abs(v)) / math.log(g))
-        lo, hi = g ** (i - 1), g ** i
-        return (lo + hi) / 2 if v > 0 else -(lo + hi) / 2
+        geo = math.sqrt(g ** (i - 1) * g ** i)
+        return geo if v > 0 else -geo
 
     var = sum((mid(v) - mean) ** 2 for v in vals) / len(vals)
     assert row.h_stdvar == pytest.approx(var, rel=1e-9)
     assert row.h_stddev == pytest.approx(math.sqrt(var), rel=1e-9)
+
+
+def test_quantile_exponential_interpolation_exact(spark):
+    """PR #14677: the in-bucket interpolation is exponential — with 4
+    equal samples in ONE positive bucket, the median must sit at
+    gamma^(i-1+0.5) (log-space midpoint), NOT at the linear midpoint
+    (lower+upper)/2; mirrored for a negative bucket."""
+    g = gamma_for_schema(DEFAULT_SCHEMA)
+    i = 17
+    inside = math.sqrt(g ** (i - 1) * g ** i)  # strictly inside bucket i
+    df = _df(spark, [inside] * 4)
+    sk = native_histogram_agg(df, ["g"])
+    got = histogram_quantile_native(sk, ["g"], 0.5).collect()[0].value
+    assert got == pytest.approx(g ** (i - 1 + 0.5), rel=1e-12)
+    linear = (g ** (i - 1) + g ** i) / 2
+    assert got != pytest.approx(linear, rel=1e-9)
+
+    dfn = _df(spark, [-inside] * 4)
+    skn = native_histogram_agg(dfn, ["g"])
+    gotn = histogram_quantile_native(skn, ["g"], 0.5).collect()[0].value
+    assert gotn == pytest.approx(-(g ** (i - 0.5)), rel=1e-12)
+
+
+def test_fraction_exponential_overlap_exact(spark):
+    """Log-space overlap: with all samples in one positive bucket i,
+    fraction(lower, gamma^(i-0.75)) must be 0.25 (a quarter of the
+    bucket's LOG width), where the linear overlap would be
+    (gamma^-0.75-gamma^-1)/(1-gamma^-1) of it."""
+    g = gamma_for_schema(DEFAULT_SCHEMA)
+    i = 9
+    inside = math.sqrt(g ** (i - 1) * g ** i)
+    df = _df(spark, [inside] * 8)
+    sk = native_histogram_agg(df, ["g"])
+    got = (
+        histogram_fraction(sk, ["g"], g ** (i - 1), g ** (i - 0.75))
+        .collect()[0]
+        .fraction
+    )
+    assert got == pytest.approx(0.25, rel=1e-9)
+
+
+def test_downscale_equals_direct_coarse_build(spark):
+    """ceil(ceil(x)/2^k) = ceil(x/2^k): re-bucketing a schema-5
+    histogram down to schema 3 must reproduce the direct schema-3
+    build bucket for bucket, mixed signs and zeros included."""
+    import random
+
+    from lakerunner_spark.operators.native_histogram import nh_downscale
+
+    rng = random.Random(7)
+    vals = [0.0] + [
+        (10.0 ** rng.uniform(-6, 6)) * rng.choice([1.0, -1.0])
+        for _ in range(300)
+    ]
+    df = _df(spark, vals)
+    fine = native_histogram_agg(df, ["g"], schema=5)
+    down = nh_downscale(fine, ["g"], steps=2)
+    direct = native_histogram_agg(df, ["g"], schema=3)
+    a = {(r.bucket, r["count"]) for r in down.collect()}
+    b = {(r.bucket, r["count"]) for r in direct.collect()}
+    assert a == b
+
+
+def test_mixed_schema_merge_resolves_to_coarsest(spark):
+    """native_histogram_merge_mixed: two sub-series built at schemas 5
+    and 3 merge into one group at schema 3, equal to building ALL the
+    samples directly at schema 3 (upstream's reduce-to-lowest-schema
+    merge); quantiles evaluated at the resolved schema agree."""
+    import random
+
+    from lakerunner_spark.operators.native_histogram import (
+        native_histogram_merge_mixed,
+    )
+
+    rng = random.Random(13)
+    fine_vals = [10.0 ** rng.uniform(-3, 3) for _ in range(150)]
+    coarse_vals = [10.0 ** rng.uniform(-3, 3) for _ in range(150)]
+    fine = native_histogram_agg(
+        _df(spark, fine_vals), ["g"], schema=5
+    ).withColumn("schema", F.lit(5))
+    coarse = native_histogram_agg(
+        _df(spark, coarse_vals), ["g"], schema=3
+    ).withColumn("schema", F.lit(3))
+    merged = native_histogram_merge_mixed(
+        fine.unionByName(coarse), ["g"]
+    )
+    schemas = {r.schema for r in merged.select("schema").distinct().collect()}
+    assert schemas == {3}
+    direct = native_histogram_agg(
+        _df(spark, fine_vals + coarse_vals), ["g"], schema=3
+    )
+    a = {(r.bucket, r["count"]) for r in merged.collect()}
+    b = {(r.bucket, r["count"]) for r in direct.collect()}
+    assert a == b
+    qa = (
+        histogram_quantile_native(merged.drop("schema"), ["g"], 0.9, schema=3)
+        .collect()[0]
+        .value
+    )
+    qb = histogram_quantile_native(direct, ["g"], 0.9, schema=3).collect()[0].value
+    assert qa == qb
 
 
 def test_bucket_index_cross_engine_fuzz(spark):

@@ -777,13 +777,15 @@ def test_histogram_accessor_family_parses_and_computes(spark):
     got = vals("histogram_avg(m)")
     assert got[0] == pytest.approx(7.0 / 3.0) and got[60_000] == 8.0
     # single-sample step: midpoint-vs-mean deviation is fixed, variance
-    # = (mid(8)-8)^2; multi-sample step positive
+    # = (mid(8)-8)^2 with the GEOMETRIC bucket midpoint gamma^(i-0.5)
+    # (upstream funcHistogramStdVar for standard exponential buckets);
+    # multi-sample step positive
     sv = vals("histogram_stdvar(m)")
     assert sv[0] > 0
     import math as _m
     g = 2.0 ** (2.0 ** -3)
     i = _m.ceil(_m.log(8.0) / _m.log(g))
-    mid = (g ** (i - 1) + g ** i) / 2
+    mid = _m.sqrt(g ** (i - 1) * g ** i)
     assert sv[60_000] == pytest.approx((mid - 8.0) ** 2, rel=1e-9)
     fr = vals("histogram_fraction(-5, 100, m)")
     assert fr[0] == pytest.approx(1.0) and fr[60_000] == pytest.approx(1.0)
