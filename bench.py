@@ -284,6 +284,31 @@ def main() -> None:
         "queries": main_res["queries"],
         "calib_sec": main_res["calib_sec"],
     }
+
+    # Cross-round regression flagging (tools/bench_diff.py): diff this
+    # run's calib-normalized timings against the latest BENCH_r*.json —
+    # the r6 dd12 regression shipped in a round whose own artifact held
+    # the evidence; this makes the diff automatic. Advisory only: never
+    # fails the run.
+    try:
+        from tools.bench_diff import compare_to_previous
+
+        sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+        diff = compare_to_previous(
+            out["queries"],
+            out["calib_sec"],
+            sf=float(sf_tag) if sf_tag.replace(".", "").isdigit() else None,
+        )
+        if diff is not None:
+            out["bench_diff"] = diff
+            for name, d in diff["flagged"].items():
+                print(
+                    f"# REGRESSION? {name}: {d['prev']}s -> {d['cur']}s"
+                    f" (norm x{d['norm_ratio']}, vs r{diff['vs_round']})",
+                    file=sys.stderr,
+                )
+    except Exception as e:  # pragma: no cover - advisory path
+        print(f"# bench_diff skipped: {e}", file=sys.stderr)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
 

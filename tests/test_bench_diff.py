@@ -1,0 +1,103 @@
+"""tools/bench_diff.py: the cross-round regression comparator that the
+r6 dd12 regression motivated — it must (a) parse driver BENCH_r*.json
+artifacts whose tail is a truncated JSON line with repeated query names
+across main/sf1/sf10 sections, (b) calib-normalize, (c) flag >1.3x, and
+(d) never diff across scale factors."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tools.bench_diff import (
+    _parse_artifact,
+    compare_to_previous,
+    find_previous,
+)
+
+
+def _artifact(tmp_path, rnd, queries, calib, sf=0.1, truncate=0,
+              sf1=None):
+    line = {
+        "metric": "headline_queries_total",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "queries": queries,
+        "calib_sec": calib,
+        "sf": sf,
+    }
+    if sf1:
+        line["sf1_queries"] = sf1
+        line["sf1_calib_sec"] = calib
+    tail = json.dumps(line)[truncate:]
+    doc = {"n": rnd, "rc": 0, "cpus": 32, "sf": sf, "tail": tail,
+           "parsed": None}
+    p = os.path.join(tmp_path, f"BENCH_r{rnd:02d}.json")
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    return p
+
+
+def test_parse_scrapes_main_section_only(tmp_path):
+    """sf1 sections repeat main query names at 10x the data — the
+    scrape must not let them overwrite main-section timings."""
+    p = _artifact(
+        str(tmp_path), 3, {"q_a": 1.0, "q_b": 2.0}, 0.5,
+        sf1={"q_a": 9.0},
+    )
+    art = _parse_artifact(p)
+    assert art["queries"]["q_a"] == 1.0
+    assert art["calib_sec"] == 0.5 and art["sf"] == 0.1
+
+
+def test_parse_survives_front_truncation(tmp_path):
+    """Driver artifacts keep only the LINE TAIL; keys cut off the front
+    simply don't compare."""
+    p = _artifact(
+        str(tmp_path), 4, {"q_a": 1.0, "q_b": 2.0, "q_c": 3.0}, 0.5,
+        truncate=60,
+    )
+    art = _parse_artifact(p)
+    assert "q_c" in art["queries"] and art["calib_sec"] == 0.5
+
+
+def test_flags_calib_normalized_regressions(tmp_path):
+    _artifact(str(tmp_path), 5, {"slow": 2.0, "same": 1.0, "tiny": 0.01},
+              calib=0.5)
+    # current run: calib halved (machine 2x slower) -> raw 2x is NOT a
+    # regression; 'slow' grew 4x raw = 2x normalized -> flagged; 'tiny'
+    # grew but sits under the 150ms floor.
+    diff = compare_to_previous(
+        {"slow": 8.0, "same": 2.0, "tiny": 0.1}, calib_sec=1.0,
+        repo_dir=str(tmp_path), sf=0.1,
+    )
+    assert diff["vs_round"] == 5 and diff["calib_normalized"]
+    assert list(diff["flagged"]) == ["slow"]
+    assert diff["flagged"]["slow"]["norm_ratio"] == 2.0
+
+
+def test_sf_mismatch_yields_no_baseline(tmp_path):
+    _artifact(str(tmp_path), 6, {"q": 1.0}, 0.5, sf=0.1)
+    assert find_previous(str(tmp_path), sf=0.001) is None
+    assert compare_to_previous({"q": 9.0}, 0.5, repo_dir=str(tmp_path),
+                               sf=0.001) is None
+
+
+def test_retro_catches_the_r6_dd12_regression(tmp_path):
+    """The motivating case: r6's own artifact vs r5's must flag dd12
+    (2.74s -> 4.54s, ~2x calib-normalized)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r5, r6 = (os.path.join(repo, f"BENCH_r0{n}.json") for n in (5, 6))
+    if not (os.path.isfile(r5) and os.path.isfile(r6)):
+        import pytest
+
+        pytest.skip("round artifacts not present")
+    import shutil
+
+    shutil.copy(r5, str(tmp_path))
+    cur = _parse_artifact(r6)
+    diff = compare_to_previous(
+        cur["queries"], cur["calib_sec"], repo_dir=str(tmp_path), sf=0.1
+    )
+    assert "dd12_semantic_dedup" in diff["flagged"]
+    assert diff["flagged"]["dd12_semantic_dedup"]["norm_ratio"] > 1.8
