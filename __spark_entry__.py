@@ -93,8 +93,8 @@ _PRIORITY = [
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
     "dd12_semantic_dedup",
+    "dd12s_semantic_dedup_sampled",
     "dd7_neardup_clusters",
-    "ds11_epoch_shuffle",
     "dd13_substring_decontaminate",
     "ds3_sequence_pack",
     "mm7_image_patches",
@@ -111,9 +111,11 @@ _PRIORITY = [
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
     # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1; txt10, sp5 for
-    # ds15/dd15. r7: pqs42 (r6-gate-certified) rotates down for pqs48
-    # (the cross-schema downscale merge, new surface).
+    # ds15/dd15. r7: pqs42 and ds11 (both r6-gate-certified) rotate
+    # down for pqs48 (cross-schema downscale merge) and dd12s (sampled
+    # two-level SemDeDup), the round's new surface.
     "pqs42_native_histogram_fields",
+    "ds11_epoch_shuffle",
     "txt10_bm25",
     "sp5_trace_rollup",
     "a5_sketch_quantiles",

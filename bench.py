@@ -82,6 +82,7 @@ HEADLINE = [
     "dd10_dedup_pipeline",
     "dd11_substring_dedup",
     "dd12_semantic_dedup",
+    "dd12s_semantic_dedup_sampled",
     "sim6_random_projection",
     "txt9_unigram_logprob",
     "ds6_chunk_documents",
@@ -128,6 +129,12 @@ SF1_HEADLINE = [
     # groupBy+join) and DSIR selection (two-scan distribution/scoring)
     "dd14_global_paragraph_dedup",
     "ds12_dsir_selection",
+    # r7: prefix-sum manifest, the maintenance plane, and the sampled
+    # SemDeDup route (k scaled with n via SECTION_OVERRIDES — the
+    # SemDeDup contract holds n/k constant)
+    "ds14_shard_manifest",
+    "maint1_compaction_requery",
+    "dd12s_semantic_dedup_sampled",
 ]
 
 # second measured decade (100× the default bench size, deterministic
@@ -146,7 +153,47 @@ SF10_HEADLINE = [
     # groupBy+join form must hold where a hash-partition window would
     # straggle on hot boilerplate keys)
     "dd14_global_paragraph_dedup",
+    # r7: second decade for the round-6 heavies (the verdict ask) —
+    # exact-substring verify, DSIR, prefix-sum manifest, compaction
+    # requery, and SemDeDup via the sampled two-level route (the flat
+    # route's Lloyd term is n*d*k with k ∝ n — measured >10 min at
+    # sf10, which is WHY dd12s exists; see PLANS.md dd12s)
+    "dd11v_substring_verify",
+    "ds12_dsir_selection",
+    "ds14_shard_manifest",
+    "maint1_compaction_requery",
+    "dd12s_semantic_dedup_sampled",
 ]
+
+
+def _dd12s_scaled(k: int, c: int, mod: int):
+    """SemDeDup contract at scale: k grows with n to hold n/k ~ 250.
+    sample_mod=127 is deliberately COPRIME to make_sf1's replica id
+    shift (2000): a divisor-of-shift stride samples the SAME original
+    vectors from every replica — the train slice then holds only ~16
+    distinct points, Lloyd collapses to mega-clusters, and the pair
+    stage goes quadratic (measured: the 125-stride slice produced 16
+    clusters of 12.5k at sf10). 127 samples across originals."""
+
+    def run(spark, sf_dir):
+        from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+        from lakerunner_spark.testdata import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup_sampled(
+            emb, n_clusters=k, coarse_cells=c, sample_mod=mod,
+            iters=3, threshold=0.3,
+        )
+
+    return run
+
+
+# per-section query overrides: same operator, scale-contract params
+# (main runs the registered defaults; the scale steps grow k with n)
+SECTION_OVERRIDES = {
+    "sf1": {"dd12s_semantic_dedup_sampled": _dd12s_scaled(80, 9, 127)},
+    "sf10": {"dd12s_semantic_dedup_sampled": _dd12s_scaled(800, 28, 127)},
+}
 
 
 def _run_section(section: str) -> dict:
@@ -220,9 +267,10 @@ def _run_section(section: str) -> dict:
         # so warmup/repeat would double a multi-minute section to shave
         # sub-1% codegen noise
         budgets, min_iters, max_iters = (0.0,), 1, 1
+    overrides = SECTION_OVERRIDES.get(section, {})
     for pass_no, budget in enumerate(budgets):
         for name in names:
-            fn = queries[name]
+            fn = overrides.get(name) or queries[name]
             if pass_no == 0:
                 if section != "sf10":
                     # untimed warmup: pays one-off codegen/compile/

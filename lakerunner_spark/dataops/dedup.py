@@ -610,6 +610,23 @@ def semantic_dedup(
     from lakerunner_spark.dataops.similarity import kmeans_assign
 
     assign = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
+    return _pairs_within_clusters(
+        corpus, assign, threshold, id_col, vec_col, checkpoint_dir
+    )
+
+
+def _pairs_within_clusters(
+    corpus: DataFrame,
+    assign: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """The SemDeDup pair stage, shared by :func:`semantic_dedup` and
+    :func:`semantic_dedup_sampled`: join the (id, cluster) assignment
+    onto the packed vectors, self-join WITHIN a cluster only, and keep
+    each duplicate's lowest-id over-threshold neighbor."""
     vecs = corpus.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vec"),
@@ -676,6 +693,138 @@ def semantic_dedup(
             F.col("_drop").alias("drop_id"),
             F.col("_b._cos").alias("cosine"),
         )
+    )
+
+
+def semantic_dedup_sampled(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    coarse_cells: int = 3,
+    sample_mod: int = 4,
+    iters: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup at the scale the paper actually runs it: k-means is
+    TRAINED ON A SAMPLE (``id % sample_mod == 0``) and the full corpus
+    is assigned through a TWO-LEVEL centroid index — each of the k fine
+    centroids maps to its nearest of ``coarse_cells`` coarse seeds
+    (the lowest-cluster-id centroids, the ivf_topk seeding
+    convention), a vector first picks its coarse cell (n*d*c work)
+    and then argmins only that cell's fine centroids (n*d*(k/c)
+    average). The pair stage is IDENTICAL to :func:`semantic_dedup`.
+
+    Why this exists (measured, r7): the flat route's unrolled-Lloyd
+    term is n*d*k per iteration, and the SemDeDup contract grows k
+    with n to pin per-cluster pair work — so flat assignment is
+    quadratic in corpus size. At sf10 (200k vectors, k=800 per the
+    n/k=250 contract) the flat route exceeds 10 minutes while this
+    route finishes the decade: training is m*d*k over the bounded
+    sample, assignment is n*d*(c + k/c) — minimized near c = sqrt(k),
+    turning the n*800 term into n*56.
+
+    The assignment is APPROXIMATE at cell boundaries (a vector whose
+    true nearest fine centroid lives in a different coarse cell gets
+    its cell's best instead) — acceptable because SemDeDup's
+    clustering is itself a recall heuristic; the cosine verify inside
+    a cluster stays exact, so false POSITIVES cannot appear, only
+    cross-cell duplicate pairs can be missed (same trade as dd2's LSH
+    banding). Deterministic and oracle-exact: every distance is
+    9-dp-rounded before its argmin (the ivf_topk lesson), ties break
+    toward the lower cell/cluster id."""
+    from lakerunner_spark.dataops.similarity import _kmeans_trajectory
+
+    if coarse_cells < 1 or coarse_cells > n_clusters:
+        raise ValueError(
+            "semantic_dedup_sampled: need 1 <= coarse_cells <= n_clusters"
+        )
+    train = corpus.filter(F.col(id_col) % sample_mod == 0)
+    _, cents = _kmeans_trajectory(train, n_clusters, iters, id_col, vec_col)
+    # materialize the trained centroids ONCE: cseed/cdist/fine all
+    # branch off this plan and exchange reuse misses aliased branches
+    # (the dd11 lesson) — without this the whole sample-Lloyd
+    # trajectory re-runs per branch. k*d rows — tiny.
+    if checkpoint_dir is not None:
+        cents.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        cents = cents.checkpoint(eager=True)
+    else:
+        cents = cents.localCheckpoint(eager=True)
+    # fine centroid -> coarse cell (k x c x d rows — constants)
+    cseed = cents.filter(F.col("cluster") < coarse_cells).select(
+        F.col("cluster").alias("cell"),
+        "pos",
+        F.col("cval").alias("scval"),
+    )
+    cdist = (
+        cents.join(cseed, "pos")
+        .groupBy("cluster", "cell")
+        .agg(
+            portable_round(
+                F.sum(
+                    (F.col("cval") - F.col("scval"))
+                    * (F.col("cval") - F.col("scval"))
+                ),
+                9,
+            ).alias("dist")
+        )
+    )
+    cmap = (
+        cdist.groupBy("cluster")
+        .agg(F.min(F.struct("dist", "cell")).alias("_b"))
+        .select("cluster", F.col("_b.cell").alias("cell"))
+    )
+    long = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    # coarse pass: n*d*c rows inside one codegen pipeline, map-side
+    # partial agg collapses the shuffle to n*c rows (the long-form
+    # plan PLANS.md dd12 keeps for exactly this reason)
+    vdist = (
+        long.join(F.broadcast(cseed), "pos")
+        .groupBy("_id", "cell")
+        .agg(
+            portable_round(
+                F.sum(
+                    (F.col("val") - F.col("scval"))
+                    * (F.col("val") - F.col("scval"))
+                ),
+                9,
+            ).alias("dist")
+        )
+    )
+    vcell = (
+        vdist.groupBy("_id")
+        .agg(F.min(F.struct("dist", "cell")).alias("_b"))
+        .select("_id", F.col("_b.cell").alias("cell"))
+    )
+    # fine pass: only the vector's own cell's centroids join in
+    fine = cents.join(F.broadcast(cmap), "cluster")
+    fdist = (
+        long.join(vcell, "_id")
+        .join(F.broadcast(fine), ["cell", "pos"])
+        .groupBy("_id", "cluster")
+        .agg(
+            portable_round(
+                F.sum(
+                    (F.col("val") - F.col("cval"))
+                    * (F.col("val") - F.col("cval"))
+                ),
+                9,
+            ).alias("dist")
+        )
+    )
+    assign = (
+        fdist.groupBy("_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("_b"))
+        .select(
+            F.col("_id").alias(id_col), F.col("_b.cluster").alias("cluster")
+        )
+    )
+    return _pairs_within_clusters(
+        corpus, assign, threshold, id_col, vec_col, checkpoint_dir
     )
 
 

@@ -1234,6 +1234,165 @@ def _dd12_oracle(n_clusters: int = 8, iters: int = 3,
     """
 
 
+def _dd12s_oracle(
+    n_clusters: int = 8,
+    coarse_cells: int = 3,
+    sample_mod: int = 4,
+    iters: int = 3,
+    threshold: float = 0.3,
+) -> str:
+    """Sampled SemDeDup oracle: Lloyd over the id%mod==0 train slice,
+    fine-centroid -> coarse-cell map, two-level (coarse, then fine
+    within the cell) full-corpus assignment — every distance
+    pround(9)-ed before its argmin, ties to the lower cell/cluster —
+    then the identical pair tail as _dd12_oracle."""
+    head = f"""
+    WITH long AS (
+      SELECT vec_id AS _id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    tlong AS (SELECT * FROM long WHERE _id % {sample_mod} = 0),
+    seeds AS (
+      SELECT vec_id AS _sid,
+             row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
+      FROM (SELECT vec_id FROM embeddings
+            WHERE vec_id % {sample_mod} = 0
+            ORDER BY vec_id ASC LIMIT {n_clusters})
+    ),
+    c0 AS (
+      SELECT cluster, pos, pround(val, 9) AS cval
+      FROM tlong JOIN seeds ON tlong._id = seeds._sid
+    )"""
+    stages = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        stages.append(f"""
+    d{i} AS (
+      SELECT _id, cluster,
+             pround(sum((val - cval) * (val - cval)), 9) AS dist
+      FROM tlong JOIN {prev} USING (pos)
+      GROUP BY _id, cluster
+    ),
+    a{i} AS (
+      SELECT _id, cluster, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY _id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT cluster, pos, pround(avg(val), 9) AS cval
+      FROM tlong JOIN (SELECT _id, cluster FROM a{i}) USING (_id)
+      GROUP BY cluster, pos
+    )""")
+        prev = f"c{i}"
+    return (
+        head + "," + ",".join(stages) + f""",
+    cseed AS (
+      SELECT cluster AS cell, pos, cval AS scval FROM {prev}
+      WHERE cluster < {coarse_cells}
+    ),
+    cd AS (
+      SELECT f.cluster, s.cell,
+             pround(sum((f.cval - s.scval) * (f.cval - s.scval)), 9)
+               AS dist
+      FROM {prev} f JOIN cseed s ON f.pos = s.pos
+      GROUP BY 1, 2
+    ),
+    cmap AS (
+      SELECT cluster, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cluster ORDER BY dist ASC, cell ASC) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    vd AS (
+      SELECT l._id, s.cell,
+             pround(sum((l.val - s.scval) * (l.val - s.scval)), 9)
+               AS dist
+      FROM long l JOIN cseed s ON l.pos = s.pos
+      GROUP BY 1, 2
+    ),
+    vcell AS (
+      SELECT _id, cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY _id ORDER BY dist ASC, cell ASC) AS rn
+        FROM vd
+      ) WHERE rn = 1
+    ),
+    finec AS (
+      SELECT m.cell, f.cluster, f.pos, f.cval
+      FROM {prev} f JOIN cmap m USING (cluster)
+    ),
+    fd AS (
+      SELECT l._id, fc.cluster,
+             pround(sum((l.val - fc.cval) * (l.val - fc.cval)), 9)
+               AS dist
+      FROM long l JOIN vcell vc USING (_id)
+      JOIN finec fc ON fc.cell = vc.cell AND fc.pos = l.pos
+      GROUP BY 1, 2
+    ),
+    av AS (
+      SELECT _id, cluster FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY _id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM fd
+      ) WHERE rn = 1
+    ),
+    v AS (
+      SELECT a.cluster, l._id, l.pos, CAST(l.val AS DOUBLE) AS val
+      FROM long l JOIN av a USING (_id)
+    ),
+    nrm AS (SELECT _id, sqrt(sum(val * val)) AS nrm FROM v
+            GROUP BY _id HAVING sqrt(sum(val * val)) > 0),
+    p AS (
+      SELECT x.cluster, x._id AS ida, y._id AS idb,
+             sum(x.val * y.val) AS dot
+      FROM v x JOIN v y
+        ON x.cluster = y.cluster AND x.pos = y.pos AND x._id < y._id
+      GROUP BY 1, 2, 3
+    ),
+    cpair AS (
+      SELECT cluster, ida, idb,
+             pround(dot / (na.nrm * nb.nrm), 4) AS cos
+      FROM p JOIN nrm na ON na._id = ida JOIN nrm nb ON nb._id = idb
+      WHERE pround(dot / (na.nrm * nb.nrm), 4) >= {threshold}
+    )
+    SELECT cluster, keep_id, drop_id, cosine FROM (
+      SELECT cluster, ida AS keep_id, idb AS drop_id, cos AS cosine,
+             row_number() OVER (PARTITION BY cluster, idb
+                                ORDER BY ida ASC) AS rn
+      FROM cpair
+    ) WHERE rn = 1
+    """
+    )
+
+
+@register("dd12s_semantic_dedup_sampled", _dd12s_oracle())
+def dd12s_semantic_dedup_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup's web-scale route (the shape the paper trains at):
+    k-means trained on the id%4 sample, full corpus assigned through a
+    two-level coarse->fine centroid index, then the exact within-
+    cluster cosine pair stage shared with dd12. Exists because the
+    flat route's Lloyd term is n*d*k per iteration and the contract
+    grows k with n — quadratic in corpus size; MEASURED at sf10
+    (200k vectors, contract k=800) the flat route exceeds 10 minutes
+    while this one finishes the decade (bench sf10 section runs it
+    with k=800, c=28, mod=125). The oracle replays sample training,
+    both argmin levels, and the pair arithmetic term for term."""
+    from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_sampled(
+        emb, n_clusters=8, coarse_cells=3, sample_mod=4, iters=3,
+        threshold=0.3,
+    )
+
+
 @register("dd12_semantic_dedup", _dd12_oracle())
 def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means

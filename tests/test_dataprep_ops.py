@@ -223,6 +223,45 @@ def test_semantic_dedup_ignores_zero_vectors(spark):
     assert 2 not in ids
 
 
+def test_semantic_dedup_sampled_finds_all_exact_duplicates(spark):
+    """The sampled two-level route's planted-duplicate guarantee (the
+    property the sf10 measurement leans on): identical vectors take
+    identical deterministic assignment paths, so EVERY exact duplicate
+    shares its original's cluster and the exact pair stage must emit
+    it — the approximation can only miss cross-cell NEAR-dups."""
+    import random
+
+    from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+
+    rng = random.Random(3)
+    base = [
+        [rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant exact duplicates of originals 0..9 at ids 100..109
+    rows += [(100 + i, base[i]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_sampled(
+        df, n_clusters=6, coarse_cells=2, sample_mod=3, iters=2,
+        threshold=0.9999,
+    ).collect()
+    found = {(r["keep_id"], r["drop_id"]) for r in out}
+    for i in range(10):
+        assert (i, 100 + i) in found, f"planted duplicate {i} missed"
+
+
+def test_semantic_dedup_sampled_validates_coarse_cells(spark):
+    from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="coarse_cells"):
+        semantic_dedup_sampled(df, n_clusters=4, coarse_cells=5)
+
+
 def test_chunk_documents_property(spark):
     """Property sweep across doc lengths and chunk geometries: full
     coverage, overlap-consistent reconstruction, bounded sizes."""
