@@ -163,6 +163,9 @@ SF10_HEADLINE = [
     "ds14_shard_manifest",
     "maint1_compaction_requery",
     "dd12s_semantic_dedup_sampled",
+    # r7: the full dedup pipeline's decade with the delete-list join
+    # UNhinted (the r6 weak #2 fix) — 35.5s cold, probe-verified
+    "dd10_dedup_pipeline",
 ]
 
 

@@ -122,6 +122,70 @@ def test_streaming_native_histogram_build_matches_batch(spark, tmp_path):
     assert batch_rows == stream_rows and batch_rows
 
 
+def test_streaming_downscaled_build_matches_batch_downscale(spark, tmp_path):
+    """Cross-schema ingest shape under streaming: Structured Streaming
+    allows ONE aggregation per query, so a coarse histogram is built by
+    applying the downscale mapping to the fine bucket INDEX before the
+    single groupBy — legal because downscale commutes with the build
+    (ceil(ceil(x)/2^k) = ceil(x/2^k), the property nh_downscale's
+    batch tests pin). The streamed schema-5-indexed/downscaled-2 rows
+    must equal batch nh_downscale(schema-5 build, 2)."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.native_histogram import (
+        _downscaled_bucket,
+        gamma_for_schema,
+        native_histogram_agg,
+        nh_bucket_index,
+        nh_downscale,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_type", "value")
+    )
+    indir = str(tmp_path / "ev_ds_in")
+    ev.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    batch_rows = {
+        tuple(r)
+        for r in nh_downscale(
+            native_histogram_agg(
+                spark.read.parquet(indir), ["event_type"], "value",
+                schema=5,
+            ),
+            ["event_type"],
+            steps=2,
+        ).collect()
+    }
+
+    g5 = gamma_for_schema(5)
+    stream = spark.readStream.schema(schema).parquet(indir)
+    coarse = (
+        stream.filter(F.col("value").isNotNull())
+        .withColumn(
+            "bucket",
+            _downscaled_bucket(nh_bucket_index("value", g5), F.lit(2)),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    name = "nh_downscale_parity"
+    q = (
+        coarse.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert batch_rows == stream_rows and batch_rows
+
+
 def test_streaming_sampling_keys_match_batch(spark, tmp_path):
     """ds13's Efraimidis-Spirakis sample keys and dd14's paragraph
     hash keys are stateless map-side expressions: a streaming ingest

@@ -27,13 +27,24 @@ OPS = (
 
 
 def shape(df) -> dict:
-    df.count()  # execute so AQE finalizes the plan
+    # collect(), NOT count(): count() builds a DIFFERENT QueryExecution
+    # (a new agg plan), so this df's own adaptive plan would never
+    # finalize and toString would print the INITIAL plan — missing
+    # every runtime SMJ<->BHJ re-plan. collect() executes THIS plan;
+    # every listed query's result is bounded (aggregates/top-k), so
+    # driver materialization is safe. (r7 fix: earlier rounds' shapes
+    # were static-estimate plans, which still caught size-driven
+    # flips but not AQE runtime conversions.)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "AdaptiveSparkPlan" not in plan or "isFinalPlan=true" in plan
+    ), "plan not finalized — shape would be the initial plan"
     return {op: len(re.findall(op, plan)) for op in OPS if op in plan}
 
 
 def main() -> None:
-    from bench import SF1_HEADLINE, SF10_HEADLINE
+    from bench import SECTION_OVERRIDES, SF1_HEADLINE, SF10_HEADLINE
 
     import __spark_entry__ as entry_mod
     from lakerunner_spark.session import get_spark
@@ -49,10 +60,15 @@ def main() -> None:
         big = make_sf1(SF01, os.path.join(local, "sf1"))
         names, tag = SF1_HEADLINE, "sf1"
     qs = entry_mod.queries()
+    # mirror bench: scale-contract overrides (e.g. dd12s's k grows
+    # with n) apply on the BIG side; running the registered k=8
+    # variant at sf10 would be the mega-cluster quadratic bench.py's
+    # SECTION_OVERRIDES exists to avoid
+    overrides = SECTION_OVERRIDES.get(tag, {})
     bad = 0
     for name in names:
         a = shape(qs[name](spark, SF01))
-        b = shape(qs[name](spark, big))
+        b = shape((overrides.get(name) or qs[name])(spark, big))
         note = ""
         if any(k in b for k in ("BroadcastNestedLoopJoin", "CartesianProduct")):
             note, bad = f"  <-- UNBOUNDED JOIN AT {tag.upper()}", bad + 1
