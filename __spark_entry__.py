@@ -73,7 +73,6 @@ _PRIORITY = [
     "lqs3_unwrap_max",
     "txt11_paragraph_dedup",
     "mm6_audio_frames",
-    "ds10_temperature_mixture",
     "otlp1_exp_histogram_quantile",
     "dd15_dedup_funnel",
     "tpch_q1_pricing_summary",
@@ -94,6 +93,7 @@ _PRIORITY = [
     "dd3_jaccard_verify",
     "dd12_semantic_dedup",
     "dd12s_semantic_dedup_sampled",
+    "dd16_substring_remove",
     "dd7_neardup_clusters",
     "dd13_substring_decontaminate",
     "ds3_sequence_pack",
@@ -111,11 +111,13 @@ _PRIORITY = [
     # dd14, ds12, ds13): lqs19, pqs39, lqs12, dd8, sim1, fp1, mm1 move
     # down, all r5-gate-certified; lqs10, ds4, sim5 likewise for
     # mm6/mm7/sim7; pqs20 for ds14; a5 for chq1; txt10, sp5 for
-    # ds15/dd15. r7: pqs42 and ds11 (both r6-gate-certified) rotate
-    # down for pqs48 (cross-schema downscale merge) and dd12s (sampled
-    # two-level SemDeDup), the round's new surface.
+    # ds15/dd15. r7: pqs42, ds11, and ds10 (all r6-gate-certified)
+    # rotate down for pqs48 (cross-schema downscale merge), dd12s
+    # (sampled two-level SemDeDup), and dd16 (exact-substring span
+    # removal), the round's new surface.
     "pqs42_native_histogram_fields",
     "ds11_epoch_shuffle",
+    "ds10_temperature_mixture",
     "txt10_bm25",
     "sp5_trace_rollup",
     "a5_sketch_quantiles",

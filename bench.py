@@ -83,6 +83,7 @@ HEADLINE = [
     "dd11_substring_dedup",
     "dd12_semantic_dedup",
     "dd12s_semantic_dedup_sampled",
+    "dd16_substring_remove",
     "sim6_random_projection",
     "txt9_unigram_logprob",
     "ds6_chunk_documents",

@@ -856,6 +856,23 @@ def substring_verify_runs(
     every window partitions by (pair, diagonal), whose size is bounded
     by the shorter doc, never by the corpus.
     """
+    runs = _gram_run_islands(docs, pairs, text_col, id_col, k)
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.lit(k - 1) + F.max("_glen")).cast("long").alias("longest_run")
+    )
+
+
+def _gram_run_islands(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared gram-match core of the verify/remove passes: one row per
+    maximal diagonal run of literally-matching k-token grams —
+    (doc_a, doc_b, diag, island, _glen, _jmin) with _jmin the run's
+    0-based start gram position in doc_b."""
     from pyspark.sql import Window
 
     ids = (
@@ -863,10 +880,7 @@ def substring_verify_runs(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    toks = F.expr(
-        f"filter(split(trim(regexp_replace(lower({text_col}),"
-        f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
-    )
+    toks = F.expr(WINNOW_TOKENIZE.format(col=text_col))
     d = (
         docs.join(ids, id_col, "left_semi")
         .select(F.col(id_col), toks.alias("_tk"))
@@ -899,11 +913,104 @@ def substring_verify_runs(
         .withColumn("diag", F.col("i") - F.col("j"))
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("i")
-    runs = (
+    return (
         m.withColumn("island", F.col("i") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(F.count(F.lit(1)).alias("_glen"))
+        .agg(F.count(F.lit(1)).alias("_glen"), F.min("j").alias("_jmin"))
     )
-    return runs.groupBy("doc_a", "doc_b").agg(
-        (F.lit(k - 1) + F.max("_glen")).cast("long").alias("longest_run")
+
+
+WINNOW_TOKENIZE = (
+    "filter(split(trim(regexp_replace(lower({col}),"
+    " '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
+)
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_run: int = 10,
+) -> DataFrame:
+    """Verified duplicate SPANS for removal (the step after
+    :func:`substring_verify_runs` in the Lee et al. pipeline): every
+    maximal shared gram run of at least ``min_run`` tokens becomes a
+    half-open 1-based token interval [start, end) in the HIGHER-id doc
+    of its pair — the keep-first convention: the first occurrence
+    (lower id) survives, later copies are cut. Same gram-match core as
+    the verify pass (literal grams — collisions cannot produce a
+    span), same (pair, diagonal)-bounded windows."""
+    runs = _gram_run_islands(docs, pairs, text_col, id_col, k)
+    return (
+        runs.select(
+            F.col("doc_b").alias(id_col),
+            (F.col("_jmin") + 1).alias("start"),
+            (F.col("_jmin") + F.col("_glen") + k).alias("end"),
+        )
+        .filter(F.col("end") - F.col("start") >= min_run)
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated token spans out of their documents (Lee et al.
+    2022 \"Deduplicating Training Data Makes Language Models Better\" —
+    the removal step: all-but-first occurrences of long shared
+    substrings are deleted, not whole documents). ``spans`` is
+    (id_col, start, end) half-open 1-based token intervals over the
+    winnowing tokenization; intervals from different pairs may overlap
+    arbitrarily, so they are first UNIONED per document (classic
+    interval merge: running max of end over the start-ordered window,
+    new island when a start clears everything before it), then the
+    document is rebuilt from the tokens no merged interval covers.
+
+    Returns one row per AFFECTED document: (id_col, n_tokens,
+    n_removed, clean_text) where clean_text is the normalized token
+    stream (the tokenization the spans are defined over) with covered
+    tokens removed, order preserved.
+
+    100 TB design: only span-bearing docs join anything — the corpus
+    never shuffles (left-semi prune); the merge window partitions per
+    document over its OWN spans (bounded by that doc's verified-pair
+    count, not the corpus); the rebuild is a per-row array filter
+    against the doc's merged-interval array (spans per doc are few —
+    the nested HOF predicate is interpreted but its domain is
+    tokens x merged-intervals of one document)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "_new", F.when(F.col("start") > F.coalesce(prev_max, F.lit(0)), 1)
+        .otherwise(0),
+    )
+    merged = (
+        flagged.withColumn("_isl", F.sum("_new").over(w))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_sp")
+    )
+    toks = F.expr(WINNOW_TOKENIZE.format(col=text_col))
+    d = docs.join(per_doc, id_col, "left_semi").select(
+        F.col(id_col), toks.alias("_tk")
+    ).join(per_doc, id_col)
+    kept = F.expr(
+        "filter(_tk, (t, i) -> NOT exists(_sp,"
+        " s -> i + 1 >= s.start AND i + 1 < s.end))"
+    )
+    return d.select(
+        id_col,
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )

@@ -262,6 +262,70 @@ def test_semantic_dedup_sampled_validates_coarse_cells(spark):
         semantic_dedup_sampled(df, n_clusters=4, coarse_cells=5)
 
 
+def test_remove_duplicate_spans_merges_and_keeps_first(spark):
+    """Span removal semantics on a constructed corpus: overlapping
+    intervals union before cutting, the lower-id doc keeps its copy,
+    and unaffected tokens survive in order."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.dataops.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    # doc 2 loses tokens [2,5) and [4,8) -> union [2,8): keeps a,h,i,j
+    spans = spark.createDataFrame(
+        [(2, 2, 5), (2, 4, 8)], "doc_id long, start long, end long"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, spans).collect()}
+    assert set(out) == {2}  # doc 1 untouched (not even emitted)
+    assert out[2].n_tokens == 10 and out[2].n_removed == 6
+    assert out[2].clean_text == "a h i j"
+
+    # disjoint spans cut independently
+    spans2 = spark.createDataFrame(
+        [(2, 1, 3), (2, 9, 11)], "doc_id long, start long, end long"
+    )
+    r = remove_duplicate_spans(docs, spans2).collect()[0]
+    assert r.clean_text == "c d e f g h" and r.n_removed == 4
+
+
+def test_substring_spans_match_verified_runs(spark):
+    """substring_duplicate_spans' intervals are consistent with
+    substring_verify_runs: the longest span length per pair-target doc
+    equals the pair's verified longest_run (same island core)."""
+    from lakerunner_spark.dataops.dedup import (
+        substring_duplicate_spans,
+        substring_verify_runs,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base + " unique tail one"),
+            (2, "prefix two " + base),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    runs = {
+        (r.doc_a, r.doc_b): r.longest_run
+        for r in substring_verify_runs(docs, pairs, "text", "doc_id", k=5).collect()
+    }
+    spans = substring_duplicate_spans(
+        docs, pairs, "text", "doc_id", k=5, min_run=10
+    ).collect()
+    assert runs[(1, 2)] == 30
+    assert len(spans) == 1 and spans[0].doc_id == 2
+    assert spans[0].end - spans[0].start == 30
+    # the shared block sits after "prefix two" -> tokens 3..33
+    assert (spans[0].start, spans[0].end) == (3, 33)
+
+
 def test_chunk_documents_property(spark):
     """Property sweep across doc lengths and chunk geometries: full
     coverage, overlap-consistent reconstruction, bounded sizes."""
