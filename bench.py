@@ -136,6 +136,7 @@ SF1_HEADLINE = [
     "ds14_shard_manifest",
     "maint1_compaction_requery",
     "dd12s_semantic_dedup_sampled",
+    "dd16_substring_remove",
 ]
 
 # second measured decade (100× the default bench size, deterministic
@@ -167,6 +168,9 @@ SF10_HEADLINE = [
     # r7: the full dedup pipeline's decade with the delete-list join
     # UNhinted (the r6 weak #2 fix) — 35.5s cold, probe-verified
     "dd10_dedup_pipeline",
+    # r7: exact-substring span removal (probe: 27s sf1 / 43s sf10 —
+    # 1.6x second decade; spans stay pair-bounded)
+    "dd16_substring_remove",
 ]
 
 

@@ -1001,9 +1001,12 @@ def remove_duplicate_spans(
         F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_sp")
     )
     toks = F.expr(WINNOW_TOKENIZE.format(col=text_col))
-    d = docs.join(per_doc, id_col, "left_semi").select(
-        F.col(id_col), toks.alias("_tk")
-    ).join(per_doc, id_col)
+    # the inner join IS the affected-docs filter — no separate
+    # left_semi prune, which would evaluate the span merge pipeline a
+    # second time (aliased branches don't reuse exchanges)
+    d = docs.select(F.col(id_col), toks.alias("_tk")).join(
+        per_doc, id_col
+    )
     kept = F.expr(
         "filter(_tk, (t, i) -> NOT exists(_sp,"
         " s -> i + 1 >= s.start AND i + 1 < s.end))"

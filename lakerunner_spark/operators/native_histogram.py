@@ -195,6 +195,7 @@ def native_histogram_merge_mixed(
     df: DataFrame,
     group_cols: list[str],
     schema_col: str = "schema",
+    target_schema: int | None = None,
 ) -> DataFrame:
     """Merge bucket rows whose per-row ``schema_col`` may differ within
     a group: resolve each group to its COARSEST schema (upstream
@@ -203,11 +204,45 @@ def native_histogram_merge_mixed(
     sum counts per target bucket. Returns (group..., schema, bucket,
     count) at the resolved schema.
 
+    ``target_schema`` pins EVERY group to one schema instead of the
+    per-group min — the right mode when a downstream evaluation
+    hardcodes its gamma (a per-group min leaves a group whose series
+    are all finer at that finer schema, and evaluating those buckets
+    with the coarser gamma silently squares the value scale). Rows
+    finer than the target downscale; a row COARSER than the target
+    cannot be refined and raises.
+
     Scale: the per-group target table is one row per group — bounded
     by group cardinality, joined back UNhinted (AQE broadcasts it when
     small, the ds8/dd10 rule) — and the re-bucketing is a map-side
     expression; the only corpus-sized shuffle is the final partial-agg
-    groupBy, same as the same-schema merge."""
+    groupBy, same as the same-schema merge. With ``target_schema`` the
+    join disappears entirely (the gap is a per-row expression)."""
+    if target_schema is not None:
+        k = (F.col(schema_col) - F.lit(target_schema)).cast("int")
+        mapped = df.withColumn(
+            "bucket",
+            F.when(
+                F.col(schema_col) < target_schema,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "native_histogram_merge_mixed: row schema "
+                        ),
+                        F.col(schema_col).cast("string"),
+                        F.lit(f" is coarser than target {target_schema}"),
+                    )
+                ).cast("long"),
+            ).otherwise(_downscaled_bucket(F.col("bucket"), k)),
+        )
+        return (
+            mapped.groupBy(
+                *group_cols,
+                F.lit(target_schema).alias("schema"),
+                "bucket",
+            )
+            .agg(F.sum("count").alias("count"))
+        )
     tgt = df.groupBy(*group_cols).agg(F.min(schema_col).alias("_tgt"))
     j = df.join(tgt, group_cols)
     k = (F.col(schema_col) - F.col("_tgt")).cast("int")

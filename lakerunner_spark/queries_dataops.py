@@ -1382,7 +1382,9 @@ def dd12s_semantic_dedup_sampled(
     grows k with n — quadratic in corpus size; MEASURED at sf10
     (200k vectors, contract k=800) the flat route exceeds 10 minutes
     while this one finishes the decade (bench sf10 section runs it
-    with k=800, c=28, mod=125). The oracle replays sample training,
+    with k=800, c=28, mod=127 — the stride must be COPRIME to
+    make_sf1's replica id shift; see PLANS.md dd12s). The oracle
+    replays sample training,
     both argmin levels, and the pair arithmetic term for term."""
     from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
 

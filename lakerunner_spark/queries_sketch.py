@@ -496,8 +496,12 @@ def pqs48_native_histogram_mixed_schema(
     coarse = native_histogram_agg(
         e.filter(F.col("user_id") % 2 != 0), ["event_type"], "v", schema=3
     ).withColumn("schema", F.lit(3))
+    # target_schema pinned, NOT the per-group min: the quantile below
+    # hardcodes gamma(3), and a group that happened to hold only
+    # schema-4 rows would otherwise stay at schema 4 and be evaluated
+    # with the wrong gamma (silently squaring its value scale)
     merged = native_histogram_merge_mixed(
-        fine.unionByName(coarse), ["event_type"]
+        fine.unionByName(coarse), ["event_type"], target_schema=3
     )
     out = histogram_quantile_native(
         merged.drop("schema"), ["event_type"], 0.9, schema=3

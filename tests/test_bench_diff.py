@@ -17,15 +17,17 @@ from tools.bench_diff import (
 
 
 def _artifact(tmp_path, rnd, queries, calib, sf=0.1, truncate=0,
-              sf1=None):
+              sf1=None, bench_diff=None):
     line = {
         "metric": "headline_queries_total",
         "value": sum(queries.values()),
         "unit": "sec",
         "queries": queries,
         "calib_sec": calib,
-        "sf": sf,
     }
+    if bench_diff:
+        line["bench_diff"] = bench_diff
+    line["sf"] = sf
     if sf1:
         line["sf1_queries"] = sf1
         line["sf1_calib_sec"] = calib
@@ -48,6 +50,22 @@ def test_parse_scrapes_main_section_only(tmp_path):
     art = _parse_artifact(p)
     assert art["queries"]["q_a"] == 1.0
     assert art["calib_sec"] == 0.5 and art["sf"] == 0.1
+
+
+def test_parse_ignores_embedded_bench_diff_block(tmp_path):
+    """r7+ artifacts carry their own bench_diff block; its
+    prev/cur/norm_ratio numbers must not scrape as phantom queries."""
+    p = _artifact(
+        str(tmp_path), 7, {"q_a": 1.0}, 0.5,
+        bench_diff={
+            "vs_round": 6, "threshold": 1.3, "calib_ratio": 1.0,
+            "flagged": {"q_b": {"prev": 1.0, "cur": 2.0,
+                                "norm_ratio": 2.0}},
+        },
+    )
+    art = _parse_artifact(p)
+    assert set(art["queries"]) == {"q_a"}
+    assert art["calib_sec"] == 0.5
 
 
 def test_parse_survives_front_truncation(tmp_path):

@@ -234,6 +234,46 @@ def test_downscale_equals_direct_coarse_build(spark):
     assert a == b
 
 
+def test_mixed_merge_target_schema_pins_fine_only_groups(spark):
+    """The pqs48 hazard: with per-group-min resolution, a group whose
+    series are ALL at the finer schema stays fine, and a downstream
+    evaluation hardcoding the coarse gamma silently mis-scales it.
+    target_schema= pins every group; a fine-only group downscales to
+    the target and equals a direct coarse build; a row coarser than
+    the target raises."""
+    import random
+
+    import pytest
+
+    from lakerunner_spark.operators.native_histogram import (
+        native_histogram_merge_mixed,
+    )
+
+    rng = random.Random(29)
+    vals = [10.0 ** rng.uniform(-2, 2) for _ in range(80)]
+    fine_only = native_histogram_agg(
+        _df(spark, vals, group="only_fine"), ["g"], schema=5
+    ).withColumn("schema", F.lit(5))
+    merged = native_histogram_merge_mixed(
+        fine_only, ["g"], target_schema=3
+    )
+    assert {r.schema for r in merged.select("schema").collect()} == {3}
+    direct = native_histogram_agg(
+        _df(spark, vals, group="only_fine"), ["g"], schema=3
+    )
+    a = {(r.bucket, r["count"]) for r in merged.collect()}
+    b = {(r.bucket, r["count"]) for r in direct.collect()}
+    assert a == b
+
+    too_coarse = native_histogram_agg(
+        _df(spark, vals), ["g"], schema=2
+    ).withColumn("schema", F.lit(2))
+    with pytest.raises(Exception, match="coarser than target"):
+        native_histogram_merge_mixed(
+            too_coarse, ["g"], target_schema=3
+        ).collect()
+
+
 def test_mixed_schema_merge_resolves_to_coarsest(spark):
     """native_histogram_merge_mixed: two sub-series built at schemas 5
     and 3 merge into one group at schema 3, equal to building ALL the

@@ -48,10 +48,12 @@ def _parse_artifact(path: str) -> dict | None:
         }
     tail = doc.get("tail") or ""
     # the sf1/sf10 sections repeat MAIN query names at other data
-    # sizes — scrape only the text before the first scale-section
-    # marker (tail truncation cuts the FRONT of the line, so the main
-    # section may be partial; missing keys just don't compare)
-    for marker in ('"sf1_queries"', '"sf10_queries"'):
+    # sizes, and r7+ artifacts embed a bench_diff block whose
+    # prev/cur/norm_ratio numbers would scrape as phantom queries —
+    # scrape only the text before the first such marker (tail
+    # truncation cuts the FRONT of the line, so the main section may
+    # be partial; missing keys just don't compare)
+    for marker in ('"bench_diff"', '"sf1_queries"', '"sf10_queries"'):
         cut = tail.find(marker)
         if cut >= 0:
             tail = tail[:cut]

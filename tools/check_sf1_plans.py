@@ -27,15 +27,19 @@ OPS = (
 
 
 def shape(df) -> dict:
-    # collect(), NOT count(): count() builds a DIFFERENT QueryExecution
-    # (a new agg plan), so this df's own adaptive plan would never
-    # finalize and toString would print the INITIAL plan — missing
-    # every runtime SMJ<->BHJ re-plan. collect() executes THIS plan;
-    # every listed query's result is bounded (aggregates/top-k), so
-    # driver materialization is safe. (r7 fix: earlier rounds' shapes
-    # were static-estimate plans, which still caught size-driven
-    # flips but not AQE runtime conversions.)
-    df.collect()
+    # NOT count(): count() builds a DIFFERENT QueryExecution (a new
+    # agg plan), so this df's own adaptive plan would never finalize
+    # and toString would print the INITIAL plan — missing every
+    # runtime SMJ<->BHJ re-plan. toLocalIterator() executes THIS
+    # QueryExecution while holding at most one partition's rows on
+    # the driver — several listed queries emit per-pair/per-doc
+    # outputs (dd2 candidates, dd12s delete lists ~198k rows at
+    # sf10), so a full collect() would be the exact driver-OOM hazard
+    # this tool audits for. (r7 fix: earlier rounds' shapes were
+    # static-estimate plans, which still caught size-driven flips but
+    # not AQE runtime conversions.)
+    for _ in df.toLocalIterator():
+        pass
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert (
         "AdaptiveSparkPlan" not in plan or "isFinalPlan=true" in plan
