@@ -74,7 +74,7 @@ _PRIORITY = [
     "txt11_paragraph_dedup",
     "mm6_audio_frames",
     "otlp1_exp_histogram_quantile",
-    "dd15_dedup_funnel",
+    "txt12_ccnet_buckets",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -115,9 +115,11 @@ _PRIORITY = [
     # rotate down for pqs48 (cross-schema downscale merge), dd12s
     # (sampled two-level SemDeDup), and dd16 (exact-substring span
     # removal), the round's new surface.
+    # (dd15 likewise r6-certified, down for txt12's CCNet terciles)
     "pqs42_native_histogram_fields",
     "ds11_epoch_shuffle",
     "ds10_temperature_mixture",
+    "dd15_dedup_funnel",
     "txt10_bm25",
     "sp5_trace_rollup",
     "a5_sketch_quantiles",

@@ -1199,6 +1199,93 @@ def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, "text", "doc_id", sample_mod=7, vocab_k=500)
 
 
+@register(
+    "txt12_ccnet_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS tok
+      FROM documents
+    ),
+    sample AS (SELECT * FROM toks WHERE doc_id % 7 = 0),
+    counts AS (SELECT tok, count(*) AS cnt FROM sample GROUP BY tok),
+    vocab AS (
+      SELECT tok, cnt FROM counts
+      ORDER BY cnt DESC, tok ASC LIMIT 500
+    ),
+    totals AS (SELECT count(*) AS _total FROM sample),
+    scores AS (
+      SELECT t.doc_id,
+             pround(avg(-log2((coalesce(v.cnt, 0) + 1.0)
+                              / (_total + 501.0))), 6) AS score
+      FROM toks t
+      LEFT JOIN vocab v USING (tok)
+      CROSS JOIN totals
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT d.lang, s.doc_id, s.score,
+             percent_rank() OVER (PARTITION BY d.lang
+                                  ORDER BY s.score ASC, s.doc_id ASC)
+               AS pr
+      FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE WHEN pr <= {1 / 3!r} THEN 'head'
+                WHEN pr <= {2 / 3!r} THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           pround(avg(score), 6) AS avg_score
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-tercile selection step (Wenzek et al. 2020):
+    per language, documents split into head/middle/tail by their
+    language-model score tercile — LOW perplexity (here the txt9
+    unigram-LM mean -log2 p proxy, same sample-trained vocabulary) is
+    'head', the slice CCNet keeps. Rank is the exact percent_rank over
+    (score, doc_id) — the deterministic tie order both engines share —
+    compared against 1/3 and 2/3 as Python-literal doubles. Emits the
+    per-(language, bucket) census with mean score.
+
+    Scale note: the per-language window is the ds9 shape — exact, but
+    one task per language; when one language is most of the corpus,
+    the windowless route is two DDSketch thresholds per language
+    (q=1/3, 2/3) joined back, exactly percentile_filter's sketch mode
+    (dataops/sampling.py) run at two quantiles — the proven ds9s
+    trade of rank exactness near the cutoffs for no per-language
+    sort."""
+    from pyspark.sql import Window
+
+    from lakerunner_spark.dataops.text import unigram_logprob
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob(
+        d, "text", "doc_id", sample_mod=7, vocab_k=500
+    ).select("doc_id", F.col("avg_neg_log2").alias("score"))
+    j = scores.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").asc(), F.col("doc_id").asc()
+    )
+    pr = F.percent_rank().over(w)
+    bucket = (
+        F.when(pr <= F.lit(1 / 3), "head")
+        .when(pr <= F.lit(2 / 3), "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            portable_round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )
+
+
 def _dd12_oracle(n_clusters: int = 8, iters: int = 3,
                  threshold: float = 0.3) -> str:
     """SemDeDup oracle: the shared unrolled-Lloyd CTE for the cluster
