@@ -56,6 +56,8 @@ NLJ_ALLOWED = {
     "tpch_q11_important_parts",      # broadcast 1-row scalar threshold
     "lqs23_or_line_filter",          # 1-row x 1-row count crossJoin
     "txt9_unigram_logprob",          # broadcast 1-row sample-total scalar
+    "txt12_ccnet_buckets",           # same txt9 scoring core (1-row
+                                     # sample-total scalar crossJoin)
     "sim6_random_projection",        # broadcast queries x corpus scan
     "txt10_bm25",                    # broadcast 1-row idf-map/stats scalar
     "ds10_temperature_mixture",      # 1-row total/normalizer scalars x
