@@ -297,6 +297,12 @@ def _run_section(section: str) -> dict:
                 best = min(best, dt)
                 measured += dt
                 iters += 1
+                if dt >= 10.0:
+                    # multi-10s queries: relative jitter is small (the
+                    # same rationale as the >=1.5s pass-2 skip), and a
+                    # second sample of a 50s sf1 pipeline costs more
+                    # wall than it buys in precision
+                    break
             if name not in rows:  # sf10 runs without a warmup pass
                 rows[name] = n
             timings[name] = best
