@@ -297,11 +297,14 @@ def _run_section(section: str) -> dict:
                 best = min(best, dt)
                 measured += dt
                 iters += 1
-                if dt >= 10.0:
-                    # multi-10s queries: relative jitter is small (the
+                if dt >= 20.0:
+                    # 20s+ queries: relative jitter is small (the
                     # same rationale as the >=1.5s pass-2 skip), and a
                     # second sample of a 50s sf1 pipeline costs more
-                    # wall than it buys in precision
+                    # wall than it buys in precision. The bar sits
+                    # WELL above the 8-12s band where a single
+                    # VM-steal spike could both inflate the sample
+                    # and suppress the correcting second iteration.
                     break
             if name not in rows:  # sf10 runs without a warmup pass
                 rows[name] = n

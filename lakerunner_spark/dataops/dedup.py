@@ -975,13 +975,16 @@ def remove_duplicate_spans(
     stream (the tokenization the spans are defined over) with covered
     tokens removed, order preserved.
 
-    100 TB design: only span-bearing docs join anything — the corpus
-    never shuffles (left-semi prune); the merge window partitions per
-    document over its OWN spans (bounded by that doc's verified-pair
-    count, not the corpus); the rebuild is a per-row array filter
-    against the doc's merged-interval array (spans per doc are few —
-    the nested HOF predicate is interpreted but its domain is
-    tokens x merged-intervals of one document)."""
+    100 TB design: tokenization happens ABOVE the per_doc join, so
+    only span-bearing documents pay the regex split and only their
+    (id, text) rows shuffle — Catalyst prunes columns below a join
+    but never pushes expression evaluation down into the unaffected
+    corpus side; the merge window partitions per document over its
+    OWN spans (bounded by that doc's verified-pair count, not the
+    corpus); the rebuild is a per-row array filter against the doc's
+    merged-interval array (spans per doc are few — the nested HOF
+    predicate is interpreted but its domain is tokens x
+    merged-intervals of one document)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("start", "end")
@@ -1001,11 +1004,15 @@ def remove_duplicate_spans(
         F.sort_array(F.collect_list(F.struct("start", "end"))).alias("_sp")
     )
     toks = F.expr(WINNOW_TOKENIZE.format(col=text_col))
-    # the inner join IS the affected-docs filter — no separate
-    # left_semi prune, which would evaluate the span merge pipeline a
-    # second time (aliased branches don't reuse exchanges)
-    d = docs.select(F.col(id_col), toks.alias("_tk")).join(
-        per_doc, id_col
+    # the inner join IS the affected-docs filter (no separate
+    # left_semi prune — that would evaluate the span merge pipeline a
+    # second time, and aliased branches don't reuse exchanges); the
+    # tokenize projection sits ABOVE the join so unaffected corpus
+    # rows never pay it
+    d = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(per_doc, id_col)
+        .select(F.col(id_col), toks.alias("_tk"), "_sp")
     )
     kept = F.expr(
         "filter(_tk, (t, i) -> NOT exists(_sp,"

@@ -467,18 +467,19 @@ def pqs48_native_histogram_mixed_schema(
 ) -> DataFrame:
     """Cross-schema native-histogram merge (upstream model/histogram
     reduceResolution): even-user samples build at schema 4, odd-user
-    samples at schema 3, and the mixed merge resolves each series to
-    its COARSEST schema — every schema-4 bucket i re-buckets to
-    ceil(i/2) at schema 3, which commutes with the build, so the
-    merged histogram is exactly the one a schema-3 build of all
-    samples produces (tested in test_native_histogram.py). p90 then
-    evaluates at the resolved schema. The oracle replays the fine
-    bucket index, the downscale floor arithmetic, and the cumulative
-    walk term for term.
+    samples at schema 3, and the merge PINS every group to
+    target_schema=3 — every schema-4 bucket i re-buckets to ceil(i/2),
+    which commutes with the build, so the merged histogram is exactly
+    the one a schema-3 build of all samples produces (tested in
+    test_native_histogram.py). p90 then evaluates at the pinned
+    schema. The oracle replays the fine bucket index, the downscale
+    floor arithmetic, and the cumulative walk term for term.
 
     Scale: the downscale is a map-side expression over bucket rows
-    (state ~ occupied buckets, never samples); the per-group target
-    schema is a group-cardinality table joined back unhinted."""
+    (state ~ occupied buckets, never samples); with a pinned target
+    no per-group table or join exists at all — the per-group-min mode
+    (and its unhinted group-cardinality join) serves callers that
+    evaluate at each group's own resolved schema."""
     from pyspark.sql import functions as F
 
     from lakerunner_spark.operators.native_histogram import (

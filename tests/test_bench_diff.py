@@ -68,6 +68,32 @@ def test_parse_ignores_embedded_bench_diff_block(tmp_path):
     assert art["calib_sec"] == 0.5
 
 
+def test_truncation_inside_bench_diff_yields_no_phantom_baseline(tmp_path):
+    """Front-truncation can land INSIDE the embedded bench_diff block,
+    removing the cut marker itself — the residue numbers (prev/cur/
+    norm_ratio/...) must not become a phantom baseline; with no real
+    query keys left the artifact is rejected entirely."""
+    import json as _json
+
+    line = _json.dumps({
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "queries": {"q_a": 1.0}, "calib_sec": 0.5,
+        "bench_diff": {"vs_round": 6, "threshold": 1.3,
+                       "calib_ratio": 1.0,
+                       "flagged": {"q_b": {"prev": 1.0, "cur": 2.0,
+                                           "norm_ratio": 2.0}}},
+        "sf": 0.1,
+    })
+    cut = line.find('"flagged"')  # tail starts mid-bench_diff
+    doc = {"n": 8, "rc": 0, "cpus": 32, "sf": 0.1, "tail": line[cut:],
+           "parsed": None}
+    p = os.path.join(str(tmp_path), "BENCH_r08.json")
+    with open(p, "w") as f:
+        _json.dump(doc, f)
+    assert _parse_artifact(p) is None
+    assert find_previous(str(tmp_path), sf=0.1) is None
+
+
 def test_parse_survives_front_truncation(tmp_path):
     """Driver artifacts keep only the LINE TAIL; keys cut off the front
     simply don't compare."""

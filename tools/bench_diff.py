@@ -62,9 +62,17 @@ def _parse_artifact(path: str) -> dict | None:
         return None
     scraped = {k: float(v) for k, v in pairs}
     calib = scraped.pop("calib_sec", None)
-    for meta in ("value", "n", "rc", "cpus"):
+    # meta fields plus bench_diff residue: a FRONT-truncation landing
+    # inside the embedded bench_diff block removes the cut marker
+    # itself, leaving its per-entry numbers to scrape as phantom
+    # queries — drop them by name (no real query is named like these)
+    for meta in ("value", "n", "rc", "cpus",
+                 "prev", "cur", "norm_ratio", "threshold",
+                 "vs_round", "calib_ratio"):
         scraped.pop(meta, None)
     tail_sf = scraped.pop("sf", sf)
+    if not scraped:
+        return None  # nothing real survived the truncation
     return {"queries": scraped, "calib_sec": calib, "sf": tail_sf}
 
 
