@@ -791,6 +791,17 @@ def test_histogram_accessor_family_parses_and_computes(spark):
     assert fr[0] == pytest.approx(1.0) and fr[60_000] == pytest.approx(1.0)
     fr0 = vals("histogram_fraction(-5, 0, m)")
     assert fr0[0] == 0.0 and fr0[60_000] == 0.0
+    # PR #14677 discrimination through the PARSER: the single sample 8
+    # occupies one bucket (lower, upper]; a hi cutting that bucket at
+    # its GEOMETRIC midpoint gamma^(i-0.5) covers exactly half the
+    # bucket's LOG width -> fraction 0.5; the pre-3.x linear overlap
+    # would give (sqrt(l*u)-l)/(u-l) != 0.5. Exercises the exponential
+    # overlap, not just the full/empty cases above.
+    lo, hi = g ** (i - 1), _m.sqrt(g ** (i - 1) * g ** i)
+    frx = vals(f"histogram_fraction({lo!r}, {hi!r}, m)")
+    assert frx[60_000] == pytest.approx(0.5, rel=1e-9)
+    linear = (hi - lo) / (g ** i - lo)
+    assert abs(frx[60_000] - linear) > 1e-4  # linear form would differ
 
 
 def test_absent_emits_only_on_empty_steps(spark):
