@@ -266,6 +266,7 @@ def _run_section(section: str) -> dict:
     # min_iters — their relative jitter is small).
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    samples: dict[str, int] = {}  # timed iterations per query (all passes)
     # sf1's queries are heavy (multi-second, small relative jitter, and
     # expensive to repeat) — one pass; the sub-second-dominated main
     # list gets the spread second pass.
@@ -309,6 +310,7 @@ def _run_section(section: str) -> dict:
             if name not in rows:  # sf10 runs without a warmup pass
                 rows[name] = n
             timings[name] = best
+            samples[name] = samples.get(name, 0) + iters
             print(
                 f"# {section} p{pass_no} {name}: {best:.3f}s"
                 f" ({rows[name]} rows, {iters} iters)",
@@ -319,6 +321,10 @@ def _run_section(section: str) -> dict:
         "queries": timings,
         "total": round(sum(timings.values()), 3),
         "calib_sec": round(calib, 3),
+        # sample counts let bench_diff annotate single-sample entries
+        # (a 20s+ early break or the sf10 cold pass): a flag from one
+        # sample reads "re-run before believing", not proof
+        "iters": samples,
     }
 
 
@@ -342,40 +348,49 @@ def main() -> None:
         return json.loads(proc.stdout.decode().strip().splitlines()[-1])
 
     main_res = spawn("main")
+    sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
     out = {
         "metric": "headline_queries_total",
         "value": main_res["total"],
         "unit": "sec",
         "queries": main_res["queries"],
         "calib_sec": main_res["calib_sec"],
+        "iters": main_res["iters"],
     }
 
     # Cross-round regression flagging (tools/bench_diff.py): diff this
     # run's calib-normalized timings against the latest BENCH_r*.json —
     # the r6 dd12 regression shipped in a round whose own artifact held
-    # the evidence; this makes the diff automatic. Advisory only: never
-    # fails the run.
-    try:
-        from tools.bench_diff import compare_to_previous
+    # the evidence; this makes the diff automatic, and the sf1/sf10
+    # sections are covered too (scale regressions show there first).
+    # Advisory only: never fails the run.
+    def diff_section(res: dict, section: str, out_key: str) -> None:
+        try:
+            from tools.bench_diff import compare_to_previous
 
-        sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
-        diff = compare_to_previous(
-            out["queries"],
-            out["calib_sec"],
-            sf=float(sf_tag) if sf_tag.replace(".", "").isdigit() else None,
-        )
-        if diff is not None:
-            out["bench_diff"] = diff
-            for name, d in diff["flagged"].items():
-                print(
-                    f"# REGRESSION? {name}: {d['prev']}s -> {d['cur']}s"
-                    f" (norm x{d['norm_ratio']}, vs r{diff['vs_round']})",
-                    file=sys.stderr,
-                )
-    except Exception as e:  # pragma: no cover - advisory path
-        print(f"# bench_diff skipped: {e}", file=sys.stderr)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    out["sf"] = float(sf) if sf.replace(".", "").isdigit() else sf
+            diff = compare_to_previous(
+                res["queries"],
+                res["calib_sec"],
+                sf=sf_val if isinstance(sf_val, float) else None,
+                section=section,
+                iters=res.get("iters"),
+            )
+            if diff is not None:
+                out[out_key] = diff
+                for name, d in diff["flagged"].items():
+                    single = " SINGLE-SAMPLE" if d.get("single_sample") else ""
+                    print(
+                        f"# REGRESSION? [{section}] {name}: {d['prev']}s"
+                        f" -> {d['cur']}s (norm x{d['norm_ratio']},"
+                        f" vs r{diff['vs_round']}){single}",
+                        file=sys.stderr,
+                    )
+        except Exception as e:  # pragma: no cover - advisory path
+            print(f"# bench_diff[{section}] skipped: {e}", file=sys.stderr)
+
+    diff_section(main_res, "main", "bench_diff")
+    out["sf"] = sf_val
 
     # sf1 scale step: heaviest queries at 10× the default bench size
     # (deterministic key-shifted replication of sf0.1 — tools/make_sf1.py)
@@ -384,6 +399,8 @@ def main() -> None:
         out["sf1_queries"] = sf1_res["queries"]
         out["sf1_total_sec"] = sf1_res["total"]
         out["sf1_calib_sec"] = sf1_res["calib_sec"]
+        out["sf1_iters"] = sf1_res["iters"]
+        diff_section(sf1_res, "sf1", "bench_diff_sf1")
 
     # sf10 decade: heaviest data-prep pipelines at 100× (one cold
     # iteration each; growth per decade is the recorded signal)
@@ -392,6 +409,8 @@ def main() -> None:
         out["sf10_queries"] = sf10_res["queries"]
         out["sf10_total_sec"] = sf10_res["total"]
         out["sf10_calib_sec"] = sf10_res["calib_sec"]
+        out["sf10_iters"] = sf10_res["iters"]
+        diff_section(sf10_res, "sf10", "bench_diff_sf10")
 
     print(json.dumps(out))
 

@@ -740,7 +740,27 @@ def semantic_dedup_sampled(
         raise ValueError(
             "semantic_dedup_sampled: need 1 <= coarse_cells <= n_clusters"
         )
+    if sample_mod < 1:
+        raise ValueError("semantic_dedup_sampled: sample_mod >= 1")
     train = corpus.filter(F.col(id_col) % sample_mod == 0)
+    # fail LOUDLY on an empty train slice (ids all nonzero mod
+    # sample_mod): empty centroids would silently return an empty pair
+    # set — every duplicate missed — instead of an error. One bounded
+    # existence probe (LIMIT 1 over the filtered scan), plan-time only
+    # and memoized (a stale hit can only suppress the error for a
+    # since-emptied table, never change rows).
+    from lakerunner_spark.plans.probe_cache import cached_probe
+
+    has_train = cached_probe(
+        train, "nonempty", lambda: train.limit(1).count() > 0
+    )
+    if not has_train:
+        raise ValueError(
+            f"semantic_dedup_sampled: train slice is empty — no "
+            f"{id_col} satisfies {id_col} % {sample_mod} == 0; pick a "
+            f"sample_mod that intersects the id domain (or use "
+            f"semantic_dedup for exact flat training)"
+        )
     _, cents = _kmeans_trajectory(train, n_clusters, iters, id_col, vec_col)
     # materialize the trained centroids ONCE: cseed/cdist/fine all
     # branch off this plan and exchange reuse misses aliased branches

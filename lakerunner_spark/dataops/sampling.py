@@ -291,11 +291,142 @@ def chunk_documents(
     )
 
 
-# Max rows in a single group above which percentile_filter's auto
-# router abandons the exact per-group percent_rank window (one task per
+# Max rows in a single group above which the grouped-rank router
+# abandons the exact per-group percent_rank window (one task per
 # group — the textbook straggler when one source IS most of the corpus)
 # for the shuffle-free DDSketch threshold route.
 PERCENTILE_WINDOW_THRESHOLD = 1_000_000
+
+
+def _route_mode(df: DataFrame, by: str, window_threshold: int) -> str:
+    """Shared auto-route gate of the grouped-rank family
+    (:func:`percentile_filter`, :func:`rank_buckets`): the exact
+    per-group window while the largest group fits one task, the
+    DDSketch threshold route above that. UNCACHED by design — unlike
+    the density-gate/topk probes (probe_cache.py), whose routes return
+    identical rows, the two rank routes differ near cutoffs, so this
+    is the one probe whose answer affects ROWS: memoizing it would let
+    a stale entry (or a 32-bit semanticHash collision) silently change
+    kept rows within a session after the table grows. The probe is one
+    bounded aggregation (|groups| intermediate rows, a scalar out),
+    paid only in auto mode — every registered query pins its mode."""
+    if df.isStreaming:
+        # a batch probe can't run on an unstarted stream
+        return "sketch"
+    row = (
+        df.groupBy(by)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .first()
+    )
+    return "window" if int(row[0] or 0) <= window_threshold else "sketch"
+
+
+def grouped_quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    qs: list[float],
+    relative_accuracy: float = 0.01,
+    prefix: str = "_th",
+) -> DataFrame:
+    """Per-group score thresholds at each quantile in ``qs`` from the
+    engine's DDSketch bucket algebra (operators/ddsketch.py): one
+    groupBy-count sketch build over log buckets, ONE cumulative walk,
+    every quantile read from it. Output is one row per group —
+    (by, {prefix}0..{prefix}N) — bounded by the group-label
+    cardinality, not the corpus; callers join it back unhinted (AQE
+    broadcasts it when small) and compare scores against thresholds,
+    which is what removes the per-group sort entirely."""
+    from lakerunner_spark.operators.ddsketch import (
+        ddsketch_agg,
+        ddsketch_quantiles,
+    )
+
+    sk = ddsketch_agg(df, [by], score_col, relative_accuracy)
+    return ddsketch_quantiles(
+        sk,
+        [by],
+        qs,
+        relative_accuracy=relative_accuracy,
+        out_cols=[f"{prefix}{i}" for i in range(len(qs))],
+    )
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    by: str,
+    boundaries: list[float],
+    labels: list[str],
+    mode: str | None = None,
+    window_threshold: int = PERCENTILE_WINDOW_THRESHOLD,
+    relative_accuracy: float = 0.01,
+    tiebreak_col: str | None = None,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row its per-group rank bucket (the CCNet
+    head/middle/tail tercile shape, and any per-group quantile binning
+    generally): a row whose within-group rank position first satisfies
+    ``rank <= boundaries[i]`` gets ``labels[i]``; rows above every
+    boundary get ``labels[-1]``. Returns the input columns plus
+    ``out_col``.
+
+    Two physical routes, the :func:`percentile_filter` trade applied to
+    bucketing:
+
+    ``mode="window"`` — exact: ``percent_rank() OVER (PARTITION BY by
+    ORDER BY score[, tiebreak])`` compared against each boundary. One
+    task per group — a global sort of the majority group when one
+    group is most of a 100 TB corpus (CCNet's own setting: one
+    language dominates any real crawl).
+
+    ``mode="sketch"`` — shuffle-free: per-group thresholds at each
+    boundary quantile from ONE DDSketch walk
+    (:func:`grouped_quantile_thresholds`), joined back unhinted;
+    bucket = first threshold the score does not exceed. No per-group
+    sort of corpus rows anywhere; membership near each cutoff differs
+    from the exact route by the sketch's relative-error contract (the
+    ds9s trade, property-tested in tests/test_dataprep_ops.py).
+
+    ``mode=None`` — auto-routes on the UNCACHED max-group-rowcount
+    probe (:func:`_route_mode`)."""
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError(
+            "rank_buckets: need len(labels) == len(boundaries) + 1"
+        )
+    if sorted(boundaries) != list(boundaries):
+        raise ValueError("rank_buckets: boundaries must be ascending")
+    if mode not in (None, "window", "sketch"):
+        raise ValueError(f"rank_buckets: unknown mode {mode!r}")
+    if mode is None:
+        mode = _route_mode(df, by, window_threshold)
+    if mode == "window":
+        from pyspark.sql import Window
+
+        order = [F.col(score_col).asc()]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col).asc())
+        w = Window.partitionBy(by).orderBy(*order)
+        rank = F.percent_rank().over(w)
+        expr = F.lit(labels[-1])
+        for b, lab in zip(reversed(boundaries), reversed(labels[:-1])):
+            expr = F.when(rank <= F.lit(b), lab).otherwise(expr)
+        return df.withColumn(out_col, expr)
+    th = grouped_quantile_thresholds(
+        df, score_col, by, list(boundaries), relative_accuracy
+    )
+    j = df.join(th, by)
+    expr = F.lit(labels[-1])
+    for i, lab in zip(
+        reversed(range(len(boundaries))), reversed(labels[:-1])
+    ):
+        expr = F.when(
+            F.col(score_col) <= F.col(f"_th{i}"), lab
+        ).otherwise(expr)
+    return j.withColumn(out_col, expr).drop(
+        *[f"_th{i}" for i in range(len(boundaries))]
+    )
 
 
 def percentile_filter(
@@ -331,20 +462,21 @@ def percentile_filter(
     exactness for removing the per-group sort entirely.
 
     ``mode=None`` (default) — AUTO, the engine's density-gate/topk-
-    router pattern: a memoized max-group-rowcount probe
-    (plans/probe_cache.py) routes groups <= ``window_threshold`` to the
-    exact window and anything larger to the sketch route. Because the
-    two routes differ near the cutoff (above), this probe is the one
-    cached-probe user where a stale entry changes kept ROWS, not just
-    the physical plan — callers that need a pinned row set across a
-    growing table should pass an explicit ``mode`` (probe_cache.py's
-    never-wrong claim is scoped to the row-identical routers). Streaming
-    inputs also route sketch (a batch probe can't run on an unstarted
-    stream); note that BOTH routes contain analytic windows Structured
-    Streaming can't run directly — end-to-end streaming filtering
-    belongs inside ``foreachBatch`` (where each microbatch is a batch
-    DataFrame and the probe/windows work normally), the same pattern
-    as streaming/dedup.py.
+    router pattern: the max-group-rowcount probe (:func:`_route_mode`,
+    shared with :func:`rank_buckets`) routes groups <=
+    ``window_threshold`` to the exact window and anything larger to
+    the sketch route. Because the two routes differ near the cutoff
+    (above), the probe result affects ROWS — so unlike the
+    row-identical routers it is deliberately NOT memoized through
+    plans/probe_cache.py (a stale cache entry could silently change
+    kept rows within a session; probe_cache's never-wrong claim stays
+    scoped to the row-identical routers). Streaming inputs route
+    sketch (a batch probe can't run on an unstarted stream); note that
+    BOTH routes contain analytic windows Structured Streaming can't
+    run directly — end-to-end streaming filtering belongs inside
+    ``foreachBatch`` (where each microbatch is a batch DataFrame and
+    the probe/windows work normally), the same pattern as
+    streaming/dedup.py.
 
     ``keep_pct``: window-route-only — also emit the exact percent_rank
     under this name (callers that report the rank must pin
@@ -359,22 +491,7 @@ def percentile_filter(
     if mode not in (None, "window", "sketch"):
         raise ValueError(f"percentile_filter: unknown mode {mode!r}")
     if mode is None:
-        if df.isStreaming:
-            mode = "sketch"
-        else:
-            from lakerunner_spark.plans.probe_cache import cached_probe
-
-            def compute() -> int:
-                row = (
-                    df.groupBy(by)
-                    .agg(F.count(F.lit(1)).alias("_n"))
-                    .agg(F.max("_n"))
-                    .first()
-                )
-                return int(row[0] or 0)
-
-            biggest = cached_probe(df, f"max_group_count:{by}", compute)
-            mode = "window" if biggest <= window_threshold else "sketch"
+        mode = _route_mode(df, by, window_threshold)
     if mode == "window":
         from pyspark.sql import Window
 
@@ -385,22 +502,13 @@ def percentile_filter(
         if keep_pct:
             return out.withColumnRenamed("_pct", keep_pct)
         return out.drop("_pct")
-    from lakerunner_spark.operators.ddsketch import (
-        ddsketch_agg,
-        ddsketch_quantile,
-    )
-
-    th = ddsketch_quantile(
-        ddsketch_agg(df, [by], score_col, relative_accuracy),
-        [by],
-        p,
-        relative_accuracy=relative_accuracy,
-        out_col="_threshold",
+    th = grouped_quantile_thresholds(
+        df, score_col, by, [p], relative_accuracy
     )
     return (
         df.join(th, by)
-        .filter(F.col(score_col) >= F.col("_threshold"))
-        .drop("_threshold")
+        .filter(F.col(score_col) >= F.col("_th0"))
+        .drop("_th0")
     )
 
 

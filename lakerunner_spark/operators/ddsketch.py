@@ -156,6 +156,133 @@ def ddsketch_quantile(
     return first_hit.withColumn(out_col, value).drop("bucket")
 
 
+def _bucket_value(bucket_col, gamma: float):
+    """Mid-bucket value estimate for a bucket index column (the
+    2*gamma^i/(gamma+1) DDSketch rule, zero/negative stores included)."""
+    return (
+        F.when(
+            bucket_col > F.lit(_ZERO_BUCKET),
+            F.lit(2.0) * F.pow(F.lit(gamma), bucket_col) / F.lit(gamma + 1),
+        )
+        .when(bucket_col == F.lit(_ZERO_BUCKET), F.lit(0.0))
+        .otherwise(  # negative store: mid-bucket of |x|, sign restored
+            F.lit(-2.0)
+            * F.pow(F.lit(gamma), F.lit(_NEG_BASE) - bucket_col)
+            / F.lit(gamma + 1)
+        )
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Several quantiles per group from ONE cumulative walk of the
+    sketch (the multi-threshold shape the grouped-rank router needs:
+    CCNet terciles read q=1/3 and q=2/3 from the same sketch). One row
+    per group with one value column per quantile; same per-quantile
+    rule as :func:`ddsketch_quantile` (min bucket whose cumulative
+    count exceeds floor(q*(n-1)), mid-bucket estimate), folded into a
+    single aggregation via min(CASE WHEN cum > rank THEN bucket END)
+    so the walk is paid once regardless of len(qs)."""
+    if not qs:
+        raise ValueError("ddsketch_quantiles: need at least one quantile")
+    out_cols = out_cols or [f"q{i}" for i in range(len(qs))]
+    if len(out_cols) != len(qs):
+        raise ValueError("ddsketch_quantiles: len(out_cols) != len(qs)")
+    gamma = gamma_for(relative_accuracy)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = Window.partitionBy(*group_cols)
+    cum = (
+        sketch.withColumn("cum", F.sum("count").over(w))
+        .withColumn("n", F.sum("count").over(totals))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") > F.floor(F.lit(q) * (F.col("n") - 1)),
+                F.col("bucket"),
+            )
+        ).alias(f"_b{i}")
+        for i, q in enumerate(qs)
+    ]
+    hit = cum.groupBy(*group_cols).agg(*aggs)
+    return hit.select(
+        *group_cols,
+        *[
+            _bucket_value(F.col(f"_b{i}"), gamma).alias(out_cols[i])
+            for i in range(len(qs))
+        ],
+    )
+
+
+def ddsketch_quantiles_sql(
+    base_sql: str,
+    group_cols: list[str],
+    value_sql: str,
+    qs: list[float],
+    relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
+    out_cols: list[str] | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`ddsketch_quantiles` — build +
+    one-walk multi-quantile over ``base_sql`` rows."""
+    if not qs:
+        raise ValueError("ddsketch_quantiles_sql: need at least one quantile")
+    out_cols = out_cols or [f"q{i}" for i in range(len(qs))]
+    gamma = gamma_for(relative_accuracy)
+    keys = ", ".join(group_cols)
+    b = bucket_index_sql(value_sql, gamma)
+    hits = ",\n             ".join(
+        # CAST: DuckDB parses the bare literal as exact DECIMAL, whose
+        # product floors differently from the IEEE double Spark uses
+        # whenever q*(n-1) is decimal-integral (1/3 * 69 = 22.99..97
+        # decimal vs 23.0 double)
+        f"min(CASE WHEN cum > floor(CAST({q!r} AS DOUBLE) * (n - 1))"
+        f" THEN bucket END)"
+        f" AS _b{i}"
+        for i, q in enumerate(qs)
+    )
+    vals = ",\n           ".join(
+        f"CASE WHEN _b{i} > {_ZERO_BUCKET}"
+        f" THEN 2.0 * power({gamma!r}, _b{i}) / ({gamma!r} + 1)"
+        f" WHEN _b{i} = {_ZERO_BUCKET} THEN 0.0"
+        f" ELSE -2.0 * power({gamma!r}, {_NEG_BASE} - _b{i})"
+        f" / ({gamma!r} + 1) END AS {out_cols[i]}"
+        for i in range(len(qs))
+    )
+    return f"""
+    WITH rows_b AS (
+      SELECT {keys}, {b} AS bucket FROM ({base_sql})
+      WHERE {value_sql} IS NOT NULL
+    ),
+    sk AS (
+      SELECT {keys}, bucket, count(*) AS cnt FROM rows_b GROUP BY {keys}, bucket
+    ),
+    cum AS (
+      SELECT {keys}, bucket,
+             sum(cnt) OVER (PARTITION BY {keys} ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY {keys}) AS n
+      FROM sk
+    ),
+    hit AS (
+      SELECT {keys},
+             {hits}
+      FROM cum GROUP BY {keys}
+    )
+    SELECT {keys},
+           {vals}
+    FROM hit
+    """
+
+
 def ddsketch_quantile_over_time(
     df: DataFrame,
     labels: list[str],
@@ -273,7 +400,7 @@ def ddsketch_quantile_over_time_sql(
     ),
     hit AS (
       SELECT bucket_ts, {keys}, min(bucket) AS bucket
-      FROM cum WHERE cum > floor({q} * (n - 1))
+      FROM cum WHERE cum > floor(CAST({q!r} AS DOUBLE) * (n - 1))
       GROUP BY ALL
     )
     SELECT bucket_ts, {keys},
@@ -376,7 +503,7 @@ def ddsketch_quantile_sql(
     ),
     hit AS (
       SELECT {keys}, min(bucket) AS bucket
-      FROM cum WHERE cum > floor({q} * (n - 1))
+      FROM cum WHERE cum > floor(CAST({q!r} AS DOUBLE) * (n - 1))
       GROUP BY {keys}
     )
     SELECT {keys},

@@ -17,19 +17,19 @@ the same query, insensitive to alias/exprId renumbering); if the JVM
 handle is unavailable (mocked DataFrames in tests), the probe simply
 runs uncached.
 
-For the density gate and the topk phase router, probes are routing
-hints, not correctness inputs — both routes return identical rows
-(property-tested where used) — so a stale cache entry after the
-underlying table grows costs at most a suboptimal physical plan for
-the life of the session, never a wrong answer. percentile_filter's
-mode probe is the EXCEPTION: its window route is exact while its
-sketch route is approximate near the cutoff, so there a stale entry
-(or a semanticHash collision — 32-bit, so birthday-bounded but not
-impossible) can change which rows near the threshold are kept, not
-just the physical plan; dataops/sampling.py documents that contract
-where it opts in. The cache is bounded and drops wholesale at
-capacity (probe recomputation is cheap; LRU bookkeeping is not
-worth it).
+Caching is ONLY for probes that are routing hints, not correctness
+inputs — both routes must return identical rows (property-tested
+where used) — so a stale cache entry after the underlying table grows
+costs at most a suboptimal physical plan for the life of the session,
+never a wrong answer. Probes whose answer affects ROWS must not use
+this cache: the grouped-rank router's window-vs-sketch probe
+(dataops/sampling.py ``_route_mode``) is exact on one route and
+approximate near cutoffs on the other, so a stale entry (or a
+semanticHash collision — 32-bit, so birthday-bounded but not
+impossible) could change which rows near a threshold are kept — it
+therefore re-probes per construction, in auto mode only. The cache is
+bounded and drops wholesale at capacity (probe recomputation is
+cheap; LRU bookkeeping is not worth it).
 """
 
 from __future__ import annotations

@@ -1199,10 +1199,12 @@ def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(d, "text", "doc_id", sample_mod=7, vocab_k=500)
 
 
-@register(
-    "txt12_ccnet_buckets",
-    f"""
-    WITH toks AS (
+# the txt9/txt12 unigram-LM scoring pipeline (sample-trained top-500
+# vocabulary, add-one smoothing, 6-dp mean -log2 p per doc) joined with
+# each doc's language — shared by the exact (txt12) and sketch (txt12s)
+# tercile routes
+_TXT12_SCORED_CTE = """
+    toks AS (
       SELECT doc_id,
              unnest(list_filter(string_split(trim(regexp_replace(lower(text),
                  '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS tok
@@ -1224,12 +1226,34 @@ def txt9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN totals
       GROUP BY t.doc_id
     ),
-    ranked AS (
-      SELECT d.lang, s.doc_id, s.score,
-             percent_rank() OVER (PARTITION BY d.lang
-                                  ORDER BY s.score ASC, s.doc_id ASC)
-               AS pr
+    lng AS (
+      SELECT d.lang, s.doc_id, s.score
       FROM scores s JOIN documents d USING (doc_id)
+    )
+"""
+
+
+def _txt12_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TXT12_SCORED_CTE: (lang, doc_id, score) rows."""
+    from lakerunner_spark.dataops.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob(
+        d, "text", "doc_id", sample_mod=7, vocab_k=500
+    ).select("doc_id", F.col("avg_neg_log2").alias("score"))
+    return scores.join(d.select("doc_id", "lang"), "doc_id")
+
+
+@register(
+    "txt12_ccnet_buckets",
+    f"""
+    WITH {_TXT12_SCORED_CTE.strip()},
+    ranked AS (
+      SELECT lang, doc_id, score,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY score ASC, doc_id ASC)
+               AS pr
+      FROM lng
     )
     SELECT lang,
            CASE WHEN pr <= {1 / 3!r} THEN 'head'
@@ -1250,39 +1274,96 @@ def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared against 1/3 and 2/3 as Python-literal doubles. Emits the
     per-(language, bucket) census with mean score.
 
-    Scale note: the per-language window is the ds9 shape — exact, but
-    one task per language; when one language is most of the corpus,
-    the windowless route is two DDSketch thresholds per language
-    (q=1/3, 2/3) joined back, exactly percentile_filter's sketch mode
-    (dataops/sampling.py) run at two quantiles — the proven ds9s
-    trade of rank exactness near the cutoffs for no per-language
-    sort."""
-    from pyspark.sql import Window
-
-    from lakerunner_spark.dataops.text import unigram_logprob
+    The bucketing runs through the shared grouped-rank router
+    (dataops/sampling.py rank_buckets) pinned to ``mode="window"`` —
+    the exact route this oracle replays rank for rank. The registered
+    100 TB route is txt12s: identical pipeline through the SAME
+    router's sketch mode (two per-language DDSketch thresholds from
+    one walk, no per-language sort of corpus rows); ``mode=None``
+    auto-routes between them on the max-language-rowcount probe
+    (tests/test_dataprep_ops.py::test_rank_buckets_auto_routes)."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.functions.rounding import portable_round
 
-    d = load_table(spark, sf_dir, "documents")
-    scores = unigram_logprob(
-        d, "text", "doc_id", sample_mod=7, vocab_k=500
-    ).select("doc_id", F.col("avg_neg_log2").alias("score"))
-    j = scores.join(d.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("score").asc(), F.col("doc_id").asc()
+    j = _txt12_scored(spark, sf_dir)
+    b = rank_buckets(
+        j,
+        "score",
+        "lang",
+        [1 / 3, 2 / 3],
+        ["head", "middle", "tail"],
+        mode="window",
+        tiebreak_col="doc_id",
     )
-    pr = F.percent_rank().over(w)
-    bucket = (
-        F.when(pr <= F.lit(1 / 3), "head")
-        .when(pr <= F.lit(2 / 3), "middle")
-        .otherwise("tail")
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        portable_round(F.avg("score"), 6).alias("avg_score"),
     )
-    return (
-        j.withColumn("bucket", bucket)
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            portable_round(F.avg("score"), 6).alias("avg_score"),
-        )
+
+
+def _txt12s_oracle() -> str:
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantiles_sql
+
+    th = ddsketch_quantiles_sql(
+        "SELECT * FROM lng",
+        ["lang"],
+        "score",
+        [1 / 3, 2 / 3],
+        out_cols=["t0", "t1"],
+    )
+    return f"""
+    WITH {_TXT12_SCORED_CTE.strip()},
+    th AS ({th}),
+    b AS (
+      SELECT l.lang,
+             CASE WHEN l.score <= th.t0 THEN 'head'
+                  WHEN l.score <= th.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             l.score
+      FROM lng l JOIN th USING (lang)
+    )
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           pround(avg(score), 6) AS avg_score
+    FROM b GROUP BY 1, 2
+    """
+
+
+@register("txt12s_ccnet_sketch_buckets", _txt12s_oracle())
+def txt12s_ccnet_sketch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB route of CCNet's perplexity terciles (txt12's
+    windowless twin, the ds9->ds9s trade applied to bucketing): the
+    per-language head/middle/tail boundaries come from TWO DDSketch
+    quantile thresholds (q=1/3, 2/3) read from ONE cumulative walk of
+    the per-language score sketch (operators/ddsketch.py
+    ddsketch_quantiles), joined back unhinted — one row per language,
+    AQE broadcasts it — so the corpus pass is a plain threshold
+    comparison. NO per-language sort of corpus rows exists anywhere in
+    the plan (plan-guarded: tests/test_plan_guards.py asserts no
+    percent_rank and no unpartitioned Window): in a real crawl one
+    language IS most of the corpus (CCNet's own setting), and txt12's
+    per-language percent_rank window makes that a single-task global
+    sort. Bucket membership near the two cutoffs differs from the
+    exact route by the sketch's relative-error contract (the
+    documented ds9s trade; equivalence property-tested); the oracle
+    replays the identical bucket algebra, so the route itself is
+    exact-verified. Both routes run through the shared grouped-rank
+    router (dataops/sampling.py rank_buckets); ``mode=None``
+    auto-routes on the max-language-rowcount probe."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+    from lakerunner_spark.functions.rounding import portable_round
+
+    j = _txt12_scored(spark, sf_dir)
+    b = rank_buckets(
+        j,
+        "score",
+        "lang",
+        [1 / 3, 2 / 3],
+        ["head", "middle", "tail"],
+        mode="sketch",
+    )
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        portable_round(F.avg("score"), 6).alias("avg_score"),
     )
 
 

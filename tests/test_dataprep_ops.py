@@ -418,6 +418,84 @@ def test_percentile_filter_routes_agree_off_boundary(spark):
         assert abs(s - cutoff) <= 0.05 * max(cutoff, 1e-9), (s, cutoff)
 
 
+def test_rank_buckets_auto_routes(spark):
+    """rank_buckets (the grouped-rank router's bucketing face, txt12/
+    txt12s) auto-routes on the same max-group-rowcount probe as
+    percentile_filter: below the gate the exact percent_rank window,
+    above it the DDSketch threshold route with NO rank window — and
+    each auto route returns exactly its explicit-mode rows."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    df = _scored_docs(spark)
+    args = (df, "score", "source", [1 / 3, 2 / 3],
+            ["head", "middle", "tail"])
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    auto_small = rank_buckets(*args, tiebreak_col="doc_id")
+    assert "percent_rank" in plan(auto_small)
+    exact = {(r.doc_id, r.bucket) for r in rank_buckets(
+        *args, mode="window", tiebreak_col="doc_id").collect()}
+    assert {(r.doc_id, r.bucket) for r in auto_small.collect()} == exact
+
+    auto_big = rank_buckets(*args, window_threshold=10)
+    assert "percent_rank" not in plan(auto_big)
+    sketch = {(r.doc_id, r.bucket) for r in rank_buckets(
+        *args, mode="sketch").collect()}
+    assert {(r.doc_id, r.bucket) for r in auto_big.collect()} == sketch
+
+
+def test_rank_buckets_routes_agree_off_boundary(spark):
+    """Router equivalence property (the verdict's 'scale-safe by
+    default' contract): the window and sketch routes assign the SAME
+    bucket to every row except within the sketch's relative-error band
+    around each boundary threshold. With 1% relative accuracy the band
+    is ~±2% of the cutoff score; any disagreeing row must sit inside
+    one of the two bands."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    df = _scored_docs(spark)
+    args = (df, "score", "source", [1 / 3, 2 / 3],
+            ["head", "middle", "tail"])
+    win = {(r.doc_id): (r.bucket, r.score) for r in rank_buckets(
+        *args, mode="window", tiebreak_col="doc_id").collect()}
+    sk = {(r.doc_id): (r.bucket, r.score) for r in rank_buckets(
+        *args, mode="sketch").collect()}
+    assert set(win) == set(sk)  # bucketing never drops or adds rows
+    # per-source exact cutoff scores from the window route: the lowest
+    # score assigned to each bucket above head
+    cutoffs: dict[tuple, float] = {}
+    for doc_id, (bucket, score) in win.items():
+        src = f"src{doc_id // 1000}"
+        for b in ("middle", "tail"):
+            if bucket == b:
+                key = (src, b)
+                cutoffs[key] = min(cutoffs.get(key, float("inf")), score)
+    for doc_id in win:
+        if win[doc_id][0] == sk[doc_id][0]:
+            continue
+        score = win[doc_id][1]
+        src = f"src{doc_id // 1000}"
+        near = any(
+            abs(score - cutoffs[(src, b)]) <= 0.05 * max(cutoffs[(src, b)], 1e-9)
+            for b in ("middle", "tail")
+            if (src, b) in cutoffs
+        )
+        assert near, (doc_id, win[doc_id], sk[doc_id], cutoffs)
+
+
+def test_rank_buckets_validates_arguments():
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    with pytest.raises(ValueError, match="labels"):
+        rank_buckets(None, "s", "g", [0.5], ["a"])
+    with pytest.raises(ValueError, match="ascending"):
+        rank_buckets(None, "s", "g", [0.7, 0.3], ["a", "b", "c"])
+    with pytest.raises(ValueError, match="unknown mode"):
+        rank_buckets(None, "s", "g", [0.5], ["a", "b"], mode="exact")
+
+
 def test_percentile_filter_keep_pct_requires_window():
     from lakerunner_spark.dataops.sampling import percentile_filter
 

@@ -59,6 +59,37 @@ def test_merge_equals_direct(absvals):
     assert m == d  # sketch state identical -> any quantile identical
 
 
+def test_quantiles_one_walk_matches_repeated_single(absvals):
+    """ddsketch_quantiles (the grouped-rank router's multi-threshold
+    read: several quantiles from ONE cumulative walk) must return
+    bit-identical values to running ddsketch_quantile once per q —
+    same rank rule, same mid-bucket estimate, one aggregation."""
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantiles
+
+    qs = [1 / 3, 0.5, 2 / 3, 0.95]
+    sk = ddsketch_agg(absvals, ["event_type"], "v")
+    multi = {
+        r.event_type: [r[f"q{i}"] for i in range(len(qs))]
+        for r in ddsketch_quantiles(sk, ["event_type"], qs).collect()
+    }
+    for i, q in enumerate(qs):
+        single = {
+            r.event_type: r.value
+            for r in ddsketch_quantile(sk, ["event_type"], q).collect()
+        }
+        for et, v in single.items():
+            assert multi[et][i] == v, (q, et, multi[et][i], v)
+
+
+def test_quantiles_validates_arguments(absvals):
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantiles
+
+    with pytest.raises(ValueError, match="at least one"):
+        ddsketch_quantiles(None, ["g"], [])
+    with pytest.raises(ValueError, match="out_cols"):
+        ddsketch_quantiles(None, ["g"], [0.5], out_cols=["a", "b"])
+
+
 def test_zero_and_negative_values(spark):
     df = spark.createDataFrame(
         [("a", 0.0), ("a", 0.0), ("a", -5.0), ("a", 10.0)], ["g", "v"]

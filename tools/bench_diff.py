@@ -3,16 +3,32 @@
 The dd12 regression (2.74s -> 4.58s, round 6) shipped in a round whose
 own BENCH artifact contained the evidence — nobody diffed it against
 the previous round. This module automates that diff: bench.py's parent
-mode calls :func:`compare_to_previous` with the freshly measured main
-section, and any query whose CALIB-NORMALIZED time grew beyond the
-threshold lands in the emitted JSON under ``bench_diff``.
+mode calls :func:`compare_to_previous` once per SECTION (main, sf1,
+sf10) with the freshly measured timings, and any query whose
+CALIB-NORMALIZED time grew beyond the threshold lands in the emitted
+JSON under ``bench_diff`` / ``bench_diff_sf1`` / ``bench_diff_sf10``.
+The decade sections are where scale regressions would surface first —
+and where single-iteration noise needs the calib anchor most.
 
 Calib normalization is the load-bearing part: whole runs drift ±10-15%
 together with VM frequency/steal (bench.py module docstring), so raw
 wall-clock ratios cross rounds are noise — query_sec/calib_sec cancels
 the uniform drift. The threshold (1.3x) sits above the residual
 per-query jitter band; sub-150ms queries are skipped (their relative
-jitter exceeds any signal).
+jitter exceeds any signal). Entries measured from a single sample in
+the CURRENT run (the sf10 cold pass, 20s+ early-break queries) are
+annotated ``"single_sample": true`` so a flag there is read as "re-run
+before believing" rather than proof.
+
+Parsing is ALLOW-LISTED: per-section timings are read only from inside
+the literal ``"queries": {...}`` / ``"sf1_queries": {...}`` /
+``"sf10_queries": {...}`` blocks of the artifact's (possibly
+front-truncated) JSON line, and a scraped value must be a decimal
+float — iteration counts and other future integer fields can never
+masquerade as timings. Only the main section's FRONT fragment (its
+opener can be cut off by the driver's tail truncation) falls back to a
+marker-bounded scrape with a deny-list for embedded bench_diff
+residue.
 """
 
 from __future__ import annotations
@@ -28,11 +44,37 @@ RATIO_THRESHOLD = 1.3
 # relative jitter on sub-150ms queries exceeds the signal
 MIN_CURRENT_SEC = 0.15
 
+# timings are json floats (round(v, 3) of a float always serializes
+# with a decimal point); integer-valued fields (iters, rows, vs_round)
+# can therefore never scrape as a timing
+_PAIR_RE = re.compile(r'"([A-Za-z0-9_]+)": ([0-9]+\.[0-9]+)')
+
+# (section key in the bench line, calib key, compare_to_previous name)
+SECTIONS = {
+    "main": ("queries", "calib_sec"),
+    "sf1": ("sf1_queries", "sf1_calib_sec"),
+    "sf10": ("sf10_queries", "sf10_calib_sec"),
+}
+
+# structural markers that bound the main section's front fragment:
+# everything at or after the first of these is NOT a main timing
+_CUT_MARKERS = (
+    '"iters"', '"bench_diff"', '"flagged"', '"sf1_queries"',
+    '"sf1_iters"', '"sf10_queries"', '"sf10_iters"', '"calib_sec"',
+    '"bench_diff_sf1"', '"bench_diff_sf10"',
+)
+
+# meta floats that can precede the markers in a deep truncation
+_DENY = ("value", "prev", "cur", "norm_ratio", "threshold",
+         "calib_ratio", "sf", "calib_sec", "sf1_calib_sec",
+         "sf10_calib_sec", "sf1_total_sec", "sf10_total_sec")
+
 
 def _parse_artifact(path: str) -> dict | None:
-    """Extract {queries, calib_sec} from a driver BENCH_r*.json, which
-    wraps the bench JSON line as {"tail": ..., "parsed": ...} — tail
-    may be TRUNCATED mid-line, so fall back to regex scraping."""
+    """Extract per-section {queries, calib} maps from a driver
+    BENCH_r*.json, which wraps the bench JSON line as {"tail": ...,
+    "parsed": ...} — tail keeps only the LAST ~2000 chars, so the main
+    section's opener is usually cut while sf1/sf10 survive intact."""
     try:
         with open(path) as f:
             doc = json.load(f)
@@ -41,46 +83,56 @@ def _parse_artifact(path: str) -> dict | None:
     sf = doc.get("sf")
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and "queries" in parsed:
-        return {
-            "queries": parsed["queries"],
-            "calib_sec": parsed.get("calib_sec"),
-            "sf": parsed.get("sf", sf),
-        }
+        out = {"sf": parsed.get("sf", sf)}
+        for qk, ck in SECTIONS.values():
+            if isinstance(parsed.get(qk), dict):
+                out[qk] = parsed[qk]
+                out[ck] = parsed.get(ck)
+        return out
     tail = doc.get("tail") or ""
-    # the sf1/sf10 sections repeat MAIN query names at other data
-    # sizes, and r7+ artifacts embed a bench_diff block whose
-    # prev/cur/norm_ratio numbers would scrape as phantom queries —
-    # scrape only the text before the first such marker (tail
-    # truncation cuts the FRONT of the line, so the main section may
-    # be partial; missing keys just don't compare)
-    for marker in ('"bench_diff"', '"sf1_queries"', '"sf10_queries"'):
-        cut = tail.find(marker)
-        if cut >= 0:
-            tail = tail[:cut]
-    pairs = re.findall(r'"([A-Za-z0-9_]+)": ([0-9.]+)', tail)
-    if not pairs:
-        return None
-    scraped = {k: float(v) for k, v in pairs}
-    calib = scraped.pop("calib_sec", None)
-    # meta fields plus bench_diff residue: a FRONT-truncation landing
-    # inside the embedded bench_diff block removes the cut marker
-    # itself, leaving its per-entry numbers to scrape as phantom
-    # queries — drop them by name (no real query is named like these)
-    for meta in ("value", "n", "rc", "cpus",
-                 "prev", "cur", "norm_ratio", "threshold",
-                 "vs_round", "calib_ratio"):
-        scraped.pop(meta, None)
-    tail_sf = scraped.pop("sf", sf)
-    if not scraped:
+    out = {"sf": sf}
+    for qk, ck in SECTIONS.values():
+        m = re.search(r'"%s": \{([^{}]*)\}' % qk, tail)
+        if m:
+            qmap = {k: float(v) for k, v in _PAIR_RE.findall(m.group(1))}
+            if qmap:
+                out[qk] = qmap
+        m = re.search(r'"%s": ([0-9.]+)' % ck, tail)
+        if m:
+            out[ck] = float(m.group(1))
+    if "queries" not in out:
+        # the main opener was truncated off the front: scrape the
+        # fragment BEFORE the first structural marker (missing keys
+        # just don't compare), deny-listing meta floats — a truncation
+        # landing inside a non-queries block leaves either markers
+        # (cut to empty) or integer pairs (rejected by the float rule)
+        frag = tail
+        for marker in _CUT_MARKERS:
+            cut = frag.find(marker)
+            if cut >= 0:
+                frag = frag[:cut]
+        qmap = {k: float(v) for k, v in _PAIR_RE.findall(frag)}
+        for meta in _DENY:
+            qmap.pop(meta, None)
+        m = re.search(r'"sf": ([0-9.]+)', tail)
+        if m:
+            out["sf"] = float(m.group(1))
+        if qmap:
+            out["queries"] = qmap
+    if not any(qk in out for qk, _ in SECTIONS.values()):
         return None  # nothing real survived the truncation
-    return {"queries": scraped, "calib_sec": calib, "sf": tail_sf}
+    return out
 
 
-def find_previous(repo_dir: str, sf=None) -> tuple[int, dict] | None:
-    """Latest BENCH_r{N}.json by round number, parsed; None if absent.
-    When ``sf`` is given, only artifacts recorded at the same scale
-    factor qualify — a sf0.001 smoke must not diff against a sf0.1
-    round (everything would compare meaninglessly faster)."""
+def find_previous(
+    repo_dir: str, sf=None, section: str = "main"
+) -> tuple[int, dict] | None:
+    """Latest BENCH_r{N}.json by round number that carries the
+    requested section, parsed; None if absent. When ``sf`` is given,
+    only artifacts recorded at the same scale factor qualify — a
+    sf0.001 smoke must not diff against a sf0.1 round (everything
+    would compare meaninglessly faster)."""
+    qk = SECTIONS[section][0]
     best = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -89,7 +141,7 @@ def find_previous(repo_dir: str, sf=None) -> tuple[int, dict] | None:
         rnd = int(m.group(1))
         if best is None or rnd > best[0]:
             parsed = _parse_artifact(path)
-            if not (parsed and parsed["queries"]):
+            if not (parsed and parsed.get(qk)):
                 continue
             if sf is not None and parsed.get("sf") not in (None, sf):
                 continue
@@ -102,23 +154,29 @@ def compare_to_previous(
     calib_sec: float | None,
     repo_dir: str | None = None,
     sf=None,
+    section: str = "main",
+    iters: dict[str, int] | None = None,
 ) -> dict | None:
-    """Diff this run's main-section timings against the latest recorded
-    round. Returns a summary dict for the bench JSON line (or None when
-    no prior artifact exists):
+    """Diff this run's timings for one section against the latest
+    recorded round that carries that section. Returns a summary dict
+    for the bench JSON line (or None when no prior artifact exists):
 
         {"vs_round": N, "calib_ratio": cur/prev,
          "flagged": {name: {"prev": s, "cur": s, "norm_ratio": r}}}
 
     norm_ratio = (cur/cur_calib) / (prev/prev_calib); > 1.3 flags.
     When either calib is missing the raw ratio is used and marked.
-    """
+    ``iters`` (current run's per-query sample counts) marks flagged
+    single-sample entries — one VM-steal spike during the only sample
+    both lands in the artifact AND trips this flag, so those read as
+    "re-run before believing"."""
     repo_dir = repo_dir or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    prev = find_previous(repo_dir, sf=sf)
+    prev = find_previous(repo_dir, sf=sf, section=section)
     if prev is None:
         return None
     rnd, art = prev
-    prev_q, prev_calib = art["queries"], art["calib_sec"]
+    qk, ck = SECTIONS[section]
+    prev_q, prev_calib = art[qk], art.get(ck)
     have_calib = bool(calib_sec) and bool(prev_calib)
     calib_ratio = (calib_sec / prev_calib) if have_calib else None
     flagged = {}
@@ -133,6 +191,8 @@ def compare_to_previous(
                 "cur": cur,
                 "norm_ratio": round(ratio, 3),
             }
+            if iters is not None and iters.get(name, 0) <= 1:
+                flagged[name]["single_sample"] = True
     flagged = dict(
         sorted(flagged.items(), key=lambda kv: -kv[1]["norm_ratio"])
     )
