@@ -90,7 +90,9 @@ HEADLINE = [
     "txt10_bm25",
     "ds8_leakage_free_split",
     "ds9s_quality_sketch_filter",
+    "txt12s_ccnet_sketch_buckets",
     "dd11v_substring_verify",
+    "dd17_decontaminate_spans",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
     "sp8_error_trace_spans",
@@ -137,6 +139,8 @@ SF1_HEADLINE = [
     "maint1_compaction_requery",
     "dd12s_semantic_dedup_sampled",
     "dd16_substring_remove",
+    # r8: span-level decontamination (dd13 x dd16 composition)
+    "dd17_decontaminate_spans",
 ]
 
 # second measured decade (100× the default bench size, deterministic
@@ -168,9 +172,13 @@ SF10_HEADLINE = [
     # r7: the full dedup pipeline's decade with the delete-list join
     # UNhinted (the r6 weak #2 fix) — 35.5s cold, probe-verified
     "dd10_dedup_pipeline",
-    # r7: exact-substring span removal (probe: 27s sf1 / 43s sf10 —
-    # 1.6x second decade; spans stay pair-bounded)
+    # r7: exact-substring span removal (recorded BENCH_r07: 11.2s sf1 /
+    # 60.8s sf10 — sub-linear decades but the sf10 single cold sample is
+    # noisy across runs, 43-61s observed; spans stay pair-bounded)
     "dd16_substring_remove",
+    # r8: span-level decontamination's decade (broadcast bench side +
+    # candidate-pruned grams — should stay well under dd16)
+    "dd17_decontaminate_spans",
 ]
 
 

@@ -2249,6 +2249,130 @@ def dd16_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d, spans, "text", "doc_id")
 
 
+_DD17_BENCH_MOD = 31  # deterministic hash slice standing in for the eval set
+
+
+@register(
+    "dd17_decontaminate_spans",
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a
+      JOIN fps b USING (fingerprint)
+      WHERE a.doc_id % {_DD17_BENCH_MOD} = 0
+        AND b.doc_id % {_DD17_BENCH_MOD} != 0
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM toks CROSS JOIN unnest(generate_series(1, len(tk) - 4)) AS t(i)
+      WHERE len(tk) >= 5
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b, ga.pos AS i, gb.pos AS j
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, i - j AS diag, i, j,
+             i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+                                    ORDER BY i) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_b AS doc_id, min(j) AS start_,
+             min(j) + count(*) + 4 AS end_
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING count(*) + 4 >= {_DD16_MIN_RUN}
+    ),
+    flg AS (
+      SELECT doc_id, start_, end_,
+             CASE WHEN start_ > coalesce(max(end_) OVER (
+                    PARTITION BY doc_id ORDER BY start_, end_
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)
+                  THEN 1 ELSE 0 END AS newg
+      FROM spans
+    ),
+    mg AS (
+      SELECT doc_id, min(start_) AS start_, max(end_) AS end_
+      FROM (SELECT *, sum(newg) OVER (PARTITION BY doc_id
+              ORDER BY start_, end_ ROWS UNBOUNDED PRECEDING) AS isl2
+            FROM flg)
+      GROUP BY doc_id, isl2
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM mg),
+    tokidx AS (
+      SELECT t.doc_id, unnest(tk) AS tok,
+             generate_subscripts(tk, 1) AS idx
+      FROM toks t JOIN affected USING (doc_id)
+    ),
+    keptt AS (
+      SELECT ti.doc_id, ti.tok, ti.idx
+      FROM tokidx ti LEFT JOIN mg
+        ON mg.doc_id = ti.doc_id
+       AND ti.idx >= mg.start_ AND ti.idx < mg.end_
+      WHERE mg.start_ IS NULL
+    )
+    SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(len(t.tk) - count(k.idx) AS BIGINT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '')
+             AS clean_text
+    FROM toks t JOIN affected USING (doc_id)
+    LEFT JOIN keptt k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.tk
+    """,
+)
+def dd17_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination (dd13 x dd16: what
+    practitioners actually ship — dd13 drops whole contaminated docs,
+    over-deleting when a long document merely quotes one benchmark
+    passage; this cuts just the contaminated span, the Lee et al.
+    removal machinery with the benchmark suite as the kept side).
+    Candidate (bench, corpus) pairs share >= 2 winnowed fingerprints
+    (any >= k+w-1-token shared run guarantees one); every VERIFIED
+    shared run of >= 20 tokens (literal gram match — hash collisions
+    cannot produce a span) becomes a token interval in the CORPUS doc,
+    intervals union per doc, and affected corpus docs are rebuilt from
+    the uncovered tokens. Benchmark slice: doc_id % 31 = 0. Emits
+    (doc_id, n_tokens, n_removed, clean_text) for affected corpus
+    docs; the oracle replays candidates, gram runs, interval union,
+    and the rebuild token for token.
+
+    100 TB design: the benchmark fingerprint side is tiny and
+    BROADCAST (the dd13 shape), so candidate flagging never shuffles
+    the corpus; grams are then materialized ONLY for flagged docs and
+    the benchmark docs (the dd11v left-semi prune inside
+    _gram_run_islands); every window is (pair, diagonal)- or
+    doc-bounded."""
+    from lakerunner_spark.dataops.dedup import (
+        remove_duplicate_spans,
+        substring_duplicate_spans,
+    )
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    bench = fps.filter(F.col("doc_id") % _DD17_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("doc_a"), "fingerprint"
+    )
+    corpus = fps.filter(F.col("doc_id") % _DD17_BENCH_MOD != 0)
+    cand = (
+        corpus.join(F.broadcast(bench), "fingerprint")
+        .groupBy("doc_a", F.col("doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    spans = substring_duplicate_spans(
+        d, cand, "text", "doc_id", k=5, min_run=_DD16_MIN_RUN
+    )
+    return remove_duplicate_spans(d, spans, "text", "doc_id")
+
+
 _DS10_BUDGET = 20000.0  # global token budget
 _DS10_ALPHA = 0.5       # mixture temperature (alpha<1 upsamples tails)
 

@@ -496,6 +496,55 @@ def test_rank_buckets_validates_arguments():
         rank_buckets(None, "s", "g", [0.5], ["a", "b"], mode="exact")
 
 
+def test_decontaminate_spans_cuts_quote_keeps_rest(spark):
+    """dd17's contract on planted contamination: a corpus doc quoting
+    a >= 20-token benchmark passage loses EXACTLY that span (not the
+    whole doc — the over-deletion dd13 would commit), a doc with only
+    a short overlap is untouched, and the benchmark doc itself is
+    never rewritten."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.dataops.dedup import (
+        remove_duplicate_spans,
+        substring_duplicate_spans,
+    )
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    passage = " ".join(f"benchword{i}" for i in range(25))
+    rows = [
+        (0, f"the eval question says {passage} end of question"),
+        # corpus doc 1 quotes the full passage mid-document
+        (1, f"intro text here {passage} and original analysis follows"),
+        # corpus doc 2 shares only a 6-token fragment (< 20): untouched
+        (2, "unrelated body benchword0 benchword1 benchword2 benchword3"
+            " benchword4 benchword5 more original prose entirely its own"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    bench = fps.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("doc_a"), "fingerprint"
+    )
+    cand = (
+        fps.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(bench), "fingerprint")
+        .groupBy("doc_a", F.col("doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    spans = substring_duplicate_spans(
+        d, cand, "text", "doc_id", k=5, min_run=20
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(d, spans, "text", "doc_id").collect()}
+    assert set(out) == {1}  # only the quoting doc is affected
+    r = out[1]
+    assert r["n_removed"] == 25
+    assert "benchword" not in r["clean_text"]
+    assert "intro text here" in r["clean_text"]
+    assert "original analysis follows" in r["clean_text"]
+
+
 def test_percentile_filter_keep_pct_requires_window():
     from lakerunner_spark.dataops.sampling import percentile_filter
 
