@@ -93,6 +93,7 @@ HEADLINE = [
     "txt12s_ccnet_sketch_buckets",
     "dd11v_substring_verify",
     "dd17_decontaminate_spans",
+    "ddm1_image_neardup",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
     "sp8_error_trace_spans",

@@ -1044,3 +1044,58 @@ def remove_duplicate_spans(
         (F.size("_tk") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def hamming_neardup_pairs(
+    words: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Banded Hamming near-duplicate join over per-id band words (the
+    simhash/MinHash banding trade applied to perceptual hashes —
+    dedup.py module notes): ids sharing at least one EXACT band word
+    become candidates via an equi-keyed self-join on (band, word) —
+    bucketed, never all-pairs — then candidates verify by the total
+    popcount of XOR across ALL bands. Returns (id_a, id_b, hamming)
+    with id_a < id_b and hamming <= max_hamming.
+
+    Recall contract (the LSH trade): a true near-dup pair is found iff
+    its differing bits leave at least one band untouched — with B
+    bands, any pair within B-1 bit flips confined to B-1 bands is
+    guaranteed; uniform-random corruption beyond that degrades
+    gracefully, exactly simhash banding's behavior. Precision is exact:
+    the verify pass computes the true Hamming distance.
+
+    Scale (the ddm1 100 TB design): the self-join shuffles on
+    (band, word) whose values are near-unique except for genuinely
+    duplicated content — the signal itself; a pathological hot word
+    (solid-color images all hashing to 0) is the dd2 hot-bucket story
+    and caps the same way. The verify join re-keys the BOUNDED
+    candidate set by id — band words per id are a constant few rows."""
+    if max_hamming < 0:
+        raise ValueError("hamming_neardup_pairs: max_hamming >= 0")
+    a = words.select(F.col(id_col).alias("id_a"), "band", "word")
+    b = words.select(F.col(id_col).alias("id_b"), "band", "word")
+    cand = (
+        a.join(b, ["band", "word"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = words.select(
+        F.col(id_col).alias("id_a"), "band", F.col("word").alias("_wa")
+    )
+    wb = words.select(
+        F.col(id_col).alias("id_b"), "band", F.col("word").alias("_wb")
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, ["id_b", "band"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.expr("bit_count(_wa ^ _wb)"))
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -763,3 +763,127 @@ def sim7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 3)
     c = emb.filter(F.col("vec_id") >= 3)
     return pq_topk(q, c, k=5, m=16, n_codes=32, dim=64, shortlist=32)
+
+
+# ddm1 fixture: 14 BMP images (36x32 = a 9x8 grid of 4x4 tiles), pixel
+# values from a squared-mod generator (nonlinear, so base images get
+# DISTINCT gradient hashes — a linear ramp would hash every image
+# identically). Planted near-duplicates: ids 100-102 are ids 0-2 with
+# +10 uniform brightness (dHash-invariant — the re-encode analogue);
+# ids 200-202 are ids 0-2 with one tile (+50 on tile row 3, col 4)
+# locally edited, flipping at most the two bits whose comparisons
+# touch that tile. All values stay < 250: no clipping, so the oracle's
+# integer generator reproduces every byte.
+_DDM1_IDS = [0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 200, 201, 202]
+_DDM1_W, _DDM1_H = 36, 32
+_DDM1_MAX_HAMMING = 8
+
+
+def _ddm1_pixel(m: int, y: int, x: int, c: int) -> int:
+    e = (m % 100) * 97 + y * 31 + x * 61 + c * 13 + 5
+    v = (e * e) % 199
+    if 100 <= m < 200:
+        v += 10
+    if m >= 200 and y // 4 == 3 and x // 4 == 4:
+        v += 50
+    return v
+
+
+@register(
+    "ddm1_image_neardup",
+    f"""
+    WITH ids AS (SELECT unnest([{", ".join(str(i) for i in _DDM1_IDS)}]) AS m),
+    px AS (
+      SELECT m, y, x, c,
+             (((m % 100)*97 + y*31 + x*61 + c*13 + 5)
+              * ((m % 100)*97 + y*31 + x*61 + c*13 + 5)) % 199
+             + CASE WHEN m >= 100 AND m < 200 THEN 10 ELSE 0 END
+             + CASE WHEN m >= 200 AND y // 4 = 3 AND x // 4 = 4
+                    THEN 50 ELSE 0 END AS v
+      FROM ids CROSS JOIN range(0, {_DDM1_H}) t1(y)
+           CROSS JOIN range(0, {_DDM1_W}) t2(x)
+           CROSS JOIN range(0, 3) t3(c)
+    ),
+    tiles AS (
+      SELECT m, y // 4 AS r, x // 4 AS col, sum(v) / 16.0 AS g
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.m, a.r, a.col,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM tiles a
+      JOIN tiles b ON b.m = a.m AND b.r = a.r AND b.col = a.col + 1
+    ),
+    words AS (
+      SELECT m, r // 2 AS band,
+             CAST(sum(bit * CAST(power(2, (r % 2) * 8 + col) AS BIGINT))
+                  AS BIGINT) AS word
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.m AS media_a, b.m AS media_b
+      FROM words a
+      JOIN words b ON b.band = a.band AND b.word = a.word AND a.m < b.m
+      GROUP BY 1, 2
+    ),
+    ham AS (
+      SELECT c.media_a, c.media_b,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN words x ON x.m = c.media_a
+      JOIN words y ON y.m = c.media_b AND y.band = x.band
+      GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, hamming
+    FROM ham WHERE hamming <= {_DDM1_MAX_HAMMING}
+    """,
+)
+def ddm1_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate detection — the multimodal
+    x dedup cell: BMP payloads decode through the engine's stdlib
+    codec into 4x4 tile means (mm7's ViT patch machinery), reduce to a
+    dHash (bit = horizontal gray-gradient sign — invariant to the
+    uniform brightness/contrast shifts re-encodes introduce, which
+    byte- or pixel-exact dedup misses), and near-dup pairs come from
+    the banded Hamming join (dedup.hamming_neardup_pairs: equi-join on
+    exact 16-bit band words — bucketed, NEVER all-pairs — then exact
+    popcount verify). Planted: brightness-shifted copies land at
+    hamming 0, single-tile edits at 1-2 bits, unrelated images nowhere
+    (unit-asserted in tests/test_multimodal_ann.py). Integer pixel
+    math end to end: the oracle regenerates every byte, tile mean,
+    hash bit, band word, candidate, and popcount.
+
+    100 TB design: decode+hash is one mapInPandas scan (payloads never
+    shuffle, output is 4 band-word rows per image); the only shuffles
+    key on (band, word) — near-unique except genuine duplicates — and
+    the bounded candidate set. The pair stage is the dd2/dd4 banding
+    asymptote with the same hot-bucket story."""
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_dhash_bands,
+    )
+
+    rows = []
+    for m in _DDM1_IDS:
+        rgb = bytes(
+            _ddm1_pixel(m, y, x, c)
+            for y in range(_DDM1_H)
+            for x in range(_DDM1_W)
+            for c in range(3)
+        )
+        rows.append(
+            (m, "image", _DDM1_W, _DDM1_H, None,
+             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
+    pairs = hamming_neardup_pairs(
+        words, "media_id", max_hamming=_DDM1_MAX_HAMMING
+    )
+    return pairs.select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )

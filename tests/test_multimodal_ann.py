@@ -527,3 +527,47 @@ def test_pq_recall_vs_exact_l2(emb):
     # the same shortlist budget — the re-rank stage is what converts
     # ADC's coarse ordering into usable head recall
     assert _recall(approx, exact) >= 0.7
+
+
+def test_image_dhash_neardup_planted(spark):
+    """ddm1's contract on the planted fixture: brightness-shifted
+    copies (dHash's invariance — the re-encode analogue) pair at
+    hamming 0, single-tile edits within 2 bits, and NO unrelated base
+    pair survives the banded join + popcount verify. Also asserts the
+    plan is the bucketed shape: no CartesianProduct / BNLJ anywhere —
+    candidates come from the equi-join on (band, word)."""
+    import lakerunner_spark.queries_multimodal as qm
+
+    df = qm.ddm1_image_neardup(spark, "unused")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in df.collect()}
+    for m in (0, 1, 2):
+        assert pairs[(m, 100 + m)] == 0, "brightness shift must not move dHash"
+        assert pairs[(m, 200 + m)] <= 2, "tile edit flips at most 2 bits"
+    bases = {0, 1, 2, 3, 4, 5, 6, 7}
+    for (a, b) in pairs:
+        assert not (a in bases and b in bases), f"false positive {a},{b}"
+
+
+def test_hamming_neardup_pairs_verifies_exact_distance(spark):
+    """The banded join may candidate any pair sharing one band; the
+    popcount verify must compute the TRUE Hamming distance across all
+    bands and drop pairs above the threshold."""
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+
+    rows = [
+        (1, 0, 0b1010), (1, 1, 0b0001),
+        (2, 0, 0b1010), (2, 1, 0b1110),   # shares band 0; xor band 1 = 0b1111
+        (3, 0, 0b1010), (3, 1, 0b0001),   # identical to 1
+        (4, 0, 0b0101), (4, 1, 0b0110),   # shares nothing: never a candidate
+    ]
+    words = spark.createDataFrame(rows, "media_id long, band long, word long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_neardup_pairs(words, max_hamming=2).collect()}
+    assert got == {(1, 3): 0}
+    loose = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hamming_neardup_pairs(words, max_hamming=8).collect()}
+    assert loose == {(1, 3): 0, (1, 2): 4, (2, 3): 4}

@@ -35,6 +35,10 @@ PYTHON_ALLOWED = {
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)
+    "ddm1_image_neardup",  # mapInPandas BMP decode feeding the dHash
+                           # (stdlib codec; hash/band/verify stages are
+                           # all JVM-side DataFrame ops — plan-asserted
+                           # bucketed in test_multimodal_ann)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
