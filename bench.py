@@ -94,6 +94,7 @@ HEADLINE = [
     "dd11v_substring_verify",
     "dd17_decontaminate_spans",
     "ddm1_image_neardup",
+    "sim8_ann_frontier",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
     "sp8_error_trace_spans",

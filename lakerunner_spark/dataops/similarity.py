@@ -681,3 +681,45 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .select("qid", "cid", "l2_dist")
     )
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k by squared L2 for each query (brute force) — the
+    ground-truth twin of :func:`cosine_topk` for the L2-metric ANN
+    routes (PQ ranks by L2, so its recall must be measured against
+    exact L2, not cosine). Output: qid, cid, l2_dist (rounded before
+    ranking, cid tiebreak — the engine-deterministic convention).
+
+    Same 100 TB shape as cosine_topk: the query set broadcasts, the
+    corpus streams once; the distance is an index-ordered fold."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    l2 = F.expr(
+        "aggregate(zip_with(_qv, _cv,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = pairs.select(
+        "qid", "cid", portable_round_finite(l2, round_dp).alias("l2_dist")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("l2_dist").asc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import lakerunner_spark.queries_dataops  # noqa: F401 — registers sim1/sim6,
+# whose oracles sim8's composed frontier oracle reads at import time
 from lakerunner_spark.dataops.multimodal import byte_histogram_features
 from lakerunner_spark.dataops.similarity import ivf_topk, lsh_bucket_topk
 from lakerunner_spark.functions.rounding import portable_round as _pr
@@ -886,4 +888,158 @@ def ddm1_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("media_a"),
         F.col("id_b").alias("media_b"),
         "hamming",
+    )
+
+
+# sim8: the ANN quality frontier — per retrieval method, its candidate
+# budget and measured recall@5 against the exact baseline of ITS OWN
+# target metric (cosine for sim1-4/6, L2 for sim7's PQ). sim5 is a
+# clustering census, not retrieval, so it has no recall to report.
+_SIM8_METHODS = [
+    ("sim1_cosine_topk", "full corpus, float cosine", "cos"),
+    ("sim2_ivf_topk", "IVF: 8 of 16 cells probed", "cos"),
+    ("sim3_lsh_topk", "LSH: 6 tables x 3-bit buckets", "cos"),
+    ("sim4_quantized_topk", "full corpus, int8 vectors", "cos"),
+    ("sim6_random_projection", "JL 64->24d, shortlist 64 + exact re-rank", "cos"),
+    ("sim7_pq_topk", "PQ ADC, shortlist 32 + exact L2 re-rank", "l2"),
+]
+
+_SIM8_L2_EXACT = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+    qf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM q CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    cf AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN unnest(range(1, 65)) AS t(i)),
+    d AS (
+      SELECT qf.vec_id AS qid, cf.vec_id AS cid,
+             pround(sum((qf.v - cf.v) * (qf.v - cf.v)), 6) AS l2_dist
+      FROM qf JOIN cf ON cf.i = qf.i
+      GROUP BY 1, 2
+    )
+    SELECT qid, cid FROM (
+      SELECT qid, cid, row_number() OVER (
+        PARTITION BY qid ORDER BY l2_dist ASC, cid ASC) AS rn
+      FROM d
+    ) WHERE rn <= 5
+"""
+
+
+def _sim8_oracle() -> str:
+    """Composes the REGISTERED sim oracles (each already an exact,
+    driver-verified replica of its method) as CTE subqueries and counts
+    per-method overlap with the exact baseline of its metric."""
+    from lakerunner_spark.queries import ORACLE
+
+    ctes = [f"exact_l2 AS ({_SIM8_L2_EXACT})"]
+    selects = []
+    for name, budget, metric in _SIM8_METHODS:
+        ctes.append(f"{name}_full AS ({ORACLE[name]})")
+        ctes.append(
+            f"{name}_ids AS (SELECT qid, cid FROM {name}_full)"
+        )
+        exact = "exact_cos_ids" if metric == "cos" else "exact_l2"
+        selects.append(f"""
+    SELECT '{name}' AS method, '{budget}' AS budget,
+           CAST((SELECT count(*) FROM {name}_ids JOIN {exact}
+                 USING (qid, cid)) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM {exact}) AS BIGINT) AS n_exact,
+           pround((SELECT count(*) FROM {name}_ids JOIN {exact}
+                   USING (qid, cid)) * 1.0
+                  / (SELECT count(*) FROM {exact}), 6) AS recall5
+        """)
+    # the cosine ground truth IS sim1's registered oracle
+    ctes.insert(1, "exact_cos_ids AS (SELECT qid, cid FROM sim1_cosine_topk_full)")
+    # sim1_cosine_topk_full must be defined before exact_cos_ids
+    ctes.insert(1, f"sim1_cosine_topk_full AS ({ORACLE['sim1_cosine_topk']})")
+    # drop the duplicate definition added by the loop
+    seen, dedup = set(), []
+    for c in ctes:
+        key = c.split(" AS ")[0].strip()
+        if key in seen:
+            continue
+        seen.add(key)
+        dedup.append(c)
+    return "WITH " + ",\n    ".join(dedup) + "\nUNION ALL".join(selects)
+
+
+@register("sim8_ann_frontier", _sim8_oracle())
+def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality frontier (the dd15 funnel pattern applied to
+    sim*): one standing report row per retrieval method — its candidate
+    budget and its measured recall@5 against the EXACT baseline of its
+    own target metric (brute cosine for sim1/2/3/4/6; brute L2 for
+    sim7, whose PQ ranks by L2 — sim7's r6 redesign was caught by
+    exactly this measurement, 0.06 -> 0.78). Recall is a deterministic
+    overlap count on the planted fixture, so the whole frontier is
+    exact-oracle; per-method floors are asserted in
+    tests/test_multimodal_ann.py so a regression in any method's
+    recall fails the suite, not just this report.
+
+    Scale: every method's plan is its registered query's plan (budgets
+    in the report are the knobs those plans carry); the report itself
+    aggregates 6 x 15 id pairs — nothing here grows with the corpus
+    beyond the member queries' own contracts."""
+    from lakerunner_spark.dataops.similarity import l2_topk
+    from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.queries_dataops import (
+        sim1_cosine_topk,
+        sim6_random_projection,
+    )
+
+    fns = {
+        "sim1_cosine_topk": sim1_cosine_topk,
+        "sim2_ivf_topk": sim2_ivf_topk,
+        "sim3_lsh_topk": sim3_lsh_topk,
+        "sim4_quantized_topk": sim4_quantized_topk,
+        "sim6_random_projection": sim6_random_projection,
+        "sim7_pq_topk": sim7_pq_topk,
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_cos = sim1_cosine_topk(spark, sf_dir).select("qid", "cid")
+    exact_l2 = l2_topk(
+        emb.filter(F.col("vec_id") < 3),
+        emb.filter(F.col("vec_id") >= 3),
+        k=5,
+    ).select("qid", "cid")
+
+    approx = None
+    exact = None
+    for name, _, metric in _SIM8_METHODS:
+        a = fns[name](spark, sf_dir).select(
+            F.lit(name).alias("method"), "qid", "cid"
+        )
+        e = (exact_cos if metric == "cos" else exact_l2).select(
+            F.lit(name).alias("method"), "qid", "cid"
+        )
+        approx = a if approx is None else approx.unionByName(a)
+        exact = e if exact is None else exact.unionByName(e)
+
+    hits = (
+        approx.join(exact, ["method", "qid", "cid"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = exact.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    budget = None
+    for name, b, _ in _SIM8_METHODS:
+        w = F.when(F.col("method") == name, F.lit(b))
+        budget = w if budget is None else budget.when(
+            F.col("method") == name, F.lit(b)
+        )
+    return (
+        totals.join(hits, "method", "left")
+        .select(
+            "method",
+            budget.alias("budget"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            portable_round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0)
+                / F.col("n_exact"),
+                6,
+            ).alias("recall5"),
+        )
     )

@@ -571,3 +571,28 @@ def test_hamming_neardup_pairs_verifies_exact_distance(spark):
     loose = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in hamming_neardup_pairs(words, max_hamming=8).collect()}
     assert loose == {(1, 3): 0, (1, 2): 4, (2, 3): 4}
+
+
+def test_ann_frontier_floors(spark, sf_dir):
+    """sim8's standing frontier: per-method recall@5 floors on the
+    planted fixture (sf0.001: sim1 1.0, sim4 0.93, sim7 0.87, sim3/
+    sim6 0.67, sim2 0.6 — floors sit a step below the measured values
+    so genuine regressions fail but fixture-size jitter doesn't). The
+    r6 sim7 redesign (0.06 -> 0.78) is the event this guards against."""
+    import lakerunner_spark.queries_multimodal as qm
+
+    rows = {r["method"]: r for r in
+            qm.sim8_ann_frontier(spark, sf_dir).collect()}
+    floors = {
+        "sim1_cosine_topk": 1.0,     # the exact baseline itself
+        "sim2_ivf_topk": 0.5,
+        "sim3_lsh_topk": 0.55,
+        "sim4_quantized_topk": 0.85,
+        "sim6_random_projection": 0.55,
+        "sim7_pq_topk": 0.7,
+    }
+    assert set(rows) == set(floors)
+    for method, floor in floors.items():
+        r = rows[method]
+        assert r["n_exact"] == 15  # 3 queries x top-5, always
+        assert r["recall5"] >= floor, (method, r["recall5"], floor)

@@ -65,6 +65,9 @@ NLJ_ALLOWED = {
     "txt12s_ccnet_sketch_buckets",   # same txt9 scoring core (1-row
                                      # sample-total scalar crossJoin)
     "sim6_random_projection",        # broadcast queries x corpus scan
+    "sim8_ann_frontier",             # composes sim1/4/6 + exact-L2
+                                     # baseline: each a broadcast
+                                     # 3-query x corpus scan
     "txt10_bm25",                    # broadcast 1-row idf-map/stats scalar
     "ds10_temperature_mixture",      # 1-row total/normalizer scalars x
                                      # the sources-row rate table (both
