@@ -2588,6 +2588,35 @@ def txt11_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dd14_keyed(d: DataFrame) -> DataFrame:
+    """dd14's shared paragraph scan: (doc_id, source, plen, h, pk) rows
+    — fixed 8-token chunks, md5 hash, (doc_id, idx) packed into one
+    integer occurrence key. Factored so the skew-measurement harness
+    (tools/measure_skew.py) times the SHAPES downstream of the same
+    scan rather than re-deriving it."""
+    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
+    docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
+        F.size("_tk") >= 1
+    )
+    paras = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(_tk)/8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(_tk, i*8+1, 8)))"
+            )
+        ).alias("idx", "para"),
+    )
+    return paras.select(
+        "doc_id",
+        "source",
+        F.length("para").alias("plen"),
+        F.md5("para").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
+    )
+
+
 @register(
     "dd14_global_paragraph_dedup",
     """
@@ -2641,29 +2670,21 @@ def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's skew-join splits the probe side (the 1-row-per-key build
     replicates). The projection that shuffles is the narrow (doc_id,
     source, hash, pk, length) — paragraph text never leaves the scan;
-    production would re-read surviving ids."""
+    production would re-read surviving ids.
+
+    Measured regime note (r8, tools/measure_skew.py + PLANS.md dd14):
+    on a zipf fixture (30%-of-docs banner, hot key 18x the average
+    partition) the window form is 2.4x FASTER at local[32] — this
+    shape pays the tokenize scan twice (aliased join branches don't
+    reuse exchanges) while a 150k-row hot partition costs ~0.1s. The
+    shapes cross on a real cluster: at ~10k-way parallelism the
+    per-core scan share shrinks ~300x while the hot window partition
+    stays ONE sequential task (~10^11 rows at 100 TB). This query
+    ships the cluster-regime shape; single-box callers should prefer
+    the window form, and production amortizes the second scan by
+    persisting the paragraph-key table."""
     d = load_table(spark, sf_dir, "documents")
-    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
-    docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
-        F.size("_tk") >= 1
-    )
-    paras = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, cast(ceil(size(_tk)/8.0) as int) - 1),"
-                " i -> concat_ws(' ', slice(_tk, i*8+1, 8)))"
-            )
-        ).alias("idx", "para"),
-    )
-    keyed = paras.select(
-        "doc_id",
-        "source",
-        F.length("para").alias("plen"),
-        F.md5("para").alias("h"),
-        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
-    )
+    keyed = _dd14_keyed(d)
     firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
     marked = keyed.join(firsts, "h")
     dup = F.col("pk") != F.col("mpk")

@@ -215,3 +215,35 @@ def test_bloom_prune_sound_and_skips(spark):
             .select("segment_key").distinct().collect()
         }
         assert exact_segs <= bloom_segs, needle
+
+
+def test_zipf_fixture_and_dd14_shape_equivalence(spark, tmp_path):
+    """tools/measure_skew.py's zipf corpus: the banner chunks must be
+    genuine corpus-global hot keys (multiplicity = the hot doc slice,
+    orders of magnitude above the organic tail), and dd14's shipped
+    groupBy+join shape must return exactly the window shape's rows —
+    the harness times SHAPES of one computation, not two computations."""
+    from tools.measure_skew import HOT_LT, HOT_MOD, _shapes, make_skew
+
+    dst = make_skew("/root/testdata/sf0.001", str(tmp_path / "skew"),
+                    replicas=2)
+    keyed, shapes = _shapes(spark, dst)
+    k = keyed()
+    from pyspark.sql import functions as F
+
+    hot = (
+        k.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc()).limit(5).collect()
+    )
+    n_docs = k.select("doc_id").distinct().count()
+    expect_hot = sum(
+        1 for r in k.select("doc_id").distinct().collect()
+        if (r["doc_id"] % 1_000_000_000) % HOT_MOD < HOT_LT
+    )
+    # 4 banner chunks, each carried by every hot doc exactly once
+    assert [r["n"] for r in hot[:4]] == [expect_hot] * 4
+    assert hot[4]["n"] < expect_hot / 10  # organic tail is far behind
+    assert expect_hot / n_docs == pytest.approx(HOT_LT / HOT_MOD, abs=0.05)
+    a = {tuple(r) for r in shapes["groupby"]().collect()}
+    b = {tuple(r) for r in shapes["window"]().collect()}
+    assert a == b
