@@ -71,10 +71,9 @@ _PRIORITY = [
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
-    "txt11_paragraph_dedup",
-    "mm6_audio_frames",
     "otlp1_exp_histogram_quantile",
     "txt12_ccnet_buckets",
+    "txt12s_ccnet_sketch_buckets",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
@@ -87,7 +86,6 @@ _PRIORITY = [
     "dd11v_substring_verify",
     "pqs48_native_histogram_mixed_schema",
     "pqs43_native_histogram_quantile",
-    "pqs44_native_histogram_fraction",
     "maint1_compaction_requery",
     "dd2_minhash_lsh",
     "dd3_jaccard_verify",
@@ -96,10 +94,12 @@ _PRIORITY = [
     "dd16_substring_remove",
     "dd7_neardup_clusters",
     "dd13_substring_decontaminate",
+    "dd17_decontaminate_spans",
     "ds3_sequence_pack",
     "mm7_image_patches",
+    "ddm1_image_neardup",
+    "sim8_ann_frontier",
     "dd14_global_paragraph_dedup",
-    "ds15_length_histogram",
     "ds12_dsir_selection",
     "ds13_weighted_sample",
     # below the driver's 50-sample line: every entry above touches a
@@ -116,6 +116,15 @@ _PRIORITY = [
     # (sampled two-level SemDeDup), and dd16 (exact-substring span
     # removal), the round's new surface.
     # (dd15 likewise r6-certified, down for txt12's CCNet terciles)
+    # r8: txt11, mm6, pqs44, ds15 (all r7-gate-certified) rotate down
+    # for the round's new surface — txt12s (windowless CCNet terciles),
+    # dd17 (span-level decontamination), ddm1 (perceptual-hash image
+    # dedup), sim8 (ANN quality frontier); their families stay above
+    # the line via dd14/txt12, mm7, pqs43/pqs48, ds12/ds14.
+    "txt11_paragraph_dedup",
+    "mm6_audio_frames",
+    "pqs44_native_histogram_fraction",
+    "ds15_length_histogram",
     "pqs42_native_histogram_fields",
     "ds11_epoch_shuffle",
     "ds10_temperature_mixture",

@@ -145,3 +145,34 @@ def test_retro_catches_the_r6_dd12_regression(tmp_path):
     )
     assert "dd12_semantic_dedup" in diff["flagged"]
     assert diff["flagged"]["dd12_semantic_dedup"]["norm_ratio"] > 1.8
+
+
+def test_sections_parse_and_compare_against_r7_artifact(tmp_path):
+    """r8 extends the comparator to the sf1/sf10 sections. The REAL r7
+    artifact's tail carries both sections intact (only the main section
+    is front-truncated); parsing must recover them, and a section diff
+    against them must flag a planted 2x regression while leaving the
+    honest entries unflagged."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r7 = os.path.join(repo, "BENCH_r07.json")
+    if not os.path.isfile(r7):
+        import pytest
+
+        pytest.skip("round artifact not present")
+    art = _parse_artifact(r7)
+    assert art["sf1_queries"]["dd16_substring_remove"] == 11.22
+    assert art["sf10_queries"]["dd12s_semantic_dedup_sampled"] == 170.954
+    assert art["sf1_calib_sec"] == 0.567 and art["sf10_calib_sec"] == 0.536
+
+    import shutil
+
+    shutil.copy(r7, str(tmp_path))
+    cur = {k: v for k, v in art["sf10_queries"].items()}
+    cur["dd14_global_paragraph_dedup"] *= 2.0  # planted regression
+    diff = compare_to_previous(
+        cur, art["sf10_calib_sec"], repo_dir=str(tmp_path), sf=0.1,
+        section="sf10", iters={k: 1 for k in cur},
+    )
+    assert list(diff["flagged"]) == ["dd14_global_paragraph_dedup"]
+    assert diff["flagged"]["dd14_global_paragraph_dedup"]["single_sample"]
+    assert diff["vs_round"] == 7 and diff["calib_ratio"] == 1.0
