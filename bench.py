@@ -94,11 +94,13 @@ HEADLINE = [
     "dd11v_substring_verify",
     "dd17_decontaminate_spans",
     "ddm1_image_neardup",
+    "ddm2_image_dedup_pipeline",
     "sim8_ann_frontier",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
     "sp8_error_trace_spans",
     "dd14_global_paragraph_dedup",
+    "dd14w_paragraph_dedup_window",
     "ds12_dsir_selection",
     "ds13_weighted_sample",
     "ds14_shard_manifest",

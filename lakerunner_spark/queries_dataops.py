@@ -1275,13 +1275,15 @@ def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(language, bucket) census with mean score.
 
     The bucketing runs through the shared grouped-rank router
-    (dataops/sampling.py rank_buckets) pinned to ``mode="window"`` —
-    the exact route this oracle replays rank for rank. The registered
-    100 TB route is txt12s: identical pipeline through the SAME
-    router's sketch mode (two per-language DDSketch thresholds from
-    one walk, no per-language sort of corpus rows); ``mode=None``
-    auto-routes between them on the max-language-rowcount probe
-    (tests/test_dataprep_ops.py::test_rank_buckets_auto_routes)."""
+    (dataops/sampling.py rank_buckets) in AUTO mode (the ds9-style
+    cardinality gate, applied to txt12 itself per the r7 verdict): at
+    every test/gate scale the largest language sits far under the
+    window threshold, so the route is the exact percent_rank this
+    oracle replays rank for rank; past the gate the router switches to
+    the sketch route — at which point results match txt12s's sketch
+    contract rather than this exact oracle, the documented trade. The
+    always-windowless registration is txt12s (same router, pinned
+    sketch mode)."""
     from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.functions.rounding import portable_round
 
@@ -1292,7 +1294,7 @@ def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         [1 / 3, 2 / 3],
         ["head", "middle", "tail"],
-        mode="window",
+        mode=None,
         tiebreak_col="doc_id",
     )
     return b.groupBy("lang", "bucket").agg(
@@ -2617,9 +2619,9 @@ def _dd14_keyed(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dd14_global_paragraph_dedup",
-    """
+# shared by dd14 (groupBy+join shape) and dd14w (window shape): the two
+# are row-identical by construction, so one oracle serves both
+_DD14_ORACLE = """
     WITH toks AS (
       SELECT doc_id, source,
              list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
@@ -2648,8 +2650,24 @@ def _dd14_keyed(d: DataFrame) -> DataFrame:
            CAST(sum(CASE WHEN pk = mpk THEN length(para) ELSE 0 END)
                 AS BIGINT) AS kept_chars
     FROM marked GROUP BY source
-    """,
-)
+    """
+
+
+def _dd14_census(marked: DataFrame) -> DataFrame:
+    dup = F.col("pk") != F.col("mpk")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(dup.cast("long")).alias("n_removed"),
+        F.countDistinct(F.when(dup, F.col("doc_id")))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.sum(F.when(~dup, F.col("plen")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@register("dd14_global_paragraph_dedup", _DD14_ORACLE)
 def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-WIDE paragraph dedup (the CCNet step, Wenzek et al. 2020:
     boilerplate paragraphs — headers, cookie banners, license blurbs —
@@ -2686,18 +2704,28 @@ def dd14_global_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     keyed = _dd14_keyed(d)
     firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
-    marked = keyed.join(firsts, "h")
-    dup = F.col("pk") != F.col("mpk")
-    return marked.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_paras"),
-        F.sum(dup.cast("long")).alias("n_removed"),
-        F.countDistinct(F.when(dup, F.col("doc_id")))
-        .cast("long")
-        .alias("n_docs_affected"),
-        F.sum(F.when(~dup, F.col("plen")).otherwise(0))
-        .cast("long")
-        .alias("kept_chars"),
-    )
+    return _dd14_census(keyed.join(firsts, "h"))
+
+
+@register("dd14w_paragraph_dedup_window", _DD14_ORACLE)
+def dd14w_paragraph_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14's SINGLE-BOX physical variant (row-identical — one oracle
+    serves both): first occurrence via min(pk) OVER (PARTITION BY h),
+    one scan and one shuffle instead of the groupBy+join shape's two
+    scans. Measured 2.4x faster than dd14 at local[32] on the zipf
+    fixture (tools/measure_skew.py; PLANS.md dd14 r8 note) because on
+    one box the 18x-skewed hot partition costs ~0.1s of min-agg while
+    the second tokenize scan costs seconds. The trade INVERTS at
+    cluster parallelism — the hot window partition is one sequential
+    task that AQE can never split — which is why dd14 stays the
+    default registered shape and this one exists for the measured
+    single-box regime."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = _dd14_keyed(d)
+    w = Window.partitionBy("h")
+    return _dd14_census(keyed.withColumn("mpk", F.min("pk").over(w)))
 
 
 _DSIR_TARGET = ("src0", "src1", "src2")

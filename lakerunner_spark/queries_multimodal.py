@@ -1043,3 +1043,83 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall5"),
         )
     )
+
+
+def _ddm2_oracle() -> str:
+    from lakerunner_spark.queries import ORACLE
+
+    n = len(_DDM1_IDS)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT media_a AS id_a, media_b AS id_b
+      FROM ({ORACLE["ddm1_image_neardup"]})
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(u, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e2.u, w.label FROM edges e2 JOIN walk w ON w.u = e2.v
+    ),
+    comp AS (SELECT u AS node, min(label) AS component FROM walk GROUP BY u)
+    SELECT CAST({n} AS BIGINT) AS n_images,
+           CAST(count(*) AS BIGINT) AS n_clustered,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(count(*) - count(DISTINCT component) AS BIGINT) AS n_dropped
+    FROM comp
+    """
+
+
+@register("ddm2_image_dedup_pipeline", _ddm2_oracle())
+def ddm2_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-corpus analogue of dd10's end-to-end dedup pipeline:
+    dHash band words (decode once, mapInPandas) -> banded Hamming
+    candidates + exact popcount verify (ddm1) -> connected components
+    (dataops/graph.py min-label propagation; the oracle replays them
+    with a recursive CTE) -> keep-first census: each cluster keeps its
+    lowest media_id, the rest land on the delete list. One row:
+    (n_images, n_clustered, n_clusters, n_dropped) — on the planted
+    fixture the three original/brightness/tile-edit triples collapse
+    to 3 clusters dropping 6 images.
+
+    100 TB design: same contracts as the member stages — decode never
+    shuffles, the pair stage is band-bucketed, components run one
+    shuffle per round over EDGE rows only (pairs, a vanishing fraction
+    of images), and the census is a single aggregate."""
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+    from lakerunner_spark.dataops.graph import neardup_clusters
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_dhash_bands,
+    )
+
+    rows = []
+    for m in _DDM1_IDS:
+        rgb = bytes(
+            _ddm1_pixel(m, y, x, c)
+            for y in range(_DDM1_H)
+            for x in range(_DDM1_W)
+            for c in range(3)
+        )
+        rows.append(
+            (m, "image", _DDM1_W, _DDM1_H, None,
+             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
+    pairs = hamming_neardup_pairs(
+        words, "media_id", max_hamming=_DDM1_MAX_HAMMING
+    )
+    clusters = neardup_clusters(pairs, "id_a", "id_b")
+    total = media.agg(F.count(F.lit(1)).alias("n_images"))
+    report = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("component"))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return report.crossJoin(F.broadcast(total)).select(
+        "n_images", "n_clustered", "n_clusters", "n_dropped"
+    )

@@ -39,6 +39,7 @@ PYTHON_ALLOWED = {
                            # (stdlib codec; hash/band/verify stages are
                            # all JVM-side DataFrame ops — plan-asserted
                            # bucketed in test_multimodal_ann)
+    "ddm2_image_dedup_pipeline",  # same decode seam (ddm1 + components)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
@@ -68,6 +69,8 @@ NLJ_ALLOWED = {
     "sim8_ann_frontier",             # composes sim1/4/6 + exact-L2
                                      # baseline: each a broadcast
                                      # 3-query x corpus scan
+    "ddm2_image_dedup_pipeline",     # 1-row census x 1-row total
+                                     # crossJoin (the txt9 pattern)
     "txt10_bm25",                    # broadcast 1-row idf-map/stats scalar
     "ds10_temperature_mixture",      # 1-row total/normalizer scalars x
                                      # the sources-row rate table (both

@@ -450,3 +450,49 @@ def test_parsers_fail_closed_on_raw_text(s):
             parse(s)
         except ValueError:
             pass
+
+
+@given(
+    scores=st.lists(
+        st.floats(min_value=0.01, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=60,
+    ),
+    q=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=300, deadline=None)
+def test_grouped_rank_sketch_contract(scores, q):
+    """The grouped-rank router's correctness CONTRACT, as algebra (the
+    Spark tests check the implementation matches this math; this checks
+    the math itself over random inputs): the DDSketch threshold route
+    (bucket = ceil(ln s / ln gamma), cum walk to rank floor(q*(n-1)),
+    mid-bucket threshold 2*gamma^i/(gamma+1), keep-low = s <= t) may
+    disagree with the exact percent_rank route ONLY for scores within
+    one bucket (the relative-error band, ~±1% at acc=0.01) of the
+    rank-selected value. Everywhere else the buckets agree exactly."""
+    import math
+    from collections import Counter
+
+    from lakerunner_spark.operators.ddsketch import gamma_for
+
+    gamma = gamma_for(0.01)
+    lg = math.log(gamma)
+    n = len(scores)
+    rank = math.floor(q * (n - 1))
+    # sketch threshold from the cumulative bucket walk
+    counts = Counter(math.ceil(math.log(s) / lg) for s in scores)
+    cum, hit = 0, None
+    for b in sorted(counts):
+        cum += counts[b]
+        if cum > rank:
+            hit = b
+            break
+    t = 2.0 * gamma ** hit / (gamma + 1.0)
+    # exact route: percent_rank(s) = (rank(s)-1)/(n-1), SQL rank ties
+    v = sorted(scores)[rank]  # the rank-selected value
+    for s in scores:
+        pr = sum(1 for y in scores if y < s) / (n - 1)
+        exact_low = pr <= q
+        sketch_low = s <= t
+        if exact_low != sketch_low:
+            assert v / gamma**2 <= s <= v * gamma**2, (s, v, t, q)

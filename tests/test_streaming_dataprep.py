@@ -214,3 +214,65 @@ def test_streaming_sampling_keys_match_batch(spark, tmp_path):
 
     batch_rows, stream_rows = _stream_vs_batch(spark, tmp_path, build)
     assert batch_rows == stream_rows and batch_rows
+
+
+def test_streaming_image_patches_match_batch(spark, tmp_path):
+    """ddm1's ingest half is stateless: BMP decode -> tile means via
+    mapInPandas runs unchanged under readStream (images arriving
+    continuously produce the same patch rows the batch scan does). The
+    band/verify joins run per-microbatch in foreachBatch, the
+    streaming/dedup.py pattern — the decode is what must be
+    stream-transparent."""
+    from lakerunner_spark.dataops.multimodal import (
+        encode_bmp,
+        image_patch_features,
+    )
+    from lakerunner_spark.queries_multimodal import (
+        _DDM1_H,
+        _DDM1_IDS,
+        _DDM1_W,
+        _ddm1_pixel,
+    )
+
+    rows = [
+        (
+            m,
+            bytearray(
+                encode_bmp(
+                    _DDM1_W,
+                    _DDM1_H,
+                    bytes(
+                        _ddm1_pixel(m, y, x, c)
+                        for y in range(_DDM1_H)
+                        for x in range(_DDM1_W)
+                        for c in range(3)
+                    ),
+                )
+            ),
+        )
+        for m in _DDM1_IDS[:4]
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    indir = str(tmp_path / "media_in")
+    media.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    def build(df):
+        return image_patch_features(df, patch=4)
+
+    batch_rows = {tuple(r) for r in build(spark.read.parquet(indir)).collect()}
+    q = (
+        build(spark.readStream.schema(schema).parquet(indir))
+        .writeStream.format("memory")
+        .queryName("img_patch_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM img_patch_parity").collect()
+    }
+    assert batch_rows == stream_rows
+    assert len(batch_rows) == 4 * (_DDM1_W // 4) * (_DDM1_H // 4)

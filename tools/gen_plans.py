@@ -245,7 +245,49 @@ COMMENT = {
         "exchange form) would put every copy of the hottest paragraph "
         "in one task with no partial aggregation. Only the narrow "
         "(doc_id, source, hash, pk, length) projection shuffles — "
-        "paragraph text never leaves the scan."
+        "paragraph text never leaves the scan. r8 MEASURED the claim "
+        "on a zipf fixture (tools/measure_skew.py; PLANS.md carries "
+        "the full note): at local[32] the window form is 2.4x FASTER "
+        "— this shape scans twice and the 18x-skewed hot partition "
+        "costs only ~0.1s — with the crossover at cluster parallelism "
+        "where the hot window partition becomes one sequential "
+        "multi-billion-row task."
+    ),
+    "txt12s_ccnet_sketch_buckets": (
+        "Windowless CCNet terciles (the r7 weak, fixed): per-language "
+        "head/middle/tail boundaries come from TWO DDSketch quantile "
+        "thresholds read from ONE cumulative walk over (lang, bucket) "
+        "sketch rows — a few hundred per language regardless of corpus "
+        "size — joined back unhinted (one row per language; AQE "
+        "broadcasts). NO percent_rank anywhere in the plan "
+        "(plan-guarded): the majority language of a real crawl never "
+        "sorts in one task. Shares the grouped-rank router "
+        "(rank_buckets) with ds9s; mode=None auto-routes on the "
+        "uncached max-language-rowcount probe."
+    ),
+    "dd17_decontaminate_spans": (
+        "Span-level decontamination (dd13 x dd16): the benchmark "
+        "fingerprint side is tiny and BROADCAST, so candidate flagging "
+        "never shuffles the corpus; grams materialize only for flagged "
+        "docs and their benchmark partners (left-semi prune inside the "
+        "gram-run core); every window partitions by (pair, diagonal) "
+        "or by one doc's own spans. Cuts only the verified >=20-token "
+        "span from the corpus doc — no whole-document over-deletion."
+    ),
+    "ddm1_image_neardup": (
+        "Perceptual-hash image dedup: one mapInPandas decode pass "
+        "(payloads never shuffle) emits 4 band words per image; "
+        "candidates come from an equi-join on (band, word) — bucketed, "
+        "never all-pairs, the dd2/dd4 banding asymptote — and the "
+        "popcount verify re-keys only the bounded candidate set. "
+        "Plan-asserted: no BNLJ/CartesianProduct anywhere."
+    ),
+    "sim8_ann_frontier": (
+        "ANN quality frontier: a report plan that unions the six "
+        "retrieval methods' own registered plans (each with its "
+        "broadcast-queries x corpus-scan shape) against the exact "
+        "baselines of their target metrics, then aggregates 6 x 15 id "
+        "pairs — the report itself adds nothing corpus-sized."
     ),
     "ds12_dsir_selection": (
         "DSIR importance selection: two corpus scans (the algorithm's "
