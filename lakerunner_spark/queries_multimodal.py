@@ -671,9 +671,10 @@ def mm7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim7_pq_topk",
-    """
+def _sim7_oracle(shortlist: int = 32) -> str:
+    """sim7's oracle, parameterized by the ADC shortlist width (the
+    recall/cost dial sim8's frontier sweeps)."""
+    return f"""
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
     cents AS (SELECT vec_id AS code, embedding FROM c
@@ -725,7 +726,7 @@ def mm7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT qid, cid, row_number() OVER (
           PARTITION BY qid ORDER BY pq_dist ASC, cid ASC) AS rn
         FROM adc
-      ) WHERE rn <= 32
+      ) WHERE rn <= {shortlist}
     ),
     rer AS (
       SELECT s.qid, s.cid,
@@ -743,8 +744,10 @@ def mm7_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY qid ORDER BY l2_dist ASC, cid ASC) AS rn
       FROM rer
     ) WHERE rn <= 5
-    """,
-)
+    """
+
+
+@register("sim7_pq_topk", _sim7_oracle())
 def sim7_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011) over the sim2
     fixture split: 64-dim vectors divide into 16 four-dim subspaces,
@@ -904,6 +907,11 @@ _SIM8_METHODS = [
     ("sim7_pq_topk", "PQ ADC, shortlist 32 + exact L2 re-rank", "l2"),
 ]
 
+# the frontier CURVE: the same PQ pipeline at narrower ADC shortlists —
+# recall@5 vs candidate budget as data, not prose (sim7's registered
+# point is shortlist 32; these rows show what each halving costs)
+_SIM8_PQ_SWEEP = (8, 16)
+
 _SIM8_L2_EXACT = """
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
     c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
@@ -925,16 +933,36 @@ _SIM8_L2_EXACT = """
 """
 
 
+def _sim8_entries() -> list[tuple[str, str, str, str]]:
+    """(label, budget, metric, oracle_sql) rows: the registered
+    methods plus the PQ shortlist sweep (same pipeline, narrower ADC
+    shortlists — the frontier's cost axis)."""
+    from lakerunner_spark.queries import ORACLE
+
+    entries = [
+        (name, budget, metric, ORACLE[name])
+        for name, budget, metric in _SIM8_METHODS
+    ]
+    for sl in _SIM8_PQ_SWEEP:
+        entries.append(
+            (
+                f"sim7_pq_topk_sl{sl}",
+                f"PQ ADC, shortlist {sl} + exact L2 re-rank",
+                "l2",
+                _sim7_oracle(sl),
+            )
+        )
+    return entries
+
+
 def _sim8_oracle() -> str:
     """Composes the REGISTERED sim oracles (each already an exact,
     driver-verified replica of its method) as CTE subqueries and counts
     per-method overlap with the exact baseline of its metric."""
-    from lakerunner_spark.queries import ORACLE
-
     ctes = [f"exact_l2 AS ({_SIM8_L2_EXACT})"]
     selects = []
-    for name, budget, metric in _SIM8_METHODS:
-        ctes.append(f"{name}_full AS ({ORACLE[name]})")
+    for name, budget, metric, sql in _sim8_entries():
+        ctes.append(f"{name}_full AS ({sql})")
         ctes.append(
             f"{name}_ids AS (SELECT qid, cid FROM {name}_full)"
         )
@@ -948,6 +976,8 @@ def _sim8_oracle() -> str:
                    USING (qid, cid)) * 1.0
                   / (SELECT count(*) FROM {exact}), 6) AS recall5
         """)
+    from lakerunner_spark.queries import ORACLE
+
     # the cosine ground truth IS sim1's registered oracle
     ctes.insert(1, "exact_cos_ids AS (SELECT qid, cid FROM sim1_cosine_topk_full)")
     # sim1_cosine_topk_full must be defined before exact_cos_ids
@@ -974,7 +1004,10 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap count on the planted fixture, so the whole frontier is
     exact-oracle; per-method floors are asserted in
     tests/test_multimodal_ann.py so a regression in any method's
-    recall fails the suite, not just this report.
+    recall fails the suite, not just this report. The PQ rows sweep
+    the ADC shortlist (8/16/32) so the report carries the frontier
+    CURVE — what each halving of the candidate budget costs in
+    recall — not just one point per method.
 
     Scale: every method's plan is its registered query's plan (budgets
     in the report are the knobs those plans carry); the report itself
@@ -995,6 +1028,22 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim6_random_projection": sim6_random_projection,
         "sim7_pq_topk": sim7_pq_topk,
     }
+
+    def _pq_at(sl: int):
+        def run(spark, sf_dir):
+            from lakerunner_spark.dataops.similarity import pq_topk
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            return pq_topk(
+                emb.filter(F.col("vec_id") < 3),
+                emb.filter(F.col("vec_id") >= 3),
+                k=5, m=16, n_codes=32, dim=64, shortlist=sl,
+            )
+
+        return run
+
+    for sl in _SIM8_PQ_SWEEP:
+        fns[f"sim7_pq_topk_sl{sl}"] = _pq_at(sl)
     emb = load_table(spark, sf_dir, "embeddings")
     exact_cos = sim1_cosine_topk(spark, sf_dir).select("qid", "cid")
     exact_l2 = l2_topk(
@@ -1005,7 +1054,7 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     approx = None
     exact = None
-    for name, _, metric in _SIM8_METHODS:
+    for name, _, metric, _sql in _sim8_entries():
         a = fns[name](spark, sf_dir).select(
             F.lit(name).alias("method"), "qid", "cid"
         )
@@ -1024,7 +1073,7 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact")
     )
     budget = None
-    for name, b, _ in _SIM8_METHODS:
+    for name, b, _, _sql in _sim8_entries():
         w = F.when(F.col("method") == name, F.lit(b))
         budget = w if budget is None else budget.when(
             F.col("method") == name, F.lit(b)

@@ -590,9 +590,16 @@ def test_ann_frontier_floors(spark, sf_dir):
         "sim4_quantized_topk": 0.85,
         "sim6_random_projection": 0.55,
         "sim7_pq_topk": 0.7,
+        # the frontier curve: narrower ADC shortlists trade recall
+        "sim7_pq_topk_sl16": 0.55,
+        "sim7_pq_topk_sl8": 0.4,
     }
     assert set(rows) == set(floors)
     for method, floor in floors.items():
         r = rows[method]
         assert r["n_exact"] == 15  # 3 queries x top-5, always
         assert r["recall5"] >= floor, (method, r["recall5"], floor)
+    # a wider candidate budget can never LOWER recall on this fixture
+    assert (rows["sim7_pq_topk_sl8"]["recall5"]
+            <= rows["sim7_pq_topk_sl16"]["recall5"]
+            <= rows["sim7_pq_topk"]["recall5"])
