@@ -747,14 +747,12 @@ def semantic_dedup_sampled(
     # sample_mod): empty centroids would silently return an empty pair
     # set — every duplicate missed — instead of an error. One bounded
     # existence probe (LIMIT 1 over the filtered scan), plan-time only
-    # and memoized (a stale hit can only suppress the error for a
-    # since-emptied table, never change rows).
-    from lakerunner_spark.plans.probe_cache import cached_probe
-
-    has_train = cached_probe(
-        train, "nonempty", lambda: train.limit(1).count() > 0
-    )
-    if not has_train:
+    # and deliberately UNCACHED: this probe is a correctness input,
+    # not a routing hint, so it must not share probe_cache (whose
+    # never-wrong contract is scoped to row-identical routers — a
+    # stale or hash-colliding entry here could suppress the error or
+    # raise it for a now-populated table).
+    if train.limit(1).count() == 0:
         raise ValueError(
             f"semantic_dedup_sampled: train slice is empty — no "
             f"{id_col} satisfies {id_col} % {sample_mod} == 0; pick a "
@@ -1050,6 +1048,7 @@ def hamming_neardup_pairs(
     words: DataFrame,
     id_col: str = "media_id",
     max_hamming: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Banded Hamming near-duplicate join over per-id band words (the
     simhash/MinHash banding trade applied to perceptual hashes —
@@ -1074,6 +1073,18 @@ def hamming_neardup_pairs(
     candidate set by id — band words per id are a constant few rows."""
     if max_hamming < 0:
         raise ValueError("hamming_neardup_pairs: max_hamming >= 0")
+    # this operator reads `words` FOUR times (two candidate sides, two
+    # verify sides) through joins with different key sets, so the
+    # per-branch pushed filters make every subtree canonically distinct
+    # and exchange reuse never fires — without materialization the
+    # whole upstream hash build (for images: the decode pass) runs four
+    # times. localCheckpoint is the dd12/dd12s remedy: the words table
+    # is a few small rows per id (for dHash, 4 band words), so
+    # materializing it is exactly the "persist the hash index" step a
+    # production pipeline runs anyway. Pass materialize=False when the
+    # caller has already persisted/checkpointed it.
+    if materialize:
+        words = words.localCheckpoint(eager=True)
     a = words.select(F.col(id_col).alias("id_a"), "band", "word")
     b = words.select(F.col(id_col).alias("id_b"), "band", "word")
     cand = (

@@ -954,15 +954,20 @@ def image_dhash_bands(
     mean_r + mean_g + mean_b — each term an integer tile sum divided
     by the power-of-two patch area, so every level is an exact binary
     double and the < comparisons are engine-identical (the mm7
-    integer-exactness trade). Band words are sums of bit * 2^pos —
-    exact below 2^53.
+    integer-exactness trade). Band words accumulate by integer
+    shiftleft — exact at every permitted width.
 
     Scale: the decode is the one mapInPandas seam (payloads never
-    shuffle); everything after is tile rows — area/patch² per image —
-    through one equi-keyed self-join per (media, row, col) and one
-    groupBy. Emitting BAND WORDS rather than one wide hash feeds the
-    banded Hamming join (dedup.hamming_neardup_pairs) without ever
-    materializing an all-pairs comparison."""
+    shuffle), and this plan holds ONE decode pass: the gradient bit
+    comes from lead() over a (media, tile-row) window — partitions
+    bounded by one image row, never the corpus — instead of a tile
+    self-join (whose aliased branches would re-run the decode per
+    side). Consumers that read the output through MULTIPLE joins (the
+    banded Hamming join reads it four times) materialize it once —
+    dedup.hamming_neardup_pairs checkpoints by default, the dd12
+    lesson. Emitting BAND WORDS rather than one wide hash feeds that
+    join without ever materializing an all-pairs comparison."""
+    from pyspark.sql import Window
     if band_rows < 1:
         raise ValueError("image_dhash_bands: band_rows >= 1")
     bits_per_row = grid_cols - 1
@@ -978,29 +983,30 @@ def image_dhash_bands(
         "patch_col",
         (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")).alias("_g"),
     )
-    a, b = g.alias("a"), g.alias("b")
-    bits = a.join(
-        b,
-        (F.col("b.media_id") == F.col("a.media_id"))
-        & (F.col("b.patch_row") == F.col("a.patch_row"))
-        & (F.col("b.patch_col") == F.col("a.patch_col") + 1),
-    ).select(
-        F.col("a.media_id").alias("media_id"),
-        F.col("a.patch_row").alias("_r"),
-        F.col("a.patch_col").alias("_c"),
-        F.when(F.col("a._g") < F.col("b._g"), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("_bit"),
+    wrow = Window.partitionBy("media_id", "patch_row").orderBy("patch_col")
+    bits = (
+        g.withColumn("_nxt", F.lead("_g").over(wrow))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            "media_id",
+            F.col("patch_row").alias("_r"),
+            F.col("patch_col").alias("_c"),
+            F.when(F.col("_g") < F.col("_nxt"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_bit"),
+        )
     )
-    pos = (F.col("_r") % band_rows) * bits_per_row + F.col("_c")
+    # integer shift, not a double 2^pos product: a double sum is only
+    # exact to 2^53, which would silently corrupt 54-62-bit words (the
+    # guard above allows them); shiftleft keeps every width exact
+    contrib = F.expr(
+        f"shiftleft(CAST(_bit AS BIGINT),"
+        f" CAST((_r % {band_rows}) * {bits_per_row} + _c AS INT))"
+    )
     return (
         bits.groupBy(
             "media_id",
             (F.col("_r") / band_rows).cast("long").alias("band"),
         )
-        .agg(
-            F.sum(F.col("_bit") * F.pow(F.lit(2.0), pos))
-            .cast("long")
-            .alias("word")
-        )
+        .agg(F.sum(contrib).cast("long").alias("word"))
     )

@@ -309,7 +309,10 @@ def _route_mode(df: DataFrame, by: str, window_threshold: int) -> str:
     a stale entry (or a 32-bit semanticHash collision) silently change
     kept rows within a session after the table grows. The probe is one
     bounded aggregation (|groups| intermediate rows, a scalar out),
-    paid only in auto mode — every registered query pins its mode."""
+    paid only in auto mode; auto callers whose input frame is itself an
+    expensive pipeline should pass a cheaper ``probe_df`` with the same
+    per-group row multiplicity (rank_buckets) so the probe doesn't
+    re-execute the pipeline."""
     if df.isStreaming:
         # a batch probe can't run on an unstarted stream
         return "sketch"
@@ -364,6 +367,7 @@ def rank_buckets(
     relative_accuracy: float = 0.01,
     tiebreak_col: str | None = None,
     out_col: str = "bucket",
+    probe_df: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each row its per-group rank bucket (the CCNet
     head/middle/tail tercile shape, and any per-group quantile binning
@@ -390,7 +394,15 @@ def rank_buckets(
     ds9s trade, property-tested in tests/test_dataprep_ops.py).
 
     ``mode=None`` — auto-routes on the UNCACHED max-group-rowcount
-    probe (:func:`_route_mode`)."""
+    probe (:func:`_route_mode`). ``probe_df``: optional cheaper frame
+    for that probe (same ``by`` column, same per-group row
+    multiplicity) — when ``df`` is itself an expensive pipeline (the
+    txt12 scoring chain), probing it directly would execute the
+    pipeline once per construction; a raw-scan stand-in answers the
+    same routing question at scan cost. Advisory: a multiplicity
+    mismatch can only shift WHERE the gate trips — the same documented
+    window-vs-sketch trade, engaged at a slightly different corpus
+    size — since whichever route wins is applied to ``df`` itself."""
     if len(labels) != len(boundaries) + 1:
         raise ValueError(
             "rank_buckets: need len(labels) == len(boundaries) + 1"
@@ -400,7 +412,14 @@ def rank_buckets(
     if mode not in (None, "window", "sketch"):
         raise ValueError(f"rank_buckets: unknown mode {mode!r}")
     if mode is None:
-        mode = _route_mode(df, by, window_threshold)
+        if df.isStreaming:  # regardless of what probe_df is
+            mode = "sketch"
+        else:
+            mode = _route_mode(
+                probe_df if probe_df is not None else df,
+                by,
+                window_threshold,
+            )
     if mode == "window":
         from pyspark.sql import Window
 
@@ -416,7 +435,7 @@ def rank_buckets(
     th = grouped_quantile_thresholds(
         df, score_col, by, list(boundaries), relative_accuracy
     )
-    j = df.join(th, by)
+    j = _nullsafe_attach(df, th, by)
     expr = F.lit(labels[-1])
     for i, lab in zip(
         reversed(range(len(boundaries))), reversed(labels[:-1])
@@ -424,9 +443,29 @@ def rank_buckets(
         expr = F.when(
             F.col(score_col) <= F.col(f"_th{i}"), lab
         ).otherwise(expr)
+    # NULL scores: the window route orders them FIRST (Spark asc
+    # nulls-first), so they land in the lowest bucket; mirror that
+    # here (NULL <= threshold is NULL, which would otherwise fall
+    # through to labels[-1] and make the routes disagree)
+    expr = F.when(F.col(score_col).isNull(), F.lit(labels[0])).otherwise(expr)
     return j.withColumn(out_col, expr).drop(
         *[f"_th{i}" for i in range(len(boundaries))]
     )
+
+
+def _nullsafe_attach(df: DataFrame, th: DataFrame, by: str) -> DataFrame:
+    """Attach a per-group table by ``by`` WITHOUT dropping rows: a
+    plain inner equi-join discards NULL keys, but groupBy keeps a NULL
+    group (and the window routes keep a NULL partition), so the sketch
+    routes must match — joined LEFT with the null-safe equality
+    (``<=>``, still a hash-joinable equi-condition). LEFT also keeps
+    rows of groups whose every score is NULL (no sketch row exists for
+    them); their thresholds come back NULL, which only the NULL-score
+    rule ever touches."""
+    th2 = th.withColumnRenamed(by, "_gq_by")
+    return df.join(
+        th2, F.col(by).eqNullSafe(F.col("_gq_by")), "left"
+    ).drop("_gq_by")
 
 
 def percentile_filter(
@@ -506,7 +545,7 @@ def percentile_filter(
         df, score_col, by, [p], relative_accuracy
     )
     return (
-        df.join(th, by)
+        _nullsafe_attach(df, th, by)
         .filter(F.col(score_col) >= F.col("_th0"))
         .drop("_th0")
     )

@@ -1288,6 +1288,10 @@ def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.functions.rounding import portable_round
 
     j = _txt12_scored(spark, sf_dir)
+    # probe the raw documents scan, not the scoring pipeline: the gate
+    # only needs max docs-per-language, which the scan answers without
+    # executing the vocab/smoothing/scoring chain per construction
+    probe = load_table(spark, sf_dir, "documents").select("lang")
     b = rank_buckets(
         j,
         "score",
@@ -1296,6 +1300,7 @@ def txt12_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["head", "middle", "tail"],
         mode=None,
         tiebreak_col="doc_id",
+        probe_df=probe,
     )
     return b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -794,6 +794,27 @@ def _ddm1_pixel(m: int, y: int, x: int, c: int) -> int:
     return v
 
 
+
+def _ddm1_media(spark: SparkSession) -> DataFrame:
+    """The shared planted image fixture (ddm1/ddm2): encode every
+    _DDM1_IDS image from the closed-form pixel generator."""
+    from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_bmp
+
+    rows = []
+    for m in _DDM1_IDS:
+        rgb = bytes(
+            _ddm1_pixel(m, y, x, c)
+            for y in range(_DDM1_H)
+            for x in range(_DDM1_W)
+            for c in range(3)
+        )
+        rows.append(
+            (m, "image", _DDM1_W, _DDM1_H, None,
+             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 @register(
     "ddm1_image_neardup",
     f"""
@@ -864,25 +885,9 @@ def ddm1_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded candidate set. The pair stage is the dd2/dd4 banding
     asymptote with the same hot-bucket story."""
     from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
-    from lakerunner_spark.dataops.multimodal import (
-        MEDIA_SCHEMA,
-        encode_bmp,
-        image_dhash_bands,
-    )
+    from lakerunner_spark.dataops.multimodal import image_dhash_bands
 
-    rows = []
-    for m in _DDM1_IDS:
-        rgb = bytes(
-            _ddm1_pixel(m, y, x, c)
-            for y in range(_DDM1_H)
-            for x in range(_DDM1_W)
-            for c in range(3)
-        )
-        rows.append(
-            (m, "image", _DDM1_W, _DDM1_H, None,
-             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
-        )
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = _ddm1_media(spark)
     words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
     pairs = hamming_neardup_pairs(
         words, "media_id", max_hamming=_DDM1_MAX_HAMMING
@@ -1137,25 +1142,9 @@ def ddm2_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of images), and the census is a single aggregate."""
     from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
     from lakerunner_spark.dataops.graph import neardup_clusters
-    from lakerunner_spark.dataops.multimodal import (
-        MEDIA_SCHEMA,
-        encode_bmp,
-        image_dhash_bands,
-    )
+    from lakerunner_spark.dataops.multimodal import image_dhash_bands
 
-    rows = []
-    for m in _DDM1_IDS:
-        rgb = bytes(
-            _ddm1_pixel(m, y, x, c)
-            for y in range(_DDM1_H)
-            for x in range(_DDM1_W)
-            for c in range(3)
-        )
-        rows.append(
-            (m, "image", _DDM1_W, _DDM1_H, None,
-             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
-        )
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = _ddm1_media(spark)
     words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
     pairs = hamming_neardup_pairs(
         words, "media_id", max_hamming=_DDM1_MAX_HAMMING

@@ -679,3 +679,54 @@ def test_paragraph_dedup_regex_metachar_separator(spark):
                 seen.add(p)
                 kept.append(p)
         assert got == sep.join(kept), (text, sep, got)
+
+
+def test_rank_buckets_null_group_and_score(spark):
+    """NULL handling contract across routes (undetected language /
+    unscorable doc — common in real crawls): a NULL group key is a
+    group like any other on BOTH routes (the sketch attach is a
+    null-safe LEFT join — a plain inner join would silently delete
+    every NULL-group row when the gate flips to sketch), and a NULL
+    score lands in the lowest bucket on both (the window orders NULLs
+    first; the sketch route makes that explicit rather than letting
+    NULL <= threshold fall through to the top bucket)."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    rows = (
+        [(i, "en", float(i)) for i in range(30)]
+        + [(100 + i, None, float(i)) for i in range(30)]
+        + [(200, "en", None), (201, None, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    args = (df, "score", "grp", [1 / 3, 2 / 3], ["head", "middle", "tail"])
+    win = {r.doc_id: r.bucket for r in rank_buckets(
+        *args, mode="window").collect()}
+    sk = {r.doc_id: r.bucket for r in rank_buckets(
+        *args, mode="sketch").collect()}
+    assert set(win) == set(sk) == {r[0] for r in rows}  # no row dropped
+    assert sk[200] == sk[201] == "head"  # NULL score -> lowest bucket
+    assert win[200] == win[201] == "head"
+    # NULL-group rows bucket by their own group's thresholds
+    diffs = [d for d in win if win[d] != sk[d]]
+    # disagreements only near tercile cutoffs (the documented band)
+    for d in diffs:
+        score = dict((r[0], r[2]) for r in rows)[d]
+        assert score is not None
+
+
+def test_percentile_filter_keeps_null_group_rows(spark):
+    """percentile_filter's sketch route must not delete NULL-group
+    rows either (same null-safe attach)."""
+    from lakerunner_spark.dataops.sampling import percentile_filter
+
+    rows = [(i, "en" if i % 2 else None, float(i % 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    win = {r.doc_id for r in percentile_filter(
+        df, "score", "grp", 0.5, mode="window").collect()}
+    sk = {r.doc_id for r in percentile_filter(
+        df, "score", "grp", 0.5, mode="sketch").collect()}
+    assert any(r[1] is None for r in rows)
+    assert {d for d in sk if d % 2 == 0}, "NULL-group rows must survive"
+    # routes agree except near the cutoff (scores are 0..49 ints)
+    for d in win.symmetric_difference(sk):
+        assert 20 <= (d % 50) <= 30, d

@@ -42,8 +42,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BANNER = (
     "this website uses cookies to ensure you get the best experience "
     "on our site by continuing to browse you accept our terms of "
-    "service and privacy policy click here to dismiss this notice now"
+    "service and privacy policy click here to dismiss this"
 )
+assert len(BANNER.split()) == 32, "banner must be exactly 4 paragraph chunks"
 HOT_MOD, HOT_LT = 10, 3  # doc_id % 10 < 3 -> ~30% of docs carry the banner
 
 
