@@ -275,12 +275,18 @@ COMMENT = {
         "span from the corpus doc — no whole-document over-deletion."
     ),
     "ddm1_image_neardup": (
-        "Perceptual-hash image dedup: one mapInPandas decode pass "
-        "(payloads never shuffle) emits 4 band words per image; "
-        "candidates come from an equi-join on (band, word) — bucketed, "
-        "never all-pairs, the dd2/dd4 banding asymptote — and the "
-        "popcount verify re-keys only the bounded candidate set. "
-        "Plan-asserted: no BNLJ/CartesianProduct anywhere."
+        "Perceptual-hash image dedup: ONE decode pass (payloads never "
+        "shuffle; gradient bits via lead() over per-image-row windows, "
+        "not a tile self-join) emits 4 band words per image, "
+        "materialized once (localCheckpoint — the pair stage reads it "
+        "through four joins with different key sets, whose pushed "
+        "filters defeat exchange reuse; r8 review measured the "
+        "un-materialized form decoding 8x). The recorded plan below "
+        "is the PAIR stage over the checkpointed words — zero "
+        "MapInPandas, candidates from an equi-join on (band, word) — "
+        "bucketed, never all-pairs, the dd2/dd4 banding asymptote — "
+        "and the popcount verify re-keys only the bounded candidate "
+        "set. Plan-asserted: no BNLJ/CartesianProduct anywhere."
     ),
     "sim8_ann_frontier": (
         "ANN quality frontier: a report plan that unions the six "
