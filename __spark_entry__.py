@@ -101,7 +101,7 @@ _PRIORITY = [
     "sim8_ann_frontier",
     "dd14_global_paragraph_dedup",
     "ds12_dsir_selection",
-    "ds13_weighted_sample",
+    "txt13_ccnet_pipeline",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
@@ -116,11 +116,13 @@ _PRIORITY = [
     # (sampled two-level SemDeDup), and dd16 (exact-substring span
     # removal), the round's new surface.
     # (dd15 likewise r6-certified, down for txt12's CCNet terciles)
-    # r8: txt11, mm6, pqs44, ds15 (all r7-gate-certified) rotate down
-    # for the round's new surface — txt12s (windowless CCNet terciles),
-    # dd17 (span-level decontamination), ddm1 (perceptual-hash image
-    # dedup), sim8 (ANN quality frontier); their families stay above
-    # the line via dd14/txt12, mm7, pqs43/pqs48, ds12/ds14.
+    # r8: txt11, mm6, pqs44, ds15, ds13 (all r7-gate-certified) rotate
+    # down for the round's new surface — txt12s (windowless CCNet
+    # terciles), dd17 (span-level decontamination), ddm1 (perceptual-
+    # hash image dedup), sim8 (ANN quality frontier), txt13 (the CCNet
+    # pipeline end-to-end); their families stay above the line via
+    # dd14/txt12, mm7, pqs43/pqs48, ds12/ds14.
+    "ds13_weighted_sample",
     "txt11_paragraph_dedup",
     "mm6_audio_frames",
     "pqs44_native_histogram_fraction",

@@ -91,6 +91,7 @@ HEADLINE = [
     "ds8_leakage_free_split",
     "ds9s_quality_sketch_filter",
     "txt12s_ccnet_sketch_buckets",
+    "txt13_ccnet_pipeline",
     "dd11v_substring_verify",
     "dd17_decontaminate_spans",
     "ddm1_image_neardup",
@@ -143,8 +144,11 @@ SF1_HEADLINE = [
     "maint1_compaction_requery",
     "dd12s_semantic_dedup_sampled",
     "dd16_substring_remove",
-    # r8: span-level decontamination (dd13 x dd16 composition)
+    # r8: span-level decontamination (dd13 x dd16 composition) and the
+    # end-to-end CCNet pipeline (dedup -> rebuild -> langid -> LM ->
+    # sketch terciles in one plan)
     "dd17_decontaminate_spans",
+    "txt13_ccnet_pipeline",
 ]
 
 # second measured decade (100× the default bench size, deterministic

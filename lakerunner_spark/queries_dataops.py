@@ -3102,3 +3102,175 @@ def dd15_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("verified_pairs_08").alias("stage"), "n")
     )
     return docs.unionByName(dups).unionByName(n_cand).unionByName(n_ver)
+
+
+def _txt13_oracle() -> str:
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantiles_sql
+
+    th = ddsketch_quantiles_sql(
+        "SELECT * FROM lng",
+        ["pred_lang"],
+        "score",
+        [1 / 3, 2 / 3],
+        out_cols=["t0", "t1"],
+    )
+    stop_vote = " + ".join(
+        f"CASE WHEN list_contains(toks2, '{w}') THEN 1 ELSE 0 END"
+        for w in ("the", "a", "of", "and", "to")
+    )
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), t -> t != '') AS tk
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(tk[(i*8+1):(i*8+8)], ' ') AS para
+      FROM toks0, UNNEST(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS t(i)
+      WHERE len(tk) >= 1
+    ),
+    keyed AS (
+      SELECT doc_id, idx, para, md5(para) AS h,
+             doc_id * 100000 + idx AS pk
+      FROM paras
+    ),
+    marked AS (
+      SELECT *, min(pk) OVER (PARTITION BY h) AS mpk FROM keyed
+    ),
+    docs2 AS (
+      SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text2
+      FROM marked WHERE pk = mpk GROUP BY doc_id
+    ),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN ({stop_vote}) >= 2 THEN 'en'
+                  WHEN ({stop_vote}) = 1 THEN 'en_maybe'
+                  ELSE 'other' END AS pred_lang
+      FROM (SELECT doc_id, string_split(text2, ' ') AS toks2 FROM docs2)
+    ),
+    lm_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(regexp_replace(lower(text2),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS tok
+      FROM docs2
+    ),
+    sample AS (SELECT * FROM lm_toks WHERE doc_id % 7 = 0),
+    counts AS (SELECT tok, count(*) AS cnt FROM sample GROUP BY tok),
+    vocab AS (
+      SELECT tok, cnt FROM counts
+      ORDER BY cnt DESC, tok ASC LIMIT 500
+    ),
+    totals AS (SELECT count(*) AS _total FROM sample),
+    scores AS (
+      SELECT t.doc_id,
+             pround(avg(-log2((coalesce(v.cnt, 0) + 1.0)
+                              / (_total + 501.0))), 6) AS score
+      FROM lm_toks t
+      LEFT JOIN vocab v USING (tok)
+      CROSS JOIN totals
+      GROUP BY t.doc_id
+    ),
+    lng AS (
+      SELECT p.pred_lang, s.doc_id, s.score
+      FROM scores s JOIN pred p USING (doc_id)
+    ),
+    th AS ({th}),
+    b AS (
+      SELECT l.pred_lang,
+             CASE WHEN l.score <= th.t0 THEN 'head'
+                  WHEN l.score <= th.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             l.score
+      FROM lng l JOIN th USING (pred_lang)
+    )
+    SELECT pred_lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           pround(avg(score), 6) AS avg_score
+    FROM b GROUP BY 1, 2
+    """
+
+
+@register("txt13_ccnet_pipeline", _txt13_oracle())
+def txt13_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline END TO END in one declarative plan (Wenzek
+    et al. 2020 — the composition, not just the stages): corpus-wide
+    paragraph dedup (dd14's keep-first groupBy+join shape) -> documents
+    REBUILT from their surviving paragraphs -> language ID on the
+    deduplicated text (txt2's stopword-vote heuristic standing in for
+    fastText) -> unigram-LM scoring of the rebuilt text (the txt9
+    machinery, vocabulary re-trained on the deduplicated corpus — the
+    order CCNet itself specifies: LM after dedup) -> per-predicted-
+    language perplexity terciles through the grouped-rank router's
+    SKETCH mode (the 100 TB route: no per-language sort anywhere).
+    Emits the (predicted_lang, bucket) census. Docs whose every
+    paragraph was a later duplicate vanish (nothing left to score);
+    the oracle replays dedup, rebuild, vote, vocabulary, smoothing,
+    thresholds, and census value for value.
+
+    100 TB design: inherits each stage's contract — the dedup shuffle
+    carries narrow keyed rows; the rebuild groups each doc's OWN
+    surviving paragraphs; langid and scoring are map-side over the
+    rebuilt corpus with a broadcast vocabulary; the tercile thresholds
+    are (language x quantile) rows from one sketch walk, joined back
+    unhinted."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+    from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
+    docs = d.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 1)
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(_tk)/8.0) as int) - 1),"
+                " i -> concat_ws(' ', slice(_tk, i*8+1, 8)))"
+            )
+        ).alias("idx", "para"),
+    )
+    keyed = paras.select(
+        "doc_id",
+        "idx",
+        "para",
+        F.md5("para").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
+    )
+    firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
+    kept = keyed.join(firsts, "h").filter(F.col("pk") == F.col("mpk"))
+    docs2 = (
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "para"))).alias("_ps"))
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(_ps, x -> x.para)"), " ").alias(
+                "text2"
+            ),
+        )
+    )
+    pred = docs2.select(
+        "doc_id", "text2", langid_heuristic(F.col("text2")).alias("pred_lang")
+    )
+    scores = unigram_logprob(
+        pred, "text2", "doc_id", sample_mod=7, vocab_k=500
+    ).select("doc_id", F.col("avg_neg_log2").alias("score"))
+    j = scores.join(pred.select("doc_id", "pred_lang"), "doc_id")
+    # materialize the scored corpus ONCE (narrow: doc_id, score,
+    # pred_lang — the table production would persist between stages):
+    # the sketch router reads j twice (threshold build + join-back),
+    # and aliased branches don't reuse exchanges, so without this the
+    # entire dedup->rebuild->langid->LM chain runs per branch (the
+    # dd12 localCheckpoint lesson)
+    j = j.localCheckpoint(eager=True)
+    b = rank_buckets(
+        j,
+        "score",
+        "pred_lang",
+        [1 / 3, 2 / 3],
+        ["head", "middle", "tail"],
+        mode="sketch",
+    )
+    return b.groupBy("pred_lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        portable_round(F.avg("score"), 6).alias("avg_score"),
+    )

@@ -65,6 +65,8 @@ NLJ_ALLOWED = {
                                      # sample-total scalar crossJoin)
     "txt12s_ccnet_sketch_buckets",   # same txt9 scoring core (1-row
                                      # sample-total scalar crossJoin)
+    "txt13_ccnet_pipeline",          # same txt9 scoring core (1-row
+                                     # sample-total scalar crossJoin)
     "sim6_random_projection",        # broadcast queries x corpus scan
     "sim8_ann_frontier",             # composes sim1/4/6 + exact-L2
                                      # baseline: each a broadcast
