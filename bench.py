@@ -260,14 +260,18 @@ def _run_section(section: str) -> dict:
     # frequency/steal — uniform multiplicative, not per-query noise);
     # comparing query_sec/calib_sec across rounds cancels that drift,
     # so use the RATIO before calling a cross-round delta a regression.
-    calib = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        # modulo keeps the 2B-row sum far inside int64 (ANSI overflow)
-        spark.range(2_000_000_000).selectExpr(
-            "sum((id % 100003) * 3 + (id % 13))"
-        ).collect()
-        calib = min(calib, time.perf_counter() - t0)
+    def _calibrate() -> float:
+        calib = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # modulo keeps the 2B-row sum far inside int64 (ANSI overflow)
+            spark.range(2_000_000_000).selectExpr(
+                "sum((id % 100003) * 3 + (id % 13))"
+            ).collect()
+            calib = min(calib, time.perf_counter() - t0)
+        return calib
+
+    calib = _calibrate()
 
     min_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     max_iters = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITERS", "7"))
@@ -337,6 +341,13 @@ def _run_section(section: str) -> dict:
         "queries": timings,
         "total": round(sum(timings.values()), 3),
         "calib_sec": round(calib, 3),
+        # a SECOND calibration after the section: steal varies WITHIN
+        # a multi-minute section, and a start-only anchor taken during
+        # a fast moment inflates every normalized ratio (an r8 sf10
+        # run flagged 7 queries that same-calib re-runs cleared —
+        # calib 0.469 at section start vs 0.55+ all day). bench_diff
+        # normalizes on the mean of the two when both exist.
+        "calib_end_sec": round(_calibrate(), 3),
         # sample counts let bench_diff annotate single-sample entries
         # (a 20s+ early break or the sf10 cold pass): a flag from one
         # sample reads "re-run before believing", not proof
@@ -372,6 +383,7 @@ def main() -> None:
         "unit": "sec",
         "queries": main_res["queries"],
         "calib_sec": main_res["calib_sec"],
+        "calib_end_sec": main_res["calib_end_sec"],
         "iters": main_res["iters"],
     }
 
@@ -391,6 +403,7 @@ def main() -> None:
                 sf=sf_val if isinstance(sf_val, float) else None,
                 section=section,
                 iters=res.get("iters"),
+                calib_end_sec=res.get("calib_end_sec"),
             )
             if diff is not None:
                 out[out_key] = diff
@@ -415,6 +428,7 @@ def main() -> None:
         out["sf1_queries"] = sf1_res["queries"]
         out["sf1_total_sec"] = sf1_res["total"]
         out["sf1_calib_sec"] = sf1_res["calib_sec"]
+        out["sf1_calib_end_sec"] = sf1_res["calib_end_sec"]
         out["sf1_iters"] = sf1_res["iters"]
         diff_section(sf1_res, "sf1", "bench_diff_sf1")
 
@@ -425,6 +439,7 @@ def main() -> None:
         out["sf10_queries"] = sf10_res["queries"]
         out["sf10_total_sec"] = sf10_res["total"]
         out["sf10_calib_sec"] = sf10_res["calib_sec"]
+        out["sf10_calib_end_sec"] = sf10_res["calib_end_sec"]
         out["sf10_iters"] = sf10_res["iters"]
         diff_section(sf10_res, "sf10", "bench_diff_sf10")
 

@@ -176,3 +176,28 @@ def test_sections_parse_and_compare_against_r7_artifact(tmp_path):
     assert list(diff["flagged"]) == ["dd14_global_paragraph_dedup"]
     assert diff["flagged"]["dd14_global_paragraph_dedup"]["single_sample"]
     assert diff["vs_round"] == 7 and diff["calib_ratio"] == 1.0
+
+
+def test_end_calibration_mean_absorbs_intra_section_drift(tmp_path):
+    """The r8 sf10 scenario: the machine sped up for the START
+    calibration moment (0.47 vs 0.55+ all day) while the section ran
+    slow — a start-only anchor inflated every normalized ratio and
+    flagged 7 healthy queries. With an end-of-section calibration
+    recorded, normalization uses the MEAN and the phantom flags
+    vanish; a genuine 2x regression still flags."""
+    _artifact(str(tmp_path), 9, {"q_a": 10.0, "q_b": 10.0}, calib=0.55)
+    # current run: queries 30% slower raw; start calib caught a fast
+    # moment (0.47 -> ratio 0.855 -> norm 1.3/0.855 = 1.52 would flag)
+    # but the end calib (0.80) reveals the section-average slowdown
+    flagged_start_only = compare_to_previous(
+        {"q_a": 13.0, "q_b": 20.0}, calib_sec=0.47,
+        repo_dir=str(tmp_path), sf=0.1,
+    )
+    assert "q_a" in flagged_start_only["flagged"]  # the phantom
+    diff = compare_to_previous(
+        {"q_a": 13.0, "q_b": 20.0}, calib_sec=0.47, calib_end_sec=0.80,
+        repo_dir=str(tmp_path), sf=0.1,
+    )
+    # mean calib 0.635 -> ratio 1.155 -> q_a norm 1.3/1.155 = 1.13: clean
+    assert "q_a" not in diff["flagged"]
+    assert "q_b" in diff["flagged"]  # 2x raw stays flagged

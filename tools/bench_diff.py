@@ -49,11 +49,11 @@ MIN_CURRENT_SEC = 0.15
 # can therefore never scrape as a timing
 _PAIR_RE = re.compile(r'"([A-Za-z0-9_]+)": ([0-9]+\.[0-9]+)')
 
-# (section key in the bench line, calib key, compare_to_previous name)
+# (section key, start-calib key, end-calib key) in the bench line
 SECTIONS = {
-    "main": ("queries", "calib_sec"),
-    "sf1": ("sf1_queries", "sf1_calib_sec"),
-    "sf10": ("sf10_queries", "sf10_calib_sec"),
+    "main": ("queries", "calib_sec", "calib_end_sec"),
+    "sf1": ("sf1_queries", "sf1_calib_sec", "sf1_calib_end_sec"),
+    "sf10": ("sf10_queries", "sf10_calib_sec", "sf10_calib_end_sec"),
 }
 
 # structural markers that bound the main section's front fragment:
@@ -67,7 +67,8 @@ _CUT_MARKERS = (
 # meta floats that can precede the markers in a deep truncation
 _DENY = ("value", "prev", "cur", "norm_ratio", "threshold",
          "calib_ratio", "sf", "calib_sec", "sf1_calib_sec",
-         "sf10_calib_sec", "sf1_total_sec", "sf10_total_sec")
+         "sf10_calib_sec", "sf1_total_sec", "sf10_total_sec",
+         "calib_end_sec", "sf1_calib_end_sec", "sf10_calib_end_sec")
 
 
 def _parse_artifact(path: str) -> dict | None:
@@ -84,22 +85,24 @@ def _parse_artifact(path: str) -> dict | None:
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and "queries" in parsed:
         out = {"sf": parsed.get("sf", sf)}
-        for qk, ck in SECTIONS.values():
+        for qk, ck, cek in SECTIONS.values():
             if isinstance(parsed.get(qk), dict):
                 out[qk] = parsed[qk]
                 out[ck] = parsed.get(ck)
+                out[cek] = parsed.get(cek)
         return out
     tail = doc.get("tail") or ""
     out = {"sf": sf}
-    for qk, ck in SECTIONS.values():
+    for qk, ck, cek in SECTIONS.values():
         m = re.search(r'"%s": \{([^{}]*)\}' % qk, tail)
         if m:
             qmap = {k: float(v) for k, v in _PAIR_RE.findall(m.group(1))}
             if qmap:
                 out[qk] = qmap
-        m = re.search(r'"%s": ([0-9.]+)' % ck, tail)
-        if m:
-            out[ck] = float(m.group(1))
+        for key in (ck, cek):
+            m = re.search(r'"%s": ([0-9.]+)' % key, tail)
+            if m:
+                out[key] = float(m.group(1))
     if "queries" not in out:
         # the main opener was truncated off the front: scrape the
         # fragment BEFORE the first structural marker (missing keys
@@ -119,7 +122,7 @@ def _parse_artifact(path: str) -> dict | None:
             out["sf"] = float(m.group(1))
         if qmap:
             out["queries"] = qmap
-    if not any(qk in out for qk, _ in SECTIONS.values()):
+    if not any(qk in out for qk, _ck, _cek in SECTIONS.values()):
         return None  # nothing real survived the truncation
     return out
 
@@ -149,6 +152,16 @@ def find_previous(
     return best
 
 
+def _effective_calib(start: float | None, end: float | None) -> float | None:
+    """One anchor per section for normalization: the MEAN of the
+    start/end calibrations when both exist (steal varies WITHIN a
+    multi-minute section — a start-only anchor caught at a fast moment
+    inflates every normalized ratio; r8 measured exactly that on an
+    sf10 run), else whichever exists."""
+    vals = [v for v in (start, end) if v]
+    return sum(vals) / len(vals) if vals else None
+
+
 def compare_to_previous(
     queries: dict[str, float],
     calib_sec: float | None,
@@ -156,6 +169,7 @@ def compare_to_previous(
     sf=None,
     section: str = "main",
     iters: dict[str, int] | None = None,
+    calib_end_sec: float | None = None,
 ) -> dict | None:
     """Diff this run's timings for one section against the latest
     recorded round that carries that section. Returns a summary dict
@@ -175,10 +189,12 @@ def compare_to_previous(
     if prev is None:
         return None
     rnd, art = prev
-    qk, ck = SECTIONS[section]
-    prev_q, prev_calib = art[qk], art.get(ck)
-    have_calib = bool(calib_sec) and bool(prev_calib)
-    calib_ratio = (calib_sec / prev_calib) if have_calib else None
+    qk, ck, cek = SECTIONS[section]
+    prev_q = art[qk]
+    prev_calib = _effective_calib(art.get(ck), art.get(cek))
+    cur_calib = _effective_calib(calib_sec, calib_end_sec)
+    have_calib = bool(cur_calib) and bool(prev_calib)
+    calib_ratio = (cur_calib / prev_calib) if have_calib else None
     flagged = {}
     for name, cur in queries.items():
         p = prev_q.get(name)
