@@ -185,8 +185,12 @@ SF10_HEADLINE = [
     # noisy across runs, 43-61s observed; spans stay pair-bounded)
     "dd16_substring_remove",
     # r8: span-level decontamination's decade (broadcast bench side +
-    # candidate-pruned grams — should stay well under dd16)
+    # candidate-pruned grams — should stay well under dd16) and the
+    # end-to-end CCNet pipeline (probe: 1.9 -> 6.4 -> 24.6s across the
+    # three sizes — sub-linear per decade; the dedup shuffle and the
+    # LM scan dominate, both linear-parallel)
     "dd17_decontaminate_spans",
+    "txt13_ccnet_pipeline",
 ]
 
 

@@ -276,3 +276,52 @@ def test_streaming_image_patches_match_batch(spark, tmp_path):
     }
     assert batch_rows == stream_rows
     assert len(batch_rows) == 4 * (_DDM1_W // 4) * (_DDM1_H // 4)
+
+
+def test_rank_buckets_in_foreachbatch_matches_batch(spark, tmp_path):
+    """The grouped-rank router's documented streaming contract
+    (dataops/sampling.py): BOTH routes contain analytic windows
+    Structured Streaming can't run directly, so streaming filtering
+    runs inside foreachBatch, where each microbatch is a plain batch
+    DataFrame — the streaming/dedup.py pattern, proven here for
+    rank_buckets: a one-shot availableNow stream bucketed per batch
+    produces exactly the batch run's rows (sketch mode — the scale
+    route; per-microbatch thresholds equal whole-corpus thresholds
+    here because availableNow delivers one batch)."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "lang", F.length("text").alias("score"))
+        .withColumn("score", F.col("score").cast("double"))
+    )
+    indir = str(tmp_path / "rb_in")
+    docs.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    args = ("score", "lang", [1 / 3, 2 / 3], ["head", "middle", "tail"])
+    batch_rows = {
+        (r.doc_id, r.bucket)
+        for r in rank_buckets(
+            spark.read.parquet(indir), *args, mode="sketch"
+        ).collect()
+    }
+
+    got: list[tuple] = []
+
+    def bucket_batch(batch_df, batch_id):
+        got.extend(
+            (r.doc_id, r.bucket)
+            for r in rank_buckets(batch_df, *args, mode="sketch").collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(indir)
+        .writeStream.foreachBatch(bucket_batch)
+        .option("checkpointLocation", str(tmp_path / "rb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == batch_rows and batch_rows
