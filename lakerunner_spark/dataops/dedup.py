@@ -1099,14 +1099,37 @@ def hamming_neardup_pairs(
     wb = words.select(
         F.col(id_col).alias("id_b"), "band", F.col("word").alias("_wb")
     )
-    return (
+    # the verify join is INNER on band, so two ids with DIFFERENT band
+    # sets (images of different heights → different band counts) would
+    # silently compare only their shared bands, underestimating the
+    # distance. Count the compared bands per pair and require the full
+    # band set of BOTH sides: a band-count mismatch is a structural
+    # non-match (different hash geometry), never a near-dup.
+    nb = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nb"))
+    verified = (
         cand.join(wa, "id_a")
         .join(wb, ["id_b", "band"])
         .groupBy("id_a", "id_b")
         .agg(
             F.sum(F.expr("bit_count(_wa ^ _wb)"))
             .cast("long")
-            .alias("hamming")
+            .alias("hamming"),
+            F.count(F.lit(1)).alias("_nc"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+    )
+    return (
+        verified.join(
+            nb.select(F.col(id_col).alias("id_a"), F.col("_nb").alias("_nba")),
+            "id_a",
+        )
+        .join(
+            nb.select(F.col(id_col).alias("id_b"), F.col("_nb").alias("_nbb")),
+            "id_b",
+        )
+        .filter(
+            (F.col("_nc") == F.col("_nba"))
+            & (F.col("_nc") == F.col("_nbb"))
+            & (F.col("hamming") <= max_hamming)
+        )
+        .select("id_a", "id_b", "hamming")
     )

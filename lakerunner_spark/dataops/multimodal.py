@@ -984,8 +984,18 @@ def image_dhash_bands(
         (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")).alias("_g"),
     )
     wrow = Window.partitionBy("media_id", "patch_row").orderBy("patch_col")
+    # clamp to the DECLARED grid width: an image wider than
+    # grid_cols*patch produces tiles at patch_col >= grid_cols, whose
+    # bit positions would wrap into the next bit-row inside the band
+    # word (the 62-bit guard only checks the declared geometry).
+    # Keeping tiles 0..grid_cols-1 (the last one only as a lead
+    # neighbor — its own bit is cut by the _nxt NULL filter) yields
+    # exactly bits 0..grid_cols-2 per row for every image at least
+    # grid_cols tiles wide; narrower images simply carry fewer bits
+    # (hamming_neardup_pairs rejects band-COUNT mismatches separately).
     bits = (
-        g.withColumn("_nxt", F.lead("_g").over(wrow))
+        g.filter(F.col("patch_col") < grid_cols)
+        .withColumn("_nxt", F.lead("_g").over(wrow))
         .filter(F.col("_nxt").isNotNull())
         .select(
             "media_id",

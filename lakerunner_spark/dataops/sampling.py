@@ -407,8 +407,13 @@ def rank_buckets(
         raise ValueError(
             "rank_buckets: need len(labels) == len(boundaries) + 1"
         )
-    if sorted(boundaries) != list(boundaries):
-        raise ValueError("rank_buckets: boundaries must be ascending")
+    if any(b2 <= b1 for b1, b2 in zip(boundaries, boundaries[1:])):
+        raise ValueError(
+            "rank_buckets: boundaries must be strictly ascending — a "
+            "duplicate boundary would make its earlier label unreachable"
+        )
+    if boundaries and not (0.0 < boundaries[0] and boundaries[-1] <= 1.0):
+        raise ValueError("rank_buckets: boundaries must lie in (0, 1]")
     if mode not in (None, "window", "sketch"):
         raise ValueError(f"rank_buckets: unknown mode {mode!r}")
     if mode is None:
@@ -446,7 +451,15 @@ def rank_buckets(
     # NULL scores: the window route orders them FIRST (Spark asc
     # nulls-first), so they land in the lowest bucket; mirror that
     # here (NULL <= threshold is NULL, which would otherwise fall
-    # through to labels[-1] and make the routes disagree)
+    # through to labels[-1] and make the routes disagree). Scope: the
+    # mirror is exact only while a group's NULL fraction stays within
+    # boundaries[0] — beyond that the window route spills NULL rows
+    # into higher buckets (and with tiebreak_col set, percent_rank
+    # gives NULL rows DISTINCT ranks, spreading them), while this
+    # route pins all of them to labels[0]. The route-equivalence
+    # contract (tests/test_properties.py) is therefore stated over
+    # non-NULL scores; NULL-heavy corpora should filter or impute
+    # scores before bucketing.
     expr = F.when(F.col(score_col).isNull(), F.lit(labels[0])).otherwise(expr)
     return j.withColumn(out_col, expr).drop(
         *[f"_th{i}" for i in range(len(boundaries))]

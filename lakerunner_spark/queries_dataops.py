@@ -1327,7 +1327,7 @@ def _txt12s_oracle() -> str:
                   WHEN l.score <= th.t1 THEN 'middle'
                   ELSE 'tail' END AS bucket,
              l.score
-      FROM lng l JOIN th USING (lang)
+      FROM lng l JOIN th ON l.lang IS NOT DISTINCT FROM th.lang
     )
     SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
            pround(avg(score), 6) AS avg_score
@@ -2046,9 +2046,14 @@ def _ds9s_oracle() -> str:
     WITH scored AS ({_DS9_SCORED_SQL}),
     th AS ({th})
     SELECT s.doc_id, s.source, s.score
-    FROM scored s JOIN th USING (source)
+    FROM scored s JOIN th ON s.source IS NOT DISTINCT FROM th.source
     WHERE s.score >= th.threshold
     """
+    # the join mirrors the engine's null-safe group attach
+    # (sampling._nullsafe_attach): a NULL group key is a group, not a
+    # dropped row. Remaining precondition: scores themselves are
+    # non-NULL (documents.text is), per the rank_buckets NULL-score
+    # scope note in sampling.py.
 
 
 @register("ds9s_quality_sketch_filter", _ds9s_oracle())
@@ -3182,7 +3187,7 @@ def _txt13_oracle() -> str:
                   WHEN l.score <= th.t1 THEN 'middle'
                   ELSE 'tail' END AS bucket,
              l.score
-      FROM lng l JOIN th USING (pred_lang)
+      FROM lng l JOIN th ON l.pred_lang IS NOT DISTINCT FROM th.pred_lang
     )
     SELECT pred_lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
            pround(avg(score), 6) AS avg_score

@@ -630,3 +630,83 @@ def chq1_sketch_interop_quantile(
             _pr("p95", 6).alias("p95"),
         )
     )
+
+
+_CHQ2_GRAIN = 600_000
+_CHQ2_BASE = (
+    "SELECT event_type AS metric_name, "
+    f"CAST(chq_timestamp - chq_timestamp % {_CHQ2_GRAIN} AS BIGINT) AS bucket_ts, "
+    f"value FROM ({EVENTS_MS_SQL})"
+)
+
+
+@register(
+    "chq2_cooked_sketch_segments",
+    f"""
+    WITH p90 AS (
+      {ddsketch_quantile_sql(_CHQ2_BASE, ["metric_name", "bucket_ts"], "value", 0.9, out_col="p90")}
+    ),
+    n AS (
+      SELECT metric_name, bucket_ts, CAST(count(*) AS BIGINT) AS n_samples
+      FROM ({_CHQ2_BASE}) WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT metric_name, bucket_ts, n_samples, pround(p90.p90, 6) AS p90
+    FROM n JOIN p90 USING (metric_name, bucket_ts)
+    """,
+)
+def chq2_cooked_sketch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chq_sketch WRITE-side interop end-to-end (the reverse of chq1):
+    raw samples -> cook_metrics with ``sketch_accuracy`` -> tiered
+    segments whose rollup rows carry a ``chq_sketch`` BINARY column in
+    the sketches-go wire format (reference writers:
+    internal/metricsprocessing/writer_metrics_duckdb.go `chq_sketch`,
+    promql/eval_types.go:22-33) -> read the 600s tier back -> the SAME
+    decode path that reads the reference's own artifacts
+    (sources/chq_sketch.py chq_sketch_bucket_rows) -> engine quantile
+    walk. The oracle recomputes the per-(metric, 600s-bucket) DDSketch
+    p90 and sample count directly from the raw events, so a hash match
+    certifies encode + tier merge + segment write + read + decode +
+    quantile together — the interop loop closed in both directions.
+
+    Scale: the sketch travels the cascade as a typed map column
+    (pure-JVM exact merge); bytes are produced once per rollup row at
+    the write boundary (Arrow codec seam) and decode output is
+    proportional to occupied buckets, not samples."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.cook import cook_metrics
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantile
+    from lakerunner_spark.sources.chq_sketch import chq_sketch_bucket_rows
+    from lakerunner_spark.testdata import events_stream
+
+    base = tempfile.mkdtemp(prefix="chq2_cook_")
+    raw = events_stream(spark, sf_dir).select(
+        "chq_timestamp", F.col("event_type").alias("metric_name"), "value"
+    )
+    cook_metrics(
+        raw, base, org_id="chq2", attr_cols=[],
+        tiers_ms=[10_000, _CHQ2_GRAIN], sketch_accuracy=0.01,
+    )
+    seg = spark.read.parquet(f"{base}/metrics").filter(
+        F.col("frequency_ms") == _CHQ2_GRAIN
+    )
+    rows = chq_sketch_bucket_rows(
+        seg, "chq_sketch", keep=["metric_name", "chq_timestamp"]
+    )
+    p90 = ddsketch_quantile(
+        rows, ["metric_name", "chq_timestamp"], 0.9, out_col="p90"
+    )
+    n = rows.groupBy("metric_name", "chq_timestamp").agg(
+        F.sum("count").cast("long").alias("n_samples")
+    )
+    return (
+        n.join(p90, ["metric_name", "chq_timestamp"])
+        .select(
+            "metric_name",
+            F.col("chq_timestamp").alias("bucket_ts"),
+            "n_samples",
+            _pr("p90", 6).alias("p90"),
+        )
+    )

@@ -230,6 +230,64 @@ def encode_chq_sketch(
     return bytes(out)
 
 
+def encode_engine_sketch(buckets: dict, gamma: float) -> bytes:
+    """Engine bucket algebra -> sketches-go wire bytes (the WRITE side
+    of the interop loop; reference writers:
+    internal/metricsprocessing/writer_metrics_duckdb.go `chq_sketch`
+    column, promql/eval_types.go:22-33).
+
+    Exact inverse of the :func:`chq_sketch_bucket_rows` bridge with
+    ``index_offset = 0``: engine positive bucket ``j`` (the
+    ``ceil(log_gamma)`` convention of operators/ddsketch.py) maps to
+    go index ``j - 1``; the reserved zero bucket becomes the zero
+    count; mirrored negative buckets unfold via ``_NEG_BASE``.
+    ``decode → bucket_rows`` of the emitted blob reproduces the input
+    map exactly (round-trip tested), so segments cooked with this
+    encoder are readable by the same decode path that reads the
+    reference's own artifacts — interop is now two-way."""
+    from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
+        _NEG_BASE,
+        _ZERO_BUCKET,
+    )
+
+    pos: dict[int, float] = {}
+    neg: dict[int, float] = {}
+    zero = 0.0
+    for b, c in buckets.items():
+        b = int(b)
+        c = float(c)
+        if not c:
+            continue
+        if b == _ZERO_BUCKET:
+            zero += c
+        elif b > _ZERO_BUCKET:
+            pos[b - 1] = pos.get(b - 1, 0.0) + c
+        else:
+            i = _NEG_BASE - b - 1
+            neg[i] = neg.get(i, 0.0) + c
+    return encode_chq_sketch(gamma, pos, neg, zero)
+
+
+def sketch_blob_udf(gamma: float):
+    """``binary`` pandas UDF encoding a ``map<bigint,double>``
+    engine-sketch column (operators/ddsketch.py with_sketch_column) to
+    chq_sketch wire bytes — one blob per rollup row, Arrow-batched and
+    linear in rows. This is the only Python in the sketch-carrying
+    cook path and is allowlisted as a codec seam (the same class as
+    the decode seam in :func:`chq_sketch_bucket_rows`)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def enc(maps):
+        return maps.map(
+            lambda m: None if m is None else encode_engine_sketch(m, gamma)
+        )
+
+    # annotate with live objects (not strings): pd is only in scope here
+    enc.__annotations__ = {"maps": pd.Series, "return": pd.Series}
+    return pandas_udf(enc, "binary")
+
+
 def sketch_value(gamma: float, index_offset: float, index: int) -> float:
     """sketches-go LogarithmicMapping.Value: the bucket estimate whose
     relative error to any bucket member is within the accuracy bound."""

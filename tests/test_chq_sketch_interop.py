@@ -189,28 +189,67 @@ def test_spark_bridge_matches_reference_rollups_sample(spark):
 @pytest.mark.skipif(
     not os.path.isdir(_REF_METRICS), reason="reference artifacts not present"
 )
-def test_encode_is_semantically_idempotent_on_reference_blobs():
-    """Re-encoding a decoded reference blob (our encoder always picks
-    the sparse deltas+counts store form; the library picks store
-    encodings adaptively, so bytes may legally differ) must decode to
-    the identical sketch — gamma, offset, zero count, and every bin."""
+def test_encode_roundtrips_every_reference_blob():
+    """decode(encode(decode(x))) == decode(x) for EVERY sketch blob in
+    BOTH reference artifact sets (all ~2.5k cooked-metric blobs plus
+    all ~17k queryworker fixture blobs). Our encoder always picks the
+    sparse deltas+counts store form; the library picks store encodings
+    adaptively, so bytes may legally differ — the decoded sketch
+    (gamma, offset, zero count, every bin and count, bit-for-bit
+    floats) must be identical. This is the write-side half of the
+    interop loop: anything the reference ever wrote, we can re-emit
+    losslessly in a form both decoders accept."""
     import duckdb
 
     con = duckdb.connect()
-    f = sorted(glob.glob(os.path.join(_REF_METRICS, "*.parquet")))[0]
-    rows = con.execute(
-        f"select sketch from read_parquet('{f}')"
-        f" where sketch is not null limit 300"
-    ).fetchall()
-    assert rows
-    for (blob,) in rows:
-        sk = decode_chq_sketch(bytes(blob))
-        blob2 = encode_chq_sketch(
-            sk["gamma"], sk["pos"], sk["neg"], sk["zero_count"],
-            sk["index_offset"],
-        )
-        sk2 = decode_chq_sketch(blob2)
-        assert sk2 == sk
+    n_metrics = n_db = 0
+    for root, counter in ((_REF_METRICS, "m"), (_REF_DB, "d")):
+        for f in sorted(glob.glob(os.path.join(root, "*.parquet"))):
+            try:
+                rows = con.execute(
+                    f"select sketch from read_parquet('{f}')"
+                    f" where sketch is not null"
+                ).fetchall()
+            except Exception:
+                continue
+            for (blob,) in rows:
+                sk = decode_chq_sketch(bytes(blob))
+                blob2 = encode_chq_sketch(
+                    sk["gamma"], sk["pos"], sk["neg"], sk["zero_count"],
+                    sk["index_offset"],
+                )
+                assert decode_chq_sketch(blob2) == sk
+                if counter == "m":
+                    n_metrics += 1
+                else:
+                    n_db += 1
+    assert n_metrics > 2000 and n_db > 10_000
+
+
+def test_encode_engine_sketch_inverts_bucket_bridge():
+    """encode_engine_sketch is the exact inverse of the
+    chq_sketch_bucket_rows index bridge: an engine bucket map with
+    positive, zero, and mirrored-negative buckets round-trips through
+    wire bytes back to the identical map."""
+    from lakerunner_spark.operators.ddsketch import _NEG_BASE, _ZERO_BUCKET
+    from lakerunner_spark.sources.chq_sketch import encode_engine_sketch
+
+    gamma = 1.02
+    buckets = {
+        17: 3.0,
+        -4: 2.5,
+        0: 1.0,
+        _ZERO_BUCKET: 4.0,
+        _NEG_BASE - 9: 7.0,
+        _NEG_BASE - (-3): 1.0,
+    }
+    sk = decode_chq_sketch(encode_engine_sketch(buckets, gamma))
+    assert sk["gamma"] == gamma and sk["index_offset"] == 0.0
+    back = {i + 1: c for i, c in sk["pos"].items()}
+    if sk["zero_count"]:
+        back[_ZERO_BUCKET] = sk["zero_count"]
+    back.update({_NEG_BASE - (i + 1): c for i, c in sk["neg"].items()})
+    assert back == buckets
 
 
 def test_bucket_rows_folds_integral_index_offset(spark):

@@ -113,3 +113,76 @@ def test_cook_logs_incremental_matches_rebuild(spark, sf_dir, tmp_path):
         return {r["bucket_ts"]: r["count"] for r in df.collect()}
 
     assert agg_counts(inc) == agg_counts(full)
+
+
+def test_cook_metrics_sketch_column_interop(spark, tmp_path):
+    """sketch_accuracy wires the chq_sketch BINARY column through the
+    cascade: every tier's rollup rows carry wire-format blobs that the
+    reference-artifact decode path reads back to the EXACT per-bucket
+    distribution of that row's raw samples — including mixed signs,
+    zeros, and a NULL attribute value (the null-safe join must not
+    drop that series' sketch)."""
+    import math
+
+    from lakerunner_spark.operators.ddsketch import (
+        _NEG_BASE,
+        _ZERO_BUCKET,
+        gamma_for,
+    )
+    from lakerunner_spark.sources.chq_sketch import decode_chq_sketch
+
+    rows = []
+    for i in range(240):
+        v = 0.0 if i % 40 == 0 else ((i * 37) % 83 - 41) / 3.0
+        attr = None if i % 3 == 0 else f"u{i % 2}"
+        rows.append((int(i // 12) * 1000, "m", attr, v))
+    raw = spark.createDataFrame(
+        rows, "chq_timestamp long, metric_name string, attr_u string, value double"
+    )
+    base = str(tmp_path / "cooked_sk")
+    cook_metrics(
+        raw, base, org_id="t", tiers_ms=[10_000, 20_000],
+        sketch_accuracy=0.01,
+    )
+    gamma = gamma_for(0.01)
+    lg = math.log(gamma)
+
+    def want_buckets(vals):
+        out = {}
+        for v in vals:
+            if v == 0:
+                b = _ZERO_BUCKET
+            elif v > 0:
+                b = math.ceil(math.log(v) / lg)
+            else:
+                b = _NEG_BASE - math.ceil(math.log(-v) / lg)
+            out[b] = out.get(b, 0.0) + 1.0
+        return out
+
+    seg = spark.read.parquet(f"{base}/metrics")
+    for grain in (10_000, 20_000):
+        got = seg.filter(seg.frequency_ms == grain).collect()
+        assert got
+        for r in got:
+            assert r.chq_sketch is not None
+            sk = decode_chq_sketch(bytes(r.chq_sketch))
+            back = {i + 1: c for i, c in sk["pos"].items()}
+            if sk["zero_count"]:
+                back[_ZERO_BUCKET] = sk["zero_count"]
+            back.update(
+                {_NEG_BASE - (i + 1): c for i, c in sk["neg"].items()}
+            )
+            vals = [
+                v
+                for ts, m, a, v in rows
+                if ts - ts % grain == r.chq_timestamp
+                and (a == r.attr_u or (a is None and r.attr_u is None))
+            ]
+            assert back == want_buckets(vals), (grain, r.chq_timestamp, r.attr_u)
+        # the NULL-attr series kept its sketch through the null-safe join
+        assert any(r.attr_u is None for r in got)
+
+    # default path unchanged: no sketch column, no Python in the plan
+    base2 = str(tmp_path / "cooked_nosk")
+    cook_metrics(raw, base2, org_id="t", tiers_ms=[10_000, 20_000])
+    assert "chq_sketch" not in spark.read.parquet(f"{base2}/metrics").columns

@@ -603,3 +603,76 @@ def test_ann_frontier_floors(spark, sf_dir):
     assert (rows["sim7_pq_topk_sl8"]["recall5"]
             <= rows["sim7_pq_topk_sl16"]["recall5"]
             <= rows["sim7_pq_topk"]["recall5"])
+
+
+def test_hamming_rejects_band_count_mismatch(spark):
+    """Two ids whose SHARED bands are identical but whose band SETS
+    differ (different image heights -> different band counts) must not
+    pair: an inner verify join would compare only the shared bands and
+    report hamming 0 — the band-cardinality check rejects the pair as
+    a structural non-match instead."""
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+
+    rows = [
+        (1, 0, 7), (1, 1, 9),
+        (2, 0, 7), (2, 1, 9), (2, 2, 42),   # superset geometry
+        (3, 0, 7), (3, 1, 9),               # true match for 1
+    ]
+    words = spark.createDataFrame(rows, "media_id long, band long, word long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_neardup_pairs(words, max_hamming=64).collect()}
+    assert got == {(1, 3): 0}
+
+
+def test_dhash_wide_image_clamps_to_declared_grid(spark):
+    """An image WIDER than grid_cols*patch must hash identically to
+    its crop at the declared grid — extra tiles' bit positions would
+    otherwise wrap into the next bit-row inside the band word,
+    corrupting every word in a mixed-dimension corpus — and every
+    emitted word must fit the declared band width."""
+    from lakerunner_spark.dataops.multimodal import encode_bmp, image_dhash_bands
+
+    patch, grid_cols, band_rows = 4, 9, 2
+    w_base, w_wide, h = patch * grid_cols, patch * 12, patch * 4
+    rng = __import__("random").Random(5)
+    base_px = [
+        [bytes(rng.randrange(256) for _ in range(3)) for _ in range(w_base)]
+        for _ in range(h)
+    ]
+    wide_px = [
+        row + [bytes(rng.randrange(256) for _ in range(3))
+               for _ in range(w_wide - w_base)]
+        for row in base_px
+    ]
+
+    def bmp(px, w):
+        return encode_bmp(w, h, b"".join(b"".join(r) for r in px))
+
+    media = spark.createDataFrame(
+        [(0, bytearray(bmp(base_px, w_base))),
+         (1, bytearray(bmp(wide_px, w_wide)))],
+        "media_id long, payload binary",
+    )
+    words = image_dhash_bands(media, patch, grid_cols, band_rows).collect()
+    per_id = {}
+    for r in words:
+        per_id.setdefault(r["media_id"], set()).add((r["band"], r["word"]))
+    assert per_id[0] == per_id[1]
+    for _, w in per_id[0]:
+        assert 0 <= w < 1 << (band_rows * (grid_cols - 1))
+
+
+def test_rank_buckets_rejects_degenerate_boundaries(spark):
+    """Duplicate or out-of-range boundaries silently produce
+    unreachable labels — they must raise instead."""
+    import pytest as _pytest
+
+    from lakerunner_spark.dataops.sampling import rank_buckets
+
+    df = spark.createDataFrame([(1, "a", 0.5)], "id long, g string, score double")
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        rank_buckets(df, "score", "g", [0.5, 0.5], ["x", "y", "z"])
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        rank_buckets(df, "score", "g", [0.0, 0.5], ["x", "y", "z"])
+    with _pytest.raises(ValueError, match=r"\(0, 1\]"):
+        rank_buckets(df, "score", "g", [0.5, 1.5], ["x", "y", "z"])

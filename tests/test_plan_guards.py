@@ -32,6 +32,11 @@ PYTHON_ALLOWED = {
     "chq1_sketch_interop_quantile",  # mapInPandas sketches-go binary
                            # decode (the S10/X1 interop seam: wire
                            # decode is Python by design, Arrow-batched)
+    "chq2_cooked_sketch_segments",  # the WRITE-side twin: sketches-go
+                           # blob ENCODE at the segment-write boundary
+                           # (Arrow codec seam, sketch_blob_udf) + the
+                           # same decode seam reading the cooked
+                           # segments back
     "otlp1_exp_histogram_quantile",  # mapInPandas OTLP protobuf decode
                            # (the S5/S6 source seam: wire decode is
                            # Python by design, Arrow-batched per file)
