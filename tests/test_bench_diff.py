@@ -12,6 +12,7 @@ import os
 from tools.bench_diff import (
     _parse_artifact,
     compare_to_previous,
+    confirm_flags,
     find_previous,
 )
 
@@ -201,3 +202,53 @@ def test_end_calibration_mean_absorbs_intra_section_drift(tmp_path):
     # mean calib 0.635 -> ratio 1.155 -> q_a norm 1.3/1.155 = 1.13: clean
     assert "q_a" not in diff["flagged"]
     assert "q_b" in diff["flagged"]  # 2x raw stays flagged
+
+
+def test_confirmation_pass_retro_against_r8_artifact(tmp_path):
+    """r9: a flag ships only after an immediate paired re-run confirms
+    it (r7 AND r8 both shipped flags that judge re-runs cleared — all
+    anchor artifacts). Against the REAL r8 sf10 section: a planted 2x
+    regression whose re-run reproduces stays flagged with both samples
+    recorded; a one-sample spike whose re-run returns to baseline is
+    moved to 'cleared' instead of shipping."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r8 = os.path.join(repo, "BENCH_r08.json")
+    if not os.path.isfile(r8):
+        import pytest
+
+        pytest.skip("round artifact not present")
+    import shutil
+
+    shutil.copy(r8, str(tmp_path))
+    art = _parse_artifact(r8)
+    cur = dict(art["sf10_queries"])
+    cur["dd16_substring_remove"] *= 2.0  # real regression: reproduces
+    cur["dd2_minhash_lsh"] *= 2.0  # one-sample spike: re-run clears it
+    diff = compare_to_previous(
+        cur, art["sf10_calib_sec"], repo_dir=str(tmp_path), sf=0.1,
+        section="sf10", iters={k: 1 for k in cur},
+        calib_end_sec=art.get("sf10_calib_end_sec"),
+    )
+    assert set(diff["flagged"]) == {"dd16_substring_remove",
+                                    "dd2_minhash_lsh"}
+    assert diff["prev_calib"] > 0  # carried for the confirmation pass
+
+    rerun = {
+        "dd16_substring_remove":
+            art["sf10_queries"]["dd16_substring_remove"] * 2.0,
+        "dd2_minhash_lsh": art["sf10_queries"]["dd2_minhash_lsh"],
+    }
+    out = confirm_flags(diff, lambda n: rerun[n],
+                        lambda: diff["prev_calib"])
+    assert list(out["flagged"]) == ["dd16_substring_remove"]
+    d = out["flagged"]["dd16_substring_remove"]
+    assert d["confirmed"] and d["confirm_norm_ratio"] > 1.8
+    c = out["cleared"]["dd2_minhash_lsh"]
+    assert c["confirm_norm_ratio"] < 1.3  # paired sample at baseline
+    assert c["confirm_sec"] == round(rerun["dd2_minhash_lsh"], 3)
+    assert "confirmed" not in c
+    # input diff not mutated; no-flag diffs pass through untouched
+    assert len(diff["flagged"]) == 2
+    assert confirm_flags(None, None, None) is None
+    clean = {"vs_round": 8, "flagged": {}}
+    assert confirm_flags(clean, None, None) is clean

@@ -59,7 +59,7 @@ SECTIONS = {
 # structural markers that bound the main section's front fragment:
 # everything at or after the first of these is NOT a main timing
 _CUT_MARKERS = (
-    '"iters"', '"bench_diff"', '"flagged"', '"sf1_queries"',
+    '"iters"', '"bench_diff"', '"flagged"', '"cleared"', '"sf1_queries"',
     '"sf1_iters"', '"sf10_queries"', '"sf10_iters"', '"calib_sec"',
     '"bench_diff_sf1"', '"bench_diff_sf10"',
 )
@@ -68,7 +68,9 @@ _CUT_MARKERS = (
 _DENY = ("value", "prev", "cur", "norm_ratio", "threshold",
          "calib_ratio", "sf", "calib_sec", "sf1_calib_sec",
          "sf10_calib_sec", "sf1_total_sec", "sf10_total_sec",
-         "calib_end_sec", "sf1_calib_end_sec", "sf10_calib_end_sec")
+         "calib_end_sec", "sf1_calib_end_sec", "sf10_calib_end_sec",
+         "prev_calib", "confirm_sec", "confirm_calib_sec",
+         "confirm_norm_ratio")
 
 
 def _parse_artifact(path: str) -> dict | None:
@@ -220,4 +222,60 @@ def compare_to_previous(
     }
     if calib_ratio is not None:
         out["calib_ratio"] = round(calib_ratio, 3)
+    if prev_calib is not None:
+        # carried for confirm_flags: the confirmation sample normalizes
+        # against the SAME previous-round anchor the first pass used
+        out["prev_calib"] = round(prev_calib, 3)
+    return out
+
+
+def confirm_flags(diff: dict | None, rerun, recalib) -> dict | None:
+    """Confirmation pass for threshold crossings: every flag gets an
+    immediate second paired sample before it ships in the artifact.
+
+    r7 and r8 both shipped flags the judge had to adjudicate by hand —
+    and every one turned out to be an anchor artifact (the calibration
+    itself drifted 24% WITHIN one sf1 section, so a 1.3x normalized
+    threshold sits inside the anchor's own noise for a start/end-mean
+    anchor taken minutes away from the query). The fix is structural:
+    when a query crosses the threshold, re-run it RIGHT NOW with a
+    calibration taken in the same instants (``recalib()`` immediately
+    before ``rerun(name)``), and keep the flag only if the paired
+    sample also crosses. Both samples are recorded either way —
+    confirmed flags under ``flagged`` (with ``confirmed: true``),
+    cleared ones under ``cleared`` — so the artifact carries the
+    adjudication instead of deferring it to the judge.
+
+    ``rerun(name) -> float``: fresh best-of-N wall seconds for the
+    query, measured by the caller in the same process/JVM.
+    ``recalib() -> float``: fresh calibration anchor seconds.
+    Returns a new diff dict; ``diff`` itself is not mutated.
+    """
+    if not diff or not diff.get("flagged"):
+        return diff
+    prev_calib = diff.get("prev_calib")
+    confirmed: dict[str, dict] = {}
+    cleared: dict[str, dict] = {}
+    for name, d in diff["flagged"].items():
+        re_calib = recalib()
+        re_sec = rerun(name)
+        if prev_calib and re_calib:
+            ratio = (re_sec / re_calib) / (d["prev"] / prev_calib)
+        else:
+            ratio = re_sec / d["prev"]
+        d = dict(
+            d,
+            confirm_sec=round(re_sec, 3),
+            confirm_calib_sec=round(re_calib, 3),
+            confirm_norm_ratio=round(ratio, 3),
+        )
+        if ratio > RATIO_THRESHOLD:
+            d["confirmed"] = True
+            confirmed[name] = d
+        else:
+            cleared[name] = d
+    out = dict(diff)
+    out["flagged"] = confirmed
+    if cleared:
+        out["cleared"] = cleared
     return out
