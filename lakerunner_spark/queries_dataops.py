@@ -2385,6 +2385,146 @@ def dd17_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d, spans, "text", "doc_id")
 
 
+@register(
+    "dd18_substring_pipeline",
+    f"""
+    WITH {_WINNOW_FPS_CTE.strip()},
+    freq AS (
+      SELECT fingerprint FROM fps GROUP BY fingerprint
+      HAVING count(*) <= 50
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fps a
+      JOIN freq USING (fingerprint)
+      JOIN fps b USING (fingerprint)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM toks CROSS JOIN unnest(generate_series(1, len(tk) - 4)) AS t(i)
+      WHERE len(tk) >= 5
+    ),
+    m AS (
+      SELECT c.doc_a, c.doc_b, ga.pos AS i, gb.pos AS j
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, i - j AS diag, i, j,
+             i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+                                    ORDER BY i) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_b AS doc_id, min(j) AS start_,
+             min(j) + count(*) + 4 AS end_
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+      HAVING count(*) + 4 >= {_DD16_MIN_RUN}
+    ),
+    flg AS (
+      SELECT doc_id, start_, end_,
+             CASE WHEN start_ > coalesce(max(end_) OVER (
+                    PARTITION BY doc_id ORDER BY start_, end_
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)
+                  THEN 1 ELSE 0 END AS newg
+      FROM spans
+    ),
+    mg AS (
+      SELECT doc_id, min(start_) AS start_, max(end_) AS end_
+      FROM (SELECT *, sum(newg) OVER (PARTITION BY doc_id
+              ORDER BY start_, end_ ROWS UNBOUNDED PRECEDING) AS isl2
+            FROM flg)
+      GROUP BY doc_id, isl2
+    ),
+    rem AS (
+      SELECT doc_id, CAST(sum(end_ - start_) AS BIGINT) AS n_removed
+      FROM mg GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.source, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             coalesce(r.n_removed, 0) AS n_removed
+      FROM toks t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN rem r ON r.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_affected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(sum(n_removed) AS BIGINT) AS tokens_removed,
+           pround(100.0 * sum(n_removed) / sum(n_tokens), 6) AS removed_pct
+    FROM base GROUP BY source
+    """,
+)
+def dd18_substring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. exact-substring dedup pipeline END TO END in one
+    declarative plan (the txt13 composition pattern applied to the
+    dedup plane — dd11 -> dd11v -> dd16 are its stages, this is the
+    composition): winnowed-fingerprint candidate pairs (the persisted
+    fingerprint table dd11 documents — substring_dedup_pairs
+    materializes it once via checkpoint before the self-join) ->
+    literal-gram verified duplicate runs (hash collisions cannot
+    produce a span) -> >= 20-token spans cut from the higher-id doc of
+    each pair (keep-first) -> the REBUILT corpus census: per source,
+    how many documents, how many were affected, tokens before and
+    removed, and the removed percentage. This is the number a training
+    run actually consumes — "how much of my corpus was duplicated
+    text" — and the oracle replays candidates, gram runs, interval
+    union, and the census value for value.
+
+    100 TB design: inherits each stage's contract — the fingerprint
+    self-join shuffles capped (fingerprint, doc) rows; grams
+    materialize only for candidate-pair docs (left-semi prune inside
+    _gram_run_islands); every window is (pair, diagonal)- or
+    doc-bounded; the final census left join attaches the vanishing
+    affected-doc set to a map-side token count of the full corpus, so
+    nothing corpus-quadratic exists at any stage. Reference analogue:
+    the dedup-paper pipeline SURVEY cites; engine pieces at
+    dedup.py:509,947,974."""
+    from lakerunner_spark.dataops.dedup import (
+        WINNOW_TOKENIZE,
+        remove_duplicate_spans,
+        substring_dedup_pairs,
+        substring_duplicate_spans,
+    )
+    from lakerunner_spark.functions.rounding import portable_round
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = substring_dedup_pairs(
+        d, "text", "doc_id", k=5, w=4, max_doc_freq=50, min_shared=2
+    ).select("doc_a", "doc_b")
+    spans = substring_duplicate_spans(
+        d, cand, "text", "doc_id", k=5, min_run=_DD16_MIN_RUN
+    )
+    removed = remove_duplicate_spans(d, spans, "text", "doc_id").select(
+        "doc_id", "n_removed"
+    )
+    toks = F.expr(WINNOW_TOKENIZE.format(col="text"))
+    base = d.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tokens")
+    )
+    joined = base.join(removed, "doc_id", "left").withColumn(
+        "n_removed", F.coalesce(F.col("n_removed"), F.lit(0))
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("long"))
+        .cast("long")
+        .alias("n_affected"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum("n_removed").cast("long").alias("tokens_removed"),
+        portable_round(
+            F.lit(100.0) * F.sum("n_removed") / F.sum("n_tokens"), 6
+        ).alias("removed_pct"),
+    )
+
+
 _DS10_BUDGET = 20000.0  # global token budget
 _DS10_ALPHA = 0.5       # mixture temperature (alpha<1 upsamples tails)
 
