@@ -1133,3 +1133,62 @@ def hamming_neardup_pairs(
         )
         .select("id_a", "id_b", "hamming")
     )
+
+
+def frame_hamming_runs(
+    words: DataFrame,
+    video_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    max_hamming: int = 2,
+    min_run: int = 3,
+    frame_key: int = 1_000_000,
+) -> DataFrame:
+    """Video near-duplicate detection via temporal runs of matching
+    frames (the dd11v gaps-and-islands shape on FRAME INDEX instead of
+    gram position): per-frame dHash band words (``words``: video_col,
+    frame_col, band, word — multimodal.video_frame_dhash_bands) go
+    through the banded Hamming join at (video, frame) granularity,
+    cross-VIDEO frame matches (hamming <= ``max_hamming``) land on
+    diagonals frame_a - frame_b, and maximal consecutive stretches
+    there are shared clips: a re-encoded copy matches every frame at
+    offset 0, a head-trimmed copy matches its surviving frames at a
+    constant positive offset, and a single coincidentally-similar
+    frame never reaches ``min_run``. Returns (video_a, video_b,
+    offset, longest_run) per matching diagonal, video_a < video_b.
+
+    ``frame_key`` packs (video, frame) into one id for the banded
+    join; sampled frame indices must stay below it (the callers'
+    max_frames is orders of magnitude smaller — video ids up to
+    ~9e12 keep the packed id inside int64 at the default).
+
+    100 TB design: inherits hamming_neardup_pairs' contract (banded
+    equi-join on (band, word), never all-pairs; exact popcount verify;
+    band-count mismatch rejected) — frames just multiply the id count
+    by the bounded sample size; the run windows partition per (pair,
+    diagonal), bounded by one video's sampled frames."""
+    from pyspark.sql import Window
+
+    if min_run < 1:
+        raise ValueError("frame_hamming_runs: min_run >= 1")
+    fids = words.select(
+        (F.col(video_col) * frame_key + F.col(frame_col)).alias("_fid"),
+        "band",
+        "word",
+    )
+    pairs = hamming_neardup_pairs(fids, "_fid", max_hamming=max_hamming)
+    m = pairs.select(
+        F.expr(f"id_a DIV {frame_key}").alias("video_a"),
+        F.expr(f"id_a % {frame_key}").alias("i"),
+        F.expr(f"id_b DIV {frame_key}").alias("video_b"),
+        F.expr(f"id_b % {frame_key}").alias("j"),
+    ).filter(F.col("video_a") != F.col("video_b"))
+    w = Window.partitionBy("video_a", "video_b", "offset").orderBy("i")
+    return (
+        m.withColumn("offset", F.col("i") - F.col("j"))
+        .withColumn("_isl", F.col("i") - F.row_number().over(w))
+        .groupBy("video_a", "video_b", "offset", "_isl")
+        .agg(F.count(F.lit(1)).alias("_rl"))
+        .groupBy("video_a", "video_b", "offset")
+        .agg(F.max("_rl").cast("long").alias("longest_run"))
+        .filter(F.col("longest_run") >= min_run)
+    )

@@ -967,7 +967,23 @@ def image_dhash_bands(
     dedup.hamming_neardup_pairs checkpoints by default, the dd12
     lesson. Emitting BAND WORDS rather than one wide hash feeds that
     join without ever materializing an all-pairs comparison."""
+    p = image_patch_features(media, patch)
+    return _dhash_band_words(p, ["media_id"], grid_cols, band_rows)
+
+
+def _dhash_band_words(
+    patches: DataFrame,
+    id_cols: list[str],
+    grid_cols: int,
+    band_rows: int,
+) -> DataFrame:
+    """Declarative dHash core shared by the image and video-frame
+    paths: tile-mean patch rows -> gradient bits -> packed band words,
+    keyed by ``id_cols`` (one image = [media_id]; one video frame =
+    [media_id, frame_idx]). See :func:`image_dhash_bands` for the
+    algorithm and exactness contract."""
     from pyspark.sql import Window
+
     if band_rows < 1:
         raise ValueError("image_dhash_bands: band_rows >= 1")
     bits_per_row = grid_cols - 1
@@ -976,14 +992,13 @@ def image_dhash_bands(
             "image_dhash_bands: band word exceeds 62 bits — lower "
             "band_rows or grid_cols"
         )
-    p = image_patch_features(media, patch)
-    g = p.select(
-        "media_id",
+    g = patches.select(
+        *id_cols,
         "patch_row",
         "patch_col",
         (F.col("mean_r") + F.col("mean_g") + F.col("mean_b")).alias("_g"),
     )
-    wrow = Window.partitionBy("media_id", "patch_row").orderBy("patch_col")
+    wrow = Window.partitionBy(*id_cols, "patch_row").orderBy("patch_col")
     # clamp to the DECLARED grid width: an image wider than
     # grid_cols*patch produces tiles at patch_col >= grid_cols, whose
     # bit positions would wrap into the next bit-row inside the band
@@ -998,7 +1013,7 @@ def image_dhash_bands(
         .withColumn("_nxt", F.lead("_g").over(wrow))
         .filter(F.col("_nxt").isNotNull())
         .select(
-            "media_id",
+            *id_cols,
             F.col("patch_row").alias("_r"),
             F.col("patch_col").alias("_c"),
             F.when(F.col("_g") < F.col("_nxt"), F.lit(1))
@@ -1015,8 +1030,117 @@ def image_dhash_bands(
     )
     return (
         bits.groupBy(
-            "media_id",
+            *id_cols,
             (F.col("_r") / band_rows).cast("long").alias("band"),
         )
         .agg(F.sum(contrib).cast("long").alias("word"))
+    )
+
+
+VIDEO_PATCH_SCHEMA = T.StructType(
+    [T.StructField("media_id", T.LongType(), False),
+     T.StructField("frame_idx", T.LongType(), False)]
+    + IMAGE_PATCH_SCHEMA.fields[1:]
+)
+
+
+def video_frame_patches(
+    media: DataFrame,
+    stride: int = 1,
+    max_frames: int = 16,
+    patch: int = 4,
+) -> DataFrame:
+    """Per-FRAME patch extraction for video payloads — the video
+    analogue of :func:`image_patch_features`: avi_info plans the frame
+    sample (stride/max_frames, metadata only), decode_avi_frame slices
+    exactly the sampled frames, and each decoded frame runs the same
+    one-reshape numpy tile-sum as the image path (integer sums /
+    power-of-two area -> exact doubles, the mm7 contract). Output:
+    (media_id, frame_idx, patch_row, patch_col, mean_r/g/b, mean_gray).
+
+    Scale: one mapInPandas over the video scan — payload bytes never
+    shuffle; output rows are sample_frames x tiles, proportional to
+    the sampled content, not the container."""
+    import numpy as np
+
+    if patch < 1:
+        raise ValueError("video_frame_patches: patch >= 1")
+    if stride < 1:
+        raise ValueError("video_frame_patches: stride >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "patch_row", "patch_col",
+                    "mean_r", "mean_g", "mean_b", "mean_gray",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                w, h, n, _ = avi_info(payload)
+                for f in list(range(0, n, stride))[:max_frames]:
+                    rgb = decode_avi_frame(payload, f)
+                    a = (
+                        np.frombuffer(rgb, dtype=np.uint8)
+                        .astype(np.float64)
+                        .reshape(h, w, 3)[
+                            : (h // patch) * patch, : (w // patch) * patch
+                        ]
+                    )
+                    gh, gw = a.shape[0] // patch, a.shape[1] // patch
+                    if gh == 0 or gw == 0:
+                        continue
+                    sums = a.reshape(gh, patch, gw, patch, 3).sum(
+                        axis=(1, 3)
+                    )
+                    denom = float(patch * patch)
+                    rows = gh * gw
+                    pr_idx, pc_idx = np.divmod(np.arange(rows), gw)
+                    cols["media_id"].extend([int(mid)] * rows)
+                    cols["frame_idx"].extend([int(f)] * rows)
+                    cols["patch_row"].extend(pr_idx.tolist())
+                    cols["patch_col"].extend(pc_idx.tolist())
+                    cols["mean_r"].extend(
+                        (sums[..., 0] / denom).ravel().tolist()
+                    )
+                    cols["mean_g"].extend(
+                        (sums[..., 1] / denom).ravel().tolist()
+                    )
+                    cols["mean_b"].extend(
+                        (sums[..., 2] / denom).ravel().tolist()
+                    )
+                    cols["mean_gray"].extend(
+                        (sums.sum(axis=2) / (denom * 3)).ravel().tolist()
+                    )
+            if cols["media_id"]:
+                yield pd.DataFrame(cols)
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=VIDEO_PATCH_SCHEMA)
+    )
+
+
+def video_frame_dhash_bands(
+    media: DataFrame,
+    stride: int = 1,
+    max_frames: int = 16,
+    patch: int = 4,
+    grid_cols: int = 9,
+    band_rows: int = 2,
+) -> DataFrame:
+    """dHash band words PER SAMPLED VIDEO FRAME: the image dHash
+    machinery (:func:`image_dhash_bands` — same gradient bits, same
+    exactness contract, same 62-bit guard) applied to
+    :func:`video_frame_patches` output, keyed (media_id, frame_idx).
+    Output: (media_id, frame_idx, band, word) — the input
+    dedup.frame_hamming_runs expects."""
+    p = video_frame_patches(media, stride, max_frames, patch)
+    return _dhash_band_words(
+        p, ["media_id", "frame_idx"], grid_cols, band_rows
     )

@@ -1161,3 +1161,180 @@ def ddm2_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.crossJoin(F.broadcast(total)).select(
         "n_images", "n_clustered", "n_clusters", "n_dropped"
     )
+
+
+# ddm3 fixture: 9 AVI videos (24x16 = a 6x4 grid of 4x4 tiles), 8 frames
+# each (101 has 6), pixels from the ddm1-style squared-mod generator with
+# the FRAME index inside so frames differ. Planted: 100 is 0 re-encoded
+# (+10 uniform brightness on every frame -> per-frame hamming 0, a full
+# 8-frame run at offset 0); 101 is 1 head-TRIMMED (its frame f is 1's
+# frame f+2 -> a 6-frame run at offset +2); 102 shares exactly ONE frame
+# with 2 (its frame 0 is 2's frame 5, brightness-shifted) — a real match
+# the frame-pair stage finds but a 1-frame "clip" the min_run=3 temporal
+# verify must reject. All values stay < 250: no clipping.
+_DDM3_VIDS = [(0, 8), (1, 8), (2, 8), (3, 8), (4, 8), (5, 8),
+              (100, 8), (101, 6), (102, 8)]
+_DDM3_W, _DDM3_H = 24, 16
+_DDM3_MAX_HAMMING = 2
+_DDM3_MIN_RUN = 3
+
+
+def _ddm3_base(m: int, f: int) -> tuple[int, int, int]:
+    """(base video, base frame, brightness) for the planted mapping."""
+    if m == 100:
+        return 0, f, 10
+    if m == 101:
+        return 1, f + 2, 0
+    if m == 102 and f == 0:
+        return 2, 5, 10
+    return m, f, 0
+
+
+def _ddm3_pixel(m: int, f: int, y: int, x: int, c: int) -> int:
+    bv, bf, br = _ddm3_base(m, f)
+    e = bv * 97 + bf * 53 + y * 31 + x * 61 + c * 13 + 7
+    return (e * e) % 199 + br
+
+
+def _ddm3_media(spark: SparkSession) -> DataFrame:
+    """The planted video fixture: honest RIFF/AVI containers (the mm5
+    encoder) from the closed-form pixel generator."""
+    from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_avi
+
+    rows = []
+    for m, nf in _DDM3_VIDS:
+        frames = [
+            bytes(
+                _ddm3_pixel(m, f, y, x, c)
+                for y in range(_DDM3_H)
+                for x in range(_DDM3_W)
+                for c in range(3)
+            )
+            for f in range(nf)
+        ]
+        rows.append(
+            (m, "video", _DDM3_W, _DDM3_H, nf * 100,
+             bytearray(encode_avi(_DDM3_W, _DDM3_H, frames, fps=10)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@register(
+    "ddm3_video_neardup",
+    f"""
+    WITH vids AS (
+      SELECT * FROM (VALUES {", ".join(f"({m}, {nf})" for m, nf in _DDM3_VIDS)})
+        v(vid, nf)
+    ),
+    fr AS (
+      SELECT vid, f FROM vids CROSS JOIN range(0, 8) t(f) WHERE f < nf
+    ),
+    base AS (
+      SELECT vid, f,
+             CASE WHEN vid = 100 THEN 0 WHEN vid = 101 THEN 1
+                  WHEN vid = 102 AND f = 0 THEN 2 ELSE vid END AS bv,
+             CASE WHEN vid = 101 THEN f + 2
+                  WHEN vid = 102 AND f = 0 THEN 5 ELSE f END AS bf,
+             CASE WHEN vid = 100 OR (vid = 102 AND f = 0)
+                  THEN 10 ELSE 0 END AS br
+      FROM fr
+    ),
+    px AS (
+      SELECT vid, f, y, x, c,
+             ((bv*97 + bf*53 + y*31 + x*61 + c*13 + 7)
+              * (bv*97 + bf*53 + y*31 + x*61 + c*13 + 7)) % 199 + br AS v
+      FROM base CROSS JOIN range(0, {_DDM3_H}) t1(y)
+           CROSS JOIN range(0, {_DDM3_W}) t2(x)
+           CROSS JOIN range(0, 3) t3(c)
+    ),
+    tiles AS (
+      SELECT vid, f, y // 4 AS r, x // 4 AS col, sum(v) / 16.0 AS g
+      FROM px GROUP BY 1, 2, 3, 4
+    ),
+    bits AS (
+      SELECT a.vid, a.f, a.r, a.col,
+             CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+      FROM tiles a
+      JOIN tiles b ON b.vid = a.vid AND b.f = a.f AND b.r = a.r
+                  AND b.col = a.col + 1
+    ),
+    words AS (
+      SELECT vid, f, r // 2 AS band,
+             CAST(sum(bit * CAST(power(2, (r % 2) * 5 + col) AS BIGINT))
+                  AS BIGINT) AS word
+      FROM bits GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT a.vid AS va, a.f AS fa, b.vid AS vb, b.f AS fb
+      FROM words a
+      JOIN words b ON b.band = a.band AND b.word = a.word
+                  AND a.vid * 1000 + a.f < b.vid * 1000 + b.f
+      GROUP BY 1, 2, 3, 4
+    ),
+    ham AS (
+      SELECT c.va, c.fa, c.vb, c.fb,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN words x ON x.vid = c.va AND x.f = c.fa
+      JOIN words y ON y.vid = c.vb AND y.f = c.fb AND y.band = x.band
+      GROUP BY 1, 2, 3, 4
+    ),
+    mt AS (
+      SELECT va AS video_a, vb AS video_b, fa AS i, fb AS j
+      FROM ham WHERE hamming <= {_DDM3_MAX_HAMMING} AND va != vb
+    ),
+    isl AS (
+      SELECT video_a, video_b, i - j AS off, i,
+             i - row_number() OVER (PARTITION BY video_a, video_b, i - j
+                                    ORDER BY i) AS island
+      FROM mt
+    ),
+    runs AS (
+      SELECT video_a, video_b, off, island, count(*) AS rl
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(video_a AS BIGINT) AS video_a,
+           CAST(video_b AS BIGINT) AS video_b,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(max(rl) AS BIGINT) AS longest_run
+    FROM runs GROUP BY 1, 2, 3
+    HAVING max(rl) >= {_DDM3_MIN_RUN}
+    """,
+)
+def ddm3_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection — the remaining multimodal x
+    dedup cell: AVI payloads frame-sample through the mm5 container
+    walk (avi_info plans, decode_avi_frame slices), every sampled
+    frame reduces to the ddm1 dHash band words
+    (multimodal.video_frame_dhash_bands — same gradient bits, same
+    integer exactness), frames match through the banded Hamming join
+    at (video, frame) granularity, and matches stitch into TEMPORAL
+    runs of consecutive frames (dedup.frame_hamming_runs — the dd11v
+    gaps-and-islands shape on frame index). Planted: the re-encoded
+    copy (uniform brightness shift) yields a full 8-frame run at
+    offset 0; the head-trimmed clip a 6-frame run at offset +2; a
+    single coincidentally-shared frame stays below min_run=3 and is
+    rejected. The oracle regenerates every pixel, tile mean, hash
+    bit, band word, candidate, popcount, diagonal, and run length.
+
+    100 TB design: decode+hash is one mapInPandas scan (payload bytes
+    never shuffle; output is bands x sampled-frames rows per video);
+    the only shuffles key on (band, word) and the bounded candidate
+    set; run windows partition per (pair, diagonal) — bounded by one
+    video's sampled frames, never the corpus."""
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+    from lakerunner_spark.dataops.multimodal import video_frame_dhash_bands
+
+    media = _ddm3_media(spark)
+    words = video_frame_dhash_bands(
+        media, stride=1, max_frames=8, patch=4,
+        grid_cols=_DDM3_W // 4, band_rows=2,
+    )
+    return frame_hamming_runs(
+        words,
+        "media_id",
+        "frame_idx",
+        max_hamming=_DDM3_MAX_HAMMING,
+        min_run=_DDM3_MIN_RUN,
+        frame_key=1000,
+    )

@@ -676,3 +676,70 @@ def test_rank_buckets_rejects_degenerate_boundaries(spark):
         rank_buckets(df, "score", "g", [0.0, 0.5], ["x", "y", "z"])
     with _pytest.raises(ValueError, match=r"\(0, 1\]"):
         rank_buckets(df, "score", "g", [0.5, 1.5], ["x", "y", "z"])
+
+
+def test_video_neardup_temporal_runs_planted(spark):
+    """ddm3's contract on the planted fixture: the re-encoded copy
+    (uniform brightness) matches all 8 frames at offset 0, the
+    head-trimmed clip its 6 surviving frames at offset +2, and the
+    single coincidentally-shared frame (video 102 frame 0 == video 2
+    frame 5) IS found by the frame-pair stage but rejected by the
+    min_run=3 temporal verify."""
+    import lakerunner_spark.queries_multimodal as qm
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+    from lakerunner_spark.dataops.multimodal import video_frame_dhash_bands
+
+    media = qm._ddm3_media(spark)
+    words = video_frame_dhash_bands(
+        media, stride=1, max_frames=8, patch=4,
+        grid_cols=qm._DDM3_W // 4, band_rows=2,
+    )
+    # min_run=1: the frame-pair stage's full output, runs included
+    all_runs = {
+        (r["video_a"], r["video_b"], r["offset"]): r["longest_run"]
+        for r in frame_hamming_runs(
+            words, max_hamming=qm._DDM3_MAX_HAMMING, min_run=1,
+            frame_key=1000,
+        ).collect()
+    }
+    assert all_runs[(0, 100, 0)] == 8   # re-encode: every frame
+    assert all_runs[(1, 101, 2)] == 6   # trim: surviving frames
+    assert all_runs[(2, 102, 5)] == 1   # the single shared frame
+
+    # the registered query (min_run=3) keeps only the true clips
+    rows = {
+        (r["video_a"], r["video_b"], r["offset"]): r["longest_run"]
+        for r in qm.ddm3_video_neardup(spark, "unused").collect()
+    }
+    assert rows == {(0, 100, 0): 8, (1, 101, 2): 6}
+
+
+def test_video_frame_patches_matches_image_path(spark):
+    """A one-frame AVI and the same pixels as a BMP must produce
+    identical patch features (the video path reuses the image tile
+    contract), and non-video rows are ignored."""
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_avi,
+        encode_bmp,
+        image_patch_features,
+        video_frame_patches,
+    )
+
+    rgb = bytes((y * 17 + x * 5 + c * 11) % 256
+                for y in range(8) for x in range(8) for c in range(3))
+    media = spark.createDataFrame(
+        [(1, "video", 8, 8, 100, bytearray(encode_avi(8, 8, [rgb]))),
+         (2, "image", 8, 8, None, bytearray(encode_bmp(8, 8, rgb)))],
+        MEDIA_SCHEMA,
+    )
+    vid = video_frame_patches(media, patch=4).collect()
+    img = image_patch_features(media.filter("media_id = 2"), patch=4).collect()
+    assert {r["frame_idx"] for r in vid} == {0}
+    vmap = {(r["patch_row"], r["patch_col"]):
+            (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_gray"])
+            for r in vid}
+    imap = {(r["patch_row"], r["patch_col"]):
+            (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_gray"])
+            for r in img}
+    assert vmap == imap

@@ -45,6 +45,10 @@ PYTHON_ALLOWED = {
                            # all JVM-side DataFrame ops — plan-asserted
                            # bucketed in test_multimodal_ann)
     "ddm2_image_dedup_pipeline",  # same decode seam (ddm1 + components)
+    "ddm3_video_neardup",  # mapInPandas AVI frame-sample decode feeding
+                           # the per-frame dHash (the mm5 container walk;
+                           # linear in sampled frames, payloads never
+                           # shuffle; joins/windows are all JVM-side)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
