@@ -1409,32 +1409,41 @@ def _dd12_oracle(n_clusters: int = 8, iters: int = 3,
     """
 
 
+_DD12S_EMB_LONG = """
+      SELECT vec_id AS _id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+"""
+
+
 def _dd12s_oracle(
     n_clusters: int = 8,
     coarse_cells: int = 3,
     sample_mod: int = 4,
     iters: int = 3,
     threshold: float = 0.3,
+    long_cte: str = _DD12S_EMB_LONG,
 ) -> str:
     """Sampled SemDeDup oracle: Lloyd over the id%mod==0 train slice,
     fine-centroid -> coarse-cell map, two-level (coarse, then fine
     within the cell) full-corpus assignment — every distance
     pround(9)-ed before its argmin, ties to the lower cell/cluster —
-    then the identical pair tail as _dd12_oracle."""
+    then the identical pair tail as _dd12_oracle. ``long_cte`` is the
+    (_id, pos, val) source body — the embeddings table by default;
+    ddm4 passes a closed-form image-feature generator, proving the
+    route is modality-generic at the oracle level too."""
     head = f"""
     WITH long AS (
-      SELECT vec_id AS _id,
-             generate_subscripts(embedding, 1) - 1 AS pos,
-             unnest(embedding) AS val
-      FROM embeddings
+      {long_cte.strip()}
     ),
     tlong AS (SELECT * FROM long WHERE _id % {sample_mod} = 0),
     seeds AS (
-      SELECT vec_id AS _sid,
-             row_number() OVER (ORDER BY vec_id ASC) - 1 AS cluster
-      FROM (SELECT vec_id FROM embeddings
-            WHERE vec_id % {sample_mod} = 0
-            ORDER BY vec_id ASC LIMIT {n_clusters})
+      SELECT _id AS _sid,
+             row_number() OVER (ORDER BY _id ASC) - 1 AS cluster
+      FROM (SELECT DISTINCT _id FROM long
+            WHERE _id % {sample_mod} = 0
+            ORDER BY _id ASC LIMIT {n_clusters})
     ),
     c0 AS (
       SELECT cluster, pos, pround(val, 9) AS cval

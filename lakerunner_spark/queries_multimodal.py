@@ -1338,3 +1338,125 @@ def ddm3_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_run=_DDM3_MIN_RUN,
         frame_key=1000,
     )
+
+
+# ddm4 fixture: 24 base images (ids 0-23) + 6 micro-contrast variants
+# (ids 100-105 of bases 0-5), 36x32 px, pixel value CONSTANT per 4x4
+# tile so the mm7 gray mean is the tile value exactly. Tiles come in
+# horizontally EQUAL pairs (t(r,2i) == t(r,2i+1)); the variant adds +2
+# to odd columns, which flips every tie-broken dHash gradient bit —
+# measured hamming 32-33 of 64, far past ddm1's max_hamming=8, so the
+# perceptual hash MISSES these near-identical images — while the
+# feature vectors move by <= 2 on half their dims: cosine >= 0.99995
+# vs a 0.9634 max between unrelated bases. SemDeDup over the SAME mm7
+# features catches exactly the planted six.
+_DDM4_BASES, _DDM4_VARIANTS = 24, 6
+_DDM4_GH, _DDM4_GW = 8, 9
+_DDM4_K, _DDM4_CELLS, _DDM4_MOD, _DDM4_ITERS = 5, 2, 2, 2
+_DDM4_THRESHOLD = 0.999
+
+
+def _ddm4_tile(m: int, r: int, c: int) -> int:
+    mp = m - 100 if m >= 100 else m
+    e = mp * 37 + r * 11 + (c // 2) * 7
+    u = (e * e) % 97 + 60
+    if m >= 100 and c % 2 == 1:
+        u += 2
+    return u
+
+
+def _ddm4_media(spark: SparkSession) -> DataFrame:
+    from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_bmp
+
+    ids = list(range(_DDM4_BASES)) + [100 + i for i in range(_DDM4_VARIANTS)]
+    rows = []
+    for m in ids:
+        rgb = bytes(
+            _ddm4_tile(m, y // 4, x // 4)
+            for y in range(_DDM4_GH * 4)
+            for x in range(_DDM4_GW * 4)
+            for _c in range(3)
+        )
+        rows.append(
+            (m, "image", _DDM4_GW * 4, _DDM4_GH * 4, None,
+             bytearray(encode_bmp(_DDM4_GW * 4, _DDM4_GH * 4, rgb)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_DDM4_LONG = f"""
+      SELECT m AS _id, r * {_DDM4_GW} + c AS pos,
+             CAST(((CASE WHEN m >= 100 THEN m - 100 ELSE m END) * 37
+                    + r * 11 + (c // 2) * 7)
+                  * ((CASE WHEN m >= 100 THEN m - 100 ELSE m END) * 37
+                    + r * 11 + (c // 2) * 7) % 97 + 60
+                  + CASE WHEN m >= 100 AND c % 2 = 1 THEN 2 ELSE 0 END
+                  AS DOUBLE) AS val
+      FROM (SELECT unnest([{", ".join(
+          str(i) for i in list(range(_DDM4_BASES))
+          + [100 + i for i in range(_DDM4_VARIANTS)])}]) AS m)
+      CROSS JOIN range(0, {_DDM4_GH}) tr(r)
+      CROSS JOIN range(0, {_DDM4_GW}) tc(c)
+"""
+
+
+def _ddm4_oracle() -> str:
+    from lakerunner_spark.queries_dataops import _dd12s_oracle
+
+    return _dd12s_oracle(
+        n_clusters=_DDM4_K,
+        coarse_cells=_DDM4_CELLS,
+        sample_mod=_DDM4_MOD,
+        iters=_DDM4_ITERS,
+        threshold=_DDM4_THRESHOLD,
+        long_cte=_DDM4_LONG,
+    )
+
+
+@register("ddm4_semantic_image_dedup", _ddm4_oracle())
+def ddm4_semantic_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic image dedup — SemDeDup over image features, proving
+    the dedup plane is modality-generic with ~zero new operator code:
+    BMP payloads decode through mm7's patch grid ONCE (the only
+    Python), each image's tile gray means assemble into its feature
+    vector declaratively (the txt13 rebuild shape: collect_list +
+    array_sort, exact — gray means are integer tile sums / 48.0), and
+    dd12s's sampled two-level SemDeDup route runs UNCHANGED on the
+    result. Planted: six micro-contrast variants whose dHash hamming
+    is 32-33 of 64 — ddm1's perceptual hash MISSES all six
+    (unit-asserted) — yet cosine >= 0.99995 against their bases vs
+    0.9634 max between unrelated images, so the semantic route drops
+    exactly the six. The oracle replays the feature generator closed
+    form and every Lloyd/assignment/pair step of the dd12s machinery.
+
+    100 TB design: identical to ddm1's decode contract (payloads
+    never shuffle; one mapInPandas) + dd12s's scale contract
+    (sample-trained k-means, two-level assignment, cluster-localized
+    pairs — k grows with n, nothing all-pairs)."""
+    from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+    from lakerunner_spark.dataops.multimodal import image_patch_features
+
+    media = _ddm4_media(spark)
+    patches = image_patch_features(media, patch=4)
+    vecs = (
+        patches.groupBy(F.col("media_id").alias("vec_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("patch_row", "patch_col", "mean_gray")
+                )
+            ).alias("_ps")
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(_ps, x -> x.mean_gray)").alias("embedding"),
+        )
+    )
+    return semantic_dedup_sampled(
+        vecs,
+        n_clusters=_DDM4_K,
+        coarse_cells=_DDM4_CELLS,
+        sample_mod=_DDM4_MOD,
+        iters=_DDM4_ITERS,
+        threshold=_DDM4_THRESHOLD,
+    )

@@ -743,3 +743,30 @@ def test_video_frame_patches_matches_image_path(spark):
             (r["mean_r"], r["mean_g"], r["mean_b"], r["mean_gray"])
             for r in img}
     assert vmap == imap
+
+
+def test_semantic_image_dedup_catches_what_dhash_misses(spark):
+    """ddm4's reason to exist: the six planted micro-contrast variants
+    flip 32-33 of 64 dHash bits — ddm1's banded Hamming join (max 8)
+    finds NONE of them — while SemDeDup over the same mm7 features
+    drops exactly the six against their bases."""
+    import lakerunner_spark.queries_multimodal as qm
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+    from lakerunner_spark.dataops.multimodal import image_dhash_bands
+
+    media = qm._ddm4_media(spark)
+    words = image_dhash_bands(media, patch=4, grid_cols=qm._DDM4_GW,
+                              band_rows=2)
+    dhash_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_neardup_pairs(words, "media_id",
+                                       max_hamming=8).collect()
+    }
+    planted = {(i, 100 + i) for i in range(qm._DDM4_VARIANTS)}
+    assert not (dhash_pairs & planted)  # the perceptual hash misses all
+
+    dropped = {
+        (r["keep_id"], r["drop_id"])
+        for r in qm.ddm4_semantic_image_dedup(spark, "unused").collect()
+    }
+    assert dropped == planted  # the semantic route catches exactly them

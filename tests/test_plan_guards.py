@@ -49,6 +49,9 @@ PYTHON_ALLOWED = {
                            # the per-frame dHash (the mm5 container walk;
                            # linear in sampled frames, payloads never
                            # shuffle; joins/windows are all JVM-side)
+    "ddm4_semantic_image_dedup",  # same mm7 decode seam feeding the
+                           # dd12s SemDeDup route (kmeans/assignment/
+                           # pairs all JVM-side)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
