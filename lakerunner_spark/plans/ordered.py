@@ -1,0 +1,130 @@
+"""O4: ordered incremental result emission for range queries.
+
+Reference: the query-api evaluates a range query as time-disjoint
+segment-group jobs running in parallel and streams each group's rows
+to the caller STRICTLY IN TIME ORDER, starting as soon as the first
+group finishes — the client renders the head of the chart while the
+tail still computes (queryapi/README.md:96-104,
+queryapi/metrics_evaluator.go runOrderedCoordinator: "concat groups
+in index order; streams as soon as idx=0 registers").
+
+Spark posture: the engine's batch-complete contract (README ADR
+"Batch-complete query results") stands for the correctness gates —
+but the same latency behavior is available as a PLAN-SLICING harness,
+because the PromQL compiler's start_ms/end_ms make every time slice
+an independent, partition-pruned plan with its own lookback widening
+(compiler.py: the leaf scans ``start - range_ms`` but emission clips
+to [start, end), so concatenated slices equal the one-shot window
+exactly). This module is that harness: slice jobs run concurrently on
+Spark's scheduler (the reference's computeMaxParallel), results are
+yielded in slice order the moment the next-expected slice lands — the
+runOrderedCoordinator's pending-map, as a generator.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def range_slices(
+    start_ms: int, end_ms: int, n_slices: int, step_ms: int
+) -> list[tuple[int, int]]:
+    """Split [start_ms, end_ms) into ``n_slices`` contiguous windows
+    aligned DOWN to step boundaries (a bucket belongs to exactly one
+    slice; misaligned cuts would emit the boundary bucket twice or
+    not at all). The last slice absorbs the remainder."""
+    if n_slices < 1:
+        raise ValueError("range_slices: n_slices >= 1")
+    if end_ms <= start_ms:
+        raise ValueError("range_slices: end_ms > start_ms")
+    span = end_ms - start_ms
+    cuts = [start_ms]
+    for i in range(1, n_slices):
+        c = start_ms + span * i // n_slices
+        if step_ms > 0:
+            c -= c % step_ms  # buckets are globally step-aligned
+        if c > cuts[-1]:
+            cuts.append(c)
+    cuts.append(end_ms)
+    return [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+
+
+def ordered_slice_results(
+    build_slice: Callable[[int, int], DataFrame],
+    slices: list[tuple[int, int]],
+    max_parallel: int = 3,
+) -> Iterator[tuple[int, int, int, list]]:
+    """Evaluate ``build_slice(lo, hi)`` for every slice concurrently
+    (up to ``max_parallel`` Spark jobs — the reference's
+    computeMaxParallel default) and yield ``(idx, lo, hi, rows)``
+    STRICTLY in slice order, each the moment the next-expected slice
+    completes: slice 0's rows reach the caller while later slices are
+    still running. This is runOrderedCoordinator's contract — ordered
+    concat over out-of-order completion — with the pending map
+    replaced by in-order future waits (a future that completed early
+    just returns immediately when its turn comes).
+
+    The per-slice ``.collect()`` is the API emission boundary (result
+    rows, already aggregated to chart cardinality), not a compute
+    pattern — identical to the one-shot path's final collect, paid
+    per slice."""
+    if max_parallel < 1:
+        raise ValueError("ordered_slice_results: max_parallel >= 1")
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futures = [
+            pool.submit(lambda lo=lo, hi=hi: build_slice(lo, hi).collect())
+            for lo, hi in slices
+        ]
+        for idx, ((lo, hi), fut) in enumerate(zip(slices, futures)):
+            yield idx, lo, hi, fut.result()
+
+
+def promql_ordered_range(
+    query: str,
+    catalog,
+    step_ms: int,
+    start_ms: int,
+    end_ms: int,
+    n_slices: int,
+    max_parallel: int = 3,
+) -> Iterator[tuple[int, int, int, list]]:
+    """Ordered incremental evaluation of a PromQL range query: the
+    window splits into ``n_slices`` step-aligned slices, each compiled
+    as an independent partition-pruned plan (the compiler widens the
+    scan by the selector's range for lookback), evaluated concurrently
+    and emitted strictly in time order. Each slice's OUTPUT is clipped
+    to its own window — the lookback rows exist to feed the range
+    window, not to be emitted twice.
+
+    Exactness contract: for gate-free shapes — instant vectors (no
+    window) and the ungated pair functions irate/idelta (range_agg.py
+    keeps them outside the coverage gate; their lag(1) at a slice's
+    first bucket is fed by the lookback rows) — the concatenation
+    equals the one-shot plan row for row. WINDOWED functions
+    (rate/increase/sum_over_time/...) all carry the reference's
+    coverage gate ("series must have >= range of history",
+    leaf_node.go:357,394) evaluated against the slice's own scan, so
+    a sparse series warms up again in each slice's first ``range`` of
+    buckets — the same per-group warm-up the reference's evaluator
+    has, since runOrderedCoordinator's groups each replay only their
+    own segments (metrics_evaluator.go); outside that region sliced
+    values are exact (tests/test_ordered_emission.py pins both)."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    slices = range_slices(start_ms, end_ms, n_slices, step_ms)
+
+    def build(lo: int, hi: int) -> DataFrame:
+        df = compile_promql(query, catalog, step_ms, start_ms=lo, end_ms=hi)
+        # the first slice owns the floored opening bucket (the grid
+        # floors start to the step); later cuts are step-aligned
+        lo_clip = lo - lo % step_ms if lo == start_ms else lo
+        return df.filter(
+            (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < hi)
+        )
+
+    return ordered_slice_results(build, slices, max_parallel)
