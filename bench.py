@@ -106,6 +106,10 @@ HEADLINE = [
     "ds13_weighted_sample",
     "ds14_shard_manifest",
     "chq1_sketch_interop_quantile",
+    "dd18_substring_pipeline",
+    "ddm3_video_neardup",
+    "ddm4_semantic_image_dedup",
+    "chq2_cooked_sketch_segments",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale
@@ -149,6 +153,16 @@ SF1_HEADLINE = [
     # sketch terciles in one plan)
     "dd17_decontaminate_spans",
     "txt13_ccnet_pipeline",
+    # r9: the full Lee et al. substring pipeline, the r8 surface's
+    # decades (image near-dup + pipeline over the scaled make_media
+    # corpus via SECTION_OVERRIDES, ANN frontier, CCNet sketch router,
+    # windowed paragraph dedup), per the r8 verdict ask
+    "dd18_substring_pipeline",
+    "ddm1_image_neardup",
+    "ddm2_image_dedup_pipeline",
+    "sim8_ann_frontier",
+    "txt12s_ccnet_sketch_buckets",
+    "dd14w_paragraph_dedup_window",
 ]
 
 # second measured decade (100× the default bench size, deterministic
@@ -191,6 +205,14 @@ SF10_HEADLINE = [
     # LM scan dominate, both linear-parallel)
     "dd17_decontaminate_spans",
     "txt13_ccnet_pipeline",
+    # r9: second decades for the same set (ddm over the 10k-image
+    # corpus; the others at 100x rows)
+    "dd18_substring_pipeline",
+    "ddm1_image_neardup",
+    "ddm2_image_dedup_pipeline",
+    "sim8_ann_frontier",
+    "txt12s_ccnet_sketch_buckets",
+    "dd14w_paragraph_dedup_window",
 ]
 
 
@@ -216,11 +238,83 @@ def _dd12s_scaled(k: int, c: int, mod: int):
     return run
 
 
+def _media_dir(n_base: int) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".localdata/media_{n_base}",
+    )
+
+
+def _ddm1_scaled(n_base: int):
+    """ddm1 at corpus scale: the registered 14-image fixture proves
+    exactness; the decade runs the SAME plan (decode -> dHash band
+    words -> banded Hamming join -> popcount verify) over the
+    make_media corpus (n_base bases + n_base/5 planted near-dups, so
+    candidate volume grows linearly with n). The parquet is
+    pre-generated in section setup — generation never pollutes the
+    timed window."""
+
+    def run(spark, sf_dir):
+        from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+        from lakerunner_spark.dataops.multimodal import image_dhash_bands
+
+        media = spark.read.parquet(
+            os.path.join(_media_dir(n_base), "media.parquet")
+        )
+        words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
+        return hamming_neardup_pairs(words, "media_id", max_hamming=8)
+
+    return run
+
+
+def _ddm2_scaled(n_base: int):
+    """ddm2's full pipeline (pairs -> connected components ->
+    keep-first census) over the same scaled corpus."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+        from lakerunner_spark.dataops.graph import neardup_clusters
+        from lakerunner_spark.dataops.multimodal import image_dhash_bands
+
+        media = spark.read.parquet(
+            os.path.join(_media_dir(n_base), "media.parquet")
+        )
+        words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
+        pairs = hamming_neardup_pairs(words, "media_id", max_hamming=8)
+        clusters = neardup_clusters(pairs, "id_a", "id_b")
+        total = media.agg(F.count(F.lit(1)).alias("n_images"))
+        report = clusters.agg(
+            F.count(F.lit(1)).cast("long").alias("n_clustered"),
+            F.countDistinct("component").cast("long").alias("n_clusters"),
+            (F.count(F.lit(1)) - F.countDistinct("component"))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        return report.crossJoin(F.broadcast(total)).select(
+            "n_images", "n_clustered", "n_clusters", "n_dropped"
+        )
+
+    return run
+
+
+# scaled-media corpus size per section (main keeps the oracle fixture)
+MEDIA_N = {"sf1": 1_000, "sf10": 10_000}
+
 # per-section query overrides: same operator, scale-contract params
 # (main runs the registered defaults; the scale steps grow k with n)
 SECTION_OVERRIDES = {
-    "sf1": {"dd12s_semantic_dedup_sampled": _dd12s_scaled(80, 9, 127)},
-    "sf10": {"dd12s_semantic_dedup_sampled": _dd12s_scaled(800, 28, 127)},
+    "sf1": {
+        "dd12s_semantic_dedup_sampled": _dd12s_scaled(80, 9, 127),
+        "ddm1_image_neardup": _ddm1_scaled(MEDIA_N["sf1"]),
+        "ddm2_image_dedup_pipeline": _ddm2_scaled(MEDIA_N["sf1"]),
+    },
+    "sf10": {
+        "dd12s_semantic_dedup_sampled": _dd12s_scaled(800, 28, 127),
+        "ddm1_image_neardup": _ddm1_scaled(MEDIA_N["sf10"]),
+        "ddm2_image_dedup_pipeline": _ddm2_scaled(MEDIA_N["sf10"]),
+    },
 }
 
 
@@ -251,6 +345,13 @@ def _run_section(section: str) -> dict:
             SF_DIR, os.path.join(os.path.dirname(__file__), ".localdata/sf1")
         )
         names = SF1_HEADLINE
+
+    if section in MEDIA_N:
+        # scaled image corpus for the ddm overrides — generated (and
+        # disk-cached) OUTSIDE the timed window, like make_sf1
+        from tools.make_media import make_media
+
+        make_media(MEDIA_N[section], _media_dir(MEDIA_N[section]))
 
     # JVM/codegen warmup outside the measured window (steady-state is
     # what a long-running cluster serves)

@@ -325,3 +325,41 @@ def test_rank_buckets_in_foreachbatch_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert set(got) == batch_rows and batch_rows
+
+
+def test_streaming_video_frame_patches_match_batch(spark, tmp_path):
+    """ddm3's ingest half is stateless too: AVI frame-sample decode ->
+    per-frame tile means via mapInPandas runs unchanged under
+    readStream (videos arriving continuously produce the same frame
+    patch rows the batch scan does); the banded join + temporal-run
+    windows run per-microbatch in foreachBatch, the streaming/dedup.py
+    pattern — the 14th stream==batch suite."""
+    from lakerunner_spark.dataops.multimodal import video_frame_patches
+    from lakerunner_spark.queries_multimodal import _ddm3_media
+
+    media = _ddm3_media(spark).limit(4)
+    indir = str(tmp_path / "video_in")
+    media.write.parquet(indir)
+    schema = spark.read.parquet(indir).schema
+
+    def build(df):
+        return video_frame_patches(df, stride=1, max_frames=8, patch=4)
+
+    batch_rows = {
+        tuple(r) for r in build(spark.read.parquet(indir)).collect()
+    }
+    q = (
+        build(spark.readStream.schema(schema).parquet(indir))
+        .writeStream.format("memory")
+        .queryName("video_patch_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM video_patch_parity").collect()
+    }
+    assert batch_rows == stream_rows
+    assert batch_rows  # 4 videos x 8 frames x 54 tiles

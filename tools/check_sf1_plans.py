@@ -48,7 +48,13 @@ def shape(df) -> dict:
 
 
 def main() -> None:
-    from bench import SECTION_OVERRIDES, SF1_HEADLINE, SF10_HEADLINE
+    from bench import (
+        MEDIA_N,
+        SECTION_OVERRIDES,
+        SF1_HEADLINE,
+        SF10_HEADLINE,
+        _media_dir,
+    )
 
     import __spark_entry__ as entry_mod
     from lakerunner_spark.session import get_spark
@@ -63,6 +69,11 @@ def main() -> None:
     else:
         big = make_sf1(SF01, os.path.join(local, "sf1"))
         names, tag = SF1_HEADLINE, "sf1"
+    if tag in MEDIA_N:
+        # the ddm overrides read the scaled image corpus
+        from tools.make_media import make_media
+
+        make_media(MEDIA_N[tag], _media_dir(MEDIA_N[tag]))
     qs = entry_mod.queries()
     # mirror bench: scale-contract overrides (e.g. dd12s's k grows
     # with n) apply on the BIG side; running the registered k=8
