@@ -72,23 +72,19 @@ _PRIORITY = [
     "lqs1_log_rate",
     "lqs3_unwrap_max",
     "otlp1_exp_histogram_quantile",
-    "txt12_ccnet_buckets",
     "txt12s_ccnet_sketch_buckets",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
-    "tpch_q9_product_profit",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "ds8_leakage_free_split",
-    "ds9_quality_percentile_filter",
     "ds9s_quality_sketch_filter",
     "dd11v_substring_verify",
     "pqs48_native_histogram_mixed_schema",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
     "dd2_minhash_lsh",
-    "dd3_jaccard_verify",
     "dd12_semantic_dedup",
     "dd12s_semantic_dedup_sampled",
     "dd16_substring_remove",
@@ -102,6 +98,10 @@ _PRIORITY = [
     "dd14_global_paragraph_dedup",
     "ds12_dsir_selection",
     "txt13_ccnet_pipeline",
+    "dd18_substring_pipeline",
+    "ddm3_video_neardup",
+    "ddm4_semantic_image_dedup",
+    "chq2_cooked_sketch_segments",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
@@ -121,8 +121,18 @@ _PRIORITY = [
     # terciles), dd17 (span-level decontamination), ddm1 (perceptual-
     # hash image dedup), sim8 (ANN quality frontier), txt13 (the CCNet
     # pipeline end-to-end); their families stay above the line via
-    # dd14/txt12, mm7, pqs43/pqs48, ds12/ds14.
+    # dd14/txt12, mm7, pqs43/pqs48, ds12/ds14. r9: tpch_q9, ds9,
+    # dd3, txt12 (all r8-gate-certified green) rotate down for the
+    # round's new surface — dd18 (Lee et al. substring pipeline
+    # end-to-end), ddm3 (video temporal-run near-dup), ddm4 (semantic
+    # image dedup), chq2 (cooked chq_sketch segments read back by the
+    # interop decode path); their families stay above the line via
+    # q1/q3/q5/q18/q21, ds9s, dd2/dd11v, txt12s/txt13.
     "ds13_weighted_sample",
+    "tpch_q9_product_profit",
+    "ds9_quality_percentile_filter",
+    "dd3_jaccard_verify",
+    "txt12_ccnet_buckets",
     "txt11_paragraph_dedup",
     "mm6_audio_frames",
     "pqs44_native_histogram_fraction",
