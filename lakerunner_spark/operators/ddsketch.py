@@ -179,6 +179,7 @@ def ddsketch_quantiles(
     qs: list[float],
     relative_accuracy: float = DEFAULT_RELATIVE_ACCURACY,
     out_cols: list[str] | None = None,
+    n_col: str | None = None,
 ) -> DataFrame:
     """Several quantiles per group from ONE cumulative walk of the
     sketch (the multi-threshold shape the grouped-rank router needs:
@@ -187,7 +188,10 @@ def ddsketch_quantiles(
     rule as :func:`ddsketch_quantile` (min bucket whose cumulative
     count exceeds floor(q*(n-1)), mid-bucket estimate), folded into a
     single aggregation via min(CASE WHEN cum > rank THEN bucket END)
-    so the walk is paid once regardless of len(qs)."""
+    so the walk is paid once regardless of len(qs). ``n_col`` also
+    emits the group's total count from the same walk (it is already
+    computed for the rank thresholds) — callers that need n alongside
+    quantiles (chq1's n_samples) avoid a separate aggregation+join."""
     if not qs:
         raise ValueError("ddsketch_quantiles: need at least one quantile")
     out_cols = out_cols or [f"q{i}" for i in range(len(qs))]
@@ -213,9 +217,12 @@ def ddsketch_quantiles(
         ).alias(f"_b{i}")
         for i, q in enumerate(qs)
     ]
+    if n_col is not None:
+        aggs.append(F.max("n").cast("long").alias(n_col))
     hit = cum.groupBy(*group_cols).agg(*aggs)
     return hit.select(
         *group_cols,
+        *([n_col] if n_col is not None else []),
         *[
             _bucket_value(F.col(f"_b{i}"), gamma).alias(out_cols[i])
             for i in range(len(qs))

@@ -11,6 +11,7 @@ from lakerunner_spark.operators.ddsketch import (
     ddsketch_merge,
     ddsketch_quantile,
     ddsketch_quantile_sql,
+    ddsketch_quantiles,
 )
 from lakerunner_spark.queries import register
 from lakerunner_spark.testdata import EVENTS_MS_SQL, events_stream
@@ -615,20 +616,19 @@ def chq1_sketch_interop_quantile(
     merged = decoded.groupBy("metric", "bucket").agg(
         F.sum("count").alias("count")
     )
-    p50 = ddsketch_quantile(merged, ["metric"], 0.5, out_col="p50")
-    p95 = ddsketch_quantile(merged, ["metric"], 0.95, out_col="p95")
-    n = merged.groupBy("metric").agg(
-        F.sum("count").cast("long").alias("n_samples")
+    # ONE cumulative walk yields both quantiles AND n (r9: the prior
+    # shape paid two single-quantile window passes plus an n aggregate
+    # and two joins — pure plan overhead on a tiny bucket table, and
+    # the dominant term of this driver-latency-bound query)
+    q = ddsketch_quantiles(
+        merged, ["metric"], [0.5, 0.95], out_cols=["p50", "p95"],
+        n_col="n_samples",
     )
-    return (
-        n.join(p50, "metric")
-        .join(p95, "metric")
-        .select(
-            "metric",
-            "n_samples",
-            _pr("p50", 6).alias("p50"),
-            _pr("p95", 6).alias("p95"),
-        )
+    return q.select(
+        "metric",
+        "n_samples",
+        _pr("p50", 6).alias("p50"),
+        _pr("p95", 6).alias("p95"),
     )
 
 
