@@ -59,7 +59,6 @@ _PRIORITY = [
     "dd11_substring_dedup",
     "a8_topk",
     "a13_aggfile_route",
-    "sim7_pq_topk",
     "chq1_sketch_interop_quantile",
     "a6_hll_rollup_merge",
     "x1_ddsketch_p95",
@@ -101,6 +100,7 @@ _PRIORITY = [
     "dd18_substring_pipeline",
     "ddm3_video_neardup",
     "ddm4_semantic_image_dedup",
+    "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
@@ -127,8 +127,11 @@ _PRIORITY = [
     # end-to-end), ddm3 (video temporal-run near-dup), ddm4 (semantic
     # image dedup), chq2 (cooked chq_sketch segments read back by the
     # interop decode path); their families stay above the line via
-    # q1/q3/q5/q18/q21, ds9s, dd2/dd11v, txt12s/txt13.
+    # q1/q3/q5/q18/q21, ds9s, dd2/dd11v, txt12s/txt13; sim7 likewise
+    # (r8-certified) for ddm5 (audio near-dup), its PQ family carried
+    # by sim8's frontier.
     "ds13_weighted_sample",
+    "sim7_pq_topk",
     "tpch_q9_product_profit",
     "ds9_quality_percentile_filter",
     "dd3_jaccard_verify",

@@ -109,6 +109,7 @@ HEADLINE = [
     "dd18_substring_pipeline",
     "ddm3_video_neardup",
     "ddm4_semantic_image_dedup",
+    "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
 ]
 

@@ -1144,3 +1144,110 @@ def video_frame_dhash_bands(
     return _dhash_band_words(
         p, ["media_id", "frame_idx"], grid_cols, band_rows
     )
+
+
+def audio_band_energy_patches(
+    media: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    bands: int = 32,
+    row_width: int = 16,
+) -> DataFrame:
+    """Per-frame BAND ENERGIES in the patch-grid shape
+    :func:`_dhash_band_words` consumes — the audio analogue of the
+    image tile means (Haitsma & Kalker's fingerprint family: a hash
+    bit per adjacent-band energy comparison): each analysis window of
+    ``frame`` samples (stride ``hop``, the mm6 framing) splits into
+    ``bands`` contiguous sub-bands whose squared-sample sums are the
+    "tile grays". Emitted keyed (media_id, frame_idx) with
+    patch_row = band // row_width, patch_col = band % row_width, the
+    energy in mean_r (mean_g/mean_b zero) — so the SAME declarative
+    gradient-bit/word packer the image and video paths use produces
+    ``bands/row_width`` words of ``row_width - 1`` bits per frame.
+
+    Exactness: 16-bit samples make every squared sum an exact integer
+    double (< 2^53) in any summation order; comparisons are
+    engine-identical. Energy-difference SIGNS are invariant to
+    uniform amplitude scaling — the volume-change/re-encode analogue
+    of dHash's brightness invariance.
+
+    Scale: one mapInPandas over the audio scan (payloads never
+    shuffle); output rows = frames x bands, proportional to duration;
+    the per-sample math is one numpy strided gather + reshape."""
+    import numpy as np
+
+    if frame < bands or frame % bands:
+        raise ValueError(
+            "audio_band_energy_patches: frame must be a multiple of bands"
+        )
+    if hop < 1:
+        raise ValueError("audio_band_energy_patches: hop >= 1")
+    if bands % row_width:
+        raise ValueError(
+            "audio_band_energy_patches: bands must be a multiple of "
+            "row_width"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "patch_row", "patch_col",
+                    "mean_r", "mean_g", "mean_b", "mean_gray",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                _rate, channels, samples = decode_wav(bytes(payload))
+                if channels != 1:
+                    raise NotImplementedError(
+                        "audio_band_energy_patches: mono only"
+                    )
+                a = np.asarray(samples, dtype=np.float64)
+                if a.size < frame:
+                    continue
+                n_frames = 1 + (a.size - frame) // hop
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                en = (a[idx] ** 2).reshape(
+                    n_frames, bands, frame // bands
+                ).sum(axis=2)
+                rows = n_frames * bands
+                f_idx, b_idx = np.divmod(np.arange(rows), bands)
+                cols["media_id"].extend([int(mid)] * rows)
+                cols["frame_idx"].extend(f_idx.tolist())
+                cols["patch_row"].extend((b_idx // row_width).tolist())
+                cols["patch_col"].extend((b_idx % row_width).tolist())
+                cols["mean_r"].extend(en.ravel().tolist())
+                cols["mean_g"].extend([0.0] * rows)
+                cols["mean_b"].extend([0.0] * rows)
+                cols["mean_gray"].extend([0.0] * rows)
+            if cols["media_id"]:
+                yield pd.DataFrame(cols)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=VIDEO_PATCH_SCHEMA)
+    )
+
+
+def audio_fingerprint_words(
+    media: DataFrame,
+    frame: int = 512,
+    hop: int = 256,
+    bands: int = 32,
+    row_width: int = 16,
+) -> DataFrame:
+    """Audio fingerprint band words per frame: band-energy patches
+    through the SAME gradient-bit packer the image/video paths use
+    (bit = energy(band) < energy(band+1) within a word row). Output
+    (media_id, frame_idx, band, word) — frame_hamming_runs' input."""
+    p = audio_band_energy_patches(media, frame, hop, bands, row_width)
+    return _dhash_band_words(
+        p, ["media_id", "frame_idx"], grid_cols=row_width, band_rows=1
+    )

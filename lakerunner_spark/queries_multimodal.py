@@ -1460,3 +1460,185 @@ def ddm4_semantic_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_DDM4_ITERS,
         threshold=_DDM4_THRESHOLD,
     )
+
+
+# ddm5 fixture: 9 mono 16-bit WAV clips (4096 samples at 8 kHz), sample
+# values from the make_media-style nonlinear generator (squared MINSTD
+# phase, integer-divided before the mod so values depend on the full
+# magnitude). Planted: 100 is 0 at DOUBLE AMPLITUDE (energy-difference
+# signs are scale-invariant -> hamming 0 on every frame, a full run at
+# offset 0 — the volume-change/re-encode analogue); 101 is 1 HEAD-
+# TRIMMED by two hops (its frame f is 1's frame f+2 -> a 13-frame run
+# at offset +2); 102 shares exactly its FIRST frame with 2 (samples
+# 0..511 copied, the rest its own noise) — found by the frame stage,
+# rejected by the min_run=3 temporal verify.
+_DDM5_AUDS = [(0, 4096), (1, 4096), (2, 4096), (3, 4096), (4, 4096),
+              (5, 4096), (100, 4096), (101, 3584), (102, 4096)]
+_DDM5_FRAME, _DDM5_HOP = 512, 256
+_DDM5_BANDS, _DDM5_ROW_WIDTH = 32, 16
+_DDM5_MAX_HAMMING = 2
+_DDM5_MIN_RUN = 3
+
+
+def _ddm5_sample(a: int, i: int) -> int:
+    if a == 100:
+        ba, bi, sc = 0, i, 2
+    elif a == 101:
+        ba, bi, sc = 1, i + 2 * _DDM5_HOP, 1
+    elif a == 102 and i < 2 * _DDM5_HOP:
+        ba, bi, sc = 2, i, 1
+    else:
+        ba, bi, sc = a, i, 1
+    e = (ba * 48271 + bi * 16807) % 2147483647
+    return (((e * e) // 1009) % 1024 - 512) * sc
+
+
+def _ddm5_media(spark: SparkSession) -> DataFrame:
+    from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_wav
+
+    rows = []
+    for a, n in _DDM5_AUDS:
+        samples = [_ddm5_sample(a, i) for i in range(n)]
+        rows.append(
+            (a, "audio", None, None, n * 1000 // 8000,
+             bytearray(encode_wav(8000, samples)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@register(
+    "ddm5_audio_neardup",
+    f"""
+    WITH auds AS (
+      SELECT * FROM (VALUES {", ".join(f"({a}, {n})" for a, n in _DDM5_AUDS)})
+        v(a, n)
+    ),
+    s AS (
+      SELECT a, i,
+             ((((CASE WHEN a = 100 THEN 0 WHEN a = 101 THEN 1
+                      WHEN a = 102 AND i < {2 * _DDM5_HOP} THEN 2
+                      ELSE a END) * 48271
+                + (CASE WHEN a = 101 THEN i + {2 * _DDM5_HOP}
+                        ELSE i END) * 16807) % 2147483647)
+              * (((CASE WHEN a = 100 THEN 0 WHEN a = 101 THEN 1
+                        WHEN a = 102 AND i < {2 * _DDM5_HOP} THEN 2
+                        ELSE a END) * 48271
+                  + (CASE WHEN a = 101 THEN i + {2 * _DDM5_HOP}
+                          ELSE i END) * 16807) % 2147483647)
+              // 1009) % 1024 - 512 AS v0,
+             CASE WHEN a = 100 THEN 2 ELSE 1 END AS sc
+      FROM auds CROSS JOIN range(0, 4096) t(i) WHERE i < n
+    ),
+    fr AS (
+      SELECT a, f FROM auds
+      CROSS JOIN range(0, 15) t(f)
+      WHERE f * {_DDM5_HOP} + {_DDM5_FRAME} <= n
+    ),
+    e AS (
+      SELECT s.a, fr.f,
+             (s.i - fr.f * {_DDM5_HOP}) // {_DDM5_FRAME // _DDM5_BANDS}
+               AS band,
+             sum(CAST(v0 * sc AS BIGINT) * (v0 * sc)) AS en
+      FROM s JOIN fr ON s.a = fr.a
+         AND s.i >= fr.f * {_DDM5_HOP}
+         AND s.i < fr.f * {_DDM5_HOP} + {_DDM5_FRAME}
+      GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT x.a, x.f, x.band // {_DDM5_ROW_WIDTH} AS r,
+             x.band % {_DDM5_ROW_WIDTH} AS col_,
+             CASE WHEN x.en < y.en THEN 1 ELSE 0 END AS bit
+      FROM e x
+      JOIN e y ON y.a = x.a AND y.f = x.f AND y.band = x.band + 1
+      WHERE x.band % {_DDM5_ROW_WIDTH} < {_DDM5_ROW_WIDTH - 1}
+    ),
+    words AS (
+      SELECT a, f, r AS band,
+             CAST(sum(bit * CAST(power(2, col_) AS BIGINT)) AS BIGINT)
+               AS word
+      FROM bits GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT x.a AS va, x.f AS fa, y.a AS vb, y.f AS fb
+      FROM words x
+      JOIN words y ON y.band = x.band AND y.word = x.word
+                  AND x.a * 1000 + x.f < y.a * 1000 + y.f
+      GROUP BY 1, 2, 3, 4
+    ),
+    ham AS (
+      SELECT c.va, c.fa, c.vb, c.fb,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN words x ON x.a = c.va AND x.f = c.fa
+      JOIN words y ON y.a = c.vb AND y.f = c.fb AND y.band = x.band
+      GROUP BY 1, 2, 3, 4
+    ),
+    mt AS (
+      SELECT va AS video_a, vb AS video_b, fa AS i, fb AS j
+      FROM ham WHERE hamming <= {_DDM5_MAX_HAMMING} AND va != vb
+    ),
+    isl AS (
+      SELECT video_a, video_b, i - j AS off, i,
+             i - row_number() OVER (PARTITION BY video_a, video_b, i - j
+                                    ORDER BY i) AS island
+      FROM mt
+    ),
+    runs AS (
+      SELECT video_a, video_b, off, island, count(*) AS rl
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(video_a AS BIGINT) AS audio_a,
+           CAST(video_b AS BIGINT) AS audio_b,
+           CAST(off AS BIGINT) AS "offset",
+           CAST(max(rl) AS BIGINT) AS longest_run
+    FROM runs GROUP BY 1, 2, 3
+    HAVING max(rl) >= {_DDM5_MIN_RUN}
+    """,
+)
+def ddm5_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection — the audio x dedup cell,
+    completing the modality row (text dd2/dd11, image ddm1/ddm4,
+    video ddm3): WAV payloads decode through the engine's stdlib PCM
+    codec, each analysis frame reduces to band-energy fingerprint
+    words (audio_fingerprint_words — the Haitsma-Kalker family: a bit
+    per adjacent-band energy comparison, packed by the SAME
+    declarative gradient/word core the image dHash uses), and frames
+    match through the banded Hamming join + temporal-run verify
+    (dedup.frame_hamming_runs, REUSED VERBATIM at (audio, frame)
+    granularity). Planted: the double-amplitude copy (energy signs
+    are scale-invariant) yields a full 15-frame run at offset 0; the
+    head-trimmed clip a 13-frame run at offset +2; a single shared
+    frame stays below min_run=3 and is rejected. The oracle
+    regenerates every sample, band energy, bit, word, candidate,
+    popcount, diagonal, and run.
+
+    100 TB design: decode+fingerprint is one mapInPandas scan
+    (payload bytes never shuffle; output is 2 words per frame); the
+    only shuffles key on (band, word) and the bounded candidate set;
+    run windows are (pair, diagonal)-bounded — identical contracts to
+    ddm1/ddm3 because it IS the same machinery."""
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+    from lakerunner_spark.dataops.multimodal import audio_fingerprint_words
+
+    media = _ddm5_media(spark)
+    words = audio_fingerprint_words(
+        media,
+        frame=_DDM5_FRAME,
+        hop=_DDM5_HOP,
+        bands=_DDM5_BANDS,
+        row_width=_DDM5_ROW_WIDTH,
+    )
+    runs = frame_hamming_runs(
+        words,
+        "media_id",
+        "frame_idx",
+        max_hamming=_DDM5_MAX_HAMMING,
+        min_run=_DDM5_MIN_RUN,
+        frame_key=1000,
+    )
+    return runs.select(
+        F.col("video_a").alias("audio_a"),
+        F.col("video_b").alias("audio_b"),
+        "offset",
+        "longest_run",
+    )

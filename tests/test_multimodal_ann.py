@@ -770,3 +770,36 @@ def test_semantic_image_dedup_catches_what_dhash_misses(spark):
         for r in qm.ddm4_semantic_image_dedup(spark, "unused").collect()
     }
     assert dropped == planted  # the semantic route catches exactly them
+
+
+def test_audio_neardup_temporal_runs_planted(spark):
+    """ddm5's contract on the planted fixture: the double-amplitude
+    copy matches all 15 frames at offset 0 (energy-difference signs
+    are scale-invariant), the head-trimmed clip its 13 surviving
+    frames at offset +2, and the single copied first frame of audio
+    102 IS found by the frame stage but rejected by min_run=3."""
+    import lakerunner_spark.queries_multimodal as qm
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+    from lakerunner_spark.dataops.multimodal import audio_fingerprint_words
+
+    media = qm._ddm5_media(spark)
+    words = audio_fingerprint_words(
+        media, frame=qm._DDM5_FRAME, hop=qm._DDM5_HOP,
+        bands=qm._DDM5_BANDS, row_width=qm._DDM5_ROW_WIDTH,
+    )
+    all_runs = {
+        (r["video_a"], r["video_b"], r["offset"]): r["longest_run"]
+        for r in frame_hamming_runs(
+            words, max_hamming=qm._DDM5_MAX_HAMMING, min_run=1,
+            frame_key=1000,
+        ).collect()
+    }
+    assert all_runs[(0, 100, 0)] == 15  # volume change: every frame
+    assert all_runs[(1, 101, 2)] == 13  # trim: surviving frames
+    assert all_runs[(2, 102, 0)] == 1   # the single copied frame
+
+    rows = {
+        (r["audio_a"], r["audio_b"], r["offset"]): r["longest_run"]
+        for r in qm.ddm5_audio_neardup(spark, "unused").collect()
+    }
+    assert rows == {(0, 100, 0): 15, (1, 101, 2): 13}

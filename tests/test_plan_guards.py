@@ -52,6 +52,9 @@ PYTHON_ALLOWED = {
     "ddm4_semantic_image_dedup",  # same mm7 decode seam feeding the
                            # dd12s SemDeDup route (kmeans/assignment/
                            # pairs all JVM-side)
+    "ddm5_audio_neardup",  # mapInPandas WAV decode feeding the band-
+                           # energy fingerprint (stdlib PCM codec;
+                           # linear in frames; joins/windows JVM-side)
     "cook1_metrics_tid",   # fnv64a_fast Arrow kernel: deliberate vectorized
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
