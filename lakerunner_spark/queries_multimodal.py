@@ -1050,12 +1050,27 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sl in _SIM8_PQ_SWEEP:
         fns[f"sim7_pq_topk_sl{sl}"] = _pq_at(sl)
     emb = load_table(spark, sf_dir, "embeddings")
-    exact_cos = sim1_cosine_topk(spark, sf_dir).select("qid", "cid")
-    exact_l2 = l2_topk(
-        emb.filter(F.col("vec_id") < 3),
-        emb.filter(F.col("vec_id") >= 3),
-        k=5,
-    ).select("qid", "cid")
+    # the two exact baselines are 15-row results that the union below
+    # reads once per method row (6x cosine, 3x L2) through ALIASED
+    # branches — exchange reuse never fires on those (the dd11/ddm1
+    # lesson), so an unmaterialized form re-runs the brute-force
+    # corpus scan per branch. Materialize each ONCE; sim1's approx row
+    # reuses the checkpointed cosine baseline too (it IS that query).
+    exact_cos = (
+        sim1_cosine_topk(spark, sf_dir)
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+    exact_l2 = (
+        l2_topk(
+            emb.filter(F.col("vec_id") < 3),
+            emb.filter(F.col("vec_id") >= 3),
+            k=5,
+        )
+        .select("qid", "cid")
+        .localCheckpoint(eager=True)
+    )
+    fns["sim1_cosine_topk"] = lambda _s, _d: exact_cos
 
     approx = None
     exact = None
