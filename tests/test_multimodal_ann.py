@@ -803,3 +803,62 @@ def test_audio_neardup_temporal_runs_planted(spark):
         for r in qm.ddm5_audio_neardup(spark, "unused").collect()
     }
     assert rows == {(0, 100, 0): 15, (1, 101, 2): 13}
+
+
+def test_frame_hamming_runs_matches_bruteforce(spark):
+    """frame_hamming_runs against a direct python reference on a
+    deterministic pseudo-random word table: candidate recall contract
+    (pairs sharing >= 1 exact band word), exact popcount, same-video
+    exclusion, diagonal islands, and the min_run threshold."""
+    import random
+
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+
+    rng = random.Random(7)
+    rows = []
+    words = {}  # (vid, f) -> [w0, w1]
+    for vid in range(6):
+        nf = rng.randint(3, 7)
+        for f in range(nf):
+            ws = [rng.randrange(0, 16) for _ in range(2)]  # 4-bit words:
+            rows += [(vid, f, 0, ws[0]), (vid, f, 1, ws[1])]
+            words[(vid, f)] = ws  # collisions are COMMON by design
+
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, band long, word long"
+    )
+    got = {
+        (r["video_a"], r["video_b"], r["offset"]): r["longest_run"]
+        for r in frame_hamming_runs(
+            df, max_hamming=2, min_run=2, frame_key=1000
+        ).collect()
+    }
+
+    # reference: banded candidates -> hamming -> diagonals -> runs
+    keys = sorted(words)
+    matches = set()
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1 :]:
+            wa, wb = words[ka], words[kb]
+            if ka[0] == kb[0]:
+                continue  # same video
+            if not any(a == b for a, b in zip(wa, wb)):
+                continue  # no shared band word: not a candidate
+            ham = sum(bin(a ^ b).count("1") for a, b in zip(wa, wb))
+            if ham <= 2:
+                matches.add((ka[0], ka[1], kb[0], kb[1]))
+    runs: dict[tuple, int] = {}
+    for va, i, vb, j in matches:
+        run = 1
+        fi, fj = i + 1, j + 1
+        while (va, fi, vb, fj) in matches:
+            run += 1
+            fi += 1
+            fj += 1
+        if (va, i - 1, vb, j - 1) in matches:
+            continue  # not a run head
+        key = (va, vb, i - j)
+        runs[key] = max(runs.get(key, 0), run)
+    expect = {k: v for k, v in runs.items() if v >= 2}
+    assert got == expect
+    assert expect  # 4-bit words must collide enough to exercise runs
