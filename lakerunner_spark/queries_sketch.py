@@ -677,7 +677,7 @@ def chq2_cooked_sketch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from lakerunner_spark.ingest.cook import cook_metrics
-    from lakerunner_spark.operators.ddsketch import ddsketch_quantile
+    from lakerunner_spark.operators.ddsketch import ddsketch_quantiles
     from lakerunner_spark.sources.chq_sketch import chq_sketch_bucket_rows
     from lakerunner_spark.testdata import events_stream
 
@@ -695,18 +695,16 @@ def chq2_cooked_sketch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = chq_sketch_bucket_rows(
         seg, "chq_sketch", keep=["metric_name", "chq_timestamp"]
     )
-    p90 = ddsketch_quantile(
-        rows, ["metric_name", "chq_timestamp"], 0.9, out_col="p90"
+    # ONE cumulative walk yields p90 AND n (the chq1 r9 lesson —
+    # separate p90/n branches would re-run the segment read + decode
+    # per aliased branch)
+    q = ddsketch_quantiles(
+        rows, ["metric_name", "chq_timestamp"], [0.9],
+        out_cols=["p90"], n_col="n_samples",
     )
-    n = rows.groupBy("metric_name", "chq_timestamp").agg(
-        F.sum("count").cast("long").alias("n_samples")
-    )
-    return (
-        n.join(p90, ["metric_name", "chq_timestamp"])
-        .select(
-            "metric_name",
-            F.col("chq_timestamp").alias("bucket_ts"),
-            "n_samples",
-            _pr("p90", 6).alias("p90"),
-        )
+    return q.select(
+        "metric_name",
+        F.col("chq_timestamp").alias("bucket_ts"),
+        "n_samples",
+        _pr("p90", 6).alias("p90"),
     )
