@@ -252,3 +252,42 @@ def test_confirmation_pass_retro_against_r8_artifact(tmp_path):
     assert confirm_flags(None, None, None) is None
     clean = {"vs_round": 8, "flagged": {}}
     assert confirm_flags(clean, None, None) is clean
+
+
+def test_baseline_snapshot_preferred_over_truncated_artifact(tmp_path):
+    """BENCH_BASELINE.json (a committed FULL bench line) must win over
+    an equal-round truncated artifact and lose to a newer artifact;
+    a baseline at a different sf must not qualify."""
+    import json as _json
+
+    # truncated round-8 artifact that lost its main section entirely
+    _artifact(str(tmp_path), 8, {"q_a": 1.0}, 0.5, truncate=10_000,
+              sf1={"q_s": 3.0})
+    base = {"round": 8, "sf": 0.1, "queries": {"q_a": 1.2, "q_b": 2.0},
+            "calib_sec": 0.5, "calib_end_sec": 0.5}
+    with open(tmp_path / "BENCH_BASELINE.json", "w") as f:
+        _json.dump(base, f)
+
+    rnd, art = find_previous(str(tmp_path), sf=0.1, section="main")
+    assert rnd == 8 and art["queries"]["q_b"] == 2.0  # full baseline won
+
+    # a newer artifact that DOES carry main wins over the baseline
+    _artifact(str(tmp_path), 9, {"q_a": 9.9}, 0.5)
+    rnd, art = find_previous(str(tmp_path), sf=0.1, section="main")
+    assert rnd == 9 and art["queries"]["q_a"] == 9.9
+
+    # sf mismatch disqualifies the baseline
+    assert find_previous(str(tmp_path), sf=0.001, section="main") is None
+
+
+def test_repo_baseline_provides_full_main_section():
+    """The committed snapshot itself: main-section diffs must no
+    longer fall back to r7's 15-query front fragment."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isfile(os.path.join(repo, "BENCH_BASELINE.json")):
+        import pytest
+
+        pytest.skip("baseline not present")
+    rnd, art = find_previous(repo, sf=0.1, section="main")
+    assert rnd >= 9
+    assert len(art["queries"]) >= 70  # the FULL main section

@@ -129,14 +129,37 @@ def _parse_artifact(path: str) -> dict | None:
     return out
 
 
+def _load_baseline(repo_dir: str) -> tuple[int, dict] | None:
+    """BENCH_BASELINE.json: a deliberately committed FULL bench line
+    ({"round": N, ...parent-mode output...}) snapshotted once per
+    round. Exists because driver BENCH_r*.json artifacts keep only
+    the last ~2000 chars of the line — since r8 the main section no
+    longer survives the truncation at all, so main-section diffs were
+    stuck comparing against r7's partial front-fragment (15 of 70+
+    queries). The baseline restores a complete same-round-or-newer
+    reference for every section."""
+    path = os.path.join(repo_dir, "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    rnd = doc.get("round")
+    if not isinstance(rnd, int) or not isinstance(doc.get("queries"), dict):
+        return None
+    return rnd, doc
+
+
 def find_previous(
     repo_dir: str, sf=None, section: str = "main"
 ) -> tuple[int, dict] | None:
-    """Latest BENCH_r{N}.json by round number that carries the
-    requested section, parsed; None if absent. When ``sf`` is given,
-    only artifacts recorded at the same scale factor qualify — a
-    sf0.001 smoke must not diff against a sf0.1 round (everything
-    would compare meaninglessly faster)."""
+    """Latest recorded numbers carrying the requested section: the
+    highest-round source among driver BENCH_r{N}.json artifacts and
+    the committed BENCH_BASELINE.json snapshot (which wins ties —
+    it is the complete line the artifact truncates). When ``sf`` is
+    given, only records at the same scale factor qualify — a sf0.001
+    smoke must not diff against a sf0.1 round (everything would
+    compare meaninglessly faster)."""
     qk = SECTIONS[section][0]
     best = None
     for path in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -151,6 +174,15 @@ def find_previous(
             if sf is not None and parsed.get("sf") not in (None, sf):
                 continue
             best = (rnd, parsed)
+    base = _load_baseline(repo_dir)
+    if base is not None:
+        rnd, doc = base
+        if (
+            doc.get(qk)
+            and (sf is None or doc.get("sf") in (None, sf))
+            and (best is None or rnd >= best[0])
+        ):
+            best = (rnd, doc)
     return best
 
 
