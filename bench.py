@@ -256,14 +256,12 @@ def _ddm1_scaled(n_base: int):
     timed window."""
 
     def run(spark, sf_dir):
-        from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
-        from lakerunner_spark.dataops.multimodal import image_dhash_bands
+        from lakerunner_spark.queries_multimodal import ddm_words_and_pairs
 
         media = spark.read.parquet(
             os.path.join(_media_dir(n_base), "media.parquet")
         )
-        words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
-        return hamming_neardup_pairs(words, "media_id", max_hamming=8)
+        return ddm_words_and_pairs(media)[1]
 
     return run
 
@@ -273,29 +271,12 @@ def _ddm2_scaled(n_base: int):
     keep-first census) over the same scaled corpus."""
 
     def run(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
-        from lakerunner_spark.dataops.graph import neardup_clusters
-        from lakerunner_spark.dataops.multimodal import image_dhash_bands
+        from lakerunner_spark.queries_multimodal import ddm2_census
 
         media = spark.read.parquet(
             os.path.join(_media_dir(n_base), "media.parquet")
         )
-        words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
-        pairs = hamming_neardup_pairs(words, "media_id", max_hamming=8)
-        clusters = neardup_clusters(pairs, "id_a", "id_b")
-        total = media.agg(F.count(F.lit(1)).alias("n_images"))
-        report = clusters.agg(
-            F.count(F.lit(1)).cast("long").alias("n_clustered"),
-            F.countDistinct("component").cast("long").alias("n_clusters"),
-            (F.count(F.lit(1)) - F.countDistinct("component"))
-            .cast("long")
-            .alias("n_dropped"),
-        )
-        return report.crossJoin(F.broadcast(total)).select(
-            "n_images", "n_clustered", "n_clusters", "n_dropped"
-        )
+        return ddm2_census(media)
 
     return run
 

@@ -1170,11 +1170,23 @@ def frame_hamming_runs(
 
     if min_run < 1:
         raise ValueError("frame_hamming_runs: min_run >= 1")
-    fids = words.select(
-        (F.col(video_col) * frame_key + F.col(frame_col)).alias("_fid"),
-        "band",
-        "word",
+    if frame_key < 1:
+        raise ValueError("frame_hamming_runs: frame_key >= 1")
+    # the packing precondition is ENFORCED, not just documented: a
+    # frame index at or past frame_key (or a negative id) would pack
+    # (video, frame_key) onto (video+1, 0) and silently attribute
+    # matches to the wrong video pair — fail loudly instead (the rows
+    # are a few band words per frame; the check is one comparison)
+    packed = F.expr(
+        f"CASE WHEN {frame_col} >= {frame_key} OR {frame_col} < 0"
+        f" OR {video_col} < 0 THEN raise_error(concat("
+        f"'frame_hamming_runs: (video, frame) = (',"
+        f" CAST({video_col} AS STRING), ', ', CAST({frame_col} AS STRING),"
+        f" ') violates the packing contract (0 <= frame < frame_key="
+        f"{frame_key}, video >= 0)'))"
+        f" ELSE {video_col} * CAST({frame_key} AS BIGINT) + {frame_col} END"
     )
+    fids = words.select(packed.alias("_fid"), "band", "word")
     pairs = hamming_neardup_pairs(fids, "_fid", max_hamming=max_hamming)
     m = pairs.select(
         F.expr(f"id_a DIV {frame_key}").alias("video_a"),

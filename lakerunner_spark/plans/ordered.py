@@ -73,13 +73,21 @@ def ordered_slice_results(
     per slice."""
     if max_parallel < 1:
         raise ValueError("ordered_slice_results: max_parallel >= 1")
-    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+    pool = ThreadPoolExecutor(max_workers=max_parallel)
+    try:
         futures = [
             pool.submit(lambda lo=lo, hi=hi: build_slice(lo, hi).collect())
             for lo, hi in slices
         ]
         for idx, ((lo, hi), fut) in enumerate(zip(slices, futures)):
             yield idx, lo, hi, fut.result()
+    finally:
+        # abandonment/latency contract: a consumer that closes the
+        # generator early (or a slice that raised) must not block for
+        # every queued slice's collect — cancel what hasn't started;
+        # already-running Spark jobs finish (collect is not
+        # interruptible from here) but at most max_parallel of them.
+        pool.shutdown(wait=True, cancel_futures=True)
 
 
 def promql_ordered_range(

@@ -884,14 +884,7 @@ def ddm1_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on (band, word) — near-unique except genuine duplicates — and
     the bounded candidate set. The pair stage is the dd2/dd4 banding
     asymptote with the same hot-bucket story."""
-    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
-    from lakerunner_spark.dataops.multimodal import image_dhash_bands
-
-    media = _ddm1_media(spark)
-    words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
-    pairs = hamming_neardup_pairs(
-        words, "media_id", max_hamming=_DDM1_MAX_HAMMING
-    )
+    _words, pairs = ddm_words_and_pairs(_ddm1_media(spark))
     return pairs.select(
         F.col("id_a").alias("media_a"),
         F.col("id_b").alias("media_b"),
@@ -1139,6 +1132,41 @@ def _ddm2_oracle() -> str:
     """
 
 
+def ddm_words_and_pairs(media: DataFrame):
+    """Shared ddm1 core (registered fixture AND bench scale
+    overrides run the SAME code): decode -> dHash band words ->
+    banded Hamming join. Returns (words, pairs)."""
+    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
+    from lakerunner_spark.dataops.multimodal import image_dhash_bands
+
+    words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
+    pairs = hamming_neardup_pairs(
+        words, "media_id", max_hamming=_DDM1_MAX_HAMMING
+    )
+    return words, pairs
+
+
+def ddm2_census(media: DataFrame) -> DataFrame:
+    """Shared ddm2 pipeline body (pairs -> connected components ->
+    keep-first census) — the bench scale override must measure
+    EXACTLY the oracle-checked pipeline, so there is one copy."""
+    from lakerunner_spark.dataops.graph import neardup_clusters
+
+    _words, pairs = ddm_words_and_pairs(media)
+    clusters = neardup_clusters(pairs, "id_a", "id_b")
+    total = media.agg(F.count(F.lit(1)).alias("n_images"))
+    report = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered"),
+        F.countDistinct("component").cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("component"))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    return report.crossJoin(F.broadcast(total)).select(
+        "n_images", "n_clustered", "n_clusters", "n_dropped"
+    )
+
+
 @register("ddm2_image_dedup_pipeline", _ddm2_oracle())
 def ddm2_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-corpus analogue of dd10's end-to-end dedup pipeline:
@@ -1155,27 +1183,7 @@ def ddm2_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, the pair stage is band-bucketed, components run one
     shuffle per round over EDGE rows only (pairs, a vanishing fraction
     of images), and the census is a single aggregate."""
-    from lakerunner_spark.dataops.dedup import hamming_neardup_pairs
-    from lakerunner_spark.dataops.graph import neardup_clusters
-    from lakerunner_spark.dataops.multimodal import image_dhash_bands
-
-    media = _ddm1_media(spark)
-    words = image_dhash_bands(media, patch=4, grid_cols=9, band_rows=2)
-    pairs = hamming_neardup_pairs(
-        words, "media_id", max_hamming=_DDM1_MAX_HAMMING
-    )
-    clusters = neardup_clusters(pairs, "id_a", "id_b")
-    total = media.agg(F.count(F.lit(1)).alias("n_images"))
-    report = clusters.agg(
-        F.count(F.lit(1)).cast("long").alias("n_clustered"),
-        F.countDistinct("component").cast("long").alias("n_clusters"),
-        (F.count(F.lit(1)) - F.countDistinct("component"))
-        .cast("long")
-        .alias("n_dropped"),
-    )
-    return report.crossJoin(F.broadcast(total)).select(
-        "n_images", "n_clustered", "n_clusters", "n_dropped"
-    )
+    return ddm2_census(_ddm1_media(spark))
 
 
 # ddm3 fixture: 9 AVI videos (24x16 = a 6x4 grid of 4x4 tiles), 8 frames
@@ -1234,6 +1242,54 @@ def _ddm3_media(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _frame_runs_oracle_tail(max_hamming: int, min_run: int,
+                            out_a: str, out_b: str) -> str:
+    """Shared oracle tail replaying dedup.frame_hamming_runs (packed
+    ordering with frame_key=1000, banded candidates, popcount verify,
+    cross-id filter, diagonal gaps-and-islands, min_run): ddm3 (video)
+    and ddm5 (audio) both append this to their own ``words(vid, f,
+    band, word)`` CTE chain, so a fix to the run logic lands in ONE
+    place for both oracles — mirroring the engine, where both queries
+    call the one frame_hamming_runs."""
+    return f"""
+    cand AS (
+      SELECT a.vid AS va, a.f AS fa, b.vid AS vb, b.f AS fb
+      FROM words a
+      JOIN words b ON b.band = a.band AND b.word = a.word
+                  AND a.vid * 1000 + a.f < b.vid * 1000 + b.f
+      GROUP BY 1, 2, 3, 4
+    ),
+    ham AS (
+      SELECT c.va, c.fa, c.vb, c.fb,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN words x ON x.vid = c.va AND x.f = c.fa
+      JOIN words y ON y.vid = c.vb AND y.f = c.fb AND y.band = x.band
+      GROUP BY 1, 2, 3, 4
+    ),
+    mt AS (
+      SELECT va AS id_a, vb AS id_b, fa AS i, fb AS j
+      FROM ham WHERE hamming <= {max_hamming} AND va != vb
+    ),
+    isl AS (
+      SELECT id_a, id_b, i - j AS off, i,
+             i - row_number() OVER (PARTITION BY id_a, id_b, i - j
+                                    ORDER BY i) AS island
+      FROM mt
+    ),
+    runs AS (
+      SELECT id_a, id_b, off, island, count(*) AS rl
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(id_a AS BIGINT) AS {out_a},
+           CAST(id_b AS BIGINT) AS {out_b},
+           CAST(off AS BIGINT) AS "offset",
+           CAST(max(rl) AS BIGINT) AS longest_run
+    FROM runs GROUP BY 1, 2, 3
+    HAVING max(rl) >= {min_run}
+    """
+
+
 @register(
     "ddm3_video_neardup",
     f"""
@@ -1279,41 +1335,8 @@ def _ddm3_media(spark: SparkSession) -> DataFrame:
                   AS BIGINT) AS word
       FROM bits GROUP BY 1, 2, 3
     ),
-    cand AS (
-      SELECT a.vid AS va, a.f AS fa, b.vid AS vb, b.f AS fb
-      FROM words a
-      JOIN words b ON b.band = a.band AND b.word = a.word
-                  AND a.vid * 1000 + a.f < b.vid * 1000 + b.f
-      GROUP BY 1, 2, 3, 4
-    ),
-    ham AS (
-      SELECT c.va, c.fa, c.vb, c.fb,
-             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
-      FROM cand c
-      JOIN words x ON x.vid = c.va AND x.f = c.fa
-      JOIN words y ON y.vid = c.vb AND y.f = c.fb AND y.band = x.band
-      GROUP BY 1, 2, 3, 4
-    ),
-    mt AS (
-      SELECT va AS video_a, vb AS video_b, fa AS i, fb AS j
-      FROM ham WHERE hamming <= {_DDM3_MAX_HAMMING} AND va != vb
-    ),
-    isl AS (
-      SELECT video_a, video_b, i - j AS off, i,
-             i - row_number() OVER (PARTITION BY video_a, video_b, i - j
-                                    ORDER BY i) AS island
-      FROM mt
-    ),
-    runs AS (
-      SELECT video_a, video_b, off, island, count(*) AS rl
-      FROM isl GROUP BY 1, 2, 3, 4
-    )
-    SELECT CAST(video_a AS BIGINT) AS video_a,
-           CAST(video_b AS BIGINT) AS video_b,
-           CAST(off AS BIGINT) AS "offset",
-           CAST(max(rl) AS BIGINT) AS longest_run
-    FROM runs GROUP BY 1, 2, 3
-    HAVING max(rl) >= {_DDM3_MIN_RUN}
+    {_frame_runs_oracle_tail(_DDM3_MAX_HAMMING, _DDM3_MIN_RUN,
+                             "video_a", "video_b").strip()}
     """,
 )
 def ddm3_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1568,46 +1591,13 @@ def _ddm5_media(spark: SparkSession) -> DataFrame:
       WHERE x.band % {_DDM5_ROW_WIDTH} < {_DDM5_ROW_WIDTH - 1}
     ),
     words AS (
-      SELECT a, f, r AS band,
+      SELECT a AS vid, f, r AS band,
              CAST(sum(bit * CAST(power(2, col_) AS BIGINT)) AS BIGINT)
                AS word
       FROM bits GROUP BY 1, 2, 3
     ),
-    cand AS (
-      SELECT x.a AS va, x.f AS fa, y.a AS vb, y.f AS fb
-      FROM words x
-      JOIN words y ON y.band = x.band AND y.word = x.word
-                  AND x.a * 1000 + x.f < y.a * 1000 + y.f
-      GROUP BY 1, 2, 3, 4
-    ),
-    ham AS (
-      SELECT c.va, c.fa, c.vb, c.fb,
-             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamming
-      FROM cand c
-      JOIN words x ON x.a = c.va AND x.f = c.fa
-      JOIN words y ON y.a = c.vb AND y.f = c.fb AND y.band = x.band
-      GROUP BY 1, 2, 3, 4
-    ),
-    mt AS (
-      SELECT va AS video_a, vb AS video_b, fa AS i, fb AS j
-      FROM ham WHERE hamming <= {_DDM5_MAX_HAMMING} AND va != vb
-    ),
-    isl AS (
-      SELECT video_a, video_b, i - j AS off, i,
-             i - row_number() OVER (PARTITION BY video_a, video_b, i - j
-                                    ORDER BY i) AS island
-      FROM mt
-    ),
-    runs AS (
-      SELECT video_a, video_b, off, island, count(*) AS rl
-      FROM isl GROUP BY 1, 2, 3, 4
-    )
-    SELECT CAST(video_a AS BIGINT) AS audio_a,
-           CAST(video_b AS BIGINT) AS audio_b,
-           CAST(off AS BIGINT) AS "offset",
-           CAST(max(rl) AS BIGINT) AS longest_run
-    FROM runs GROUP BY 1, 2, 3
-    HAVING max(rl) >= {_DDM5_MIN_RUN}
+    {_frame_runs_oracle_tail(_DDM5_MAX_HAMMING, _DDM5_MIN_RUN,
+                             "audio_a", "audio_b").strip()}
     """,
 )
 def ddm5_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

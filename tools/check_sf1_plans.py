@@ -94,10 +94,21 @@ def main() -> None:
         if "CartesianProduct" in b:
             note, bad = f"  <-- CARTESIAN AT {tag.upper()}", bad + 1
         elif "BroadcastNestedLoopJoin" in b:
-            if name in NLJ_ALLOWED:
-                note = "  (BNLJ allowlisted: broadcast-bounded by design)"
-            else:
+            if name not in NLJ_ALLOWED:
                 note, bad = f"  <-- UNBOUNDED JOIN AT {tag.upper()}", bad + 1
+            elif b.get("BroadcastNestedLoopJoin", 0) > a.get(
+                "BroadcastNestedLoopJoin", 0
+            ):
+                # the allowlist covers the by-design shapes present at
+                # the SMALL size; a NEW BNLJ appearing only at scale is
+                # exactly the regression this audit exists to catch
+                note, bad = (
+                    f"  <-- NEW BNLJ AT {tag.upper()} (allowlisted query,"
+                    f" but the small size has fewer)",
+                    bad + 1,
+                )
+            else:
+                note = "  (BNLJ allowlisted: broadcast-bounded by design)"
         elif a == b:
             note = "  (identical)"
         print(f"{name}: sf0.1={a} {tag}={b}{note}")

@@ -31,6 +31,13 @@ W, H = 36, 32
 BRIGHT_BASE = 1_000_000
 EDIT_BASE = 2_000_000
 
+# bump on ANY generator change: the _READY marker embeds this, so a
+# stale cache regenerates instead of silently serving data from an
+# older recipe (this generator has already been fixed twice — the
+# periodic first cut would still be served today by an unversioned
+# marker)
+GENERATOR_VERSION = 3
+
 
 def _pixels(media_id: int) -> "np.ndarray":
     """(H, W, 3) uint8 from the closed-form generator. ddm1's
@@ -103,8 +110,15 @@ def make_media(n_base: int, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
     ready = os.path.join(out_dir, "_READY")
     path = os.path.join(out_dir, "media.parquet")
+    stamp = f"v{GENERATOR_VERSION} n_base={n_base} ids={len(media_ids(n_base))}"
     if os.path.exists(ready):
-        return path
+        try:
+            with open(ready) as f:
+                if f.read().strip() == stamp:
+                    return path
+        except OSError:
+            pass
+        # stale or unreadable marker: regenerate below
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -134,7 +148,7 @@ def make_media(n_base: int, out_dir: str) -> str:
     )
     pq.write_table(table, path, compression="zstd")
     with open(ready, "w") as f:
-        f.write(str(len(ids)))
+        f.write(stamp)
     return path
 
 
