@@ -1049,17 +1049,25 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lesson), so an unmaterialized form re-runs the brute-force
     # corpus scan per branch. Materialize each ONCE; sim1's approx row
     # reuses the checkpointed cosine baseline too (it IS that query).
+    # REPARTITION the corpus first: the brute-force dot product is an
+    # interpreted HOF whose cost lives in compute, not IO, and the
+    # embeddings table is a single parquet file at bench scales — an
+    # unrepartitioned eager checkpoint pins the whole scan to ONE core
+    # (measured at sf1: 10.2s -> 28s, caught CONFIRMED by the bench
+    # flag pass; the pre-checkpoint form hid it by running 9 aliased
+    # single-partition branches concurrently). 5 MB shuffle at sf1.
+    par = spark.sparkContext.defaultParallelism
+    q3 = emb.filter(F.col("vec_id") < 3)
+    corpus = emb.filter(F.col("vec_id") >= 3).repartition(par)
+    from lakerunner_spark.dataops.similarity import cosine_topk
+
     exact_cos = (
-        sim1_cosine_topk(spark, sf_dir)
+        cosine_topk(q3, corpus, k=5)
         .select("qid", "cid")
         .localCheckpoint(eager=True)
     )
     exact_l2 = (
-        l2_topk(
-            emb.filter(F.col("vec_id") < 3),
-            emb.filter(F.col("vec_id") >= 3),
-            k=5,
-        )
+        l2_topk(q3, corpus, k=5)
         .select("qid", "cid")
         .localCheckpoint(eager=True)
     )
