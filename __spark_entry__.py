@@ -61,7 +61,6 @@ _PRIORITY = [
     "a13_aggfile_route",
     "chq1_sketch_interop_quantile",
     "a6_hll_rollup_merge",
-    "x1_ddsketch_p95",
     "j1_vector_arith",
     "pqs1_sum_rate",
     "sp8_error_trace_spans",
@@ -102,6 +101,7 @@ _PRIORITY = [
     "ddm4_semantic_image_dedup",
     "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
+    "o4_ordered_slices_concat",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
@@ -129,8 +129,11 @@ _PRIORITY = [
     # interop decode path); their families stay above the line via
     # q1/q3/q5/q18/q21, ds9s, dd2/dd11v, txt12s/txt13; sim7 likewise
     # (r8-certified) for ddm5 (audio near-dup), its PQ family carried
-    # by sim8's frontier.
+    # by sim8's frontier; x1 (r8-certified) for o4_ordered_slices_concat
+    # (the O4 slice-concat equality under the gate), its DDSketch
+    # family carried by chq1/chq2/pqs18.
     "ds13_weighted_sample",
+    "x1_ddsketch_p95",
     "sim7_pq_topk",
     "tpch_q9_product_profit",
     "ds9_quality_percentile_filter",

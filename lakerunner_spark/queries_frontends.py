@@ -2079,3 +2079,68 @@ def pqs47_histogram_fraction_parser(
     exponential bucket overlap algebra."""
     df = _pq(spark, sf_dir, "histogram_fraction(-5, 10, events)", 60_000)
     return df.withColumn("value", _pr("value", 6))
+
+
+@register(
+    "o4_ordered_slices_concat",
+    f"""
+    WITH base AS (
+      SELECT chq_timestamp - chq_timestamp % 60000 AS bucket_ts,
+             event_type, user_id, sum(value) AS s
+      FROM {_E} e GROUP BY 1, 2, 3
+    )
+    SELECT bucket_ts, event_type, user_id,
+           pround(s / ((bucket_ts - lag(bucket_ts) OVER w) / 1000.0), 6)
+             AS value
+    FROM base
+    WINDOW w AS (PARTITION BY event_type, user_id ORDER BY bucket_ts)
+    QUALIFY lag(bucket_ts) OVER w IS NOT NULL
+        AND bucket_ts - lag(bucket_ts) OVER w <= 1740000
+    """,
+)
+def o4_ordered_slices_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 under the driver gate: the ordered-emission slicing
+    (plans/ordered.py — runOrderedCoordinator's time-disjoint slice
+    plans) evaluated as a BATCH CONCAT of its four slices, against the
+    one-shot oracle. irate is the gate-carrying-free shape whose
+    exactness proves the machinery end to end: each slice's first
+    bucket takes its lag() from the LOOKBACK rows the compiler scans
+    below the slice start, and the per-slice output clip keeps every
+    bucket owned by exactly one slice — so four independently
+    compiled, partition-pruned plans concatenate to the identical
+    result the single full-window plan produces, value for value.
+    (The incremental-arrival half of O4 — first slice's rows before
+    the last slice runs — is a generator property pytest pins in
+    tests/test_ordered_emission.py; this entry pins the equality half
+    where the driver can hash it.) The window-bounds probe is one
+    bounded 1-row aggregate at plan time (the documented probe
+    class)."""
+    from functools import reduce
+
+    from lakerunner_spark.plans.ordered import range_slices
+    from lakerunner_spark.testdata import events_stream
+
+    step = 60_000
+    cat = default_metric_catalog(spark, sf_dir)
+    ev = events_stream(spark, sf_dir)
+    lo, hi = ev.agg(
+        F.min("chq_timestamp"), F.max("chq_timestamp")
+    ).first()
+    start, end = int(lo), int(hi) + 1
+    slices = range_slices(start, end, 4, step)
+
+    def build(slo: int, shi: int) -> DataFrame:
+        df = compile_promql(
+            "irate(events[30m])", cat, step, start_ms=slo, end_ms=shi
+        )
+        lo_clip = slo - slo % step if slo == start else slo
+        return df.filter(
+            (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < shi)
+        )
+
+    out = reduce(
+        lambda a, b: a.unionByName(b), (build(a, b) for a, b in slices)
+    )
+    return out.filter(F.col("value").isNotNull()).withColumn(
+        "value", _pr("value", 6)
+    )
