@@ -111,6 +111,7 @@ HEADLINE = [
     "ddm4_semantic_image_dedup",
     "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
+    "o4_ordered_slices_concat",
 ]
 
 # the heaviest plans, re-run at sf1 (10× rows) as the measured scale
