@@ -165,6 +165,10 @@ SF1_HEADLINE = [
     "sim8_ann_frontier",
     "txt12s_ccnet_sketch_buckets",
     "dd14w_paragraph_dedup_window",
+    # late-r9: the ingest-plane write path's first scale step (cook
+    # two tiers + chq_sketch encode + segment write + read-back;
+    # probed 6.7s sf0.1 -> 25s sf1 warm, sub-linear)
+    "chq2_cooked_sketch_segments",
 ]
 
 # second measured decade (100× the default bench size, deterministic
