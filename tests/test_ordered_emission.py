@@ -172,3 +172,58 @@ def test_gated_rate_diverges_exactly_at_slice_warmup(spark, sf_dir):
     assert sliced_keys == set(one_shot)  # same rows, values as predicted
     # the warm-up case must actually occur for this test to mean much
     assert n_checked_gated > 0
+
+
+def test_range_slices_properties():
+    """Hypothesis sweep: for any window and slice count, slices are
+    contiguous, non-overlapping, cover [start, end) exactly, and every
+    interior cut is step-aligned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakerunner_spark.plans.ordered import range_slices
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        start=st.integers(min_value=0, max_value=10**15),
+        span=st.integers(min_value=1, max_value=10**10),
+        n=st.integers(min_value=1, max_value=64),
+        step=st.sampled_from([1, 1000, 60_000, 300_000]),
+    )
+    def check(start, span, n, step):
+        s = range_slices(start, start + span, n, step)
+        assert s[0][0] == start and s[-1][1] == start + span
+        for (a, b) in s:
+            assert a < b
+        for (_a0, b0), (a1, _b1) in zip(s, s[1:]):
+            assert b0 == a1
+            assert a1 % step == 0
+        assert 1 <= len(s) <= n
+
+    check()
+
+
+def test_single_slice_is_the_one_shot_plan(spark, sf_dir):
+    """n_slices=1 degenerates to the one-shot evaluation exactly —
+    including for the coverage-gated rate (no slice boundary, no
+    warm-up divergence)."""
+    from lakerunner_spark.catalog import default_metric_catalog
+    from lakerunner_spark.plans.ordered import promql_ordered_range
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    q = "sum by (event_type) (rate(events[5m]))"
+    start, end = _window(spark, sf_dir)
+    cat = default_metric_catalog(spark, sf_dir)
+    expect = sorted(
+        (r["bucket_ts"], r["event_type"], _r(r["value"]))
+        for r in compile_promql(
+            q, cat, _STEP, start_ms=start, end_ms=end
+        ).collect()
+    )
+    out = list(promql_ordered_range(q, cat, _STEP, start, end, n_slices=1))
+    assert len(out) == 1 and out[0][0] == 0
+    got = sorted(
+        (r["bucket_ts"], r["event_type"], _r(r["value"]))
+        for r in out[0][3]
+    )
+    assert got == expect
