@@ -1176,14 +1176,20 @@ def frame_hamming_runs(
     # frame index at or past frame_key (or a negative id) would pack
     # (video, frame_key) onto (video+1, 0) and silently attribute
     # matches to the wrong video pair — fail loudly instead (the rows
-    # are a few band words per frame; the check is one comparison)
+    # are a few band words per frame; the check is one comparison).
+    # The int64 ceiling is part of the same contract: a video id past
+    # max_video makes video*frame_key + frame wrap (non-ANSI silent
+    # overflow) and misattribute matches just as quietly, so it trips
+    # the same raise_error instead of the docstring's ~9e12 footnote.
+    max_video = (2**63 - 1 - (frame_key - 1)) // frame_key
     packed = F.expr(
         f"CASE WHEN {frame_col} >= {frame_key} OR {frame_col} < 0"
-        f" OR {video_col} < 0 THEN raise_error(concat("
+        f" OR {video_col} < 0 OR {video_col} > {max_video}"
+        f" THEN raise_error(concat("
         f"'frame_hamming_runs: (video, frame) = (',"
         f" CAST({video_col} AS STRING), ', ', CAST({frame_col} AS STRING),"
         f" ') violates the packing contract (0 <= frame < frame_key="
-        f"{frame_key}, video >= 0)'))"
+        f"{frame_key}, 0 <= video <= {max_video})'))"
         f" ELSE {video_col} * CAST({frame_key} AS BIGINT) + {frame_col} END"
     )
     fids = words.select(packed.alias("_fid"), "band", "word")

@@ -968,7 +968,9 @@ def image_dhash_bands(
     lesson. Emitting BAND WORDS rather than one wide hash feeds that
     join without ever materializing an all-pairs comparison."""
     p = image_patch_features(media, patch)
-    return _dhash_band_words(p, ["media_id"], grid_cols, band_rows)
+    return _dhash_band_words(
+        p, ["media_id"], grid_cols, band_rows, caller="image_dhash_bands"
+    )
 
 
 def _dhash_band_words(
@@ -976,20 +978,24 @@ def _dhash_band_words(
     id_cols: list[str],
     grid_cols: int,
     band_rows: int,
+    caller: str = "_dhash_band_words",
 ) -> DataFrame:
-    """Declarative dHash core shared by the image and video-frame
-    paths: tile-mean patch rows -> gradient bits -> packed band words,
-    keyed by ``id_cols`` (one image = [media_id]; one video frame =
-    [media_id, frame_idx]). See :func:`image_dhash_bands` for the
-    algorithm and exactness contract."""
+    """Declarative dHash core shared by the image, video-frame, and
+    audio paths: tile-mean patch rows -> gradient bits -> packed band
+    words, keyed by ``id_cols`` (one image = [media_id]; one video
+    frame = [media_id, frame_idx]). See :func:`image_dhash_bands` for
+    the algorithm and exactness contract. ``caller`` names the public
+    entry point in validation errors — three functions share this
+    core, and an audio misconfiguration must not report as an image
+    one."""
     from pyspark.sql import Window
 
     if band_rows < 1:
-        raise ValueError("image_dhash_bands: band_rows >= 1")
+        raise ValueError(f"{caller}: band_rows >= 1")
     bits_per_row = grid_cols - 1
     if band_rows * bits_per_row > 62:
         raise ValueError(
-            "image_dhash_bands: band word exceeds 62 bits — lower "
+            f"{caller}: band word exceeds 62 bits — lower "
             "band_rows or grid_cols"
         )
     g = patches.select(
@@ -1142,7 +1148,8 @@ def video_frame_dhash_bands(
     dedup.frame_hamming_runs expects."""
     p = video_frame_patches(media, stride, max_frames, patch)
     return _dhash_band_words(
-        p, ["media_id", "frame_idx"], grid_cols, band_rows
+        p, ["media_id", "frame_idx"], grid_cols, band_rows,
+        caller="video_frame_dhash_bands",
     )
 
 
@@ -1249,5 +1256,6 @@ def audio_fingerprint_words(
     (media_id, frame_idx, band, word) — frame_hamming_runs' input."""
     p = audio_band_energy_patches(media, frame, hop, bands, row_width)
     return _dhash_band_words(
-        p, ["media_id", "frame_idx"], grid_cols=row_width, band_rows=1
+        p, ["media_id", "frame_idx"], grid_cols=row_width, band_rows=1,
+        caller="audio_fingerprint_words",
     )

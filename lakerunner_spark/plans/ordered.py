@@ -90,6 +90,38 @@ def ordered_slice_results(
         pool.shutdown(wait=True, cancel_futures=True)
 
 
+def build_slice_plan(
+    query: str,
+    catalog,
+    step_ms: int,
+    start_ms: int,
+    lo: int,
+    hi: int,
+) -> DataFrame:
+    """ONE slice's plan: the PromQL query compiled over [lo, hi) (the
+    compiler widens the scan by the selector's range for lookback) with
+    the OUTPUT clipped to the slice's own window — lookback rows feed
+    the range window, they are never emitted twice. The first slice
+    (lo == start_ms) owns the floored opening bucket, because the grid
+    floors start to the step; later cuts arrive step-aligned from
+    :func:`range_slices`.
+
+    This is the single definition of slice semantics: both the
+    ordered-emission harness (:func:`promql_ordered_range`) and the
+    driver-gated batch-concat equality entry (queries_frontends.py
+    o4_ordered_slices_concat) call it, so the clip/slicing rules
+    cannot silently diverge between the gate and the harness."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.promql.compiler import compile_promql
+
+    df = compile_promql(query, catalog, step_ms, start_ms=lo, end_ms=hi)
+    lo_clip = lo - lo % step_ms if lo == start_ms else lo
+    return df.filter(
+        (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < hi)
+    )
+
+
 def promql_ordered_range(
     query: str,
     catalog,
@@ -120,19 +152,9 @@ def promql_ordered_range(
     has, since runOrderedCoordinator's groups each replay only their
     own segments (metrics_evaluator.go); outside that region sliced
     values are exact (tests/test_ordered_emission.py pins both)."""
-    from pyspark.sql import functions as F
-
-    from lakerunner_spark.promql.compiler import compile_promql
-
     slices = range_slices(start_ms, end_ms, n_slices, step_ms)
 
     def build(lo: int, hi: int) -> DataFrame:
-        df = compile_promql(query, catalog, step_ms, start_ms=lo, end_ms=hi)
-        # the first slice owns the floored opening bucket (the grid
-        # floors start to the step); later cuts are step-aligned
-        lo_clip = lo - lo % step_ms if lo == start_ms else lo
-        return df.filter(
-            (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < hi)
-        )
+        return build_slice_plan(query, catalog, step_ms, start_ms, lo, hi)
 
     return ordered_slice_results(build, slices, max_parallel)

@@ -2114,10 +2114,13 @@ def o4_ordered_slices_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ordered_emission.py; this entry pins the equality half
     where the driver can hash it.) The window-bounds probe is one
     bounded 1-row aggregate at plan time (the documented probe
-    class)."""
+    class). The slice build/clip comes from plans/ordered.py's
+    build_slice_plan — the SAME closure the emission harness runs —
+    so this gate entry certifies the harness's actual semantics, not
+    a parallel re-implementation of them."""
     from functools import reduce
 
-    from lakerunner_spark.plans.ordered import range_slices
+    from lakerunner_spark.plans.ordered import build_slice_plan, range_slices
     from lakerunner_spark.testdata import events_stream
 
     step = 60_000
@@ -2129,17 +2132,12 @@ def o4_ordered_slices_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, end = int(lo), int(hi) + 1
     slices = range_slices(start, end, 4, step)
 
-    def build(slo: int, shi: int) -> DataFrame:
-        df = compile_promql(
-            "irate(events[30m])", cat, step, start_ms=slo, end_ms=shi
-        )
-        lo_clip = slo - slo % step if slo == start else slo
-        return df.filter(
-            (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < shi)
-        )
-
     out = reduce(
-        lambda a, b: a.unionByName(b), (build(a, b) for a, b in slices)
+        lambda a, b: a.unionByName(b),
+        (
+            build_slice_plan("irate(events[30m])", cat, step, start, a, b)
+            for a, b in slices
+        ),
     )
     return out.filter(F.col("value").isNotNull()).withColumn(
         "value", _pr("value", 6)

@@ -11,14 +11,39 @@ internal/metricsprocessing/offset_tracker.go."""
 
 from __future__ import annotations
 
+import glob
+import os
+
 import pytest
+
+
+def _kafka_jars() -> list[str]:
+    import pyspark
+
+    jars = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar")
+    )
+    assert jars, "pyspark jars directory should exist"
+    return [j for j in jars if "kafka" in os.path.basename(j).lower()]
+
+
+UPGRADE_MSG = (
+    "spark-sql-kafka connector jar is PRESENT — the environment gained "
+    "the artifact the negative ADR is premised on. Upgrade the Kafka "
+    "path to a broker-backed stream==batch round-trip test (see README "
+    "ADR / streaming/kafka.py) and retire these contract-boundary tests."
+)
 
 
 def test_kafka_stream_fails_only_at_connector_resolution(spark):
     """Everything up to .load() must succeed (options accepted, plan
     assembled); .load() must fail with Spark's missing-data-source
     error for 'kafka' — NOT an engine-side error — so on a cluster
-    with the connector jar the same call succeeds unchanged."""
+    with the connector jar the same call succeeds unchanged. Skipped
+    (with the upgrade pointer) on connector-equipped machines, where
+    the resolution failure this pins cannot occur."""
+    if _kafka_jars():
+        pytest.skip(UPGRADE_MSG)
     from lakerunner_spark.streaming.kafka import kafka_ingest_stream
 
     with pytest.raises(Exception) as ei:
@@ -31,18 +56,12 @@ def test_kafka_stream_fails_only_at_connector_resolution(spark):
     assert "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
 
 
-def test_connector_jar_absent_is_an_environment_fact():
-    """The negative ADR's premise, as an executable check: if this
-    ever FAILS, the sandbox gained the connector jar and the Kafka
-    path should be upgraded to a broker-backed stream==batch test
-    (see README ADR)."""
-    import glob
-    import os
-
-    import pyspark
-
-    jars = glob.glob(
-        os.path.join(os.path.dirname(pyspark.__file__), "jars", "*.jar")
-    )
-    assert jars, "pyspark jars directory should exist"
-    assert not [j for j in jars if "kafka" in os.path.basename(j).lower()]
+def test_connector_jar_absence_is_checked_each_run():
+    """The negative ADR's premise, as an executable check: the day the
+    sandbox gains the connector jar this SKIPS with the upgrade
+    instructions instead of silently passing (and instead of hard-
+    failing a legitimately connector-equipped cluster's suite) — the
+    tripwire signals the upgrade path rather than breaking it."""
+    if _kafka_jars():
+        pytest.skip(UPGRADE_MSG)
+    assert not _kafka_jars()

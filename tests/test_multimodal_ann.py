@@ -862,3 +862,59 @@ def test_frame_hamming_runs_matches_bruteforce(spark):
     expect = {k: v for k, v in runs.items() if v >= 2}
     assert got == expect
     assert expect  # 4-bit words must collide enough to exercise runs
+
+
+def test_frame_hamming_runs_rejects_packing_violations(spark):
+    """The packing contract fails LOUDLY on every class of violation —
+    frame out of [0, frame_key), negative ids, and (the r9 ADVICE
+    gap) a video id large enough that video*frame_key + frame would
+    silently wrap past int64 and misattribute matches."""
+    import pytest
+
+    from lakerunner_spark.dataops.dedup import frame_hamming_runs
+
+    frame_key = 1000
+    max_video = (2**63 - 1 - (frame_key - 1)) // frame_key
+    bad_rows = [
+        (0, frame_key, 0, 1),      # frame at the key: wraps to video 1
+        (0, -1, 0, 1),             # negative frame
+        (-1, 0, 0, 1),             # negative video
+        (max_video + 1, 0, 0, 1),  # int64 overflow in the pack
+    ]
+    for row in bad_rows:
+        df = spark.createDataFrame(
+            [row], "media_id long, frame_idx long, band long, word long"
+        )
+        with pytest.raises(Exception, match="packing contract"):
+            frame_hamming_runs(df, frame_key=frame_key).collect()
+
+    # the boundary itself is legal: max_video at the last frame packs
+    # to exactly int64 max, no error
+    ok = spark.createDataFrame(
+        [(max_video, frame_key - 1, 0, 1)],
+        "media_id long, frame_idx long, band long, word long",
+    )
+    assert frame_hamming_runs(ok, frame_key=frame_key).collect() == []
+
+
+def test_dhash_band_word_errors_name_the_public_entry_point(spark):
+    """_dhash_band_words is shared by three public functions; its
+    validation errors must name the one the user actually called
+    (audio with row_width 64 is an audio misconfiguration, not an
+    image one)."""
+    import pytest
+
+    from lakerunner_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint_words,
+        image_dhash_bands,
+        video_frame_dhash_bands,
+    )
+
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(ValueError, match="^audio_fingerprint_words:"):
+        audio_fingerprint_words(media, frame=512, bands=64, row_width=64)
+    with pytest.raises(ValueError, match="^image_dhash_bands:"):
+        image_dhash_bands(media, grid_cols=64, band_rows=1)
+    with pytest.raises(ValueError, match="^video_frame_dhash_bands:"):
+        video_frame_dhash_bands(media, grid_cols=9, band_rows=0)
