@@ -179,6 +179,97 @@ class QueryAPI:
             "data": {"resultType": "matrix", "result": result},
         }
 
+    @staticmethod
+    def _rows_to_matrix(rows) -> list[dict]:
+        """Collected engine rows (bucket_ts, value, label cols) ->
+        the query_range matrix `result` array: one entry per label
+        set, values as [epoch_sec, "value"] sorted by time, None
+        samples dropped — the same rendering the one-shot
+        :meth:`prometheus_query_range` produces."""
+        series: dict[tuple, dict] = {}
+        for r in rows:
+            key = tuple(
+                (c, r[c])
+                for c in r.__fields__
+                if c not in ("bucket_ts", "value")
+            )
+            v = r["value"]
+            if v is None:
+                continue
+            s = series.setdefault(key, {"metric": dict(key), "values": []})
+            s["values"].append([r["bucket_ts"] / 1000.0, str(float(v))])
+        for s in series.values():
+            s["values"].sort()
+        return [s for s in series.values() if s["values"]]
+
+    def prometheus_query_range_stream(self, params: dict):
+        """O4 through the API: the chunked/streaming variant of
+        :meth:`prometheus_query_range`, a GENERATOR yielding one
+        complete ``/api/v1/query_range``-shaped payload per time
+        slice, strictly in time order, the first chunk the moment
+        slice 0's rows land while later slices still evaluate — the
+        reference streams exactly this way over SSE
+        (queryapi/metrics_evaluator.go:61-112 runOrderedCoordinator;
+        querier.go:761 routes /api/v1/metrics/query as an SSE
+        stream). Backed by plans/ordered.promql_ordered_range, so the
+        slice build/clip semantics are the gate-certified ones
+        (build_slice_plan).
+
+        The wire format is UNCHANGED per chunk: each yield is the
+        standard ``{"status": "success", "data": {"resultType":
+        "matrix", "result": [...]}}`` envelope covering its slice's
+        window; concatenating chunks' values per label set reproduces
+        the one-shot payload (exact for gate-free shapes — instant
+        vectors, irate/idelta; coverage-gated windows re-warm per
+        slice, the documented O4 scope). Extra params: ``n_slices``
+        (default 4) and ``max_parallel`` (default 3, the reference's
+        computeMaxParallel default). Without ``start``/``end`` there
+        is nothing to slice — the one-shot payload is yielded as a
+        single chunk."""
+        try:
+            p = dict(params)
+            if "start" in p and "start_ms" not in p:
+                p["start_ms"] = self._prom_time_ms(p["start"])
+            if "end" in p and "end_ms" not in p:
+                p["end_ms"] = self._prom_time_ms(p["end"])
+            if "step" in p and "step_ms" not in p:
+                p["step_ms"] = self._prom_step_ms(p["step"])
+            q = p["query"]  # KeyError -> the adapter's 400 path
+            start, end = p.get("start_ms"), p.get("end_ms")
+            if start is None or end is None:
+                yield self.prometheus_query_range(p)
+                return
+            step = int(p.get("step_ms") or step_for_duration(end - start))
+            n_slices = int(p.get("n_slices", 4))
+            max_parallel = int(p.get("max_parallel", 3))
+            from lakerunner_spark.plans.ordered import promql_ordered_range
+
+            gen = promql_ordered_range(
+                q,
+                default_metric_catalog(self.spark, self.sf_dir),
+                step,
+                start,
+                end,
+                n_slices=n_slices,
+                max_parallel=max_parallel,
+            )
+            for _idx, _lo, _hi, rows in gen:
+                yield {
+                    "status": "success",
+                    "data": {
+                        "resultType": "matrix",
+                        "result": self._rows_to_matrix(rows),
+                    },
+                }
+        except KeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 - Prometheus error envelope
+            yield {
+                "status": "error",
+                "errorType": "bad_data",
+                "error": str(e),
+            }
+
     # -- logs -------------------------------------------------------------
 
     def logs_tags(self, params: dict | None = None) -> dict:
@@ -300,6 +391,7 @@ class QueryAPI:
         "/api/v1/metrics/tagvalues": "metrics_tagvalues",
         "/api/v1/metrics/query": "metrics_query",
         "/api/v1/query_range": "prometheus_query_range",
+        "/api/v1/query_range/stream": "prometheus_query_range_stream",
         "/api/v1/logs/tags": "logs_tags",
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",
@@ -332,6 +424,31 @@ def serve(api: QueryAPI, port: int = 8080):
     from urllib.parse import parse_qsl, urlsplit
 
     class Handler(BaseHTTPRequestHandler):
+        def _stream(self, gen) -> None:
+            """SSE framing for generator handlers (the streaming
+            query_range route): one `data:` event per chunk, written
+            the moment the chunk is yielded — the reference's
+            /api/v1/metrics/query SSE behavior (querier.go:761).
+            HTTP/1.0 connection close delimits the stream. A KeyError
+            on the FIRST chunk (missing `query` — generators defer
+            argument validation to first next()) still gets the
+            400 JSON path because nothing has been sent yet."""
+            first = next(gen)  # KeyError here -> caller's 400 path
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            from itertools import chain
+
+            try:
+                for chunk in chain((first,), gen):
+                    self.wfile.write(
+                        b"data: " + json.dumps(chunk).encode() + b"\n\n"
+                    )
+                    self.wfile.flush()
+            finally:
+                gen.close()  # abandoned consumer cancels queued slices
+
         def _respond(self):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
@@ -345,6 +462,9 @@ def serve(api: QueryAPI, port: int = 8080):
                     else:
                         params.update(json.loads(body))
                 out = api.handle(split.path, params)
+                if hasattr(out, "__next__"):  # generator handler -> SSE
+                    self._stream(out)
+                    return
                 code = 200
             except QueryAPI.RouteNotFound as e:
                 out, code = {"error": str(e)}, 404
