@@ -18,6 +18,22 @@ per-query ratios within a run are stable. The per-section "calib_sec"
 (a fixed CPU-bound JVM workload timed in the same child) is the
 normalization anchor: compare query_sec/calib_sec across rounds before
 calling a cross-round delta a regression.
+
+Survivable emission (the r9 lesson — BENCH_r09 was rc=124/parsed-null):
+the per-round driver keeps only a ~2000-char TAIL of merged
+stdout+stderr and parses the bench JSON from that window, so
+  * after EVERY section the cumulative full record prints AND a
+    compact summary line (guaranteed to fit the window: section
+    totals, calibs, slowest per-query timings that fit) prints LAST;
+  * while a section child runs, a parent heartbeat re-prints the
+    compact snapshot every SPARK_GRAFT_BENCH_HEARTBEAT (20) seconds,
+    so a kill at any moment leaves a parseable line in the tail;
+  * the cumulative full record also lands in BENCH_LATEST.json
+    (gitignored; committed each round as BENCH_BASELINE.json);
+  * SPARK_GRAFT_BENCH_BUDGET (seconds, default 1350, 0 = unlimited)
+    drops sections rather than letting the driver truncate them:
+    sf10 is skipped before sf1, main always runs. Skips are recorded
+    in "skipped_sections". Full local runs: SPARK_GRAFT_BENCH_BUDGET=0.
 """
 
 from __future__ import annotations
@@ -384,12 +400,31 @@ def _run_section(section: str) -> dict:
     # list gets the spread second pass.
     budgets = (1.5, 0.75) if section == "main" else (1.5,)
     if section == "sf10":
-        # one cold iteration per query: runtimes are tens of seconds,
-        # so warmup/repeat would double a multi-minute section to shave
-        # sub-1% codegen noise
-        budgets, min_iters, max_iters = (0.0,), 1, 1
+        # pass 0 runs each query COLD (runtimes are tens of seconds;
+        # warmup would double a multi-minute section to shave sub-1%
+        # codegen noise). Pass 1 is the r9 verdict's paired-sample
+        # requirement: a SPREAD second sample per query, min-merged —
+        # single cold sf10 samples shipped noise-inflated baselines
+        # (pqs18 160.1s recorded vs 110.3s on the judge's re-probe).
+        # The second pass yields to the section budget when the parent
+        # passes one (driver runs), never silently: the skip is logged
+        # and iters records which entries stayed single-sample.
+        budgets, min_iters, max_iters = (0.0, 0.0), 1, 1
+    sec_t0 = time.perf_counter()
+    sec_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_SECTION_BUDGET", "0") or 0
+    )
     overrides = SECTION_OVERRIDES.get(section, {})
     for pass_no, budget in enumerate(budgets):
+        if pass_no and section == "sf10" and sec_budget:
+            elapsed = time.perf_counter() - sec_t0
+            if elapsed * 2 + 60 > sec_budget:
+                print(
+                    f"# sf10 paired pass skipped: {elapsed:.0f}s elapsed"
+                    f" of {sec_budget:.0f}s section budget",
+                    file=sys.stderr,
+                )
+                break
         for name in names:
             fn = overrides.get(name) or queries[name]
             if pass_no == 0:
@@ -398,7 +433,7 @@ def _run_section(section: str) -> dict:
                     # broadcast costs so the timed loop measures
                     # steady-state (sf10 runs cold — see above)
                     rows[name] = fn(spark, sf_dir).count()
-            elif timings[name] >= 1.5:
+            elif section == "main" and timings[name] >= 1.5:
                 continue  # ≥3 samples already; repeat cost outweighs gain
             best, iters = timings.get(name, float("inf")), 0
             measured = 0.0
@@ -508,37 +543,185 @@ def _run_section(section: str) -> dict:
     return result
 
 
+TAIL_WINDOW = 2000  # chars of merged output the driver keeps & parses from
+
+
+def compact_summary(out: dict, limit: int = 1700) -> dict:
+    """A summary of the cumulative record whose JSON line is
+    guaranteed to fit (with margin) inside the driver's ~2000-char
+    parse window: metric/value/unit/sf, every section total and
+    calibration anchor, skip records, and as many of the SLOWEST
+    per-query timings as fit. The full per-query record lives in
+    BENCH_LATEST.json / the committed BENCH_BASELINE.json."""
+    c: dict = {
+        "metric": out.get("metric", "headline_queries_total"),
+        "value": out.get("value"),
+        "unit": "sec",
+        "sf": out.get("sf"),
+    }
+    for k in (
+        "calib_sec",
+        "calib_end_sec",
+        "sf1_total_sec",
+        "sf1_calib_sec",
+        "sf10_total_sec",
+        "sf10_calib_sec",
+        "budget_sec",
+        "elapsed_sec",
+        "skipped_sections",
+        "section_errors",
+    ):
+        if out.get(k) is not None:
+            c[k] = out[k]
+    q = out.get("queries") or {}
+    c["queries_n"] = len(q)
+    c["full_record"] = "BENCH_LATEST.json"
+    picked: dict = {}
+    c["queries"] = picked
+    c["queries_truncated"] = True
+    for name, sec in sorted(q.items(), key=lambda kv: -kv[1]):
+        picked[name] = sec
+        if len(json.dumps(c)) > limit:
+            del picked[name]
+            break
+    else:
+        c["queries_truncated"] = False
+    return c
+
+
+def _emit_lines(out: dict) -> None:
+    """Cumulative emission after every section: the FULL record first
+    (humans + the BENCH_LATEST.json file), then the compact summary as
+    the LAST stdout line — the driver parses the last complete JSON
+    line inside its tail window, which the full line outgrew in r5."""
+    full = json.dumps(out)
+    sys.stdout.write("\n" + full + "\n")
+    sys.stdout.write(json.dumps(compact_summary(out)) + "\n")
+    sys.stdout.flush()
+    path = os.environ.get("SPARK_GRAFT_BENCH_LATEST") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(full + "\n")
+    except OSError as e:  # advisory file; never fail the run over it
+        print(f"# BENCH_LATEST write skipped: {e}", file=sys.stderr)
+
+
+class _Heartbeat:
+    """While a section child runs (minutes of wall inside the driver's
+    window), re-print the compact snapshot every ``interval`` seconds:
+    a kill at ANY moment leaves a complete JSON line within the tail
+    (r9's kill-time tail held nothing but child stderr). The leading
+    newline guards against landing mid-line in the merged stream."""
+
+    def __init__(self, snapshot_fn, interval: float | None = None):
+        import threading
+
+        self._fn = snapshot_fn
+        self._interval = interval if interval is not None else float(
+            os.environ.get("SPARK_GRAFT_BENCH_HEARTBEAT", "20")
+        )
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._interval):
+            try:
+                sys.stdout.write("\n" + self._fn() + "\n")
+                sys.stdout.flush()
+            except Exception:  # pragma: no cover - never kill the bench
+                return
+
+    def __enter__(self) -> "_Heartbeat":
+        if self._interval > 0:
+            self._t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._t.is_alive():
+            self._t.join(timeout=5)
+
+
+def _spawn(section: str, section_budget: float | None = None) -> dict:
+    """One fresh subprocess per section, so no prior JVM / pytest
+    state pollutes the measurement. Child stderr flows through to the
+    caller's; the section result is the child's last stdout line."""
+    env = dict(os.environ)
+    if section_budget:
+        env["SPARK_GRAFT_BENCH_SECTION_BUDGET"] = str(int(section_budget))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--section", section],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        env=env,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench section {section} failed rc={proc.returncode}")
+    return json.loads(proc.stdout.decode().strip().splitlines()[-1])
+
+
+def _previous_full() -> dict:
+    """The most recent full bench record (section-duration estimates
+    for the budget logic): BENCH_LATEST.json if present, else the
+    committed BENCH_BASELINE.json, else {}."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_LATEST.json", "BENCH_BASELINE.json"):
+        try:
+            with open(os.path.join(here, name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            continue
+    return {}
+
+
+def _estimate_sec(section: str, prev: dict) -> float:
+    """Projected wall for a scale section: last recorded total with
+    headroom for drift plus a data-(re)generation allowance (the
+    .localdata caches may be cold on a fresh machine)."""
+    base = prev.get(f"{section}_total_sec")
+    if base:
+        return base * 1.5 + (120.0 if section == "sf1" else 300.0)
+    return 500.0 if section == "sf1" else 1200.0
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--section":
         # child mode: emit the section result as the last stdout line
         print(json.dumps(_run_section(sys.argv[2])))
         return
 
-    # parent mode: one fresh subprocess per section, so no prior JVM /
-    # pytest state pollutes the measurement
-    def spawn(section: str) -> dict:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--section", section],
-            stdout=subprocess.PIPE,
-            stderr=sys.stderr,
-            env=os.environ,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(f"bench section {section} failed rc={proc.returncode}")
-        return json.loads(proc.stdout.decode().strip().splitlines()[-1])
-
-    main_res = spawn("main")
+    t0 = time.monotonic()
+    wall_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1350"))
+    prev = _previous_full()
     sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
-    out = {
+    out: dict = {
         "metric": "headline_queries_total",
-        "value": main_res["total"],
+        "value": None,
         "unit": "sec",
-        "queries": main_res["queries"],
-        "calib_sec": main_res["calib_sec"],
-        "calib_end_sec": main_res["calib_end_sec"],
-        "iters": main_res["iters"],
+        "sf": sf_val,
     }
+    if wall_budget:
+        out["budget_sec"] = wall_budget
+
+    def snapshot(section: str) -> str:
+        snap = compact_summary(out)
+        snap["in_progress"] = section
+        snap["elapsed_sec"] = round(time.monotonic() - t0, 1)
+        return json.dumps(snap)
+
+    # main is never sacrificed: no budget check, just the heartbeat
+    with _Heartbeat(lambda: snapshot("main")):
+        main_res = _spawn("main")
+    out.update(
+        value=main_res["total"],
+        queries=main_res["queries"],
+        calib_sec=main_res["calib_sec"],
+        calib_end_sec=main_res["calib_end_sec"],
+        iters=main_res["iters"],
+    )
 
     # Cross-round regression flagging (tools/bench_diff.py): the CHILD
     # computed the diff and ran the confirmation pass (flag -> immediate
@@ -581,31 +764,53 @@ def main() -> None:
             print(f"# bench_diff[{section}] skipped: {e}", file=sys.stderr)
 
     diff_section(main_res, "main", "bench_diff")
-    out["sf"] = sf_val
+    _emit_lines(out)
 
-    # sf1 scale step: heaviest queries at 10× the default bench size
+    # scale sections, cheapest first; each is (a) cumulative-emitted
+    # the moment it completes, (b) skipped — never truncated mid-run —
+    # when the remaining wall budget can't cover its estimate (sf10
+    # drops before sf1 by running after it), (c) survivable: a section
+    # child failure records the error and the run continues.
+    # sf1: heaviest queries at 10× the default bench size
     # (deterministic key-shifted replication of sf0.1 — tools/make_sf1.py)
-    if out["sf"] == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1_res = spawn("sf1")
-        out["sf1_queries"] = sf1_res["queries"]
-        out["sf1_total_sec"] = sf1_res["total"]
-        out["sf1_calib_sec"] = sf1_res["calib_sec"]
-        out["sf1_calib_end_sec"] = sf1_res["calib_end_sec"]
-        out["sf1_iters"] = sf1_res["iters"]
-        diff_section(sf1_res, "sf1", "bench_diff_sf1")
-
-    # sf10 decade: heaviest data-prep pipelines at 100× (one cold
-    # iteration each; growth per decade is the recorded signal)
-    if out["sf"] == 0.1 and os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
-        sf10_res = spawn("sf10")
-        out["sf10_queries"] = sf10_res["queries"]
-        out["sf10_total_sec"] = sf10_res["total"]
-        out["sf10_calib_sec"] = sf10_res["calib_sec"]
-        out["sf10_calib_end_sec"] = sf10_res["calib_end_sec"]
-        out["sf10_iters"] = sf10_res["iters"]
-        diff_section(sf10_res, "sf10", "bench_diff_sf10")
-
-    print(json.dumps(out))
+    # sf10: heaviest data-prep pipelines at 100× (cold pass + a spread
+    # paired pass when the budget allows; growth per decade is the
+    # recorded signal)
+    if out["sf"] == 0.1:
+        for section in ("sf1", "sf10"):
+            if os.environ.get(f"SPARK_GRAFT_{section.upper()}", "1") == "0":
+                continue
+            remaining = (
+                wall_budget - (time.monotonic() - t0) if wall_budget else None
+            )
+            est = _estimate_sec(section, prev)
+            if remaining is not None and remaining < est:
+                out.setdefault("skipped_sections", {})[section] = {
+                    "est_sec": round(est, 1),
+                    "remaining_sec": round(remaining, 1),
+                }
+                print(
+                    f"# {section} skipped: est {est:.0f}s >"
+                    f" remaining budget {remaining:.0f}s",
+                    file=sys.stderr,
+                )
+                _emit_lines(out)
+                continue
+            try:
+                with _Heartbeat(lambda s=section: snapshot(s)):
+                    res = _spawn(section, section_budget=remaining)
+            except Exception as e:  # noqa: BLE001 - keep what we have
+                out.setdefault("section_errors", {})[section] = str(e)[:200]
+                print(f"# {section} FAILED: {e}", file=sys.stderr)
+                _emit_lines(out)
+                continue
+            out[f"{section}_queries"] = res["queries"]
+            out[f"{section}_total_sec"] = res["total"]
+            out[f"{section}_calib_sec"] = res["calib_sec"]
+            out[f"{section}_calib_end_sec"] = res["calib_end_sec"]
+            out[f"{section}_iters"] = res["iters"]
+            diff_section(res, section, f"bench_diff_{section}")
+            _emit_lines(out)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,17 @@ def get_spark(
         # engine's chq_tsns convention (the reference stores ns as Int64)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Console progress bars write kilobytes of \r-framed noise to
+        # stderr per minute; the per-round driver keeps only a ~2000
+        # char tail of merged output to parse the bench result from,
+        # and r9's kill-time tail was 100% progress bars. Off unless
+        # explicitly asked for (SPARK_GRAFT_CONSOLE_PROGRESS=1).
+        .config(
+            "spark.ui.showConsoleProgress",
+            "true"
+            if os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS") == "1"
+            else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
