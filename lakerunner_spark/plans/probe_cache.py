@@ -68,3 +68,27 @@ def cached_probe(df: DataFrame, tag: str, compute: Callable[[], _T]) -> _T:
 
 def clear_cache() -> None:
     _CACHE.clear()
+
+
+_SESSION_MEMO: dict[tuple, object] = {}
+
+
+def session_memo(spark, tag: str, build: Callable[[], _T]) -> _T:
+    """Memoize a deterministic, session-bound constant (the planted
+    oracle fixtures: LocalRelation DataFrames built from closed-form
+    generators) per (applicationId, tag) — the probe-cache idea one
+    level up, where the key is the session because there is no child
+    plan to fingerprint. Rebuilding such a fixture per call re-pays
+    Python byte generation plus createDataFrame py4j serialization on
+    every bench iteration; reusing the DataFrame re-runs only its
+    embedded local plan, zero new round-trips. Read-only consumers
+    only — the data lives in the plan, so mutation isn't expressible.
+    Bounded like _CACHE: drops wholesale at capacity (sessions come
+    and go under pytest)."""
+    key = (spark.sparkContext.applicationId, tag)
+    got = _SESSION_MEMO.get(key)
+    if got is None:
+        if len(_SESSION_MEMO) > 256:
+            _SESSION_MEMO.clear()
+        got = _SESSION_MEMO.setdefault(key, build())
+    return got

@@ -795,24 +795,40 @@ def _ddm1_pixel(m: int, y: int, x: int, c: int) -> int:
 
 
 
+def _fixture_memo(spark: SparkSession, name: str, build) -> DataFrame:
+    """Planted oracle fixtures are deterministic constants, but
+    rebuilding them per call re-pays the Python byte generation
+    (pixel/sample loops + BMP/AVI/WAV encode) AND the createDataFrame
+    py4j serialization on EVERY bench iteration — the r9 verdict's
+    driver-latency cluster (ddm1/ddm3/ddm5 main entries are 0.3-1.7s
+    queries where this fixed cost is a visible, noisy fraction). See
+    plans/probe_cache.session_memo."""
+    from lakerunner_spark.plans.probe_cache import session_memo
+
+    return session_memo(spark, f"fixture:{name}", build)
+
+
 def _ddm1_media(spark: SparkSession) -> DataFrame:
     """The shared planted image fixture (ddm1/ddm2): encode every
     _DDM1_IDS image from the closed-form pixel generator."""
     from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_bmp
 
-    rows = []
-    for m in _DDM1_IDS:
-        rgb = bytes(
-            _ddm1_pixel(m, y, x, c)
-            for y in range(_DDM1_H)
-            for x in range(_DDM1_W)
-            for c in range(3)
-        )
-        rows.append(
-            (m, "image", _DDM1_W, _DDM1_H, None,
-             bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build() -> DataFrame:
+        rows = []
+        for m in _DDM1_IDS:
+            rgb = bytes(
+                _ddm1_pixel(m, y, x, c)
+                for y in range(_DDM1_H)
+                for x in range(_DDM1_W)
+                for c in range(3)
+            )
+            rows.append(
+                (m, "image", _DDM1_W, _DDM1_H, None,
+                 bytearray(encode_bmp(_DDM1_W, _DDM1_H, rgb)))
+            )
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    return _fixture_memo(spark, "ddm1", build)
 
 
 @register(
@@ -1232,22 +1248,25 @@ def _ddm3_media(spark: SparkSession) -> DataFrame:
     encoder) from the closed-form pixel generator."""
     from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_avi
 
-    rows = []
-    for m, nf in _DDM3_VIDS:
-        frames = [
-            bytes(
-                _ddm3_pixel(m, f, y, x, c)
-                for y in range(_DDM3_H)
-                for x in range(_DDM3_W)
-                for c in range(3)
+    def build() -> DataFrame:
+        rows = []
+        for m, nf in _DDM3_VIDS:
+            frames = [
+                bytes(
+                    _ddm3_pixel(m, f, y, x, c)
+                    for y in range(_DDM3_H)
+                    for x in range(_DDM3_W)
+                    for c in range(3)
+                )
+                for f in range(nf)
+            ]
+            rows.append(
+                (m, "video", _DDM3_W, _DDM3_H, nf * 100,
+                 bytearray(encode_avi(_DDM3_W, _DDM3_H, frames, fps=10)))
             )
-            for f in range(nf)
-        ]
-        rows.append(
-            (m, "video", _DDM3_W, _DDM3_H, nf * 100,
-             bytearray(encode_avi(_DDM3_W, _DDM3_H, frames, fps=10)))
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    return _fixture_memo(spark, "ddm3", build)
 
 
 def _frame_runs_oracle_tail(max_hamming: int, min_run: int,
@@ -1414,20 +1433,25 @@ def _ddm4_tile(m: int, r: int, c: int) -> int:
 def _ddm4_media(spark: SparkSession) -> DataFrame:
     from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_bmp
 
-    ids = list(range(_DDM4_BASES)) + [100 + i for i in range(_DDM4_VARIANTS)]
-    rows = []
-    for m in ids:
-        rgb = bytes(
-            _ddm4_tile(m, y // 4, x // 4)
-            for y in range(_DDM4_GH * 4)
-            for x in range(_DDM4_GW * 4)
-            for _c in range(3)
-        )
-        rows.append(
-            (m, "image", _DDM4_GW * 4, _DDM4_GH * 4, None,
-             bytearray(encode_bmp(_DDM4_GW * 4, _DDM4_GH * 4, rgb)))
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build() -> DataFrame:
+        ids = list(range(_DDM4_BASES)) + [
+            100 + i for i in range(_DDM4_VARIANTS)
+        ]
+        rows = []
+        for m in ids:
+            rgb = bytes(
+                _ddm4_tile(m, y // 4, x // 4)
+                for y in range(_DDM4_GH * 4)
+                for x in range(_DDM4_GW * 4)
+                for _c in range(3)
+            )
+            rows.append(
+                (m, "image", _DDM4_GW * 4, _DDM4_GH * 4, None,
+                 bytearray(encode_bmp(_DDM4_GW * 4, _DDM4_GH * 4, rgb)))
+            )
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    return _fixture_memo(spark, "ddm4", build)
 
 
 _DDM4_LONG = f"""
@@ -1542,14 +1566,17 @@ def _ddm5_sample(a: int, i: int) -> int:
 def _ddm5_media(spark: SparkSession) -> DataFrame:
     from lakerunner_spark.dataops.multimodal import MEDIA_SCHEMA, encode_wav
 
-    rows = []
-    for a, n in _DDM5_AUDS:
-        samples = [_ddm5_sample(a, i) for i in range(n)]
-        rows.append(
-            (a, "audio", None, None, n * 1000 // 8000,
-             bytearray(encode_wav(8000, samples)))
-        )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    def build() -> DataFrame:
+        rows = []
+        for a, n in _DDM5_AUDS:
+            samples = [_ddm5_sample(a, i) for i in range(n)]
+            rows.append(
+                (a, "audio", None, None, n * 1000 // 8000,
+                 bytearray(encode_wav(8000, samples)))
+            )
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    return _fixture_memo(spark, "ddm5", build)
 
 
 @register(

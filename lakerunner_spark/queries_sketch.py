@@ -591,27 +591,36 @@ def chq1_sketch_interop_quantile(
 
     gamma = gamma_for(0.01)
     lg = math.log(gamma)
-    rows = []
-    for s in range(_CHQ_STREAMS):
-        for half in range(2):  # two blobs per stream: merge is exercised
-            pos: dict[int, float] = {}
-            neg: dict[int, float] = {}
-            zero = 0.0
-            lo = half * (_CHQ_N // 2)
-            for i in range(lo, lo + _CHQ_N // 2):
-                v = _chq_value(s, i)
-                if v == 0.0:
-                    zero += 1.0
-                elif v > 0:
-                    idx = math.ceil(math.log(v) / lg) - 1
-                    pos[idx] = pos.get(idx, 0.0) + 1.0
-                else:
-                    idx = math.ceil(math.log(-v) / lg) - 1
-                    neg[idx] = neg.get(idx, 0.0) + 1.0
-            rows.append(
-                (f"m{s}", bytearray(encode_chq_sketch(gamma, pos, neg, zero)))
-            )
-    blobs = spark.createDataFrame(rows, "metric string, sketch binary")
+
+    def build_blobs() -> DataFrame:
+        rows = []
+        for s in range(_CHQ_STREAMS):
+            for half in range(2):  # two blobs per stream: merge exercised
+                pos: dict[int, float] = {}
+                neg: dict[int, float] = {}
+                zero = 0.0
+                lo = half * (_CHQ_N // 2)
+                for i in range(lo, lo + _CHQ_N // 2):
+                    v = _chq_value(s, i)
+                    if v == 0.0:
+                        zero += 1.0
+                    elif v > 0:
+                        idx = math.ceil(math.log(v) / lg) - 1
+                        pos[idx] = pos.get(idx, 0.0) + 1.0
+                    else:
+                        idx = math.ceil(math.log(-v) / lg) - 1
+                        neg[idx] = neg.get(idx, 0.0) + 1.0
+                rows.append(
+                    (f"m{s}",
+                     bytearray(encode_chq_sketch(gamma, pos, neg, zero)))
+                )
+        return spark.createDataFrame(rows, "metric string, sketch binary")
+
+    # deterministic fixture: python-encode + serialize once per session
+    # (the r9 driver-latency cluster; see probe_cache.session_memo)
+    from lakerunner_spark.plans.probe_cache import session_memo
+
+    blobs = session_memo(spark, "fixture:chq1_blobs", build_blobs)
     decoded = chq_sketch_bucket_rows(blobs, "sketch", keep=["metric"])
     merged = decoded.groupBy("metric", "bucket").agg(
         F.sum("count").alias("count")

@@ -1,0 +1,203 @@
+"""Ingest throughput, measured against BASELINE.md's only ingest
+number: the reference sustains 10-100K events/s PER WORKER through its
+S3->Kafka->consumer pipeline (docs/design/OVERVIEW.md:283-286 — one Go
+worker process, normalize -> 10s pre-agg -> parquet write).
+
+This probe times the engine's equivalent surfaces over a sized corpus
+(default .localdata/sf1 events, ~600K samples) on local[$CPUS] and
+reports events/s and events/s/core — the per-core figure is the
+apples-to-apples "per worker" comparison, since one reference worker
+is roughly one core's worth of ingest:
+
+1. batch_10s        — cook_metrics, 10s tier only: translate (TID
+                      hash, pure JVM) -> 10s pre-agg -> sorted
+                      segment write. The reference worker's loop.
+2. batch_cascade    — full 5-tier rollup cascade (10s..1h): the
+                      engine's whole scheduled ingest cost (~2x the
+                      10s pass by design; the reference rolls up in
+                      scheduled batch jobs too).
+3. batch_sketch     — full cascade + chq_sketch encode at the write
+                      boundary (the chq2 interop write path; one
+                      Arrow codec seam).
+4. stream_cook      — run_cook_stream (foreachBatch cook,
+                      availableNow) over the staged corpus: the
+                      micro-batch pipeline incl. checkpoint overhead.
+5. stream_preagg    — run_file_ingest_stream (watermarked 10s window
+                      agg -> parquet append): the pure Structured
+                      Streaming path.
+
+A fixed CPU-bound calibration anchor (bench.py's) is timed in the
+same session so cross-day numbers can be normalized. Results land in
+PLANS.md ("Ingest throughput" entry). Run alone — concurrent Spark
+sessions inflate timings (bench discipline).
+
+Usage: python tools/ingest_throughput.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _calibrate(spark) -> float:
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).selectExpr(
+            "sum((id % 100003) * 3 + (id % 13))"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    return calib
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.cook import DEFAULT_TIERS_MS, cook_metrics
+    from lakerunner_spark.session import get_spark
+    from lakerunner_spark.streaming.pipeline import (
+        run_cook_stream,
+        run_file_ingest_stream,
+    )
+    from lakerunner_spark.testdata import events_stream
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else None
+    if sf_dir is None:
+        from tools.make_sf1 import make_sf1
+
+        sf_dir = make_sf1(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            os.path.join(repo, ".localdata/sf1"),
+        )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="ingest_throughput")
+
+    work = tempfile.mkdtemp(prefix="ingest_tp_")
+    # Stage the raw samples ONCE as the ingest input corpus: the
+    # metric framing every surface consumes (ts + name + value + one
+    # attr dimension, the a1/a3 series shape), written as parquet so
+    # batch and streaming read the identical bytes.
+    staged = os.path.join(work, "input")
+    raw = events_stream(spark, sf_dir).select(
+        "chq_timestamp",
+        F.col("event_type").alias("metric_name"),
+        F.col("user_id").cast("string").alias("attr_user_id"),
+        "value",
+    )
+    raw.write.mode("overwrite").parquet(staged)
+    src = spark.read.parquet(staged)
+    n_events = src.count()
+    schema = src.schema
+    calib = _calibrate(spark)
+
+    iters = int(os.environ.get("SPARK_GRAFT_INGEST_ITERS", "2"))
+    res: dict = {
+        "metric": "ingest_events_per_sec",
+        "sf_dir": sf_dir,
+        "n_events": n_events,
+        "cpus": cpus,
+        "iters": iters,
+        "calib_sec": round(calib, 3),
+        "baseline_ref": "10-100K events/s per worker (OVERVIEW.md:283-286)",
+        "surfaces": {},
+    }
+
+    def record(name: str, sec: float, accounted: int) -> None:
+        res["surfaces"][name] = {
+            "sec": round(sec, 2),
+            "events_per_sec": round(n_events / sec),
+            "events_per_sec_per_core": round(n_events / sec / cpus),
+            # verification: sum(chq_rollup_count) over the written 10s
+            # rows must account for the input events (streaming preagg
+            # legitimately withholds the trailing ~watermark of event
+            # time; everything else must hit 1.0)
+            "accounted_fraction": round(accounted / n_events, 4),
+        }
+        print(f"# {name}: {sec:.2f}s -> {n_events / sec:,.0f} ev/s"
+              f" ({n_events / sec / cpus:,.0f}/core,"
+              f" accounted {accounted / n_events:.4f})", file=sys.stderr)
+
+    def accounted_events(path: str, tier_filter: bool = True) -> int:
+        df = spark.read.parquet(path)
+        if tier_filter:
+            df = df.filter(F.col("frequency_ms") == 10_000)
+        return int(df.agg(F.sum("chq_rollup_count")).first()[0] or 0)
+
+    def timed(name, fn, verify):
+        """min over ``iters`` runs (fresh output dir each) — run 0 is
+        cold (codegen/broadcast), later runs are the steady state a
+        long-running ingest worker actually serves; verification runs
+        on the final output, outside the timed window. Surfaces run in
+        the listed order within one session, so mins carry a mild
+        warm-JVM bias toward LATER surfaces (interleaved probes showed
+        batch/stream cook converge within ~5% once both are warm — the
+        dbg_order check, PLANS.md r10). A surface failure is recorded
+        and the rest still run (a 10M-row streaming-state surface
+        crashed once after five prior surfaces filled the session;
+        standalone re-runs were clean)."""
+        best = float("inf")
+        path = None
+        try:
+            for i in range(max(1, iters)):
+                p = os.path.join(work, f"{name}_{i}")
+                t0 = time.perf_counter()
+                fn(p)
+                best = min(best, time.perf_counter() - t0)
+                path = p
+            record(name, best, verify(path))
+        except Exception as e:  # noqa: BLE001 - keep the other surfaces
+            res["surfaces"][name] = {"error": str(e)[:300]}
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+
+    timed(
+        "batch_10s",
+        lambda p: cook_metrics(src, p, tiers_ms=[10_000]),
+        lambda p: accounted_events(f"{p}/metrics"),
+    )
+    timed(
+        "batch_cascade",
+        lambda p: cook_metrics(src, p, tiers_ms=list(DEFAULT_TIERS_MS)),
+        lambda p: accounted_events(f"{p}/metrics"),
+    )
+    timed(
+        "batch_sketch",
+        lambda p: cook_metrics(
+            src, p, tiers_ms=list(DEFAULT_TIERS_MS), sketch_accuracy=0.01
+        ),
+        lambda p: accounted_events(f"{p}/metrics"),
+    )
+    timed(
+        "stream_cook",
+        lambda p: run_cook_stream(
+            spark, staged, f"{p}/out", f"{p}/ckpt", schema,
+            tiers_ms=[10_000],
+        ).awaitTermination(),
+        lambda p: accounted_events(f"{p}/out/metrics"),
+    )
+    timed(
+        "stream_preagg",
+        lambda p: run_file_ingest_stream(
+            spark, staged, f"{p}/out", f"{p}/ckpt", schema,
+            dims=["metric_name", "attr_user_id"],
+        ).awaitTermination(),
+        lambda p: accounted_events(f"{p}/out", tier_filter=False),
+    )
+
+    line = json.dumps(res)
+    print(line)
+    if len(sys.argv) > 2:
+        with open(sys.argv[2], "w") as f:
+            f.write(line + "\n")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
