@@ -291,3 +291,55 @@ def test_repo_baseline_provides_full_main_section():
     rnd, art = find_previous(repo, sf=0.1, section="main")
     assert rnd >= 9
     assert len(art["queries"]) >= 70  # the FULL main section
+
+
+def test_raw_floor_blocks_anchor_manufactured_flags(tmp_path):
+    """A fast-moment calibration must not manufacture a regression out
+    of a query whose WALL time matches the baseline (r10's sim8
+    confirm: raw x1.01 was 'confirmed' at norm x1.3+ because the
+    confirm-time anchor measured 26% below the section's). Both the
+    initial pass and the confirmation pass require the raw ratio to
+    clear RAW_FLOOR; genuinely slower-in-wall queries still flag."""
+    import json
+
+    from tools.bench_diff import compare_to_previous, confirm_flags
+
+    baseline = {
+        "round": 9,
+        "sf": 0.1,
+        "queries": {"q_fixed_latency": 5.0, "q_real_regression": 5.0},
+        "calib_sec": 0.6,
+        "calib_end_sec": 0.6,
+        "value": 10.0,
+    }
+    (tmp_path / "BENCH_BASELINE.json").write_text(json.dumps(baseline))
+
+    # machine 25% faster (calib 0.45): q_fixed_latency's wall is
+    # UNCHANGED (driver-latency bound — the anchor over-corrects it to
+    # x1.33); q_real_regression is genuinely 40% slower in wall.
+    diff = compare_to_previous(
+        {"q_fixed_latency": 5.0, "q_real_regression": 7.0},
+        0.45,
+        repo_dir=str(tmp_path),
+        sf=0.1,
+        calib_end_sec=0.45,
+    )
+    assert "q_fixed_latency" not in diff["flagged"]  # raw x1.0: blocked
+    assert "q_real_regression" in diff["flagged"]    # raw x1.4: flagged
+
+    # confirmation pass: same rule — a confirm sample at raw x1.0
+    # clears even when a fast confirm anchor inflates its norm ratio
+    confirmed = confirm_flags(
+        {
+            "vs_round": 9,
+            "prev_calib": 0.6,
+            "flagged": {
+                "q_fixed_latency": {"prev": 5.0, "cur": 6.8, "norm_ratio": 1.5},
+                "q_real_regression": {"prev": 5.0, "cur": 7.0, "norm_ratio": 1.4},
+            },
+        },
+        rerun=lambda n: 5.05 if n == "q_fixed_latency" else 7.1,
+        recalib=lambda: 0.4,  # fast moment: norm would cross for both
+    )
+    assert "q_fixed_latency" in confirmed["cleared"]
+    assert confirmed["flagged"]["q_real_regression"]["confirmed"] is True

@@ -40,6 +40,17 @@ import re
 
 # flag when calib-normalized time grows beyond this
 RATIO_THRESHOLD = 1.3
+# ...but only when the RAW wall ratio also exceeds this floor. The
+# anchor exists to EXCUSE slowness on a slower machine, not to
+# manufacture slowness on a faster one: a sample whose wall time is
+# within 10% of the baseline's cannot evidence a regression, yet a
+# fast-moment calibration (anchors measured 26% apart within minutes
+# on this VM — r10's sim8 confirm: raw x1.01 "confirmed" at norm
+# x1.3+) pushes its normalized ratio over the threshold. The floor
+# masks a real regression only when the machine is simultaneously
+# >=18% faster AND the code >=30% slower — a combination the next
+# round's comparison surfaces anyway.
+RAW_FLOOR = 1.1
 # ignore queries faster than this (seconds) in the CURRENT run:
 # relative jitter on sub-150ms queries exceeds the signal
 MIN_CURRENT_SEC = 0.15
@@ -235,7 +246,7 @@ def compare_to_previous(
         if p is None or p <= 0 or cur < MIN_CURRENT_SEC:
             continue
         ratio = (cur / p) / calib_ratio if have_calib else cur / p
-        if ratio > RATIO_THRESHOLD:
+        if ratio > RATIO_THRESHOLD and cur / p > RAW_FLOOR:
             flagged[name] = {
                 "prev": p,
                 "cur": cur,
@@ -301,7 +312,7 @@ def confirm_flags(diff: dict | None, rerun, recalib) -> dict | None:
             confirm_calib_sec=round(re_calib, 3),
             confirm_norm_ratio=round(ratio, 3),
         )
-        if ratio > RATIO_THRESHOLD:
+        if ratio > RATIO_THRESHOLD and re_sec / d["prev"] > RAW_FLOOR:
             d["confirmed"] = True
             confirmed[name] = d
         else:
