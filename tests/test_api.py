@@ -392,3 +392,26 @@ def test_http_adapter_streams_sse(api):
         assert conn2.getresponse().status == 400
     finally:
         srv.shutdown()
+
+
+def test_query_range_stream_abandonment_cancels_cleanly(api):
+    """A consumer that closes the stream after the first chunk (client
+    disconnect) must return promptly — ordered_slice_results' finally
+    cancels queued slices — and later requests still work."""
+    import time
+
+    start_s, end_s = _events_window_s(api)
+    params = {
+        "query": "sum by (event_type) (events)",
+        "start": start_s, "end": end_s, "step": 60,
+        "n_slices": 6, "max_parallel": 2,
+    }
+    gen = api.prometheus_query_range_stream(params)
+    first = next(gen)
+    assert first["status"] == "success"
+    t0 = time.monotonic()
+    gen.close()  # abandon: at most max_parallel in-flight collects drain
+    assert time.monotonic() - t0 < 60
+    # the session is healthy afterwards
+    again = list(api.prometheus_query_range_stream(params))
+    assert len(again) == 6
