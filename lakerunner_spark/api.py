@@ -312,6 +312,59 @@ class QueryAPI:
                            end_ms=params.get("end_ms"))
         return {"step_ms": step, "result": [r.asDict() for r in df.collect()]}
 
+    def logs_query_stream(self, params: dict):
+        """O4 on the logs plane: the chunked variant of
+        :meth:`logs_query`, a generator. AGGREGATE queries yield one
+        ``{"step_ms", "result"}`` payload per time slice strictly in
+        time order (plans/ordered.logql_ordered_range — the same
+        runOrderedCoordinator posture as the metrics stream);
+        SELECTOR queries yield ``{"streams": [...]}`` chunks
+        NEWEST-FIRST with lazy early stop — once ``limit`` rows have
+        streamed, queued older slices are cancelled and never
+        evaluate (plans/ordered.logql_ordered_exemplars; the
+        reference's newest-first exemplar walk). Wire shapes are
+        byte-identical per chunk to the one-shot handler's; without
+        ``start_ms``/``end_ms`` there is nothing to slice and the
+        one-shot payload arrives as a single chunk."""
+        try:
+            q = params["query"]  # KeyError -> the adapter's 400 path
+            start = params.get("start_ms")
+            end = params.get("end_ms")
+            if start is None or end is None:
+                yield self.logs_query(params)
+                return
+            start, end = int(start), int(end)
+            n_slices = int(params.get("n_slices", 4))
+            max_parallel = int(params.get("max_parallel", 3))
+            node = parse_logql(q)
+            src = default_log_source(self.spark, self.sf_dir)
+            from lakerunner_spark.logql.parser import LogLeaf
+            from lakerunner_spark.plans.ordered import (
+                logql_ordered_exemplars,
+                logql_ordered_range,
+            )
+
+            if isinstance(node, LogLeaf):
+                for rows in logql_ordered_exemplars(
+                    node, src, start, end,
+                    limit=int(params.get("limit", 100)),
+                    n_slices=n_slices,
+                    max_parallel=min(max_parallel, 2),
+                    tiebreak=params.get("tiebreak"),
+                ):
+                    yield {"streams": [r.asDict() for r in rows]}
+                return
+            step = int(params.get("step_ms", 60_000))
+            for _idx, _lo, _hi, rows in logql_ordered_range(
+                node, src, step, start, end,
+                n_slices=n_slices, max_parallel=max_parallel,
+            ):
+                yield {"step_ms": step, "result": [r.asDict() for r in rows]}
+        except KeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 - error envelope, not a raise
+            yield {"status": "error", "errorType": "bad_data", "error": str(e)}
+
     # -- spans ------------------------------------------------------------
 
     def _spans(self):
@@ -395,6 +448,7 @@ class QueryAPI:
         "/api/v1/logs/tags": "logs_tags",
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",
+        "/api/v1/logs/query/stream": "logs_query_stream",
         "/api/v1/logs/series": "logs_series",
         "/api/v1/spans/trace": "spans_trace",
         "/api/v1/spans/tags": "spans_tags",

@@ -122,6 +122,91 @@ def build_slice_plan(
     )
 
 
+def logql_ordered_range(
+    query: str,
+    source,
+    step_ms: int,
+    start_ms: int,
+    end_ms: int,
+    n_slices: int,
+    max_parallel: int = 3,
+) -> Iterator[tuple[int, int, int, list]]:
+    """:func:`promql_ordered_range`'s contract for LogQL AGGREGATE
+    queries (the reference's evaluator streams logs-plane range
+    queries through the same runOrderedCoordinator): each slice
+    compiles with its own start/end (logql/compiler.py widens the
+    scan by the range for lookback, exactly like the PromQL leaf) and
+    clips its OUTPUT to its window. Exactness scope is the PromQL
+    one: shapes whose window needs no cross-slice history — window
+    <= step (the gate is trivially satisfied), last_over_time — are
+    exact; wider gated windows re-warm per slice (the documented O4
+    scope)."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.logql.compiler import compile_logql
+
+    slices = range_slices(start_ms, end_ms, n_slices, step_ms)
+
+    def build(lo: int, hi: int) -> DataFrame:
+        df = compile_logql(query, source, step_ms, start_ms=lo, end_ms=hi)
+        lo_clip = lo - lo % step_ms if lo == start_ms else lo
+        return df.filter(
+            (F.col("bucket_ts") >= lo_clip) & (F.col("bucket_ts") < hi)
+        )
+
+    return ordered_slice_results(build, slices, max_parallel)
+
+
+def logql_ordered_exemplars(
+    query: str,
+    source,
+    start_ms: int,
+    end_ms: int,
+    limit: int,
+    n_slices: int,
+    max_parallel: int = 2,
+    tiebreak: list | None = None,
+) -> Iterator[list]:
+    """Newest-first exemplar streaming with LAZY early stop: the
+    window splits into time-disjoint slices evaluated newest-first
+    (each slice's own TakeOrderedAndProject serves up to ``limit``
+    rows), rows stream to the caller in global DESC time order, and
+    the generator STOPS — cancelling queued slices — the moment
+    ``limit`` rows have been emitted. A query whose newest slice
+    already holds ``limit`` matches never evaluates the old slices at
+    all: the reference's newest-first segment walk with its early
+    exit (querier.go exemplar path), which a batch-complete global
+    top-n cannot do. Up to ``max_parallel`` older slices prefetch
+    concurrently (bounded overfetch: ``limit`` rows per in-flight
+    slice); time-disjoint windows mean concatenation preserves the
+    per-slice DESC order globally."""
+    from lakerunner_spark.logql.compiler import compile_logql_exemplar
+
+    if limit < 1:
+        raise ValueError("logql_ordered_exemplars: limit >= 1")
+    slices = list(reversed(range_slices(start_ms, end_ms, n_slices, 1)))
+
+    def build(lo: int, hi: int) -> DataFrame:
+        return compile_logql_exemplar(
+            query, source, limit=limit, descending=True,
+            tiebreak=tiebreak, start_ms=lo, end_ms=hi,
+        )
+
+    remaining = limit
+    gen = ordered_slice_results(build, slices, max_parallel)
+    try:
+        for _idx, _lo, _hi, rows in gen:
+            if not rows:
+                continue
+            take = rows[:remaining]
+            remaining -= len(take)
+            yield take
+            if remaining <= 0:
+                return  # generator close cancels queued slices
+    finally:
+        gen.close()
+
+
 def promql_ordered_range(
     query: str,
     catalog,

