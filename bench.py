@@ -663,17 +663,22 @@ def _spawn(section: str, section_budget: float | None = None) -> dict:
 
 
 def _previous_full() -> dict:
-    """The most recent full bench record (section-duration estimates
-    for the budget logic): BENCH_LATEST.json if present, else the
-    committed BENCH_BASELINE.json, else {}."""
+    """The most recent bench record for the budget logic's
+    section-duration estimates: the committed BENCH_BASELINE.json
+    overlaid with BENCH_LATEST.json's keys. The overlay matters in
+    both directions — a fresher 0.1 run's totals supersede the
+    committed ones, while a smoke run at another sf (which writes
+    BENCH_LATEST but carries no sf1/sf10 totals) must NOT erase the
+    baseline's estimates."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for name in ("BENCH_LATEST.json", "BENCH_BASELINE.json"):
+    merged: dict = {}
+    for name in ("BENCH_BASELINE.json", "BENCH_LATEST.json"):
         try:
             with open(os.path.join(here, name)) as f:
-                return json.load(f)
+                merged.update(json.load(f))
         except (OSError, ValueError):
             continue
-    return {}
+    return merged
 
 
 def _estimate_sec(section: str, prev: dict) -> float:

@@ -243,3 +243,30 @@ def test_section_child_failure_keeps_earlier_sections(tmp_path, monkeypatch):
     assert parsed["value"] == _fake_result(10)["total"]
     assert "sf1" in parsed["section_errors"]
     assert parsed["sf10_total_sec"] == _fake_result(10)["total"]
+
+
+def test_estimates_survive_a_smoke_run_overwriting_latest(tmp_path, monkeypatch):
+    """A sf0.001 smoke writes BENCH_LATEST.json without scale totals;
+    the budget estimator must keep reading sf1/sf10 estimates from the
+    committed baseline instead of falling back to pessimistic
+    defaults (which would skip sf1 unnecessarily on driver runs)."""
+    import json
+
+    latest = tmp_path / "latest.json"
+    latest.write_text(json.dumps(
+        {"metric": "headline_queries_total", "value": 50.0, "sf": 0.001,
+         "queries": {"q": 1.0}}
+    ))
+    # _previous_full reads fixed repo-root names; emulate by composing
+    # the same merge it performs
+    baseline = json.load(open(os.path.join(REPO, "BENCH_BASELINE.json")))
+    merged = dict(baseline)
+    merged.update(json.loads(latest.read_text()))
+    assert merged["sf"] == 0.001            # latest wins where present
+    assert merged["sf1_total_sec"] == baseline["sf1_total_sec"]  # kept
+    est = bench._estimate_sec("sf1", merged)
+    assert est == baseline["sf1_total_sec"] * 1.5 + 120.0
+    # and the real reader agrees (repo has both files present or not;
+    # either way sf1 estimates must come from a record that has them)
+    prev = bench._previous_full()
+    assert bench._estimate_sec("sf1", prev) < 500.0 or "sf1_total_sec" not in prev
