@@ -289,6 +289,22 @@ class QueryAPI:
         )
         return {"series": [dict(zip(src.labels, r)) for r in rows]}
 
+    @staticmethod
+    def _logs_step_ms(params: dict) -> int:
+        """Shared step default for the one-shot AND streaming logs
+        handlers: an explicit step_ms wins; otherwise derive from the
+        request window via the step ladder (the same rule
+        :meth:`metrics_query` applies), falling back to 60s only when
+        there is no window to derive from. One definition so the two
+        paths can never answer the same request at different steps."""
+        step = params.get("step_ms")
+        if step is not None:
+            return int(step)
+        start, end = params.get("start_ms"), params.get("end_ms")
+        if start is not None and end is not None:
+            return step_for_duration(int(end) - int(start))
+        return 60_000
+
     def logs_query(self, params: dict) -> dict:
         """LogQL query: aggregate -> matrix, selector-only -> exemplars."""
         q = params["query"]
@@ -306,7 +322,7 @@ class QueryAPI:
                 end_ms=params.get("end_ms"),
             )
             return {"streams": [r.asDict() for r in df.collect()]}
-        step = int(params.get("step_ms", 60_000))
+        step = self._logs_step_ms(params)
         df = compile_logql(node, src, step,
                            start_ms=params.get("start_ms"),
                            end_ms=params.get("end_ms"))
@@ -318,14 +334,18 @@ class QueryAPI:
         ``{"step_ms", "result"}`` payload per time slice strictly in
         time order (plans/ordered.logql_ordered_range — the same
         runOrderedCoordinator posture as the metrics stream);
-        SELECTOR queries yield ``{"streams": [...]}`` chunks
-        NEWEST-FIRST with lazy early stop — once ``limit`` rows have
-        streamed, queued older slices are cancelled and never
-        evaluate (plans/ordered.logql_ordered_exemplars; the
+        SELECTOR queries yield ``{"streams": [...]}`` chunks with lazy
+        early stop — newest-first by default (``order=desc``) or
+        oldest-first for ``order=asc`` (the walk direction flips; the
+        one-shot handler's ordering contract either way): once
+        ``limit`` rows have streamed, queued slices are cancelled and
+        never evaluate (plans/ordered.logql_ordered_exemplars; the
         reference's newest-first exemplar walk). Wire shapes are
-        byte-identical per chunk to the one-shot handler's; without
-        ``start_ms``/``end_ms`` there is nothing to slice and the
-        one-shot payload arrives as a single chunk."""
+        byte-identical per chunk to the one-shot handler's — a
+        zero-match selector yields one ``{"streams": []}`` chunk like
+        the one-shot's empty payload; without ``start_ms``/``end_ms``
+        there is nothing to slice and the one-shot payload arrives as
+        a single chunk."""
         try:
             q = params["query"]  # KeyError -> the adapter's 400 path
             start = params.get("start_ms")
@@ -345,16 +365,21 @@ class QueryAPI:
             )
 
             if isinstance(node, LogLeaf):
+                emitted = False
                 for rows in logql_ordered_exemplars(
                     node, src, start, end,
                     limit=int(params.get("limit", 100)),
                     n_slices=n_slices,
                     max_parallel=min(max_parallel, 2),
                     tiebreak=params.get("tiebreak"),
+                    descending=params.get("order", "desc") == "desc",
                 ):
+                    emitted = True
                     yield {"streams": [r.asDict() for r in rows]}
+                if not emitted:  # zero matches: one-shot parity
+                    yield {"streams": []}
                 return
-            step = int(params.get("step_ms", 60_000))
+            step = self._logs_step_ms(params)
             for _idx, _lo, _hi, rows in logql_ordered_range(
                 node, src, step, start, end,
                 n_slices=n_slices, max_parallel=max_parallel,
@@ -417,6 +442,47 @@ class QueryAPI:
         return {"trace_id": params["trace_id"],
                 "spans": [r.asDict() for r in rows]}
 
+    def spans_trace_stream(self, params: dict):
+        """O4 on the spans plane: the chunked variant of
+        :meth:`spans_trace`, a generator yielding ``{"trace_id",
+        "spans"}`` chunks NEWEST-FIRST by default with lazy early stop
+        — a trace whose newest slice already holds ``limit`` spans
+        never evaluates the old slices (plans/ordered.
+        spans_ordered_trace; the reference orders a trace's exemplar
+        spans newest-first, spans_worker_sql.go:85-112). ``order=asc``
+        flips the walk oldest-first. Without ``start_ms``/``end_ms``
+        there is nothing to slice — the one-shot payload arrives as a
+        single chunk (ascending, its documented order)."""
+        try:
+            trace_id = params["trace_id"]  # KeyError -> the 400 path
+            start = params.get("start_ms")
+            end = params.get("end_ms")
+            if start is None or end is None:
+                yield self.spans_trace(params)
+                return
+            from lakerunner_spark.plans.ordered import spans_ordered_trace
+            from lakerunner_spark.queries_spans import _traced_spans
+
+            df = _traced_spans(self.spark, self.sf_dir)
+            emitted = False
+            for rows in spans_ordered_trace(
+                df, trace_id, int(start), int(end),
+                limit=int(params.get("limit", 1000)),
+                n_slices=int(params.get("n_slices", 4)),
+                max_parallel=int(params.get("max_parallel", 2)),
+                descending=params.get("order", "desc") == "desc",
+            ):
+                emitted = True
+                yield {"trace_id": trace_id,
+                       "spans": [r.asDict() for r in rows]}
+            if not emitted:  # unknown trace: one-shot parity
+                yield {"trace_id": trace_id, "spans": []}
+        except KeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 - error envelope
+            yield {"status": "error", "errorType": "bad_data",
+                   "error": str(e)}
+
     # -- validation -------------------------------------------------------
 
     def promql_validate(self, params: dict) -> dict:
@@ -451,6 +517,7 @@ class QueryAPI:
         "/api/v1/logs/query/stream": "logs_query_stream",
         "/api/v1/logs/series": "logs_series",
         "/api/v1/spans/trace": "spans_trace",
+        "/api/v1/spans/trace/stream": "spans_trace_stream",
         "/api/v1/spans/tags": "spans_tags",
         "/api/v1/spans/tagvalues": "spans_tagvalues",
         "/api/v1/spans/query": "spans_query",
@@ -486,12 +553,23 @@ def serve(api: QueryAPI, port: int = 8080):
             HTTP/1.0 connection close delimits the stream. A KeyError
             on the FIRST chunk (missing `query` — generators defer
             argument validation to first next()) still gets the
-            400 JSON path because nothing has been sent yet."""
-            first = next(gen)  # KeyError here -> caller's 400 path
+            400 JSON path because nothing has been sent yet. An EMPTY
+            generator is a valid zero-event stream (200, no data
+            frames), not an error. Once headers are out, a failure
+            (client disconnect mid-write, an exception escaping a
+            later slice) terminates the CONNECTION — returning control
+            to _respond's send_response would append a second HTTP
+            response onto the partially-written 200 stream."""
+            try:
+                first = next(gen)  # KeyError here -> caller's 400 path
+            except StopIteration:
+                first = None  # empty stream: 200 SSE, zero data events
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
             self.end_headers()
+            if first is None:
+                return
             from itertools import chain
 
             try:
@@ -500,6 +578,8 @@ def serve(api: QueryAPI, port: int = 8080):
                         b"data: " + json.dumps(chunk).encode() + b"\n\n"
                     )
                     self.wfile.flush()
+            except Exception:  # noqa: BLE001 - headers already sent
+                self.close_connection = True
             finally:
                 gen.close()  # abandoned consumer cancels queued slices
 

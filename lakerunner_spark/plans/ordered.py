@@ -157,43 +157,29 @@ def logql_ordered_range(
     return ordered_slice_results(build, slices, max_parallel)
 
 
-def logql_ordered_exemplars(
-    query: str,
-    source,
-    start_ms: int,
-    end_ms: int,
+def ordered_limited_slices(
+    build_slice: Callable[[int, int], DataFrame],
+    slices: list[tuple[int, int]],
     limit: int,
-    n_slices: int,
     max_parallel: int = 2,
-    tiebreak: list | None = None,
 ) -> Iterator[list]:
-    """Newest-first exemplar streaming with LAZY early stop: the
-    window splits into time-disjoint slices evaluated newest-first
-    (each slice's own TakeOrderedAndProject serves up to ``limit``
-    rows), rows stream to the caller in global DESC time order, and
-    the generator STOPS — cancelling queued slices — the moment
-    ``limit`` rows have been emitted. A query whose newest slice
-    already holds ``limit`` matches never evaluates the old slices at
-    all: the reference's newest-first segment walk with its early
-    exit (querier.go exemplar path), which a batch-complete global
-    top-n cannot do. Up to ``max_parallel`` older slices prefetch
-    concurrently (bounded overfetch: ``limit`` rows per in-flight
-    slice); time-disjoint windows mean concatenation preserves the
-    per-slice DESC order globally."""
-    from lakerunner_spark.logql.compiler import compile_logql_exemplar
-
+    """The exemplar early-stop core shared by the logs and spans
+    planes: evaluate ``build_slice(lo, hi)`` (a plan already sorted
+    and limited WITHIN its slice) over time-disjoint ``slices`` in the
+    given walk order, yield each slice's surviving rows, and STOP —
+    cancelling queued slices — the moment ``limit`` rows have been
+    emitted. A walk whose first slice already holds ``limit`` matches
+    never evaluates the later slices at all: the reference's
+    newest-first segment walk with its early exit (querier.go exemplar
+    path), which a batch-complete global top-n cannot do. Up to
+    ``max_parallel`` later slices prefetch concurrently (bounded
+    overfetch: ``limit`` rows per in-flight slice); time-disjoint
+    windows mean concatenation preserves the per-slice order
+    globally."""
     if limit < 1:
-        raise ValueError("logql_ordered_exemplars: limit >= 1")
-    slices = list(reversed(range_slices(start_ms, end_ms, n_slices, 1)))
-
-    def build(lo: int, hi: int) -> DataFrame:
-        return compile_logql_exemplar(
-            query, source, limit=limit, descending=True,
-            tiebreak=tiebreak, start_ms=lo, end_ms=hi,
-        )
-
+        raise ValueError("ordered_limited_slices: limit >= 1")
     remaining = limit
-    gen = ordered_slice_results(build, slices, max_parallel)
+    gen = ordered_slice_results(build_slice, slices, max_parallel)
     try:
         for _idx, _lo, _hi, rows in gen:
             if not rows:
@@ -205,6 +191,99 @@ def logql_ordered_exemplars(
                 return  # generator close cancels queued slices
     finally:
         gen.close()
+
+
+def logql_ordered_exemplars(
+    query: str,
+    source,
+    start_ms: int,
+    end_ms: int,
+    limit: int,
+    n_slices: int,
+    max_parallel: int = 2,
+    tiebreak: list | None = None,
+    descending: bool = True,
+) -> Iterator[list]:
+    """Exemplar streaming with LAZY early stop: the window splits into
+    time-disjoint slices walked newest-first (``descending``, the
+    default and the reference's exemplar order) or oldest-first, each
+    slice's own TakeOrderedAndProject serves up to ``limit`` rows, and
+    rows stream to the caller in global time order with the early-stop
+    contract of :func:`ordered_limited_slices`."""
+    from lakerunner_spark.logql.compiler import compile_logql_exemplar
+
+    slices = range_slices(start_ms, end_ms, n_slices, 1)
+    if descending:
+        slices = list(reversed(slices))
+
+    def build(lo: int, hi: int) -> DataFrame:
+        return compile_logql_exemplar(
+            query, source, limit=limit, descending=descending,
+            tiebreak=tiebreak, start_ms=lo, end_ms=hi,
+        )
+
+    yield from ordered_limited_slices(build, slices, limit, max_parallel)
+
+
+def build_trace_slice(
+    spans: DataFrame,
+    trace_id: str,
+    lo: int,
+    hi: int,
+    limit: int,
+    descending: bool = True,
+) -> DataFrame:
+    """ONE slice of a trace lookup: the span table filtered to the
+    trace id and the slice's time window, sorted by (chq_timestamp,
+    span_id) in the walk direction, limited — a
+    TakeOrderedAndProject per slice, so a slice never returns more
+    than ``limit`` rows no matter how hot the trace. Module-level (not
+    a closure) so tests can count compile calls to prove lazy early
+    stop, mirroring the logs plane's compile_logql_exemplar seam."""
+    from pyspark.sql import functions as F
+
+    ts, sid = F.col("chq_timestamp"), F.col("span_id")
+    order = (
+        [ts.desc(), sid.desc()] if descending else [ts.asc(), sid.asc()]
+    )
+    return (
+        spans.filter(
+            (F.col("span_trace_id") == trace_id)
+            & (ts >= lo)
+            & (ts < hi)
+        )
+        .orderBy(*order)
+        .limit(limit)
+    )
+
+
+def spans_ordered_trace(
+    spans: DataFrame,
+    trace_id: str,
+    start_ms: int,
+    end_ms: int,
+    limit: int,
+    n_slices: int,
+    max_parallel: int = 2,
+    descending: bool = True,
+) -> Iterator[list]:
+    """O4 on the spans plane: newest-first trace browsing with lazy
+    early stop — the reference orders a trace's exemplar spans
+    newest-first and stops at the limit (spans_worker_sql.go:85-112
+    exemplar ordering); here the trace window splits into time-disjoint
+    slices and a trace whose newest slice already holds ``limit``
+    spans never evaluates the old slices (the logs plane's
+    :func:`logql_ordered_exemplars` contract, same core)."""
+    slices = range_slices(start_ms, end_ms, n_slices, 1)
+    if descending:
+        slices = list(reversed(slices))
+
+    def build(lo: int, hi: int) -> DataFrame:
+        return build_trace_slice(
+            spans, trace_id, lo, hi, limit, descending=descending
+        )
+
+    yield from ordered_limited_slices(build, slices, limit, max_parallel)
 
 
 def promql_ordered_range(

@@ -38,6 +38,7 @@ def test_all_routes_answer(api):
         "/api/v1/spans/tagvalues": {"tag": "span_name"},
         "/api/v1/spans/query": {"limit": 5},
         "/api/v1/spans/trace": {"trace_id": "_none_"},
+        "/api/v1/spans/trace/stream": {"trace_id": "_none_"},
         "/api/v1/promql/validate": {"query": "rate(events[5m])"},
         "/api/v1/logql/validate": {"query": '{a="b"} |= "x"'},
     }
@@ -496,3 +497,232 @@ def test_logs_query_stream_exemplars_newest_first_with_early_stop(
     # builds start — the oldest slices must never have been compiled
     assert len(built) < 6, built
     assert min(b[0] for b in built) > start_ms  # oldest slice untouched
+
+
+def test_logs_step_default_agrees_between_one_shot_and_stream(api):
+    """r10 verdict minor #3: with step_ms omitted, both logs paths
+    derive the SAME step from the request window via the step ladder
+    (the hard-coded 60s default only applies when there is no window)."""
+    from lakerunner_spark.promql.compiler import step_for_duration
+
+    start_ms, end_ms = (int(v * 1000) for v in _events_window_s(api))
+    q = 'sum by (event_type) (count_over_time({event_type=~".+"}[1m]))'
+    params = {"query": q, "start_ms": start_ms, "end_ms": end_ms}
+    want = step_for_duration(end_ms - start_ms)
+    assert want != 60_000, "window must exercise the ladder, not the fallback"
+    one_shot = api.logs_query(params)
+    assert one_shot["step_ms"] == want
+    chunk = next(api.logs_query_stream(dict(params, n_slices=2)))
+    assert chunk["step_ms"] == want
+
+
+def test_logs_stream_selector_zero_matches_yields_empty_chunk(api):
+    """ADVICE r10 (medium): a selector stream with zero matching rows
+    must mirror the one-shot's 200 {"streams": []} — one empty chunk
+    at the handler level, a 200 SSE response over HTTP (never the 400
+    path StopIteration used to trigger)."""
+    start_ms, end_ms = (int(v * 1000) for v in _events_window_s(api))
+    params = {
+        "query": '{event_type="___no_such_type___"}',
+        "start_ms": start_ms, "end_ms": end_ms, "limit": 5, "n_slices": 3,
+    }
+    chunks = list(api.logs_query_stream(params))
+    assert chunks == [{"streams": []}]
+    one_shot = api.logs_query(params)
+    assert one_shot == {"streams": []}
+
+    import http.client
+    from urllib.parse import urlencode
+
+    srv = serve(api, port=0)
+    try:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        qs = urlencode({k: v for k, v in params.items()})
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", f"/api/v1/logs/query/stream?{qs}")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        frames = [
+            json.loads(line[len("data: "):])
+            for line in resp.read().decode().split("\n\n")
+            if line.startswith("data: ")
+        ]
+        assert frames == [{"streams": []}]
+    finally:
+        srv.shutdown()
+
+
+def test_http_adapter_empty_generator_is_200_zero_events(api, monkeypatch):
+    """Belt-and-braces for the same ADVICE item: even a handler that
+    yields NOTHING (an empty generator) gets a 200 SSE response with
+    zero data frames, not a 400 from the StopIteration."""
+    import http.client
+
+    monkeypatch.setitem(
+        QueryAPI.ROUTES, "/api/v1/_test/empty_stream", "_empty_stream"
+    )
+    monkeypatch.setattr(
+        QueryAPI, "_empty_stream", lambda self, params: iter(()),
+        raising=False,
+    )
+    srv = serve(api, port=0)
+    try:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/api/v1/_test/empty_stream")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "text/event-stream"
+        assert resp.read() == b""
+    finally:
+        srv.shutdown()
+
+
+def test_http_adapter_mid_stream_failure_closes_without_second_response(
+    api, monkeypatch
+):
+    """ADVICE r10 (low): an exception escaping the generator AFTER SSE
+    headers/chunks went out must terminate the connection — not fall
+    back into _respond's send_response(400), which would append a
+    second HTTP response onto the partially-written 200 stream."""
+    import http.client
+
+    def exploding(self, params):
+        yield {"ok": 1}
+        raise KeyError("late-slice failure")
+
+    monkeypatch.setitem(
+        QueryAPI.ROUTES, "/api/v1/_test/exploding_stream", "_exploding"
+    )
+    monkeypatch.setattr(QueryAPI, "_exploding", exploding, raising=False)
+    srv = serve(api, port=0)
+    try:
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/api/v1/_test/exploding_stream")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read().decode()  # reads until connection close
+        assert body.startswith("data: ")
+        # no second HTTP response appended after the stream broke
+        assert "HTTP/1." not in body and '"error"' not in body
+    finally:
+        srv.shutdown()
+
+
+def test_logs_stream_selector_order_asc(api):
+    """ADVICE r10 (low): order=asc on the stream route walks slices
+    oldest-first and returns ascending rows — matching the one-shot
+    handler's order=asc result instead of silently returning desc."""
+    start_ms, end_ms = (int(v * 1000) for v in _events_window_s(api))
+    params = {
+        "query": '{event_type=~".+"}',
+        "start_ms": start_ms, "end_ms": end_ms,
+        "limit": 12, "n_slices": 6, "order": "asc",
+        "tiebreak": ["chq_timestamp"],
+    }
+    one_shot = api.logs_query(params)
+    expect = [r["chq_timestamp"] for r in one_shot["streams"]]
+    assert expect == sorted(expect) and len(expect) == 12
+
+    got = []
+    for chunk in api.logs_query_stream(params):
+        got.extend(r["chq_timestamp"] for r in chunk["streams"])
+    assert got == expect
+
+
+def test_spans_ordered_trace_newest_first_with_early_stop(api, monkeypatch):
+    """r10 verdict task #7 (plans level): a trace's spans stream
+    newest-first with lazy early stop — once `limit` spans streamed,
+    older slices are never even compiled (build-call counting, the
+    logs plane's proof). Reference: spans_worker_sql.go:85-112 orders
+    a trace's exemplar spans newest-first. Synthetic table so the
+    span distribution over slices is pinned."""
+    from lakerunner_spark.plans import ordered as ordered_mod
+
+    rows = [
+        ("t1", f"s{i:02d}", "op", i * 300_000, 10 + i) for i in range(12)
+    ] + [("t2", "x0", "op", 600_000, 99)]
+    spans = api.spark.createDataFrame(
+        rows,
+        "span_trace_id string, span_id string, span_name string,"
+        " chq_timestamp long, span_duration long",
+    )
+
+    built = []
+    real = ordered_mod.build_trace_slice
+
+    def counting(df, trace_id, lo, hi, limit, descending=True):
+        built.append((lo, hi))
+        return real(df, trace_id, lo, hi, limit, descending=descending)
+
+    monkeypatch.setattr(ordered_mod, "build_trace_slice", counting)
+
+    got = []
+    for chunk in ordered_mod.spans_ordered_trace(
+        spans, "t1", 0, 3_600_000, limit=4, n_slices=6, max_parallel=1
+    ):
+        got.extend((r["chq_timestamp"], r["span_id"]) for r in chunk)
+    # newest 4 of t1's 12 spans (t2 excluded), global DESC order
+    assert got == [
+        (3_300_000, "s11"), (3_000_000, "s10"),
+        (2_700_000, "s09"), (2_400_000, "s08"),
+    ]
+    # 12 spans spread uniformly: the newest 2 of 6 slices hold 4 rows;
+    # with max_parallel=1 the 4 oldest slices are never compiled
+    assert len(built) <= 3, built
+    assert min(b[0] for b in built) > 0  # oldest slice untouched
+
+    # order=asc flips the walk: oldest-first, ascending rows
+    got_asc = []
+    for chunk in ordered_mod.spans_ordered_trace(
+        spans, "t1", 0, 3_600_000, limit=4, n_slices=6, max_parallel=1,
+        descending=False,
+    ):
+        got_asc.extend((r["chq_timestamp"], r["span_id"]) for r in chunk)
+    assert got_asc == [
+        (0, "s00"), (300_000, "s01"), (600_000, "s02"), (900_000, "s03")
+    ]
+
+
+def test_spans_trace_stream_api_parity(api):
+    """The /api/v1/spans/trace/stream endpoint: streamed chunks
+    concatenate to the one-shot trace lookup's spans, newest-first."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.queries_spans import _traced_spans
+
+    s = _traced_spans(api.spark, api.sf_dir)
+    tid = (
+        s.groupBy("span_trace_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("span_trace_id").asc())
+        .first()[0]
+    )
+    hour_start = int(tid.split("-")[-1])
+    params = {
+        "trace_id": tid,
+        "start_ms": hour_start, "end_ms": hour_start + 3_600_000,
+        "limit": 100, "n_slices": 4, "max_parallel": 2,
+    }
+    got = []
+    for chunk in api.spans_trace_stream(params):
+        assert chunk["trace_id"] == tid
+        got.extend(
+            (r["chq_timestamp"], r["span_id"]) for r in chunk["spans"]
+        )
+    one_shot = api.spans_trace({"trace_id": tid})
+    assert one_shot["spans"]
+    newest_first = sorted(
+        ((r["chq_timestamp"], r["span_id"]) for r in one_shot["spans"]),
+        reverse=True,
+    )
+    assert got == newest_first
+
+
+def test_spans_trace_stream_no_bounds_single_chunk(api):
+    out = list(api.spans_trace_stream({"trace_id": "_none_"}))
+    assert out == [{"trace_id": "_none_", "spans": []}]
