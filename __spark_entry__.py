@@ -52,48 +52,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # ingest/join/agg/window/frontends/relational/dataops/multimodal) —
 # the remaining registrations follow in registration order.
 _PRIORITY = [
+    # r11 rotation (r10 verdict task #5: the r10 top-50 was identical
+    # to r9's; each round's gate should certify a DIFFERENT 50 under
+    # the driver's own runner). Rotated IN (16): the three NEW
+    # NULL-planted gate variants (ds9n/txt12n/txt13n — r10 verdict
+    # task #4: gate rows that exercise NULL group keys every round),
+    # plus never- or long-ago-gated entries per the verdict's list —
+    # a9x_deriv, pqs4 (range-fn family), ds10/ds11/ds13 (sampling),
+    # sim5/sim6/sim7 (ANN family), sp5/sp7 (spans plane),
+    # lqs23/lqs24 (LogQL or-filters), f17 (ts normalization).
+    # Rotated DOWN (16, all gate-certified in BOTH r9 and r10, their
+    # families still above the line): a3/a9 (carried by a9x/pqs4/
+    # cook1/pqs1), dd11 (dd11v), chq1 (chq2), q1/q3/q5 (q18/q21),
+    # ds8/ds3/ds14 (ds10-13), dd2/dd12/dd16/dd14 (dd7/dd12s/dd13/
+    # dd17/dd18), mm7 (ddm1-5), pqs48 (pqs43/otlp1).
     "s1_scan_project_filter",
     "cook1_metrics_tid",
-    "a3_step_agg",
-    "a9_rate",
-    "dd11_substring_dedup",
+    "a9x_deriv",
     "a8_topk",
     "a13_aggfile_route",
-    "chq1_sketch_interop_quantile",
     "a6_hll_rollup_merge",
     "j1_vector_arith",
     "pqs1_sum_rate",
+    "pqs4_quantile_over_time",
     "sp8_error_trace_spans",
+    "sp5_trace_rollup",
+    "sp7_operation_latency_sketch",
     "pqs18_quantile_sketch_route",
-    "ds14_shard_manifest",
     "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
+    "lqs23_or_line_filter",
+    "lqs24_label_filter_or",
+    "f17_ts_normalize",
     "otlp1_exp_histogram_quantile",
     "txt12s_ccnet_sketch_buckets",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
+    "txt12n_sketch_buckets_null_keys",
+    "ds9n_sketch_filter_null_keys",
+    "txt13n_pipeline_null_keys",
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
-    "ds8_leakage_free_split",
     "ds9s_quality_sketch_filter",
+    "ds10_temperature_mixture",
+    "ds11_epoch_shuffle",
+    "ds13_weighted_sample",
     "dd11v_substring_verify",
-    "pqs48_native_histogram_mixed_schema",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
-    "dd2_minhash_lsh",
-    "dd12_semantic_dedup",
     "dd12s_semantic_dedup_sampled",
-    "dd16_substring_remove",
     "dd7_neardup_clusters",
     "dd13_substring_decontaminate",
     "dd17_decontaminate_spans",
-    "ds3_sequence_pack",
-    "mm7_image_patches",
+    "sim5_kmeans",
+    "sim6_random_projection",
+    "sim7_pq_topk",
     "ddm1_image_neardup",
     "sim8_ann_frontier",
-    "dd14_global_paragraph_dedup",
     "ds12_dsir_selection",
     "txt13_ccnet_pipeline",
     "dd18_substring_pipeline",
@@ -102,6 +116,23 @@ _PRIORITY = [
     "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
     "o4_ordered_slices_concat",
+    # -- below the driver's 50-sample line ------------------------------
+    "a3_step_agg",
+    "a9_rate",
+    "dd11_substring_dedup",
+    "chq1_sketch_interop_quantile",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "ds8_leakage_free_split",
+    "ds14_shard_manifest",
+    "dd2_minhash_lsh",
+    "dd12_semantic_dedup",
+    "dd16_substring_remove",
+    "dd14_global_paragraph_dedup",
+    "ds3_sequence_pack",
+    "mm7_image_patches",
+    "pqs48_native_histogram_mixed_schema",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
     # tests/test_oracle_parity.py. Rotated down in r6 (certified by the
@@ -132,9 +163,7 @@ _PRIORITY = [
     # by sim8's frontier; x1 (r8-certified) for o4_ordered_slices_concat
     # (the O4 slice-concat equality under the gate), its DDSketch
     # family carried by chq1/chq2/pqs18.
-    "ds13_weighted_sample",
     "x1_ddsketch_p95",
-    "sim7_pq_topk",
     "tpch_q9_product_profit",
     "ds9_quality_percentile_filter",
     "dd3_jaccard_verify",
@@ -144,14 +173,10 @@ _PRIORITY = [
     "pqs44_native_histogram_fraction",
     "ds15_length_histogram",
     "pqs42_native_histogram_fields",
-    "ds11_epoch_shuffle",
-    "ds10_temperature_mixture",
     "dd15_dedup_funnel",
     "txt10_bm25",
-    "sp5_trace_rollup",
     "a5_sketch_quantiles",
     "pqs20_predict_linear",
-    "sim5_kmeans",
     "lqs10_label_replace",
     "ds4_domain_mixture",
     "lqs19_unpack",
@@ -168,23 +193,17 @@ _PRIORITY = [
     "p8_logfmt_roundtrip",
     "p9_regexp_parser",
     "sp3_trace_lookup",
-    "a9x_deriv",
     "a6_cardinality",
     "lqs9_decolorize",
     "lqs15_pattern_line_filter",
-    "pqs4_quantile_over_time",
     "sp4_span_duration_rate",
     "lqs21_ipv6_filter",
     "lqs22_logfmt_error",
-    "lqs23_or_line_filter",
-    "lqs24_label_filter_or",
     "sp6_span_edges",
     "txt9_unigram_logprob",
     "dd5_embedding_neardup",
     "ds6_chunk_documents",
-    "sim6_random_projection",
     "mm5_avi_frame_stats",
-    "sp7_operation_latency_sketch",
     "dd1_dedup_exact",
     "ds1_hash_split",
     "txt1_text_stats",
@@ -199,7 +218,6 @@ _PRIORITY = [
     "j3_vector_and",
     "p3_time_range",
     "p6_line_filter",
-    "f17_ts_normalize",
     "pqs2_topk_count",
     "pqs16_label_replace",
     "lqs4_exemplar",

@@ -1233,11 +1233,15 @@ _TXT12_SCORED_CTE = """
 """
 
 
-def _txt12_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _TXT12_SCORED_CTE: (lang, doc_id, score) rows."""
+def _txt12_scored(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of _TXT12_SCORED_CTE: (lang, doc_id, score) rows.
+    ``docs`` overrides the documents relation (the NULL-planted gate
+    variant txt12n passes its planted view)."""
     from lakerunner_spark.dataops.text import unigram_logprob
 
-    d = load_table(spark, sf_dir, "documents")
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     scores = unigram_logprob(
         d, "text", "doc_id", sample_mod=7, vocab_k=500
     ).select("doc_id", F.col("avg_neg_log2").alias("score"))
@@ -1356,10 +1360,15 @@ def txt12s_ccnet_sketch_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-verified. Both routes run through the shared grouped-rank
     router (dataops/sampling.py rank_buckets); ``mode=None``
     auto-routes on the max-language-rowcount probe."""
+    return _txt12s_plan(_txt12_scored(spark, sf_dir))
+
+
+def _txt12s_plan(j: DataFrame) -> DataFrame:
+    """txt12s's sketch-tercile census over an arbitrary scored
+    relation — shared with the NULL-planted gate variant (txt12n)."""
     from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.functions.rounding import portable_round
 
-    j = _txt12_scored(spark, sf_dir)
     b = rank_buckets(
         j,
         "score",
@@ -2082,11 +2091,16 @@ def ds9s_quality_sketch_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, so the route itself is exact-verified. ``mode=None``
     auto-routes between the two on a memoized max-source-rowcount
     probe (the density-gate/topk-router pattern, third application)."""
+    return _ds9s_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _ds9s_plan(d: DataFrame) -> DataFrame:
+    """ds9s's sketch-threshold filter over an arbitrary documents
+    relation — shared with the NULL-planted gate variant (ds9n)."""
     from lakerunner_spark.dataops.sampling import percentile_filter
     from lakerunner_spark.dataops.text import quality_score
     from lakerunner_spark.functions.rounding import portable_round
 
-    d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     n_tok = F.size(F.expr("filter(split(trim(text), ' '), x -> x != '')"))
     scored = d.select(
@@ -3367,11 +3381,17 @@ def txt13_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt corpus with a broadcast vocabulary; the tercile thresholds
     are (language x quantile) rows from one sketch walk, joined back
     unhinted."""
+    return _txt13_plan(load_table(spark, sf_dir, "documents"))
+
+
+def _txt13_plan(d: DataFrame) -> DataFrame:
+    """txt13's full dedup->rebuild->langid->LM->tercile pipeline over
+    an arbitrary documents relation — shared with the NULL-planted
+    gate variant (txt13n)."""
     from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
     from lakerunner_spark.functions.rounding import portable_round
 
-    d = load_table(spark, sf_dir, "documents")
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
     docs = d.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 1)
     paras = docs.select(
@@ -3428,3 +3448,80 @@ def txt13_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         portable_round(F.avg("score"), 6).alias("avg_score"),
     )
+
+
+# -- NULL group keys under the driver gate (r10 verdict task #4) --------
+# The driver's sf0.01 fixture carries no NULL lang/source, so the
+# null-safe group routes (sampling._nullsafe_attach, the `IS NOT
+# DISTINCT FROM` oracle joins) never executed under a gate row — and
+# the fixture is driver-owned, read-only. These variants plant
+# deterministic NULL slices INSIDE the query, identically on both
+# engines (the Spark side via the same CASE expression the oracle
+# uses; the oracle via a CTE that SHADOWS `documents`, reaching the
+# real view as main.documents), so every round's gate certifies the
+# NULL-key routes over data that actually contains NULL keys. Mods
+# match tests/test_null_group_keys.py's variant fixture
+# (lang: doc_id%17=3, source: doc_id%23=5).
+
+_NULL_LANG_EXPR = "CASE WHEN doc_id % 17 = 3 THEN NULL ELSE lang END"
+_NULL_SRC_EXPR = "CASE WHEN doc_id % 23 = 5 THEN NULL ELSE source END"
+
+
+def _null_planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "text",
+        F.expr(_NULL_LANG_EXPR).alias("lang"),
+        F.expr(_NULL_SRC_EXPR).alias("source"),
+        "n_chars",
+    )
+
+
+def _null_plant_oracle(sql: str) -> str:
+    """Rewrite a registered oracle to run over the planted documents:
+    prepend a CTE named `documents` (which shadows the view for every
+    reference in the original body — DuckDB resolves the shadowed base
+    relation only via the explicit main. schema)."""
+    plant = (
+        "documents AS (SELECT doc_id, text, "
+        f"{_NULL_LANG_EXPR} AS lang, {_NULL_SRC_EXPR} AS source, n_chars "
+        "FROM main.documents)"
+    )
+    s = sql.lstrip()
+    if s[:5].upper() != "WITH ":
+        return f"WITH {plant}\n{s}"
+    return "WITH " + plant + ",\n" + s[5:]
+
+
+@register("ds9n_sketch_filter_null_keys", _null_plant_oracle(_ds9s_oracle()))
+def ds9n_sketch_filter_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds9s_quality_sketch_filter with NULL source keys planted: the
+    NULL-source slice forms its own quality-threshold group (a NULL
+    group key is a group, not a dropped row) and its docs filter
+    against their own sketch threshold."""
+    return _ds9s_plan(_null_planted_docs(spark, sf_dir))
+
+
+@register(
+    "txt12n_sketch_buckets_null_keys", _null_plant_oracle(_txt12s_oracle())
+)
+def txt12n_sketch_buckets_null_keys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """txt12s_ccnet_sketch_buckets with NULL lang keys planted: the
+    NULL-language slice gets its own tercile thresholds and census
+    rows through the null-safe threshold join."""
+    return _txt12s_plan(
+        _txt12_scored(spark, sf_dir, docs=_null_planted_docs(spark, sf_dir))
+    )
+
+
+@register("txt13n_pipeline_null_keys", _null_plant_oracle(_txt13_oracle()))
+def txt13n_pipeline_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txt13_ccnet_pipeline over the NULL-planted documents: txt13's
+    group key (pred_lang) is DERIVED from text, so this pins that the
+    end-to-end pipeline tolerates NULL lang/source upstream (the
+    defensive posture the r10 variant-fixture suite proved; now a
+    standing gate row)."""
+    return _txt13_plan(_null_planted_docs(spark, sf_dir))

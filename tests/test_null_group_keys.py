@@ -180,3 +180,31 @@ def test_rank_buckets_null_scores_follow_the_documented_rule(spark):
         # rank, so the tail of each tercile is where the routes may
         # differ by sketch error — pin the unambiguous ends instead
         assert got[1] == "head" and got[9] == "tail", mode
+
+
+def test_gate_variants_plant_null_keys_and_sit_in_top50(spark, sf_dir):
+    """r10 verdict task #4's pin: the NULL-planted GATE variants
+    (ds9n/txt12n/txt13n) actually contain NULL group keys at every sf
+    (the planting is in-query, so a fixture regeneration can never
+    silently drop it), emit NULL-key result groups, and sit inside the
+    driver's 50-sample prefix so the gate certifies the NULL routes
+    every round."""
+    from lakerunner_spark.queries_dataops import _null_planted_docs
+
+    d = _null_planted_docs(spark, sf_dir)
+    assert d.filter("lang IS NULL").count() > 0
+    assert d.filter("source IS NULL").count() > 0
+    assert d.filter("lang IS NOT NULL").count() > 0  # slices, not all
+
+    top50 = list(entry_mod.queries())[:50]
+    for name in (
+        "ds9n_sketch_filter_null_keys",
+        "txt12n_sketch_buckets_null_keys",
+        "txt13n_pipeline_null_keys",
+    ):
+        assert name in top50, name
+
+    rows = QUERIES["ds9n_sketch_filter_null_keys"](spark, sf_dir).collect()
+    assert any(r["source"] is None for r in rows)
+    rows = QUERIES["txt12n_sketch_buckets_null_keys"](spark, sf_dir).collect()
+    assert any(r["lang"] is None for r in rows)
