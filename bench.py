@@ -38,8 +38,10 @@ stdout+stderr and parses the bench JSON from that window, so
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -332,7 +334,7 @@ def _run_section(section: str) -> dict:
 
     if section == "main":
         sf_dir, names = SF_DIR, HEADLINE
-    elif section == "sf10":
+    elif section.startswith("sf10"):
         from tools.make_sf1 import make_sf1
 
         sf_dir = make_sf1(
@@ -340,7 +342,18 @@ def _run_section(section: str) -> dict:
             os.path.join(os.path.dirname(__file__), ".localdata/sf10"),
             replicas=100,
         )
-        names = SF10_HEADLINE
+        if section == "sf10rot":
+            # the per-round rotating re-witness subset (r10 verdict
+            # task #3): names chosen by the parent, passed via env
+            names = [
+                n
+                for n in os.environ.get(
+                    "SPARK_GRAFT_SF10ROT_NAMES", ""
+                ).split(",")
+                if n
+            ]
+        else:
+            names = SF10_HEADLINE
     else:
         from tools.make_sf1 import make_sf1
 
@@ -349,12 +362,14 @@ def _run_section(section: str) -> dict:
         )
         names = SF1_HEADLINE
 
-    if section in MEDIA_N:
+    # sf10rot inherits sf10's scale-contract overrides and media corpus
+    scale_key = "sf10" if section == "sf10rot" else section
+    if scale_key in MEDIA_N and any(n.startswith("ddm") for n in names):
         # scaled image corpus for the ddm overrides — generated (and
         # disk-cached) OUTSIDE the timed window, like make_sf1
         from tools.make_media import make_media
 
-        make_media(MEDIA_N[section], _media_dir(MEDIA_N[section]))
+        make_media(MEDIA_N[scale_key], _media_dir(MEDIA_N[scale_key]))
 
     # JVM/codegen warmup outside the measured window (steady-state is
     # what a long-running cluster serves)
@@ -395,11 +410,29 @@ def _run_section(section: str) -> dict:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     samples: dict[str, int] = {}  # timed iterations per query (all passes)
+    # Deterministic WORK counters per query (r10 verdict task #2):
+    # tasks / shuffle / input / spill from the AppStatusStore, measured
+    # around ONE iteration per query (work is plan-deterministic; wall
+    # is not). Reads happen OUTSIDE the timed window. bench_diff flags
+    # regressions on these; wall-only moves annotate as environment.
+    work: dict[str, dict] = {}
+    try:
+        from tools import work_metrics as _wm
+    except Exception:  # pragma: no cover - advisory counters
+        _wm = None
     # sf1's queries are heavy (multi-second, small relative jitter, and
     # expensive to repeat) — one pass; the sub-second-dominated main
     # list gets the spread second pass.
     budgets = (1.5, 0.75) if section == "main" else (1.5,)
-    if section == "sf10":
+    if section == "sf1":
+        # r11: no untimed warmup pass at sf1 — it re-ran the full
+        # multi-minute list once for a sub-second codegen shave per
+        # query. min_iters=2 keeps the recorded min at the warm
+        # sample for every sub-20s query (all of sf1), and the saved
+        # ~230s funds the sf10 rotation section under the driver
+        # budget (r10 verdict task #3).
+        budgets = (0.0,)
+    if section.startswith("sf10"):
         # pass 0 runs each query COLD (runtimes are tens of seconds;
         # warmup would double a multi-minute section to shave sub-1%
         # codegen noise). Pass 1 is the r9 verdict's paired-sample
@@ -414,9 +447,9 @@ def _run_section(section: str) -> dict:
     sec_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_SECTION_BUDGET", "0") or 0
     )
-    overrides = SECTION_OVERRIDES.get(section, {})
+    overrides = SECTION_OVERRIDES.get(scale_key, {})
     for pass_no, budget in enumerate(budgets):
-        if pass_no and section == "sf10" and sec_budget:
+        if pass_no and section.startswith("sf10") and sec_budget:
             elapsed = time.perf_counter() - sec_t0
             if elapsed * 2 + 60 > sec_budget:
                 print(
@@ -428,20 +461,29 @@ def _run_section(section: str) -> dict:
         for name in names:
             fn = overrides.get(name) or queries[name]
             if pass_no == 0:
-                if section != "sf10":
+                if section == "main":
                     # untimed warmup: pays one-off codegen/compile/
                     # broadcast costs so the timed loop measures
-                    # steady-state (sf10 runs cold — see above)
+                    # steady-state (the scale sections run their
+                    # first timed sample cold and min-merge a second
+                    # — see above)
                     rows[name] = fn(spark, sf_dir).count()
             elif section == "main" and timings[name] >= 1.5:
                 continue  # ≥3 samples already; repeat cost outweighs gain
             best, iters = timings.get(name, float("inf")), 0
             measured = 0.0
             while iters < min_iters or (measured < budget and iters < max_iters):
+                need_work = _wm is not None and name not in work
+                if need_work:
+                    w_cursor = _wm.cursor(spark)
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 dt = time.perf_counter() - t0
+                if need_work and w_cursor is not None:
+                    tot, _ = _wm.totals_since(spark, w_cursor)
+                    if tot is not None:
+                        work[name] = _wm.compact(tot)
                 best = min(best, dt)
                 measured += dt
                 iters += 1
@@ -480,6 +522,11 @@ def _run_section(section: str) -> dict:
         # sample reads "re-run before believing", not proof
         "iters": samples,
     }
+    if work:
+        result["work"] = work
+        # tiny digest that survives the driver's ~2000-char tail
+        if _wm is not None:
+            result["work_totals"] = _wm.section_totals(work)
 
     # Cross-round regression diff + CONFIRMATION PASS, in the child —
     # the only place a flagged query can be re-run in the same JVM with
@@ -492,13 +539,16 @@ def _run_section(section: str) -> dict:
 
         sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
         sf_val = float(sf_tag) if sf_tag.replace(".", "").isdigit() else None
+        # sf10rot re-witnesses entries of the committed sf10 section:
+        # its diff compares against the sf10 baseline numbers
         diff = compare_to_previous(
             timings,
             result["calib_sec"],
             sf=sf_val,
-            section=section,
+            section=scale_key,
             iters=samples,
             calib_end_sec=result["calib_end_sec"],
+            work=work or None,
         )
         if diff and diff.get("flagged"):
 
@@ -532,9 +582,11 @@ def _run_section(section: str) -> dict:
                 **diff.get("cleared", {}),
                 **diff["flagged"],
             }.items():
-                if d["confirm_sec"] < result["queries"].get(
-                    name, float("inf")
-                ):
+                # work-evidenced flags skip the wall re-run and carry
+                # no confirm_sec
+                if d.get("confirm_sec") is not None and d[
+                    "confirm_sec"
+                ] < result["queries"].get(name, float("inf")):
                     result["queries"][name] = d["confirm_sec"]
             result["total"] = round(sum(result["queries"].values()), 3)
         result["diff"] = diff
@@ -570,6 +622,12 @@ def compact_summary(out: dict, limit: int = 1700) -> dict:
         "elapsed_sec",
         "skipped_sections",
         "section_errors",
+        "work_totals",
+        "sf1_work_totals",
+        "sf10_work_totals",
+        "sf10rot_queries",
+        "sf10rot_total_sec",
+        "sf10rot_calib_sec",
     ):
         if out.get(k) is not None:
             c[k] = out[k]
@@ -644,13 +702,19 @@ class _Heartbeat:
             self._t.join(timeout=5)
 
 
-def _spawn(section: str, section_budget: float | None = None) -> dict:
+def _spawn(
+    section: str,
+    section_budget: float | None = None,
+    extra_env: dict[str, str] | None = None,
+) -> dict:
     """One fresh subprocess per section, so no prior JVM / pytest
     state pollutes the measurement. Child stderr flows through to the
     caller's; the section result is the child's last stdout line."""
     env = dict(os.environ)
     if section_budget:
         env["SPARK_GRAFT_BENCH_SECTION_BUDGET"] = str(int(section_budget))
+    if extra_env:
+        env.update(extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--section", section],
         stdout=subprocess.PIPE,
@@ -679,6 +743,42 @@ def _previous_full() -> dict:
         except (OSError, ValueError):
             continue
     return merged
+
+
+def _sf10_rotation(prev: dict, remaining: float | None) -> list[str]:
+    """The per-round sf10 re-witness subset (r10 verdict task #3):
+    sf10 lives in the committed baseline because a full decade section
+    (~11 min) never fits the driver budget — so every round rotates
+    2-3 of its 21 entries through a small official re-measurement,
+    round-robin by round number, and each decade number gets
+    re-witnessed by a driver artifact every ~7-10 rounds. Entries are
+    taken greedily in rotation order while their baseline-projected
+    cost (two paired samples + drift headroom) fits the remaining
+    wall budget — an entry too big for this round's leftover is
+    skipped, not silently truncated."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")
+        )
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    base = prev.get("sf10_queries") or {}
+    n = len(SF10_HEADLINE)
+    picked: list[str] = []
+    est = 120.0  # JVM start + data-cache check + calibration
+    for i in range(n):
+        name = SF10_HEADLINE[(rnd * 3 + i) % n]
+        cost = base.get(name, 60.0) * 2 * 1.3
+        if remaining is not None and est + cost > remaining:
+            continue  # try a smaller entry further along the rotation
+        picked.append(name)
+        est += cost
+        if len(picked) == 3:
+            break
+    return picked
 
 
 def _estimate_sec(section: str, prev: dict) -> float:
@@ -727,6 +827,9 @@ def main() -> None:
         calib_end_sec=main_res["calib_end_sec"],
         iters=main_res["iters"],
     )
+    for wk in ("work", "work_totals"):
+        if main_res.get(wk):
+            out[wk] = main_res[wk]
 
     # Cross-round regression flagging (tools/bench_diff.py): the CHILD
     # computed the diff and ran the confirmation pass (flag -> immediate
@@ -748,21 +851,32 @@ def main() -> None:
                     section=section,
                     iters=res.get("iters"),
                     calib_end_sec=res.get("calib_end_sec"),
+                    work=res.get("work"),
                 )
             if diff is not None:
                 out[out_key] = diff
                 for name, d in diff["flagged"].items():
                     single = " SINGLE-SAMPLE" if d.get("single_sample") else ""
-                    confirm = (
-                        f" CONFIRMED {d['confirm_sec']}s"
-                        f" (x{d['confirm_norm_ratio']})"
-                        if d.get("confirmed")
-                        else ""
-                    )
+                    if d.get("work_moved") or d.get("work_only"):
+                        confirm = f" WORK-CONFIRMED {d.get('work')}"
+                    elif d.get("confirmed"):
+                        confirm = (
+                            f" CONFIRMED {d['confirm_sec']}s"
+                            f" (x{d['confirm_norm_ratio']})"
+                        )
+                    else:
+                        confirm = ""
                     print(
                         f"# REGRESSION? [{section}] {name}: {d['prev']}s"
                         f" -> {d['cur']}s (norm x{d['norm_ratio']},"
                         f" vs r{diff['vs_round']}){single}{confirm}",
+                        file=sys.stderr,
+                    )
+                for name, d in (diff.get("env_flags") or {}).items():
+                    print(
+                        f"# environment [{section}] {name}: wall"
+                        f" x{d['norm_ratio']} but work unchanged"
+                        f" ({d.get('work')})",
                         file=sys.stderr,
                     )
         except Exception as e:  # pragma: no cover - advisory path
@@ -814,8 +928,60 @@ def main() -> None:
             out[f"{section}_calib_sec"] = res["calib_sec"]
             out[f"{section}_calib_end_sec"] = res["calib_end_sec"]
             out[f"{section}_iters"] = res["iters"]
+            for wk in ("work", "work_totals"):
+                if res.get(wk):
+                    out[f"{section}_{wk}"] = res[wk]
             diff_section(res, section, f"bench_diff_{section}")
             _emit_lines(out)
+
+        # sf10 rotation (r10 verdict task #3): when the full sf10
+        # section was skipped for budget (the driver norm), re-witness
+        # 2-3 of its entries round-robin so every decade number gets
+        # an official artifact every few rounds.
+        if (
+            "sf10" in out.get("skipped_sections", {})
+            and os.environ.get("SPARK_GRAFT_SF10", "1") != "0"
+        ):
+            remaining = (
+                wall_budget - (time.monotonic() - t0) if wall_budget else None
+            )
+            names = _sf10_rotation(prev, remaining)
+            if not names:
+                out["skipped_sections"]["sf10_rotation"] = {
+                    "remaining_sec": round(remaining or 0, 1)
+                }
+                _emit_lines(out)
+            else:
+                print(
+                    f"# sf10 rotation this round: {','.join(names)}",
+                    file=sys.stderr,
+                )
+                try:
+                    with _Heartbeat(lambda: snapshot("sf10rot")):
+                        res = _spawn(
+                            "sf10rot",
+                            section_budget=remaining,
+                            extra_env={
+                                "SPARK_GRAFT_SF10ROT_NAMES": ",".join(names)
+                            },
+                        )
+                except Exception as e:  # noqa: BLE001 - keep what we have
+                    out.setdefault("section_errors", {})["sf10rot"] = (
+                        str(e)[:200]
+                    )
+                    print(f"# sf10rot FAILED: {e}", file=sys.stderr)
+                    _emit_lines(out)
+                else:
+                    out["sf10rot_queries"] = res["queries"]
+                    out["sf10rot_total_sec"] = res["total"]
+                    out["sf10rot_calib_sec"] = res["calib_sec"]
+                    out["sf10rot_calib_end_sec"] = res["calib_end_sec"]
+                    out["sf10rot_iters"] = res["iters"]
+                    for wk in ("work", "work_totals"):
+                        if res.get(wk):
+                            out[f"sf10rot_{wk}"] = res[wk]
+                    diff_section(res, "sf10", "bench_diff_sf10rot")
+                    _emit_lines(out)
 
 
 if __name__ == "__main__":

@@ -343,3 +343,110 @@ def test_raw_floor_blocks_anchor_manufactured_flags(tmp_path):
     )
     assert "q_fixed_latency" in confirmed["cleared"]
     assert confirmed["flagged"]["q_real_regression"]["confirmed"] is True
+
+
+# -- work-metric adjudication (r10 verdict task #2) ---------------------
+
+
+def _baseline(tmp_path, rnd, queries, calib, work=None, sf=0.1):
+    doc = {
+        "round": rnd,
+        "metric": "headline_queries_total",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "sf": sf,
+        "queries": queries,
+        "calib_sec": calib,
+    }
+    if work:
+        doc["work"] = work
+    with open(os.path.join(tmp_path, "BENCH_BASELINE.json"), "w") as f:
+        json.dump(doc, f)
+
+
+_W = {"tasks": 120, "shuffle_read_mb": 40.0, "shuffle_write_mb": 40.0,
+      "input_rows": 6_000_000, "input_mb": 300.0, "output_mb": 0.0,
+      "spill_mb": 0.0}
+
+
+def test_wall_flag_with_unchanged_work_is_environment(tmp_path):
+    """The r10 noise pattern (8 same-code sf1 flags at norm x1.3-2.2)
+    must produce ZERO flags when the work counters agree: identical
+    work means the plan did the same thing — the wall moved because
+    the machine did."""
+    _baseline(str(tmp_path), 10, {"q_a": 1.0}, 0.5, work={"q_a": _W})
+    diff = compare_to_previous(
+        {"q_a": 2.0}, 0.5, repo_dir=str(tmp_path), sf=0.1,
+        work={"q_a": dict(_W)},
+    )
+    assert diff["flagged"] == {}
+    assert "q_a" in diff["env_flags"]
+    assert diff["env_flags"]["q_a"]["environment"] is True
+    assert diff["env_flags"]["q_a"]["work"]["tasks"] == [120, 120]
+
+
+def test_wall_flag_with_moved_work_is_confirmed_regression(tmp_path):
+    """Wall crossing + shuffle bytes moved past the band: a real
+    regression, flagged with the work evidence attached and exempt
+    from the wall confirmation re-run (deterministic evidence)."""
+    _baseline(str(tmp_path), 10, {"q_a": 1.0}, 0.5, work={"q_a": _W})
+    cur_w = dict(_W, shuffle_read_mb=140.0)  # 80 -> 180 MB total
+    diff = compare_to_previous(
+        {"q_a": 2.0}, 0.5, repo_dir=str(tmp_path), sf=0.1,
+        work={"q_a": cur_w},
+    )
+    assert diff["flagged"]["q_a"]["work_moved"] is True
+    assert diff.get("env_flags") is None
+
+    # confirm pass: work-evidenced flags ship confirmed, no re-run
+    calls = []
+    out = confirm_flags(
+        diff, lambda name: calls.append(name) or 0.1, lambda: 0.5
+    )
+    assert out["flagged"]["q_a"]["confirmed"] is True
+    assert calls == []  # the wall re-run never happened
+
+
+def test_strong_work_move_flags_without_wall_crossing(tmp_path):
+    """A plan regression on a simultaneously faster machine: wall
+    ratio under threshold, shuffle bytes x3 — flags on work alone
+    (the planted-regression 'Done' criterion)."""
+    _baseline(str(tmp_path), 10, {"q_a": 1.0}, 0.5, work={"q_a": _W})
+    cur_w = dict(_W, shuffle_read_mb=200.0, shuffle_write_mb=40.0)
+    diff = compare_to_previous(
+        {"q_a": 1.05}, 0.5, repo_dir=str(tmp_path), sf=0.1,
+        work={"q_a": cur_w},
+    )
+    assert diff["flagged"]["q_a"]["work_only"] is True
+
+
+def test_small_work_jitter_under_floors_does_not_flag(tmp_path):
+    """Absolute floors: a 2-task probe gaining a task or a 0.1 MB
+    shuffle wobble is not a plan move."""
+    _baseline(
+        str(tmp_path), 10, {"q_a": 1.0}, 0.5,
+        work={"q_a": {"tasks": 2, "shuffle_read_mb": 0.1,
+                       "shuffle_write_mb": 0.1, "input_rows": 100,
+                       "input_mb": 0.5}},
+    )
+    diff = compare_to_previous(
+        {"q_a": 2.0}, 0.5, repo_dir=str(tmp_path), sf=0.1,
+        work={"q_a": {"tasks": 3, "shuffle_read_mb": 0.3,
+                       "shuffle_write_mb": 0.2, "input_rows": 150,
+                       "input_mb": 0.9}},
+    )
+    # wall crossed but sub-floor work deltas adjudicate it as env
+    assert diff["flagged"] == {}
+    assert "q_a" in diff["env_flags"]
+
+
+def test_missing_work_on_either_side_keeps_wall_behavior(tmp_path):
+    """First round with counters vs an old baseline without them (or
+    vice versa): the wall-based flag + confirmation pass stands."""
+    _baseline(str(tmp_path), 10, {"q_a": 1.0}, 0.5)  # no work
+    diff = compare_to_previous(
+        {"q_a": 2.0}, 0.5, repo_dir=str(tmp_path), sf=0.1,
+        work={"q_a": _W},
+    )
+    assert "q_a" in diff["flagged"]
+    assert "work_moved" not in diff["flagged"]["q_a"]

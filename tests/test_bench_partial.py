@@ -208,7 +208,11 @@ def test_budget_skips_sf10_before_sf1_and_never_main(tmp_path):
     parsed = parse_tail(buf.decode())
     assert parsed is not None, buf.decode()[-2000:]
     assert parsed["value"] == 20.0  # main ran in full
-    assert set(parsed["skipped_sections"]) == {"sf1", "sf10"}
+    # r11: a skipped sf10 normally triggers the small rotation
+    # re-witness; with no budget left, that skip is recorded too
+    assert set(parsed["skipped_sections"]) == {
+        "sf1", "sf10", "sf10_rotation"
+    }
     assert "sf1_total_sec" not in parsed
 
 

@@ -40,6 +40,17 @@ import re
 
 # flag when calib-normalized time grows beyond this
 RATIO_THRESHOLD = 1.3
+# WORK-metric thresholds (r10 verdict task #2): work counters (tasks,
+# shuffle bytes, input rows — tools/work_metrics.py) are DETERMINISTIC
+# for a fixed plan over fixed data, so they adjudicate wall flags:
+# a wall crossing whose work is unchanged is an ENVIRONMENT note, not
+# a regression; a strong work move flags even without a wall crossing
+# (a plan regression on a faster machine). Absolute floors keep
+# sub-noise counters (a 2-task probe gaining a task) from flagging.
+WORK_RATIO = 1.25  # work moved => a wall flag is a real regression
+WORK_STRONG_RATIO = 1.5  # work moved this much => flag wall-independent
+WORK_FLOORS = {"tasks": 16, "shuffle_mb": 1.0, "input_rows": 10_000,
+               "input_mb": 8.0}
 # ...but only when the RAW wall ratio also exceeds this floor. The
 # anchor exists to EXCUSE slowness on a slower machine, not to
 # manufacture slowness on a faster one: a sample whose wall time is
@@ -67,12 +78,16 @@ SECTIONS = {
     "sf10": ("sf10_queries", "sf10_calib_sec", "sf10_calib_end_sec"),
 }
 
+# per-section key of the per-query work-counter map in the bench line
+WORK_KEYS = {"main": "work", "sf1": "sf1_work", "sf10": "sf10_work"}
+
 # structural markers that bound the main section's front fragment:
 # everything at or after the first of these is NOT a main timing
 _CUT_MARKERS = (
     '"iters"', '"bench_diff"', '"flagged"', '"cleared"', '"sf1_queries"',
     '"sf1_iters"', '"sf10_queries"', '"sf10_iters"', '"calib_sec"',
-    '"bench_diff_sf1"', '"bench_diff_sf10"',
+    '"bench_diff_sf1"', '"bench_diff_sf10"', '"work"', '"work_totals"',
+    '"sf1_work"', '"sf10_work"', '"env_flags"',
 )
 
 # meta floats that can precede the markers in a deep truncation
@@ -81,7 +96,11 @@ _DENY = ("value", "prev", "cur", "norm_ratio", "threshold",
          "sf10_calib_sec", "sf1_total_sec", "sf10_total_sec",
          "calib_end_sec", "sf1_calib_end_sec", "sf10_calib_end_sec",
          "prev_calib", "confirm_sec", "confirm_calib_sec",
-         "confirm_norm_ratio")
+         "confirm_norm_ratio",
+         # work-counter floats (a truncation inside a work block must
+         # never scrape as a query timing)
+         "shuffle_read_mb", "shuffle_write_mb", "input_mb", "output_mb",
+         "spill_mb", "shuffle_mb", "ratio")
 
 
 def _parse_artifact(path: str) -> dict | None:
@@ -103,6 +122,9 @@ def _parse_artifact(path: str) -> dict | None:
                 out[qk] = parsed[qk]
                 out[ck] = parsed.get(ck)
                 out[cek] = parsed.get(cek)
+        for wk in WORK_KEYS.values():
+            if isinstance(parsed.get(wk), dict):
+                out[wk] = parsed[wk]
         return out
     tail = doc.get("tail") or ""
     out = {"sf": sf}
@@ -197,6 +219,37 @@ def find_previous(
     return best
 
 
+def _work_moved(
+    prev_w: dict, cur_w: dict, ratio_threshold: float
+) -> tuple[bool, dict]:
+    """Did the DETERMINISTIC work of a query grow past the threshold?
+    Compares tasks, shuffle bytes (read+write), input rows and input
+    bytes — the counters a plan regression moves. Spill and output are
+    reported in the evidence but never decide (spill depends on memory
+    pressure, i.e. environment). Returns (moved, evidence); evidence
+    carries [prev, cur] for each compared counter so the artifact
+    shows the adjudication."""
+    def derive(w: dict) -> dict:
+        return {
+            "tasks": w.get("tasks", 0),
+            "shuffle_mb": round(
+                w.get("shuffle_read_mb", 0) + w.get("shuffle_write_mb", 0), 3
+            ),
+            "input_rows": w.get("input_rows", 0),
+            "input_mb": w.get("input_mb", 0),
+        }
+
+    p, c = derive(prev_w), derive(cur_w)
+    moved = False
+    evidence = {}
+    for key, floor in WORK_FLOORS.items():
+        pv, cv = p[key], c[key]
+        evidence[key] = [pv, cv]
+        if cv - pv > floor and (pv <= 0 or cv / pv > ratio_threshold):
+            moved = True
+    return moved, evidence
+
+
 def _effective_calib(start: float | None, end: float | None) -> float | None:
     """One anchor per section for normalization: the MEAN of the
     start/end calibrations when both exist (steal varies WITHIN a
@@ -215,20 +268,31 @@ def compare_to_previous(
     section: str = "main",
     iters: dict[str, int] | None = None,
     calib_end_sec: float | None = None,
+    work: dict[str, dict] | None = None,
 ) -> dict | None:
     """Diff this run's timings for one section against the latest
     recorded round that carries that section. Returns a summary dict
     for the bench JSON line (or None when no prior artifact exists):
 
         {"vs_round": N, "calib_ratio": cur/prev,
-         "flagged": {name: {"prev": s, "cur": s, "norm_ratio": r}}}
+         "flagged": {name: {"prev": s, "cur": s, "norm_ratio": r}},
+         "env_flags": {name: {..., "environment": True}}}
 
-    norm_ratio = (cur/cur_calib) / (prev/prev_calib); > 1.3 flags.
+    norm_ratio = (cur/cur_calib) / (prev/prev_calib); > 1.3 crosses.
     When either calib is missing the raw ratio is used and marked.
     ``iters`` (current run's per-query sample counts) marks flagged
     single-sample entries — one VM-steal spike during the only sample
     both lands in the artifact AND trips this flag, so those read as
-    "re-run before believing"."""
+    "re-run before believing".
+
+    ``work`` (per-query deterministic counters, tools/work_metrics.py)
+    is the ADJUDICATOR when both rounds carry it: a wall crossing
+    whose work counters are unchanged lands in ``env_flags`` (machine
+    noise by construction — the plan did the same work), not
+    ``flagged``; a wall crossing whose work also moved is a confirmed
+    regression; and a STRONG work move flags even without a wall
+    crossing (a plan regression masked by a faster machine). Without
+    work on either side, the wall-based behavior stands unchanged."""
     repo_dir = repo_dir or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prev = find_previous(repo_dir, sf=sf, section=section)
     if prev is None:
@@ -236,26 +300,53 @@ def compare_to_previous(
     rnd, art = prev
     qk, ck, cek = SECTIONS[section]
     prev_q = art[qk]
+    prev_work = art.get(WORK_KEYS[section]) or {}
+    cur_work = work or {}
     prev_calib = _effective_calib(art.get(ck), art.get(cek))
     cur_calib = _effective_calib(calib_sec, calib_end_sec)
     have_calib = bool(cur_calib) and bool(prev_calib)
     calib_ratio = (cur_calib / prev_calib) if have_calib else None
     flagged = {}
+    env_flags = {}
     for name, cur in queries.items():
         p = prev_q.get(name)
-        if p is None or p <= 0 or cur < MIN_CURRENT_SEC:
-            continue
-        ratio = (cur / p) / calib_ratio if have_calib else cur / p
-        if ratio > RATIO_THRESHOLD and cur / p > RAW_FLOOR:
-            flagged[name] = {
-                "prev": p,
-                "cur": cur,
-                "norm_ratio": round(ratio, 3),
-            }
-            if iters is not None and iters.get(name, 0) <= 1:
-                flagged[name]["single_sample"] = True
+        pw, cw = prev_work.get(name), cur_work.get(name)
+        wall_entry = None
+        if p is not None and p > 0 and cur >= MIN_CURRENT_SEC:
+            ratio = (cur / p) / calib_ratio if have_calib else cur / p
+            if ratio > RATIO_THRESHOLD and cur / p > RAW_FLOOR:
+                wall_entry = {
+                    "prev": p,
+                    "cur": cur,
+                    "norm_ratio": round(ratio, 3),
+                }
+                if iters is not None and iters.get(name, 0) <= 1:
+                    wall_entry["single_sample"] = True
+        if pw and cw:
+            moved, evidence = _work_moved(pw, cw, WORK_RATIO)
+            strong, _ = _work_moved(pw, cw, WORK_STRONG_RATIO)
+            if wall_entry is not None:
+                wall_entry["work"] = evidence
+                if moved:
+                    wall_entry["work_moved"] = True
+                    flagged[name] = wall_entry
+                else:
+                    wall_entry["environment"] = True
+                    env_flags[name] = wall_entry
+            elif strong and p is not None:
+                flagged[name] = {
+                    "prev": p,
+                    "cur": cur,
+                    "norm_ratio": round(
+                        (cur / p) / calib_ratio if have_calib else cur / p, 3
+                    ) if p else None,
+                    "work": evidence,
+                    "work_only": True,
+                }
+        elif wall_entry is not None:
+            flagged[name] = wall_entry
     flagged = dict(
-        sorted(flagged.items(), key=lambda kv: -kv[1]["norm_ratio"])
+        sorted(flagged.items(), key=lambda kv: -(kv[1]["norm_ratio"] or 0))
     )
     out = {
         "vs_round": rnd,
@@ -263,6 +354,10 @@ def compare_to_previous(
         "calib_normalized": have_calib,
         "flagged": flagged,
     }
+    if env_flags:
+        out["env_flags"] = dict(
+            sorted(env_flags.items(), key=lambda kv: -kv[1]["norm_ratio"])
+        )
     if calib_ratio is not None:
         out["calib_ratio"] = round(calib_ratio, 3)
     if prev_calib is not None:
@@ -300,6 +395,12 @@ def confirm_flags(diff: dict | None, rerun, recalib) -> dict | None:
     confirmed: dict[str, dict] = {}
     cleared: dict[str, dict] = {}
     for name, d in diff["flagged"].items():
+        if d.get("work_moved") or d.get("work_only"):
+            # work counters are deterministic — the evidence IS the
+            # confirmation; a wall re-run could only muddy it (and a
+            # fast re-run must never clear a real plan regression)
+            confirmed[name] = dict(d, confirmed=True)
+            continue
         re_calib = recalib()
         re_sec = rerun(name)
         if prev_calib and re_calib:
