@@ -17,15 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lakerunner_spark.functions.timeops import bucket_ts
 from lakerunner_spark.ingest.preagg import preaggregate_metrics
 from lakerunner_spark.ingest.rollup import rollup_tier
 from lakerunner_spark.ingest.translate import translate_logs, translate_metrics
-from lakerunner_spark.operators.ddsketch import (
-    gamma_for,
-    merge_sketch_column,
-    with_sketch_column,
-)
+from lakerunner_spark.operators.ddsketch import gamma_for
 from lakerunner_spark.plans.aggfile import build_agg_table
 from lakerunner_spark.plans.pruning import build_fingerprint_index
 from lakerunner_spark.schema import dateint
@@ -63,10 +58,12 @@ def cook_metrics(
     ``chq_sketch`` BINARY column to every rollup row — the reference's
     sketches-go wire format (writer_metrics_duckdb.go writes the same
     column), so reference query workers can read engine-cooked
-    segments. The distribution travels the cascade as a TYPED
-    map<bucket,count> column (pure-JVM exact merge per tier,
-    operators/ddsketch.py) and is encoded to bytes only at the write
-    boundary via one Arrow codec seam (sources/chq_sketch.py
+    segments. The distribution is FUSED into the ingest aggregation
+    (r11): the pre-agg groupBy also collects the per-sample DDSketch
+    bucket ids, the cascade concatenates them per coarser group
+    inside rollup_tier's own shuffle (exact merge — counts are
+    additive), and bytes are produced once per rollup row at the
+    write boundary via one Arrow codec seam (sources/chq_sketch.py
     sketch_blob_udf). The default ``None`` keeps the ingest hot path
     Python-free (X3's plan-asserted contract)."""
     if attr_cols is None:
@@ -97,62 +94,49 @@ def cook_metrics(
 
     cooked = translate_metrics(df, metric_col, attrs)
     dims = [metric_col, "chq_tid", *attrs, *(extra_dims or [])]
-    tier_df = preaggregate_metrics(cooked, dims, value_col=value_col)
-    sk_df = None
-    if sketch_accuracy is not None:
-        sk_df = with_sketch_column(
-            cooked.withColumn("_sk_ts", bucket_ts("chq_timestamp", tiers[0])),
-            ["_sk_ts", *dims],
-            value_col,
-            sketch_accuracy,
-            out_col="_sk_map",
-        )
+    # FUSED sketch build (r10 verdict task #1): the DDSketch map is an
+    # aggregate of the SAME pre-agg groupBy (the reference's single
+    # ingest pass — metric_ingest_duckdb.go:351-459 computes
+    # ddsketch_stats_agg next to the rollup stats) and travels the
+    # cascade inside rollup_tier's own shuffle. The pre-fusion shape —
+    # a second full groupBy of the raw rows plus a per-tier
+    # explode/re-agg/null-safe-join (operators/ddsketch.py
+    # with_sketch_column / merge_sketch_column, kept as the standalone
+    # operator surface) — was the dominant term of the 122s
+    # batch_sketch delta in the r10 ingest profile (PLANS.md).
+    gamma = gamma_for(sketch_accuracy) if sketch_accuracy is not None else None
+    tier_df = preaggregate_metrics(
+        cooked, dims, value_col=value_col, sketch_gamma=gamma
+    )
     for grain in tiers:
         if grain != 10_000:
-            tier_df = rollup_tier(tier_df, dims, grain)
-            if sk_df is not None:
-                # exact sketch merge up the cascade: counts sum per
-                # bucket; identical to building at this grain from raw
-                sk_df = merge_sketch_column(
-                    sk_df.withColumn("_sk_ts", bucket_ts("_sk_ts", grain)),
-                    ["_sk_ts", *dims],
-                    "_sk_map",
-                )
+            tier_df = rollup_tier(
+                tier_df, dims, grain,
+                sketch_col="_sk_list" if gamma is not None else None,
+            )
         out = (
             tier_df.withColumn("org_id", F.lit(org_id))
             .withColumn("dateint", dateint(F.col("chq_timestamp")))
             .withColumn("frequency_ms", F.lit(grain))
         )
-        if sk_df is not None:
-            out = _attach_sketch_blob(out, sk_df, dims, sketch_accuracy)
+        if gamma is not None:
+            # wire bytes once per rollup row at the write boundary —
+            # the single Arrow codec seam of this path (histogram fold
+            # included: see sketch_blob_udf from_list)
+            from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
+                sketch_blob_udf,
+            )
+
+            out = out.withColumn(
+                "chq_sketch",
+                sketch_blob_udf(gamma, from_list=True)(F.col("_sk_list")),
+            ).drop("_sk_list")
         write_segments(
             out, f"{base_path}/metrics", "metrics",
             max_records_per_file=max_records_per_file,
             mode=write_mode,
         )
     return tiers
-
-
-def _attach_sketch_blob(
-    out: DataFrame, sk_df: DataFrame, dims: list[str], accuracy: float
-) -> DataFrame:
-    """Encode the map-typed sketch to wire bytes and join it onto the
-    rollup rows by (bucket ts, dims). Both sides shuffle on the same
-    key set (null-safe on dims — attr columns may legitimately be
-    NULL and the pre-agg keeps NULL as a group), so the join
-    co-partitions; sketch rows == rollup rows, nothing amplifies."""
-    from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
-        sketch_blob_udf,
-    )
-
-    enc = sk_df.withColumn(
-        "chq_sketch", sketch_blob_udf(gamma_for(accuracy))(F.col("_sk_map"))
-    ).drop("_sk_map")
-    o, s = out.alias("o"), enc.alias("s")
-    cond = F.col("o.chq_timestamp") == F.col("s._sk_ts")
-    for d in dims:
-        cond = cond & F.col(f"o.`{d}`").eqNullSafe(F.col(f"s.`{d}`"))
-    return o.join(s, cond, "left").select("o.*", F.col("s.chq_sketch"))
 
 
 def cook_logs(

@@ -31,20 +31,49 @@ def preaggregate_metrics(
     value_col: str = "value",
     grain_ms: int = 10_000,
     accuracy: int = 10_000,
+    sketch_gamma: float | None = None,
 ) -> DataFrame:
-    """Raw samples -> 10s pre-aggregated rollup rows (one per series-bucket)."""
+    """Raw samples -> 10s pre-aggregated rollup rows (one per series-bucket).
+
+    ``sketch_gamma``, when set, collects the per-row DDSketch bucket
+    ids into ``_sk_list`` (array<bigint>) INSIDE this same groupBy —
+    the reference computes its chq_sketch in the single ingest pass
+    (metric_ingest_duckdb.go:351-459 ddsketch_stats_agg next to the
+    rollup stats), and the fused form costs one collected long per
+    sample on a shuffle that already carries ObjectHashAggregate
+    state for percentile_approx, instead of a SECOND full shuffle of
+    the raw rows plus a join-back (the r10 ingest profile's verdict).
+    The list stays a LIST (not a map) deliberately: the histogram
+    fold happens inside the Arrow encode seam (sources/chq_sketch.py
+    sketch_blob_udf from_list) because a JVM histogram expression
+    needs a nested lambda closure, and a Python UDF whose argument
+    carries one breaks ExtractPythonUDFs — the UDF stays in the
+    projection and is unevaluable at runtime (pinned by
+    tests/test_cook.py::test_sketch_udf_input_stays_lambda_free)."""
     pct = F.percentile_approx(value_col, PERCENTILES, accuracy)
-    agg = (
-        df.groupBy(bucket_ts(ts_col, grain_ms).alias("chq_timestamp"), *dims)
-        .agg(
-            F.sum(value_col).alias("chq_rollup_sum"),
-            F.count(value_col).alias("chq_rollup_count"),
-            F.avg(value_col).alias("chq_rollup_avg"),
-            F.min(value_col).alias("chq_rollup_min"),
-            F.max(value_col).alias("chq_rollup_max"),
-            pct.alias("_pcts"),
+    aggs = [
+        F.sum(value_col).alias("chq_rollup_sum"),
+        F.count(value_col).alias("chq_rollup_count"),
+        F.avg(value_col).alias("chq_rollup_avg"),
+        F.min(value_col).alias("chq_rollup_min"),
+        F.max(value_col).alias("chq_rollup_max"),
+        pct.alias("_pcts"),
+    ]
+    if sketch_gamma is not None:
+        from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
+            bucket_index,
         )
-    )
+
+        # collect_list skips NULL values, matching the pre-fusion
+        # filter(isNotNull) — sketches count values, not rows
+        aggs.append(
+            F.collect_list(bucket_index(value_col, sketch_gamma)).alias(
+                "_sk_list"
+            )
+        )
+    agg = df.groupBy(
+        bucket_ts(ts_col, grain_ms).alias("chq_timestamp"), *dims
+    ).agg(*aggs)
     for i, name in enumerate(_P_NAMES):
         agg = agg.withColumn(f"chq_rollup_{name}", F.col("_pcts")[i])
     return (

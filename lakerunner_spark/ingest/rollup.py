@@ -21,19 +21,40 @@ from pyspark.sql import functions as F
 from lakerunner_spark.functions.timeops import ROLLUP_CHAIN_MS, bucket_ts
 
 
-def rollup_tier(df: DataFrame, dims: list[str], target_grain_ms: int) -> DataFrame:
-    """Re-aggregate a finer tier into target_grain_ms buckets."""
+def rollup_tier(
+    df: DataFrame,
+    dims: list[str],
+    target_grain_ms: int,
+    sketch_col: str | None = None,
+) -> DataFrame:
+    """Re-aggregate a finer tier into target_grain_ms buckets.
+
+    ``sketch_col`` (the array<bigint> DDSketch bucket-id list the
+    fused pre-agg collects), when set, merges through THIS same
+    groupBy: the ≤(coarser/finer) finer rows under one coarser group
+    concatenate via flatten(collect_list(...)) — an exact DDSketch
+    merge (bucket counts are additive) with zero extra shuffles (the
+    pre-fusion path paid a per-tier explode/re-agg pair plus a
+    null-safe join back). Deliberately built-ins only, no lambda
+    expressions: the downstream blob encoder is a Python UDF, and a
+    Python UDF argument that embeds a lambda closure breaks
+    ExtractPythonUDFs (see preagg.preaggregate_metrics)."""
+    aggs = [
+        F.sum("chq_rollup_sum").alias("chq_rollup_sum"),
+        F.sum("chq_rollup_count").alias("chq_rollup_count"),
+        F.min("chq_rollup_min").alias("chq_rollup_min"),
+        F.max("chq_rollup_max").alias("chq_rollup_max"),
+    ]
+    if sketch_col is not None:
+        aggs.append(
+            F.flatten(F.collect_list(sketch_col)).alias(sketch_col)
+        )
     return (
         df.groupBy(
             bucket_ts("chq_timestamp", target_grain_ms).alias("chq_timestamp"),
             *[d for d in dims if d in df.columns],
         )
-        .agg(
-            F.sum("chq_rollup_sum").alias("chq_rollup_sum"),
-            F.sum("chq_rollup_count").alias("chq_rollup_count"),
-            F.min("chq_rollup_min").alias("chq_rollup_min"),
-            F.max("chq_rollup_max").alias("chq_rollup_max"),
-        )
+        .agg(*aggs)
         .withColumn(
             "chq_rollup_avg", F.col("chq_rollup_sum") / F.col("chq_rollup_count")
         )

@@ -268,23 +268,43 @@ def encode_engine_sketch(buckets: dict, gamma: float) -> bytes:
     return encode_chq_sketch(gamma, pos, neg, zero)
 
 
-def sketch_blob_udf(gamma: float):
-    """``binary`` pandas UDF encoding a ``map<bigint,double>``
-    engine-sketch column (operators/ddsketch.py with_sketch_column) to
+def sketch_blob_udf(gamma: float, from_list: bool = False):
+    """``binary`` pandas UDF encoding an engine-sketch column to
     chq_sketch wire bytes — one blob per rollup row, Arrow-batched and
     linear in rows. This is the only Python in the sketch-carrying
     cook path and is allowlisted as a codec seam (the same class as
-    the decode seam in :func:`chq_sketch_bucket_rows`)."""
+    the decode seam in :func:`chq_sketch_bucket_rows`).
+
+    Input is a ``map<bigint,double>`` bucket->count sketch
+    (operators/ddsketch.py with_sketch_column), or with
+    ``from_list=True`` a raw ``array<bigint>`` of per-sample bucket
+    ids (the fused ingest path's collect_list output) — the histogram
+    fold happens HERE, inside the seam the path already pays, because
+    a JVM histogram expression needs a nested lambda closure and a
+    Python UDF argument carrying one breaks ExtractPythonUDFs
+    (ingest/preagg.py). An empty list encodes to NULL (the group held
+    only NULL values — no distribution, matching the map path)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    def enc(maps):
-        return maps.map(
-            lambda m: None if m is None else encode_engine_sketch(m, gamma)
-        )
+    if from_list:
+        from collections import Counter  # noqa: PLC0415
+
+        def enc(vals):
+            return vals.map(
+                lambda a: None
+                if a is None or len(a) == 0
+                else encode_engine_sketch(Counter(a), gamma)
+            )
+    else:
+
+        def enc(vals):
+            return vals.map(
+                lambda m: None if m is None else encode_engine_sketch(m, gamma)
+            )
 
     # annotate with live objects (not strings): pd is only in scope here
-    enc.__annotations__ = {"maps": pd.Series, "return": pd.Series}
+    enc.__annotations__ = {"vals": pd.Series, "return": pd.Series}
     return pandas_udf(enc, "binary")
 
 

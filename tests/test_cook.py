@@ -186,3 +186,42 @@ def test_cook_metrics_sketch_column_interop(spark, tmp_path):
     base2 = str(tmp_path / "cooked_nosk")
     cook_metrics(raw, base2, org_id="t", tiers_ms=[10_000, 20_000])
     assert "chq_sketch" not in spark.read.parquet(f"{base2}/metrics").columns
+
+
+def test_sketch_udf_input_stays_lambda_free(spark, raw_metrics, tmp_path):
+    """Regression pin for the r11 fusion: the blob-encode Python UDF's
+    argument must be a plain column, never an expression embedding a
+    lambda closure — ExtractPythonUDFs skips such a UDF and the plan
+    then dies at runtime with INTERNAL_ERROR 'Cannot evaluate
+    expression' (reproduced when the histogram fold was a JVM
+    transform/filter closure). Asserts the executed shape: the encode
+    UDF runs in an ArrowEvalPython node over the raw _sk_list column."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.preagg import preaggregate_metrics
+    from lakerunner_spark.ingest.translate import translate_metrics
+    from lakerunner_spark.operators.ddsketch import gamma_for
+    from lakerunner_spark.sources.chq_sketch import sketch_blob_udf
+
+    cooked = translate_metrics(raw_metrics, "metric_name", ["attr_user"])
+    g = gamma_for(0.01)
+    tier = preaggregate_metrics(
+        cooked, ["metric_name", "chq_tid", "attr_user"], sketch_gamma=g
+    )
+    out = tier.withColumn(
+        "chq_sketch", sketch_blob_udf(g, from_list=True)(F.col("_sk_list"))
+    ).drop("_sk_list")
+    plan = out.repartition("metric_name")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # the enc UDF argument is the raw attribute — no lambdafunction
+    # anywhere in the plan above the aggregate
+    enc_frag = plan[plan.index("enc("):][:400]
+    assert "lambdafunction" not in enc_frag, enc_frag
+    # and the write path actually executes end to end in this session
+    base = str(tmp_path / "lfree")
+    cook_metrics(
+        raw_metrics.limit(500), base, org_id="t",
+        tiers_ms=[10_000, 60_000], sketch_accuracy=0.01,
+    )
+    seg = spark.read.parquet(f"{base}/metrics")
+    assert seg.filter("chq_sketch IS NOT NULL").count() > 0

@@ -78,6 +78,13 @@ def main() -> None:
             os.path.join(repo, ".localdata/sf1"),
         )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # all five surfaces share one JVM (the warm-bias note above); the
+    # r11 fused sketch path's collect_list state raises the batch
+    # surfaces' peak heap, and at sf10 the engine-default 8g left the
+    # LAST surface (stream_preagg) an OOM victim of accumulated
+    # pressure — a measurement-session artifact (fresh-JVM retry
+    # passed), headroomed away here rather than re-ordered
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(app_name="ingest_throughput")
 
     work = tempfile.mkdtemp(prefix="ingest_tp_")
