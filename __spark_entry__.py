@@ -95,7 +95,7 @@ _PRIORITY = [
     "ds9s_quality_sketch_filter",
     "ds10_temperature_mixture",
     "ds11_epoch_shuffle",
-    "ds13_weighted_sample",
+    "chq3_sketch_stats_segments",
     "dd11v_substring_verify",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
@@ -117,6 +117,10 @@ _PRIORITY = [
     "chq2_cooked_sketch_segments",
     "o4_ordered_slices_concat",
     # -- below the driver's 50-sample line ------------------------------
+    # (late-r11: ds13 moves down for chq3_sketch_stats_segments, the
+    # round's new reference-faithful sketch-percentiles surface; ds13's
+    # sampling family stays above via ds10/ds11/ds12)
+    "ds13_weighted_sample",
     "a3_step_agg",
     "a9_rate",
     "dd11_substring_dedup",

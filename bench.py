@@ -129,6 +129,7 @@ HEADLINE = [
     "ddm4_semantic_image_dedup",
     "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
+    "chq3_sketch_stats_segments",
     "o4_ordered_slices_concat",
 ]
 

@@ -41,6 +41,7 @@ def cook_metrics(
     extra_dims: list[str] | None = None,
     write_mode: str = "append",
     sketch_accuracy: float | None = None,
+    sketch_percentiles: bool = False,
 ) -> list[int]:
     """Cook raw metric samples into the tiered segment layout.
 
@@ -65,7 +66,17 @@ def cook_metrics(
     additive), and bytes are produced once per rollup row at the
     write boundary via one Arrow codec seam (sources/chq_sketch.py
     sketch_blob_udf). The default ``None`` keeps the ingest hot path
-    Python-free (X3's plan-asserted contract)."""
+    Python-free (X3's plan-asserted contract).
+
+    ``sketch_percentiles=True`` (requires ``sketch_accuracy``) is the
+    REFERENCE-FAITHFUL stats surface: chq_rollup_p25..p99 come FROM
+    the DDSketch (the reference's ddsketch_stats_agg explodes the
+    window sketch into the p* columns next to chq_sketch,
+    metric_ingest_duckdb.go:351-459) instead of the KLL
+    percentile_approx — every tier then carries p* (exact sketch
+    merge), where the KLL path only has p* at the 10s grain (KLL
+    state isn't a mergeable column), and the pre-agg shuffle drops
+    the KLL state entirely."""
     if attr_cols is None:
         # default dims must keep DISTINCT SERIES distinct: the OTLP
         # decoder emits chq_metric_type (gauge vs counter sharing a
@@ -104,9 +115,14 @@ def cook_metrics(
     # with_sketch_column / merge_sketch_column, kept as the standalone
     # operator surface) — was the dominant term of the 122s
     # batch_sketch delta in the r10 ingest profile (PLANS.md).
+    if sketch_percentiles and sketch_accuracy is None:
+        raise ValueError(
+            "cook_metrics: sketch_percentiles requires sketch_accuracy"
+        )
     gamma = gamma_for(sketch_accuracy) if sketch_accuracy is not None else None
     tier_df = preaggregate_metrics(
-        cooked, dims, value_col=value_col, sketch_gamma=gamma
+        cooked, dims, value_col=value_col, sketch_gamma=gamma,
+        percentiles=not sketch_percentiles,
     )
     for grain in tiers:
         if grain != 10_000:
@@ -122,15 +138,40 @@ def cook_metrics(
         if gamma is not None:
             # wire bytes once per rollup row at the write boundary —
             # the single Arrow codec seam of this path (histogram fold
-            # included: see sketch_blob_udf from_list)
-            from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
-                sketch_blob_udf,
-            )
+            # included: see sketch_blob_udf from_list). The stats
+            # variant additionally derives p25..p99 from the same
+            # fold — blob + percentiles in ONE seam.
+            if sketch_percentiles:
+                from lakerunner_spark.ingest.preagg import (  # noqa: PLC0415
+                    PERCENTILES,
+                    _P_NAMES,
+                )
+                from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
+                    sketch_stats_udf,
+                )
 
-            out = out.withColumn(
-                "chq_sketch",
-                sketch_blob_udf(gamma, from_list=True)(F.col("_sk_list")),
-            ).drop("_sk_list")
+                stats = sketch_stats_udf(
+                    gamma,
+                    {
+                        f"chq_rollup_{n}": q
+                        for n, q in zip(_P_NAMES, PERCENTILES)
+                    },
+                )
+                out = (
+                    out.withColumn("_st", stats(F.col("_sk_list")))
+                    .drop("_sk_list")
+                    .select("*", "_st.*")
+                    .drop("_st")
+                )
+            else:
+                from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
+                    sketch_blob_udf,
+                )
+
+                out = out.withColumn(
+                    "chq_sketch",
+                    sketch_blob_udf(gamma, from_list=True)(F.col("_sk_list")),
+                ).drop("_sk_list")
         write_segments(
             out, f"{base_path}/metrics", "metrics",
             max_records_per_file=max_records_per_file,

@@ -32,6 +32,7 @@ def preaggregate_metrics(
     grain_ms: int = 10_000,
     accuracy: int = 10_000,
     sketch_gamma: float | None = None,
+    percentiles: bool = True,
 ) -> DataFrame:
     """Raw samples -> 10s pre-aggregated rollup rows (one per series-bucket).
 
@@ -49,16 +50,25 @@ def preaggregate_metrics(
     needs a nested lambda closure, and a Python UDF whose argument
     carries one breaks ExtractPythonUDFs — the UDF stays in the
     projection and is unevaluable at runtime (pinned by
-    tests/test_cook.py::test_sketch_udf_input_stays_lambda_free)."""
-    pct = F.percentile_approx(value_col, PERCENTILES, accuracy)
+    tests/test_cook.py::test_sketch_udf_input_stays_lambda_free).
+
+    ``percentiles=False`` drops the KLL percentile_approx columns —
+    the reference-faithful sketch-stats path (cook_metrics
+    sketch_percentiles=True) derives p25..p99 FROM the sketch
+    instead, the way the reference's ddsketch_stats_agg does."""
     aggs = [
         F.sum(value_col).alias("chq_rollup_sum"),
         F.count(value_col).alias("chq_rollup_count"),
         F.avg(value_col).alias("chq_rollup_avg"),
         F.min(value_col).alias("chq_rollup_min"),
         F.max(value_col).alias("chq_rollup_max"),
-        pct.alias("_pcts"),
     ]
+    if percentiles:
+        aggs.append(
+            F.percentile_approx(value_col, PERCENTILES, accuracy).alias(
+                "_pcts"
+            )
+        )
     if sketch_gamma is not None:
         from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
             bucket_index,
@@ -74,10 +84,11 @@ def preaggregate_metrics(
     agg = df.groupBy(
         bucket_ts(ts_col, grain_ms).alias("chq_timestamp"), *dims
     ).agg(*aggs)
-    for i, name in enumerate(_P_NAMES):
-        agg = agg.withColumn(f"chq_rollup_{name}", F.col("_pcts")[i])
+    if percentiles:
+        for i, name in enumerate(_P_NAMES):
+            agg = agg.withColumn(f"chq_rollup_{name}", F.col("_pcts")[i])
+        agg = agg.drop("_pcts")
     return (
-        agg.drop("_pcts")
-        .withColumn("frequency_ms", F.lit(grain_ms))
+        agg.withColumn("frequency_ms", F.lit(grain_ms))
         .withColumn("dateint", dateint(F.col("chq_timestamp")))
     )

@@ -12,6 +12,7 @@ from lakerunner_spark.operators.ddsketch import (
     ddsketch_quantile,
     ddsketch_quantile_sql,
     ddsketch_quantiles,
+    ddsketch_quantiles_sql,
 )
 from lakerunner_spark.queries import register
 from lakerunner_spark.testdata import EVENTS_MS_SQL, events_stream
@@ -716,4 +717,81 @@ def chq2_cooked_sketch_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chq_timestamp").alias("bucket_ts"),
         "n_samples",
         _pr("p90", 6).alias("p90"),
+    )
+
+
+_CHQ3_TIERS = (10_000, 600_000)
+
+
+def _chq3_oracle() -> str:
+    """Per-tier DDSketch p50/p95 + sample count recomputed from the
+    raw events with the same bucket algebra the stats seam uses, one
+    UNION ALL branch per cooked grain."""
+    parts = []
+    for grain in _CHQ3_TIERS:
+        base = (
+            "SELECT event_type AS metric_name, "
+            f"CAST(chq_timestamp - chq_timestamp % {grain} AS BIGINT)"
+            f" AS bucket_ts, value FROM ({EVENTS_MS_SQL})"
+        )
+        th = ddsketch_quantiles_sql(
+            base,
+            ["metric_name", "bucket_ts"],
+            "value",
+            [0.5, 0.95],
+            out_cols=["p50", "p95"],
+        )
+        parts.append(f"""
+    SELECT t.metric_name, t.bucket_ts,
+           CAST({grain} AS BIGINT) AS frequency_ms, n.n_samples,
+           pround(t.p50, 6) AS p50, pround(t.p95, 6) AS p95
+    FROM ({th}) t
+    JOIN (SELECT metric_name, bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_samples
+          FROM ({base}) WHERE value IS NOT NULL GROUP BY 1, 2) n
+    ON t.metric_name = n.metric_name AND t.bucket_ts = n.bucket_ts""")
+    return " UNION ALL ".join(parts)
+
+
+@register("chq3_sketch_stats_segments", _chq3_oracle())
+def chq3_sketch_stats_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-faithful ddsketch_stats_agg surface END TO END:
+    cook_metrics with ``sketch_percentiles=True`` derives the
+    chq_rollup_p* columns FROM the DDSketch — the reference explodes
+    its per-window sketch into p25..p99 next to chq_sketch in the one
+    ingest pass (metric_ingest_duckdb.go:351-459) — so EVERY tier
+    carries percentiles (exact sketch merge up the cascade), where the
+    KLL path only has them at the 10s grain. Reads BOTH cooked tiers
+    back and emits the STORED p50/p95; the oracle recomputes the
+    DDSketch quantiles from the raw events with the identical bucket
+    algebra at both grains. A hash match certifies the fused
+    collect -> per-tier list concat -> Arrow stats seam (blob +
+    percentiles in one fold) against the pure-SQL bucket math.
+
+    Scale posture: identical to chq2's — the per-sample bucket ids
+    ride the ingest aggregation's own shuffles; the only Python is
+    the one per-rollup-row codec seam."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.cook import cook_metrics
+
+    base = tempfile.mkdtemp(prefix="chq3_cook_")
+    raw = events_stream(spark, sf_dir).select(
+        "chq_timestamp", F.col("event_type").alias("metric_name"), "value"
+    )
+    cook_metrics(
+        raw, base, org_id="chq3", attr_cols=[],
+        tiers_ms=list(_CHQ3_TIERS), sketch_accuracy=0.01,
+        sketch_percentiles=True,
+    )
+    seg = spark.read.parquet(f"{base}/metrics")
+    return seg.select(
+        "metric_name",
+        F.col("chq_timestamp").alias("bucket_ts"),
+        "frequency_ms",
+        F.col("chq_rollup_count").alias("n_samples"),
+        _pr("chq_rollup_p50", 6).alias("p50"),
+        _pr("chq_rollup_p95", 6).alias("p95"),
     )

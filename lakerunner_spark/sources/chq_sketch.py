@@ -308,6 +308,83 @@ def sketch_blob_udf(gamma: float, from_list: bool = False):
     return pandas_udf(enc, "binary")
 
 
+def engine_bucket_quantiles(
+    buckets: dict, gamma: float, qs: list[float]
+) -> list[float]:
+    """Quantiles from an engine bucket->count map with the EXACT rule
+    the engine's bucket algebra uses (operators/ddsketch.py
+    ddsketch_quantile: rank = floor(q*(n-1)), first bucket in
+    ascending engine order whose cumulative count exceeds it,
+    mid-bucket value 2*gamma^j/(gamma+1) with zero/negative stores)
+    — identical to sketches-go GetValueAtQuantile for integer counts
+    (floor(rank) and rank select the same bucket when cumulative
+    counts are integers)."""
+    from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
+        _NEG_BASE,
+        _ZERO_BUCKET,
+    )
+
+    items = sorted((int(b), float(c)) for b, c in buckets.items())
+    n = sum(c for _b, c in items)
+    out: list[float] = []
+    for q in qs:
+        rank = math.floor(q * (n - 1))
+        cum = 0.0
+        val = None
+        for b, c in items:
+            cum += c
+            if cum > rank:
+                if b == _ZERO_BUCKET:
+                    val = 0.0
+                elif b > _ZERO_BUCKET:
+                    val = 2.0 * gamma**b / (gamma + 1.0)
+                else:
+                    val = -2.0 * gamma ** (_NEG_BASE - b) / (gamma + 1.0)
+                break
+        out.append(val)
+    return out
+
+
+def sketch_stats_udf(gamma: float, percentiles: dict[str, float]):
+    """struct<chq_sketch binary, <name> double, ...> pandas UDF over an
+    ``array<bigint>`` of per-sample engine bucket ids (the fused
+    ingest path's collect_list output): ONE Arrow seam produces the
+    wire blob AND the percentile columns FROM the sketch — the
+    reference's ddsketch_stats_agg surface
+    (metric_ingest_duckdb.go:351-459 explodes the per-window DDSketch
+    into chq_rollup_p25..p99 next to chq_sketch). The percentile rule
+    is the engine bucket algebra's (see
+    :func:`engine_bucket_quantiles`), so a DuckDB oracle replaying
+    the bucket math matches value for value. Input must stay a plain
+    column (the lambda-closure extraction hazard — ingest/preagg.py)."""
+    import pandas as pd  # noqa: PLC0415
+    from collections import Counter  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    names = list(percentiles)
+    qs = [percentiles[n] for n in names]
+    schema = "chq_sketch binary, " + ", ".join(f"{n} double" for n in names)
+
+    def run(vals):
+        rows = []
+        for a in vals:
+            if a is None or len(a) == 0:
+                rows.append((None, *([None] * len(names))))
+                continue
+            cnt = Counter(a)
+            rows.append(
+                (
+                    encode_engine_sketch(cnt, gamma),
+                    *engine_bucket_quantiles(cnt, gamma, qs),
+                )
+            )
+        return pd.DataFrame(rows, columns=["chq_sketch", *names])
+
+    run.__annotations__ = {"vals": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(run, schema)
+
+
 def sketch_value(gamma: float, index_offset: float, index: int) -> float:
     """sketches-go LogarithmicMapping.Value: the bucket estimate whose
     relative error to any bucket member is within the accuracy bound."""

@@ -225,3 +225,64 @@ def test_sketch_udf_input_stays_lambda_free(spark, raw_metrics, tmp_path):
     )
     seg = spark.read.parquet(f"{base}/metrics")
     assert seg.filter("chq_sketch IS NOT NULL").count() > 0
+
+
+def test_sketch_percentiles_every_tier(spark, tmp_path):
+    """sketch_percentiles=True (the reference-faithful
+    ddsketch_stats_agg surface): EVERY tier's rollup rows carry
+    p25..p99 derived from the sketch — the KLL path only has p* at the
+    10s grain — and the values equal the engine bucket algebra's
+    quantile over each row's own samples. The flag without
+    sketch_accuracy is rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from lakerunner_spark.operators.ddsketch import gamma_for
+    from lakerunner_spark.sources.chq_sketch import (
+        decode_chq_sketch,
+        engine_bucket_quantiles,
+    )
+
+    rows = [
+        (int(i // 12) * 1000, "m", ((i * 37) % 83 - 41) / 3.0)
+        for i in range(240)
+    ]
+    raw = spark.createDataFrame(
+        rows, "chq_timestamp long, metric_name string, value double"
+    )
+    with _pytest.raises(ValueError, match="sketch_percentiles"):
+        cook_metrics(raw, str(tmp_path / "x"), sketch_percentiles=True)
+
+    base = str(tmp_path / "cooked_sp")
+    cook_metrics(
+        raw, base, org_id="t", tiers_ms=[10_000, 20_000],
+        sketch_accuracy=0.01, sketch_percentiles=True,
+    )
+    gamma = gamma_for(0.01)
+    seg = spark.read.parquet(f"{base}/metrics")
+    pcols = [f"chq_rollup_p{p}" for p in (25, 50, 75, 90, 95, 99)]
+    for grain in (10_000, 20_000):
+        got = seg.filter(seg.frequency_ms == grain).collect()
+        assert got
+        for r in got:
+            # p* present at EVERY tier, equal to the bucket-algebra
+            # quantiles of this row's own decoded sketch
+            sk = decode_chq_sketch(bytes(r.chq_sketch))
+            from lakerunner_spark.operators.ddsketch import (
+                _NEG_BASE,
+                _ZERO_BUCKET,
+            )
+
+            buckets = {i + 1: c for i, c in sk["pos"].items()}
+            if sk["zero_count"]:
+                buckets[_ZERO_BUCKET] = sk["zero_count"]
+            buckets.update(
+                {_NEG_BASE - (i + 1): c for i, c in sk["neg"].items()}
+            )
+            want = engine_bucket_quantiles(
+                buckets, gamma, [0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+            )
+            for col, w in zip(pcols, want):
+                assert math.isclose(getattr(r, col), w, rel_tol=1e-12), (
+                    grain, col)

@@ -80,6 +80,12 @@ NLJ_ALLOWED = {
                                      # sample-total scalar crossJoin)
     "txt12s_ccnet_sketch_buckets",   # same txt9 scoring core (1-row
                                      # sample-total scalar crossJoin)
+    "txt12n_sketch_buckets_null_keys",  # txt12s over NULL-planted keys
+                                     # (r11 gate variant) — same 1-row
+                                     # scalar crossJoin (txt13n hides
+                                     # its copy behind txt13's eager
+                                     # localCheckpoint, so it is not
+                                     # listed)
     "txt13_ccnet_pipeline",          # same txt9 scoring core (1-row
                                      # sample-total scalar crossJoin)
     "sim6_random_projection",        # broadcast queries x corpus scan
