@@ -80,6 +80,8 @@ def run_cook_stream(
     value_col: str = "value",
     tiers_ms: list[int] | None = None,
     available_now: bool = True,
+    sketch_accuracy: float | None = None,
+    sketch_percentiles: bool = False,
 ) -> StreamingQuery:
     """Streaming ingest into the FULL cooked layout via foreachBatch.
 
@@ -89,6 +91,14 @@ def run_cook_stream(
     exactly-once batch tracking. Append-only per batch; the scheduled
     compaction job merges small per-batch segments afterwards, exactly
     like the reference's boxer/compact cycle.
+
+    ``sketch_accuracy`` / ``sketch_percentiles`` pass through to the
+    batch cook: every micro-batch's rollup rows then carry the
+    chq_sketch wire blobs (and, with percentiles, the sketch-derived
+    p* columns) — the reference's streaming consumers write the same
+    sketch column per ingest batch. Per-batch sketches are exact for
+    each batch's own rows; cross-batch merge is the compaction job's
+    contract, exactly as in the reference.
     """
     from lakerunner_spark.ingest.cook import cook_metrics
 
@@ -110,6 +120,8 @@ def run_cook_stream(
             tiers_ms=tiers_ms,
             extra_dims=["ingest_batch"],
             write_mode="overwrite",
+            sketch_accuracy=sketch_accuracy,
+            sketch_percentiles=sketch_percentiles,
         )
 
     stream = spark.readStream.schema(schema).format("parquet").load(input_path)

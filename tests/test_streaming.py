@@ -167,3 +167,57 @@ def test_cook_stream_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     again = spark.read.parquet(f"{base}/metrics")
     assert again.count() == n1
     assert again.agg(F.round(F.sum("chq_rollup_sum"), 6)).first()[0] == s1
+
+
+def test_cook_stream_sketch_matches_batch(spark, tmp_path):
+    """Streaming sketch-carrying ingest parity (14th stream==batch
+    suite): run_cook_stream with sketch_accuracy + sketch_percentiles
+    produces, per (tier, bucket, series), the SAME chq_sketch wire
+    blob and the SAME sketch-derived p* columns the batch cook writes
+    over identical rows — the reference's streaming consumers write
+    the same sketch column per ingest batch."""
+    from lakerunner_spark.ingest.cook import cook_metrics
+    from lakerunner_spark.sources.chq_sketch import decode_chq_sketch
+
+    rows = [
+        (int(i // 12) * 1000, "m" + str(i % 2), ((i * 37) % 83 - 41) / 3.0)
+        for i in range(240)
+    ]
+    raw = spark.createDataFrame(
+        rows, "chq_timestamp long, metric_name string, value double"
+    )
+    staged = str(tmp_path / "staged")
+    raw.coalesce(1).write.parquet(staged)  # one file -> one micro-batch
+
+    out = str(tmp_path / "stream_out")
+    q = run_cook_stream(
+        spark, staged, out, str(tmp_path / "ck"),
+        spark.read.parquet(staged).schema,
+        tiers_ms=[10_000, 20_000],
+        sketch_accuracy=0.01, sketch_percentiles=True,
+    )
+    q.awaitTermination()
+
+    batch_base = str(tmp_path / "batch_out")
+    cook_metrics(
+        raw, batch_base, tiers_ms=[10_000, 20_000],
+        sketch_accuracy=0.01, sketch_percentiles=True,
+    )
+
+    def snapshot(path):
+        seg = spark.read.parquet(f"{path}/metrics")
+        out = {}
+        for r in seg.collect():
+            key = (r.frequency_ms, r.chq_timestamp, r.metric_name)
+            sk = decode_chq_sketch(bytes(r.chq_sketch))
+            out[key] = (
+                sk["zero_count"], tuple(sorted(sk["pos"].items())),
+                tuple(sorted(sk["neg"].items())),
+                r.chq_rollup_count,
+                r.chq_rollup_p25, r.chq_rollup_p50, r.chq_rollup_p75,
+                r.chq_rollup_p90, r.chq_rollup_p95, r.chq_rollup_p99,
+            )
+        return out
+
+    s, b = snapshot(out), snapshot(batch_base)
+    assert s and s == b

@@ -182,6 +182,17 @@ def main() -> None:
         lambda p: accounted_events(f"{p}/metrics"),
     )
     timed(
+        # r11: the reference-faithful stats surface — p25..p99 FROM
+        # the sketch in the same Arrow seam as the blob, KLL state
+        # dropped from the pre-agg shuffle (chq3's write path)
+        "batch_sketch_stats",
+        lambda p: cook_metrics(
+            src, p, tiers_ms=list(DEFAULT_TIERS_MS), sketch_accuracy=0.01,
+            sketch_percentiles=True,
+        ),
+        lambda p: accounted_events(f"{p}/metrics"),
+    )
+    timed(
         "stream_cook",
         lambda p: run_cook_stream(
             spark, staged, f"{p}/out", f"{p}/ckpt", schema,
