@@ -179,6 +179,78 @@ class QueryAPI:
             "data": {"resultType": "matrix", "result": result},
         }
 
+    def prometheus_query(self, params: dict) -> dict:
+        """Prometheus ``/api/v1/query`` (INSTANT query, extension):
+        evaluates the expression at one timestamp and renders
+        resultType=vector — the shape Grafana's "instant" toggle and
+        most alerting previews send. The evaluation reuses the range
+        engine at a single step bucket: the instant value at ``time``
+        is the bucket containing it (the engine's bucket semantics
+        stand in for Prometheus's 5m staleness lookback — rollup
+        buckets ARE the staleness window here; divergence documented,
+        not hidden). ``time`` accepts epoch seconds or RFC3339;
+        ``step`` (default 60s) picks the bucket grain."""
+        try:
+            p = dict(params)
+            q = p["query"]  # KeyError -> the adapter's 400 path
+            step = self._prom_step_ms(p.get("step", 60))
+            if "time" in p:
+                t_ms = self._prom_time_ms(p["time"])
+            else:
+                import time as _time
+
+                t_ms = int(_time.time() * 1000)
+            t0 = t_ms - t_ms % step
+            inner = self.metrics_query(
+                {"query": q, "start_ms": t0, "end_ms": t0 + step,
+                 "step_ms": step}
+            )
+        except KeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 - Prometheus error envelope
+            return {"status": "error", "errorType": "bad_data",
+                    "error": str(e)}
+        result = []
+        for s in inner["result"]:
+            vals = [v for ts, v in s["values"] if ts == t0 and v is not None]
+            if vals:
+                result.append(
+                    {"metric": s["labels"],
+                     "value": [t_ms / 1000.0, str(vals[0])]}
+                )
+        return {
+            "status": "success",
+            "data": {"resultType": "vector", "result": result},
+        }
+
+    def prometheus_labels(self, params: dict | None = None) -> dict:
+        """Prometheus ``/api/v1/labels``: every label name across the
+        catalog plus ``__name__`` (the metric-name pseudo-label)."""
+        cat = default_metric_catalog(self.spark, self.sf_dir)
+        names = {"__name__"}
+        for leaf in cat._sources.values():
+            names.update(leaf.labels)
+        return {"status": "success", "data": sorted(names)}
+
+    def prometheus_label_values(self, params: dict) -> dict:
+        """Prometheus ``/api/v1/label/<name>/values`` (the adapter
+        extracts the path parameter into ``label``): distinct values
+        of one label across every metric that carries it; ``__name__``
+        yields the metric names themselves."""
+        label = params["label"]
+        cat = default_metric_catalog(self.spark, self.sf_dir)
+        if label == "__name__":
+            return {"status": "success", "data": sorted(cat._sources)}
+        vals: set = set()
+        for leaf in cat._sources.values():
+            if label in leaf.labels:
+                vals.update(
+                    r[0]
+                    for r in leaf.df.select(label).distinct().collect()
+                    if r[0] is not None
+                )
+        return {"status": "success", "data": sorted(vals)}
+
     @staticmethod
     def _rows_to_matrix(rows) -> list[dict]:
         """Collected engine rows (bucket_ts, value, label cols) ->
@@ -509,8 +581,10 @@ class QueryAPI:
         "/api/v1/metrics/tags": "metrics_tags",
         "/api/v1/metrics/tagvalues": "metrics_tagvalues",
         "/api/v1/metrics/query": "metrics_query",
+        "/api/v1/query": "prometheus_query",
         "/api/v1/query_range": "prometheus_query_range",
         "/api/v1/query_range/stream": "prometheus_query_range_stream",
+        "/api/v1/labels": "prometheus_labels",
         "/api/v1/logs/tags": "logs_tags",
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",
@@ -531,6 +605,14 @@ class QueryAPI:
         KeyError so the HTTP adapter can return 404 vs 400 correctly."""
 
     def handle(self, path: str, params: dict | None = None) -> dict:
+        # Prometheus's one path-parameterized route:
+        # /api/v1/label/<name>/values
+        if path.startswith("/api/v1/label/") and path.endswith("/values"):
+            label = path[len("/api/v1/label/"):-len("/values")]
+            if label and "/" not in label:
+                return self.prometheus_label_values(
+                    dict(params or {}, label=label)
+                )
         if path not in self.ROUTES:
             raise QueryAPI.RouteNotFound(f"no route: {path}")
         return getattr(self, self.ROUTES[path])(params or {})

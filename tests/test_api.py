@@ -24,6 +24,10 @@ def test_all_routes_answer(api):
         "/api/v1/metrics/query": {
             "query": "sum by (event_type) (events)", "step_ms": 3_600_000
         },
+        "/api/v1/query": {
+            "query": "sum by (event_type) (events)", "time": 10**9,
+            "step": 3600,
+        },
         "/api/v1/query_range": {
             "query": "sum by (event_type) (events)", "step": 3600
         },
@@ -726,3 +730,74 @@ def test_spans_trace_stream_api_parity(api):
 def test_spans_trace_stream_no_bounds_single_chunk(api):
     out = list(api.spans_trace_stream({"trace_id": "_none_"}))
     assert out == [{"trace_id": "_none_", "spans": []}]
+
+
+def test_prometheus_instant_query(api):
+    """/api/v1/query (instant): resultType=vector, the value at `time`
+    equals the range evaluation's bucket containing it, timestamps
+    echo the request time, values stringified."""
+    start_s, end_s = _events_window_s(api)
+    # pick a bucket that actually holds samples (the fixture is sparse
+    # at 60s grain) and ask for the instant 30s into it
+    probe = api.metrics_query({
+        "query": "sum by (event_type) (events)",
+        "start_ms": int(start_s * 1000), "end_ms": int(end_s * 1000),
+        "step_ms": 60_000,
+    })
+    bucket = next(
+        ts
+        for s in probe["result"]
+        for ts, v in s["values"]
+        if v is not None
+    )
+    t_s = bucket / 1000.0 + 30
+    out = api.handle("/api/v1/query", {
+        "query": "sum by (event_type) (events)", "time": t_s, "step": 60,
+    })
+    assert out["status"] == "success"
+    assert out["data"]["resultType"] == "vector"
+    vec = out["data"]["result"]
+    assert vec
+    t_ms = int(t_s * 1000)
+    assert t_ms - t_ms % 60_000 == bucket
+    want = {
+        tuple(sorted(s["labels"].items())): v
+        for s in probe["result"]
+        for ts, v in s["values"]
+        if ts == bucket and v is not None
+    }
+    got = {
+        tuple(sorted(s["metric"].items())): float(s["value"][1])
+        for s in vec
+    }
+    assert got == {k: float(v) for k, v in want.items()}
+    for s in vec:
+        assert s["value"][0] == t_ms / 1000.0
+        assert isinstance(s["value"][1], str)
+    # bad query -> Prometheus error envelope, not a raise
+    bad = api.handle("/api/v1/query", {"query": "rate(events[5m", "time": t_s})
+    assert bad["status"] == "error" and bad["errorType"] == "bad_data"
+
+
+def test_prometheus_labels_and_label_values(api):
+    """/api/v1/labels and the path-parameterized
+    /api/v1/label/<name>/values: Prometheus wire shapes over the
+    engine catalog; __name__ yields metric names."""
+    labels = api.handle("/api/v1/labels")
+    assert labels["status"] == "success"
+    assert "__name__" in labels["data"] and "event_type" in labels["data"]
+    assert labels["data"] == sorted(labels["data"])
+
+    names = api.handle("/api/v1/label/__name__/values")
+    assert names["status"] == "success" and "events" in names["data"]
+
+    vals = api.handle("/api/v1/label/event_type/values")
+    tagvals = api.metrics_tagvalues({"metric": "events", "tag": "event_type"})
+    assert set(vals["data"]) >= set(v for v in tagvals["values"] if v)
+
+    import pytest as _pytest
+
+    from lakerunner_spark.api import QueryAPI as _Q
+
+    with _pytest.raises(_Q.RouteNotFound):
+        api.handle("/api/v1/label//values")
