@@ -125,11 +125,13 @@ def cook_metrics(
         percentiles=not sketch_percentiles,
     )
     for grain in tiers:
-        if grain != 10_000:
+        first = grain == 10_000
+        if not first:
             tier_df = rollup_tier(
                 tier_df, dims, grain,
-                sketch_col="_sk_list" if gamma is not None else None,
+                sketch_col="_sk_pairs" if gamma is not None else None,
             )
+        sk_col = "_sk_list" if first else "_sk_pairs"
         out = (
             tier_df.withColumn("org_id", F.lit(org_id))
             .withColumn("dateint", dateint(F.col("chq_timestamp")))
@@ -138,9 +140,12 @@ def cook_metrics(
         if gamma is not None:
             # wire bytes once per rollup row at the write boundary —
             # the single Arrow codec seam of this path (histogram fold
-            # included: see sketch_blob_udf from_list). The stats
-            # variant additionally derives p25..p99 from the same
-            # fold — blob + percentiles in ONE seam.
+            # included: see sketch_blob_udf from_list/from_pairs). The
+            # stats variant additionally derives p25..p99 from the
+            # same fold — blob + percentiles in ONE seam. The UDF
+            # argument is always the raw aggregate-output attribute
+            # (never a folded expression — the lambda-closure
+            # extraction hazard, ingest/preagg.py).
             if sketch_percentiles:
                 from lakerunner_spark.ingest.preagg import (  # noqa: PLC0415
                     PERCENTILES,
@@ -156,10 +161,11 @@ def cook_metrics(
                         f"chq_rollup_{n}": q
                         for n, q in zip(_P_NAMES, PERCENTILES)
                     },
+                    from_pairs=not first,
                 )
                 out = (
-                    out.withColumn("_st", stats(F.col("_sk_list")))
-                    .drop("_sk_list")
+                    out.withColumn("_st", stats(F.col(sk_col)))
+                    .drop(sk_col)
                     .select("*", "_st.*")
                     .drop("_st")
                 )
@@ -170,13 +176,39 @@ def cook_metrics(
 
                 out = out.withColumn(
                     "chq_sketch",
-                    sketch_blob_udf(gamma, from_list=True)(F.col("_sk_list")),
-                ).drop("_sk_list")
+                    sketch_blob_udf(
+                        gamma, from_list=first, from_pairs=not first
+                    )(F.col(sk_col)),
+                ).drop(sk_col)
         write_segments(
             out, f"{base_path}/metrics", "metrics",
             max_records_per_file=max_records_per_file,
             mode=write_mode,
         )
+        if gamma is not None and grain != tiers[-1]:
+            # State-bounding fold between tiers (r11 verdict #1): the
+            # NEXT tier's groupBy must concatenate occupied-bucket
+            # (b, c) pairs, not per-sample bucket ids — a 1h group of
+            # a high-rate series would otherwise hold one long per raw
+            # sample (unbounded in cadence) where the reference's
+            # DDSketch store holds occupied buckets. The fold sits
+            # strictly BETWEEN two shuffle barriers (this tier's
+            # aggregate and the next tier's), so its JVM lambda
+            # expressions can never collapse into the blob UDF's
+            # argument (the ExtractPythonUDFs hazard above). Per-group
+            # state at every coarser tier is then <= tier-ratio x
+            # occupied buckets (~hundreds), independent of cadence.
+            from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
+                fold_bucket_list,
+                merge_bucket_pairs,
+            )
+
+            fold = fold_bucket_list if first else merge_bucket_pairs
+            tier_df = tier_df.withColumn(
+                "_sk_pairs", fold(F.col(sk_col))
+            )
+            if first:
+                tier_df = tier_df.drop("_sk_list")
     return tiers
 
 

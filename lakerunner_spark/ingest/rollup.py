@@ -29,16 +29,22 @@ def rollup_tier(
 ) -> DataFrame:
     """Re-aggregate a finer tier into target_grain_ms buckets.
 
-    ``sketch_col`` (the array<bigint> DDSketch bucket-id list the
-    fused pre-agg collects), when set, merges through THIS same
-    groupBy: the ≤(coarser/finer) finer rows under one coarser group
-    concatenate via flatten(collect_list(...)) — an exact DDSketch
-    merge (bucket counts are additive) with zero extra shuffles (the
-    pre-fusion path paid a per-tier explode/re-agg pair plus a
-    null-safe join back). Deliberately built-ins only, no lambda
-    expressions: the downstream blob encoder is a Python UDF, and a
-    Python UDF argument that embeds a lambda closure breaks
-    ExtractPythonUDFs (see preagg.preaggregate_metrics)."""
+    ``sketch_col`` (the ``array<struct<b,c>>`` occupied-bucket pair
+    list of the fused sketch cascade — operators/ddsketch.py
+    fold_bucket_list folds the pre-agg's per-sample list at the 10s
+    grain, merge_bucket_pairs re-canonicalizes between tiers), when
+    set, merges through THIS same groupBy: the ≤(coarser/finer) finer
+    rows under one coarser group concatenate via
+    flatten(collect_list(...)) — an exact DDSketch merge (bucket
+    counts are additive; duplicate buckets are summed downstream)
+    with zero extra shuffles (the pre-fusion path paid a per-tier
+    explode/re-agg pair plus a null-safe join back), and per-group
+    state bounded by tier-ratio x occupied buckets, never samples.
+    Deliberately built-ins only, no lambda expressions IN THE AGG: the
+    downstream blob encoder is a Python UDF, and a Python UDF argument
+    that embeds a lambda closure breaks ExtractPythonUDFs (see
+    preagg.preaggregate_metrics) — the folds live strictly between
+    shuffle barriers in ingest/cook.py."""
     aggs = [
         F.sum("chq_rollup_sum").alias("chq_rollup_sum"),
         F.sum("chq_rollup_count").alias("chq_rollup_count"),

@@ -84,6 +84,117 @@ def bucket_index_sql(value_sql: str, gamma: float) -> str:
     )
 
 
+_EMPTY_PAIRS = "cast(array() as array<struct<b:bigint,c:bigint>>)"
+
+
+def _bind(arr_expr, fn):
+    """Let-binding for higher-order-function bodies: evaluate
+    ``arr_expr`` ONCE per row and expose it to ``fn`` as a lambda
+    VARIABLE. Spark does no common-subexpression elimination inside
+    lambda bodies — an expression subtree referenced per element is
+    re-evaluated per element (a sort_array referenced from a transform
+    lambda turns an O(n log n) fold into O(n^2 log n); measured as a
+    timeout on 300K-sample groups) — but a lambda-variable reference
+    is an O(1) lookup. ``transform(array(x), v -> body)[0]`` is that
+    let-binding with built-ins only."""
+    return F.get(F.transform(F.array(arr_expr), fn), 0)
+
+
+def fold_bucket_list(col):
+    """``array<bigint>`` of per-sample bucket ids -> canonical
+    ``array<struct<b:bigint,c:bigint>>`` (occupied bucket, count)
+    pairs, ascending-b, one entry per distinct bucket.
+
+    This is the state-bounding fold of the fused ingest cascade (r11
+    verdict #1): the 10s pre-agg's ``collect_list`` holds one long PER
+    SAMPLE per 10s group (bounded by series cadence x 10s — small),
+    and this fold — applied BETWEEN the 10s aggregate and the next
+    tier's groupBy, never in the same projection region as the blob
+    Python UDF (lambda-closure extraction hazard, ingest/preagg.py) —
+    turns it into occupied-bucket entries so coarser tiers carry
+    O(buckets), not O(samples), per aggregation group. A true DDSketch
+    store keeps the same bounded shape (sketches-go store; reference
+    metric_ingest_duckdb.go:351-459 merges bounded sketch state).
+
+    Pure built-in higher-order functions (sorted run-length): JVM-side,
+    codegen'd, no shuffle, no Python. NULL in -> NULL out; empty list
+    (a group whose values were all NULL) -> empty pairs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(s):
+        starts_expr = F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == 0) | (F.get(s, i) != F.get(s, i - 1)),
+        )
+        return _bind(
+            starts_expr,
+            lambda starts: F.transform(
+                starts,
+                lambda st, j: F.struct(
+                    F.get(s, st).alias("b"),
+                    (F.coalesce(F.get(starts, j + 1), F.size(s)) - st)
+                    .cast("long")
+                    .alias("c"),
+                ),
+            ),
+        )
+
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<struct<b:bigint,c:bigint>>"))
+        .when(F.size(c) == 0, F.expr(_EMPTY_PAIRS))
+        .otherwise(_bind(F.sort_array(c), body))
+    )
+
+
+def merge_bucket_pairs(col):
+    """Canonicalize an ``array<struct<b:bigint,c:bigint>>`` that may
+    hold duplicate buckets (the ``flatten(collect_list(...))`` output
+    of a rollup tier concatenating its finer groups' pair lists) back
+    to one ascending entry per distinct bucket with counts summed —
+    the exact DDSketch merge (counts are additive), as a built-in
+    expression.
+
+    Applied between one tier's aggregate and the NEXT tier's groupBy
+    (both shuffle barriers), so per-group aggregation state at every
+    tier stays <= (tier ratio) x occupied buckets. Deliberately NOT
+    applied inside ``rollup_tier``'s own ``.agg`` or anywhere a
+    projection could collapse into the blob UDF's argument (the
+    lambda-closure extraction hazard — see ingest/preagg.py).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def body(s):
+        starts_expr = F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == 0) | (F.get(s, i)["b"] != F.get(s, i - 1)["b"]),
+        )
+        return _bind(
+            starts_expr,
+            lambda starts: F.transform(
+                starts,
+                lambda st, j: F.struct(
+                    F.get(s, st)["b"].alias("b"),
+                    F.aggregate(
+                        F.slice(
+                            s,
+                            st + 1,
+                            F.coalesce(F.get(starts, j + 1), F.size(s)) - st,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc + e["c"],
+                    ).alias("c"),
+                ),
+            ),
+        )
+
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<struct<b:bigint,c:bigint>>"))
+        .when(F.size(c) == 0, F.expr(_EMPTY_PAIRS))
+        .otherwise(_bind(F.sort_array(c), body))
+    )
+
+
 def ddsketch_agg(
     df: DataFrame,
     group_cols: list[str],

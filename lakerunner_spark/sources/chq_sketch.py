@@ -268,7 +268,19 @@ def encode_engine_sketch(buckets: dict, gamma: float) -> bytes:
     return encode_chq_sketch(gamma, pos, neg, zero)
 
 
-def sketch_blob_udf(gamma: float, from_list: bool = False):
+def _pairs_to_buckets(a) -> dict:
+    """(b, c) pair rows (Arrow struct dicts) -> bucket->count map,
+    merging duplicate buckets (exact DDSketch merge — counts add)."""
+    d: dict[int, float] = {}
+    for e in a:
+        b = e["b"]
+        d[b] = d.get(b, 0) + e["c"]
+    return d
+
+
+def sketch_blob_udf(
+    gamma: float, from_list: bool = False, from_pairs: bool = False
+):
     """``binary`` pandas UDF encoding an engine-sketch column to
     chq_sketch wire bytes — one blob per rollup row, Arrow-batched and
     linear in rows. This is the only Python in the sketch-carrying
@@ -278,16 +290,33 @@ def sketch_blob_udf(gamma: float, from_list: bool = False):
     Input is a ``map<bigint,double>`` bucket->count sketch
     (operators/ddsketch.py with_sketch_column), or with
     ``from_list=True`` a raw ``array<bigint>`` of per-sample bucket
-    ids (the fused ingest path's collect_list output) — the histogram
-    fold happens HERE, inside the seam the path already pays, because
-    a JVM histogram expression needs a nested lambda closure and a
-    Python UDF argument carrying one breaks ExtractPythonUDFs
-    (ingest/preagg.py). An empty list encodes to NULL (the group held
-    only NULL values — no distribution, matching the map path)."""
+    ids (the fused ingest path's collect_list output at the 10s
+    grain) — the histogram fold happens HERE, inside the seam the
+    path already pays, because a JVM histogram expression needs a
+    nested lambda closure and a Python UDF argument carrying one
+    breaks ExtractPythonUDFs (ingest/preagg.py). An empty list
+    encodes to NULL (the group held only NULL values — no
+    distribution, matching the map path).
+
+    ``from_pairs=True`` takes ``array<struct<b:bigint,c:bigint>>``
+    occupied-bucket pairs (the state-bounded cascade representation —
+    operators/ddsketch.py fold_bucket_list) possibly holding duplicate
+    buckets from a tier concat; duplicates merge here (counts add —
+    exact)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    if from_list:
+    if from_list and from_pairs:
+        raise ValueError("sketch_blob_udf: from_list and from_pairs conflict")
+    if from_pairs:
+
+        def enc(vals):
+            return vals.map(
+                lambda a: None
+                if a is None or len(a) == 0
+                else encode_engine_sketch(_pairs_to_buckets(a), gamma)
+            )
+    elif from_list:
         from collections import Counter  # noqa: PLC0415
 
         def enc(vals):
@@ -345,18 +374,26 @@ def engine_bucket_quantiles(
     return out
 
 
-def sketch_stats_udf(gamma: float, percentiles: dict[str, float]):
+def sketch_stats_udf(
+    gamma: float, percentiles: dict[str, float], from_pairs: bool = False
+):
     """struct<chq_sketch binary, <name> double, ...> pandas UDF over an
     ``array<bigint>`` of per-sample engine bucket ids (the fused
-    ingest path's collect_list output): ONE Arrow seam produces the
-    wire blob AND the percentile columns FROM the sketch — the
-    reference's ddsketch_stats_agg surface
+    ingest path's collect_list output at the 10s grain): ONE Arrow
+    seam produces the wire blob AND the percentile columns FROM the
+    sketch — the reference's ddsketch_stats_agg surface
     (metric_ingest_duckdb.go:351-459 explodes the per-window DDSketch
     into chq_rollup_p25..p99 next to chq_sketch). The percentile rule
     is the engine bucket algebra's (see
     :func:`engine_bucket_quantiles`), so a DuckDB oracle replaying
     the bucket math matches value for value. Input must stay a plain
-    column (the lambda-closure extraction hazard — ingest/preagg.py)."""
+    column (the lambda-closure extraction hazard — ingest/preagg.py).
+
+    ``from_pairs=True`` takes the state-bounded cascade representation
+    instead — ``array<struct<b:bigint,c:bigint>>`` occupied-bucket
+    pairs (operators/ddsketch.py fold_bucket_list), duplicates merged
+    here; n is the summed count, and the rank walk is identical (the
+    bucket algebra never needed per-sample order)."""
     import pandas as pd  # noqa: PLC0415
     from collections import Counter  # noqa: PLC0415
 
@@ -386,10 +423,10 @@ def sketch_stats_udf(gamma: float, percentiles: dict[str, float]):
                 for col in pcols:
                     col.append(None)
                 continue
-            cnt = Counter(a)
+            cnt = _pairs_to_buckets(a) if from_pairs else Counter(a)
             blobs.append(encode_engine_sketch(cnt, gamma))
             items = sorted(cnt.items())
-            n = len(a)
+            n = sum(cnt.values()) if from_pairs else len(a)
             for qi, q in enumerate(qs):
                 rank = floor(q * (n - 1))
                 cum = 0

@@ -286,3 +286,146 @@ def test_sketch_percentiles_every_tier(spark, tmp_path):
             for col, w in zip(pcols, want):
                 assert math.isclose(getattr(r, col), w, rel_tol=1e-12), (
                     grain, col)
+
+
+def test_bucket_pair_fold_matches_counter(spark):
+    """fold_bucket_list == Counter of the list; merge_bucket_pairs sums
+    duplicate buckets; NULL/empty are preserved (a group whose values
+    were all NULL must still encode to a NULL blob downstream)."""
+    from collections import Counter
+
+    from lakerunner_spark.operators.ddsketch import (
+        fold_bucket_list,
+        merge_bucket_pairs,
+    )
+
+    lists = [[5, 5, 3, 5, -2, 3], [], None, [7], [0] * 40 + [1] * 2]
+    df = spark.createDataFrame([(x,) for x in lists], "xs array<bigint>")
+    got = df.select(fold_bucket_list("xs").alias("p")).collect()
+    for xs, row in zip(lists, got):
+        if xs is None:
+            assert row.p is None
+            continue
+        pairs = [(e.b, e.c) for e in row.p]
+        assert pairs == sorted(Counter(xs).items())
+
+    # merge over a concat holding duplicate buckets (the tier shape)
+    concat = spark.createDataFrame(
+        [([(3, 2), (5, 1), (3, 4), (-2, 7), (5, 1)],)],
+        "p array<struct<b:bigint,c:bigint>>",
+    )
+    m = concat.select(merge_bucket_pairs("p").alias("m")).collect()[0].m
+    assert [(e.b, e.c) for e in m] == [(-2, 7), (3, 6), (5, 2)]
+
+
+def test_sketch_cascade_bounded_state_high_rate_series(spark, tmp_path):
+    """r11 verdict #1 acceptance: a high-rate series (300K samples into
+    ONE 1h aggregation group) cooks under the test session's default
+    heap with per-group cascade state bounded by occupied buckets —
+    the pre-fold shape held one long PER SAMPLE in the 1h group
+    (unbounded in cadence); the reference's DDSketch store holds
+    occupied buckets (sketches-go store, metric_ingest_duckdb.go:
+    351-459). Exactness: rollup_count is exact and p50 FROM the
+    sketch lands within the DDSketch relative-error contract."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.preagg import preaggregate_metrics
+    from lakerunner_spark.ingest.rollup import rollup_tier
+    from lakerunner_spark.ingest.translate import translate_metrics
+    from lakerunner_spark.operators.ddsketch import (
+        fold_bucket_list,
+        gamma_for,
+        merge_bucket_pairs,
+    )
+
+    n = 300_000
+    base_ts = 1_700_000_000_000
+    raw = (
+        spark.range(n)
+        .select(
+            (F.lit(base_ts) + (F.col("id") * 3_600_000 / n).cast("long"))
+            .alias("chq_timestamp"),
+            F.lit("hot_metric").alias("metric_name"),
+            F.lit("u1").alias("attr_user"),
+            (F.lit(1.0) + (F.col("id") % 997).cast("double")).alias("value"),
+        )
+    )
+
+    # structural bound: the 1h tier's concatenated pair list (the
+    # aggregation state the groupBy carries per group) holds occupied-
+    # bucket entries, not samples
+    g = gamma_for(0.01)
+    cooked = translate_metrics(raw, "metric_name", ["attr_user"])
+    dims = ["metric_name", "chq_tid", "attr_user"]
+    t10 = preaggregate_metrics(cooked, dims, sketch_gamma=g, percentiles=False)
+    t10 = t10.withColumn("_sk_pairs", fold_bucket_list(F.col("_sk_list"))).drop(
+        "_sk_list"
+    )
+    t60 = rollup_tier(t10, dims, 60_000, sketch_col="_sk_pairs")
+    t60 = t60.withColumn("_sk_pairs", merge_bucket_pairs(F.col("_sk_pairs")))
+    t1h = rollup_tier(t60, dims, 3_600_000, sketch_col="_sk_pairs")
+    sizes = t1h.select(F.size("_sk_pairs").alias("s")).collect()
+    assert len(sizes) <= 2  # one series, <= 2 hour buckets
+    distinct_buckets = 997  # values 1..997 -> at most 997 occupied buckets
+    assert max(r.s for r in sizes) <= 60 * distinct_buckets
+    assert max(r.s for r in sizes) < n / 10
+
+    # end-to-end under the default session: exact counts, p50 in contract
+    base = str(tmp_path / "hot")
+    cook_metrics(
+        raw, base, org_id="t",
+        tiers_ms=[10_000, 60_000, 3_600_000],
+        sketch_accuracy=0.01, sketch_percentiles=True,
+    )
+    seg = spark.read.parquet(f"{base}/metrics")
+    h = seg.filter(F.col("frequency_ms") == 3_600_000).collect()
+    assert sum(r.chq_rollup_count for r in h) == n
+    assert all(r.chq_sketch is not None for r in h)
+    # values are uniform over 1..997 -> true p50 ~ 499; DDSketch
+    # mid-bucket estimate carries rel error <= (gamma-1)/(gamma+1)=1%
+    # plus one bucket width of rank slack -> allow 3%
+    total = sum(r.chq_rollup_count for r in h)
+    p50 = sum(r.chq_rollup_p50 * r.chq_rollup_count for r in h) / total
+    assert math.isclose(p50, 499.0, rel_tol=0.03), p50
+
+
+def test_sketch_pairs_udf_input_stays_lambda_free(spark, raw_metrics):
+    """The coarser-tier twin of the _sk_list plan pin: the blob UDF's
+    argument at every tier past 10s is the plain ``_sk_pairs``
+    aggregate-output attribute — the fold/merge lambda expressions
+    live strictly below the tier's shuffle, so ExtractPythonUDFs sees
+    a lambda-free UDF argument (the r11 planner hazard)."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.ingest.preagg import preaggregate_metrics
+    from lakerunner_spark.ingest.rollup import rollup_tier
+    from lakerunner_spark.ingest.translate import translate_metrics
+    from lakerunner_spark.operators.ddsketch import fold_bucket_list, gamma_for
+    from lakerunner_spark.sources.chq_sketch import sketch_blob_udf
+
+    cooked = translate_metrics(raw_metrics, "metric_name", ["attr_user"])
+    g = gamma_for(0.01)
+    dims = ["metric_name", "chq_tid", "attr_user"]
+    t10 = preaggregate_metrics(cooked, dims, sketch_gamma=g, percentiles=False)
+    t10 = t10.withColumn("_sk_pairs", fold_bucket_list(F.col("_sk_list"))).drop(
+        "_sk_list"
+    )
+    t60 = rollup_tier(t10, dims, 60_000, sketch_col="_sk_pairs")
+    out = t60.withColumn(
+        "chq_sketch", sketch_blob_udf(g, from_pairs=True)(F.col("_sk_pairs"))
+    ).drop("_sk_pairs")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    enc_frag = plan[plan.index("enc(") :][:400]
+    assert "lambdafunction" not in enc_frag, enc_frag
+    # and it executes: blobs decode to the same distribution the raw
+    # samples produce (exact merge end to end)
+    row = out.filter(F.col("chq_sketch").isNotNull()).limit(1).collect()[0]
+    from lakerunner_spark.sources.chq_sketch import decode_chq_sketch
+
+    sk = decode_chq_sketch(bytes(row.chq_sketch))
+    assert sum(sk["pos"].values()) + sk["zero_count"] + sum(
+        sk["neg"].values()
+    ) == float(row.chq_rollup_count)
