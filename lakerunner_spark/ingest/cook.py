@@ -124,6 +124,7 @@ def cook_metrics(
         cooked, dims, value_col=value_col, sketch_gamma=gamma,
         percentiles=not sketch_percentiles,
     )
+    persisted: list[DataFrame] = []
     for grain in tiers:
         first = grain == 10_000
         if not first:
@@ -131,6 +132,21 @@ def cook_metrics(
                 tier_df, dims, grain,
                 sketch_col="_sk_pairs" if gamma is not None else None,
             )
+        if len(tiers) > 1:
+            # Each tier feeds TWO actions — its own segment write and
+            # the next tier's re-aggregation. Unpersisted, every tier's
+            # write recomputed the whole lineage from the raw scan
+            # (the r12 ingest probe measured input_rows = tiers x
+            # events), so a 5-tier cascade paid the 10s pre-agg five
+            # times. Persist is the idiomatic Spark cascade shape:
+            # cached state is rollup rows (series x buckets — orders
+            # of magnitude smaller than raw), MEMORY_AND_DISK spills
+            # instead of OOMing, and the finer tier's cache is
+            # released as soon as its coarser consumer materializes.
+            from pyspark import StorageLevel  # noqa: PLC0415
+
+            tier_df = tier_df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(tier_df)
         sk_col = "_sk_list" if first else "_sk_pairs"
         out = (
             tier_df.withColumn("org_id", F.lit(org_id))
@@ -185,6 +201,11 @@ def cook_metrics(
             max_records_per_file=max_records_per_file,
             mode=write_mode,
         )
+        if len(persisted) > 1:
+            # this write materialized the CURRENT tier's cache from
+            # the previous tier's — the finer cache has no consumer
+            # left and its memory funds the next tier
+            persisted.pop(0).unpersist()
         if gamma is not None and grain != tiers[-1]:
             # State-bounding fold between tiers (r11 verdict #1): the
             # NEXT tier's groupBy must concatenate occupied-bucket
@@ -209,6 +230,8 @@ def cook_metrics(
             )
             if first:
                 tier_df = tier_df.drop("_sk_list")
+    for df in persisted:
+        df.unpersist()
     return tiers
 
 
