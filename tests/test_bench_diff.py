@@ -450,3 +450,95 @@ def test_missing_work_on_either_side_keeps_wall_behavior(tmp_path):
     )
     assert "q_a" in diff["flagged"]
     assert "work_moved" not in diff["flagged"]["q_a"]
+
+
+def _ing(sec, calib, work=None):
+    s = {"sec": sec}
+    if work is not None:
+        s["work"] = work
+    return s
+
+
+def test_ingest_diff_demotes_wall_only_crossings():
+    """r11 verdict task #2: the ingest probe's cross-artifact diff
+    flags a surface's wall crossing ONLY when its deterministic work
+    counters also moved; wall-only crossings (this VM's unchanged
+    cascade swung 63-125s across windows) demote to env_flags."""
+    from tools.ingest_throughput import ingest_diff, surcharges
+
+    w = {"tasks": 200, "shuffle_read_mb": 50.0, "shuffle_write_mb": 50.0,
+         "input_rows": 10_000_000, "input_mb": 80.0, "output_mb": 5.0,
+         "spill_mb": 0.0}
+    prev = {
+        "calib_sec": 0.5,
+        "surfaces": {
+            "batch_cascade": _ing(60.0, 0.5, w),
+            "batch_sketch": _ing(100.0, 0.5, w),
+        },
+    }
+    # same work, 2x wall on one surface -> environment, not regression
+    cur = {
+        "calib_sec": 0.5,
+        "surfaces": {
+            "batch_cascade": _ing(120.0, 0.5, dict(w)),
+            "batch_sketch": _ing(101.0, 0.5, dict(w)),
+        },
+    }
+    d = ingest_diff(prev, cur)
+    assert d["flagged"] == {}
+    assert "batch_cascade" in d["env_flags"]
+    assert d["env_flags"]["batch_cascade"]["environment"] is True
+
+    # work moved (shuffle doubled, above floor+ratio) -> real flag
+    w2 = dict(w, shuffle_read_mb=120.0, shuffle_write_mb=120.0)
+    cur2 = {
+        "calib_sec": 0.5,
+        "surfaces": {"batch_cascade": _ing(120.0, 0.5, w2)},
+    }
+    d2 = ingest_diff(prev, cur2)
+    assert "batch_cascade" in d2["flagged"]
+    assert "work_evidence" in d2["flagged"]["batch_cascade"]
+
+    # calib normalization: machine uniformly 2x slower -> no crossing
+    cur3 = {
+        "calib_sec": 1.0,
+        "surfaces": {"batch_cascade": _ing(120.0, 1.0, dict(w))},
+    }
+    assert ingest_diff(prev, cur3)["flagged"] == {}
+
+    # no previous artifact -> no diff
+    assert ingest_diff(None, cur) is None
+    assert ingest_diff({}, cur) is None
+
+
+def test_ingest_surcharges_report_paired_work_deltas():
+    from tools.ingest_throughput import surcharges
+
+    wa = {"tasks": 100, "shuffle_read_mb": 10.0}
+    wb = {"tasks": 130, "shuffle_read_mb": 25.0}
+    s = surcharges({
+        "batch_10s": _ing(30.0, 0.5, wa),
+        "batch_cascade": _ing(60.0, 0.5, wb),
+        "batch_sketch": _ing(100.0, 0.5),  # no work -> wall-only entry
+    })
+    assert s["cascade_over_10s"]["wall_sec"] == 30.0
+    assert s["cascade_over_10s"]["work_delta"]["tasks"] == 30
+    assert s["cascade_over_10s"]["work_delta"]["shuffle_read_mb"] == 15.0
+    assert s["sketch_over_cascade"] == {"wall_sec": 40.0}
+    assert "stats_over_sketch" not in s
+
+
+def test_ingest_diff_raw_floor_blocks_calib_artifacts():
+    """A surface whose RAW wall improved cannot flag no matter what a
+    fast-moment calibration says (bench_diff's RAW_FLOOR rule in the
+    ingest probe — reproduces the first r12 sf1 run: raw x0.7
+    normalized to x1.97 by a polluted calib)."""
+    from tools.ingest_throughput import ingest_diff
+
+    prev = {"calib_sec": 0.5, "surfaces": {"batch_10s": {"sec": 8.9}}}
+    cur = {"calib_sec": 1.7, "surfaces": {"batch_10s": {"sec": 6.3}}}
+    d = ingest_diff(prev, cur)
+    assert d["flagged"] == {} and "env_flags" not in d
+    # but a genuine raw growth without work evidence still surfaces
+    cur2 = {"calib_sec": 0.5, "surfaces": {"batch_10s": {"sec": 13.0}}}
+    assert "batch_10s" in ingest_diff(prev, cur2)["flagged"]

@@ -31,6 +31,18 @@ same session so cross-day numbers can be normalized. Results land in
 PLANS.md ("Ingest throughput" entry). Run alone — concurrent Spark
 sessions inflate timings (bench discipline).
 
+Work adjudication (r11 verdict task #2): each surface also records the
+deterministic AppStatusStore work counters (tools/work_metrics.py —
+tasks, shuffle bytes, input rows/bytes, spill) from its best
+iteration, a ``surcharges`` section reports the PAIRED within-run
+deltas (cascade over 10s, sketch over cascade, stats over sketch) with
+work evidence, and ``ingest_diff`` compares against the previously
+committed artifact the way bench_diff does: a wall crossing whose work
+counters are unchanged is an environment note, not a regression —
+this VM's unchanged-cascade wall swung 63-125s across measurement
+windows (PLANS.md), which is exactly the noise class the bench's
+work-metric demotion already catches in production.
+
 Usage: python tools/ingest_throughput.py [sf_dir] [out_json]
 """
 
@@ -44,6 +56,89 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# a surface's wall crossing is a REGRESSION only when its work also
+# moved (same contract and thresholds as tools/bench_diff.py),
+# and — bench_diff's RAW_FLOOR rule — only when the RAW wall also
+# grew: a fast-moment calibration must not manufacture a flag on a
+# surface whose absolute time improved (the first r12 sf1 run's
+# polluted calib normalized a raw x0.7 into a x1.97 "crossing")
+WALL_RATIO_THRESHOLD = 1.3
+WORK_RATIO = 1.25
+RAW_FLOOR = 1.1
+
+
+def ingest_diff(prev: dict | None, cur: dict) -> dict | None:
+    """Compare per-surface wall seconds against the previously
+    committed artifact, calib-normalized, with bench_diff's
+    work-metric adjudication: wall crossings with unchanged work land
+    in ``env_flags`` (machine noise), only work-backed crossings in
+    ``flagged``. Pure function over the two artifact dicts (tested
+    directly)."""
+    if not prev or not prev.get("surfaces"):
+        return None
+    from tools.bench_diff import _work_moved  # noqa: PLC0415
+
+    pc, cc = prev.get("calib_sec"), cur.get("calib_sec")
+    flagged, env = {}, {}
+    for name, c in cur.get("surfaces", {}).items():
+        p = prev["surfaces"].get(name)
+        if not p or "sec" not in p or "sec" not in c:
+            continue
+        raw_ratio = c["sec"] / p["sec"] if p["sec"] else None
+        norm_ratio = (
+            (c["sec"] / cc) / (p["sec"] / pc) if pc and cc else raw_ratio
+        )
+        if norm_ratio is None or norm_ratio <= WALL_RATIO_THRESHOLD:
+            continue
+        if raw_ratio is not None and raw_ratio <= RAW_FLOOR:
+            continue  # absolute time didn't grow: calib artifact
+        entry = {
+            "prev_sec": p["sec"],
+            "cur_sec": c["sec"],
+            "raw_ratio": round(raw_ratio, 2),
+            "norm_ratio": round(norm_ratio, 2),
+        }
+        if "work" in p and "work" in c:
+            moved, evidence = _work_moved(p["work"], c["work"], WORK_RATIO)
+            entry["work_evidence"] = evidence
+            if moved:
+                flagged[name] = entry
+            else:
+                entry["environment"] = True
+                env[name] = entry
+        else:  # no work counters to adjudicate with: surface as a flag
+            flagged[name] = entry
+    out: dict = {"vs_calib": pc, "flagged": flagged}
+    if env:
+        out["env_flags"] = env
+    return out
+
+
+def surcharges(surfaces: dict) -> dict:
+    """PAIRED within-run surcharge of each ingest feature, with work
+    evidence: both sides of each pair ran minutes apart in the same
+    session, so their wall delta cancels cross-window drift, and the
+    work delta shows what the feature actually costs (extra tasks /
+    shuffle / IO) vs what is pure compute inside the same stages."""
+    pairs = [
+        ("cascade_over_10s", "batch_10s", "batch_cascade"),
+        ("sketch_over_cascade", "batch_cascade", "batch_sketch"),
+        ("stats_over_sketch", "batch_sketch", "batch_sketch_stats"),
+    ]
+    out = {}
+    for label, base, feat in pairs:
+        b, f = surfaces.get(base), surfaces.get(feat)
+        if not b or not f or "sec" not in b or "sec" not in f:
+            continue
+        entry: dict = {"wall_sec": round(f["sec"] - b["sec"], 2)}
+        if "work" in b and "work" in f:
+            entry["work_delta"] = {
+                k: round(f["work"].get(k, 0) - b["work"].get(k, 0), 3)
+                for k in f["work"]
+            }
+        out[label] = entry
+    return out
 
 
 def _calibrate(spark) -> float:
@@ -117,7 +212,9 @@ def main() -> None:
         "surfaces": {},
     }
 
-    def record(name: str, sec: float, accounted: int) -> None:
+    def record(
+        name: str, sec: float, accounted: int, work: dict | None
+    ) -> None:
         res["surfaces"][name] = {
             "sec": round(sec, 2),
             "events_per_sec": round(n_events / sec),
@@ -128,6 +225,8 @@ def main() -> None:
             # time; everything else must hit 1.0)
             "accounted_fraction": round(accounted / n_events, 4),
         }
+        if work is not None:
+            res["surfaces"][name]["work"] = work
         print(f"# {name}: {sec:.2f}s -> {n_events / sec:,.0f} ev/s"
               f" ({n_events / sec / cpus:,.0f}/core,"
               f" accounted {accounted / n_events:.4f})", file=sys.stderr)
@@ -150,16 +249,29 @@ def main() -> None:
         and the rest still run (a 10M-row streaming-state surface
         crashed once after five prior surfaces filled the session;
         standalone re-runs were clean)."""
+        import tools.work_metrics as wm  # noqa: PLC0415
+
         best = float("inf")
+        best_work = None
         path = None
         try:
             for i in range(max(1, iters)):
                 p = os.path.join(work, f"{name}_{i}")
+                cur = wm.cursor(spark)
                 t0 = time.perf_counter()
                 fn(p)
-                best = min(best, time.perf_counter() - t0)
+                sec = time.perf_counter() - t0
+                # counters read OUTSIDE the timed window (bench.py's
+                # discipline); deterministic per plan, so the best
+                # iteration's work is THE work of the surface
+                w = None
+                if cur is not None:
+                    w, _c = wm.totals_since(spark, cur)
+                if sec < best:
+                    best = sec
+                    best_work = wm.compact(w) if w is not None else None
                 path = p
-            record(name, best, verify(path))
+            record(name, best, verify(path), best_work)
         except Exception as e:  # noqa: BLE001 - keep the other surfaces
             res["surfaces"][name] = {"error": str(e)[:300]}
             print(f"# {name} FAILED: {e}", file=sys.stderr)
@@ -208,6 +320,19 @@ def main() -> None:
         ).awaitTermination(),
         lambda p: accounted_events(f"{p}/out", tier_filter=False),
     )
+
+    res["surcharges"] = surcharges(res["surfaces"])
+    # compare against the previously COMMITTED artifact at the output
+    # path (work-adjudicated — wall-only moves demote to env_flags)
+    if len(sys.argv) > 2 and os.path.exists(sys.argv[2]):
+        try:
+            with open(sys.argv[2]) as f:
+                prev = json.loads(f.readline())
+            diff = ingest_diff(prev, res)
+            if diff is not None:
+                res["ingest_diff"] = diff
+        except Exception as e:  # noqa: BLE001 - diff is advisory
+            res["ingest_diff"] = {"error": str(e)[:200]}
 
     line = json.dumps(res)
     print(line)
