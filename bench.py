@@ -629,6 +629,9 @@ def compact_summary(out: dict, limit: int = 1700) -> dict:
         "sf10rot_queries",
         "sf10rot_total_sec",
         "sf10rot_calib_sec",
+        "main_passes",
+        "main2_total_sec",
+        "main2_calib_sec",
     ):
         if out.get(k) is not None:
             c[k] = out[k]
@@ -782,6 +785,39 @@ def _sf10_rotation(prev: dict, remaining: float | None) -> list[str]:
     return picked
 
 
+def merge_main_pass(out: dict, main_res: dict, res2: dict) -> dict:
+    """Min-merge a SECOND main-section child into the cumulative
+    record (r11 verdict task #4): per-query min across the two passes
+    (each already a min over its own iterations), iters summed, the
+    second pass's total/calibs recorded as ``main2_*`` and
+    ``main_passes: 2`` so the artifact shows the discipline. Returns
+    the res-shaped dict for re-adjudicating the cross-round diff on
+    the merged mins — pass-1 work counters stand (the plan is the
+    plan); one effective calib anchor per pass, averaged by
+    compare_to_previous's start/end mean."""
+    merged = {
+        k: min(v, res2["queries"].get(k, v))
+        for k, v in out["queries"].items()
+    }
+    out["queries"] = merged
+    out["value"] = round(sum(merged.values()), 3)
+    out["iters"] = {
+        k: v + res2.get("iters", {}).get(k, 0)
+        for k, v in out["iters"].items()
+    }
+    out["main_passes"] = 2
+    out["main2_total_sec"] = res2["total"]
+    out["main2_calib_sec"] = res2["calib_sec"]
+    out["main2_calib_end_sec"] = res2["calib_end_sec"]
+    return {
+        "queries": merged,
+        "calib_sec": (main_res["calib_sec"] + main_res["calib_end_sec"]) / 2,
+        "calib_end_sec": (res2["calib_sec"] + res2["calib_end_sec"]) / 2,
+        "iters": out["iters"],
+        "work": main_res.get("work"),
+    }
+
+
 def _estimate_sec(section: str, prev: dict) -> float:
     """Projected wall for a scale section: last recorded total with
     headroom for drift plus a data-(re)generation allowance (the
@@ -819,8 +855,10 @@ def main() -> None:
         return json.dumps(snap)
 
     # main is never sacrificed: no budget check, just the heartbeat
+    t_main0 = time.monotonic()
     with _Heartbeat(lambda: snapshot("main")):
         main_res = _spawn("main")
+    main_wall = time.monotonic() - t_main0
     out.update(
         value=main_res["total"],
         queries=main_res["queries"],
@@ -983,6 +1021,45 @@ def main() -> None:
                             out[f"sf10rot_{wk}"] = res[wk]
                     diff_section(res, "sf10", "bench_diff_sf10rot")
                     _emit_lines(out)
+
+        # Second min-merged main pass (r11 verdict task #4): driver
+        # windows regularly end with unspent budget (BENCH_r11 skipped
+        # sf10 with 398s left) while the single-window main total runs
+        # raw-elevated vs the committed quiet baseline (99.6s vs 69.8
+        # in r11 — all crossings work-demoted to environment). A whole
+        # SECOND main child minutes later samples a different noise
+        # window; min-merging per query is the committed baseline's
+        # own min-of-three discipline applied inside the driver run.
+        # Runs only under a budget (local unlimited runs just rerun),
+        # only when the leftover covers the first pass's wall + 20%.
+        if wall_budget:
+            remaining = wall_budget - (time.monotonic() - t0)
+            est2 = main_wall * 1.2 + 30
+            if remaining > est2:
+                print(
+                    f"# second main pass: {remaining:.0f}s left covers"
+                    f" est {est2:.0f}s",
+                    file=sys.stderr,
+                )
+                try:
+                    with _Heartbeat(lambda: snapshot("main2")):
+                        res2 = _spawn("main")
+                except Exception as e:  # noqa: BLE001 - keep pass 1
+                    out.setdefault("section_errors", {})["main2"] = (
+                        str(e)[:200]
+                    )
+                    print(f"# main2 FAILED: {e}", file=sys.stderr)
+                    _emit_lines(out)
+                else:
+                    merged_res = merge_main_pass(out, main_res, res2)
+                    diff_section(merged_res, "main", "bench_diff")
+                    _emit_lines(out)
+            else:
+                print(
+                    f"# second main pass skipped: {remaining:.0f}s left"
+                    f" < est {est2:.0f}s",
+                    file=sys.stderr,
+                )
 
 
 if __name__ == "__main__":
