@@ -184,12 +184,20 @@ class QueryAPI:
         evaluates the expression at one timestamp and renders
         resultType=vector — the shape Grafana's "instant" toggle and
         most alerting previews send. The evaluation reuses the range
-        engine at a single step bucket: the instant value at ``time``
-        is the bucket containing it (the engine's bucket semantics
-        stand in for Prometheus's 5m staleness lookback — rollup
-        buckets ARE the staleness window here; divergence documented,
-        not hidden). ``time`` accepts epoch seconds or RFC3339;
-        ``step`` (default 60s) picks the bucket grain."""
+        engine at a single step bucket: by default the instant value
+        at ``time`` is the bucket containing it (the engine's bucket
+        semantics stand in for Prometheus's 5m staleness lookback —
+        rollup buckets ARE the staleness window here; divergence
+        documented, not hidden). ``time`` accepts epoch seconds or
+        RFC3339; ``step`` (default 60s) picks the bucket grain.
+
+        ``lookback`` (seconds or a duration string, e.g. ``5m``)
+        closes that divergence on request (r11 verdict task #5): a
+        sparse series with no sample in the bucket containing ``time``
+        answers with its NEWEST non-empty bucket whose start lies
+        within ``[time - lookback, time]`` — Prometheus's staleness
+        rule at bucket granularity. The default stays the
+        reference-faithful bucket semantics."""
         try:
             p = dict(params)
             q = p["query"]  # KeyError -> the adapter's 400 path
@@ -200,9 +208,15 @@ class QueryAPI:
                 import time as _time
 
                 t_ms = int(_time.time() * 1000)
+            lb_ms = (
+                self._prom_step_ms(p["lookback"]) if "lookback" in p else 0
+            )
             t0 = t_ms - t_ms % step
+            # widen the evaluation window to whole buckets covering
+            # the lookback; one range evaluation either way
+            start = t0 - ((lb_ms + step - 1) // step) * step
             inner = self.metrics_query(
-                {"query": q, "start_ms": t0, "end_ms": t0 + step,
+                {"query": q, "start_ms": start, "end_ms": t0 + step,
                  "step_ms": step}
             )
         except KeyError:
@@ -212,11 +226,15 @@ class QueryAPI:
                     "error": str(e)}
         result = []
         for s in inner["result"]:
-            vals = [v for ts, v in s["values"] if ts == t0 and v is not None]
+            vals = [
+                (ts, v)
+                for ts, v in s["values"]
+                if v is not None and ts <= t0 and ts >= t0 - lb_ms
+            ]
             if vals:
                 result.append(
                     {"metric": s["labels"],
-                     "value": [t_ms / 1000.0, str(vals[0])]}
+                     "value": [t_ms / 1000.0, str(max(vals)[1])]}
                 )
         return {
             "status": "success",
@@ -236,20 +254,131 @@ class QueryAPI:
         """Prometheus ``/api/v1/label/<name>/values`` (the adapter
         extracts the path parameter into ``label``): distinct values
         of one label across every metric that carries it; ``__name__``
-        yields the metric names themselves."""
+        yields the metric names themselves.
+
+        ONE Spark job per wire call (r11 verdict task #6): the
+        carrying leaves union into a single plan and distinct once —
+        the per-leaf ``distinct().collect()`` loop paid k sequential
+        driver jobs on a k-metric catalog for one HTTP request.
+        Catalyst pushes the single-column projection to each scan and
+        the final distinct is one partial-aggregated shuffle."""
         label = params["label"]
         cat = default_metric_catalog(self.spark, self.sf_dir)
         if label == "__name__":
             return {"status": "success", "data": sorted(cat._sources)}
-        vals: set = set()
-        for leaf in cat._sources.values():
-            if label in leaf.labels:
-                vals.update(
-                    r[0]
-                    for r in leaf.df.select(label).distinct().collect()
-                    if r[0] is not None
-                )
+        parts = [
+            leaf.df.select(F.col(label).cast("string").alias("value"))
+            for leaf in cat._sources.values()
+            if label in leaf.labels
+        ]
+        if not parts:
+            return {"status": "success", "data": []}
+        from functools import reduce  # noqa: PLC0415
+
+        union = reduce(lambda a, b: a.unionByName(b), parts)
+        vals = {r.value for r in union.distinct().collect()}
+        vals.discard(None)
         return {"status": "success", "data": sorted(vals)}
+
+    def prometheus_series(self, params: dict) -> dict:
+        """Prometheus ``/api/v1/series`` (r11 verdict task #7 — the
+        endpoint Grafana's metric-browse flows use): one or more
+        ``match[]`` selectors, optional ``start``/``end``, answered as
+        the list of matching series' label sets (each including
+        ``__name__``). Selectors compile through the same parser and
+        matcher stages as queries (logql/stages.label_matcher, the
+        P4 operators), so ``=``, ``!=``, ``=~``, ``!~`` behave
+        identically here and in evaluation. A matcher naming a label
+        the leaf doesn't carry is tested against the empty string
+        Python-side (Prometheus treats absent labels as empty). A
+        bare ``{label="x"}`` selector (no metric name) scans every
+        catalog leaf. Distinct label sets come from one
+        ``select(labels).distinct()`` per matched leaf — proportional
+        to series cardinality, never samples."""
+        try:
+            matches = params.get("match[]", params.get("match"))
+            if matches is None:
+                raise KeyError("match[]")
+            if isinstance(matches, str):
+                matches = [matches]
+            start = (
+                self._prom_time_ms(params["start"])
+                if "start" in params
+                else None
+            )
+            end = (
+                self._prom_time_ms(params["end"]) if "end" in params else None
+            )
+            from lakerunner_spark.logql import stages  # noqa: PLC0415
+            from lakerunner_spark.promql.parser import (  # noqa: PLC0415
+                Selector,
+            )
+
+            cat = default_metric_catalog(self.spark, self.sf_dir)
+            out: list[dict] = []
+            seen: set = set()
+            for mq in matches:
+                node = parse_promql(mq)
+                if not isinstance(node, Selector):
+                    raise ValueError(
+                        f"match[] must be a plain selector: {mq!r}"
+                    )
+                names = (
+                    [node.metric] if node.metric else sorted(cat._sources)
+                )
+                for name in names:
+                    leaf = cat._sources.get(name)
+                    if leaf is None:  # unknown metric matches nothing
+                        continue
+                    df = leaf.df
+                    ok = True
+                    for m in node.matchers:
+                        if m.label in df.columns:
+                            df = stages.label_matcher(
+                                df, m.label, m.op, m.value
+                            )
+                        elif not self._matches_absent(m):
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    if start is not None:
+                        df = df.filter(F.col(leaf.ts_col) >= start)
+                    if end is not None:
+                        df = df.filter(F.col(leaf.ts_col) <= end)
+                    for r in df.select(*leaf.labels).distinct().collect():
+                        d = {"__name__": name}
+                        d.update(
+                            (k, str(v))
+                            for k, v in r.asDict().items()
+                            if v is not None
+                        )
+                        key = tuple(sorted(d.items()))
+                        if key not in seen:
+                            seen.add(key)
+                            out.append(d)
+            out.sort(key=lambda d: tuple(sorted(d.items())))
+            return {"status": "success", "data": out}
+        except KeyError:
+            raise
+        except Exception as e:  # noqa: BLE001 - Prometheus error envelope
+            return {"status": "error", "errorType": "bad_data",
+                    "error": str(e)}
+
+    @staticmethod
+    def _matches_absent(m) -> bool:
+        """Does a matcher accept a label the series doesn't carry?
+        Prometheus semantics: absent label == empty string, so
+        ``{foo=""}`` and ``{foo!~".+"}`` match series without ``foo``.
+        Anchored full-match like the engine's rlike translation."""
+        import re  # noqa: PLC0415
+
+        if m.op == "=":
+            return m.value == ""
+        if m.op == "!=":
+            return m.value != ""
+        hit = re.fullmatch(m.value, "") is not None
+        return hit if m.op == "=~" else not hit
 
     @staticmethod
     def _rows_to_matrix(rows) -> list[dict]:
@@ -585,6 +714,7 @@ class QueryAPI:
         "/api/v1/query_range": "prometheus_query_range",
         "/api/v1/query_range/stream": "prometheus_query_range_stream",
         "/api/v1/labels": "prometheus_labels",
+        "/api/v1/series": "prometheus_series",
         "/api/v1/logs/tags": "logs_tags",
         "/api/v1/logs/tagvalues": "logs_tagvalues",
         "/api/v1/logs/query": "logs_query",
@@ -669,12 +799,28 @@ def serve(api: QueryAPI, port: int = 8080):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
             split = urlsplit(self.path)
+            def _merge(params: dict, pairs) -> dict:
+                """Repeated keys accumulate into lists — Prometheus
+                clients send several ``match[]`` params in one
+                /api/v1/series request; a plain dict() would keep only
+                the last."""
+                for k, v in pairs:
+                    if k in params:
+                        prev = params[k]
+                        params[k] = (
+                            prev + [v] if isinstance(prev, list)
+                            else [prev, v]
+                        )
+                    else:
+                        params[k] = v
+                return params
+
             try:
-                params: dict[str, Any] = dict(parse_qsl(split.query))
+                params: dict[str, Any] = _merge({}, parse_qsl(split.query))
                 if body:
                     ctype = (self.headers.get("Content-Type") or "").lower()
                     if "x-www-form-urlencoded" in ctype:
-                        params.update(dict(parse_qsl(body.decode())))
+                        _merge(params, parse_qsl(body.decode()))
                     else:
                         params.update(json.loads(body))
                 out = api.handle(split.path, params)

@@ -45,6 +45,7 @@ def test_all_routes_answer(api):
         "/api/v1/spans/trace/stream": {"trace_id": "_none_"},
         "/api/v1/promql/validate": {"query": "rate(events[5m])"},
         "/api/v1/logql/validate": {"query": '{a="b"} |= "x"'},
+        "/api/v1/series": {"match[]": 'events{event_type="error"}'},
     }
     for route in QueryAPI.ROUTES:
         out = api.handle(route, params_by_route.get(route))
@@ -801,3 +802,194 @@ def test_prometheus_labels_and_label_values(api):
 
     with _pytest.raises(_Q.RouteNotFound):
         api.handle("/api/v1/label//values")
+
+
+def test_prometheus_instant_query_lookback(api):
+    """r11 verdict task #5: the instant query's optional ``lookback``
+    serves a sparse series' NEWEST non-empty bucket within the window
+    (Prometheus's 5m staleness rule at bucket granularity); the
+    DEFAULT stays the reference-faithful bucket semantics — both modes
+    pinned here."""
+    start_s, end_s = _events_window_s(api)
+    probe = api.metrics_query({
+        "query": "sum by (event_type) (events)",
+        "start_ms": int(start_s * 1000), "end_ms": int(end_s * 1000),
+        "step_ms": 60_000,
+    })
+    # a (series, bucket) whose NEXT bucket holds no sample
+    series = None
+    for s in probe["result"]:
+        have = {ts for ts, v in s["values"] if v is not None}
+        for ts in sorted(have):
+            if ts + 60_000 not in have and ts + 60_000 <= end_s * 1000:
+                series, bucket, val = s, ts, dict(s["values"])[ts]
+                break
+        if series:
+            break
+    assert series, "fixture has no sparse 60s series"
+    t_s = (bucket + 60_000 + 30_000) / 1000.0  # inside the EMPTY bucket
+    key = tuple(sorted(series["labels"].items()))
+
+    # default bucket semantics: the empty bucket answers nothing
+    dflt = api.handle("/api/v1/query", {
+        "query": "sum by (event_type) (events)", "time": t_s, "step": 60,
+    })
+    got_dflt = {
+        tuple(sorted(s["metric"].items())) for s in dflt["data"]["result"]
+    }
+    assert key not in got_dflt
+
+    # lookback=5m: the previous bucket's value, timestamped at `time`
+    lb = api.handle("/api/v1/query", {
+        "query": "sum by (event_type) (events)", "time": t_s, "step": 60,
+        "lookback": "5m",
+    })
+    got_lb = {
+        tuple(sorted(s["metric"].items())): s["value"]
+        for s in lb["data"]["result"]
+    }
+    assert key in got_lb
+    assert float(got_lb[key][1]) == val
+    assert got_lb[key][0] == t_s
+    # a lookback too short to reach the previous bucket changes nothing
+    short = api.handle("/api/v1/query", {
+        "query": "sum by (event_type) (events)", "time": t_s, "step": 60,
+        "lookback": 10,
+    })
+    got_short = {
+        tuple(sorted(s["metric"].items())) for s in short["data"]["result"]
+    }
+    assert key not in got_short
+
+
+def test_prometheus_label_values_single_job_many_metrics(
+    api, spark, monkeypatch
+):
+    """r11 verdict task #6: /api/v1/label/<name>/values issues ONE
+    Spark job for a k-metric catalog (unioned plan, one distinct, one
+    collect) and returns the same values the per-leaf loop did."""
+    import lakerunner_spark.api as apimod
+    from pyspark.sql import DataFrame
+    from lakerunner_spark.promql.compiler import LeafSource, MetricCatalog
+
+    leaves = {}
+    values = {"m1": ["a", "b"], "m2": ["b", "c"], "m3": ["d"]}
+    for name, vals in values.items():
+        df = spark.createDataFrame(
+            [(1_000, v, 1.0) for v in vals] + [(2_000, None, 2.0)],
+            "chq_timestamp long, region string, value double",
+        )
+        leaves[name] = LeafSource(df, ["region"])
+    # one leaf NOT carrying the label must not break the union
+    leaves["m4"] = LeafSource(
+        spark.createDataFrame(
+            [(1_000, "x", 1.0)],
+            "chq_timestamp long, other string, value double",
+        ),
+        ["other"],
+    )
+    cat = MetricCatalog(leaves)
+    monkeypatch.setattr(
+        apimod, "default_metric_catalog", lambda s, d: cat
+    )
+    collects = []
+    # patch the CONCRETE class (Spark 4 instances are
+    # pyspark.sql.classic subclasses overriding the abstract base)
+    cls = type(leaves["m1"].df)
+    orig = cls.collect
+    monkeypatch.setattr(
+        cls, "collect",
+        lambda self: (collects.append(1), orig(self))[1],
+    )
+    out = api.prometheus_label_values({"label": "region"})
+    assert out["data"] == ["a", "b", "c", "d"]
+    assert len(collects) == 1, f"{len(collects)} collects for one call"
+    # __name__ and absent-label paths
+    assert api.prometheus_label_values({"label": "__name__"})["data"] == [
+        "m1", "m2", "m3", "m4"
+    ]
+    assert api.prometheus_label_values({"label": "nope"})["data"] == []
+
+
+def test_prometheus_series_endpoint(api):
+    """r11 verdict task #7: /api/v1/series answers match[] selectors
+    with distinct label sets incl __name__ — the Prometheus wire shape
+    Grafana's browse flows consume."""
+    out = api.handle(
+        "/api/v1/series", {"match[]": 'events{event_type="error"}'}
+    )
+    assert out["status"] == "success"
+    assert out["data"], "selector should match series"
+    for d in out["data"]:
+        assert d["__name__"] == "events"
+        assert d["event_type"] == "error"
+    # distinct + sorted, matches the catalog's own distinct count
+    keys = [tuple(sorted(d.items())) for d in out["data"]]
+    assert keys == sorted(set(keys))
+
+    # bare selector (no metric name) scans the catalog
+    bare = api.handle(
+        "/api/v1/series", {"match": '{event_type="error"}'}
+    )
+    assert bare["data"] == out["data"]
+
+    # regex matcher routes through the same stage operators
+    rex = api.handle(
+        "/api/v1/series", {"match[]": 'events{event_type=~"err.*"}'}
+    )
+    assert {d["event_type"] for d in rex["data"]} == {"error"}
+
+    # absent label: ="" matches everything, !="" nothing
+    all_s = api.handle("/api/v1/series", {"match[]": 'events{nope=""}'})
+    none_s = api.handle("/api/v1/series", {"match[]": 'events{nope!=""}'})
+    assert len(all_s["data"]) > len(out["data"])
+    assert none_s["data"] == []
+
+    # unknown metric matches nothing; non-selector -> error envelope;
+    # missing match[] -> the adapter's 400 (KeyError)
+    assert api.handle("/api/v1/series", {"match[]": "nosuch"})["data"] == []
+    bad = api.handle("/api/v1/series", {"match[]": "rate(events[5m])"})
+    assert bad["status"] == "error" and bad["errorType"] == "bad_data"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        api.prometheus_series({})
+
+
+def test_series_wire_multiple_match_params(api):
+    """Prometheus clients send REPEATED match[] query params; the
+    adapter must accumulate them into a list (a plain dict(parse_qsl)
+    kept only the last — the r12 fix), and the endpoint unions the
+    selectors' results."""
+    server = serve(api, port=18327)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        from urllib.parse import quote
+
+        m1 = quote('events{event_type="error"}')
+        m2 = quote('events{event_type="purchase"}')
+        url = (
+            "http://127.0.0.1:18327/api/v1/series"
+            f"?match%5B%5D={m1}&match%5B%5D={m2}"
+        )
+        with urllib.request.urlopen(url) as resp:
+            assert resp.status == 200
+            out = json.loads(resp.read())
+        assert out["status"] == "success"
+        types = {d["event_type"] for d in out["data"]}
+        assert types == {"error", "purchase"}
+        # single param still works (scalar, not list)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18327/api/v1/series?match%5B%5D={m1}"
+        ) as resp:
+            one = json.loads(resp.read())
+        assert {d["event_type"] for d in one["data"]} == {"error"}
+        # missing match[] -> 400
+        try:
+            urllib.request.urlopen("http://127.0.0.1:18327/api/v1/series")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
