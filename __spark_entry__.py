@@ -52,72 +52,101 @@ def entry(spark: SparkSession) -> DataFrame:
 # ingest/join/agg/window/frontends/relational/dataops/multimodal) —
 # the remaining registrations follow in registration order.
 _PRIORITY = [
-    # r11 rotation (r10 verdict task #5: the r10 top-50 was identical
-    # to r9's; each round's gate should certify a DIFFERENT 50 under
-    # the driver's own runner). Rotated IN (16): the three NEW
-    # NULL-planted gate variants (ds9n/txt12n/txt13n — r10 verdict
-    # task #4: gate rows that exercise NULL group keys every round),
-    # plus never- or long-ago-gated entries per the verdict's list —
-    # a9x_deriv, pqs4 (range-fn family), ds10/ds11/ds13 (sampling),
-    # sim5/sim6/sim7 (ANN family), sp5/sp7 (spans plane),
-    # lqs23/lqs24 (LogQL or-filters), f17 (ts normalization).
-    # Rotated DOWN (16, all gate-certified in BOTH r9 and r10, their
-    # families still above the line): a3/a9 (carried by a9x/pqs4/
-    # cook1/pqs1), dd11 (dd11v), chq1 (chq2), q1/q3/q5 (q18/q21),
-    # ds8/ds3/ds14 (ds10-13), dd2/dd12/dd16/dd14 (dd7/dd12s/dd13/
-    # dd17/dd18), mm7 (ddm1-5), pqs48 (pqs43/otlp1).
+    # r12 rotation (r11 verdict task #3: >=15 entries, rotating in
+    # never-gated families). Rotated IN (21): the WHOLE multimodal
+    # feature family mm1-mm7 (never gated), dd15/ds15 (funnel +
+    # length histogram), lqs15/lqs17/lqs19 (pattern/ip/unpack),
+    # pqs37/pqs39/pqs40 (time arith, @ modifier, limitk), w3
+    # (last_over_time), f9/f10 (unary math, clamp), a14/a15/a16
+    # (summary stats, distinct tag values, metric metadata — the A14-
+    # A16 rows' first gate pass). Rotated DOWN (21, every one
+    # gate-certified green in CORRECTNESS_r11, families still above
+    # the line): a9x/pqs1 (range fns carried by w3/pqs4/lqs1), a8
+    # (topk carried by pqs40's two-phase router), pqs23 (binary via
+    # j1), sp5/sp8 (spans via sp7), lqs23/lqs24 (line/label filters
+    # via lqs15/lqs17), otlp1 (exp-histograms via pqs43), txt12s
+    # (CCNet via txt12n/txt13/txt13n), q21 (relational via q18),
+    # ds9s (via ds9n), ds10/ds11 (sampling via ds12/ds15),
+    # dd11v (substring via dd13/dd17/dd18), dd12s (semantic via
+    # ddm4), sim5/sim6/sim7 (ANN via sim8), ddm1/ddm5 (media
+    # near-dup via ddm3/ddm4 + mm1-mm7). The NULL-key trio stays
+    # under the gate every round (r10 task #4 standing), and
+    # cook1/chq2/chq3 stay up to re-certify this round's bounded
+    # sketch-cascade rewrite (r11 verdict #1).
     "s1_scan_project_filter",
     "cook1_metrics_tid",
-    "a9x_deriv",
-    "a8_topk",
     "a13_aggfile_route",
     "a6_hll_rollup_merge",
     "j1_vector_arith",
-    "pqs1_sum_rate",
     "pqs4_quantile_over_time",
-    "sp8_error_trace_spans",
-    "sp5_trace_rollup",
     "sp7_operation_latency_sketch",
     "pqs18_quantile_sketch_route",
-    "pqs23_group_left_share",
     "lqs1_log_rate",
     "lqs3_unwrap_max",
-    "lqs23_or_line_filter",
-    "lqs24_label_filter_or",
     "f17_ts_normalize",
-    "otlp1_exp_histogram_quantile",
-    "txt12s_ccnet_sketch_buckets",
     "txt12n_sketch_buckets_null_keys",
     "ds9n_sketch_filter_null_keys",
     "txt13n_pipeline_null_keys",
     "tpch_q18_large_volume",
-    "tpch_q21_waiting_supplier",
-    "ds9s_quality_sketch_filter",
-    "ds10_temperature_mixture",
-    "ds11_epoch_shuffle",
     "chq3_sketch_stats_segments",
-    "dd11v_substring_verify",
     "pqs43_native_histogram_quantile",
     "maint1_compaction_requery",
-    "dd12s_semantic_dedup_sampled",
     "dd7_neardup_clusters",
     "dd13_substring_decontaminate",
     "dd17_decontaminate_spans",
-    "sim5_kmeans",
-    "sim6_random_projection",
-    "sim7_pq_topk",
-    "ddm1_image_neardup",
     "sim8_ann_frontier",
     "ds12_dsir_selection",
     "txt13_ccnet_pipeline",
     "dd18_substring_pipeline",
     "ddm3_video_neardup",
     "ddm4_semantic_image_dedup",
-    "ddm5_audio_neardup",
     "chq2_cooked_sketch_segments",
     "o4_ordered_slices_concat",
+    "mm1_byte_histogram",
+    "mm2_png_features",
+    "mm3_wav_features",
+    "mm4_bmp_features",
+    "mm5_avi_frame_stats",
+    "mm6_audio_frames",
+    "mm7_image_patches",
+    "dd15_dedup_funnel",
+    "ds15_length_histogram",
+    "lqs15_pattern_line_filter",
+    "lqs17_ip_filter",
+    "lqs19_unpack",
+    "pqs37_time_arith",
+    "pqs39_at_modifier",
+    "pqs40_limitk",
+    "w3_last_over_time",
+    "f9_math_unary",
+    "f10_clamp",
+    "a14_summary",
+    "a15_distinct_values",
+    "a16_metadata",
     # -- below the driver's 50-sample line ------------------------------
-    # (late-r11: ds13 moves down for chq3_sketch_stats_segments, the
+    # r12 downs (all r11-gate-certified; see rotation note above):
+    "a9x_deriv",
+    "a8_topk",
+    "pqs1_sum_rate",
+    "pqs23_group_left_share",
+    "sp8_error_trace_spans",
+    "sp5_trace_rollup",
+    "lqs23_or_line_filter",
+    "lqs24_label_filter_or",
+    "otlp1_exp_histogram_quantile",
+    "txt12s_ccnet_sketch_buckets",
+    "tpch_q21_waiting_supplier",
+    "ds9s_quality_sketch_filter",
+    "ds10_temperature_mixture",
+    "ds11_epoch_shuffle",
+    "dd11v_substring_verify",
+    "dd12s_semantic_dedup_sampled",
+    "sim5_kmeans",
+    "sim6_random_projection",
+    "sim7_pq_topk",
+    "ddm1_image_neardup",
+    "ddm5_audio_neardup",
+    # (late-r11: ds13 moved down for chq3_sketch_stats_segments, the
     # round's new reference-faithful sketch-percentiles surface; ds13's
     # sampling family stays above via ds10/ds11/ds12)
     "ds13_weighted_sample",
@@ -135,7 +164,6 @@ _PRIORITY = [
     "dd16_substring_remove",
     "dd14_global_paragraph_dedup",
     "ds3_sequence_pack",
-    "mm7_image_patches",
     "pqs48_native_histogram_mixed_schema",
     # below the driver's 50-sample line: every entry above touches a
     # distinct operator family; these variants stay oracle-checked in
@@ -173,23 +201,17 @@ _PRIORITY = [
     "dd3_jaccard_verify",
     "txt12_ccnet_buckets",
     "txt11_paragraph_dedup",
-    "mm6_audio_frames",
     "pqs44_native_histogram_fraction",
-    "ds15_length_histogram",
     "pqs42_native_histogram_fields",
-    "dd15_dedup_funnel",
     "txt10_bm25",
     "a5_sketch_quantiles",
     "pqs20_predict_linear",
     "lqs10_label_replace",
     "ds4_domain_mixture",
-    "lqs19_unpack",
-    "pqs39_at_modifier",
     "lqs12_pattern",
     "dd8_decontaminate",
     "sim1_cosine_topk",
     "fp1_structural_fingerprint",
-    "mm1_byte_histogram",
     "a1_preagg_10s",
     "a2_rollup_chain",
     "o1_order_limit",
@@ -199,7 +221,6 @@ _PRIORITY = [
     "sp3_trace_lookup",
     "a6_cardinality",
     "lqs9_decolorize",
-    "lqs15_pattern_line_filter",
     "sp4_span_duration_rate",
     "lqs21_ipv6_filter",
     "lqs22_logfmt_error",
@@ -207,15 +228,12 @@ _PRIORITY = [
     "txt9_unigram_logprob",
     "dd5_embedding_neardup",
     "ds6_chunk_documents",
-    "mm5_avi_frame_stats",
     "dd1_dedup_exact",
     "ds1_hash_split",
     "txt1_text_stats",
     "txt5_repetition_filter",
     "lqs16_duration_bytes_filter",
-    "lqs17_ip_filter",
     "lqs18_error_label",
-    "pqs40_limitk",
     "ds5_token_budget_cap",
     "pqs41_limit_ratio",
     "x1_ddsketch_signed_median",
@@ -226,7 +244,6 @@ _PRIORITY = [
     "pqs16_label_replace",
     "lqs4_exemplar",
     "tpch_q13_order_distribution",
-    "mm2_png_features",
     "u2_union_streams",
     "w5_running_revenue",
 ]
