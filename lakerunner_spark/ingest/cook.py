@@ -127,26 +127,12 @@ def cook_metrics(
     persisted: list[DataFrame] = []
     for grain in tiers:
         first = grain == 10_000
+        last = grain == tiers[-1]
         if not first:
             tier_df = rollup_tier(
                 tier_df, dims, grain,
                 sketch_col="_sk_pairs" if gamma is not None else None,
             )
-        if len(tiers) > 1:
-            # Each tier feeds TWO actions — its own segment write and
-            # the next tier's re-aggregation. Unpersisted, every tier's
-            # write recomputed the whole lineage from the raw scan
-            # (the r12 ingest probe measured input_rows = tiers x
-            # events), so a 5-tier cascade paid the 10s pre-agg five
-            # times. Persist is the idiomatic Spark cascade shape:
-            # cached state is rollup rows (series x buckets — orders
-            # of magnitude smaller than raw), MEMORY_AND_DISK spills
-            # instead of OOMing, and the finer tier's cache is
-            # released as soon as its coarser consumer materializes.
-            from pyspark import StorageLevel  # noqa: PLC0415
-
-            tier_df = tier_df.persist(StorageLevel.MEMORY_AND_DISK)
-            persisted.append(tier_df)
         sk_col = "_sk_list" if first else "_sk_pairs"
         out = (
             tier_df.withColumn("org_id", F.lit(org_id))
@@ -158,7 +144,15 @@ def cook_metrics(
             # the single Arrow codec seam of this path (histogram fold
             # included: see sketch_blob_udf from_list/from_pairs). The
             # stats variant additionally derives p25..p99 from the
-            # same fold — blob + percentiles in ONE seam. The UDF
+            # same fold — blob + percentiles in ONE seam. Tiers that
+            # feed a coarser tier ALSO emit the canonical
+            # occupied-bucket pair list from that same fold (the
+            # state-bounding cascade state, r11 verdict #1) — the pair
+            # list used to be a second, interpreted JVM higher-order
+            # fold over every tier row, measured at ~1.5x normalized
+            # on the 2-tier chq2 cook (OPTIMIZATION_r12.md); per-group
+            # state at every coarser tier stays <= tier-ratio x
+            # occupied buckets, independent of cadence. The UDF
             # argument is always the raw aggregate-output attribute
             # (never a folded expression — the lambda-closure
             # extraction hazard, ingest/preagg.py).
@@ -178,13 +172,22 @@ def cook_metrics(
                         for n, q in zip(_P_NAMES, PERCENTILES)
                     },
                     from_pairs=not first,
+                    with_pairs=not last,
                 )
-                out = (
-                    out.withColumn("_st", stats(F.col(sk_col)))
-                    .drop(sk_col)
-                    .select("*", "_st.*")
-                    .drop("_st")
+                out = out.withColumn("_st", stats(F.col(sk_col))).drop(
+                    sk_col
                 )
+            elif not last:
+                from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
+                    sketch_blob_pairs_udf,
+                )
+
+                out = out.withColumn(
+                    "_st",
+                    sketch_blob_pairs_udf(
+                        gamma, from_list=first, from_pairs=not first
+                    )(F.col(sk_col)),
+                ).drop(sk_col)
             else:
                 from lakerunner_spark.sources.chq_sketch import (  # noqa: PLC0415
                     sketch_blob_udf,
@@ -196,8 +199,30 @@ def cook_metrics(
                         gamma, from_list=first, from_pairs=not first
                     )(F.col(sk_col)),
                 ).drop(sk_col)
+        if len(tiers) > 1:
+            # Each tier feeds TWO actions — its own segment write and
+            # the next tier's re-aggregation. Unpersisted, every tier's
+            # write recomputed the whole lineage from the raw scan
+            # (the r12 ingest probe measured input_rows = tiers x
+            # events), so a 5-tier cascade paid the 10s pre-agg five
+            # times. Persist is the idiomatic Spark cascade shape:
+            # cached state is rollup rows (series x buckets — orders
+            # of magnitude smaller than raw), MEMORY_AND_DISK spills
+            # instead of OOMing, and the finer tier's cache is
+            # released as soon as its coarser consumer materializes.
+            # The persist sits AFTER the codec seam so the Python UDF
+            # runs once per row for both consumers (write + rollup).
+            from pyspark import StorageLevel  # noqa: PLC0415
+
+            out = out.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(out)
+        wout = out
+        if "_st" in out.columns:
+            wout = out.select("*", "_st.*").drop("_st")
+            if "pairs" in wout.columns:
+                wout = wout.drop("pairs")
         write_segments(
-            out, f"{base_path}/metrics", "metrics",
+            wout, f"{base_path}/metrics", "metrics",
             max_records_per_file=max_records_per_file,
             mode=write_mode,
         )
@@ -206,30 +231,12 @@ def cook_metrics(
             # the previous tier's — the finer cache has no consumer
             # left and its memory funds the next tier
             persisted.pop(0).unpersist()
-        if gamma is not None and grain != tiers[-1]:
-            # State-bounding fold between tiers (r11 verdict #1): the
-            # NEXT tier's groupBy must concatenate occupied-bucket
-            # (b, c) pairs, not per-sample bucket ids — a 1h group of
-            # a high-rate series would otherwise hold one long per raw
-            # sample (unbounded in cadence) where the reference's
-            # DDSketch store holds occupied buckets. The fold sits
-            # strictly BETWEEN two shuffle barriers (this tier's
-            # aggregate and the next tier's), so its JVM lambda
-            # expressions can never collapse into the blob UDF's
-            # argument (the ExtractPythonUDFs hazard above). Per-group
-            # state at every coarser tier is then <= tier-ratio x
-            # occupied buckets (~hundreds), independent of cadence.
-            from lakerunner_spark.operators.ddsketch import (  # noqa: PLC0415
-                fold_bucket_list,
-                merge_bucket_pairs,
-            )
-
-            fold = fold_bucket_list if first else merge_bucket_pairs
-            tier_df = tier_df.withColumn(
-                "_sk_pairs", fold(F.col(sk_col))
-            )
-            if first:
-                tier_df = tier_df.drop("_sk_list")
+        if not last:
+            tier_df = out
+            if gamma is not None:
+                tier_df = tier_df.withColumn(
+                    "_sk_pairs", F.col("_st.pairs")
+                ).drop("_st")
     for df in persisted:
         df.unpersist()
     return tiers

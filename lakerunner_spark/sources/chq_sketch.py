@@ -337,6 +337,65 @@ def sketch_blob_udf(
     return pandas_udf(enc, "binary")
 
 
+_PAIRS_T = "array<struct<b:bigint,c:bigint>>"
+
+
+def _canonical_pairs(cnt) -> list[dict]:
+    """bucket->count map -> the canonical occupied-bucket pair list
+    (ascending bucket, one entry per distinct bucket) — the same value
+    operators/ddsketch.py fold_bucket_list / merge_bucket_pairs
+    produce (integer-exact, engine-portable)."""
+    return [{"b": int(b), "c": int(c)} for b, c in sorted(cnt.items())]
+
+
+def sketch_blob_pairs_udf(
+    gamma: float, from_list: bool = False, from_pairs: bool = False
+):
+    """``struct<chq_sketch binary, pairs array<struct<b,c>>>`` pandas
+    UDF: the :func:`sketch_blob_udf` codec seam ALSO emitting the
+    canonical occupied-bucket pair list the next rollup tier
+    concatenates (ingest/cook.py). The histogram fold the blob encode
+    already pays (Counter of the list / merge of the pairs) IS the
+    state-bounding fold of the cascade, so deriving ``pairs`` here
+    costs one Arrow column instead of a second, interpreted JVM
+    higher-order fold over every tier row (the r12 chq2 bench
+    regression: the fold_bucket_list/merge_bucket_pairs expressions
+    measured ~1.5x normalized on the 2-tier cook; same-window
+    adjudication in OPTIMIZATION_r12.md). Value contract: ``pairs``
+    is bit-identical to fold_bucket_list(list) / merge_bucket_pairs
+    (pairs) — NULL in -> NULL pairs, empty in -> empty pairs
+    (tests/test_cook.py::test_blob_pairs_udf_matches_fold)."""
+    import pandas as pd  # noqa: PLC0415
+    from collections import Counter  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    if from_list == from_pairs:
+        raise ValueError(
+            "sketch_blob_pairs_udf: exactly one of from_list/from_pairs"
+        )
+
+    def run(vals):
+        blobs: list = []
+        pairs: list = []
+        for a in vals:
+            if a is None:
+                blobs.append(None)
+                pairs.append(None)
+                continue
+            if len(a) == 0:
+                blobs.append(None)
+                pairs.append([])
+                continue
+            cnt = _pairs_to_buckets(a) if from_pairs else Counter(a)
+            blobs.append(encode_engine_sketch(cnt, gamma))
+            pairs.append(_canonical_pairs(cnt))
+        return pd.DataFrame({"chq_sketch": blobs, "pairs": pairs})
+
+    run.__annotations__ = {"vals": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(run, f"chq_sketch binary, pairs {_PAIRS_T}")
+
+
 def engine_bucket_quantiles(
     buckets: dict, gamma: float, qs: list[float]
 ) -> list[float]:
@@ -375,7 +434,10 @@ def engine_bucket_quantiles(
 
 
 def sketch_stats_udf(
-    gamma: float, percentiles: dict[str, float], from_pairs: bool = False
+    gamma: float,
+    percentiles: dict[str, float],
+    from_pairs: bool = False,
+    with_pairs: bool = False,
 ):
     """struct<chq_sketch binary, <name> double, ...> pandas UDF over an
     ``array<bigint>`` of per-sample engine bucket ids (the fused
@@ -393,7 +455,13 @@ def sketch_stats_udf(
     instead — ``array<struct<b:bigint,c:bigint>>`` occupied-bucket
     pairs (operators/ddsketch.py fold_bucket_list), duplicates merged
     here; n is the summed count, and the rank walk is identical (the
-    bucket algebra never needed per-sample order)."""
+    bucket algebra never needed per-sample order).
+
+    ``with_pairs=True`` additionally emits the canonical pair list in
+    a ``pairs`` field — the next tier's cascade state — from the
+    histogram the seam already folds (see
+    :func:`sketch_blob_pairs_udf`: one Arrow column instead of a
+    second interpreted JVM fold)."""
     import pandas as pd  # noqa: PLC0415
     from collections import Counter  # noqa: PLC0415
 
@@ -402,6 +470,8 @@ def sketch_stats_udf(
     names = list(percentiles)
     qs = [percentiles[n] for n in names]
     schema = "chq_sketch binary, " + ", ".join(f"{n} double" for n in names)
+    if with_pairs:
+        schema += f", pairs {_PAIRS_T}"
     # hoisted out of the per-row path (engine_bucket_quantiles is the
     # readable spec of this loop, but it re-imports and re-sorts per
     # call — too slow for the 8M-row ingest seam): same rank rule,
@@ -417,15 +487,21 @@ def sketch_stats_udf(
     def run(vals):
         blobs: list = []
         pcols: list[list] = [[] for _ in names]
+        prs: list = []
         for a in vals:
             if a is None or len(a) == 0:
                 blobs.append(None)
                 for col in pcols:
                     col.append(None)
+                prs.append(None if a is None else [])
                 continue
             cnt = _pairs_to_buckets(a) if from_pairs else Counter(a)
             blobs.append(encode_engine_sketch(cnt, gamma))
             items = sorted(cnt.items())
+            if with_pairs:
+                prs.append(
+                    [{"b": int(b), "c": int(c)} for b, c in items]
+                )
             n = sum(cnt.values()) if from_pairs else len(a)
             for qi, q in enumerate(qs):
                 rank = floor(q * (n - 1))
@@ -442,9 +518,10 @@ def sketch_stats_udf(
                             val = -2.0 * gamma ** (_NEG_BASE - b) / gp1
                         break
                 pcols[qi].append(val)
-        return pd.DataFrame(
-            {"chq_sketch": blobs, **dict(zip(names, pcols))}
-        )
+        out = {"chq_sketch": blobs, **dict(zip(names, pcols))}
+        if with_pairs:
+            out["pairs"] = prs
+        return pd.DataFrame(out)
 
     run.__annotations__ = {"vals": pd.Series, "return": pd.DataFrame}
     return pandas_udf(run, schema)

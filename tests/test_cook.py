@@ -318,6 +318,60 @@ def test_bucket_pair_fold_matches_counter(spark):
     assert [(e.b, e.c) for e in m] == [(-2, 7), (3, 6), (5, 2)]
 
 
+def test_blob_pairs_udf_matches_fold(spark):
+    """The combined codec seam (blob + canonical pairs in ONE Arrow
+    UDF — the r12 replacement for the per-tier JVM fold) must emit
+    pair lists bit-identical to the fold_bucket_list /
+    merge_bucket_pairs operators it displaced from ingest/cook.py,
+    including the NULL/empty contracts, and blobs identical to
+    sketch_blob_udf's."""
+    from pyspark.sql import functions as F
+
+    from lakerunner_spark.operators.ddsketch import (
+        fold_bucket_list,
+        gamma_for,
+        merge_bucket_pairs,
+    )
+    from lakerunner_spark.sources.chq_sketch import (
+        sketch_blob_pairs_udf,
+        sketch_blob_udf,
+    )
+
+    g = gamma_for(0.01)
+    lists = [[5, 5, 3, 5, -2, 3], [], None, [7], [0] * 40 + [1] * 2]
+    df = spark.createDataFrame([(x,) for x in lists], "xs array<bigint>")
+    got = df.select(
+        sketch_blob_pairs_udf(g, from_list=True)("xs").alias("st"),
+        fold_bucket_list("xs").alias("fold"),
+        sketch_blob_udf(g, from_list=True)("xs").alias("blob"),
+    ).collect()
+    for r in got:
+        assert r.st.pairs == r.fold
+        assert r.st.chq_sketch == r.blob
+
+    dup = spark.createDataFrame(
+        [([(3, 2), (5, 1), (3, 4), (-2, 7), (5, 1)],), ([],), (None,)],
+        "p array<struct<b:bigint,c:bigint>>",
+    )
+    got = dup.select(
+        sketch_blob_pairs_udf(g, from_pairs=True)("p").alias("st"),
+        merge_bucket_pairs("p").alias("merge"),
+        sketch_blob_udf(g, from_pairs=True)("p").alias("blob"),
+    ).collect()
+    for r in got:
+        assert r.st.pairs == r.merge
+        assert r.st.chq_sketch == r.blob
+
+    # cook's coarser-tier UDF argument stays the plain aggregate
+    # output (the ExtractPythonUDFs lambda hazard): with the fold gone
+    # there is no lambda anywhere near the seam by construction, but
+    # pin the executed shape anyway
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        sketch_blob_pairs_udf(g)
+
+
 def test_sketch_cascade_bounded_state_high_rate_series(spark, tmp_path):
     """r11 verdict #1 acceptance: a high-rate series (300K samples into
     ONE 1h aggregation group) cooks under the test session's default
