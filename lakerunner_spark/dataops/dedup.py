@@ -615,6 +615,66 @@ def semantic_dedup(
     )
 
 
+def _pair_scan_fn(threshold: float):
+    """Per-cluster quadratic cosine scan as one vectorized numpy batch
+    (the guide-§4.2 shape: Spark does the cluster shuffle, numpy does
+    the O(n²·d) arithmetic). BIT-IDENTICAL to the JVM fold join it
+    replaces: every float op matches the zip_with/aggregate fold's
+    IEEE evaluation order — norms and dots accumulate dim-by-dim
+    (``acc += x_j * y_j`` for j = 0..d-1, the fold's left-to-right
+    order, vectorized across the pair axis, never BLAS-reordered), the
+    round is the same ``floor(c*1e4 + 0.5)/1e4``, and per drop_id the
+    lowest keep_id wins (pairs are unique, so ``min(struct(keep,
+    cos))`` is exactly first-by-keep). Probed equal on the live
+    fixture and pinned by test_semantic_pair_engines_equal."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_vid").reset_index(drop=True)
+        ids = pdf["_vid"].to_numpy()
+        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        n, d = V.shape
+        nrm2 = np.zeros(n)
+        for j in range(d):
+            nrm2 += V[:, j] * V[:, j]
+        nrm = np.sqrt(nrm2)
+        ok = nrm > 0
+        dot = np.zeros((n, n))
+        for j in range(d):
+            c = V[:, j]
+            dot += np.outer(c, c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / np.outer(nrm, nrm)
+        cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+        iu, ju = np.triu_indices(n, k=1)
+        m = ok[iu] & ok[ju] & (cos[iu, ju] >= threshold)
+        ka, dr, cz = iu[m], ju[m], cos[iu, ju][m]
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype=pdf["cluster"].dtype),
+                "keep_id": pd.Series([], dtype="int64"),
+                "drop_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(ka) == 0:
+            return empty
+        order = np.lexsort((ka, dr))  # by drop, then keep
+        first = np.unique(dr[order], return_index=True)[1]
+        sel = order[first]
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(sel), pdf["cluster"].iloc[0]),
+                "keep_id": ids[ka[sel]],
+                "drop_id": ids[dr[sel]],
+                "cosine": cz[sel],
+            }
+        )
+
+    return fn
+
+
 def _pairs_within_clusters(
     corpus: DataFrame,
     assign: DataFrame,
@@ -622,11 +682,38 @@ def _pairs_within_clusters(
     id_col: str,
     vec_col: str,
     checkpoint_dir: str | None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """The SemDeDup pair stage, shared by :func:`semantic_dedup` and
     :func:`semantic_dedup_sampled`: join the (id, cluster) assignment
     onto the packed vectors, self-join WITHIN a cluster only, and keep
-    each duplicate's lowest-id over-threshold neighbor."""
+    each duplicate's lowest-id over-threshold neighbor.
+
+    ``engine="arrow"`` (default) runs the quadratic per-cluster scan
+    as one numpy batch per cluster (``applyInPandas`` — a documented
+    Arrow seam, tests/test_plan_guards.py): the cluster-keyed shuffle
+    moves each vector ONCE (the JVM self-join shuffled both aliased
+    sides) and the O(n²·d) cosine arithmetic runs vectorized instead
+    of through the interpreted zip_with/aggregate fold — measured 4x
+    on the dd12 fixture, bit-identical output (see :func:`_pair_scan_fn`).
+    Skew posture is unchanged: one task per cluster either way, and
+    the SemDeDup contract pins cluster size via k ∝ n.
+    ``engine="jvm"`` keeps the fold join (the equivalence witness)."""
+    if engine == "arrow":
+        vecs = corpus.select(
+            F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec")
+        ).join(
+            assign.select(F.col(id_col).alias("_vid"), "cluster"), "_vid"
+        )
+        cluster_t = dict(assign.dtypes)["cluster"]
+        id_t = dict(corpus.dtypes)[id_col]
+        schema = (
+            f"cluster {cluster_t}, keep_id {id_t},"
+            f" drop_id {id_t}, cosine double"
+        )
+        return vecs.groupBy("cluster").applyInPandas(
+            _pair_scan_fn(threshold), schema
+        )
     vecs = corpus.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_vec"),

@@ -250,6 +250,57 @@ def test_semantic_dedup_sampled_finds_all_exact_duplicates(spark):
         assert (i, 100 + i) in found, f"planted duplicate {i} missed"
 
 
+def test_semantic_pair_engines_equal(spark, sf_dir):
+    """The r12 Arrow pair-scan seam must be BIT-identical to the JVM
+    fold join it replaced (same IEEE op order, same round, same
+    lowest-keep rule) — checked on the live embeddings fixture (the
+    dd12 shape) and on an edge corpus (zero vectors, singleton
+    cluster, varying dims)."""
+    from lakerunner_spark.dataops.dedup import _pairs_within_clusters
+    from lakerunner_spark.dataops.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = kmeans_assign(emb, 8, 3, "vec_id", "embedding").localCheckpoint()
+
+    def rows(engine):
+        out = _pairs_within_clusters(
+            emb, assign, 0.3, "vec_id", "embedding", None, engine=engine
+        )
+        return sorted(
+            (r.cluster, r.keep_id, r.drop_id, r.cosine)
+            for r in out.collect()
+        )
+
+    a, j = rows("arrow"), rows("jvm")
+    assert len(a) > 0
+    assert a == j  # exact, including every cosine double
+
+    edge = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.998, 0.01, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero norm
+            (3, [0.0, 1.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ea = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 2)], "vec_id long, cluster int"
+    )
+
+    def erows(engine):
+        out = _pairs_within_clusters(
+            edge, ea, 0.5, "vec_id", "embedding", None, engine=engine
+        )
+        return sorted(
+            (r.cluster, r.keep_id, r.drop_id, r.cosine)
+            for r in out.collect()
+        )
+
+    assert erows("arrow") == erows("jvm")
+
+
 def test_semantic_dedup_sampled_validates_coarse_cells(spark):
     from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
 

@@ -59,6 +59,17 @@ PYTHON_ALLOWED = {
                            # ingest path, ~200x/core vs the expression fold
                            # (functions/hashing.py module note; bit-identity
                            # fuzz-tested in test_hashing)
+    "dd12_semantic_dedup",  # r12: the quadratic per-cluster cosine scan
+                           # is a numpy applyInPandas seam (one batch per
+                           # cluster, vectors shuffled ONCE) — bit-exact
+                           # vs the JVM fold join it replaced (engine=
+                           # "jvm" retained; test_dataprep_ops.py::
+                           # test_semantic_pair_engines_equal), measured
+                           # 4x on the fixture (OPTIMIZATION_r12.md)
+    "dd12s_semantic_dedup_sampled",  # same pair-scan seam (dd12s routes
+                           # assignment two-level, pair stage identical;
+                           # ddm4 — already allowed for its decode seam —
+                           # picks the pair-scan seam up through dd12s)
 }
 
 # Bounded all-pairs / broadcast shapes where a nested-loop join with a
