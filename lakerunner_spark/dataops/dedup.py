@@ -116,7 +116,12 @@ def minhash_signatures_narrow(
     ``shingles``). Digest arrays are computed once per seed in a
     separate projection so the md5 work isn't repeated per 32-bit chunk.
     """
-    toks = df.select(
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    # the md5 digest projections are scan-adjacent; spread a
+    # single-row-group input across the cores first (r12, guide §2.5 —
+    # no-op when the scan is already parallel)
+    toks = spread_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
     ).filter(F.size("tokens") >= n)
     sh = toks.select(id_col, F.expr(_shingle_array_expr(n)).alias("_sh"))
@@ -215,7 +220,9 @@ def jaccard_verify_narrow(
     document length, the same bound the parser/stats stages already
     assume.
     """
-    toks = df.select(
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    toks = spread_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("tokens")
     ).filter(F.size("tokens") >= n)
     sets = toks.select(
@@ -985,9 +992,16 @@ def _gram_run_islands(
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     toks = F.expr(WINNOW_TOKENIZE.format(col=text_col))
+    # the tokenize + gram posexplode below are adjacent to the pruned
+    # scan; spread a low-partition input across the cores first (r12,
+    # guide §2.5 — no-op at real scale)
     d = (
-        docs.join(ids, id_col, "left_semi")
+        spread_small_scan(
+            docs.join(ids, id_col, "left_semi").select(id_col, text_col)
+        )
         .select(F.col(id_col), toks.alias("_tk"))
         .filter(F.size("_tk") >= k)
     )

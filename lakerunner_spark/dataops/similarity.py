@@ -68,12 +68,17 @@ def cosine_topk(
     Output: qid, cid, cosine (rounded; ranking on the rounded value with
     cid tiebreak keeps results deterministic across engines).
     """
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("_qv"),
         _norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(
+    # the per-pair HOF dot products are corpus-scan-adjacent; spread a
+    # low-partition corpus across the cores first (r12, guide §2.5 —
+    # no-op when the scan is already parallel)
+    c = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_cv"),
         _norm(vec_col).alias("_cn"),
@@ -218,6 +223,11 @@ def ivf_topk(
             .select(idc, vec_col, "_n", "cell")
         )
 
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    # corpus-side cell assignment is scan-adjacent HOF work (r12,
+    # guide §2.5); the tiny queries side is left alone
+    corpus = spread_small_scan(corpus.select(id_col, vec_col))
     cb = assign(corpus, id_col, "cell", 1).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_cv"),
@@ -268,6 +278,11 @@ def lsh_bucket_topk(
     joins, so the distinct never shuffles vector payloads and each
     row's norm is computed once, not once per candidate pair.
     """
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    # the per-plane sign folds and the pair dot products are corpus-
+    # scan-adjacent (r12, guide §2.5); queries side stays tiny
+    corpus = spread_small_scan(corpus.select(id_col, vec_col))
     qsig = lsh_bucket_signature(queries, tables, id_col, vec_col).select(
         F.col(id_col).alias("qid"), "table", "bucket"
     )
@@ -378,8 +393,13 @@ def _kmeans_trajectory(
     if iters < 1:
         raise ValueError(f"kmeans: iters must be >= 1, got {iters}")
     from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.operators.skew import spread_small_scan
 
-    long = corpus.select(
+    # the long table is re-derived from the scan for every unrolled
+    # iteration's shuffle; a single-row-group input would serialize each
+    # of those posexplode map stages on one task (r12, guide §2.5) —
+    # no-op when the corpus scan is already parallel
+    long = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     )
@@ -626,6 +646,11 @@ def pq_topk(
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    # corpus encode (subspace explode + codeword argmin) is scan-
+    # adjacent (r12, guide §2.5); cents above keeps the raw relation
+    corpus = spread_small_scan(corpus.select(id_col, vec_col))
     csub = subrows(corpus, id_col, "cid")
     cdist = csub.join(F.broadcast(ksub), "s").select(
         "cid", "s", "code", portable_round_finite(l2, 12).alias("_d")
@@ -699,10 +724,12 @@ def l2_topk(
 
     Same 100 TB shape as cosine_topk: the query set broadcasts, the
     corpus streams once; the distance is an index-ordered fold."""
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
     )
-    c = corpus.select(
+    c = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
     )
     pairs = c.crossJoin(F.broadcast(q))

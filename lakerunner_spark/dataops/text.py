@@ -134,12 +134,116 @@ def _rolling_hash_sql(expr: str) -> str:
     )
 
 
+_WINNOW_TOKEN_RE = None  # compiled lazily inside the Arrow worker
+
+
+def _winnow_batch(texts, k: int, w: int):
+    """Vectorized winnow of one Arrow batch: (kept-row indices, fps).
+
+    BIT-IDENTICAL integer arithmetic to the HOF chain in
+    :func:`winnow_fingerprints` (and therefore to the DuckDB oracle):
+    the same ``[^a-z0-9]+`` tokenization, the same per-token
+    ``(h*31+c) % MOD`` char fold + ``(f*f+f) % MOD`` quadratic mix, the
+    same k-gram 31-fold and w-window minima — all exact int64 (every
+    intermediate < 2^63: h < MOD ≈ 1e9 so h*31+c < 2^35 and f*f+f <
+    2^60), position-stepped across the whole batch in numpy. Tokens are
+    ``[a-z0-9]``-pure BY CONSTRUCTION of the regex sub, so the ASCII
+    byte view equals Spark's ``ascii()`` per char. Pinned equal to the
+    JVM engine on the live corpus and an edge corpus by
+    tests/test_dataprep_ops.py::test_winnow_engines_equal.
+    """
+    import re  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    global _WINNOW_TOKEN_RE
+    if _WINNOW_TOKEN_RE is None:
+        _WINNOW_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+    all_tokens: list[str] = []
+    tok_counts: list[int] = []
+    keep_idx: list[int] = []
+    for i, txt in enumerate(texts):
+        if txt is None:
+            continue
+        toks = _WINNOW_TOKEN_RE.sub(" ", txt.lower()).strip().split(" ")
+        toks = [t for t in toks if t]  # empty text yields [""]
+        if len(toks) < k:
+            continue
+        all_tokens.extend(toks)
+        tok_counts.append(len(toks))
+        keep_idx.append(i)
+    if not tok_counts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    m = np.asarray(tok_counts, dtype=np.int64)
+    buf = np.frombuffer(
+        "".join(all_tokens).encode("ascii"), dtype=np.uint8
+    ).astype(np.int64)
+    lens = np.fromiter(
+        (len(t) for t in all_tokens), np.int64, len(all_tokens)
+    )
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    th = np.zeros(len(all_tokens), np.int64)
+    for j in range(int(lens.max())):
+        mask = lens > j
+        th[mask] = (th[mask] * 31 + buf[offs[mask] + j]) % ROLLING_MOD
+    th = (th * th + th) % ROLLING_MOD
+    # gram folds: doc with m tokens has g = m-k+1 gram positions
+    g = m - k + 1
+    doc_off = np.concatenate(([0], np.cumsum(m)[:-1]))
+    total_g = int(g.sum())
+    g_doc = np.repeat(np.arange(len(m)), g)
+    g_within = np.arange(total_g) - np.repeat(
+        np.concatenate(([0], np.cumsum(g)[:-1])), g
+    )
+    starts = doc_off[g_doc] + g_within
+    gh = np.zeros(total_g, np.int64)
+    for j in range(k):
+        gh = (gh * 31 + th[starts + j]) % ROLLING_MOD
+    # w-window minima; docs with g < w emit the single min of all grams
+    nw = np.maximum(g - w + 1, 1)
+    gh_off = np.concatenate(([0], np.cumsum(g)[:-1]))
+    total_w = int(nw.sum())
+    w_doc = np.repeat(np.arange(len(m)), nw)
+    w_within = np.arange(total_w) - np.repeat(
+        np.concatenate(([0], np.cumsum(nw)[:-1])), nw
+    )
+    wstarts = gh_off[w_doc] + w_within
+    wmin = gh[wstarts].copy()
+    eff = np.minimum(np.repeat(g, nw), w)
+    for j in range(1, w):
+        mask = eff > j
+        wmin[mask] = np.minimum(wmin[mask], gh[wstarts[mask] + j])
+    # per-doc distinct: fp < MOD < 2^31, pack (doc, fp) into one int64
+    key = np.unique(w_doc.astype(np.int64) * (1 << 31) + wmin)
+    doc_idx = key >> 31
+    fps = key & ((1 << 31) - 1)
+    return np.asarray(keep_idx, dtype=np.int64)[doc_idx], fps
+
+
+def _winnow_arrow_fn(id_col: str, k: int, w: int):
+    """mapInArrow body for the vectorized winnow engine."""
+
+    def fn(batches):
+        import pyarrow as pa  # noqa: PLC0415
+
+        for batch in batches:
+            ids = batch.column(0)
+            doc_idx, fps = _winnow_batch(batch.column(1).to_pylist(), k, w)
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(doc_idx)), pa.array(fps, type=pa.int64())],
+                names=[id_col, "fingerprint"],
+            )
+
+    return fn
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Winnowed rolling-hash document fingerprints (one row per print).
 
@@ -161,7 +265,29 @@ def winnow_fingerprints(
     (polynomial mod a large prime) and the winnowing guarantee are
     unchanged, only the fingerprint VALUES differ (the dd6/dd11
     oracles fold identically).
+
+    ``engine="arrow"`` (default, r12): the whole tokenize→fold→window
+    pipeline runs batch-vectorized in numpy behind one ``mapInArrow``
+    seam (guide §4.2) over just (id, text) — projected first so only
+    those columns cross the boundary — with the scan spread to the
+    session's core count first (:func:`spread_small_scan`; the HOF
+    chain is scan-adjacent, so a single-row-group input otherwise
+    serializes it on one task). Bit-identical values (exact int64
+    arithmetic, see :func:`_winnow_batch`): same-window probe jvm
+    10.3-11.0s → arrow 1.5-1.8s on the 10x corpus.
+    ``engine="jvm"`` keeps the HOF chain (the equivalence witness and
+    the oracle's structural twin).
     """
+    if engine == "arrow":
+        from lakerunner_spark.operators.skew import (  # noqa: PLC0415
+            spread_small_scan,
+        )
+
+        id_t = df.schema[id_col].dataType.simpleString()
+        return spread_small_scan(df.select(id_col, text_col)).mapInArrow(
+            _winnow_arrow_fn(id_col, k, w),
+            f"{id_col} {id_t}, fingerprint bigint",
+        )
     toks = F.expr(
         f"filter(split(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
@@ -346,12 +472,17 @@ def unigram_logprob(
     (summation-order jitter is ~1e-12 on a ~10-magnitude mean).
     """
     from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.operators.skew import spread_small_scan
 
     toks = F.expr(
         f"filter(split(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
     )
-    tokens = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # tokenize+explode is scan-adjacent (Generate, no shuffle before
+    # it); spread a single-row-group input first (r12, guide §2.5)
+    tokens = spread_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
     sample = tokens.filter(F.col(id_col) % sample_mod == 0)
     counts = sample.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (

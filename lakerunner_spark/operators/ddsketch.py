@@ -435,9 +435,18 @@ def ddsketch_quantile_over_time(
     linearly. Output rows exist only for step buckets that contain at
     least one sample, matching the exact path's contract.
     """
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     gamma = gamma_for(relative_accuracy)
     k = max(1, range_ms // step_ms)
-    rows = df.filter(F.col(value_col).isNotNull())
+    # the log-bucket math + partial aggregation are scan-adjacent; a
+    # single-row-group input serializes them on one task (r12, guide
+    # §2.5) — spread the projected rows first (no-op at real scale)
+    rows = spread_small_scan(
+        df.filter(F.col(value_col).isNotNull()).select(
+            ts_col, *labels, value_col
+        )
+    )
     bts = F.col(ts_col) - F.col(ts_col) % F.lit(step_ms)
     sk = (
         rows.select(

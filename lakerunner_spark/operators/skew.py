@@ -29,6 +29,30 @@ _PARTIAL = {
 }
 
 
+def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that yields fewer partitions than
+    the cluster has cores — otherwise every map operator adjacent to the
+    scan (tokenize/hash/explode pipelines) runs on a single task while
+    the rest of the cluster idles (the guide's input-skew remedy:
+    "repartition immediately after the read").
+
+    Scale-adaptive, not a local[32] constant: the target is
+    ``defaultParallelism`` (tracks the session's core count, so the
+    driver's low-core bench run sees a proportionally lower target), and
+    when the scan already carries at least that many partitions — the
+    normal case at production scale, where inputs are many files — this
+    is a NO-OP adding no exchange. Only small single-row-group inputs
+    (like the bench fixtures) pay the one cheap shuffle of the projected
+    columns. Round-robin keeps retry-determinism via Spark's
+    sort-before-repartition (on by default, SPARK-23207).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -1730,10 +1730,16 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.dataops.similarity import random_projection
     from lakerunner_spark.functions.rounding import portable_round_finite
 
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection(64, 24, seed=0)
     q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding", proj)
-    c = emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding", proj)
+    # the 24 projection folds + pair cosines are corpus-scan-adjacent
+    # (r12, guide §2.5); spread before attaching the projection
+    c = spread_small_scan(
+        emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+    ).select("vec_id", "embedding", proj)
 
     def _cos(av, bv):
         dot = F.aggregate(
@@ -2769,10 +2775,12 @@ def _dd14_keyed(d: DataFrame) -> DataFrame:
     integer occurrence key. Factored so the skew-measurement harness
     (tools/measure_skew.py) times the SHAPES downstream of the same
     scan rather than re-deriving it."""
+    from lakerunner_spark.operators.skew import spread_small_scan
+
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
-    docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
-        F.size("_tk") >= 1
-    )
+    docs = spread_small_scan(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", tk.alias("_tk")
+    ).filter(F.size("_tk") >= 1)
     paras = docs.select(
         "doc_id",
         "source",
@@ -2977,8 +2985,13 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full sort."""
     from lakerunner_spark.functions.hashing import portable_hash64
     from lakerunner_spark.functions.rounding import portable_round as _pr
+    from lakerunner_spark.operators.skew import spread_small_scan
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
     docs = d.select("doc_id", "source", tk.alias("_tk")).filter(
         F.size("_tk") >= 2
@@ -3391,9 +3404,12 @@ def _txt13_plan(d: DataFrame) -> DataFrame:
     from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
     from lakerunner_spark.functions.rounding import portable_round
+    from lakerunner_spark.operators.skew import spread_small_scan
 
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
-    docs = d.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 1)
+    docs = spread_small_scan(d.select("doc_id", "text")).select(
+        "doc_id", tk.alias("_tk")
+    ).filter(F.size("_tk") >= 1)
     paras = docs.select(
         "doc_id",
         F.posexplode(

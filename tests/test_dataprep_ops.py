@@ -301,6 +301,41 @@ def test_semantic_pair_engines_equal(spark, sf_dir):
     assert erows("arrow") == erows("jvm")
 
 
+def test_winnow_engines_equal(spark, sf_dir):
+    """The r12 Arrow winnow seam must produce BIT-identical
+    (doc, fingerprint) sets to the JVM HOF chain (exact int64 mod-p
+    arithmetic, same tokenization) — on the live corpus and on an edge
+    corpus (NULL text, empty text, <k tokens, exactly-k tokens with
+    fewer than w grams, unicode chars, punctuation-only)."""
+    from lakerunner_spark.dataops.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(d, engine):
+        out = winnow_fingerprints(d, "text", "doc_id", 5, 4, engine=engine)
+        return sorted((r[0], r[1]) for r in out.collect())
+
+    a, j = rows(docs, "arrow"), rows(docs, "jvm")
+    assert len(a) > 0
+    assert a == j
+
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "one two three four"),  # < k tokens
+            (3, "one two three four five"),  # exactly k -> 1 gram < w
+            (4, "a b c d e f g"),  # k+2 tokens -> 3 grams < w
+            (5, "a b c d e f g h i j k l m"),  # > k+w-1 tokens
+            (6, "!!! ??? ... ---"),  # punctuation-only -> no tokens
+            (7, "Héllo WÖRLD mixed ünïcode tokens here right now"),
+            (8, "repeat repeat repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    assert rows(edge, "arrow") == rows(edge, "jvm")
+
+
 def test_semantic_dedup_sampled_validates_coarse_cells(spark):
     from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
 
