@@ -472,17 +472,17 @@ def unigram_logprob(
     (summation-order jitter is ~1e-12 on a ~10-magnitude mean).
     """
     from lakerunner_spark.functions.rounding import portable_round
-    from lakerunner_spark.operators.skew import spread_small_scan
 
     toks = F.expr(
         f"filter(split(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
     )
-    # tokenize+explode is scan-adjacent (Generate, no shuffle before
-    # it); spread a single-row-group input first (r12, guide §2.5)
-    tokens = spread_small_scan(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(toks).alias("tok")
-    )
+    # NO spread_small_scan here (r12, measured): the tokenize+explode
+    # feeds a groupBy whose map-side partial aggregation collapses the
+    # token stream before any shuffle; the probed spread shuffled the
+    # full text payload for nothing (txt9 main x2.7, txt13 +129MB
+    # shuffle at sf1 — the guide §2.3 class).
+    tokens = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     sample = tokens.filter(F.col(id_col) % sample_mod == 0)
     counts = sample.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (

@@ -435,18 +435,14 @@ def ddsketch_quantile_over_time(
     linearly. Output rows exist only for step buckets that contain at
     least one sample, matching the exact path's contract.
     """
-    from lakerunner_spark.operators.skew import spread_small_scan
-
     gamma = gamma_for(relative_accuracy)
     k = max(1, range_ms // step_ms)
-    # the log-bucket math + partial aggregation are scan-adjacent; a
-    # single-row-group input serializes them on one task (r12, guide
-    # §2.5) — spread the projected rows first (no-op at real scale)
-    rows = spread_small_scan(
-        df.filter(F.col(value_col).isNotNull()).select(
-            ts_col, *labels, value_col
-        )
-    )
+    # NO spread_small_scan here (r12, measured): the log-bucket math is
+    # cheap columnar compute and the groupBy's map-side partial
+    # aggregation collapses rows BEFORE any shuffle — the probed spread
+    # added a full-row exchange for nothing (pqs18 sf1 4.92 -> 9.22s,
+    # tasks 15 -> 81, +13.6MB shuffle; the guide §2.3 class).
+    rows = df.filter(F.col(value_col).isNotNull())
     bts = F.col(ts_col) - F.col(ts_col) % F.lit(step_ms)
     sk = (
         rows.select(

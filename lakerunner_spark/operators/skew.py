@@ -29,7 +29,11 @@ _PARTIAL = {
 }
 
 
-def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame,
+    min_parts: int | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Round-robin repartition a scan that yields fewer partitions than
     the cluster has cores — otherwise every map operator adjacent to the
     scan (tokenize/hash/explode pipelines) runs on a single task while
@@ -45,10 +49,20 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     (like the bench fixtures) pay the one cheap shuffle of the projected
     columns. Round-robin keeps retry-determinism via Spark's
     sort-before-repartition (on by default, SPARK-23207).
+
+    ``probe``: partition count is read from this DataFrame instead of
+    ``df`` when given. Building ``df.rdd`` EXECUTES any broadcast
+    exchange inside ``df``'s plan (executeBroadcast fires during RDD
+    construction, before any action) — so a caller spreading e.g. the
+    pruned side of a broadcast semi-join must pass the underlying pure
+    scan-projection as ``probe``; the stream side of such a join keeps
+    the scan's partitioning, so the probe's count is the right answer.
+    ``df`` itself must only be passed bare when its plan is
+    scan+project (no joins, no subqueries).
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if (probe if probe is not None else df).rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

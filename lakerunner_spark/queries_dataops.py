@@ -3404,12 +3404,13 @@ def _txt13_plan(d: DataFrame) -> DataFrame:
     from lakerunner_spark.dataops.sampling import rank_buckets
     from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
     from lakerunner_spark.functions.rounding import portable_round
-    from lakerunner_spark.operators.skew import spread_small_scan
 
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
-    docs = spread_small_scan(d.select("doc_id", "text")).select(
-        "doc_id", tk.alias("_tk")
-    ).filter(F.size("_tk") >= 1)
+    # NO spread_small_scan here (r12, measured): it shuffled the full
+    # text payload (+14MB main / +129MB sf1) and txt13 ran x2.6 main /
+    # x1.14 sf1 slower — the paragraph explode feeds aggregations whose
+    # partial agg collapses rows before the shuffle (guide §2.3 class)
+    docs = d.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 1)
     paras = docs.select(
         "doc_id",
         F.posexplode(
