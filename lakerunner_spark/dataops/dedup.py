@@ -633,14 +633,19 @@ def _pair_scan_fn(threshold: float):
     round is the same ``floor(c*1e4 + 0.5)/1e4``, and per drop_id the
     lowest keep_id wins (pairs are unique, so ``min(struct(keep,
     cos))`` is exactly first-by-keep). Probed equal on the live
-    fixture and pinned by test_semantic_pair_engines_equal."""
+    fixture and pinned by test_semantic_pair_engines_equal.
+
+    Degenerate rows replay the JVM filters exactly: a NULL or empty
+    vector never passes ``_nrm > 0`` (NULL/0), a NULL element or NaN
+    value poisons the norm fold (both arrive as NaN through Arrow and
+    NaN > 0 is false on both engines), and a RAGGED pair's zip_with
+    pads the shorter side with NULLs so its dot — hence ``_cos >=
+    threshold`` — is NULL and the pair is dropped; the scan therefore
+    pairs only within same-length groups."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("_vid").reset_index(drop=True)
-        ids = pdf["_vid"].to_numpy()
-        V = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+    def scan(cl, ids, V):
         n, d = V.shape
         nrm2 = np.zeros(n)
         for j in range(d):
@@ -657,27 +662,47 @@ def _pair_scan_fn(threshold: float):
         iu, ju = np.triu_indices(n, k=1)
         m = ok[iu] & ok[ju] & (cos[iu, ju] >= threshold)
         ka, dr, cz = iu[m], ju[m], cos[iu, ju][m]
-        empty = pd.DataFrame(
-            {
-                "cluster": pd.Series([], dtype=pdf["cluster"].dtype),
-                "keep_id": pd.Series([], dtype="int64"),
-                "drop_id": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
         if len(ka) == 0:
-            return empty
+            return None
         order = np.lexsort((ka, dr))  # by drop, then keep
         first = np.unique(dr[order], return_index=True)[1]
         sel = order[first]
         return pd.DataFrame(
             {
-                "cluster": np.full(len(sel), pdf["cluster"].iloc[0]),
+                "cluster": np.full(len(sel), cl),
                 "keep_id": ids[ka[sel]],
                 "drop_id": ids[dr[sel]],
                 "cosine": cz[sel],
             }
         )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["_vid"].to_numpy()
+        cells = pdf["_vec"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, cells = ids[order], cells[order]
+        lens = np.array(
+            [-1 if c is None else len(c) for c in cells], dtype=np.int64
+        )
+        parts = []
+        for d in np.unique(lens[lens > 0]):
+            idx = np.nonzero(lens == d)[0]
+            V = np.stack(
+                [np.asarray(cells[i], dtype=np.float64) for i in idx]
+            )
+            part = scan(pdf["cluster"].iloc[0], ids[idx], V)
+            if part is not None:
+                parts.append(part)
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype=pdf["cluster"].dtype),
+                    "keep_id": pd.Series([], dtype="int64"),
+                    "drop_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
 
     return fn
 
@@ -800,6 +825,7 @@ def semantic_dedup_sampled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """SemDeDup at the scale the paper actually runs it: k-means is
     TRAINED ON A SAMPLE (``id % sample_mod == 0``) and the full corpus
@@ -827,7 +853,21 @@ def semantic_dedup_sampled(
     cross-cell duplicate pairs can be missed (same trade as dd2's LSH
     banding). Deterministic and oracle-exact: every distance is
     9-dp-rounded before its argmin (the ivf_topk lesson), ties break
-    toward the lower cell/cluster id."""
+    toward the lower cell/cluster id.
+
+    ``engine="arrow"`` (default, r12): training runs as ONE numpy task
+    (:func:`~lakerunner_spark.dataops.similarity.kmeans_cents_arrow` —
+    the unrolled-Lloyd trajectory's m*d*k exploding joins collapse to a
+    vectorized loop over the bounded train sample), the k*d centroid
+    table is collected (the same bounded-side move a broadcast join
+    makes) and the two-level assignment becomes one ``mapInArrow`` over
+    the (id, vec) projection — the corpus is scanned ONCE and the
+    n*d*(c + k/c) argmin arithmetic runs vectorized instead of through
+    posexplode + two broadcast-join/re-agg rounds (n*d*(c + k/c) JOIN
+    ROWS, three exchanges). Bit-identical by construction: every float
+    op replays the JVM plan's IEEE evaluation order (kmeans_np module
+    docstring), pinned by test_kmeans_engines_equal. ``engine="jvm"``
+    keeps the declarative plan as the equivalence witness."""
     from lakerunner_spark.dataops.similarity import _kmeans_trajectory
 
     if coarse_cells < 1 or coarse_cells > n_clusters:
@@ -852,6 +892,57 @@ def semantic_dedup_sampled(
             f"{id_col} satisfies {id_col} % {sample_mod} == 0; pick a "
             f"sample_mod that intersects the id domain (or use "
             f"semantic_dedup for exact flat training)"
+        )
+    if engine == "arrow":
+        from lakerunner_spark.dataops import kmeans_np as KM
+        from lakerunner_spark.dataops.similarity import kmeans_cents_arrow
+        from lakerunner_spark.operators.skew import spread_small_scan
+
+        crows = kmeans_cents_arrow(
+            train, n_clusters, iters, id_col, vec_col
+        ).collect()
+        cents_ix = KM.CentIndex.from_rows(
+            [(r["cluster"], r["pos"], r["cval"]) for r in crows], n_clusters
+        )
+        cmap_arr = KM.coarse_map(cents_ix, coarse_cells)
+        id_t = dict(corpus.dtypes)[id_col]
+        C, CP, CM = cents_ix.C, cents_ix.CP, cents_ix.CM
+        cells = coarse_cells
+
+        def assign_fn(it):
+            import pyarrow as pa  # noqa: PLC0415
+
+            from lakerunner_spark.dataops import kmeans_np as KM  # noqa: PLC0415
+
+            cix = KM.CentIndex(C, CP, CM)
+            for batch in it:
+                ids = batch.column("_id")
+                # NULL ids: the JVM plan drops them at the vcell
+                # equi-join (NULL never matches itself) — replicate
+                if ids.null_count:
+                    batch = batch.filter(pa.compute.is_valid(ids))
+                    ids = batch.column("_id")
+                if batch.num_rows == 0:
+                    continue
+                block = KM.block_from_arrow(ids, batch.column("_vec"))
+                cl, has = KM.two_level_assign(block, cix, cmap_arr, cells)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        id_col: pa.array(block.ids[has]).cast(ids.type),
+                        "cluster": pa.array(
+                            cl[has].astype("int32"), type=pa.int32()
+                        ),
+                    }
+                )
+
+        proj = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        )
+        assign = spread_small_scan(proj).mapInArrow(
+            assign_fn, f"{id_col} {id_t}, cluster int"
+        )
+        return _pairs_within_clusters(
+            corpus, assign, threshold, id_col, vec_col, checkpoint_dir
         )
     _, cents = _kmeans_trajectory(train, n_clusters, iters, id_col, vec_col)
     # materialize the trained centroids ONCE: cseed/cdist/fine all

@@ -452,6 +452,77 @@ def _kmeans_trajectory(
     return assigned, cents
 
 
+def kmeans_cents_arrow(
+    train: DataFrame,
+    n_clusters: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The :func:`_kmeans_trajectory` centroid table as ONE numpy task
+    (guide §4.2): the JVM trajectory unrolls each Lloyd iteration into
+    an m*d*k exploding broadcast join plus three exchanges — real
+    compute under the SemDeDup k ∝ n contract (sf10: 3 x ~80M-row
+    joins to train 1,575 vectors) and a dozen fixed-overhead stages at
+    small scale. Here the bounded train sample flows through a single
+    ``mapInArrow`` partition and the whole trajectory runs vectorized,
+    bit-identical to the JVM plan (dataops/kmeans_np.py documents the
+    IEEE-order replay; pinned by test_kmeans_engines_equal).
+
+    Scale contract: the train sample must fit one task — the SAME
+    boundedness the trajectory plan already assumes when it broadcasts
+    every iteration's centroid table (k*d rows, k ∝ m). Callers with
+    an unbounded corpus (flat kmeans_assign) keep the JVM plan.
+    NULL ids are dropped (the sampled route's ``id % mod`` filter
+    already excludes them; documented rather than replicated)."""
+    if iters < 1:
+        raise ValueError(f"kmeans: iters must be >= 1, got {iters}")
+
+    def fn(it):
+        import pyarrow as pa  # noqa: PLC0415
+
+        from lakerunner_spark.dataops import kmeans_np as KM  # noqa: PLC0415
+
+        blocks = []
+        for batch in it:
+            ids = batch.column("_id")
+            if ids.null_count:
+                keep = pa.compute.is_valid(ids)
+                batch = batch.filter(keep)
+                ids = batch.column("_id")
+            if batch.num_rows:
+                blocks.append(KM.block_from_arrow(ids, batch.column("_vec")))
+        if not blocks:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "cluster": pa.array([], type=pa.int32()),
+                    "pos": pa.array([], type=pa.int32()),
+                    "cval": pa.array([], type=pa.float64()),
+                }
+            )
+            return
+        block = KM.merge_blocks(blocks)
+        cents = KM.lloyd_cents(block, n_clusters, iters)
+        rows = cents.rows()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "cluster": pa.array(
+                    [r[0] for r in rows], type=pa.int32()
+                ),
+                "pos": pa.array([r[1] for r in rows], type=pa.int32()),
+                "cval": pa.array([r[2] for r in rows], type=pa.float64()),
+            }
+        )
+
+    return (
+        train.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        )
+        .repartition(1)
+        .mapInArrow(fn, "cluster int, pos int, cval double")
+    )
+
+
 def kmeans_assign(
     corpus: DataFrame,
     n_clusters: int = 8,

@@ -301,6 +301,80 @@ def test_semantic_pair_engines_equal(spark, sf_dir):
     assert erows("arrow") == erows("jvm")
 
 
+def test_kmeans_engines_equal(spark, sf_dir):
+    """The r12 numpy k-means train + two-level-assignment seams must be
+    BIT-identical to the JVM trajectory/assignment plans they replaced
+    (same IEEE accumulation order, same portable_round grid, same
+    struct-min total ordering) — pinned three ways: the trained
+    centroid table, then the full dd12s output, on the live fixture and
+    on an edge corpus (NULL id/vec/element, ragged dims, empty vector,
+    NaN values, zero vector)."""
+    from lakerunner_spark.dataops.dedup import semantic_dedup_sampled
+    from lakerunner_spark.dataops.similarity import (
+        _kmeans_trajectory,
+        kmeans_cents_arrow,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+
+    def cent_rows(df):
+        return sorted(
+            (r["cluster"], r["pos"], r["cval"]) for r in df.collect()
+        )
+
+    _, cents_jvm = _kmeans_trajectory(train, 8, 3, "vec_id", "embedding")
+    cents_arrow = kmeans_cents_arrow(train, 8, 3, "vec_id", "embedding")
+    a, j = cent_rows(cents_arrow), cent_rows(cents_jvm)
+    assert len(a) > 0
+    assert a == j  # every centroid double exact
+
+    def pair_rows(df, engine):
+        out = semantic_dedup_sampled(
+            df, n_clusters=8, coarse_cells=3, sample_mod=4, iters=3,
+            threshold=0.3, engine=engine,
+        )
+        return sorted(
+            (r.cluster, r.keep_id, r.drop_id, r.cosine)
+            for r in out.collect()
+        )
+
+    pa_, pj = pair_rows(emb, "arrow"), pair_rows(emb, "jvm")
+    assert len(pa_) > 0
+    assert pa_ == pj
+
+    edge = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, None),                    # NULL vector
+            (3, [0.0, 1.0, 0.5]),         # ragged (longer)
+            (4, [None, 1.0]),             # NULL element
+            (5, []),                      # empty vector
+            (6, [float("nan"), 2.0]),     # NaN value (trains: 6%3==0)
+            (7, [1.0]),                   # ragged (shorter)
+            (None, [1.0, 0.0]),           # NULL id
+            (9, [0.0, 0.0]),              # zero vector
+            (12, [1.0, 0.05]),
+            (13, [0.89, 0.11]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def erows(engine):
+        out = semantic_dedup_sampled(
+            edge, n_clusters=4, coarse_cells=2, sample_mod=3, iters=2,
+            threshold=0.5, engine=engine,
+        )
+        return sorted(
+            (r.cluster, r.keep_id, r.drop_id, r.cosine)
+            for r in out.collect()
+        )
+
+    assert erows("arrow") == erows("jvm")
+
+
 def test_winnow_engines_equal(spark, sf_dir):
     """The r12 Arrow winnow seam must produce BIT-identical
     (doc, fingerprint) sets to the JVM HOF chain (exact int64 mod-p
