@@ -421,19 +421,31 @@ def ddsketch_quantile_over_time(
 
     1. build one sketch per (series, step bucket): groupBy count over
        log-bucketed values — the A1 ingest shape;
-    2. each step-bucket sketch row contributes to the ``range/step``
-       trailing output windows it falls inside — an ``explode`` over a
-       ``sequence`` of output bucket_ts (the tumbling→sliding expansion);
+    2. each step-bucket sketch row contributes to every OCCUPIED output
+       bucket of its series within the trailing range — an equi-join on
+       the series labels against the series' own (distinct) step grid,
+       range-filtered (the tumbling→sliding expansion);
     3. merge per output bucket: groupBy sum(count) — the DDSketch merge;
     4. quantile via the cumulative-count walk (:func:`ddsketch_quantile`).
 
     No per-row raw-value arrays anywhere (contrast the exact
     interpolated path, which flattens ``collect_list`` arrays and holds
     every raw sample of the trailing range in one row): state here is
-    (series x step-buckets x occupied sketch buckets) rows, each O(1),
-    and the explode factor range/step is plain row volume that shuffles
-    linearly. Output rows exist only for step buckets that contain at
-    least one sample, matching the exact path's contract.
+    (series x step-buckets x occupied sketch buckets) rows, each O(1).
+
+    The expansion is the series-grid join, NOT an ``explode`` over the
+    ``sequence`` of all range/step trailing lattice points (the r11
+    shape): both produce pairs (sketch row, T) with T on the step
+    lattice and T - _bts in [0, (k-1)*step], but the explode emits
+    every lattice T — including output buckets no sample of the series
+    occupies — and a left-semi join against the occupied grid then
+    discarded them AFTER the shuffle. On the high-cardinality series
+    shape (bench fixture: ~200K series with ~1 sample each) that was
+    120x pure waste — sf1: 24.1M exploded rows, 24.1M merged groups,
+    ~200K survivors (OPTIMIZATION_r12.md). The join produces exactly
+    the surviving multiset, so the result is identical row-for-row; the
+    dense-series regime is unchanged (grid_s x in-range sketch rows =
+    the surviving contribution volume either way).
     """
     gamma = gamma_for(relative_accuracy)
     k = max(1, range_ms // step_ms)
@@ -451,24 +463,38 @@ def ddsketch_quantile_over_time(
         .groupBy("_bts", *labels, "bucket")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    contrib = sk.withColumn(
-        "bucket_ts",
-        F.explode(
-            F.sequence(
-                F.col("_bts"),
-                F.col("_bts") + F.lit((k - 1) * step_ms),
-                F.lit(step_ms),
-            )
-        ),
-    ).drop("_bts")
-    merged = contrib.groupBy("bucket_ts", *labels, "bucket").agg(
-        F.sum("count").alias("count")
-    )
-    # occupied (bucket, series) set comes from the ALREADY-AGGREGATED
+    # occupied (bucket_ts, series) set comes from the ALREADY-AGGREGATED
     # sketch rows — identical set to a raw re-scan, orders of magnitude
     # smaller input
     actual = sk.select(F.col("_bts").alias("bucket_ts"), *labels).distinct()
-    merged = merged.join(actual, ["bucket_ts", *labels], "left_semi")
+    if labels:
+        contrib = (
+            sk.join(actual, labels)
+            .filter(
+                (F.col("bucket_ts") >= F.col("_bts"))
+                & (
+                    F.col("bucket_ts")
+                    <= F.col("_bts") + F.lit((k - 1) * step_ms)
+                )
+            )
+            .drop("_bts")
+        )
+    else:
+        # label-free series: the grid join would be a cartesian product;
+        # keep the lattice explode + semi-join (one series, bounded grid)
+        contrib = sk.withColumn(
+            "bucket_ts",
+            F.explode(
+                F.sequence(
+                    F.col("_bts"),
+                    F.col("_bts") + F.lit((k - 1) * step_ms),
+                    F.lit(step_ms),
+                )
+            ),
+        ).drop("_bts").join(actual, ["bucket_ts"], "left_semi")
+    merged = contrib.groupBy("bucket_ts", *labels, "bucket").agg(
+        F.sum("count").alias("count")
+    )
     return ddsketch_quantile(
         merged,
         ["bucket_ts", *labels],
