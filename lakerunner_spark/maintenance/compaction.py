@@ -449,7 +449,15 @@ def compact_segments(
         sort_cols = [k for k in sort_keys if k in df.columns]
 
         staging = _staging_path(task["dir"], txid)
-        out = df.repartition(task["target_files"])
+        # single-target merges (the common small-fragment case) skip the
+        # exchange: coalesce folds the multi-file scan straight into the
+        # one sort+write task instead of materializing a full-partition
+        # shuffle first (r12, guide §2.1 — same output, one stage);
+        # multi-target merges keep repartition for balanced output files
+        if task["target_files"] == 1:
+            out = df.coalesce(1)
+        else:
+            out = df.repartition(task["target_files"])
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").option("compression", compression).parquet(
