@@ -468,8 +468,29 @@ def ddsketch_quantile_over_time(
     # smaller input
     actual = sk.select(F.col("_bts").alias("bucket_ts"), *labels).distinct()
     if labels:
+        # banded interval join: joining on the labels alone would make
+        # the sort-merge join compare |sk_s| x |grid_s| pairs per series
+        # — quadratic for a DENSE low-cardinality-label series (the
+        # logql stream-label route). Banding by window-width blocks
+        # bounds the equi-group to the 1-2 blocks a contribution can
+        # land in (a row spans two blocks only when its trailing window
+        # crosses a boundary), so comparisons stay linear in the
+        # surviving volume. Every valid (row, T) pair matches exactly
+        # once — T's own block is within [b1, b2] — so the contribution
+        # multiset is unchanged.
+        span = k * step_ms
+        sk_b = sk.withColumn(
+            "_blk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_bts div {span}"),
+                    F.expr(f"(_bts + {(k - 1) * step_ms}) div {span}"),
+                )
+            ),
+        )
+        act_b = actual.withColumn("_blk", F.expr(f"bucket_ts div {span}"))
         contrib = (
-            sk.join(actual, labels)
+            sk_b.join(act_b, [*labels, "_blk"])
             .filter(
                 (F.col("bucket_ts") >= F.col("_bts"))
                 & (
@@ -477,7 +498,7 @@ def ddsketch_quantile_over_time(
                     <= F.col("_bts") + F.lit((k - 1) * step_ms)
                 )
             )
-            .drop("_bts")
+            .drop("_bts", "_blk")
         )
     else:
         # label-free series: the grid join would be a cartesian product;
