@@ -59,7 +59,14 @@ def spread_small_scan(
     the scan's partitioning, so the probe's count is the right answer.
     ``df`` itself must only be passed bare when its plan is
     scan+project (no joins, no subqueries).
+
+    Streaming DataFrames pass through untouched: the partition probe
+    (``df.rdd``) is illegal on a streaming plan, and a micro-batch's
+    partitioning is the stream source's to decide — the spread is a
+    batch-scan remedy.
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if (probe if probe is not None else df).rdd.getNumPartitions() >= target:
