@@ -3011,10 +3011,23 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (portable_hash64(F.col("bigram"), seed=12) % _DSIR_B).alias("b"),
     )
-    counts = bk.groupBy("b").agg(
-        F.count(F.lit(1)).alias("raw_cnt"),
+    # ONE pass over the exploded bigrams: both distributions derive from
+    # the same (doc_id, tgt, b) counts — docb projects that aggregation
+    # directly and the 64-row bucket table is a tiny re-agg above it.
+    # The target flag rides as a GROUP KEY (keys survive column pruning
+    # where a per-branch aggregate function would not), so both branches
+    # plan the byte-identical subtree and AQE's stage dedup runs the
+    # expensive part (scan -> tokenize -> explode -> md5 hash) once,
+    # not once per distribution (r12, guide §2.2).
+    grouped = bk.groupBy(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("tgt"),
+        "b",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = grouped.groupBy("b").agg(
+        F.sum("cnt").alias("raw_cnt"),
         F.sum(
-            F.col("source").isin(*_DSIR_TARGET).cast("long")
+            F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0))
         ).alias("tgt_cnt"),
     )
     # totals via an unpartitioned window over the counts table — which
@@ -3040,7 +3053,7 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("scaled"),
     )
-    docb = bk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    docb = grouped.select("doc_id", "b", "cnt")
     w = (
         docb.join(lr, "b")
         .groupBy("doc_id")

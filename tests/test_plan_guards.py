@@ -214,3 +214,24 @@ def test_dd10_no_forced_broadcast(spark, sf_dir):
         "dd10 carries a join-strategy hint; the delete-list join must "
         "be unhinted so runtime size checks decide:\n" + analyzed
     )
+
+
+def test_ds12_single_corpus_pass(spark, sf_dir):
+    """ds12's two distributions (per-bucket totals and per-doc bucket
+    counts) must derive from ONE (doc_id, tgt, b) aggregation so the
+    expensive subtree (scan -> tokenize -> explode -> md5 hash) runs
+    once: the target flag rides as a group KEY — a per-branch aggregate
+    function would be column-pruned differently per consumer, splitting
+    the exchange and recomputing the corpus pass (the r12 regression
+    this pins). Reuse is an AQE runtime decision, so the assertion runs
+    the query and checks the final adaptive plan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["ds12_dsir_selection"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        "ds12 final plan has no ReusedExchange — the bigram "
+        "scan/explode/hash subtree is being computed once per "
+        "distribution:\n" + plan
+    )
