@@ -3410,21 +3410,15 @@ def txt13_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txt13_plan(load_table(spark, sf_dir, "documents"))
 
 
-def _txt13_plan(d: DataFrame) -> DataFrame:
-    """txt13's full dedup->rebuild->langid->LM->tercile pipeline over
-    an arbitrary documents relation — shared with the NULL-planted
-    gate variant (txt13n)."""
-    from lakerunner_spark.dataops.sampling import rank_buckets
-    from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
-    from lakerunner_spark.functions.rounding import portable_round
-
+def _txt13_paras(d: DataFrame) -> DataFrame:
+    """txt13's paragraph scan: fixed 8-token chunks per document."""
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
     # NO spread_small_scan here (r12, measured): it shuffled the full
     # text payload (+14MB main / +129MB sf1) and txt13 ran x2.6 main /
     # x1.14 sf1 slower — the paragraph explode feeds aggregations whose
     # partial agg collapses rows before the shuffle (guide §2.3 class)
     docs = d.select("doc_id", tk.alias("_tk")).filter(F.size("_tk") >= 1)
-    paras = docs.select(
+    return docs.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -3433,15 +3427,56 @@ def _txt13_plan(d: DataFrame) -> DataFrame:
             )
         ).alias("idx", "para"),
     )
-    keyed = paras.select(
-        "doc_id",
-        "idx",
-        "para",
-        F.md5("para").alias("h"),
-        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
+
+
+def _txt13_kept(paras: DataFrame) -> DataFrame:
+    """First-occurrence paragraph dedup over (doc_id, idx, para) rows.
+
+    Dedup decision on NARROW rows, payload anti-joined on the unique
+    occurrence key (r12, guide §8): the old shape aggregated min(pk)
+    per hash and joined it back BY h — a sort-merge join that
+    shuffled every para's text on the hash key just to compare two
+    longs. The DROPPED set (duplicate instances minus firsts) is the
+    small side of this decision — 6.4% of paras at sf1 — so a
+    left_anti on pk broadcasts it and the para payload never
+    shuffles for the decision at all (it moves once, in the rebuild
+    groupBy downstream). When the dropped set outgrows the broadcast
+    threshold the join degrades to a shuffle on pk — a UNIQUE key,
+    so no equi-group is ever hot (the old h-join put every copy of a
+    boilerplate paragraph in one group). The decision branch shuffles
+    only (h, pk); the window's per-group state is those two columns.
+    The pk.isNotNull() pre-filter replicates the old `pk == mpk`
+    filter exactly: a NULL pk compared NULL there and was dropped,
+    where a left_anti would keep it (no build-side match) — pinned
+    with the old shape as witness by
+    test_txt13_dedup_anti_join_matches_join_back.
+    Interleaved same-JVM A/B min-of-3: sf1 old 7.05s / new 5.74s,
+    sf10 old 18.5s / new 15.7s (dedup->LM subtree, noop sink)."""
+    from pyspark.sql import Window
+
+    pk = (F.col("doc_id") * 100000 + F.col("idx")).alias("pk")
+    dropped = (
+        paras.select(F.md5("para").alias("h"), pk)
+        .withColumn("mpk", F.min("pk").over(Window.partitionBy("h")))
+        .filter(F.col("pk") != F.col("mpk"))
+        .select("pk")
     )
-    firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
-    kept = keyed.join(firsts, "h").filter(F.col("pk") == F.col("mpk"))
+    return (
+        paras.select("doc_id", "idx", "para", pk)
+        .filter(F.col("pk").isNotNull())
+        .join(dropped, "pk", "left_anti")
+    )
+
+
+def _txt13_plan(d: DataFrame) -> DataFrame:
+    """txt13's full dedup->rebuild->langid->LM->tercile pipeline over
+    an arbitrary documents relation — shared with the NULL-planted
+    gate variant (txt13n)."""
+    from lakerunner_spark.dataops.sampling import rank_buckets
+    from lakerunner_spark.dataops.text import langid_heuristic, unigram_logprob
+    from lakerunner_spark.functions.rounding import portable_round
+
+    kept = _txt13_kept(_txt13_paras(d))
     docs2 = (
         kept.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("idx", "para"))).alias("_ps"))

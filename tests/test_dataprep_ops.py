@@ -890,3 +890,46 @@ def test_percentile_filter_keeps_null_group_rows(spark):
     # routes agree except near the cutoff (scores are 0..49 ints)
     for d in win.symmetric_difference(sk):
         assert 20 <= (d % 50) <= 30, d
+
+
+def test_txt13_dedup_anti_join_matches_join_back(spark):
+    """txt13's paragraph dedup (narrow window decision + left_anti on
+    the unique pk, r12) must keep EXACTLY the rows of the displaced
+    min(pk)-per-hash join-back shape, including the NULL-pk semantics:
+    the old `pk == mpk` filter silently dropped NULL-pk rows (NULL
+    comparison), where an unguarded left_anti would keep them — the
+    isNotNull pre-filter pins that. Edge corpus: cross-doc duplicate
+    paragraphs, within-doc duplicates, a NULL doc_id document whose
+    paragraphs must ALL be dropped, an empty and a one-token doc."""
+    from lakerunner_spark.queries_dataops import _txt13_kept, _txt13_paras
+
+    dup8 = "a b c d e f g h"
+    rows = [
+        (1, dup8 + " " + dup8 + " tail0"),          # within-doc dup
+        (2, dup8 + " other tokens here x y z q"),   # cross-doc dup of 1
+        (3, "unique words only for doc three"),
+        (None, dup8 + " " + "n u l l d o c 9"),     # NULL doc_id
+        (4, ""),                                    # empty -> filtered
+        (5, "single"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    paras = _txt13_paras(d)
+    kept_new = _txt13_kept(paras)
+
+    keyed = paras.select(
+        "doc_id", "idx", "para",
+        F.md5("para").alias("h"),
+        (F.col("doc_id") * 100000 + F.col("idx")).alias("pk"),
+    )
+    firsts = keyed.groupBy("h").agg(F.min("pk").alias("mpk"))
+    kept_old = keyed.join(firsts, "h").filter(
+        F.col("pk") == F.col("mpk")
+    ).select("doc_id", "idx", "para", "pk")
+
+    a = kept_new.select("pk", "doc_id", "idx", "para")
+    b = kept_old.select("pk", "doc_id", "idx", "para")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    got = {(r.doc_id, r.idx) for r in a.collect()}
+    assert (1, 0) in got and (1, 1) not in got      # within-doc dup gone
+    assert (2, 0) not in got                        # cross-doc dup gone
+    assert not any(doc is None for doc, _ in got)   # NULL pk rows dropped
