@@ -896,7 +896,10 @@ def semantic_dedup_sampled(
     if engine == "arrow":
         from lakerunner_spark.dataops import kmeans_np as KM
         from lakerunner_spark.dataops.similarity import kmeans_cents_arrow
-        from lakerunner_spark.operators.skew import spread_small_scan
+        from lakerunner_spark.operators.skew import (
+            VEC_ROWS_PER_PART,
+            spread_small_scan,
+        )
 
         crows = kmeans_cents_arrow(
             train, n_clusters, iters, id_col, vec_col
@@ -938,9 +941,9 @@ def semantic_dedup_sampled(
         proj = corpus.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
         )
-        assign = spread_small_scan(proj).mapInArrow(
-            assign_fn, f"{id_col} {id_t}, cluster int"
-        )
+        assign = spread_small_scan(
+            proj, rows_per_part=VEC_ROWS_PER_PART
+        ).mapInArrow(assign_fn, f"{id_col} {id_t}, cluster int")
         return _pairs_within_clusters(
             corpus, assign, threshold, id_col, vec_col, checkpoint_dir
         )

@@ -164,7 +164,21 @@ def connected_components(
                 T.StructField("component", e.schema["v"].dataType),
             ]
         )
-        return e.sparkSession.createDataFrame(_local_components(rows), schema)
+        comps = _local_components(rows)
+        sess = e.sparkSession
+        # size the slices by the data, not the core count: the default
+        # parallelize fans even a 150-row labeling into one near-empty
+        # task per core, and every downstream consumer (cluster-size
+        # aggregation, delete-list join) inherits that map-task count —
+        # measured as pure scheduling overhead at bench scale (r13 #2,
+        # guide §2.1). 64k labelings per task keeps the whole local
+        # path a couple of tasks up to the threshold.
+        n_slices = max(1, min(
+            sess.sparkContext.defaultParallelism, 1 + len(comps) // 65536
+        ))
+        return sess.createDataFrame(
+            sess.sparkContext.parallelize(comps, n_slices), schema
+        )
     # Decimal sums so huge id spaces can't wrap 64-bit arithmetic into a
     # false signature match.
     sig_aggs = [

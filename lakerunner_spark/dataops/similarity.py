@@ -68,7 +68,10 @@ def cosine_topk(
     Output: qid, cid, cosine (rounded; ranking on the rounded value with
     cid tiebreak keeps results deterministic across engines).
     """
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -78,7 +81,9 @@ def cosine_topk(
     # the per-pair HOF dot products are corpus-scan-adjacent; spread a
     # low-partition corpus across the cores first (r12, guide §2.5 —
     # no-op when the scan is already parallel)
-    c = spread_small_scan(corpus.select(id_col, vec_col)).select(
+    c = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    ).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_cv"),
         _norm(vec_col).alias("_cn"),
@@ -223,11 +228,16 @@ def ivf_topk(
             .select(idc, vec_col, "_n", "cell")
         )
 
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     # corpus-side cell assignment is scan-adjacent HOF work (r12,
     # guide §2.5); the tiny queries side is left alone
-    corpus = spread_small_scan(corpus.select(id_col, vec_col))
+    corpus = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    )
     cb = assign(corpus, id_col, "cell", 1).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("_cv"),
@@ -278,11 +288,16 @@ def lsh_bucket_topk(
     joins, so the distinct never shuffles vector payloads and each
     row's norm is computed once, not once per candidate pair.
     """
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     # the per-plane sign folds and the pair dot products are corpus-
     # scan-adjacent (r12, guide §2.5); queries side stays tiny
-    corpus = spread_small_scan(corpus.select(id_col, vec_col))
+    corpus = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    )
     qsig = lsh_bucket_signature(queries, tables, id_col, vec_col).select(
         F.col(id_col).alias("qid"), "table", "bucket"
     )
@@ -393,13 +408,18 @@ def _kmeans_trajectory(
     if iters < 1:
         raise ValueError(f"kmeans: iters must be >= 1, got {iters}")
     from lakerunner_spark.functions.rounding import portable_round
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     # the long table is re-derived from the scan for every unrolled
     # iteration's shuffle; a single-row-group input would serialize each
     # of those posexplode map stages on one task (r12, guide §2.5) —
     # no-op when the corpus scan is already parallel
-    long = spread_small_scan(corpus.select(id_col, vec_col)).select(
+    long = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    ).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),
     )
@@ -717,11 +737,16 @@ def pq_topk(
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     # corpus encode (subspace explode + codeword argmin) is scan-
     # adjacent (r12, guide §2.5); cents above keeps the raw relation
-    corpus = spread_small_scan(corpus.select(id_col, vec_col))
+    corpus = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    )
     csub = subrows(corpus, id_col, "cid")
     cdist = csub.join(F.broadcast(ksub), "s").select(
         "cid", "s", "code", portable_round_finite(l2, 12).alias("_d")
@@ -795,12 +820,17 @@ def l2_topk(
 
     Same 100 TB shape as cosine_topk: the query set broadcasts, the
     corpus streams once; the distance is an index-ordered fold."""
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
     )
-    c = spread_small_scan(corpus.select(id_col, vec_col)).select(
+    c = spread_small_scan(
+        corpus.select(id_col, vec_col), rows_per_part=VEC_ROWS_PER_PART
+    ).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
     )
     pairs = c.crossJoin(F.broadcast(q))

@@ -12,6 +12,8 @@ engine's rollup core), because they compose across salts exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,10 +31,73 @@ _PARTIAL = {
 }
 
 
+# Rows of scan input that justify one spread task. The r12 spread fanned
+# EVERY small scan to defaultParallelism tasks regardless of volume; the
+# driver's r12 artifact priced that at +93% main-section tasks and a
+# measured sf0.1 regression class (dd10/dd12/ds12 — many near-empty
+# tasks whose scheduling overhead exceeds the map work they carry).
+# Sizing the target by the scan's row count (parquet footer metadata —
+# no job, no data read) keeps the sf1/sf10 wins (enough rows -> full
+# fan-out) while a tiny fixture gets 2-4 partitions. Both knobs are
+# per-task BATCH sizes (how many rows make one task worthwhile), not
+# core counts — the core count enters only through the
+# defaultParallelism cap, so the sizing stays scale-adaptive. Env
+# overrides for cluster tuning; the defaults are measured locally
+# (OPTIMIZATION_r13.md #1).
+ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_ROWS_PER_PART", "1536")
+)
+# vector/embedding scans carry ~64 doubles per row and their consumers
+# (brute topk folds, k-means assignment) do k*d work per row — a
+# smaller batch saturates the cores at one decade lower volume
+VEC_ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_VEC_ROWS_PER_PART", "640")
+)
+
+# (path, mtime) -> parquet footer row count; footer reads are ~1ms but
+# every query construction re-probes its scan
+_FOOTER_ROWS: dict[tuple[str, float], int] = {}
+
+
+def scan_rows(df: DataFrame) -> int | None:
+    """Row count of ``df``'s file scan from parquet footer metadata —
+    driver-side only, no Spark job, no data pages read. None when the
+    relation is not a local parquet file set (in-memory test frames,
+    object-store URIs) or the file list is large enough that footer
+    probing would itself cost (at that point the scan has plenty of
+    partitions and the caller's partition-count check short-circuits
+    first anyway)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # streaming/local relations
+        return None
+    if not files or len(files) > 64:
+        return None
+    total = 0
+    for uri in files:
+        path = uri[7:] if uri.startswith("file://") else uri
+        path = path[5:] if path.startswith("file:") else path
+        if not os.path.isfile(path):
+            return None
+        try:
+            key = (path, os.path.getmtime(path))
+            n = _FOOTER_ROWS.get(key)
+            if n is None:
+                import pyarrow.parquet as pq  # noqa: PLC0415
+
+                n = pq.ParquetFile(path).metadata.num_rows
+                _FOOTER_ROWS[key] = n
+            total += n
+        except Exception:
+            return None
+    return total
+
+
 def spread_small_scan(
     df: DataFrame,
     min_parts: int | None = None,
     probe: DataFrame | None = None,
+    rows_per_part: int | None = None,
 ) -> DataFrame:
     """Round-robin repartition a scan that yields fewer partitions than
     the cluster has cores — otherwise every map operator adjacent to the
@@ -64,12 +129,31 @@ def spread_small_scan(
     (``df.rdd``) is illegal on a streaming plan, and a micro-batch's
     partitioning is the stream source's to decide — the spread is a
     batch-scan remedy.
+
+    ``rows_per_part`` (r13): rows of input that justify one task —
+    defaults to :data:`ROWS_PER_PART`; vector call sites pass
+    :data:`VEC_ROWS_PER_PART`. The target is
+    ``min(defaultParallelism, ceil(scan_rows / rows_per_part))`` so a
+    tiny fixture stops fanning to every core (the r12 driver's measured
+    +93%-tasks regression class) while a scan with a core's worth of
+    rows per task still spreads fully. When the row count is unknowable
+    (non-parquet relation) the cap alone applies — the r12 behavior.
     """
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if (probe if probe is not None else df).rdd.getNumPartitions() >= target:
+    cap = min_parts or sc.defaultParallelism
+    src = probe if probe is not None else df
+    cur = src.rdd.getNumPartitions()
+    if cur >= cap:
+        return df
+    target = cap
+    rpp = rows_per_part if rows_per_part is not None else ROWS_PER_PART
+    if rpp > 0:
+        rows = scan_rows(src)
+        if rows is not None:
+            target = min(cap, -(-rows // rpp) or 1)
+    if target <= cur:
         return df
     return df.repartition(target)
 

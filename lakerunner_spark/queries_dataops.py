@@ -1730,7 +1730,10 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.dataops.similarity import random_projection
     from lakerunner_spark.functions.rounding import portable_round_finite
 
-    from lakerunner_spark.operators.skew import spread_small_scan
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     proj = random_projection(64, 24, seed=0)
@@ -1738,7 +1741,8 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 24 projection folds + pair cosines are corpus-scan-adjacent
     # (r12, guide §2.5); spread before attaching the projection
     c = spread_small_scan(
-        emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding")
+        emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding"),
+        rows_per_part=VEC_ROWS_PER_PART,
     ).select("vec_id", "embedding", proj)
 
     def _cos(av, bv):

@@ -1072,9 +1072,19 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured at sf1: 10.2s -> 28s, caught CONFIRMED by the bench
     # flag pass; the pre-checkpoint form hid it by running 9 aliased
     # single-partition branches concurrently). 5 MB shuffle at sf1.
-    par = spark.sparkContext.defaultParallelism
+    # (r13) sized spread, not a blanket repartition(defaultParallelism):
+    # the fixture corpus is ~2k vectors — fanning it to every core made
+    # each member plan pay a 32-task exchange for sub-ms map work
+    from lakerunner_spark.operators.skew import (
+        VEC_ROWS_PER_PART,
+        spread_small_scan,
+    )
+
     q3 = emb.filter(F.col("vec_id") < 3)
-    corpus = emb.filter(F.col("vec_id") >= 3).repartition(par)
+    corpus = spread_small_scan(
+        emb.filter(F.col("vec_id") >= 3),
+        rows_per_part=VEC_ROWS_PER_PART,
+    )
     from lakerunner_spark.dataops.similarity import cosine_topk
 
     exact_cos = (

@@ -247,3 +247,46 @@ def test_zipf_fixture_and_dd14_shape_equivalence(spark, tmp_path):
     a = {tuple(r) for r in shapes["groupby"]().collect()}
     b = {tuple(r) for r in shapes["window"]().collect()}
     assert a == b
+
+
+def test_spread_small_scan_sizes_target_by_scan_rows(spark, sf_dir):
+    """r13 #1: the spread's repartition target is ceil(rows /
+    rows_per_part) capped at defaultParallelism — a tiny scan stays
+    un-spread (no exchange at all), a medium one gets a couple of
+    tasks, and only a scan with a core's worth of rows per task fans
+    fully (the r12 behavior, which cost +93% main-section tasks at
+    bench scale for near-empty task fan-outs)."""
+    from lakerunner_spark.operators.skew import scan_rows, spread_small_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert scan_rows(docs) == 500
+    # 500 rows / 1536-per-part -> target 1 <= current 1: NO-OP (same plan)
+    assert spread_small_scan(docs).rdd.getNumPartitions() == 1
+    assert "Exchange" not in spread_small_scan(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # explicit small batch -> sized fan-out, NOT the full core count
+    assert spread_small_scan(docs, rows_per_part=100).rdd.getNumPartitions() == 5
+    # rows unknowable (in-memory relation) -> cap applies (r12 behavior)
+    local = spark.createDataFrame([(1, "a")], "id long, t string").coalesce(1)
+    assert scan_rows(local) is None
+    spread = spread_small_scan(local)
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_cc_local_path_slices_by_volume(spark):
+    """r13 #2: the union-find local path parallelizes its labeling by
+    data volume, not core count — a 4-edge graph must not fan to
+    defaultParallelism near-empty tasks (every downstream consumer
+    inherits the map-task count)."""
+    from lakerunner_spark.dataops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 12)], "src long, dst long"
+    )
+    comp = connected_components(edges)
+    assert comp.rdd.getNumPartitions() == 1
+    got = {(r["node"], r["component"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
