@@ -335,6 +335,13 @@ def _run_section(section: str) -> dict:
 
     if section == "main":
         sf_dir, names = SF_DIR, HEADLINE
+        # partial second main pass (r13): the parent passes the subset
+        # it could afford — the child runs the identical methodology
+        # (warmup + adaptive best-of-N + spread pass) over fewer names
+        sub = os.environ.get("SPARK_GRAFT_MAIN_SUBSET", "")
+        if sub:
+            want = {n for n in sub.split(",") if n}
+            names = [n for n in HEADLINE if n in want]
     elif section.startswith("sf10"):
         from tools.make_sf1 import make_sf1
 
@@ -632,6 +639,7 @@ def compact_summary(out: dict, limit: int = 1700) -> dict:
         "main_passes",
         "main2_total_sec",
         "main2_calib_sec",
+        "main2_subset_n",
     ):
         if out.get(k) is not None:
             c[k] = out[k]
@@ -816,6 +824,38 @@ def merge_main_pass(out: dict, main_res: dict, res2: dict) -> dict:
         "iters": out["iters"],
         "work": main_res.get("work"),
     }
+
+
+def pick_main2_subset(
+    queries: dict[str, float],
+    flagged: list[str],
+    remaining: float,
+    overhead: float = 150.0,
+) -> tuple[list[str] | None, float]:
+    """Choose the partial second-main-pass subset (r12 verdict task #4:
+    the full-pass estimate `main_wall*1.2+30` never fit a driver
+    window). Flagged queries first — a min-merged second sample is
+    exactly what adjudicates a flag — then the slowest, greedily while
+    the per-query cost estimate (~3.5x the recorded best, covering the
+    untimed warmup + best-of-2 + the <1.5s spread pass) fits what is
+    left after a fixed JVM-start+calibration allowance. Returns (None,
+    0) when fewer than 5 entries fit — a 2-3 query pass would spend
+    its whole wall on JVM start."""
+    order = flagged + [
+        n
+        for n, _ in sorted(queries.items(), key=lambda kv: -kv[1])
+        if n not in flagged
+    ]
+    est, picked = overhead, []
+    for n in order:
+        cost = queries.get(n, 1.0) * 3.5 + 1.0
+        if est + cost > remaining:
+            continue
+        picked.append(n)
+        est += cost
+    if len(picked) < 5:
+        return None, 0.0
+    return picked, est
 
 
 def _estimate_sec(section: str, prev: dict) -> float:
@@ -1035,15 +1075,36 @@ def main() -> None:
         if wall_budget:
             remaining = wall_budget - (time.monotonic() - t0)
             est2 = main_wall * 1.2 + 30
+            subset: list[str] | None = None
+            if remaining <= est2:
+                # Full pass never fit a driver window (r12: 462s left
+                # vs est 673 — the estimate inherits the first pass's
+                # noise-inflated wall). r13: min-merge a PARTIAL pass
+                # instead (pick_main2_subset).
+                picked, est = pick_main2_subset(
+                    out["queries"],
+                    list((out.get("bench_diff") or {}).get("flagged") or {}),
+                    remaining,
+                )
+                if picked:
+                    subset, est2 = picked, est
             if remaining > est2:
+                label = f"partial x{len(subset)}" if subset else "full"
                 print(
-                    f"# second main pass: {remaining:.0f}s left covers"
-                    f" est {est2:.0f}s",
+                    f"# second main pass ({label}): {remaining:.0f}s left"
+                    f" covers est {est2:.0f}s",
                     file=sys.stderr,
                 )
                 try:
                     with _Heartbeat(lambda: snapshot("main2")):
-                        res2 = _spawn("main")
+                        res2 = _spawn(
+                            "main",
+                            extra_env=(
+                                {"SPARK_GRAFT_MAIN_SUBSET": ",".join(subset)}
+                                if subset
+                                else None
+                            ),
+                        )
                 except Exception as e:  # noqa: BLE001 - keep pass 1
                     out.setdefault("section_errors", {})["main2"] = (
                         str(e)[:200]
@@ -1051,6 +1112,8 @@ def main() -> None:
                     print(f"# main2 FAILED: {e}", file=sys.stderr)
                     _emit_lines(out)
                 else:
+                    if subset:
+                        out["main2_subset_n"] = len(subset)
                     merged_res = merge_main_pass(out, main_res, res2)
                     diff_section(merged_res, "main", "bench_diff")
                     _emit_lines(out)

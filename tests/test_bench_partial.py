@@ -309,3 +309,35 @@ def test_second_main_pass_min_merges_and_records_discipline():
     # the compact summary surfaces the discipline in the tail window
     c = bench.compact_summary(out | {"metric": "m", "sf": 0.1})
     assert c["main_passes"] == 2 and c["main2_total_sec"] == 3.3
+
+
+def test_partial_second_pass_picks_flagged_then_slowest_within_budget():
+    """r12 verdict task #4: when the full second main pass does not fit
+    the leftover budget, a partial min-merged pass runs instead —
+    flagged queries first, then the slowest, greedily by estimated
+    per-query cost (3.5x best + 1s) after a fixed 150s allowance."""
+    import bench
+
+    queries = {f"q{i}": float(i) for i in range(1, 11)}  # 1s..10s
+    # plenty of room: everything fits, flagged lead the order
+    picked, est = bench.pick_main2_subset(queries, ["q2"], remaining=1000.0)
+    assert picked[0] == "q2" and set(picked) == set(queries)
+    assert est <= 1000.0
+    # tight room: the flagged entry first, then the slowest that fit
+    picked, est = bench.pick_main2_subset(queries, ["q2"], remaining=260.0)
+    assert picked is not None and picked[0] == "q2"
+    assert est <= 260.0 and len(picked) >= 5
+    # too tight for a meaningful pass -> None (JVM start dominates)
+    picked, est = bench.pick_main2_subset(queries, [], remaining=165.0)
+    assert picked is None
+
+
+def test_main_subset_env_filters_headline_in_order():
+    """The child honors SPARK_GRAFT_MAIN_SUBSET while preserving the
+    HEADLINE order (the parent sends an arbitrary pick order; the run
+    order stays the section's canonical one)."""
+    import bench
+
+    want = {"dd7_neardup_clusters", "tpch_q1_pricing_summary"}
+    names = [n for n in bench.HEADLINE if n in want]
+    assert names == ["tpch_q1_pricing_summary", "dd7_neardup_clusters"]
