@@ -109,6 +109,23 @@ def cosine_topk(
     )
 
 
+def _dot_const_sql(vec_col: str, vals) -> str:
+    """SQL text of the index-ordered <vec, const> dot fold: identical
+    shape to the zip_with/aggregate Column form it replaces (same
+    cast, same accumulation order, so bit-identical doubles), but ONE
+    driver parse instead of one py4j round trip per element — the
+    Column form dominated sim3/sim6 plan construction (guide §1: the
+    cost was the driver boundary, not the executors)."""
+    arr = "array(" + ",".join(
+        f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals
+    ) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr},"
+        " (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 def lsh_bucket_signature(
     df: DataFrame,
     tables: list[list[list[float]]],
@@ -124,14 +141,14 @@ def lsh_bucket_signature(
     for t, planes in enumerate(tables):
         sig = None
         for p in planes:
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), arr, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            # one SQL-parsed expression per plane, not one py4j lit()
+            # per matrix element: the Column form cost ~100 driver
+            # round trips per plane (~2.8s of socket time building
+            # sim3's 18-plane plan — r13 #3); the parsed tree is the
+            # identical index-ordered fold over the identical doubles
+            # (repr round-trips exactly; string->double cast is
+            # correctly rounded)
+            dot = F.expr(_dot_const_sql(vec_col, p))
             # sign decided on the 12-dp-rounded dot: float summation
             # order differs across engines/partitions, and a dot within
             # one ulp of zero must not flip a bucket bit (oracle parity)
@@ -652,17 +669,11 @@ def random_projection(
     multiply-adds inside whole-stage codegen — the 4-8x storage shrink
     this buys is what makes a 100 TB shortlist scan memory-resident."""
     signs = rp_sign_matrix(in_dim, out_dim, seed)
+    # one parsed expression per output dim (identical fold, identical
+    # doubles) — the per-element lit() form cost ~1.6s of py4j round
+    # trips per plan construction (r13 #3, see _dot_const_sql)
     comps = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(s)) for s in signs[j]]),
-                lambda x, s: x.cast("double") * s,
-            ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        )
-        for j in range(out_dim)
+        F.expr(_dot_const_sql(vec_col, signs[j])) for j in range(out_dim)
     ]
     return F.array(*comps).alias(out_col)
 

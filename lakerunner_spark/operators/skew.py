@@ -98,6 +98,7 @@ def spread_small_scan(
     min_parts: int | None = None,
     probe: DataFrame | None = None,
     rows_per_part: int | None = None,
+    floor: int = 1,
 ) -> DataFrame:
     """Round-robin repartition a scan that yields fewer partitions than
     the cluster has cores — otherwise every map operator adjacent to the
@@ -138,6 +139,15 @@ def spread_small_scan(
     +93%-tasks regression class) while a scan with a core's worth of
     rows per task still spreads fully. When the row count is unknowable
     (non-parquet relation) the cap alone applies — the r12 behavior.
+
+    ``floor``: minimum spread target once the scan is below the cap.
+    A caller whose downstream relies on the spread EXCHANGE as an AQE
+    reuse boundary (a shared subtree consumed by several branches —
+    ds12) passes 2: a single-partition child satisfies every hash
+    distribution, so with no exchange anywhere Spark plans the shared
+    subtree once PER CONSUMER. The two-partition round-robin of a
+    sub-batch input costs microseconds; recomputing the subtree at
+    scale does not.
     """
     if df.isStreaming:
         return df
@@ -152,7 +162,7 @@ def spread_small_scan(
     if rpp > 0:
         rows = scan_rows(src)
         if rows is not None:
-            target = min(cap, -(-rows // rpp) or 1)
+            target = min(cap, max(floor, -(-rows // rpp) or 1))
     if target <= cur:
         return df
     return df.repartition(target)

@@ -2991,10 +2991,16 @@ def ds12_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakerunner_spark.functions.rounding import portable_round as _pr
     from lakerunner_spark.operators.skew import spread_small_scan
 
+    # floor=2: this spread's exchange doubles as the AQE reuse boundary
+    # for the shared (doc_id, tgt, b) corpus pass below — on a
+    # single-partition input with no exchange anywhere, Spark would
+    # plan that subtree once per distribution (the r12 #9 regression,
+    # pinned by test_ds12_single_corpus_pass)
     d = spread_small_scan(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
-        )
+        ),
+        floor=2,
     )
     tk = F.expr("filter(split(trim(text), ' '), t -> t != '')")
     docs = d.select("doc_id", "source", tk.alias("_tk")).filter(

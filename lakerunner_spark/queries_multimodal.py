@@ -1099,12 +1099,39 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fns["sim1_cosine_topk"] = lambda _s, _d: exact_cos
 
+    # (r13 #3) Materialize every member's 15-row id set CONCURRENTLY
+    # (guide §2.6 — actions are only sequential because driver code
+    # calls them sequentially): each member is an independent bounded
+    # job whose plan construction (driver py4j/analysis-bound) and
+    # stages overlap across a small pool, and the report then reads 9
+    # checkpointed 15-row tables instead of executing one 9-subplan
+    # union whose ~30 stages ran back to back. Member plans are
+    # UNCHANGED — the checkpoint is a materialization boundary on each
+    # registered query's own output (k*|queries| rows, bounded at any
+    # corpus scale by the members' contracts).
+    from concurrent.futures import ThreadPoolExecutor
+
+    entries = _sim8_entries()
+
+    def _materialize(name: str):
+        return (
+            fns[name](spark, sf_dir)
+            .select(F.lit(name).alias("method"), "qid", "cid")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        member = dict(
+            zip(
+                [n for n, _, _, _ in entries],
+                pool.map(_materialize, [n for n, _, _, _ in entries]),
+            )
+        )
+
     approx = None
     exact = None
-    for name, _, metric, _sql in _sim8_entries():
-        a = fns[name](spark, sf_dir).select(
-            F.lit(name).alias("method"), "qid", "cid"
-        )
+    for name, _, metric, _sql in entries:
+        a = member[name]
         e = (exact_cos if metric == "cos" else exact_l2).select(
             F.lit(name).alias("method"), "qid", "cid"
         )

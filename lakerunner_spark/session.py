@@ -38,6 +38,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-operation call-site capture for enriched error messages
+        # walks the Python stack AND issues a py4j origin call on EVERY
+        # Column/DataFrame op — measured at ~15-20% of plan-construction
+        # time on expression-heavy queries (r13 #3; the cost is pure
+        # driver boundary, identical at any data scale). Off by default
+        # for the engine; flip on when debugging a query.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_DF_DEBUGGING") == "1"
+            else "false",
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         # NOTE: spark.sql.parquet.aggregatePushdown deliberately NOT
         # set — parquet sits on the default spark.sql.sources.
