@@ -53,6 +53,12 @@ ROWS_PER_PART = int(
 VEC_ROWS_PER_PART = int(
     os.environ.get("SPARK_GRAFT_SPREAD_VEC_ROWS_PER_PART", "640")
 )
+# media rows carry whole payloads (KB-MB) and each costs a Python
+# decode (~ms per row even vectorized) — a media task earns its keep
+# at a few hundred rows
+MEDIA_ROWS_PER_PART = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MEDIA_ROWS_PER_PART", "256")
+)
 
 # (path, mtime) -> parquet footer row count; footer reads are ~1ms but
 # every query construction re-probes its scan

@@ -1558,6 +1558,14 @@ def ddm4_semantic_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.expr("transform(_ps, x -> x.mean_gray)").alias("embedding"),
         )
+        # materialize the feature table ONCE (r13 #5): the sampled
+        # SemDeDup route reads its corpus from three separate jobs
+        # (train collect, assignment seam, pair attach), and each
+        # re-ran the decode seam + collect_list rebuild (measured 3x
+        # ~0.8s of ddm4's 3.9s). Same narrow-corpus-table
+        # materialization contract as hamming_neardup_pairs' words
+        # checkpoint (the dd12 lesson): one row per image, vector-wide.
+        .localCheckpoint(eager=True)
     )
     return semantic_dedup_sampled(
         vecs,
