@@ -477,20 +477,31 @@ def unigram_logprob(
         f"filter(split(trim(regexp_replace(lower({text_col}),"
         f" '[^a-z0-9]+', ' ')), ' '), t -> t != '')"
     )
-    # NO spread_small_scan here (r12, measured): the tokenize+explode
-    # feeds a groupBy whose map-side partial aggregation collapses the
-    # token stream before any shuffle; the probed spread shuffled the
-    # full text payload for nothing (txt9 main x2.7, txt13 +129MB
-    # shuffle at sf1 — the guide §2.3 class).
-    tokens = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # Spread sized so it fires only at decade scale (r13, refining the
+    # r12 revert): at sf0.1/sf1 the probed spread shuffled the full
+    # text payload ahead of a map-side-collapsing aggregation for
+    # nothing (txt9 main x2.7 — the guide §2.3 class, measured and
+    # reverted in r12); at sf10 the single-file corpus tokenized
+    # 85M tokens on ONE task (4.2s serial of txt12s' 10s). A 24k-doc
+    # batch leaves every sub-decade fixture un-spread and un-shuffled.
+    from lakerunner_spark.operators.skew import spread_small_scan
+
+    tokens = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col)), rows_per_part=24576
+    ).select(F.col(id_col), F.explode(toks).alias("tok"))
     sample = tokens.filter(F.col(id_col) % sample_mod == 0)
     counts = sample.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = (
         counts.orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(vocab_k)
     )
-    # total tokens in the sample slice + smoothing mass (K + 1 classes)
-    totals = sample.agg(F.count(F.lit(1)).alias("_total"))
+    # total tokens in the sample slice + smoothing mass (K + 1 classes).
+    # Summed from the per-token counts — the count of sample tokens IS
+    # sum(cnt), exactly — so the sample is tokenized once, not once for
+    # the vocabulary and again for the total (r13; the second pass was
+    # 0.9s of txt12s' sf10 wall, and both consumers now share the
+    # counts exchange).
+    totals = counts.agg(F.sum("cnt").alias("_total"))
     scored = (
         tokens.join(F.broadcast(vocab), "tok", "left")
         .crossJoin(F.broadcast(totals))
