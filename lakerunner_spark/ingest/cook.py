@@ -214,8 +214,12 @@ def cook_metrics(
             # runs once per row for both consumers (write + rollup).
             from pyspark import StorageLevel  # noqa: PLC0415
 
-            out = out.persist(StorageLevel.MEMORY_AND_DISK)
-            persisted.append(out)
+            if not last:
+                # the LAST tier has no coarser consumer — its only
+                # action is its own segment write, so caching it would
+                # be a pure extra materialization (r13)
+                out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.append(out)
         wout = out
         if "_st" in out.columns:
             wout = out.select("*", "_st.*").drop("_st")
