@@ -52,27 +52,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # ingest/join/agg/window/frontends/relational/dataops/multimodal) —
 # the remaining registrations follow in registration order.
 _PRIORITY = [
-    # r12 rotation (r11 verdict task #3: >=15 entries, rotating in
-    # never-gated families). Rotated IN (21): the WHOLE multimodal
-    # feature family mm1-mm7 (never gated), dd15/ds15 (funnel +
-    # length histogram), lqs15/lqs17/lqs19 (pattern/ip/unpack),
-    # pqs37/pqs39/pqs40 (time arith, @ modifier, limitk), w3
-    # (last_over_time), f9/f10 (unary math, clamp), a14/a15/a16
-    # (summary stats, distinct tag values, metric metadata — the A14-
-    # A16 rows' first gate pass). Rotated DOWN (21, every one
-    # gate-certified green in CORRECTNESS_r11, families still above
-    # the line): a9x/pqs1 (range fns carried by w3/pqs4/lqs1), a8
-    # (topk carried by pqs40's two-phase router), pqs23 (binary via
-    # j1), sp5/sp8 (spans via sp7), lqs23/lqs24 (line/label filters
-    # via lqs15/lqs17), otlp1 (exp-histograms via pqs43), txt12s
-    # (CCNet via txt12n/txt13/txt13n), q21 (relational via q18),
-    # ds9s (via ds9n), ds10/ds11 (sampling via ds12/ds15),
-    # dd11v (substring via dd13/dd17/dd18), dd12s (semantic via
-    # ddm4), sim5/sim6/sim7 (ANN via sim8), ddm1/ddm5 (media
-    # near-dup via ddm3/ddm4 + mm1-mm7). The NULL-key trio stays
-    # under the gate every round (r10 task #4 standing), and
-    # cook1/chq2/chq3 stay up to re-certify this round's bounded
-    # sketch-cascade rewrite (r11 verdict #1).
+    # r13 rotation (r12 verdict task #6, the standing >=15-entry
+    # protocol). Rotated IN (17), the longest-unseen rows the verdict
+    # named plus this round's touched surfaces: a8_topk, pqs1, sp5,
+    # sp8, otlp1, lqs23, lqs24, ds10, ds11, sim5/sim6/sim7 (the ANN
+    # members under sim8's frontier — sim3/sim6's const-fold rewrite
+    # re-certifies through them), dd11v, dd12s (the arrow k-means
+    # route), txt12s (this round's unigram shared-pass rewrite),
+    # ddm1/ddm5 (ddm1 re-certifies the vectorized BMP decode).
+    # Rotated DOWN (17, every one gate-certified green in
+    # CORRECTNESS_r12, families still above the line): mm2-mm7 (mm1
+    # stays up for the byte-histogram plane; all seven passed their
+    # first gate in r12), dd15/ds15 (funnel via dd7/dd10-family rows,
+    # histogram via ds12), lqs15/lqs17/lqs19 (line/label filters via
+    # lqs23/lqs24 + lqs1/lqs3), pqs37/pqs39/pqs40 (their range/limit
+    # families via pqs1/pqs4/pqs18/pqs43), w3 (last_over_time via
+    # pqs4/lqs1 range fns), f9/f10 (scalar math via f17), a14/a15/a16
+    # (summary/metadata via a6/a13). The NULL-key trio stays under
+    # the gate every round (r10 task #4 standing); cook1/chq2/chq3
+    # stay up to re-certify the cook cascade after this round's
+    # last-tier persist change.
     "s1_scan_project_filter",
     "cook1_metrics_tid",
     "a13_aggfile_route",
@@ -103,6 +102,28 @@ _PRIORITY = [
     "chq2_cooked_sketch_segments",
     "o4_ordered_slices_concat",
     "mm1_byte_histogram",
+    "a8_topk",
+    "pqs1_sum_rate",
+    "sp5_trace_rollup",
+    "sp8_error_trace_spans",
+    "otlp1_exp_histogram_quantile",
+    "lqs23_or_line_filter",
+    "lqs24_label_filter_or",
+    "ds10_temperature_mixture",
+    "ds11_epoch_shuffle",
+    "sim5_kmeans",
+    "sim6_random_projection",
+    "sim7_pq_topk",
+    "dd11v_substring_verify",
+    "dd12s_semantic_dedup_sampled",
+    "txt12s_ccnet_sketch_buckets",
+    "ddm1_image_neardup",
+    "ddm5_audio_neardup",
+    "pqs40_limitk",
+    "lqs15_pattern_line_filter",
+    "a14_summary",
+    # -- below the driver's 50-sample line ------------------------------
+    # r13 downs (all r12-gate-certified; see rotation note above):
     "mm2_png_features",
     "mm3_wav_features",
     "mm4_bmp_features",
@@ -111,41 +132,20 @@ _PRIORITY = [
     "mm7_image_patches",
     "dd15_dedup_funnel",
     "ds15_length_histogram",
-    "lqs15_pattern_line_filter",
     "lqs17_ip_filter",
     "lqs19_unpack",
     "pqs37_time_arith",
     "pqs39_at_modifier",
-    "pqs40_limitk",
     "w3_last_over_time",
     "f9_math_unary",
     "f10_clamp",
-    "a14_summary",
     "a15_distinct_values",
     "a16_metadata",
-    # -- below the driver's 50-sample line ------------------------------
-    # r12 downs (all r11-gate-certified; see rotation note above):
+    # r12 downs (r11-gate-certified):
     "a9x_deriv",
-    "a8_topk",
-    "pqs1_sum_rate",
     "pqs23_group_left_share",
-    "sp8_error_trace_spans",
-    "sp5_trace_rollup",
-    "lqs23_or_line_filter",
-    "lqs24_label_filter_or",
-    "otlp1_exp_histogram_quantile",
-    "txt12s_ccnet_sketch_buckets",
     "tpch_q21_waiting_supplier",
     "ds9s_quality_sketch_filter",
-    "ds10_temperature_mixture",
-    "ds11_epoch_shuffle",
-    "dd11v_substring_verify",
-    "dd12s_semantic_dedup_sampled",
-    "sim5_kmeans",
-    "sim6_random_projection",
-    "sim7_pq_topk",
-    "ddm1_image_neardup",
-    "ddm5_audio_neardup",
     # (late-r11: ds13 moved down for chq3_sketch_stats_segments, the
     # round's new reference-faithful sketch-percentiles surface; ds13's
     # sampling family stays above via ds10/ds11/ds12)
