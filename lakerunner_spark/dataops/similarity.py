@@ -139,26 +139,34 @@ def lsh_bucket_signature(
 
     entries = []
     for t, planes in enumerate(tables):
-        sig = None
+        # ONE SQL-parsed expression per TABLE, not one py4j call per
+        # plane sub-step: the per-plane Column form still issued ~10
+        # driver round trips per plane (~180 per side over 18 planes —
+        # measured at ~3s of sim3/sim8 plan construction, r13 #3). The
+        # parsed tree is identical piece for piece: the same
+        # index-ordered dot fold (_dot_const_sql), the same
+        # floor(x*1e12 + 0.5)/1e12 rounding (portable_round_finite's
+        # exact construction — finite by the module convention), the
+        # sign decided on the 12-dp-rounded dot (float summation order
+        # differs across engines/partitions, and a dot within one ulp
+        # of zero must not flip a bucket bit — oracle parity), each
+        # bit CAST to BIGINT, and the same sig*2+bit accumulation.
+        sig_sql = None
         for p in planes:
-            # one SQL-parsed expression per plane, not one py4j lit()
-            # per matrix element: the Column form cost ~100 driver
-            # round trips per plane (~2.8s of socket time building
-            # sim3's 18-plane plan — r13 #3); the parsed tree is the
-            # identical index-ordered fold over the identical doubles
-            # (repr round-trips exactly; string->double cast is
-            # correctly rounded)
-            dot = F.expr(_dot_const_sql(vec_col, p))
-            # sign decided on the 12-dp-rounded dot: float summation
-            # order differs across engines/partitions, and a dot within
-            # one ulp of zero must not flip a bucket bit (oracle parity)
+            dot = _dot_const_sql(vec_col, p)
             bit = (
-                F.when(portable_round_finite(dot, 12) >= 0, F.lit(1))
-                .otherwise(F.lit(0))
-                .cast("long")
+                "CAST(CASE WHEN (floor((" + dot + ") * 1000000000000"
+                " + 0.5) / 1000000000000) >= 0 THEN 1 ELSE 0 END"
+                " AS BIGINT)"
             )
-            sig = bit if sig is None else (sig * 2 + bit)
-        entries.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+            sig_sql = bit if sig_sql is None else (
+                f"(({sig_sql}) * 2 + {bit})"
+            )
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"), F.expr(sig_sql).alias("bucket")
+            )
+        )
     return df.select(
         F.col(id_col), F.col(vec_col), F.explode(F.array(*entries)).alias("tb")
     ).select(
@@ -722,6 +730,35 @@ def pq_topk(
     shuffle and a per-query top-k window over k-bounded groups. The
     re-rank touches shortlist*n_queries raw vectors — a point-lookup
     join, unhinted (AQE broadcasts the query-proportional side)."""
+    ranked, corpus = _pq_ranked(
+        queries, corpus, m, n_codes, dim, id_col, vec_col, round_dp
+    )
+    if not shortlist:
+        return ranked.filter(F.col("_rn") <= k).select(
+            "qid", "cid", "pq_dist"
+        )
+    return _pq_rerank(
+        ranked, queries, corpus, shortlist, k, id_col, vec_col, round_dp
+    )
+
+
+def _pq_ranked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+):
+    """The shared head of :func:`pq_topk` — codebook, corpus encode,
+    ADC scoring, per-query ranking — returning the ADC-ranked
+    ``(qid, cid, pq_dist, _rn)`` rows plus the (possibly spread)
+    corpus relation the re-rank stage reads raw vectors from. Split
+    out (r13) so sim8's shortlist sweep builds and executes this
+    subtree ONCE for its three PQ rows instead of once per shortlist;
+    every expression is byte-identical to the pre-split pq_topk."""
     sub = dim // m
     if sub * m != dim:
         raise ValueError("pq_topk: dim must be divisible by m")
@@ -781,12 +818,22 @@ def pq_topk(
     w = Window.partitionBy("qid").orderBy(
         F.col("pq_dist").asc(), F.col("cid").asc()
     )
-    ranked = adc.withColumn("_rn", F.row_number().over(w))
-    if not shortlist:
-        return ranked.filter(F.col("_rn") <= k).select(
-            "qid", "cid", "pq_dist"
-        )
+    return adc.withColumn("_rn", F.row_number().over(w)), corpus
 
+
+def _pq_rerank(
+    ranked: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    shortlist: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """The exact-L2 re-rank tail of :func:`pq_topk` over an ADC-ranked
+    relation from :func:`_pq_ranked` (see there for the r13 split
+    rationale)."""
     short = ranked.filter(F.col("_rn") <= shortlist).select("qid", "cid")
     qv = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")

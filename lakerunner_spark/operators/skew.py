@@ -144,7 +144,16 @@ def spread_small_scan(
     tiny fixture stops fanning to every core (the r12 driver's measured
     +93%-tasks regression class) while a scan with a core's worth of
     rows per task still spreads fully. When the row count is unknowable
-    (non-parquet relation) the cap alone applies — the r12 behavior.
+    (derived/checkpointed/in-memory relation, not a bounded local file
+    scan) the spread is a NO-OP: this operator is a small-FILE-SCAN
+    remedy, and whoever produced a derived relation already chose its
+    partitioning. The earlier cap-only fallback blind-fanned such
+    inputs to every core — measured this round shuffling txt13's full
+    rebuilt-corpus text payload ahead of a map-side-collapsing
+    aggregation (sf1 norm x2.06, sf10 x1.59, +387MB shuffle — the
+    guide §2.3 class r12 already reverted once for file scans), and
+    re-fanning sim8's already-sized checkpointed corpus inside every
+    member operator.
 
     ``floor``: minimum spread target once the scan is below the cap.
     A caller whose downstream relies on the spread EXCHANGE as an AQE
@@ -167,8 +176,9 @@ def spread_small_scan(
     rpp = rows_per_part if rows_per_part is not None else ROWS_PER_PART
     if rpp > 0:
         rows = scan_rows(src)
-        if rows is not None:
-            target = min(cap, max(floor, -(-rows // rpp) or 1))
+        if rows is None:
+            return df
+        target = min(cap, max(floor, -(-rows // rpp) or 1))
     if target <= cur:
         return df
     return df.repartition(target)

@@ -1725,25 +1725,36 @@ def sim6_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-dim cosine for the final top-5 (recall@5 0.8 on the corpus,
     test-asserted; the shortlist width is the recall/speed dial). Projection and every dot
     product are index-ordered folds, bit-identical across engines."""
-    from pyspark.sql import Window
-
-    from lakerunner_spark.dataops.similarity import random_projection
-    from lakerunner_spark.functions.rounding import portable_round_finite
-
     from lakerunner_spark.operators.skew import (
         VEC_ROWS_PER_PART,
         spread_small_scan,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    proj = random_projection(64, 24, seed=0)
-    q = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding", proj)
     # the 24 projection folds + pair cosines are corpus-scan-adjacent
     # (r12, guide §2.5); spread before attaching the projection
-    c = spread_small_scan(
-        emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding"),
-        rows_per_part=VEC_ROWS_PER_PART,
-    ).select("vec_id", "embedding", proj)
+    return _sim6_topk(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding"),
+        spread_small_scan(
+            emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding"),
+            rows_per_part=VEC_ROWS_PER_PART,
+        ),
+    )
+
+
+def _sim6_topk(q_emb: DataFrame, c_emb: DataFrame) -> DataFrame:
+    """sim6's JL-projection top-k over pre-filtered (vec_id, embedding)
+    query/corpus frames — shared by the registered query and sim8's
+    frontier, which feeds every member from ONE checkpointed corpus
+    (r13)."""
+    from pyspark.sql import Window
+
+    from lakerunner_spark.dataops.similarity import random_projection
+    from lakerunner_spark.functions.rounding import portable_round_finite
+
+    proj = random_projection(64, 24, seed=0)
+    q = q_emb.select("vec_id", "embedding", proj)
+    c = c_emb.select("vec_id", "embedding", proj)
 
     def _cos(av, bv):
         dot = F.aggregate(

@@ -1027,106 +1027,125 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the report are the knobs those plans carry); the report itself
     aggregates 6 x 15 id pairs — nothing here grows with the corpus
     beyond the member queries' own contracts."""
-    from lakerunner_spark.dataops.similarity import l2_topk
-    from lakerunner_spark.functions.rounding import portable_round
-    from lakerunner_spark.queries_dataops import (
-        sim1_cosine_topk,
-        sim6_random_projection,
+    from lakerunner_spark.dataops.similarity import (
+        _pq_ranked,
+        _pq_rerank,
+        cosine_topk,
+        dequantize_embeddings,
+        l2_topk,
+        lsh_bucket_topk,
+        quantize_embeddings,
     )
-
-    fns = {
-        "sim1_cosine_topk": sim1_cosine_topk,
-        "sim2_ivf_topk": sim2_ivf_topk,
-        "sim3_lsh_topk": sim3_lsh_topk,
-        "sim4_quantized_topk": sim4_quantized_topk,
-        "sim6_random_projection": sim6_random_projection,
-        "sim7_pq_topk": sim7_pq_topk,
-    }
-
-    def _pq_at(sl: int):
-        def run(spark, sf_dir):
-            from lakerunner_spark.dataops.similarity import pq_topk
-
-            emb = load_table(spark, sf_dir, "embeddings")
-            return pq_topk(
-                emb.filter(F.col("vec_id") < 3),
-                emb.filter(F.col("vec_id") >= 3),
-                k=5, m=16, n_codes=32, dim=64, shortlist=sl,
-            )
-
-        return run
-
-    for sl in _SIM8_PQ_SWEEP:
-        fns[f"sim7_pq_topk_sl{sl}"] = _pq_at(sl)
-    emb = load_table(spark, sf_dir, "embeddings")
-    # the two exact baselines are 15-row results that the union below
-    # reads once per method row (6x cosine, 3x L2) through ALIASED
-    # branches — exchange reuse never fires on those (the dd11/ddm1
-    # lesson), so an unmaterialized form re-runs the brute-force
-    # corpus scan per branch. Materialize each ONCE; sim1's approx row
-    # reuses the checkpointed cosine baseline too (it IS that query).
-    # REPARTITION the corpus first: the brute-force dot product is an
-    # interpreted HOF whose cost lives in compute, not IO, and the
-    # embeddings table is a single parquet file at bench scales — an
-    # unrepartitioned eager checkpoint pins the whole scan to ONE core
-    # (measured at sf1: 10.2s -> 28s, caught CONFIRMED by the bench
-    # flag pass; the pre-checkpoint form hid it by running 9 aliased
-    # single-partition branches concurrently). 5 MB shuffle at sf1.
-    # (r13) sized spread, not a blanket repartition(defaultParallelism):
-    # the fixture corpus is ~2k vectors — fanning it to every core made
-    # each member plan pay a 32-task exchange for sub-ms map work
+    from lakerunner_spark.functions.rounding import portable_round
     from lakerunner_spark.operators.skew import (
         VEC_ROWS_PER_PART,
         spread_small_scan,
     )
+    from lakerunner_spark.queries_dataops import _sim6_topk
 
-    q3 = emb.filter(F.col("vec_id") < 3)
-    corpus = spread_small_scan(
-        emb.filter(F.col("vec_id") >= 3),
-        rows_per_part=VEC_ROWS_PER_PART,
-    )
-    from lakerunner_spark.dataops.similarity import cosine_topk
-
-    exact_cos = (
-        cosine_topk(q3, corpus, k=5)
-        .select("qid", "cid")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # (r13 #3, reworked) ONE corpus materialization feeds every member
+    # plan. The first r13 attempt checkpointed each member's 15-row
+    # OUTPUT as its own job; that cost the cross-member scan/stage
+    # reuse the old single-union execution got for free — the bench's
+    # own work-adjudicated diff caught it (sf1 input_rows 120K -> 620K,
+    # tasks 90 -> 512, x3.5 normalized; sf10 shuffle 199MB -> 2.5GB,
+    # x4.5: every member job re-scanned, re-spread and re-derived the
+    # corpus). Instead the shared LEAVES are materialized once — the
+    # 3-row query set and the sized-spread corpus — and all nine
+    # member plans are built over those checkpoints by the SAME
+    # operators the registered sim1-7 queries call with the same
+    # parameters, composed into one union report (a single execution,
+    # so identical member subtrees — e.g. the three PQ rows' codebook
+    # training — stay eligible for AQE stage reuse). Member semantics
+    # are unchanged: each operator is deterministic in its input ROWS
+    # (partitioning only affects execution), which the oracle gate and
+    # the recall-floor suite re-certify. The internal sized spreads of
+    # the operators no-op on the checkpointed corpus (skew.py: a
+    # derived relation keeps its producer's partitioning).
+    #
+    # The two exact baselines are 15-row results the union reads once
+    # per method row (6x cosine, 3x L2) through ALIASED branches —
+    # exchange reuse never fires on those (the dd11/ddm1 lesson) — so
+    # each is ALSO materialized once; sim1's approx row reuses the
+    # checkpointed cosine baseline (it IS that query).
+    q3 = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    exact_l2 = (
-        l2_topk(q3, corpus, k=5)
-        .select("qid", "cid")
+    corpus = (
+        spread_small_scan(
+            emb.filter(F.col("vec_id") >= 3).select("vec_id", "embedding"),
+            rows_per_part=VEC_ROWS_PER_PART,
+        )
         .localCheckpoint(eager=True)
     )
-    fns["sim1_cosine_topk"] = lambda _s, _d: exact_cos
-
-    # (r13 #3) Materialize every member's 15-row id set CONCURRENTLY
+    # Everything below q3/corpus runs CONCURRENTLY in one small pool
     # (guide §2.6 — actions are only sequential because driver code
-    # calls them sequentially): each member is an independent bounded
-    # job whose plan construction (driver py4j/analysis-bound) and
-    # stages overlap across a small pool, and the report then reads 9
-    # checkpointed 15-row tables instead of executing one 9-subplan
-    # union whose ~30 stages ran back to back. Member plans are
-    # UNCHANGED — the checkpoint is a materialization boundary on each
-    # registered query's own output (k*|queries| rows, bounded at any
-    # corpus scale by the members' contracts).
+    # calls them sequentially): the two exact baselines, the shared
+    # PQ ADC ranking (built and executed ONCE for the three shortlist
+    # sweep rows — _pq_ranked; its (qid, cid) volume is the PQ
+    # member's own contract), and each member's 15-row output. Each
+    # job is a handful of tiny stages over the in-memory corpus, so
+    # overlapping them collapses the old union's ~45 back-to-back
+    # micro-stages into a few concurrent jobs, and the report reads 9
+    # checkpointed 15-row tables. sim1 IS the checkpointed cosine
+    # baseline — no extra job.
     from concurrent.futures import ThreadPoolExecutor
 
-    entries = _sim8_entries()
-
-    def _materialize(name: str):
-        return (
-            fns[name](spark, sf_dir)
-            .select(F.lit(name).alias("method"), "qid", "cid")
-            .localCheckpoint(eager=True)
-        )
+    def _ck(df):
+        return df.localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        member = dict(
-            zip(
-                [n for n, _, _, _ in entries],
-                pool.map(_materialize, [n for n, _, _, _ in entries]),
+        f_cos = pool.submit(
+            lambda: _ck(cosine_topk(q3, corpus, k=5).select("qid", "cid"))
+        )
+        f_l2 = pool.submit(
+            lambda: _ck(l2_topk(q3, corpus, k=5).select("qid", "cid"))
+        )
+        f_ranked = pool.submit(
+            lambda: _ck(
+                _pq_ranked(q3, corpus, m=16, n_codes=32, dim=64)[0]
             )
         )
+
+        fns = {
+            "sim2_ivf_topk": lambda: ivf_topk(
+                q3, corpus, k=5, n_cells=16, n_probe=8
+            ),
+            "sim3_lsh_topk": lambda: lsh_bucket_topk(
+                q3, corpus, _sim3_tables(), k=5
+            ),
+            "sim4_quantized_topk": lambda: cosine_topk(
+                q3, dequantize_embeddings(quantize_embeddings(corpus)), k=5
+            ),
+            "sim6_random_projection": lambda: _sim6_topk(q3, corpus),
+        }
+        for sl in (32, *_SIM8_PQ_SWEEP):
+            fns[f"sim7_pq_topk_sl{sl}"] = (
+                lambda s: lambda: _pq_rerank(
+                    f_ranked.result(), q3, corpus, shortlist=s, k=5
+                )
+            )(sl)
+        fns["sim7_pq_topk"] = fns.pop("sim7_pq_topk_sl32")
+
+        def _materialize(name: str):
+            return _ck(
+                fns[name]().select(
+                    F.lit(name).alias("method"), "qid", "cid"
+                )
+            )
+
+        futs = {n: pool.submit(_materialize, n) for n in fns}
+        exact_cos = f_cos.result()
+        exact_l2 = f_l2.result()
+        member = {n: f.result() for n, f in futs.items()}
+        member["sim1_cosine_topk"] = exact_cos.select(
+            F.lit("sim1_cosine_topk").alias("method"), "qid", "cid"
+        )
+
+    entries = _sim8_entries()
 
     approx = None
     exact = None

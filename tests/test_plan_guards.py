@@ -224,14 +224,24 @@ def test_ds12_single_corpus_pass(spark, sf_dir):
     function would be column-pruned differently per consumer, splitting
     the exchange and recomputing the corpus pass (the r12 regression
     this pins). Reuse is an AQE runtime decision, so the assertion runs
-    the query and checks the final adaptive plan."""
+    the query and checks the final adaptive plan. The assertion
+    (ADVICE r12, robustness): reuse is evidenced EITHER by a
+    `ReusedExchange` node OR by the plan carrying a single parquet
+    scan — the former is the normal AQE spelling, the latter covers a
+    plan-string respelling. A bare scan count alone is NOT reliable
+    here: executedPlan().toString() prints subquery executions inline,
+    textually duplicating the shared subtree even when only one
+    physical pass runs (the sf10 work counters — input_rows == one
+    corpus scan — are the ground truth the r12/r13 round logs
+    adjudicated with)."""
     import __spark_entry__ as entry
 
     df = entry.queries()["ds12_dsir_selection"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, (
-        "ds12 final plan has no ReusedExchange — the bigram "
-        "scan/explode/hash subtree is being computed once per "
-        "distribution:\n" + plan
+    n_scans = plan.count("FileScan parquet")
+    assert "ReusedExchange" in plan or n_scans == 1, (
+        f"ds12 final plan has no ReusedExchange and {n_scans} parquet "
+        "scans — the bigram scan/explode/hash subtree is being "
+        "computed once per distribution instead of shared:\n" + plan
     )
