@@ -99,6 +99,36 @@ def scan_rows(df: DataFrame) -> int | None:
     return total
 
 
+_SCAN_NODES = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "LogicalRelation", "View"}
+)
+
+
+def _scan_like(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan is a pure scan tree —
+    projections/filters/aliases over file relations, nothing else.
+    Driver-side metadata walk with early exit; no job, no execution.
+    Anything beyond a scan tree (joins, aggregates, generates,
+    checkpoints) both mis-maps the footer row count (the relation's
+    rows are not the file's rows) and may EXECUTE work under the
+    ``.rdd`` partition probe (a broadcast exchange fires during RDD
+    construction — the r12 probe bug, re-measured this round on
+    txt13's rebuilt corpus: +3 construction jobs for a spread that
+    was a no-op anyway)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _SCAN_NODES:
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
+    except Exception:  # pragma: no cover - py4j surface drift
+        return False
+
+
 def spread_small_scan(
     df: DataFrame,
     min_parts: int | None = None,
@@ -169,16 +199,23 @@ def spread_small_scan(
     sc = df.sparkSession.sparkContext
     cap = min_parts or sc.defaultParallelism
     src = probe if probe is not None else df
-    cur = src.rdd.getNumPartitions()
-    if cur >= cap:
-        return df
     target = cap
     rpp = rows_per_part if rows_per_part is not None else ROWS_PER_PART
     if rpp > 0:
+        # The scan-likeness gate and row sizing run BEFORE the
+        # partition probe: both are driver-only metadata (no job),
+        # while src.rdd on a derived plan EXECUTES any broadcast
+        # exchange it contains (executeBroadcast fires during RDD
+        # construction — the r12 probe bug). A non-scan relation is
+        # never sized (footer rows are not its rows) and never
+        # .rdd-probed at all.
+        if not _scan_like(src):
+            return df
         rows = scan_rows(src)
         if rows is None:
             return df
         target = min(cap, max(floor, -(-rows // rpp) or 1))
+    cur = src.rdd.getNumPartitions()
     if target <= cur:
         return df
     return df.repartition(target)
