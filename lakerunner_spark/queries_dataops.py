@@ -3459,13 +3459,18 @@ def _txt13_kept(paras: DataFrame) -> DataFrame:
     shuffled every para's text on the hash key just to compare two
     longs. The DROPPED set (duplicate instances minus firsts) is the
     small side of this decision — 6.4% of paras at sf1 — so a
-    left_anti on pk broadcasts it and the para payload never
-    shuffles for the decision at all (it moves once, in the rebuild
-    groupBy downstream). When the dropped set outgrows the broadcast
-    threshold the join degrades to a shuffle on pk — a UNIQUE key,
-    so no equi-group is ever hot (the old h-join put every copy of a
+    left_anti broadcasts it and the para payload never shuffles for
+    the decision at all (it moves once, in the rebuild groupBy
+    downstream). When the dropped set outgrows the broadcast
+    threshold the join degrades to a shuffle on a UNIQUE key, so no
+    equi-group is ever hot (the old h-join put every copy of a
     boilerplate paragraph in one group). The decision branch shuffles
-    only (h, pk); the window's per-group state is those two columns.
+    only (h, doc_id, idx, pk); first-occurrence order stays min(pk).
+    The anti-join keys on the natural (doc_id, idx) pair, NOT the
+    composite pk (r13, ADVICE): pk = doc_id*100000 + idx is the
+    oracle-shared ORDER key, but keying the anti-join on it would
+    make its uniqueness load-bearing — a >=100k-paragraph document
+    would collide into the next doc_id and drop an unrelated row.
     The pk.isNotNull() pre-filter replicates the old `pk == mpk`
     filter exactly: a NULL pk compared NULL there and was dropped,
     where a left_anti would keep it (no build-side match) — pinned
@@ -3477,15 +3482,15 @@ def _txt13_kept(paras: DataFrame) -> DataFrame:
 
     pk = (F.col("doc_id") * 100000 + F.col("idx")).alias("pk")
     dropped = (
-        paras.select(F.md5("para").alias("h"), pk)
+        paras.select(F.md5("para").alias("h"), "doc_id", "idx", pk)
         .withColumn("mpk", F.min("pk").over(Window.partitionBy("h")))
         .filter(F.col("pk") != F.col("mpk"))
-        .select("pk")
+        .select("doc_id", "idx")
     )
     return (
         paras.select("doc_id", "idx", "para", pk)
         .filter(F.col("pk").isNotNull())
-        .join(dropped, "pk", "left_anti")
+        .join(dropped, ["doc_id", "idx"], "left_anti")
     )
 
 

@@ -933,3 +933,20 @@ def test_txt13_dedup_anti_join_matches_join_back(spark):
     assert (1, 0) in got and (1, 1) not in got      # within-doc dup gone
     assert (2, 0) not in got                        # cross-doc dup gone
     assert not any(doc is None for doc, _ in got)   # NULL pk rows dropped
+
+    # pk-collision guard (r13, ADVICE): pk = doc_id*100000 + idx is
+    # only the ORDER key; the anti-join keys on (doc_id, idx), so a
+    # >=100k-paragraph document colliding into the next doc_id must
+    # not drop that doc's unrelated paragraph. Here (7, 100000) is a
+    # DROPPED duplicate whose pk (800000) equals doc 8 idx 0's pk —
+    # doc 8's paragraph must survive.
+    coll = spark.createDataFrame(
+        [
+            (7, 0, "dup para"),
+            (7, 100000, "dup para"),
+            (8, 0, "innocent bystander"),
+        ],
+        "doc_id long, idx int, para string",
+    )
+    kept_c = {(r.doc_id, r.idx) for r in _txt13_kept(coll).collect()}
+    assert kept_c == {(7, 0), (8, 0)}
