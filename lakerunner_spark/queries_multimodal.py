@@ -1104,9 +1104,16 @@ def sim8_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_l2 = pool.submit(
             lambda: _ck(l2_topk(q3, corpus, k=5).select("qid", "cid"))
         )
+        # materialize only the ADC rows any sweep can read (_rn up to
+        # the widest shortlist): the rerank stages filter _rn <= sl
+        # anyway, so checkpointing the full q x n ranking would write
+        # corpus-proportional rows for nothing
+        _sl_max = max((32, *_SIM8_PQ_SWEEP))
         f_ranked = pool.submit(
             lambda: _ck(
-                _pq_ranked(q3, corpus, m=16, n_codes=32, dim=64)[0]
+                _pq_ranked(q3, corpus, m=16, n_codes=32, dim=64)[0].filter(
+                    F.col("_rn") <= _sl_max
+                )
             )
         )
 
